@@ -1,13 +1,620 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.gen.RawGen
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis, Windows}
+import graft.route.{EventTypeSplitter, Filterer}
+import graft.translate.{LegacyTranslators, VehicleTranslators}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver contract: one registered query per implemented operator
+  * (SURVEY.md §2), each with a DuckDB-runnable oracle that recomputes the
+  * same result from the same parquet tables. Raw-message corpora are derived
+  * deterministically from `events.parquet` (graft.gen.RawGen) so translator
+  * behavior — time canonicalization, enum decode, poison-split, routing —
+  * is fully oracle-checkable.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: the primary reference dataflow (Geotab → CMF, E1 in
+    * SURVEY.md §3) on sf0.001. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    cmfGeotab(spark, "/root/testdata/sf0.001")
+
+  // ---------- shared DuckDB SQL fragments (mirrors of RawGen/IsoTime) ----
+
+  private val sqlEpochUs = "epoch_us(ts)"
+  private val sqlEpochMs = s"($sqlEpochUs//1000)"
+  private val sqlEpochS  = s"($sqlEpochUs//1000000)"
+  private def sqlIsoFromS(s: String) =
+    s"strftime(make_timestamp(($s)*1000000), '%Y-%m-%dT%H:%M:%SZ')"
+  private def sqlIsoFromMs(ms: String) =
+    s"(strftime(make_timestamp((($ms)//1000)*1000000), '%Y-%m-%dT%H:%M:%S') || " +
+    s"CASE WHEN ($ms)%1000=0 THEN 'Z' ELSE '.'||lpad((($ms)%1000)::VARCHAR,3,'0')||'Z' END)"
+  /** Rows RawGen poisons for the vehicle-translator corpora. */
+  private val sqlVehicleValid = "event_id % 10 NOT IN (0, 5)"
+
+  // ---------- query implementations ----------
+
+  private def cmfGeotab(s: SparkSession, dir: String): DataFrame = {
+    val t = VehicleTranslators.geotab(RawGen.geotabRaw(RawGen.events(s, dir)), "acme")
+    t.valid.select(
+      col("cmf.deviceId").as("device_id"),
+      col("cmf.vehicleId").as("vehicle_id"),
+      col("cmf.dateTime").as("date_time"),
+      col("cmf.epochSource").as("epoch_source"),
+      col("cmf.telemetry.location.lat").as("lat"),
+      col("cmf.telemetry.location.lon").as("lon"),
+      col("cmf.telemetry.odometerCanMi").as("odometer_mi"),
+      col("cmf.telemetry.engineRpm").as("engine_rpm"),
+      col("cmf.telemetry.fuelLevelPct").as("fuel_pct"),
+      col("cmf.telemetry.ignitionStatus").as("ignition"),
+      col("cmf.partitionKey").as("partition_key"),
+      col("cmf.sourceType").as("source_type"),
+      col("cmf.tenantId").as("tenant_id"),
+      col("cmf.sourceSpecificData").as("ssd"),
+      col("cmf.meta.additionalProperties").getItem("translator").as("translator")
+    ).orderBy("device_id")
+  }
+
+  private def cmfCalamp(s: SparkSession, dir: String): DataFrame = {
+    val t = VehicleTranslators.calAmp(RawGen.calAmpRaw(RawGen.events(s, dir)), "acme")
+    t.valid.select(
+      col("cmf.deviceId").as("device_id"),
+      col("cmf.vehicleId").as("vehicle_id"),
+      col("cmf.dateTime").as("date_time"),
+      col("cmf.epochSource").as("epoch_source"),
+      col("cmf.telemetry.location.lat").as("lat"),
+      col("cmf.telemetry.location.lon").as("lon"),
+      col("cmf.telemetry.speedGpsMph").as("speed_mph"),
+      col("cmf.telemetry.fuelLevelPct").as("fuel_pct"),
+      col("cmf.telemetry.batteryVoltage").as("battery_v"),
+      col("cmf.sourceType").as("source_type"),
+      col("cmf.sourceSpecificData").as("ssd")
+    ).orderBy("device_id")
+  }
+
+  private def cmfFord(s: SparkSession, dir: String): DataFrame = {
+    val t = VehicleTranslators.ford(RawGen.fordRaw(RawGen.events(s, dir)), "acme")
+    t.valid.select(
+      col("cmf.deviceId").as("device_id"),
+      col("cmf.vehicleId").as("vehicle_id"),
+      col("cmf.dateTime").as("date_time"),
+      col("cmf.epochSource").as("epoch_source"),
+      col("cmf.telemetry.location.timestamp").as("loc_time"),
+      col("cmf.telemetry.location.lat").as("lat"),
+      col("cmf.telemetry.location.lon").as("lon"),
+      col("cmf.telemetry.speedGpsMph").as("speed_mph"),
+      col("cmf.telemetry.fuelLevelGallon").as("fuel_gal"),
+      col("cmf.telemetry.engineRpm").as("engine_rpm"),
+      col("cmf.sourceType").as("source_type"),
+      col("cmf.sourceSpecificData").as("ssd")
+    ).orderBy("device_id")
+  }
+
+  private def quarantineCounts(s: SparkSession, dir: String): DataFrame = {
+    val ev = RawGen.events(s, dir)
+    def cnt(name: String, q: DataFrame) =
+      q.agg(count(lit(1)).as("quarantined")).select(lit(name).as("source"), col("quarantined"))
+    cnt("calamp", VehicleTranslators.calAmp(RawGen.calAmpRaw(ev), "acme").quarantine)
+      .unionByName(cnt("ford", VehicleTranslators.ford(RawGen.fordRaw(ev), "acme").quarantine))
+      .unionByName(cnt("geotab", VehicleTranslators.geotab(RawGen.geotabRaw(ev), "acme").quarantine))
+      .orderBy("source")
+  }
+
+  private def routeFilterer(s: SparkSession, dir: String): DataFrame =
+    Filterer.route(RawGen.cmfRoutingRaw(RawGen.events(s, dir))).routed
+      .groupBy(col("tenantId").as("tenant_id"), col("topic"))
+      .agg(count(lit(1)).as("msg_cnt"),
+        sum(length(col("value")).cast("long")).as("bytes"))
+      .orderBy("tenant_id")
+
+  private def legacyUnion(s: SparkSession, dir: String): DataFrame = {
+    val raw = RawGen.legacyRaw(RawGen.events(s, dir))
+    LegacyTranslators.all.zipWithIndex.map { case (spec, k) =>
+      LegacyTranslators.translate(raw.filter(col("kind") === k), spec,
+        deterministicIds = true).valid
+    }.reduce(_ unionByName _)
+  }
+
+  private def legacyTranslate(s: SparkSession, dir: String): DataFrame =
+    legacyUnion(s, dir).select(
+      col("event_id"),
+      col("eventId").as("event_uuid"),
+      col("source"),
+      col("eventType").as("event_type"),
+      col("timestamp").as("ts_iso")
+    ).orderBy("event_id")
+
+  private def routeSplitter(s: SparkSession, dir: String): DataFrame =
+    EventTypeSplitter.route(legacyUnion(s, dir).select(col("event_json").as("value")))
+      .routed
+      .groupBy(col("eventType").as("event_type"), col("topic"))
+      .agg(count(lit(1)).as("msg_cnt"))
+      .orderBy("event_type")
+
+  private def unionSources(s: SparkSession, dir: String): DataFrame = {
+    val ev = RawGen.events(s, dir)
+    val g = VehicleTranslators.geotab(RawGen.geotabRaw(ev), "acme").valid
+    val c = VehicleTranslators.calAmp(RawGen.calAmpRaw(ev), "acme").valid
+    def proj(df: DataFrame) = df.select(col("cmf.sourceType").as("source_type"),
+      col("cmf.epochSource").as("es"))
+    proj(g).unionByName(proj(c))
+      .groupBy("source_type")
+      .agg(count(lit(1)).as("msg_cnt"), min("es").as("min_epoch"), max("es").as("max_epoch"))
+      .orderBy("source_type")
+  }
+
+  private def q1Agg(s: SparkSession, dir: String): DataFrame =
+    RawGen.table(s, dir, "lineitem")
+      .filter(col("l_quantity") < 45)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double").as("sum_base_price"),
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,4)"))
+          .cast("double").as("sum_disc_price"),
+        count(lit(1)).as("cnt"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  private def qJoinAgg(s: SparkSession, dir: String): DataFrame = {
+    val orders = RawGen.table(s, dir, "orders")
+    val customer = RawGen.table(s, dir, "customer")
+    val nation = RawGen.table(s, dir, "nation")
+    val region = RawGen.table(s, dir, "region")
+    orders.join(customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name", "r_name")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+      .orderBy("n_name", "r_name")
+  }
+
+  private def qWindowTopk(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    RawGen.table(s, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("o_custkey", "o_orderkey", "rn")
+      .orderBy("o_custkey", "rn")
+  }
+
+  private def qRollup(s: SparkSession, dir: String): DataFrame =
+    RawGen.table(s, dir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("sum_qty"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("cnt"), col("sum_qty"))
+      .orderBy("rf", "ls")
+
+  private def qSemi(s: SparkSession, dir: String): DataFrame =
+    RawGen.table(s, dir, "customer")
+      .join(RawGen.table(s, dir, "orders"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("cnt"))
+      .orderBy("c_mktsegment")
+
+  private def qAnti(s: SparkSession, dir: String): DataFrame =
+    RawGen.table(s, dir, "customer")
+      .join(RawGen.table(s, dir, "orders"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("cnt"))
+      .orderBy("c_mktsegment")
+
+  private def dedupExactDocs(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(RawGen.table(s, dir, "documents"), Seq("text"), "doc_id")
+      .select(md5(col("text")).as("text_md5"), col("keep_id"), col("copies"))
+      .orderBy("keep_id")
+
+  private def eventsDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(RawGen.table(s, dir, "events"), Seq("user_id", "event_type"), "event_id")
+      .select(col("user_id"), col("event_type"), col("keep_id"), col("copies"))
+      .orderBy("user_id", "event_type")
+
+  private def textStats(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.textStats(RawGen.table(s, dir, "documents")).orderBy("doc_id")
+
+  private def langId(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.langId(RawGen.table(s, dir, "documents")).orderBy("doc_id")
+
+  private def docFingerprint(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.fingerprint(RawGen.table(s, dir, "documents")).orderBy("doc_id")
+
+  private def neardupMinhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashNeardup(RawGen.table(s, dir, "documents").select("doc_id", "text"))
+      .orderBy("doc_a", "doc_b")
+
+  private def simhashBuckets(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhash(RawGen.table(s, dir, "documents")).orderBy("doc_id")
+
+  private def knnQueries(s: SparkSession, dir: String): DataFrame =
+    RawGen.table(s, dir, "embeddings").filter(col("vec_id") < 8)
+
+  private def knnBrute(s: SparkSession, dir: String): DataFrame = {
+    val emb = RawGen.table(s, dir, "embeddings")
+    Similarity.cosineTopK(emb, knnQueries(s, dir), 5)
+      .orderBy("query_id", "rank")
+  }
+
+  private def knnLsh(s: SparkSession, dir: String): DataFrame = {
+    val emb = RawGen.table(s, dir, "embeddings")
+    Similarity.lshCosineTopK(emb, knnQueries(s, dir), 5, numPlanes = 8, dim = 64)
+      .orderBy("query_id", "rank")
+  }
+
+  private def windowTumbling(s: SparkSession, dir: String): DataFrame =
+    Windows.tumblingCounts(RawGen.events(s, dir))
+      .orderBy("window_start", "event_type")
+
+  private def sessionizeQ(s: SparkSession, dir: String): DataFrame =
+    Windows.sessionize(RawGen.events(s, dir))
+      .select("user_id", "session_idx", "n_events", "start_us", "end_us", "duration_ms")
+      .orderBy("user_id", "session_idx")
+
+  private def multimodalMeta(s: SparkSession, dir: String): DataFrame =
+    Multimodal.asMediaTable(RawGen.table(s, dir, "documents"))
+      .select("doc_id", "mime", "octet_len", "payload_sha256")
+      .orderBy("doc_id")
+
+  private def approxDistinct(s: SparkSession, dir: String): DataFrame =
+    RawGen.table(s, dir, "events")
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+        approx_count_distinct(col("event_type")).as("approx_types"))
+
+  // ---------- registry ----------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cmf_geotab" -> (cmfGeotab _),
+    "cmf_calamp" -> (cmfCalamp _),
+    "cmf_ford" -> (cmfFord _),
+    "quarantine_counts" -> (quarantineCounts _),
+    "route_filterer" -> (routeFilterer _),
+    "route_splitter" -> (routeSplitter _),
+    "legacy_translate" -> (legacyTranslate _),
+    "union_sources" -> (unionSources _),
+    "q1_agg" -> (q1Agg _),
+    "q_join_agg" -> (qJoinAgg _),
+    "q_window_topk" -> (qWindowTopk _),
+    "q_rollup" -> (qRollup _),
+    "q_semi" -> (qSemi _),
+    "q_anti" -> (qAnti _),
+    "dedup_exact" -> (dedupExactDocs _),
+    "events_dedup" -> (eventsDedup _),
+    "text_stats" -> (textStats _),
+    "lang_id" -> (langId _),
+    "doc_fingerprint" -> (docFingerprint _),
+    "neardup_minhash" -> (neardupMinhash _),
+    "simhash_buckets" -> (simhashBuckets _),
+    "knn_brute" -> (knnBrute _),
+    "knn_lsh" -> (knnLsh _),
+    "window_tumbling" -> (windowTumbling _),
+    "sessionize" -> (sessionizeQ _),
+    "multimodal_meta" -> (multimodalMeta _),
+    "approx_distinct" -> (approxDistinct _)
+  )
+
+  // ---------- DuckDB oracles ----------
+
+  private val geotabSsdSql =
+    """('{' || COALESCE('"customGeotabField1":"'||c1||'"','')
+      | || CASE WHEN c1 IS NOT NULL AND c2 IS NOT NULL THEN ',' ELSE '' END
+      | || COALESCE('"customGeotabField2":'||c2,'') || '}')""".stripMargin
+
+  private val cmfGeotabSql =
+    s"""WITH base AS (
+       |  SELECT event_id, user_id, event_type, value, $sqlEpochS AS es,
+       |    CASE WHEN user_id % 3 <> 0 THEN event_type END AS c1,
+       |    CASE WHEN event_id % 7 <> 0 THEN event_id % 100 END AS c2
+       |  FROM events WHERE $sqlVehicleValid)
+       |SELECT 'geo-'||event_id AS device_id, 'veh-'||user_id AS vehicle_id,
+       |  ${sqlIsoFromS("es")} AS date_time, es*1000 AS epoch_source,
+       |  (user_id % 180 - 90 + 0.25) AS lat, (event_id % 360 - 180 + 0.5) AS lon,
+       |  CASE WHEN event_type <> 'error' THEN value END AS odometer_mi,
+       |  CASE WHEN event_type <> 'view' THEN CAST(event_id % 5000 AS DOUBLE) END AS engine_rpm,
+       |  CAST(user_id % 101 AS DOUBLE) AS fuel_pct,
+       |  CASE event_type WHEN 'click' THEN 'ON' WHEN 'view' THEN 'OFF'
+       |    WHEN 'purchase' THEN 'ON' ELSE 'UNKNOWN' END AS ignition,
+       |  'veh-'||user_id AS partition_key, 'Geotab' AS source_type, 'acme' AS tenant_id,
+       |  $geotabSsdSql AS ssd,
+       |  'GeotabTranslator_v1.0' AS translator
+       |FROM base ORDER BY device_id""".stripMargin
+
+  private val cmfCalampSql =
+    s"""WITH base AS (
+       |  SELECT event_id, user_id, event_type, value, $sqlEpochS AS es
+       |  FROM events WHERE $sqlVehicleValid)
+       |SELECT 'cal-'||event_id AS device_id, 'cv-'||user_id AS vehicle_id,
+       |  ${sqlIsoFromS("es")} AS date_time, es*1000 AS epoch_source,
+       |  (user_id % 160 - 80 + 0.125) AS lat, (event_id % 340 - 170 + 0.375) AS lon,
+       |  CASE WHEN event_type = 'click' THEN value END AS speed_mph,
+       |  CAST(event_id % 101 AS DOUBLE) AS fuel_pct,
+       |  CAST(user_id % 150 AS DOUBLE)/10.0 AS battery_v,
+       |  'CalAmp' AS source_type,
+       |  CASE WHEN user_id % 4 <> 0 THEN '{"calAmpSpecificValue":"'||event_type||'"}'
+       |       ELSE '{}' END AS ssd
+       |FROM base ORDER BY device_id""".stripMargin
+
+  private val cmfFordSql =
+    s"""WITH base AS (
+       |  SELECT event_id, user_id, event_type, value, $sqlEpochMs AS ms
+       |  FROM events WHERE $sqlVehicleValid)
+       |SELECT 'esn-'||event_id AS device_id, 'vin-'||user_id AS vehicle_id,
+       |  ${sqlIsoFromMs("ms")} AS date_time, ms AS epoch_source,
+       |  ${sqlIsoFromMs("ms - 5000")} AS loc_time,
+       |  (user_id % 170 - 85 + 0.5) AS lat, (event_id % 350 - 175 + 0.25) AS lon,
+       |  CASE WHEN event_type <> 'signup' THEN value END AS speed_mph,
+       |  CAST(event_id % 20 AS DOUBLE) + 0.5 AS fuel_gal,
+       |  CASE WHEN event_type <> 'error' THEN CAST(event_id % 8000 AS DOUBLE) END AS engine_rpm,
+       |  'Ford' AS source_type,
+       |  CASE WHEN user_id % 7 <> 0
+       |    THEN '{"doorStatus":"'||event_type||'","alerts":'||(event_id%3)||'}'
+       |    ELSE '{}' END AS ssd
+       |FROM base ORDER BY device_id""".stripMargin
+
+  private val quarantineSql =
+    """SELECT src AS source, CAST(n AS BIGINT) AS quarantined FROM (
+      |  SELECT 'calamp' AS src, count(*) AS n FROM events WHERE event_id % 10 IN (0,5)
+      |  UNION ALL SELECT 'ford', count(*) FROM events WHERE event_id % 10 IN (0,5)
+      |  UNION ALL SELECT 'geotab', count(*) FROM events WHERE event_id % 10 IN (0,5)
+      |) ORDER BY source""".stripMargin
+
+  private val routeFiltererSql =
+    s"""WITH base AS (
+       |  SELECT user_id, $sqlEpochMs AS ms FROM events WHERE user_id % 6 = 5)
+       |SELECT 'tenant-'||(user_id%4) AS tenant_id,
+       |  'persistent://tenant-'||(user_id%4)||'/integration/telemetry' AS topic,
+       |  CAST(count(*) AS BIGINT) AS msg_cnt,
+       |  CAST(sum(length('{"meta":{"tenantId":"tenant-'||(user_id%4)||'"},"vehicleId":"veh-'
+       |    ||user_id||'","partitionKey":"veh-'||user_id||'","epochSource":'||ms||'}')) AS BIGINT) AS bytes
+       |FROM base GROUP BY 1, 2 ORDER BY 1""".stripMargin
+
+  private val legacyBaseSql =
+    s"""WITH base AS (
+       |  SELECT event_id, user_id, $sqlEpochS AS es, event_id % 5 AS kind,
+       |    CAST(floor(value*100) AS BIGINT) AS cents
+       |  FROM events WHERE user_id % 9 <> 0),
+       |p AS (
+       |  SELECT event_id, kind, ${sqlIsoFromS("es")} AS iso_s,
+       |    CASE kind WHEN 0 THEN 'user-service' WHEN 1 THEN 'order-service'
+       |      WHEN 2 THEN 'inventory-service' WHEN 3 THEN 'payment-gateway'
+       |      ELSE 'shipping-service' END AS source,
+       |    CASE kind WHEN 0 THEN 'USER_PROFILE_EVENT' WHEN 1 THEN 'ORDER_EVENT'
+       |      WHEN 2 THEN 'INVENTORY_EVENT' WHEN 3 THEN 'PAYMENT_EVENT'
+       |      ELSE 'SHIPMENT_EVENT' END AS event_type,
+       |    CASE kind
+       |      WHEN 0 THEN '{"uid":'||user_id||',"name":"user-'||user_id||'","created":'||es||'}'
+       |      WHEN 1 THEN '{"orderId":"ORD-'||event_id||'","items":["item-'||(event_id%50)||'"],"placedAt":"'||${sqlIsoFromS("es")}||'"}'
+       |      WHEN 2 THEN '{"sku":"SKU-'||(event_id%500)||'","qty":'||(user_id%1000)||',"updateTime":'||es||'}'
+       |      WHEN 3 THEN '{"txnId":"TXN-'||event_id||'","amount":'||cents||',"currency":"EUR","time":"'||${sqlIsoFromS("es")}||'"}'
+       |      ELSE '{"shipId":"SHIP-'||event_id||'","status":"SHIPPED","deliveredAt":'||es||'}'
+       |    END AS payload
+       |  FROM base)""".stripMargin
+
+  private val legacyTranslateSql =
+    s"""$legacyBaseSql
+       |SELECT event_id, sha256(source||'|'||event_type||'|'||payload) AS event_uuid,
+       |  source, event_type, iso_s AS ts_iso
+       |FROM p ORDER BY event_id""".stripMargin
+
+  private val routeSplitterSql =
+    s"""$legacyBaseSql
+       |SELECT event_type,
+       |  'persistent://acme/integration/' ||
+       |    replace(lower(regexp_replace(event_type, '_EVENT$$', '')), '_', '-') ||
+       |    '-events' AS topic,
+       |  CAST(count(*) AS BIGINT) AS msg_cnt
+       |FROM p GROUP BY 1, 2 ORDER BY 1""".stripMargin
+
+  private val unionSourcesSql =
+    s"""WITH v AS (SELECT ($sqlEpochS)*1000 AS es FROM events WHERE $sqlVehicleValid)
+       |SELECT src AS source_type, CAST(n AS BIGINT) AS msg_cnt, mn AS min_epoch, mx AS max_epoch
+       |FROM (
+       |  SELECT 'CalAmp' AS src, count(*) n, min(es) mn, max(es) mx FROM v
+       |  UNION ALL SELECT 'Geotab', count(*), min(es), max(es) FROM v
+       |) ORDER BY source_type""".stripMargin
+
+  private val q1AggSql =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(count(*) AS BIGINT) AS cnt
+      |FROM lineitem WHERE l_quantity < 45
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  private val qJoinAggSql =
+    """SELECT n_name, r_name, CAST(count(*) AS BIGINT) AS cnt,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  private val qWindowTopkSql =
+    """SELECT o_custkey, o_orderkey, CAST(rn AS INT) AS rn FROM (
+      |  SELECT o_custkey, o_orderkey,
+      |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) rn
+      |  FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin
+
+  private val qRollupSql =
+    """SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
+      |  CAST(count(*) AS BIGINT) AS cnt,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+      |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) ORDER BY 1, 2""".stripMargin
+
+  private val qSemiSql =
+    """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS cnt FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  private val qAntiSql =
+    """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS cnt FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  private val dedupExactSql =
+    """SELECT md5(text) AS text_md5, CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+      |  CAST(count(*) AS BIGINT) AS copies
+      |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin
+
+  private val eventsDedupSql =
+    """SELECT user_id, event_type, CAST(MIN(event_id) AS BIGINT) AS keep_id,
+      |  CAST(count(*) AS BIGINT) AS copies
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  private val duckWords = """string_split_regex(trim(text), '\s+')"""
+
+  private val textStatsSql =
+    s"""WITH w AS (SELECT doc_id, text, $duckWords AS ws FROM documents)
+       |SELECT doc_id,
+       |  CAST(length(text) AS BIGINT) AS n_chars,
+       |  CAST(len(ws) AS BIGINT) AS n_words,
+       |  CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct_words,
+       |  CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)/len(ws) AS avg_word_len,
+       |  CAST(len(list_filter(ws, x -> x IN ('the','a','of','and'))) AS DOUBLE)/len(ws) AS stopword_ratio,
+       |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT) AS bpe_tokens
+       |FROM w ORDER BY doc_id""".stripMargin
+
+  private val langIdSql =
+    s"""WITH w AS (SELECT doc_id, $duckWords AS ws FROM documents),
+       |c AS (SELECT doc_id,
+       |  len(list_filter(ws, x -> x IN ('the','a','of','and','is'))) AS en,
+       |  len(list_filter(ws, x -> x IN ('le','la','les','et','est'))) AS fr,
+       |  len(list_filter(ws, x -> x IN ('der','die','das','und','ist'))) AS de,
+       |  len(list_filter(ws, x -> x IN ('el','los','las','y','es'))) AS es FROM w)
+       |SELECT doc_id,
+       |  CASE WHEN en>=fr AND en>=de AND en>=es THEN 'en'
+       |       WHEN fr>=de AND fr>=es THEN 'fr'
+       |       WHEN de>=es THEN 'de' ELSE 'es' END AS lang_guess
+       |FROM c ORDER BY doc_id""".stripMargin
+
+  private val docFingerprintSql =
+    """SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  private val neardupMinhashSql = {
+    val mh = (1 to 8).map(j =>
+      s"list_min(list_transform(sh, x -> md5('$j:'||x))) AS mh$j").mkString(",\n  ")
+    val mcnt = (1 to 8).map(j =>
+      s"CASE WHEN a.mh$j = b.mh$j THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH w AS (SELECT doc_id, $duckWords AS ws FROM documents),
+       |f AS (SELECT doc_id, ws FROM w WHERE len(ws) >= 3),
+       |shx AS (SELECT doc_id,
+       |  list_distinct(list_transform(generate_series(0, len(ws)-3),
+       |    i -> array_to_string(ws[i+1:i+3], ' '))) AS sh FROM f),
+       |sig AS (SELECT doc_id, sh,
+       |  $mh
+       |FROM shx),
+       |sigb AS (SELECT *, mh1||mh2||mh3||mh4 AS b0, mh5||mh6||mh7||mh8 AS b1 FROM sig)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  ($mcnt)/8.0 AS est_jaccard,
+       |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+       |    len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+       |FROM sigb a JOIN sigb b
+       |  ON (a.b0 = b.b0 OR a.b1 = b.b1) AND a.doc_id < b.doc_id
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  private val simhashSql = {
+    val bits = (0 until 16).map { k =>
+      s"(CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN " +
+      s"strpos('0123456789abcdef', substr(h, ${k + 1}, 1)) % 2 = 1 " +
+      s"THEN 1 ELSE -1 END)) > 0 THEN '1' ELSE '0' END)"
+    }.mkString(" || ")
+    s"""WITH w AS (SELECT doc_id,
+       |  list_transform($duckWords, x -> md5(x)) AS hs FROM documents)
+       |SELECT doc_id, $bits AS simhash FROM w ORDER BY doc_id""".stripMargin
+  }
+
+  private val knnBruteSql =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+      |n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
+      |q AS (SELECT vec_id AS qid, emb AS qemb, nrm AS qnrm FROM n WHERE vec_id < 8),
+      |s AS (SELECT qid AS query_id, n.vec_id AS neighbor_id,
+      |    list_dot_product(qemb, emb)/(qnrm*nrm) AS sim
+      |  FROM q JOIN n ON n.vec_id <> qid),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk FROM s)
+      |SELECT query_id, neighbor_id, CAST(rk AS INT) AS rank, sim
+      |FROM r WHERE rk <= 5 ORDER BY query_id, rank""".stripMargin
+
+  private val knnLshSql = {
+    val sigExpr = Similarity.planes(8, 64).map { coefs =>
+      val arr = coefs.map(d => if (d > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+      s"(CASE WHEN list_dot_product(emb, $arr::DOUBLE[]) > 0 THEN '1' ELSE '0' END)"
+    }.mkString(" || ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm,
+       |  $sigExpr AS sig FROM e),
+       |q AS (SELECT vec_id AS qid, emb AS qemb, nrm AS qnrm, sig FROM n WHERE vec_id < 8),
+       |s AS (SELECT qid AS query_id, n.vec_id AS neighbor_id,
+       |    list_dot_product(qemb, emb)/(qnrm*nrm) AS sim
+       |  FROM q JOIN n ON n.sig = q.sig AND n.vec_id <> qid),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk FROM s)
+       |SELECT query_id, neighbor_id, CAST(rk AS INT) AS rank, sim
+       |FROM r WHERE rk <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
+  private val windowTumblingSql =
+    s"""WITH e AS (SELECT $sqlEpochUs AS us, event_type, value FROM events),
+       |g AS (SELECT (us//3600000000)*3600 AS win_s, event_type,
+       |    count(*) AS cnt, SUM(CAST(value AS DECIMAL(18,4))) AS sd
+       |  FROM e GROUP BY 1, 2)
+       |SELECT ${sqlIsoFromS("win_s")} AS window_start, event_type,
+       |  CAST(cnt AS BIGINT) AS cnt, CAST(sd AS DOUBLE) AS sum_value
+       |FROM g ORDER BY 1, 2""".stripMargin
+
+  private val sessionizeSql =
+    s"""WITH e AS (SELECT user_id, event_id, $sqlEpochUs AS us FROM events),
+       |l AS (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS p FROM e),
+       |n AS (SELECT *, CASE WHEN p IS NULL OR us - p > 1800000000 THEN 1 ELSE 0 END AS nw FROM l),
+       |sx AS (SELECT *, SUM(nw) OVER (PARTITION BY user_id ORDER BY us, event_id
+       |  ROWS UNBOUNDED PRECEDING) AS sess FROM n)
+       |SELECT user_id, CAST(sess AS BIGINT) AS session_idx,
+       |  CAST(count(*) AS BIGINT) AS n_events,
+       |  min(us) AS start_us, max(us) AS end_us,
+       |  (max(us) - min(us))//1000 AS duration_ms
+       |FROM sx GROUP BY user_id, sess ORDER BY user_id, session_idx""".stripMargin
+
+  private val multimodalMetaSql =
+    """SELECT doc_id, 'text/plain' AS mime, CAST(strlen(text) AS BIGINT) AS octet_len,
+      |  sha256(text) AS payload_sha256
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "cmf_geotab" -> cmfGeotabSql,
+    "cmf_calamp" -> cmfCalampSql,
+    "cmf_ford" -> cmfFordSql,
+    "quarantine_counts" -> quarantineSql,
+    "route_filterer" -> routeFiltererSql,
+    "route_splitter" -> routeSplitterSql,
+    "legacy_translate" -> legacyTranslateSql,
+    "union_sources" -> unionSourcesSql,
+    "q1_agg" -> q1AggSql,
+    "q_join_agg" -> qJoinAggSql,
+    "q_window_topk" -> qWindowTopkSql,
+    "q_rollup" -> qRollupSql,
+    "q_semi" -> qSemiSql,
+    "q_anti" -> qAntiSql,
+    "dedup_exact" -> dedupExactSql,
+    "events_dedup" -> eventsDedupSql,
+    "text_stats" -> textStatsSql,
+    "lang_id" -> langIdSql,
+    "doc_fingerprint" -> docFingerprintSql,
+    "neardup_minhash" -> neardupMinhashSql,
+    "simhash_buckets" -> simhashSql,
+    "knn_brute" -> knnBruteSql,
+    "knn_lsh" -> knnLshSql,
+    "window_tumbling" -> windowTumblingSql,
+    "sessionize" -> sessionizeSql,
+    "multimodal_meta" -> multimodalMetaSql
+    // approx_distinct: intentionally no oracle (HLL++ sketch values are
+    // implementation-specific; driver records the weaker rows-only check,
+    // tolerance vs exact distinct is asserted in OpsSpec instead)
+  )
 }

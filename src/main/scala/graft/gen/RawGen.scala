@@ -1,0 +1,186 @@
+package graft.gen
+
+import graft.time.IsoTime
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Reads the driver-provided parquet tables (TESTDATA.md) and derives
+  * deterministic raw-message corpora from them — Geotab/CalAmp/Ford JSON,
+  * CMF routing messages, legacy business events — including poison records.
+  *
+  * Everything here is a pure function of the input columns (no rand(), no
+  * uuid()), so the DuckDB oracle can recompute the expected translator
+  * output from the same parquet with plain SQL. Poison shapes mirror the
+  * reference's load generator, which intentionally sends schema-mismatched
+  * payloads at the translators (load_test.py:32–52).
+  */
+object RawGen {
+
+  /** `events` with normalized epoch columns. The driver's parquet stores
+    * `ts` as TIMESTAMP(NANOS); Spark maps that to TimestampType (µs,
+    * truncating) or — under `spark.sql.legacy.parquet.nanosAsLong` — to
+    * LongType nanos. Both normalize to the same floor(µs) the DuckDB oracle
+    * sees, so derived corpora agree bit-for-bit.
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    val df = spark.read.parquet(s"$sfDir/events.parquet")
+    val epochUs = df.schema("ts").dataType match {
+      case LongType => expr("ts div 1000")
+      case _        => unix_micros(col("ts"))
+    }
+    df.withColumn("epoch_us", epochUs)
+      .withColumn("epoch_ms", expr("epoch_us div 1000"))
+      .withColumn("epoch_s", expr("epoch_us div 1000000"))
+  }
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  private def s(c: Column): Column = c.cast("string")
+
+  /** Geotab raw corpus. event_id%10==0 → malformed JSON (truncated);
+    * event_id%10==5 → schema-valid JSON missing required `Vehicle_ID`
+    * (the two poison classes of GeotabTranslator.kt:154–157). */
+  def geotabRaw(ev: DataFrame): DataFrame = {
+    val full = to_json(struct(
+      concat(lit("geo-"), s(col("event_id"))).as("Device_ID"),
+      concat(lit("veh-"), s(col("user_id"))).as("Vehicle_ID"),
+      IsoTime.isoFromEpochSeconds(col("epoch_s")).as("Record_DateTime"),
+      (col("user_id") % 180 - 90 + lit(0.25)).as("Latitude"),
+      (col("event_id") % 360 - 180 + lit(0.5)).as("Longitude"),
+      when(col("event_type") =!= "error", col("value")).as("Odometer_mi"),
+      when(col("event_type") =!= "view", (col("event_id") % 5000).cast("double"))
+        .as("EngineSpeed_rpm"),
+      (col("user_id") % 101).cast("double").as("Fuel_Level_pct"),
+      when(col("event_type") === "click", "ON")
+        .when(col("event_type") === "view", "off")
+        .when(col("event_type") === "purchase", "On")
+        .when(col("event_type") === "signup", "AJAR")
+        .as("Ignition_Status"),
+      when(col("user_id") % 3 =!= 0, col("event_type")).as("customGeotabField1"),
+      when(col("event_id") % 7 =!= 0, (col("event_id") % 100).cast("int"))
+        .as("customGeotabField2")))
+    val missingRequired = to_json(struct(
+      concat(lit("geo-"), s(col("event_id"))).as("Device_ID"),
+      IsoTime.isoFromEpochSeconds(col("epoch_s")).as("Record_DateTime"),
+      (col("user_id") % 180 - 90 + lit(0.25)).as("Latitude"),
+      (col("event_id") % 360 - 180 + lit(0.5)).as("Longitude")))
+    val malformed = concat(lit("{\"Device_ID\": \"poison-"), s(col("event_id")), lit("\""))
+    ev.select(col("event_id"), col("user_id"),
+      when(col("event_id") % 10 === 0, malformed)
+        .when(col("event_id") % 10 === 5, missingRequired)
+        .otherwise(full).as("value"))
+  }
+
+  /** CalAmp raw corpus (msg_ts = epoch SECONDS — CalAmpTranslator.kt:100). */
+  def calAmpRaw(ev: DataFrame): DataFrame = {
+    val full = to_json(struct(
+      concat(lit("cal-"), s(col("event_id"))).as("unit_id"),
+      concat(lit("cv-"), s(col("user_id"))).as("vid"),
+      col("epoch_s").as("msg_ts"),
+      (col("user_id") % 160 - 80 + lit(0.125)).as("gps_lat"),
+      (col("event_id") % 340 - 170 + lit(0.375)).as("gps_lon"),
+      when(col("event_type") === "click", col("value")).as("speed_mph"),
+      (col("event_id") % 101).cast("double").as("fuel_percent"),
+      ((col("user_id") % 150).cast("double") / 10.0).as("voltage"),
+      when(col("user_id") % 4 =!= 0, col("event_type")).as("calAmpSpecificValue")))
+    val missingRequired = to_json(struct(
+      concat(lit("cal-"), s(col("event_id"))).as("unit_id"),
+      col("epoch_s").as("msg_ts"),
+      (col("user_id") % 160 - 80 + lit(0.125)).as("gps_lat"),
+      (col("event_id") % 340 - 170 + lit(0.375)).as("gps_lon")))
+    val malformed = concat(lit("{\"unit_id\": "), s(col("event_id")))
+    ev.select(col("event_id"), col("user_id"),
+      when(col("event_id") % 10 === 0, malformed)
+        .when(col("event_id") % 10 === 5, missingRequired)
+        .otherwise(full).as("value"))
+  }
+
+  /** Ford raw corpus: nested coords, epoch-ms capture time (so the canonical
+    * ISO output exercises the fractional-seconds path), open fordExtraData. */
+  def fordRaw(ev: DataFrame): DataFrame = {
+    val coords = struct(
+      (col("user_id") % 170 - 85 + lit(0.5)).as("latValue"),
+      (col("event_id") % 350 - 175 + lit(0.25)).as("lonValue"),
+      (col("epoch_ms") - 5000L).as("ts"))
+    val coordsNoTs = struct(
+      (col("user_id") % 170 - 85 + lit(0.5)).as("latValue"),
+      (col("event_id") % 350 - 175 + lit(0.25)).as("lonValue"))
+    val extra = when(col("user_id") % 7 =!= 0, struct(
+      col("event_type").as("doorStatus"),
+      (col("event_id") % 3).cast("int").as("alerts")))
+    val full = to_json(struct(
+      concat(lit("vin-"), s(col("user_id"))).as("vin"),
+      concat(lit("esn-"), s(col("event_id"))).as("esn"),
+      col("epoch_ms").as("captureTime"),
+      coords.as("coords"),
+      when(col("event_type") =!= "signup", col("value")).as("vehicleSpeed"),
+      ((col("event_id") % 20).cast("double") + 0.5).as("fuelRemainingGallons"),
+      when(col("event_type") =!= "error", (col("event_id") % 8000).cast("int")).as("rpm"),
+      extra.as("fordExtraData")))
+    val missingRequired = to_json(struct(
+      concat(lit("vin-"), s(col("user_id"))).as("vin"),
+      concat(lit("esn-"), s(col("event_id"))).as("esn"),
+      col("epoch_ms").as("captureTime"),
+      coordsNoTs.as("coords")))
+    val malformed = concat(lit("{\"vin\": \"poison-"), s(col("event_id")), lit("\""))
+    ev.select(col("event_id"), col("user_id"),
+      when(col("event_id") % 10 === 0, malformed)
+        .when(col("event_id") % 10 === 5, missingRequired)
+        .otherwise(full).as("value"))
+  }
+
+  /** CMF routing corpus for the Filterer: six deterministic variants cycling
+    * through every drop rule of FiltererTest.kt:117–163 (missing meta, null /
+    * empty / blank tenantId, malformed JSON) plus the routable case. Built
+    * with string concatenation — NOT to_json — so byte-preservation can be
+    * asserted via exact lengths in the oracle. */
+  def cmfRoutingRaw(ev: DataFrame): DataFrame = {
+    val veh = concat(lit("veh-"), s(col("user_id")))
+    val ms = s(col("epoch_ms"))
+    val tenant = concat(lit("tenant-"), s(col("user_id") % 4))
+    val tail = concat(lit("\"vehicleId\":\""), veh, lit("\",\"partitionKey\":\""),
+      veh, lit("\",\"epochSource\":"), ms, lit("}"))
+    val v = col("user_id") % 6
+    ev.select(col("event_id"), col("user_id"),
+      when(v === 0, concat(lit("{"), tail))
+        .when(v === 1, concat(lit("{\"meta\":{\"tenantId\":null},"), tail))
+        .when(v === 2, concat(lit("{\"meta\":{\"tenantId\":\"\"},"), tail))
+        .when(v === 3, concat(lit("{\"meta\":{\"tenantId\":\"   \"},"), tail))
+        .when(v === 4, concat(lit("{\"meta\":{\"tenantId\":\""), tenant,
+          lit("\"},\"vehicleId\":\""), veh))
+        .otherwise(concat(lit("{\"meta\":{\"tenantId\":\""), tenant, lit("\"},"), tail))
+        .as("value"))
+  }
+
+  /** Legacy business-event corpus: event_id%5 selects the source
+    * (user/order/inventory/payment/shipment — TranslatorsIntegrationTest.kt:259–370);
+    * user_id%9==0 rows are poison (payload missing every required field).
+    * Doubles never appear in the payload text (amounts are integer cents via
+    * floor(value*100)) so the oracle can rebuild the exact bytes. */
+  def legacyRaw(ev: DataFrame): DataFrame = {
+    val iso = IsoTime.isoFromEpochSeconds(col("epoch_s"))
+    val kind = col("event_id") % 5
+    val cents = floor(col("value") * 100).cast("long")
+    val payload =
+      when(kind === 0, concat(lit("{\"uid\":"), s(col("user_id")),
+        lit(",\"name\":\"user-"), s(col("user_id")), lit("\",\"created\":"),
+        s(col("epoch_s")), lit("}")))
+      .when(kind === 1, concat(lit("{\"orderId\":\"ORD-"), s(col("event_id")),
+        lit("\",\"items\":[\"item-"), s(col("event_id") % 50),
+        lit("\"],\"placedAt\":\""), iso, lit("\"}")))
+      .when(kind === 2, concat(lit("{\"sku\":\"SKU-"), s(col("event_id") % 500),
+        lit("\",\"qty\":"), s(col("user_id") % 1000), lit(",\"updateTime\":"),
+        s(col("epoch_s")), lit("}")))
+      .when(kind === 3, concat(lit("{\"txnId\":\"TXN-"), s(col("event_id")),
+        lit("\",\"amount\":"), s(cents), lit(",\"currency\":\"EUR\",\"time\":\""),
+        iso, lit("\"}")))
+      .otherwise(concat(lit("{\"shipId\":\"SHIP-"), s(col("event_id")),
+        lit("\",\"status\":\"SHIPPED\",\"deliveredAt\":"), s(col("epoch_s")), lit("}")))
+    ev.select(col("event_id"), col("user_id"), col("epoch_s"),
+      when(col("user_id") % 9 === 0, lit("{\"poison\":true}"))
+        .otherwise(payload).as("value"),
+      kind.as("kind"))
+  }
+}

@@ -1,0 +1,109 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for LLM-training-data pipelines (SURVEY.md §2.5).
+  *
+  * Scale design notes (the part that matters at 100 TB):
+  *  - exact dedup is a hash aggregation on the dedup key — one shuffle,
+  *    map-side partial aggregation for free;
+  *  - MinHash near-dup NEVER does an all-pairs comparison: docs are hashed
+  *    into LSH band buckets and only bucket-colliding pairs are joined
+  *    (shuffle keyed on band value). Candidate verification (exact Jaccard)
+  *    runs only on those pairs.
+  *  - the MinHash family is `min(md5(seed ':' shingle))` under lexicographic
+  *    string order — deterministic, seedable, and portable (any engine with
+  *    md5 reproduces it, which is what the DuckDB oracle does).
+  *  - SimHash is computed row-locally (no tokenize-then-shuffle): one md5 per
+  *    token, 16 parity votes folded with `aggregate()` higher-order calls.
+  */
+object Dedup {
+
+  /** Exact dedup keyed on arbitrary columns; keeps the lowest `idCol` per
+    * group (deterministic, unlike dropDuplicates' arbitrary winner). */
+  def exact(df: DataFrame, keyCols: Seq[String], idCol: String): DataFrame =
+    df.groupBy(keyCols.map(col): _*)
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("copies"))
+
+  def words(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Word n-gram shingles (requires size(words) >= n; filter first). */
+  def shingles(wordsCol: Column, n: Int): Column =
+    array_distinct(transform(sequence(lit(0), size(wordsCol) - n),
+      i => array_join(slice(wordsCol, i + lit(1), lit(n)), " ")))
+
+  /** One MinHash component: lexicographic min of seeded md5 over shingles. */
+  def minhash(shinglesCol: Column, seed: Int): Column =
+    array_min(transform(shinglesCol, x => md5(concat(lit(s"$seed:"), x))))
+
+  /** doc → (doc_id, sh, mh1..mhH, band_1..band_B) signature frame.
+    * Docs with fewer than `shingleSize` words are dropped (no signature). */
+  def minhashSignatures(docs: DataFrame, numHashes: Int, bandSize: Int,
+                        shingleSize: Int): DataFrame = {
+    require(numHashes % bandSize == 0, "numHashes must be divisible by bandSize")
+    val w = words(col("text"))
+    val base = docs
+      .filter(size(w) >= shingleSize)
+      .withColumn("sh", shingles(w, shingleSize))
+    val withMh = (1 to numHashes).foldLeft(base) { (d, j) =>
+      d.withColumn(s"mh$j", minhash(col("sh"), j))
+    }
+    (0 until numHashes / bandSize).foldLeft(withMh) { (d, b) =>
+      val parts = (1 to bandSize).map(i => col(s"mh${b * bandSize + i}"))
+      d.withColumn(s"band_$b", concat(parts: _*))
+    }.drop("text")
+  }
+
+  /** LSH-bucketed near-duplicate candidate pairs with estimated
+    * (signature-agreement) and exact (shingle) Jaccard. The self-join is on
+    * band values — a plain shuffle-hash/sort-merge join keyed on the band,
+    * no cartesian anywhere (asserted by DedupSpec's plan test). */
+  def minhashNeardup(docs: DataFrame, numHashes: Int = 8, bandSize: Int = 4,
+                     shingleSize: Int = 3): DataFrame = {
+    val numBands = numHashes / bandSize
+    val sigs = minhashSignatures(docs, numHashes, bandSize, shingleSize)
+    val cols = sigs.columns
+    val a = cols.foldLeft(sigs)((d, c) => d.withColumnRenamed(c, s"a_$c"))
+    val b = cols.foldLeft(sigs)((d, c) => d.withColumnRenamed(c, s"b_$c"))
+    val perBand = (0 until numBands).map { k =>
+      a.join(b, col(s"a_band_$k") === col(s"b_band_$k") &&
+        col("a_doc_id") < col("b_doc_id"))
+    }
+    val cand = perBand.reduce(_ unionByName _)
+      .dropDuplicates("a_doc_id", "b_doc_id")
+    val estMatches = (1 to numHashes)
+      .map(j => when(col(s"a_mh$j") === col(s"b_mh$j"), 1).otherwise(0))
+      .reduce(_ + _)
+    val inter = size(array_intersect(col("a_sh"), col("b_sh")))
+    val uni = size(array_union(col("a_sh"), col("b_sh")))
+    cand.select(
+      col("a_doc_id").as("doc_a"),
+      col("b_doc_id").as("doc_b"),
+      (estMatches.cast("double") / numHashes).as("est_jaccard"),
+      (inter.cast("double") / uni).as("jaccard"))
+  }
+
+  /** 16-bit SimHash over word tokens: hash family = parity of the k-th md5
+    * hex digit; per-bit votes folded row-locally (no shuffle), weighted by
+    * token frequency. Returns (doc_id, simhash) where equal fingerprints are
+    * near-dup buckets. */
+  def simhash(docs: DataFrame): DataFrame = {
+    val hs = transform(words(col("text")), w => md5(w))
+    val base = docs.withColumn("_hs", hs)
+    val bits = (0 until 16).map { k =>
+      val vote = expr(
+        s"aggregate(_hs, 0, (acc, h) -> acc + CASE WHEN " +
+        s"locate(substring(h, ${k + 1}, 1), '0123456789abcdef') % 2 = 1 " +
+        s"THEN 1 ELSE -1 END)")
+      when(vote > 0, "1").otherwise("0")
+    }
+    base.select(col("doc_id"), concat(bits: _*).as("simhash"))
+  }
+
+  /** n-gram Jaccard similarity for an explicit pair list (verification pass
+    * after LSH candidate generation). */
+  def ngramJaccard(aSh: Column, bSh: Column): Column =
+    size(array_intersect(aSh, bSh)).cast("double") / size(array_union(aSh, bSh))
+}

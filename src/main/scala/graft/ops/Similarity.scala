@@ -1,0 +1,97 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor / similarity search over an embedding column
+  * (`Array[Float]`, SURVEY.md §2.5).
+  *
+  * Two tiers:
+  *  - [[cosineTopK]] — brute-force baseline: the (small) query set is
+  *    broadcast against the corpus, so the "cross join" is a broadcast
+  *    nested-loop with NO shuffle of the big side; per-pair cost is one
+  *    fused zip_with/aggregate dot product inside codegen.
+  *  - [[lshCosineTopK]] — the 100 TB path: random-hyperplane LSH. Each
+  *    vector gets a b-bit signature (sign of ⟨v, p_k⟩ for deterministic
+  *    md5-derived hyperplanes); candidates are only corpus rows whose
+  *    signature equals a query's (equi-join on the bucket key — a plain
+  *    hash join that scales horizontally), then exact cosine re-ranks.
+  *
+  * All arithmetic is double-precision with left-to-right folds so the DuckDB
+  * oracle (list_dot_product over DOUBLE[]) reproduces results bit-for-bit.
+  */
+object Similarity {
+
+  /** ⟨a,b⟩ with a strict left-to-right accumulation order. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  private def asDouble(c: Column): Column = c.cast("array<double>")
+
+  /** Brute-force cosine top-k: for each row of `queries`, the k most similar
+    * `corpus` rows (self-pairs excluded). Output: (query_id, neighbor_id,
+    * rank, sim). */
+  def cosineTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"),
+      asDouble(col("embedding")).as("q_emb"))
+      .withColumn("q_norm", norm(col("q_emb")))
+    val c = corpus.select(col("vec_id").as("neighbor_id"),
+      asDouble(col("embedding")).as("c_emb"))
+      .withColumn("c_norm", norm(col("c_emb")))
+    val sim = dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", sim)
+    val rn = row_number().over(
+      Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id")))
+    scored.withColumn("rank", rn).filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "sim")
+  }
+
+  /** Deterministic ±1 hyperplane coefficient for (plane, dim), derived from
+    * md5 parity — reproducible anywhere (the DuckDB oracle inlines the same
+    * values via [[planes]]). */
+  def planeCoef(plane: Int, dim: Int): Double = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$plane:$dim".getBytes("UTF-8"))
+    if ((digest(0) & 1) == 1) 1.0 else -1.0
+  }
+
+  def planes(numPlanes: Int, dim: Int): Seq[Seq[Double]] =
+    (0 until numPlanes).map(p => (0 until dim).map(d => planeCoef(p, d)))
+
+  /** b-bit random-hyperplane signature of an embedding column. */
+  def lshSignature(emb: Column, planeSeq: Seq[Seq[Double]]): Column = {
+    val bits = planeSeq.map { coefs =>
+      val p = array(coefs.map(lit): _*)
+      when(dot(emb, p) > 0.0, "1").otherwise("0")
+    }
+    concat(bits: _*)
+  }
+
+  /** LSH-bucketed cosine top-k: exact re-rank restricted to same-signature
+    * candidates. Recall < 1 by construction (that's the trade), but fully
+    * deterministic given the md5 plane family. */
+  def lshCosineTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                    numPlanes: Int = 8, dim: Int = 64): DataFrame = {
+    val ps = planes(numPlanes, dim)
+    val q = queries.select(col("vec_id").as("query_id"),
+      asDouble(col("embedding")).as("q_emb"))
+      .withColumn("q_norm", norm(col("q_emb")))
+      .withColumn("sig", lshSignature(col("q_emb"), ps))
+    val c = corpus.select(col("vec_id").as("neighbor_id"),
+      asDouble(col("embedding")).as("c_emb"))
+      .withColumn("c_norm", norm(col("c_emb")))
+      .withColumn("sig", lshSignature(col("c_emb"), ps))
+    val sim = dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm"))
+    val scored = c.join(broadcast(q), Seq("sig"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", sim)
+    val rn = row_number().over(
+      Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id")))
+    scored.withColumn("rank", rn).filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "sim")
+  }
+}

@@ -1,0 +1,53 @@
+package graft.ops
+
+import graft.time.IsoTime
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-time windowing and sessionization over the events stream table
+  * (SURVEY.md §2.5 — the reference carries event time as data but never
+  * windows on it; these are the mandated beyond-reference stateful ops).
+  * Batch forms here; the streaming forms (window()/session_window() with
+  * watermarks over readStream) share the same semantics and live in
+  * graft.streaming.
+  */
+object Windows {
+
+  /** Tumbling event-time window aggregation. Input needs `epoch_us`
+    * (RawGen.events). One shuffle on (window, event_type), partial
+    * aggregation map-side. */
+  def tumblingCounts(events: DataFrame, windowSeconds: Long = 3600): DataFrame = {
+    val ts = timestamp_micros(col("epoch_us"))
+    events
+      .groupBy(window(ts, s"$windowSeconds seconds").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast("decimal(18,4)")).as("sum_dec"))
+      .select(
+        IsoTime.isoFromEpochMillis(unix_millis(col("w.start"))).as("window_start"),
+        col("event_type"),
+        col("cnt"),
+        col("sum_dec").cast("double").as("sum_value"))
+  }
+
+  /** Gap-based sessionization per user: a new session starts when the gap
+    * from the previous event exceeds `gapSeconds`. Single shuffle on
+    * user_id; two window passes over the same partitioning (Catalyst reuses
+    * the exchange). */
+  def sessionize(events: DataFrame, gapSeconds: Long = 1800): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("epoch_us", "event_id")
+    val gapUs = gapSeconds * 1000000L
+    val prev = lag(col("epoch_us"), 1).over(byUser)
+    val isNew = when(prev.isNull || col("epoch_us") - prev > gapUs, 1).otherwise(0)
+    events
+      .withColumn("_new", isNew)
+      .withColumn("session_idx", sum(col("_new")).over(
+        Window.partitionBy("user_id").orderBy("epoch_us", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("epoch_us")).as("start_us"),
+        max(col("epoch_us")).as("end_us"))
+      .withColumn("duration_ms", ((col("end_us") - col("start_us")) / 1000L).cast("long"))
+  }
+}

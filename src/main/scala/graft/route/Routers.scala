@@ -1,0 +1,80 @@
+package graft.route
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** A router's output: messages annotated with their destination, plus the
+  * dropped stream (reference logs-and-skips; we keep them auditable). */
+final case class Routed(routed: DataFrame, dropped: DataFrame)
+
+/** Content-based router from the CMF topic to dynamic per-tenant topics
+  * (Filterer.kt:22–50).
+  *
+  * Load-bearing semantics reproduced:
+  *  - route key is `meta.tenantId` in the JSON wire form (Filterer.kt:29;
+  *    the top-level `tenantId` is IGNORED — SURVEY.md §0.2)
+  *  - null / blank / missing tenantId, missing meta, malformed JSON →
+  *    message dropped (FiltererTest.kt:117–163). `get_json_object` returns
+  *    NULL on malformed input, which folds the try/catch path (Filterer.kt:47–49)
+  *    into the same predicate.
+  *  - the ORIGINAL string is forwarded byte-for-byte (FiltererTest.kt:113):
+  *    we route on the extracted key but never re-serialize `value`.
+  *
+  * Scale shape: extraction is a scan-fused projection; the fan-out is
+  * `partitionBy(tenantId)` on write — one shuffle-free pass, files clustered
+  * per tenant, no driver-side loop over tenants.
+  */
+object Filterer {
+
+  def tenantId(value: Column): Column = get_json_object(value, "$.meta.tenantId")
+
+  def route(messages: DataFrame): Routed = {
+    val t = tenantId(col("value"))
+    val withTenant = messages.withColumn("tenantId", t)
+    val ok = col("tenantId").isNotNull && length(trim(col("tenantId"))) > 0
+    Routed(
+      routed = withTenant.filter(ok)
+        .withColumn("topic",
+          concat(lit("persistent://"), col("tenantId"), lit("/integration/telemetry"))),
+      dropped = withTenant.filter(!ok).select("value"))
+  }
+
+  /** Physical per-tenant isolation (architecture.md:113–118): one parquet
+    * directory per tenant, written in a single distributed pass. */
+  def fanOutParquet(routed: DataFrame, baseDir: String): Unit =
+    routed.select("tenantId", "value")
+      .write.mode("overwrite").partitionBy("tenantId").parquet(baseDir)
+}
+
+/** Legacy router: `CommonEvent` envelopes from `common-events`, keyed on
+  * `eventType` (bootstrap.sh:163–171). The splitter class itself is absent
+  * from the reference tree; topic naming follows the documented pattern
+  * `persistent://<tenant>/<ns>/<eventType>-events` with the example mapping
+  * `SHIPMENT_EVENT` → `shipment-events`
+  * (load-test-verification-playbook.md:119–125): lowercase, strip the
+  * `_EVENT` suffix, `_` → `-`.
+  */
+object EventTypeSplitter {
+
+  def eventType(value: Column): Column = get_json_object(value, "$.eventType")
+
+  def topicFor(eventTypeCol: Column, tenant: String, namespace: String): Column =
+    concat(lit(s"persistent://$tenant/$namespace/"),
+      regexp_replace(lower(regexp_replace(eventTypeCol, "_EVENT$", "")), "_", "-"),
+      lit("-events"))
+
+  def route(messages: DataFrame, tenant: String = "acme",
+            namespace: String = "integration"): Routed = {
+    val et = eventType(col("value"))
+    val withType = messages.withColumn("eventType", et)
+    val ok = col("eventType").isNotNull && length(trim(col("eventType"))) > 0
+    Routed(
+      routed = withType.filter(ok)
+        .withColumn("topic", topicFor(col("eventType"), tenant, namespace)),
+      dropped = withType.filter(!ok).select("value"))
+  }
+
+  def fanOutParquet(routed: DataFrame, baseDir: String): Unit =
+    routed.select("eventType", "value")
+      .write.mode("overwrite").partitionBy("eventType").parquet(baseDir)
+}

@@ -1,0 +1,88 @@
+package graft.translate
+
+import graft.time.IsoTime
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** One legacy business-event translator's behavior. The five translator
+  * sources are absent from the reference tree; this spec is fully recovered
+  * from their integration tests (TranslatorsIntegrationTest.kt:259–370) and
+  * deployment wiring (bootstrap.sh:107–161).
+  *
+  * @param tsIsEpochSeconds when true the timestamp input field is epoch
+  *        seconds and is canonicalized to ISO-8601; when false it is already
+  *        an ISO-8601 string and passes through unchanged.
+  */
+final case class LegacySpec(
+    name: String,
+    source: String,
+    eventType: String,
+    tsField: String,
+    tsIsEpochSeconds: Boolean,
+    requiredFields: Seq[String])
+
+/** The legacy `CommonEvent` pipeline generation: 5 per-source translators
+  * emitting `{eventId, source, eventType, timestamp, data}` envelopes
+  * (TranslatorsIntegrationTest.kt:223–231), all expressed as ONE
+  * parameterized Catalyst projection — the per-source differences are pure
+  * data (`LegacySpec`), so adding a source is a config change, not code.
+  */
+object LegacyTranslators {
+
+  val userProfile: LegacySpec = LegacySpec("user-profile", "user-service",
+    "USER_PROFILE_EVENT", "created", tsIsEpochSeconds = true, Seq("uid", "name", "created"))
+  val orderRecord: LegacySpec = LegacySpec("order-record", "order-service",
+    "ORDER_EVENT", "placedAt", tsIsEpochSeconds = false, Seq("orderId", "items", "placedAt"))
+  val inventoryUpdate: LegacySpec = LegacySpec("inventory-update", "inventory-service",
+    "INVENTORY_EVENT", "updateTime", tsIsEpochSeconds = true, Seq("sku", "qty", "updateTime"))
+  val paymentNotice: LegacySpec = LegacySpec("payment-notice", "payment-gateway",
+    "PAYMENT_EVENT", "time", tsIsEpochSeconds = false, Seq("txnId", "amount", "currency", "time"))
+  val shipmentStatus: LegacySpec = LegacySpec("shipment-status", "shipping-service",
+    "SHIPMENT_EVENT", "deliveredAt", tsIsEpochSeconds = true, Seq("shipId", "status", "deliveredAt"))
+
+  val all: Seq[LegacySpec] =
+    Seq(userProfile, orderRecord, inventoryUpdate, paymentNotice, shipmentStatus)
+
+  /** The envelope timestamp for a given raw payload column. */
+  private def tsColumn(value: Column, spec: LegacySpec): Column = {
+    val raw = get_json_object(value, "$." + spec.tsField)
+    if (spec.tsIsEpochSeconds) IsoTime.isoFromEpochSeconds(raw.cast("long"))
+    else raw
+  }
+
+  /** Translate raw payloads (`value` string column) for one source.
+    *
+    * `eventId` is a random UUID in the reference (asserted only non-blank,
+    * TranslatorsIntegrationTest.kt:226). `deterministicIds=true` derives it
+    * as sha256(source|eventType|payload) instead so results are
+    * oracle-checkable; the wire shape is identical.
+    */
+  def translate(raw: DataFrame, spec: LegacySpec,
+                deterministicIds: Boolean = false): Translated = {
+    val value = col("value")
+    val required = spec.requiredFields
+      .map(f => get_json_object(value, "$." + f).isNotNull)
+      .reduce(_ && _)
+    val ts = tsColumn(value, spec)
+    val ok = required && ts.isNotNull
+    val tagged = raw.withColumn("_ok", ok)
+    val eventId =
+      if (deterministicIds)
+        sha2(concat_ws("|", lit(spec.source), lit(spec.eventType), value), 256)
+      else expr("uuid()")
+    val valid = tagged.filter(col("_ok")).drop("_ok")
+      .withColumn("eventId", eventId)
+      .withColumn("source", lit(spec.source))
+      .withColumn("eventType", lit(spec.eventType))
+      .withColumn("timestamp", ts)
+      // `data` carries the ORIGINAL payload object verbatim, so the envelope
+      // is assembled by splicing rather than re-serializing.
+      .withColumn("event_json", concat(
+        lit("{\"eventId\":\""), col("eventId"),
+        lit("\",\"source\":\""), col("source"),
+        lit("\",\"eventType\":\""), col("eventType"),
+        lit("\",\"timestamp\":\""), col("timestamp"),
+        lit("\",\"data\":"), value, lit("}")))
+    Translated(valid, tagged.filter(!col("_ok")).drop("_ok").select("value"))
+  }
+}
