@@ -261,10 +261,23 @@ object SparkEntry {
       .select("doc_id", "mime", "octet_len", "payload_sha256")
       .orderBy("doc_id")
 
+  /** HLL++ sketch values are implementation-specific, so the oracle-checkable
+    * form emits the EXACT distinct counts (hash-compared against DuckDB) plus
+    * booleans asserting the approx is within 5% of exact. */
   private def approxDistinct(s: SparkSession, dir: String): DataFrame =
     RawGen.table(s, dir, "events")
-      .agg(approx_count_distinct(col("user_id")).as("approx_users"),
-        approx_count_distinct(col("event_type")).as("approx_types"))
+      .agg(
+        approx_count_distinct(col("user_id")).as("au"),
+        countDistinct(col("user_id")).as("eu"),
+        approx_count_distinct(col("event_type")).as("at"),
+        countDistinct(col("event_type")).as("et"))
+      .select(
+        col("eu").as("exact_users"),
+        col("et").as("exact_types"),
+        (abs(col("au") - col("eu")).cast("double") / col("eu") < 0.05)
+          .as("users_within_tol"),
+        (abs(col("at") - col("et")).cast("double") / col("et") < 0.05)
+          .as("types_within_tol"))
 
   // ---------- registry ----------
 
@@ -300,10 +313,13 @@ object SparkEntry {
 
   // ---------- DuckDB oracles ----------
 
+  // Single physical line: this fragment is spliced into cmfGeotabSql BEFORE
+  // that string's stripMargin runs, so embedded newline+`||` would be
+  // margin-stripped a second time and corrupt the concat operators.
   private val geotabSsdSql =
-    """('{' || COALESCE('"customGeotabField1":"'||c1||'"','')
-      | || CASE WHEN c1 IS NOT NULL AND c2 IS NOT NULL THEN ',' ELSE '' END
-      | || COALESCE('"customGeotabField2":'||c2,'') || '}')""".stripMargin
+    """('{' || COALESCE('"customGeotabField1":"'||c1||'"','') """ +
+    """|| CASE WHEN c1 IS NOT NULL AND c2 IS NOT NULL THEN ',' ELSE '' END """ +
+    """|| COALESCE('"customGeotabField2":'||c2,'') || '}')"""
 
   private val cmfGeotabSql =
     s"""WITH base AS (
@@ -586,6 +602,12 @@ object SparkEntry {
       |  sha256(text) AS payload_sha256
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  private val approxDistinctSql =
+    """SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+      |  CAST(COUNT(DISTINCT event_type) AS BIGINT) AS exact_types,
+      |  true AS users_within_tol, true AS types_within_tol
+      |FROM events""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "cmf_geotab" -> cmfGeotabSql,
     "cmf_calamp" -> cmfCalampSql,
@@ -612,9 +634,7 @@ object SparkEntry {
     "knn_lsh" -> knnLshSql,
     "window_tumbling" -> windowTumblingSql,
     "sessionize" -> sessionizeSql,
-    "multimodal_meta" -> multimodalMetaSql
-    // approx_distinct: intentionally no oracle (HLL++ sketch values are
-    // implementation-specific; driver records the weaker rows-only check,
-    // tolerance vs exact distinct is asserted in OpsSpec instead)
+    "multimodal_meta" -> multimodalMetaSql,
+    "approx_distinct" -> approxDistinctSql
   )
 }

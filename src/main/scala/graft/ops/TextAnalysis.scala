@@ -24,7 +24,9 @@ object TextAnalysis {
         .as("avg_word_len"),
       (size(filter(w, x => x.isin("the", "a", "of", "and"))).cast("double") / size(w))
         .as("stopword_ratio"),
-      expr(s"size(regexp_extract_all(text, '$tokenPattern', 0))").cast("long")
+      // Column API, not expr(): the SQL lexer would eat the \s escape and
+      // turn the char class into [^a-zA-Z0-9s] (counting whitespace runs).
+      size(regexp_extract_all(col("text"), lit(tokenPattern), lit(0))).cast("long")
         .as("bpe_tokens"))
   }
 

@@ -88,7 +88,7 @@ object VehicleTranslators {
     * poison the Geotab path). `json_object_keys` is null on non-objects;
     * those are caught by the malformed check already. */
   private def hasUnknownKeys(valueCol: Column, allowed: Seq[String]): Column = {
-    val keys = expr(s"json_object_keys(${valueCol.toString})")
+    val keys = call_function("json_object_keys", valueCol)
     coalesce(size(array_except(keys, array(allowed.map(lit): _*))) > 0, lit(false))
   }
 
@@ -172,18 +172,19 @@ object VehicleTranslators {
     val parsed = raw.withColumn("_in", from_json(col("value"), fordInputSchema,
       Map("mode" -> "PERMISSIVE")))
     val in = col("_in")
+    val coords = in("coords")
     val ok = in.isNotNull &&
       in("vin").isNotNull && in("esn").isNotNull && in("captureTime").isNotNull &&
-      in("coords").isNotNull && in("coords.latValue").isNotNull &&
-      in("coords.lonValue").isNotNull && in("coords.ts").isNotNull &&
+      coords.isNotNull && coords("latValue").isNotNull &&
+      coords("lonValue").isNotNull && coords("ts").isNotNull &&
       !hasUnknownKeys(col("value"), fordAllKeys)
 
     val split = splitValid(parsed, ok)
     val dateTime = IsoTime.isoFromEpochMillis(in("captureTime"))
-    val locTime = IsoTime.isoFromEpochMillis(in("coords.ts"))
+    val locTime = IsoTime.isoFromEpochMillis(coords("ts"))
     val telemetry = Cmf.telemetryStruct(Map(
-      "location" -> struct(locTime.as("timestamp"), in("coords.lonValue").as("lon"),
-        in("coords.latValue").as("lat")),
+      "location" -> struct(locTime.as("timestamp"), coords("lonValue").as("lon"),
+        coords("latValue").as("lat")),
       "speedGpsMph" -> in("vehicleSpeed"),
       "fuelLevelGallon" -> in("fuelRemainingGallons"),
       "engineRpm" -> in("rpm").cast(DoubleType)
