@@ -17,6 +17,17 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warmup (untimed): first Spark query in a JVM pays ~10 s of Janino /
+    // JIT / parquet-reader init that has nothing to do with the query being
+    // measured — exercise codegen+shuffle+agg once and touch each input
+    // table so timings below measure the queries, not JVM cold start.
+    spark.range(200000).selectExpr("md5(cast(id as string)) h")
+      .groupBy("h").count().count()
+    Seq("events", "documents", "embeddings", "lineitem", "orders", "customer",
+      "nation", "region").foreach { t =>
+      try spark.read.parquet(s"$sfDir/$t.parquet").count()
+      catch { case _: Throwable => () }
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =

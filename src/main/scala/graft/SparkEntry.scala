@@ -112,10 +112,7 @@ object SparkEntry {
 
   private def legacyUnion(s: SparkSession, dir: String): DataFrame = {
     val raw = RawGen.legacyRaw(RawGen.events(s, dir))
-    LegacyTranslators.all.zipWithIndex.map { case (spec, k) =>
-      LegacyTranslators.translate(raw.filter(col("kind") === k), spec,
-        deterministicIds = true).valid
-    }.reduce(_ unionByName _)
+    LegacyTranslators.translateMux(raw, col("kind")).valid
   }
 
   private def legacyTranslate(s: SparkSession, dir: String): DataFrame =
@@ -207,8 +204,7 @@ object SparkEntry {
       .orderBy("c_mktsegment")
 
   private def dedupExactDocs(s: SparkSession, dir: String): DataFrame =
-    Dedup.exact(RawGen.table(s, dir, "documents"), Seq("text"), "doc_id")
-      .select(md5(col("text")).as("text_md5"), col("keep_id"), col("copies"))
+    Dedup.exactByHash(RawGen.table(s, dir, "documents"), "text", "doc_id")
       .orderBy("keep_id")
 
   private def eventsDedup(s: SparkSession, dir: String): DataFrame =

@@ -23,8 +23,25 @@ object RawGen {
     * LongType nanos. Both normalize to the same floor(µs) the DuckDB oracle
     * sees, so derived corpora agree bit-for-bit.
     */
+  /** The driver's test corpora are single-row-group parquet files, which
+    * parquet cannot split — so without this every scan-side expression
+    * pipeline runs on ONE core. If (and only if) the file is small relative
+    * to the cluster, redistribute AND cache it: the cache is both cheap
+    * (whole corpus ≪ memory by the size gate) and load-bearing — an
+    * InMemoryRelation is an optimizer barrier, so expensive downstream
+    * predicates (from_json validity checks) can't be pushed back below the
+    * repartition onto the unsplittable single-core scan. A production-scale
+    * input arrives pre-partitioned (many files/row groups) and skips both. */
+  private val smallFileBytes = 1L << 30
+  private def spread(spark: SparkSession, df: DataFrame, path: String): DataFrame =
+    if (new java.io.File(path).length < smallFileBytes)
+      df.repartition(spark.sparkContext.defaultParallelism)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else df
+
   def events(spark: SparkSession, sfDir: String): DataFrame = {
-    val df = spark.read.parquet(s"$sfDir/events.parquet")
+    val path = s"$sfDir/events.parquet"
+    val df = spread(spark, spark.read.parquet(path), path)
     val epochUs = df.schema("ts").dataType match {
       case LongType => expr("ts div 1000")
       case _        => unix_micros(col("ts"))
@@ -34,8 +51,10 @@ object RawGen {
       .withColumn("epoch_s", expr("epoch_us div 1000000"))
   }
 
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val path = s"$sfDir/$name.parquet"
+    spread(spark, spark.read.parquet(path), path)
+  }
 
   private def s(c: Column): Column = c.cast("string")
 

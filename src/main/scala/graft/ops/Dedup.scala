@@ -27,6 +27,14 @@ object Dedup {
     df.groupBy(keyCols.map(col): _*)
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("copies"))
 
+  /** Exact dedup of a long-text column, shuffling a 32-char md5 instead of
+    * full document bytes — at corpus scale the shuffle key width dominates,
+    * so hash-first cuts it by orders of magnitude. */
+  def exactByHash(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(md5(col(textCol)).as(s"${textCol}_md5"), col(idCol))
+      .groupBy(s"${textCol}_md5")
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("copies"))
+
   def words(text: Column): Column = split(trim(text), "\\s+")
 
   /** Word n-gram shingles (requires size(words) >= n; filter first). */
@@ -57,32 +65,60 @@ object Dedup {
   }
 
   /** LSH-bucketed near-duplicate candidate pairs with estimated
-    * (signature-agreement) and exact (shingle) Jaccard. The self-join is on
-    * band values — a plain shuffle-hash/sort-merge join keyed on the band,
-    * no cartesian anywhere (asserted by DedupSpec's plan test). */
+    * (signature-agreement) and exact (shingle) Jaccard.
+    *
+    * Scale shape (the plan DedupSpec asserts — no cartesian anywhere):
+    *  1. ONE signature pass over the corpus (tokenize → shingle → minhash),
+    *     persisted as a slim (doc_id, mh[], bands[]) frame — shingle arrays
+    *     never enter it, so nothing document-sized ever shuffles here;
+    *  2. posexplode the band values and self-join ONCE on
+    *     (band_idx, band_val) — a plain equi-join, not one join per band;
+    *  3. dedup the surviving (a, b) pairs;
+    *  4. recompute shingles ONLY for candidate docs (semi-join the corpus
+    *     down to them first) and join those back for the exact-Jaccard
+    *     verify — at 100 TB the candidate set is orders of magnitude
+    *     smaller than the corpus.
+    */
   def minhashNeardup(docs: DataFrame, numHashes: Int = 8, bandSize: Int = 4,
                      shingleSize: Int = 3): DataFrame = {
     val numBands = numHashes / bandSize
     val sigs = minhashSignatures(docs, numHashes, bandSize, shingleSize)
-    val cols = sigs.columns
-    val a = cols.foldLeft(sigs)((d, c) => d.withColumnRenamed(c, s"a_$c"))
-    val b = cols.foldLeft(sigs)((d, c) => d.withColumnRenamed(c, s"b_$c"))
-    val perBand = (0 until numBands).map { k =>
-      a.join(b, col(s"a_band_$k") === col(s"b_band_$k") &&
-        col("a_doc_id") < col("b_doc_id"))
-    }
-    val cand = perBand.reduce(_ unionByName _)
+    val slim = sigs.select(col("doc_id"),
+      array((1 to numHashes).map(j => col(s"mh$j")): _*).as("mh"),
+      array((0 until numBands).map(b => col(s"band_$b")): _*).as("bands"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val exploded = slim.select(col("doc_id"), col("mh"),
+      posexplode(col("bands")).as(Seq("band_idx", "band_val")))
+    val a = exploded.select(col("doc_id").as("a_doc_id"), col("mh").as("a_mh"),
+      col("band_idx"), col("band_val"))
+    val b = exploded.select(col("doc_id").as("b_doc_id"), col("mh").as("b_mh"),
+      col("band_idx"), col("band_val"))
+    val cand = a.join(b, Seq("band_idx", "band_val"))
+      .filter(col("a_doc_id") < col("b_doc_id"))
       .dropDuplicates("a_doc_id", "b_doc_id")
-    val estMatches = (1 to numHashes)
-      .map(j => when(col(s"a_mh$j") === col(s"b_mh$j"), 1).otherwise(0))
-      .reduce(_ + _)
+      .drop("band_idx", "band_val")
+
+    // Exact-Jaccard verify on candidates only: shrink the corpus to docs
+    // that appear in a candidate pair, then recompute shingles for those.
+    val candIds = cand
+      .select(explode(array(col("a_doc_id"), col("b_doc_id"))).as("doc_id"))
+      .distinct()
+    val docSh = docs.join(candIds, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), shingles(words(col("text")), shingleSize).as("sh"))
+
+    val estMatches = aggregate(
+      zip_with(col("a_mh"), col("b_mh"), (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, x) => acc + x)
     val inter = size(array_intersect(col("a_sh"), col("b_sh")))
     val uni = size(array_union(col("a_sh"), col("b_sh")))
-    cand.select(
-      col("a_doc_id").as("doc_a"),
-      col("b_doc_id").as("doc_b"),
-      (estMatches.cast("double") / numHashes).as("est_jaccard"),
-      (inter.cast("double") / uni).as("jaccard"))
+    cand
+      .join(docSh.select(col("doc_id").as("a_doc_id"), col("sh").as("a_sh")), "a_doc_id")
+      .join(docSh.select(col("doc_id").as("b_doc_id"), col("sh").as("b_sh")), "b_doc_id")
+      .select(
+        col("a_doc_id").as("doc_a"),
+        col("b_doc_id").as("doc_b"),
+        (estMatches.cast("double") / numHashes).as("est_jaccard"),
+        (inter.cast("double") / uni).as("jaccard"))
   }
 
   /** 16-bit SimHash over word tokens: hash family = parity of the k-th md5

@@ -1,8 +1,12 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoders}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+
+/** One scored (query, candidate) pair — the unit flowing through the
+  * local-top-k pass. Top level so Encoders.product resolves it. */
+final case class ScoredPair(query_id: Long, neighbor_id: Long, sim: Double)
 
 /** Approximate-nearest-neighbor / similarity search over an embedding column
   * (`Array[Float]`, SURVEY.md §2.5).
@@ -31,9 +35,36 @@ object Similarity {
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
+  /** Per-partition bounded-heap top-k: keeps only the k best candidates per
+    * query per input partition, so the exchange feeding the global ranking
+    * window carries ≤ k·partitions·queries rows instead of
+    * |corpus|·|queries|. Comparator matches the final sort (sim desc,
+    * neighbor_id asc) so the local pass is a strict superset of the global
+    * winners. This is the one genuinely imperative per-partition loop in the
+    * library — a window over the full scored set would shuffle everything
+    * into #queries partitions (straggler/OOM at scale). */
+  private def localTopK(scored: DataFrame, k: Int): DataFrame = {
+    val ds = scored.as(Encoders.product[ScoredPair])
+    // min-heap whose head is the WORST kept pair under (sim desc, id asc)
+    val worstFirst: Ordering[ScoredPair] =
+      Ordering.by((e: ScoredPair) => (-e.sim, e.neighbor_id))
+    ds.mapPartitions { it =>
+      val heaps = scala.collection.mutable.Map.empty[
+        Long, scala.collection.mutable.PriorityQueue[ScoredPair]]
+      it.foreach { e =>
+        val h = heaps.getOrElseUpdate(e.query_id,
+          scala.collection.mutable.PriorityQueue.empty(worstFirst))
+        h.enqueue(e)
+        if (h.size > k) h.dequeue()
+      }
+      heaps.valuesIterator.flatMap(_.iterator)
+    }(Encoders.product[ScoredPair]).toDF()
+  }
+
   /** Brute-force cosine top-k: for each row of `queries`, the k most similar
-    * `corpus` rows (self-pairs excluded). Output: (query_id, neighbor_id,
-    * rank, sim). */
+    * `corpus` rows (self-pairs excluded). The query side is broadcast (no
+    * corpus shuffle); scoring fuses into the scan; a local top-k pass bounds
+    * the ranking exchange. Output: (query_id, neighbor_id, rank, sim). */
   def cosineTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val q = queries.select(col("vec_id").as("query_id"),
       asDouble(col("embedding")).as("q_emb"))
@@ -43,10 +74,11 @@ object Similarity {
       .withColumn("c_norm", norm(col("c_emb")))
     val sim = dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", sim)
+      .select(col("query_id").cast("long"), col("neighbor_id").cast("long"),
+        sim.cast("double").as("sim"))
     val rn = row_number().over(
       Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id")))
-    scored.withColumn("rank", rn).filter(col("rank") <= k)
+    localTopK(scored, k).withColumn("rank", rn).filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "sim")
   }
 

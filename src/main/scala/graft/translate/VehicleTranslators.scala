@@ -92,109 +92,131 @@ object VehicleTranslators {
     coalesce(size(array_except(keys, array(allowed.map(lit): _*))) > 0, lit(false))
   }
 
-  private def splitValid(df: DataFrame, okCol: Column): Translated = {
-    val tagged = df.withColumn("_ok", okCol)
+  /** Parse each message ONCE with the `json_tuple` generator into `_j_*`
+    * string columns. A `from_json` struct alias would be substituted into
+    * every downstream field reference by Catalyst's filter-pushdown, cloning
+    * the (non-codegen) parse per reference; a Generate node is not an alias
+    * and cannot be inlined, so the parse stays single. */
+  private def jsonTupled(raw: DataFrame, fields: Seq[String]): DataFrame =
+    raw.select(col("*"),
+      json_tuple(col("value"), fields: _*).as(fields.map(f => s"_j_$f")))
+
+  private def j(f: String): Column = col(s"_j_$f")
+  /** ANSI-safe numeric widening: a non-numeric string in a numeric field
+    * must poison the record (Jackson parity), not fail the job. */
+  private def jd(f: String): Column = expr(s"try_cast(_j_$f AS DOUBLE)")
+  private def jl(f: String): Column = expr(s"try_cast(_j_$f AS BIGINT)")
+
+  private def finish(tagged: DataFrame, cmf: Column,
+                     jcols: Seq[String]): Translated =
     Translated(
-      valid = tagged.filter(col("_ok")).drop("_ok"),
-      quarantine = tagged.filter(!col("_ok")).drop("_ok").select("value"))
-  }
+      valid = tagged.filter(col("_ok")).drop("_ok")
+        .withColumn("cmf", cmf)
+        .withColumn("cmf_json", CmfJson.wire(col("cmf")))
+        .drop(jcols.map(f => s"_j_$f"): _*),
+      quarantine = tagged.filter(!col("_ok")).select("value"))
 
   /** Geotab raw JSON → CMF. Input DataFrame needs a `value` StringType column
     * (one message per row). `tenant` plays the role of `context.tenant`
     * (GeotabTranslator.kt:141). */
   def geotab(raw: DataFrame, tenant: String): Translated = {
-    val parsed = raw.withColumn("_in", from_json(col("value"), geotabInputSchema,
-      Map("mode" -> "PERMISSIVE")))
-    val in = col("_in")
-    val epochSource = IsoTime.epochMillisFromIso(in("Record_DateTime"))
-    val ok = in.isNotNull &&
-      in("Device_ID").isNotNull && in("Vehicle_ID").isNotNull &&
-      in("Record_DateTime").isNotNull && epochSource.isNotNull &&
-      in("Latitude").isNotNull && in("Longitude").isNotNull &&
-      !hasUnknownKeys(col("value"), geotabInputSchema.fieldNames.toSeq)
+    val fields = geotabInputSchema.fieldNames.toSeq
+    val parsed = jsonTupled(raw, fields)
+    val epochSource = IsoTime.epochMillisFromIso(j("Record_DateTime"))
+    val ok = j("Device_ID").isNotNull && j("Vehicle_ID").isNotNull &&
+      epochSource.isNotNull &&
+      jd("Latitude").isNotNull && jd("Longitude").isNotNull &&
+      !hasUnknownKeys(col("value"), fields)
+    val tagged = parsed.withColumn("_ok", coalesce(ok, lit(false)))
 
-    val split = splitValid(parsed, ok)
     val dateTime = IsoTime.isoFromEpochMillis(epochSource)
     val telemetry = Cmf.telemetryStruct(Map(
-      "location" -> struct(dateTime.as("timestamp"), in("Longitude").as("lon"),
-        in("Latitude").as("lat")),
-      "odometerCanMi" -> in("Odometer_mi"),
-      "engineRpm" -> in("EngineSpeed_rpm"),
-      "fuelLevelPct" -> in("Fuel_Level_pct"),
-      "ignitionStatus" -> Cmf.enumNormalize(in("Ignition_Status"), Seq("ON", "OFF"))
+      "location" -> struct(dateTime.as("timestamp"), jd("Longitude").as("lon"),
+        jd("Latitude").as("lat")),
+      "odometerCanMi" -> jd("Odometer_mi"),
+      "engineRpm" -> jd("EngineSpeed_rpm"),
+      "fuelLevelPct" -> jd("Fuel_Level_pct"),
+      "ignitionStatus" -> Cmf.enumNormalize(j("Ignition_Status"), Seq("ON", "OFF"))
     ))
     // filterValues { it != null } (GeotabTranslator.kt:130–133) ≡ to_json's
     // default null-field dropping.
     val ssd = to_json(struct(
-      in("customGeotabField1").as("customGeotabField1"),
-      in("customGeotabField2").as("customGeotabField2")))
-    val cmf = Cmf.envelope(dateTime, epochSource, in("Vehicle_ID"), in("Device_ID"),
-      lit(tenant), lit("Geotab"), in("Vehicle_ID"), telemetry, ssd,
+      j("customGeotabField1").as("customGeotabField1"),
+      expr("try_cast(_j_customGeotabField2 AS INT)").as("customGeotabField2")))
+    val cmf = Cmf.envelope(dateTime, epochSource, j("Vehicle_ID"), j("Device_ID"),
+      lit(tenant), lit("Geotab"), j("Vehicle_ID"), telemetry, ssd,
       Map("translator" -> lit("GeotabTranslator_v1.0")))
-    split.copy(valid = split.valid.withColumn("cmf", cmf)
-      .withColumn("cmf_json", CmfJson.wire(col("cmf"))).drop("_in"))
+    finish(tagged, cmf, fields)
   }
 
   /** CalAmp raw JSON → CMF. `msg_ts` is epoch SECONDS; epochSource is
     * seconds×1000 (CalAmpTranslator.kt:100). */
   def calAmp(raw: DataFrame, tenant: String): Translated = {
-    val parsed = raw.withColumn("_in", from_json(col("value"), calAmpInputSchema,
-      Map("mode" -> "PERMISSIVE")))
-    val in = col("_in")
-    val ok = in.isNotNull &&
-      in("unit_id").isNotNull && in("vid").isNotNull && in("msg_ts").isNotNull &&
-      in("gps_lat").isNotNull && in("gps_lon").isNotNull &&
-      !hasUnknownKeys(col("value"), calAmpInputSchema.fieldNames.toSeq)
+    val fields = calAmpInputSchema.fieldNames.toSeq
+    val parsed = jsonTupled(raw, fields)
+    val ok = j("unit_id").isNotNull && j("vid").isNotNull &&
+      jl("msg_ts").isNotNull &&
+      jd("gps_lat").isNotNull && jd("gps_lon").isNotNull &&
+      !hasUnknownKeys(col("value"), fields)
+    val tagged = parsed.withColumn("_ok", coalesce(ok, lit(false)))
 
-    val split = splitValid(parsed, ok)
-    val epochSource = in("msg_ts") * 1000L
+    val epochSource = jl("msg_ts") * 1000L
     val dateTime = IsoTime.isoFromEpochMillis(epochSource)
     val telemetry = Cmf.telemetryStruct(Map(
-      "location" -> struct(dateTime.as("timestamp"), in("gps_lon").as("lon"),
-        in("gps_lat").as("lat")),
-      "speedGpsMph" -> in("speed_mph"),
-      "fuelLevelPct" -> in("fuel_percent"),
-      "batteryVoltage" -> in("voltage")
+      "location" -> struct(dateTime.as("timestamp"), jd("gps_lon").as("lon"),
+        jd("gps_lat").as("lat")),
+      "speedGpsMph" -> jd("speed_mph"),
+      "fuelLevelPct" -> jd("fuel_percent"),
+      "batteryVoltage" -> jd("voltage")
     ))
-    val ssd = to_json(struct(in("calAmpSpecificValue").as("calAmpSpecificValue")))
-    val cmf = Cmf.envelope(dateTime, epochSource, in("vid"), in("unit_id"),
-      lit(tenant), lit("CalAmp"), in("vid"), telemetry, ssd,
+    val ssd = to_json(struct(j("calAmpSpecificValue").as("calAmpSpecificValue")))
+    val cmf = Cmf.envelope(dateTime, epochSource, j("vid"), j("unit_id"),
+      lit(tenant), lit("CalAmp"), j("vid"), telemetry, ssd,
       Map("translator" -> lit("CalAmpTranslator_v1.0")))
-    split.copy(valid = split.valid.withColumn("cmf", cmf)
-      .withColumn("cmf_json", CmfJson.wire(col("cmf"))).drop("_in"))
+    finish(tagged, cmf, fields)
   }
 
   /** Ford raw JSON → CMF. Two independent timestamps: envelope from
     * `captureTime`, location from `coords.ts` (FordTranslator.kt:116–117);
     * `rpm` Int widened to Double (:127); `fordExtraData` forwarded verbatim,
-    * `{}` when absent (:131). */
+    * `{}` when absent (:131). The nested `coords` object costs one extra
+    * (tiny) json_tuple over its extracted text. */
   def ford(raw: DataFrame, tenant: String): Translated = {
-    val parsed = raw.withColumn("_in", from_json(col("value"), fordInputSchema,
-      Map("mode" -> "PERMISSIVE")))
-    val in = col("_in")
-    val coords = in("coords")
-    val ok = in.isNotNull &&
-      in("vin").isNotNull && in("esn").isNotNull && in("captureTime").isNotNull &&
-      coords.isNotNull && coords("latValue").isNotNull &&
-      coords("lonValue").isNotNull && coords("ts").isNotNull &&
+    val top = Seq("vin", "esn", "captureTime", "coords", "vehicleSpeed",
+      "fuelRemainingGallons", "rpm", "fordExtraData")
+    val sub = Seq("latValue", "lonValue", "ts")
+    val parsed = jsonTupled(raw, top)
+      .select(col("*"),
+        json_tuple(col("_j_coords"), sub: _*).as(sub.map(f => s"_j_c_$f")))
+    def jc(f: String): Column = col(s"_j_c_$f")
+    def jcd(f: String): Column = expr(s"try_cast(_j_c_$f AS DOUBLE)")
+    val ok = j("vin").isNotNull && j("esn").isNotNull &&
+      jl("captureTime").isNotNull && j("coords").isNotNull &&
+      jcd("latValue").isNotNull && jcd("lonValue").isNotNull &&
+      expr("try_cast(_j_c_ts AS BIGINT)").isNotNull &&
       !hasUnknownKeys(col("value"), fordAllKeys)
+    val tagged = parsed.withColumn("_ok", coalesce(ok, lit(false)))
 
-    val split = splitValid(parsed, ok)
-    val dateTime = IsoTime.isoFromEpochMillis(in("captureTime"))
-    val locTime = IsoTime.isoFromEpochMillis(coords("ts"))
+    val dateTime = IsoTime.isoFromEpochMillis(jl("captureTime"))
+    val locTime = IsoTime.isoFromEpochMillis(expr("try_cast(_j_c_ts AS BIGINT)"))
     val telemetry = Cmf.telemetryStruct(Map(
-      "location" -> struct(locTime.as("timestamp"), coords("lonValue").as("lon"),
-        coords("latValue").as("lat")),
-      "speedGpsMph" -> in("vehicleSpeed"),
-      "fuelLevelGallon" -> in("fuelRemainingGallons"),
-      "engineRpm" -> in("rpm").cast(DoubleType)
+      "location" -> struct(locTime.as("timestamp"), jcd("lonValue").as("lon"),
+        jcd("latValue").as("lat")),
+      "speedGpsMph" -> jd("vehicleSpeed"),
+      "fuelLevelGallon" -> jd("fuelRemainingGallons"),
+      "engineRpm" -> expr("try_cast(_j_rpm AS INT)").cast(DoubleType)
     ))
-    val ssd = coalesce(get_json_object(col("value"), "$.fordExtraData"), lit("{}"))
-    val cmf = Cmf.envelope(dateTime, in("captureTime"), in("vin"), in("esn"),
-      lit(tenant), lit("Ford"), in("vin"), telemetry, ssd,
+    // fordExtraData is forwarded verbatim as raw JSON text; `{}` when absent.
+    val ssd = coalesce(j("fordExtraData"), lit("{}"))
+    val cmf = Cmf.envelope(dateTime, jl("captureTime"), j("vin"), j("esn"),
+      lit(tenant), lit("Ford"), j("vin"), telemetry, ssd,
       Map("translator" -> lit("FordTranslator_v1.0")))
-    split.copy(valid = split.valid.withColumn("cmf", cmf)
-      .withColumn("cmf_json", CmfJson.wire(col("cmf"))).drop("_in"))
+    Translated(
+      valid = tagged.filter(col("_ok")).drop("_ok")
+        .withColumn("cmf", cmf)
+        .withColumn("cmf_json", CmfJson.wire(col("cmf")))
+        .drop(top.map(f => s"_j_$f") ++ sub.map(f => s"_j_c_$f"): _*),
+      quarantine = tagged.filter(!col("_ok")).select("value"))
   }
 }
 
