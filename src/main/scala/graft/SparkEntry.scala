@@ -263,9 +263,11 @@ object SparkEntry {
   private def approxDistinct(s: SparkSession, dir: String): DataFrame =
     RawGen.table(s, dir, "events")
       .agg(
-        approx_count_distinct(col("user_id")).as("au"),
+        // rsd 0.01 so the 5% assertion has ~5 sigma of margin (the default
+        // 0.05 rsd would breach a 5% bound on ~1/3 of datasets)
+        approx_count_distinct(col("user_id"), 0.01).as("au"),
         countDistinct(col("user_id")).as("eu"),
-        approx_count_distinct(col("event_type")).as("at"),
+        approx_count_distinct(col("event_type"), 0.01).as("at"),
         countDistinct(col("event_type")).as("et"))
       .select(
         col("eu").as("exact_users"),

@@ -1,0 +1,72 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Structured-Streaming forms of the pipeline — the reference's actual
+  * execution model is a standing stream (Filterer.kt:39 consumes unbounded
+  * topics; pipeline.yaml wires sources → translators → router).
+  *
+  * The translators and routers themselves (graft.translate, graft.route) are
+  * pure `DataFrame => DataFrame` Catalyst transforms, so they run UNCHANGED
+  * on a `readStream` frame — that is the point of the expression-only design:
+  * batch/stream parity is structural, not re-implemented (asserted
+  * byte-for-byte by StreamingSpec). This module adds the pieces that only
+  * exist in streaming: watermarks, event-time windows, session windows,
+  * streaming dedup, and the per-tenant fan-out sink.
+  */
+object StreamingOps {
+
+  /** Event-time tumbling window counts over the streaming events frame
+    * (needs an `epoch_us` column, RawGen.events shape). Late data beyond
+    * `watermarkDelay` is dropped — the reference has no late-data policy
+    * (SURVEY.md §7.4), so the bound is ours and explicit. */
+  def tumblingCounts(events: DataFrame, windowSeconds: Long = 3600,
+                     watermarkDelay: String = "1 hour"): DataFrame =
+    events
+      .withColumn("ts", timestamp_micros(col("epoch_us")))
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), s"$windowSeconds seconds").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast("decimal(18,4)")).as("sum_dec"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("cnt"), col("sum_dec").cast("double").as("sum_value"))
+
+  /** Gap-based sessionization via `session_window` — the streaming
+    * equivalent of graft.ops.Windows.sessionize (same gap rule; state is
+    * evicted once the watermark passes a session's close). */
+  def sessionWindows(events: DataFrame, gapSeconds: Long = 1800,
+                     watermarkDelay: String = "30 minutes"): DataFrame =
+    events
+      .withColumn("ts", timestamp_micros(col("epoch_us")))
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(col("user_id"), session_window(col("ts"), s"$gapSeconds seconds").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"))
+
+  /** Streaming exact dedup: state-bounded variant of Dedup.exact's key set.
+    * Keys older than the watermark are evicted, so state is O(keys within
+    * the watermark horizon), not O(all keys ever). */
+  def dedupWithinWatermark(events: DataFrame, keys: Seq[String],
+                           watermarkDelay: String = "1 hour"): DataFrame =
+    events
+      .withColumn("ts", timestamp_micros(col("epoch_us")))
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark(keys)
+
+  /** Per-tenant physical isolation as a streaming sink: each micro-batch is
+    * one distributed `partitionBy(tenantId)` write — no driver-side loop
+    * over tenants, dynamic tenants appear as new directories
+    * (architecture.md:113–118; Filterer.kt:36–41). */
+  def fanOutTenants(routed: DataFrame, baseDir: String,
+                    checkpointDir: String): StreamingQuery =
+    routed.select("tenantId", "value")
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").partitionBy("tenantId").parquet(baseDir)
+      }
+      .start()
+}

@@ -1,0 +1,133 @@
+package graft
+
+import graft.ops.{Similarity, TextAnalysis, Windows}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** North-star ops: text analysis goldens, approx-distinct tolerance, cosine
+  * top-k correctness (local-top-k pass vs a plain global window). */
+class OpsSpec extends SparkSpec {
+
+  test("textStats: golden counts on a crafted string") {
+    import spark.implicits._
+    val d = Seq((1L, "The cat sat on the mat. 123 go!")).toDF("doc_id", "text")
+    val r = TextAnalysis.textStats(d).head()
+    // words: The cat sat on the mat. 123 go!  -> 8 whitespace tokens
+    assert(r.getLong(1) === 31L)  // n_chars
+    assert(r.getLong(2) === 8L)   // n_words
+    assert(r.getLong(3) === 8L)   // n_distinct_words ("the" vs "The" differ)
+    // bpe tokens: The|cat|sat|on|the|mat|.|123|go|! = 10
+    assert(r.getLong(6) === 10L)
+  }
+
+  test("bpe tokenizer counts punctuation singly and never counts whitespace") {
+    import spark.implicits._
+    val d = Seq((1L, "ab cd!")).toDF("doc_id", "text")
+    // ab|cd|! = 3 (the round-2 bug double-counted whitespace runs -> 4)
+    assert(TextAnalysis.textStats(d).head().getLong(6) === 3L)
+  }
+
+  test("langId picks the language with most stopword hits") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "the cat and the dog of a house is here"),
+      (2L, "le chat et la maison est grande les arbres"),
+      (3L, "der hund und die katze ist das haus")).toDF("doc_id", "text")
+    val r = TextAnalysis.langId(d).orderBy("doc_id").collect().map(_.getString(1))
+    assert(r === Array("en", "fr", "de"))
+  }
+
+  test("fingerprint: whitespace/case variants collapse to one fingerprint") {
+    import spark.implicits._
+    val d = Seq((1L, "Hello  World"), (2L, "hello world"), (3L, "other thing"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.fingerprint(d).collect().map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(r(1L) === r(2L))
+    assert(r(1L) !== r(3L))
+  }
+
+  test("approx_count_distinct within 5% of exact (SparkEntry.approxDistinct contract)") {
+    val df = spark.range(100000).selectExpr("cast(id % 7919 as long) v")
+    val r = df.agg(
+      approx_count_distinct(col("v"), 0.01).as("a"),
+      countDistinct(col("v")).as("e")).head()
+    val (a, e) = (r.getLong(0), r.getLong(1))
+    assert(math.abs(a - e).toDouble / e < 0.05)
+  }
+
+  test("cosineTopK: local-top-k pass returns exactly the global window's answer") {
+    import spark.implicits._
+    // deterministic pseudo-random corpus, spread over several partitions so
+    // the per-partition heap pass actually has something to merge
+    val dim = 8
+    def vec(seed: Long): Seq[Float] =
+      (0 until dim).map(i => (((seed * 2654435761L + i * 40503L) % 1000) / 500.0f - 1.0f))
+    val corpus = (0L until 200L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+      .repartition(7)
+    val queries = (0L until 4L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    val fast = Similarity.cosineTopK(corpus, queries, 5)
+      .orderBy("query_id", "rank").collect()
+
+    // reference: plain global window, no local pass
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").cast("array<double>").as("q_emb"))
+    val c = corpus.select(col("vec_id").as("neighbor_id"),
+      col("embedding").cast("array<double>").as("c_emb"))
+    val sim = Similarity.dot(col("q_emb"), col("c_emb")) /
+      (Similarity.norm(col("q_emb")) * Similarity.norm(col("c_emb")))
+    val rn = row_number().over(
+      Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id")))
+    val slow = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", sim.cast("double")).withColumn("rank", rn)
+      .filter(col("rank") <= 5)
+      .select(col("query_id").cast("long"), col("neighbor_id").cast("long"),
+        col("rank"), col("sim"))
+      .orderBy("query_id", "rank").collect()
+    assert(fast === slow)
+  }
+
+  test("lshCosineTopK: same-signature buckets only; identical vector is rank-1 hit") {
+    import spark.implicits._
+    def vec(seed: Long): Seq[Float] =
+      (0 until 64).map(i => (((seed * 97 + i * 31) % 100) / 50.0f - 1.0f))
+    val corpus = ((0L until 50L).map(i => (i, vec(i))) :+ (99L, vec(7L)))
+      .toDF("vec_id", "embedding")
+    val queries = Seq((7L, vec(7L))).toDF("vec_id", "embedding")
+    val r = Similarity.lshCosineTopK(corpus, queries, 3)
+      .orderBy("rank").collect()
+    // vec 99 is a copy of query 7 -> same signature bucket, cosine 1.0, rank 1
+    assert(r.nonEmpty)
+    assert(r.head.getLong(1) === 99L)
+    assert(math.abs(r.head.getDouble(3) - 1.0) < 1e-12)
+  }
+
+  test("sessionize: gap splits sessions per user") {
+    import spark.implicits._
+    val us = (t: Long) => t * 1000000L
+    val ev = Seq(
+      (1L, 10L, us(1000)), (2L, 10L, us(1100)),   // session 1 (gap 100 s)
+      (3L, 10L, us(10000)),                        // gap 8900 s > 1800 -> session 2
+      (4L, 20L, us(500))                           // other user
+    ).toDF("event_id", "user_id", "epoch_us")
+    val r = Windows.sessionize(ev)
+      .select("user_id", "session_idx", "n_events").orderBy("user_id", "session_idx")
+      .collect()
+    assert(r === Array(Row(10L, 1L, 2L), Row(10L, 2L, 1L), Row(20L, 1L, 1L)))
+  }
+
+  test("tumblingCounts: hour buckets with decimal-exact sums") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, "click", 1.5, 100L), (2L, "click", 2.5, 200L),    // hour 0
+      (3L, "view", 1.0, 3700L)                               // hour 1
+    ).map { case (id, et, v, s) => (id, et, v, s * 1000000L) }
+      .toDF("event_id", "event_type", "value", "epoch_us")
+    val r = Windows.tumblingCounts(ev)
+      .orderBy("window_start", "event_type")
+      .collect()
+    assert(r === Array(
+      Row("1970-01-01T00:00:00Z", "click", 2L, 4.0),
+      Row("1970-01-01T01:00:00Z", "view", 1L, 1.0)))
+  }
+}
