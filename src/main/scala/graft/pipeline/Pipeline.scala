@@ -1,0 +1,77 @@
+package graft.pipeline
+
+import graft.route.{EventTypeSplitter, Filterer, Routed}
+import graft.sources.{SourceDef, Sources}
+import graft.translate.{LegacyTranslators, Translated, VehicleTranslators}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The deployment/pipeline.yaml:41–68 dataflow as code: each translator
+  * function is bound to the source topic it consumes, all translators feed
+  * the shared CMF topic, and the Filterer fans the CMF topic out by tenant.
+  *
+  *  - E1 (SURVEY.md §3): Kinesis → GeotabTranslator → CMF → Filterer
+  *  - E2: HTTP → FordTranslator → CMF → Filterer (Kafka → CalAmp same shape)
+  *  - E3: Kafka → legacy translators → common-events → EventTypeSplitter
+  *
+  * Bindings are data, so rewiring an input (pipeline.yaml "Example input"
+  * comments) is a config change. Batch and streaming entry points share the
+  * bindings — the transforms are identical; only the source resolution
+  * (spark.read vs readStream) differs.
+  */
+object Pipeline {
+
+  /** One pipeline.yaml `functions:` entry: source topic → translator. */
+  final case class TranslatorBinding(
+      functionName: String,
+      source: SourceDef,
+      translate: (DataFrame, String) => Translated)
+
+  /** pipeline.yaml:42–61 — the three vehicle translator functions. */
+  val vehicleBindings: Seq[TranslatorBinding] = Seq(
+    TranslatorBinding("geotab-translator", Sources.kinesisInput,
+      VehicleTranslators.geotab),
+    TranslatorBinding("calamp-translator", Sources.kafkaInput,
+      VehicleTranslators.calAmp),
+    TranslatorBinding("ford-translator", Sources.httpInput,
+      VehicleTranslators.ford))
+
+  /** The shared CMF topic (pipeline.yaml:47,54,61): every translator's valid
+    * output as wire-form strings, unioned — the one genuine set operation in
+    * the reference (SURVEY.md §2.3 R3). Returns (cmf topic frame, unioned
+    * quarantine). */
+  def vehicleCmfBatch(spark: SparkSession, baseDir: String,
+                      tenant: String = "acme"): Translated = {
+    val parts = vehicleBindings.map { b =>
+      b.translate(b.source.batch(spark, baseDir), tenant)
+    }
+    Translated(
+      valid = parts.map(_.valid.select(col("cmf_json").as("value")))
+        .reduce(_ unionByName _),
+      quarantine = parts.map(_.quarantine).reduce(_ unionByName _))
+  }
+
+  /** Streaming form of [[vehicleCmfBatch]] over the same spool layout. */
+  def vehicleCmfStream(spark: SparkSession, baseDir: String,
+                       tenant: String = "acme"): Translated = {
+    val parts = vehicleBindings.map { b =>
+      b.translate(b.source.stream(spark, baseDir), tenant)
+    }
+    Translated(
+      valid = parts.map(_.valid.select(col("cmf_json").as("value")))
+        .reduce(_ unionByName _),
+      quarantine = parts.map(_.quarantine).reduce(_ unionByName _))
+  }
+
+  /** E1/E2 tail (pipeline.yaml:63–68): CMF topic → Filterer → dynamic
+    * per-tenant destinations. Works on batch or streaming frames. */
+  def routeCmf(cmfTopic: DataFrame): Routed = Filterer.route(cmfTopic)
+
+  /** E3: legacy business events (bootstrap.sh:107–171) — raw payloads with a
+    * `kind` column → one multiplexed translate pass → EventTypeSplitter on
+    * the wire envelopes. */
+  def legacyEvents(raw: DataFrame): (Translated, Routed) = {
+    val t = LegacyTranslators.translateMux(raw, col("kind"))
+    (t, EventTypeSplitter.route(t.valid.select(col("event_json").as("value"))))
+  }
+}

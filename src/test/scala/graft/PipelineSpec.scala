@@ -1,0 +1,98 @@
+package graft
+
+import graft.pipeline.Pipeline
+import graft.route.Filterer
+import graft.sources.Sources
+import org.apache.spark.sql.functions._
+
+/** End-to-end topology wiring over the SourceDef spool layout: E1/E2
+  * (vehicle sources → CMF → Filterer) and E3 (legacy → splitter), batch and
+  * streaming resolution of the same sources. */
+class PipelineSpec extends SparkSpec {
+
+  private def writeSpool(baseDir: String, topic: String, lines: Seq[String]): Unit = {
+    val dir = java.nio.file.Paths.get(baseDir, topic)
+    java.nio.file.Files.createDirectories(dir)
+    java.nio.file.Files.write(dir.resolve("part-0.txt"),
+      String.join("\n", lines: _*).getBytes("UTF-8"))
+  }
+
+  private def spoolDir(): String = {
+    val base = java.nio.file.Files.createTempDirectory("spool").toString
+    writeSpool(base, Sources.kinesisInput.outputTopic, Seq(
+      """{"Device_ID":"g1","Vehicle_ID":"v1","Record_DateTime":"2023-10-26T10:00:00Z","Latitude":1.0,"Longitude":2.0}""",
+      """{"Device_ID":"broken"""))
+    writeSpool(base, Sources.kafkaInput.outputTopic, Seq(
+      """{"unit_id":"c1","vid":"v2","msg_ts":1698314400,"gps_lat":3.0,"gps_lon":4.0}"""))
+    writeSpool(base, Sources.httpInput.outputTopic, Seq(
+      """{"vin":"v3","esn":"e3","captureTime":1698314400000,"coords":{"latValue":5.0,"lonValue":6.0,"ts":1698314395000}}"""))
+    base
+  }
+
+  test("S1-S7: every connector from pipeline.yaml is defined with its output topic") {
+    val topics = Sources.all.map(s => s.name -> s.outputTopic).toMap
+    assert(topics === Map(
+      "kinesis-input" -> "raw-kinesis-events",
+      "kafka-input" -> "raw-kafka-events",
+      "azure-eventhub-input" -> "raw-azure-events",
+      "rabbitmq-input" -> "raw-rabbitmq-events",
+      "http-input" -> "raw-http-events",
+      "grpc-input" -> "raw-grpc-events",
+      "pulsar-source-input" -> "raw-pulsar-events"))
+    // kafka-protocol heads resolve to the built-in kafka source on a cluster
+    assert(Sources.kafkaInput.sparkFormat === "kafka")
+    assert(Sources.eventHubInput.sparkFormat === "kafka")
+  }
+
+  test("E1/E2 batch: three sources -> CMF topic union; poison quarantined per source") {
+    val base = spoolDir()
+    val cmf = Pipeline.vehicleCmfBatch(spark, base)
+    assert(cmf.valid.count() === 3)
+    assert(cmf.quarantine.count() === 1)
+    val sources = cmf.valid
+      .select(get_json_object(col("value"), "$.sourceType")).collect()
+      .map(_.getString(0)).sorted
+    assert(sources === Array("CalAmp", "Ford", "Geotab"))
+  }
+
+  test("E1/E2 streaming: same spool through readStream == batch output") {
+    val base = spoolDir()
+    val batchRows = Pipeline.vehicleCmfBatch(spark, base).valid
+      .collect().map(_.getString(0)).sorted
+    val q = Pipeline.vehicleCmfStream(spark, base).valid
+      .writeStream.format("memory").queryName("pipe_stream")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamRows = spark.table("pipe_stream").collect().map(_.getString(0)).sorted
+    assert(streamRows === batchRows)
+  }
+
+  test("E1 tail: routable CMF fans out by meta.tenantId (FiltererIntegrationTest analogue)") {
+    // the reference's own translators omit meta.tenantId (SURVEY.md §0.2) —
+    // the routable wire contract comes from the integration tests' payloads
+    val routable = (0 until 4).map(i =>
+      s"""{"meta":{"tenantId":"t-${i % 2}"},"vehicleId":"veh-$i"}""")
+    val r = Pipeline.routeCmf(strings(routable :+ """{"meta":{}}""": _*))
+    assert(r.routed.count() === 4)
+    assert(r.dropped.count() === 1)
+    val out = java.nio.file.Files.createTempDirectory("tenants").toString
+    Filterer.fanOutParquet(r.routed, out)
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs === Array("tenantId=t-0", "tenantId=t-1"))
+  }
+
+  test("E3: legacy raw -> mux translate -> splitter per-type topics") {
+    import spark.implicits._
+    val raw = Seq(
+      ("""{"uid":1,"name":"u","created":1698314400}""", 0),
+      ("""{"shipId":"S-1","status":"SHIPPED","deliveredAt":1698314400}""", 4),
+      ("""{"poison":true}""", 0)).toDF("value", "kind")
+    val (t, routed) = Pipeline.legacyEvents(raw)
+    assert(t.quarantine.count() === 1)
+    val topics = routed.routed.select("topic").collect().map(_.getString(0)).sorted
+    assert(topics === Array(
+      "persistent://acme/integration/shipment-events",
+      "persistent://acme/integration/user-profile-events"))
+  }
+}
