@@ -257,6 +257,19 @@ object SparkEntry {
       .select("doc_id", "mime", "octet_len", "payload_sha256")
       .orderBy("doc_id")
 
+  private def mediaDecode(s: SparkSession, dir: String): DataFrame =
+    Multimodal.decode(s, Multimodal.asMediaTable(RawGen.table(s, dir, "documents")))
+      .toDF().select("doc_id", "octet_len", "width", "height", "frames")
+      .orderBy("doc_id")
+
+  private def mediaFrames(s: SparkSession, dir: String): DataFrame =
+    Multimodal.frameSample(Multimodal.asMediaTable(RawGen.table(s, dir, "documents")))
+      .orderBy("doc_id")
+
+  private def neardupCosine(s: SparkSession, dir: String): DataFrame =
+    Similarity.cosineNeardup(RawGen.table(s, dir, "embeddings"), 0.35)
+      .orderBy("vec_a", "vec_b")
+
   /** HLL++ sketch values are implementation-specific, so the oracle-checkable
     * form emits the EXACT distinct counts (hash-compared against DuckDB) plus
     * booleans asserting the approx is within 5% of exact. */
@@ -306,6 +319,9 @@ object SparkEntry {
     "window_tumbling" -> (windowTumbling _),
     "sessionize" -> (sessionizeQ _),
     "multimodal_meta" -> (multimodalMeta _),
+    "media_decode" -> (mediaDecode _),
+    "media_frames" -> (mediaFrames _),
+    "neardup_cosine" -> (neardupCosine _),
     "approx_distinct" -> (approxDistinct _)
   )
 
@@ -600,6 +616,40 @@ object SparkEntry {
       |  sha256(text) AS payload_sha256
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  private val mediaDecodeSql = {
+    def hv(i: Int) = s"(strpos('0123456789abcdef', substr(h,$i,1))-1)"
+    s"""WITH m AS (SELECT doc_id, octet_length(text::BLOB) AS olen, md5(text) AS h
+       |  FROM documents)
+       |SELECT doc_id, CAST(olen AS BIGINT) AS octet_len,
+       |  CAST(${hv(1)}*16 + ${hv(2)} + 1 AS INT) AS width,
+       |  CAST(${hv(3)}*16 + ${hv(4)} + 1 AS INT) AS height,
+       |  CAST(${hv(5)} % 8 + 1 AS INT) AS frames
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
+  private val mediaFramesSql =
+    """SELECT doc_id,
+      |  CAST(ceil(octet_length(text::BLOB)/64.0) AS BIGINT) AS n_frames,
+      |  md5(substring(text, 1, 64)) AS frame0_md5,
+      |  CASE WHEN octet_length(text::BLOB) > 128
+      |    THEN md5(substring(text, 129, 64)) END AS frame2_md5
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  private val neardupCosineSql = {
+    val sigExpr = Similarity.planes(8, 64).map { coefs =>
+      val arr = coefs.map(d => if (d > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+      s"(CASE WHEN list_dot_product(emb, $arr::DOUBLE[]) > 0 THEN '1' ELSE '0' END)"
+    }.mkString(" || ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm,
+       |  $sigExpr AS sig FROM e),
+       |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |    list_dot_product(a.emb, b.emb)/(a.nrm*b.nrm) AS cos
+       |  FROM n a JOIN n b ON a.sig = b.sig AND a.vec_id < b.vec_id)
+       |SELECT vec_a, vec_b, cos FROM p WHERE cos >= 0.35
+       |ORDER BY vec_a, vec_b""".stripMargin
+  }
+
   private val approxDistinctSql =
     """SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
       |  CAST(COUNT(DISTINCT event_type) AS BIGINT) AS exact_types,
@@ -633,6 +683,9 @@ object SparkEntry {
     "window_tumbling" -> windowTumblingSql,
     "sessionize" -> sessionizeSql,
     "multimodal_meta" -> multimodalMetaSql,
+    "media_decode" -> mediaDecodeSql,
+    "media_frames" -> mediaFramesSql,
+    "neardup_cosine" -> neardupCosineSql,
     "approx_distinct" -> approxDistinctSql
   )
 }

@@ -29,22 +29,41 @@ object Multimodal {
       sha2(col("text").cast("binary"), 256).as("payload_sha256"))
 
   /** Partition-batched "decode" (mapPartitions — the JVM analogue of a
-    * vectorized decode UDF). Real decoding would open each payload with a
-    * codec here; the stub derives deterministic dimensions from the bytes so
-    * the pipeline shape is testable end-to-end. */
+    * vectorized decode UDF; one MessageDigest per partition, not per row).
+    * Real decoding would open each payload with a codec here; the stub
+    * derives deterministic dimensions from the payload's md5 so the result
+    * is ORACLE-CHECKABLE (DuckDB recomputes the same formula from the same
+    * hex digits — SparkEntry.mediaDecodeSql), not just shape-testable. */
   def decode(spark: SparkSession, media: DataFrame): Dataset[DecodedMedia] = {
     import spark.implicits._
     media.select("doc_id", "mime", "payload").as[MediaRecord]
       .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def hv(c: Char): Int = "0123456789abcdef".indexOf(c)
         it.map { r =>
-          // --- STUB: replace with a real codec (e.g. javax.imageio) ---
-          val n = r.payload.length
-          val h = java.util.Arrays.hashCode(r.payload)
-          DecodedMedia(r.doc_id, r.mime, n.toLong,
-            width = math.floorMod(h, 1920) + 1,
-            height = math.floorMod(h / 1920, 1080) + 1,
-            frames = 1)
+          // --- STUB decode: replace the md5-derived fake with a real codec
+          // (javax.imageio / ffmpeg binding) when the runtime has one ---
+          md.reset()
+          val h = md.digest(r.payload).map("%02x".format(_)).mkString
+          DecodedMedia(r.doc_id, r.mime, r.payload.length.toLong,
+            width = hv(h(0)) * 16 + hv(h(1)) + 1,
+            height = hv(h(2)) * 16 + hv(h(3)) + 1,
+            frames = hv(h(4)) % 8 + 1)
         }
       }
   }
+
+  /** Frame sampling as pure expressions: fixed-size byte frames, every
+    * `stride`-th frame fingerprinted. Runs scan-fused (binary `substring` +
+    * `md5` are codegen'd built-ins) — no row-object materialization, which
+    * is the difference between this and a UDF at 100 TB of video payloads. */
+  def frameSample(media: DataFrame, frameBytes: Int = 64,
+                  stride: Int = 2): DataFrame =
+    media.select(
+      col("doc_id"),
+      ceil(col("octet_len") / lit(frameBytes.toDouble)).cast("long").as("n_frames"),
+      md5(substring(col("payload"), 1, frameBytes)).as("frame0_md5"),
+      when(col("octet_len") > 2 * frameBytes,
+        md5(substring(col("payload"), stride * frameBytes + 1, frameBytes)))
+        .as(s"frame${stride}_md5"))
 }

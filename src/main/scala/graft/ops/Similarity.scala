@@ -27,8 +27,14 @@ final case class ScoredPair(query_id: Long, neighbor_id: Long, sim: Double)
   */
 object Similarity {
 
-  /** ⟨a,b⟩ with a strict left-to-right accumulation order. */
-  def dot(a: Column, b: Column): Column =
+  /** ⟨a,b⟩ with a strict left-to-right accumulation order. Backed by the
+    * native codegen'd [[graft.functions.DotProduct]] expression (one fused
+    * loop, no intermediate array) — identical semantics to the composable
+    * [[dotComposed]] form, asserted by OpsSpec. */
+  def dot(a: Column, b: Column): Column = graft.functions.DotProduct.dot(a, b)
+
+  /** Built-ins-only reference implementation of [[dot]]. */
+  def dotComposed(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
@@ -101,6 +107,27 @@ object Similarity {
       when(dot(emb, p) > 0.0, "1").otherwise("0")
     }
     concat(bits: _*)
+  }
+
+  /** Embedding-cosine near-duplicate pairs: LSH-bucketed self-join (only
+    * same-signature pairs are scored — a plain equi-join on the bucket key,
+    * no all-pairs pass), then exact cosine filters at `threshold`. The
+    * corpus-scale analogue of MinHash near-dup for embedding columns. */
+  def cosineNeardup(corpus: DataFrame, threshold: Double,
+                    numPlanes: Int = 8, dim: Int = 64): DataFrame = {
+    val ps = planes(numPlanes, dim)
+    val base = corpus.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+      .withColumn("nrm", norm(col("emb")))
+      .withColumn("sig", lshSignature(col("emb"), ps))
+    val a = base.select(col("vec_id").as("vec_a"), col("emb").as("a_emb"),
+      col("nrm").as("a_nrm"), col("sig"))
+    val b = base.select(col("vec_id").as("vec_b"), col("emb").as("b_emb"),
+      col("nrm").as("b_nrm"), col("sig"))
+    a.join(b, Seq("sig"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos", dot(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm")))
+      .filter(col("cos") >= threshold)
+      .select("vec_a", "vec_b", "cos")
   }
 
   /** LSH-bucketed cosine top-k: exact re-rank restricted to same-signature

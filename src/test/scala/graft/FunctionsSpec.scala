@@ -1,0 +1,59 @@
+package graft
+
+import graft.functions.DotProduct
+import graft.ops.Similarity
+import org.apache.spark.sql.functions._
+
+/** Native expression parity: the codegen'd DotProduct must be bit-identical
+  * to the composable zip_with/aggregate form on every input shape. */
+class FunctionsSpec extends SparkSpec {
+
+  private def vecs = {
+    import spark.implicits._
+    Seq(
+      (1L, Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0)),
+      (2L, Seq(0.1, -0.2), Seq(0.3, 0.7)),
+      (3L, Seq.empty[Double], Seq.empty[Double]),
+      (4L, Seq(1.0), Seq(1.0, 2.0)) // length mismatch -> NULL
+    ).toDF("id", "a", "b")
+  }
+
+  test("graft_dot == composable zip_with/aggregate form, incl. NULL on length mismatch") {
+    val native = vecs.select(col("id"), DotProduct.dot(col("a"), col("b")).as("d"))
+      .orderBy("id").collect()
+    val composed = vecs.select(col("id"),
+      Similarity.dotComposed(col("a"), col("b")).as("d")).orderBy("id").collect()
+    assert(native === composed)
+    assert(native(0).getDouble(1) === 32.0)
+    assert(native(2).getDouble(1) === 0.0)
+    assert(native(3).isNullAt(1))
+  }
+
+  test("graft_dot resolves in SQL once registered (GraftExtensions contract)") {
+    // SparkSessionExtensions only applies at session build; an already-built
+    // test session registers through the same registry the extension targets
+    spark.sessionState.functionRegistry.registerFunction(
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[DotProduct].getName, "graft_dot"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        DotProduct(children.head, children(1)))
+    vecs.createOrReplaceTempView("vecs")
+    val r = spark.sql("SELECT graft_dot(a, b) FROM vecs WHERE id = 1").head()
+    assert(r.getDouble(0) === 32.0)
+  }
+
+  test("knn queries stay oracle-consistent under the native dot (cosine of copy = 1)") {
+    import spark.implicits._
+    def vec(seed: Long): Seq[Float] =
+      (0 until 16).map(i => ((seed * 31 + i * 7) % 10) / 5.0f - 1.0f)
+    // seeds < 10 only: vec() is periodic mod 10, so larger seeds would
+    // duplicate earlier vectors and tie at cosine 1.0
+    val corpus = ((0L until 10L).map(i => (i, vec(i))) :+ (42L, vec(3L)))
+      .toDF("vec_id", "embedding")
+    val queries = Seq((3L, vec(3L))).toDF("vec_id", "embedding")
+    val top = Similarity.cosineTopK(corpus, queries, 1).head()
+    assert(top.getLong(1) === 42L)
+    assert(math.abs(top.getDouble(3) - 1.0) < 1e-12)
+  }
+}
