@@ -1,0 +1,71 @@
+package graft
+
+import graft.ops.Similarity
+import graft.route.Filterer
+import graft.translate.VehicleTranslators
+import org.apache.spark.sql.functions._
+
+/** Physical-plan properties that make the operators scale — asserted, not
+  * hoped for: pushdown reaches parquet, small dims broadcast, translators
+  * stay shuffle-free, the ANN ranking exchange is bounded. These are the
+  * properties a 1000-executor run depends on; the assertions pin them
+  * against optimizer/plan regressions. */
+class PlanSpec extends SparkSpec {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("filter + projection push down to the parquet scan (uncached at-scale path)") {
+    // direct read (RawGen's spread/cache is the small-file path only)
+    val lineitem = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val q = lineitem.filter(col("l_quantity") < 45).select("l_returnflag", "l_quantity")
+    val formatted = q.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(formatted.contains("PushedFilters: [IsNotNull(l_quantity), LessThan(l_quantity,45"),
+      s"no pushed filter in:\n$formatted")
+    assert(formatted.contains("ReadSchema: struct<l_quantity:double,l_returnflag:string>"),
+      s"scan reads more columns than the projection needs:\n$formatted")
+  }
+
+  test("q_join_agg broadcasts the small dimension tables") {
+    val p = plan(SparkEntry.queries("q_join_agg")(spark, "/root/testdata/sf0.001"))
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join in:\n$p")
+  }
+
+  test("translators are scan-fused: no exchange anywhere in the valid path") {
+    val t = VehicleTranslators.geotab(strings(
+      """{"Device_ID":"d","Vehicle_ID":"v","Record_DateTime":"2023-10-26T10:00:00Z","Latitude":1.0,"Longitude":2.0}"""),
+      "t")
+    val p = plan(t.valid.select("cmf_json"))
+    assert(!p.contains("Exchange"), s"translator plan shuffles:\n$p")
+  }
+
+  test("filterer routing is scan-fused: no exchange before the sink") {
+    val r = Filterer.route(strings("""{"meta":{"tenantId":"a"},"x":1}"""))
+    val p = plan(r.routed.select("topic", "value"))
+    assert(!p.contains("Exchange"), s"router plan shuffles:\n$p")
+  }
+
+  test("cosineTopK: corpus never shuffles; one bounded exchange feeds the ranking window") {
+    import spark.implicits._
+    val corpus = (0L until 100L).map(i => (i, Seq.fill(8)(i / 100.0f)))
+      .toDF("vec_id", "embedding")
+    val queries = (0L until 3L).map(i => (i, Seq.fill(8)(1.0f - i / 10.0f)))
+      .toDF("vec_id", "embedding")
+    val p = plan(Similarity.cosineTopK(corpus, queries, 5))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges === 1, s"expected exactly 1 hash exchange (post local-top-k), got $exchanges:\n$p")
+    assert(p.contains("BroadcastExchange"), s"query side not broadcast:\n$p")
+  }
+
+  test("minhash signature frame carries no shingle arrays into the band self-join") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d e f"), (2L, "a b c d e f")).toDF("doc_id", "text")
+    val p = plan(graft.ops.Dedup.minhashNeardup(docs))
+    // the only sort-merge/shuffle-hash join keys must be band columns, and
+    // the persisted slim frame (doc_id, mh, bands) is what shuffles — the
+    // full shingle arrays (`sh`) only appear in the candidate-verify joins
+    assert(p.contains("band_idx"), s"band join missing:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+}
