@@ -1,0 +1,65 @@
+package graft
+
+import graft.model.Cmf
+import graft.time.IsoTime
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+
+/** Property tests (SURVEY.md §5 plan item 2): timestamp canonicalization
+  * round-trips, enum normalization totality, native-vs-composable dot parity
+  * — each over ScalaCheck-generated inputs, evaluated through the actual
+  * Catalyst expressions (not a Scala reimplementation). */
+class PropSpec extends SparkSpec {
+
+  private val epochMsGen: Gen[Long] =
+    Gen.chooseNum(0L, 4102444800000L) // 1970..2100
+
+  test("ISO canonicalization round-trips every epoch millisecond") {
+    import spark.implicits._
+    val samples = (1 to 200).flatMap(_ => epochMsGen.sample)
+    val df = samples.toDF("ms")
+      .withColumn("iso", IsoTime.isoFromEpochMillis(col("ms")))
+      .withColumn("back", IsoTime.epochMillisFromIso(col("iso")))
+    assert(df.filter(col("back") =!= col("ms")).count() === 0)
+    // canonical shape: Z offset, fractional part only when ms%1000 != 0
+    val bad = df.filter(!col("iso").rlike(
+      "^\\d{4}-\\d{2}-\\d{2}T\\d{2}:\\d{2}:\\d{2}(\\.\\d{3})?Z$")).count()
+    assert(bad === 0)
+  }
+
+  test("whole-second instants never carry a fractional part (reference formatter parity)") {
+    import spark.implicits._
+    val secs = (1 to 100).flatMap(_ => Gen.chooseNum(0L, 4102444800L).sample)
+    val df = secs.toDF("s")
+      .withColumn("iso", IsoTime.isoFromEpochSeconds(col("s")))
+    assert(df.filter(col("iso").contains(".")).count() === 0)
+    assert(df.filter(!col("iso").endsWith("Z")).count() === 0)
+  }
+
+  test("enum normalization is total: any string lands in domain + UNKNOWN") {
+    import spark.implicits._
+    val strGen = Gen.oneOf(Gen.alphaNumStr, Gen.oneOf("on", "ON", "On", "oFF",
+      "off", "", " ", "AJAR", "unknown", "null"))
+    val samples = (1 to 200).flatMap(_ => strGen.sample) :+ null
+    val df = samples.toDF("s")
+      .select(Cmf.enumNormalize(col("s"), Seq("ON", "OFF")).as("e"))
+    val domain = Set("ON", "OFF", "UNKNOWN")
+    assert(df.collect().forall(r => domain.contains(r.getString(0))))
+    // case-insensitive mapping hits the canonical spelling
+    val on = Seq("on", "On", "oN").toDF("s")
+      .select(Cmf.enumNormalize(col("s"), Seq("ON", "OFF"))).collect()
+    assert(on.forall(_.getString(0) == "ON"))
+  }
+
+  test("native graft_dot equals composable form on random vectors") {
+    import spark.implicits._
+    val vecGen = Gen.listOfN(16, Gen.chooseNum(-1000.0, 1000.0))
+    val rows = (1 to 100).flatMap { _ =>
+      for (a <- vecGen.sample; b <- vecGen.sample) yield (a, b)
+    }
+    val df = rows.toDF("a", "b")
+      .withColumn("n", graft.functions.DotProduct.dot(col("a"), col("b")))
+      .withColumn("c", graft.ops.Similarity.dotComposed(col("a"), col("b")))
+    assert(df.filter(col("n") =!= col("c")).count() === 0)
+  }
+}
