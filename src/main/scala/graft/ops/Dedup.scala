@@ -80,15 +80,27 @@ object Dedup {
     *     smaller than the corpus.
     */
   def minhashNeardup(docs: DataFrame, numHashes: Int = 8, bandSize: Int = 4,
-                     shingleSize: Int = 3): DataFrame = {
+                     shingleSize: Int = 3,
+                     maxBucket: Int = Int.MaxValue): DataFrame = {
     val numBands = numHashes / bandSize
     val sigs = minhashSignatures(docs, numHashes, bandSize, shingleSize)
     val slim = sigs.select(col("doc_id"),
       array((1 to numHashes).map(j => col(s"mh$j")): _*).as("mh"),
       array((0 until numBands).map(b => col(s"band_$b")): _*).as("bands"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val exploded = slim.select(col("doc_id"), col("mh"),
+    val explodedAll = slim.select(col("doc_id"), col("mh"),
       posexplode(col("bands")).as(Seq("band_idx", "band_val")))
+    // Skew guard: a degenerate bucket (boilerplate shared by B docs) costs
+    // B² pairs; above `maxBucket` the bucket is dropped whole. The count
+    // window shuffles on the same (band_idx, band_val) key as the join, so
+    // the exchange is reused, not added. Off by default (exact semantics =
+    // what the oracle computes); turn on at corpus scale.
+    val exploded =
+      if (maxBucket == Int.MaxValue) explodedAll
+      else explodedAll
+        .withColumn("_bsz", count(lit(1)).over(
+          Window.partitionBy("band_idx", "band_val")))
+        .filter(col("_bsz") <= maxBucket).drop("_bsz")
     val a = exploded.select(col("doc_id").as("a_doc_id"), col("mh").as("a_mh"),
       col("band_idx"), col("band_val"))
     val b = exploded.select(col("doc_id").as("b_doc_id"), col("mh").as("b_mh"),

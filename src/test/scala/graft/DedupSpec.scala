@@ -57,6 +57,13 @@ class DedupSpec extends SparkSpec {
     assert(j > 0.5 && j < 1.0)
   }
 
+  test("maxBucket skew guard drops degenerate buckets whole") {
+    val boiler = "identical boilerplate text repeated across many documents here"
+    val d = docs((1L to 5L).map(i => i -> boiler): _*)
+    assert(Dedup.minhashNeardup(d).count() === 10)          // 5 choose 2
+    assert(Dedup.minhashNeardup(d, maxBucket = 3).count() === 0)
+  }
+
   test("simhash: 16-bit fingerprint, equal for equal token multisets") {
     val d = docs(1L -> "one two three", 2L -> "one two three", 3L -> "four five six")
     val r = Dedup.simhash(d).collect().map(x => x.getLong(0) -> x.getString(1)).toMap
