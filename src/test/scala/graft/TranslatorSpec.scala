@@ -95,6 +95,15 @@ class TranslatorSpec extends SparkSpec {
       .contains("\"events\":null"))
   }
 
+  test("geotab: non-Z ISO offset input normalizes to canonical Z output (ISO_OFFSET_DATE_TIME parity)") {
+    val in = """{"Device_ID":"d","Vehicle_ID":"v",""" +
+      """"Record_DateTime":"2023-10-26T12:00:00+02:00","Latitude":1.0,"Longitude":2.0}"""
+    val t = VehicleTranslators.geotab(strings(in), "t")
+    val r = t.valid.select(col("cmf.epochSource"), col("cmf.dateTime")).head()
+    // +02:00 noon == 10:00Z; output is always canonical UTC/Z
+    assert(r === Row(1698314400000L, "2023-10-26T10:00:00Z"))
+  }
+
   // --- CalAmp (CalAmpTranslatorTest.kt) ---
 
   test("calamp: valid input, epoch-seconds x1000 (golden: CalAmpTranslatorTest.kt:31-78)") {
