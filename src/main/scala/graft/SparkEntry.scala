@@ -243,6 +243,13 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  private def knnLshProbe(s: SparkSession, dir: String): DataFrame = {
+    val emb = RawGen.table(s, dir, "embeddings")
+    Similarity.lshCosineTopKMultiprobe(emb, knnQueries(s, dir), 5,
+      numPlanes = 8, dim = 64)
+      .orderBy("query_id", "rank")
+  }
+
   private def windowTumbling(s: SparkSession, dir: String): DataFrame =
     Windows.tumblingCounts(RawGen.events(s, dir))
       .orderBy("window_start", "event_type")
@@ -320,6 +327,7 @@ object SparkEntry {
     "simhash_buckets" -> (simhashBuckets _),
     "knn_brute" -> (knnBrute _),
     "knn_lsh" -> (knnLsh _),
+    "knn_lsh_probe" -> (knnLshProbe _),
     "window_tumbling" -> (windowTumbling _),
     "sessionize" -> (sessionizeQ _),
     "multimodal_meta" -> (multimodalMeta _),
@@ -594,6 +602,30 @@ object SparkEntry {
        |FROM r WHERE rk <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
+  private val knnLshProbeSql = {
+    val sigExpr = Similarity.planes(8, 64).map { coefs =>
+      val arr = coefs.map(d => if (d > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+      s"(CASE WHEN list_dot_product(emb, $arr::DOUBLE[]) > 0 THEN '1' ELSE '0' END)"
+    }.mkString(" || ")
+    // probe set = exact signature + each single-bit flip (mirrors
+    // Similarity.probeSignatures)
+    val flips = (0 until 8).map { j =>
+      s"substr(sig,1,$j) || (CASE WHEN substr(sig,${j + 1},1)='1' THEN '0' ELSE '1' END) || substr(sig,${j + 2},${8 - j - 1})"
+    }.mkString("[sig, ", ", ", "]")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm,
+       |  $sigExpr AS sig FROM e),
+       |q AS (SELECT vec_id AS qid, emb AS qemb, nrm AS qnrm,
+       |    unnest($flips) AS probe
+       |  FROM n WHERE vec_id < 8),
+       |s AS (SELECT DISTINCT qid AS query_id, n.vec_id AS neighbor_id,
+       |    list_dot_product(qemb, emb)/(qnrm*nrm) AS sim
+       |  FROM q JOIN n ON n.sig = q.probe AND n.vec_id <> qid),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk FROM s)
+       |SELECT query_id, neighbor_id, CAST(rk AS INT) AS rank, sim
+       |FROM r WHERE rk <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
   private val windowTumblingSql =
     s"""WITH e AS (SELECT $sqlEpochUs AS us, event_type, value FROM events),
        |g AS (SELECT (us//3600000000)*3600 AS win_s, event_type,
@@ -684,6 +716,7 @@ object SparkEntry {
     "simhash_buckets" -> simhashSql,
     "knn_brute" -> knnBruteSql,
     "knn_lsh" -> knnLshSql,
+    "knn_lsh_probe" -> knnLshProbeSql,
     "window_tumbling" -> windowTumblingSql,
     "sessionize" -> sessionizeSql,
     "multimodal_meta" -> multimodalMetaSql,

@@ -121,8 +121,6 @@ object Dedup {
     val estMatches = aggregate(
       zip_with(col("a_mh"), col("b_mh"), (x, y) => when(x === y, 1).otherwise(0)),
       lit(0), (acc, x) => acc + x)
-    val inter = size(array_intersect(col("a_sh"), col("b_sh")))
-    val uni = size(array_union(col("a_sh"), col("b_sh")))
     cand
       .join(docSh.select(col("doc_id").as("a_doc_id"), col("sh").as("a_sh")), "a_doc_id")
       .join(docSh.select(col("doc_id").as("b_doc_id"), col("sh").as("b_sh")), "b_doc_id")
@@ -130,7 +128,7 @@ object Dedup {
         col("a_doc_id").as("doc_a"),
         col("b_doc_id").as("doc_b"),
         (estMatches.cast("double") / numHashes).as("est_jaccard"),
-        (inter.cast("double") / uni).as("jaccard"))
+        ngramJaccard(col("a_sh"), col("b_sh")).as("jaccard"))
   }
 
   /** 16-bit SimHash over word tokens: hash family = parity of the k-th md5

@@ -130,6 +130,47 @@ object Similarity {
       .select("vec_a", "vec_b", "cos")
   }
 
+  /** All `numPlanes`+1 multiprobe signatures of a query signature: the exact
+    * bucket plus each single-bit flip. Probing adjacent buckets recovers most
+    * of the recall single-bucket LSH loses for near-boundary vectors, at
+    * (numPlanes+1)× candidate cost — still candidate-bounded, never all-pairs. */
+  def probeSignatures(sig: Column, numPlanes: Int): Column = {
+    val flips = (0 until numPlanes).map { j =>
+      val bit = substring(sig, j + 1, 1)
+      concat(substring(sig, 1, j),
+        when(bit === "1", "0").otherwise("1"),
+        substring(sig, j + 2, numPlanes - j - 1))
+    }
+    array(sig +: flips: _*)
+  }
+
+  /** Multiprobe variant of [[lshCosineTopK]]: queries probe their own bucket
+    * plus every Hamming-distance-1 bucket. The probe explosion happens on the
+    * (small, broadcast) query side only; the corpus is still touched once via
+    * one equi-join on the signature. */
+  def lshCosineTopKMultiprobe(corpus: DataFrame, queries: DataFrame, k: Int,
+                              numPlanes: Int = 8, dim: Int = 64): DataFrame = {
+    val ps = planes(numPlanes, dim)
+    val q = queries.select(col("vec_id").as("query_id"),
+      asDouble(col("embedding")).as("q_emb"))
+      .withColumn("q_norm", norm(col("q_emb")))
+      .withColumn("sig",
+        explode(probeSignatures(lshSignature(col("q_emb"), ps), numPlanes)))
+    val c = corpus.select(col("vec_id").as("neighbor_id"),
+      asDouble(col("embedding")).as("c_emb"))
+      .withColumn("c_norm", norm(col("c_emb")))
+      .withColumn("sig", lshSignature(col("c_emb"), ps))
+    val sim = dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm"))
+    val scored = c.join(broadcast(q), Seq("sig"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), sim.cast("double").as("sim"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val rn = row_number().over(
+      Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id")))
+    scored.withColumn("rank", rn).filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "sim")
+  }
+
   /** LSH-bucketed cosine top-k: exact re-rank restricted to same-signature
     * candidates. Recall < 1 by construction (that's the trade), but fully
     * deterministic given the md5 plane family. */

@@ -46,6 +46,17 @@ object Filterer {
       .write.mode("overwrite").partitionBy("tenantId").parquet(baseDir)
 }
 
+/** Dead-letter sink (SURVEY.md §2.3 R4): the reference logs-and-drops poison
+  * messages (GeotabTranslator.kt:154–157, Filterer.kt:47–49); quarantine
+  * frames here are written to an auditable parquet sink instead, tagged by
+  * source, partitioned for per-source replay. Same observable happy path,
+  * recoverable error path. */
+object DeadLetter {
+  def write(quarantine: DataFrame, source: String, baseDir: String): Unit =
+    quarantine.withColumn("source", lit(source))
+      .write.mode("append").partitionBy("source").parquet(baseDir)
+}
+
 /** Legacy router: `CommonEvent` envelopes from `common-events`, keyed on
   * `eventType` (bootstrap.sh:163–171). The splitter class itself is absent
   * from the reference tree; topic naming follows the documented pattern

