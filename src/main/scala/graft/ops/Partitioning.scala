@@ -1,0 +1,43 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Partitioning strategies for repeated large-scale joins (SURVEY.md §4;
+  * brief: "co-locate joins via bucketing or pre-partitioning, salting for
+  * skew"). These are the knobs a 100 TB deployment turns when the same join
+  * key is hit query after query — none of them change results, only plans.
+  */
+object Partitioning {
+
+  /** Persist a table bucketed by `key` so every future equi-join or
+    * aggregation on `key` between co-bucketed tables runs WITHOUT a shuffle
+    * (both sides arrive hash-clustered on disk; PlanSpec asserts the
+    * exchange-free join). The write itself shuffles once — amortized over
+    * every subsequent query. */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+                    numBuckets: Int = 32): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(numBuckets, key)
+      .sortBy(key)
+      .saveAsTable(table)
+
+  /** Salted equi-join for skewed keys: the big side's hot keys spread over
+    * `saltFactor` sub-keys; the small side replicates each row `saltFactor`
+    * times so every sub-key finds its match. Results are identical to a
+    * plain join; the shuffle's largest partition shrinks by ~saltFactor.
+    * (AQE's skew-join handles moderate skew adaptively — explicit salting is
+    * for the pathological keys AQE can't split, e.g. a single null-ish
+    * tenant receiving half the corpus.) */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+                 saltFactor: Int = 8, joinType: String = "inner"): DataFrame = {
+    val saltedBig = big.withColumn("_salt_b",
+      pmod(hash(col(key), monotonically_increasing_id()), lit(saltFactor)))
+    val saltedSmall = small.withColumn("_salt_s",
+      explode(sequence(lit(0), lit(saltFactor - 1))))
+    saltedBig.join(saltedSmall,
+      saltedBig(key) === saltedSmall(key) &&
+        saltedBig("_salt_b") === saltedSmall("_salt_s"), joinType)
+      .drop(saltedSmall(key)).drop("_salt_b", "_salt_s")
+  }
+}

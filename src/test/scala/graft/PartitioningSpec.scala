@@ -1,0 +1,48 @@
+package graft
+
+import graft.ops.Partitioning
+import org.apache.spark.sql.functions._
+
+/** Co-located bucketed joins and skew salting: result parity plus the plan
+  * properties that justify them. */
+class PartitioningSpec extends SparkSpec {
+
+  test("co-bucketed tables join without any exchange") {
+    import spark.implicits._
+    val a = (1L to 1000L).map(i => (i % 50, s"a$i")).toDF("k", "av")
+    val b = (1L to 200L).map(i => (i % 50, s"b$i")).toDF("k", "bv")
+    Partitioning.writeBucketed(a, "bkt_a", "k", numBuckets = 8)
+    Partitioning.writeBucketed(b, "bkt_b", "k", numBuckets = 8)
+    val joined = spark.table("bkt_a").join(spark.table("bkt_b"), "k")
+    // disable broadcast so the co-location is what saves the shuffle
+    withSql("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val p = joined.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"), s"bucketed join still shuffles:\n$p")
+      assert(joined.count() === spark.table("bkt_a").join(
+        spark.table("bkt_b"), "k").count())
+    }
+  }
+
+  test("saltedJoin returns exactly the plain join's rows") {
+    import spark.implicits._
+    // pathological skew: 90% of the big side on one key
+    val big = ((1L to 900L).map(_ => (7L, "hot")) ++
+      (1L to 100L).map(i => (i % 20, s"cold$i"))).toDF("k", "v")
+    val small = (0L until 20L).map(i => (i, s"dim$i")).toDF("k", "d")
+    val plain = big.join(small, "k").groupBy("k").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val salted = Partitioning.saltedJoin(big, small, "k")
+      .groupBy("k").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(salted === plain)
+  }
+
+  private def withSql[T](kv: (String, String))(f: => T): T = {
+    val prev = spark.conf.getOption(kv._1)
+    spark.conf.set(kv._1, kv._2)
+    try f finally prev match {
+      case Some(v) => spark.conf.set(kv._1, v)
+      case None => spark.conf.unset(kv._1)
+    }
+  }
+}
