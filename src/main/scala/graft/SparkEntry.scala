@@ -221,6 +221,12 @@ object SparkEntry {
   private def docFingerprint(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.fingerprint(RawGen.table(s, dir, "documents")).orderBy("doc_id")
 
+  private def qualityFilterQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qualityFilter(RawGen.table(s, dir, "documents")).orderBy("doc_id")
+
+  private def winnowQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.winnow(RawGen.table(s, dir, "documents")).orderBy("doc_id")
+
   private def neardupMinhash(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashNeardup(RawGen.table(s, dir, "documents").select("doc_id", "text"))
       .orderBy("doc_a", "doc_b")
@@ -323,6 +329,8 @@ object SparkEntry {
     "text_stats" -> (textStats _),
     "lang_id" -> (langId _),
     "doc_fingerprint" -> (docFingerprint _),
+    "quality_filter" -> (qualityFilterQ _),
+    "winnow_fingerprint" -> (winnowQ _),
     "neardup_minhash" -> (neardupMinhash _),
     "simhash_buckets" -> (simhashBuckets _),
     "knn_brute" -> (knnBrute _),
@@ -540,6 +548,43 @@ object SparkEntry {
     """SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  private val qualityFilterSql =
+    s"""WITH w AS (SELECT doc_id, text, $duckWords AS ws FROM documents),
+       |m AS (SELECT doc_id,
+       |  len(ws) AS nw,
+       |  CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)/len(ws) AS ml,
+       |  CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+       |    / greatest(length(text), 1) AS sr,
+       |  CAST(len(list_filter(ws, x -> x IN ('the','a','of','and','is'))) AS DOUBLE)
+       |    / len(ws) AS st
+       |FROM w),
+       |r AS (SELECT doc_id, concat_ws(',',
+       |  CASE WHEN nw < 10 THEN 'too_few_words' END,
+       |  CASE WHEN nw > 100000 THEN 'too_many_words' END,
+       |  CASE WHEN ml < 2.0 THEN 'short_words' END,
+       |  CASE WHEN ml > 12.0 THEN 'long_words' END,
+       |  CASE WHEN sr > 0.2 THEN 'symbol_heavy' END,
+       |  CASE WHEN st < 0.005 THEN 'no_stopwords' END) AS fail_reasons
+       |FROM m)
+       |SELECT doc_id, fail_reasons = '' AS keep, fail_reasons
+       |FROM r ORDER BY doc_id""".stripMargin
+
+  private val winnowSql =
+    """WITH n AS (SELECT doc_id,
+      |    regexp_replace(lower(text), '\s+', ' ', 'g') AS t FROM documents),
+      |g AS (SELECT doc_id, greatest(length(t) - 7, 0) AS ng,
+      |    list_transform(generate_series(1, greatest(length(t) - 7, 0)),
+      |      i -> md5(substr(t, i, 8))) AS grams
+      |  FROM n),
+      |w AS (SELECT doc_id, ng,
+      |    list_transform(generate_series(0, ng - 4),
+      |      i -> list_min(grams[i+1:i+4])) AS wins
+      |  FROM g)
+      |SELECT doc_id, CAST(ng AS BIGINT) AS n_grams,
+      |  CASE WHEN ng >= 4
+      |    THEN md5(array_to_string(list_sort(list_distinct(wins)), '')) END AS winnow_digest
+      |FROM w ORDER BY doc_id""".stripMargin
+
   private val neardupMinhashSql = {
     val mh = (1 to 8).map(j =>
       s"list_min(list_transform(sh, x -> md5('$j:'||x))) AS mh$j").mkString(",\n  ")
@@ -712,6 +757,8 @@ object SparkEntry {
     "text_stats" -> textStatsSql,
     "lang_id" -> langIdSql,
     "doc_fingerprint" -> docFingerprintSql,
+    "quality_filter" -> qualityFilterSql,
+    "winnow_fingerprint" -> winnowSql,
     "neardup_minhash" -> neardupMinhashSql,
     "simhash_buckets" -> simhashSql,
     "knn_brute" -> knnBruteSql,

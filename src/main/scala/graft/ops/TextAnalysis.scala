@@ -52,4 +52,55 @@ object TextAnalysis {
   def fingerprint(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
       md5(regexp_replace(lower(col("text")), "\\s+", " ")).as("fingerprint"))
+
+  /** Gopher-style quality gate: cheap per-row heuristics that drop boilerplate
+    * and garbage before expensive dedup/training stages. Emits the verdict
+    * AND the reasons (comma-joined, stable order) so filtering is auditable.
+    * All thresholds are parameters — corpus-dependent by design. */
+  def qualityFilter(docs: DataFrame,
+                    minWords: Int = 10, maxWords: Int = 100000,
+                    minMeanWordLen: Double = 2.0, maxMeanWordLen: Double = 12.0,
+                    maxSymbolRatio: Double = 0.2,
+                    minStopwordRatio: Double = 0.005): DataFrame = {
+    val w = split(trim(col("text")), "\\s+")
+    val nWords = size(w)
+    val meanLen = length(regexp_replace(col("text"), "\\s", "")).cast("double") / nWords
+    val symbolRatio =
+      length(regexp_replace(col("text"), "[a-zA-Z0-9\\s]", "")).cast("double") /
+        greatest(length(col("text")), lit(1))
+    val stopRatio =
+      size(filter(w, x => x.isin("the", "a", "of", "and", "is"))).cast("double") / nWords
+    val reasons = concat_ws(",",
+      when(nWords < minWords, "too_few_words"),
+      when(nWords > maxWords, "too_many_words"),
+      when(meanLen < minMeanWordLen, "short_words"),
+      when(meanLen > maxMeanWordLen, "long_words"),
+      when(symbolRatio > maxSymbolRatio, "symbol_heavy"),
+      when(stopRatio < minStopwordRatio, "no_stopwords"))
+    docs.select(col("doc_id"),
+      (reasons === "").as("keep"),
+      reasons.as("fail_reasons"))
+  }
+
+  /** Winnowing document fingerprints (rolling k-gram hashes, sliding-window
+    * minimum — the MOSS scheme): robust to local edits, shuffle-free, and
+    * portable (md5-based hash family, so any engine reproduces it). Returns
+    * the fingerprint-set digest per doc; equal digests ⇒ near-identical
+    * content up to k-gram granularity. */
+  def winnow(docs: DataFrame, k: Int = 8, window: Int = 4): DataFrame = {
+    // NB: Spark's sequence(a, b) DESCENDS when a > b (it never returns
+    // empty), so every sequence below is guarded by a when() on the count.
+    val base = docs.select(col("doc_id"),
+      regexp_replace(lower(col("text")), "\\s+", " ").as("_norm"))
+      .withColumn("_n", greatest(length(col("_norm")) - (k - 1), lit(0)))
+      .withColumn("_grams", when(col("_n") >= 1,
+        transform(sequence(lit(1), col("_n")),
+          i => md5(col("_norm").substr(i, lit(k))))))
+    val wins = transform(sequence(lit(0), col("_n") - window),
+      i => array_min(slice(col("_grams"), i + lit(1), lit(window))))
+    base.select(col("doc_id"),
+      col("_n").cast("long").as("n_grams"),
+      when(col("_n") >= window,
+        md5(array_join(array_sort(array_distinct(wins)), ""))).as("winnow_digest"))
+  }
 }

@@ -28,6 +28,36 @@ class OpsSpec extends SparkSpec {
     assert(TextAnalysis.textStats(d).head().getLong(6) === 3L)
   }
 
+  test("qualityFilter: gibberish fails with named reasons, prose passes") {
+    import spark.implicits._
+    val prose = "the quick brown fox jumps over the lazy dog and then " +
+      "a second sentence of plain text is here to pad the word count"
+    val d = Seq(
+      (1L, prose),
+      (2L, "@@@@ #### $$$$ %%%% ^^^^ &&&& **** (((( )))) ____"),
+      (3L, "word")).toDF("doc_id", "text")
+    val r = TextAnalysis.qualityFilter(d).orderBy("doc_id").collect()
+    assert(r(0).getBoolean(1) === true)
+    assert(r(0).getString(2) === "")
+    assert(r(1).getBoolean(1) === false)
+    assert(r(1).getString(2).contains("symbol_heavy"))
+    assert(r(1).getString(2).contains("no_stopwords"))
+    assert(r(2).getString(2).contains("too_few_words"))
+  }
+
+  test("winnow: local edits keep most fingerprints, digest robust to duplication") {
+    import spark.implicits._
+    val a = "the quick brown fox jumps over the lazy dog again and again"
+    val doubled = a.replace(" over ", "  over \t")
+    val d = Seq((1L, a), (2L, a), (3L, doubled), (4L, "xyz")).toDF("doc_id", "text")
+    val r = TextAnalysis.winnow(d).orderBy("doc_id").collect()
+    assert(r(0).getString(2) === r(1).getString(2))   // identical docs
+    // internal whitespace runs collapse in normalization -> same digest
+    assert(r(0).getString(2) === r(2).getString(2))
+    assert(r(3).isNullAt(2))                           // too short: no digest
+    assert(r(0).getLong(1) === a.length - 7)
+  }
+
   test("langId picks the language with most stopword hits") {
     import spark.implicits._
     val d = Seq(
