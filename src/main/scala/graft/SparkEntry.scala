@@ -221,6 +221,27 @@ object SparkEntry {
   private def docFingerprint(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.fingerprint(RawGen.table(s, dir, "documents")).orderBy("doc_id")
 
+  private def langIdNgramQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.langIdNgram(RawGen.table(s, dir, "documents")).orderBy("doc_id")
+
+  private def qPartStats(s: SparkSession, dir: String): DataFrame =
+    RawGen.table(s, dir, "part")
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("cnt"),
+        (sum(col("p_retailprice").cast("decimal(18,4)")) /
+          count(lit(1))).cast("double").as("avg_price"),
+        max("p_size").as("max_size"))
+      .orderBy("p_brand")
+
+  private def qSupplierNation(s: SparkSession, dir: String): DataFrame =
+    RawGen.table(s, dir, "supplier")
+      .join(broadcast(RawGen.table(s, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("suppliers"),
+        sum(col("s_acctbal").cast("decimal(18,4)")).cast("double").as("total_acctbal"))
+      .orderBy("n_name")
+
   private def qualityFilterQ(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.qualityFilter(RawGen.table(s, dir, "documents")).orderBy("doc_id")
 
@@ -328,6 +349,9 @@ object SparkEntry {
     "events_dedup" -> (eventsDedup _),
     "text_stats" -> (textStats _),
     "lang_id" -> (langId _),
+    "lang_id_ngram" -> (langIdNgramQ _),
+    "q_part_stats" -> (qPartStats _),
+    "q_supplier_nation" -> (qSupplierNation _),
     "doc_fingerprint" -> (docFingerprint _),
     "quality_filter" -> (qualityFilterQ _),
     "winnow_fingerprint" -> (winnowQ _),
@@ -548,6 +572,32 @@ object SparkEntry {
     """SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  private val langIdNgramSql = {
+    val score = TextAnalysis.trigramProfiles.map { case (lang, grams) =>
+      lang -> grams.map(g => s"len(regexp_extract_all(low, '$g'))").mkString(" + ")
+    }.toMap
+    s"""WITH c AS (SELECT doc_id, lower(text) AS low FROM documents),
+       |s AS (SELECT doc_id, ${score("en")} AS en, ${score("fr")} AS fr,
+       |  ${score("de")} AS de, ${score("es")} AS es FROM c)
+       |SELECT doc_id,
+       |  CASE WHEN en>=fr AND en>=de AND en>=es THEN 'en'
+       |       WHEN fr>=de AND fr>=es THEN 'fr'
+       |       WHEN de>=es THEN 'de' ELSE 'es' END AS lang_ngram
+       |FROM s ORDER BY doc_id""".stripMargin
+  }
+
+  private val qPartStatsSql =
+    """SELECT p_brand, CAST(count(*) AS BIGINT) AS cnt,
+      |  CAST(SUM(CAST(p_retailprice AS DECIMAL(18,4)))/count(*) AS DOUBLE) AS avg_price,
+      |  CAST(MAX(p_size) AS INT) AS max_size
+      |FROM part GROUP BY 1 ORDER BY 1""".stripMargin
+
+  private val qSupplierNationSql =
+    """SELECT n_name, CAST(count(*) AS BIGINT) AS suppliers,
+      |  CAST(SUM(CAST(s_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_acctbal
+      |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   private val qualityFilterSql =
     s"""WITH w AS (SELECT doc_id, text, $duckWords AS ws FROM documents),
        |m AS (SELECT doc_id,
@@ -756,6 +806,9 @@ object SparkEntry {
     "events_dedup" -> eventsDedupSql,
     "text_stats" -> textStatsSql,
     "lang_id" -> langIdSql,
+    "lang_id_ngram" -> langIdNgramSql,
+    "q_part_stats" -> qPartStatsSql,
+    "q_supplier_nation" -> qSupplierNationSql,
     "doc_fingerprint" -> docFingerprintSql,
     "quality_filter" -> qualityFilterSql,
     "winnow_fingerprint" -> winnowSql,

@@ -47,6 +47,33 @@ object TextAnalysis {
         .otherwise("es").as("lang_guess"))
   }
 
+  /** Characteristic character-trigram profiles per language (distinctive,
+    * non-overlapping with each other's top-frequency trigrams). */
+  val trigramProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "ing", "ion"),
+    "fr" -> Seq("les", "ent", "une", "est"),
+    "de" -> Seq("der", "sch", "ein", "ich"),
+    "es" -> Seq("los", "las", "que", "ado"))
+
+  /** Character-n-gram language ID: count profile-trigram occurrences in the
+    * lowercased text, argmax with the same fixed tie order as [[langId]].
+    * Counts are non-overlapping matches (regexp semantics — identical in
+    * the DuckDB oracle), computed scan-fused with zero shuffles. */
+  def langIdNgram(docs: DataFrame): DataFrame = {
+    val low = lower(col("text"))
+    val scores = trigramProfiles.map { case (lang, grams) =>
+      // trigrams are alphanumeric — safe as literal regexes in both engines
+      lang -> grams.map(g => size(regexp_extract_all(low, lit(g), lit(0))))
+        .reduce(_ + _)
+    }
+    val Seq(en, fr, de, es) = scores.map(_._2)
+    docs.select(col("doc_id"),
+      when(en >= fr && en >= de && en >= es, "en")
+        .when(fr >= de && fr >= es, "fr")
+        .when(de >= es, "de")
+        .otherwise("es").as("lang_ngram"))
+  }
+
   /** Canonical-form fingerprint: md5 over lowercased, whitespace-collapsed
     * text. Equal fingerprints ⇒ same normalized content. */
   def fingerprint(docs: DataFrame): DataFrame =

@@ -68,6 +68,16 @@ class OpsSpec extends SparkSpec {
     assert(r === Array("en", "fr", "de"))
   }
 
+  test("langIdNgram: character trigram profiles pick the language") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "The thing and the other thing belonging together"),
+      (2L, "der schnelle braune fuchs springt einfach durch ich"),
+      (3L, "los gatos y las casas que hemos comprado")).toDF("doc_id", "text")
+    val r = TextAnalysis.langIdNgram(d).orderBy("doc_id").collect().map(_.getString(1))
+    assert(r === Array("en", "de", "es"))
+  }
+
   test("fingerprint: whitespace/case variants collapse to one fingerprint") {
     import spark.implicits._
     val d = Seq((1L, "Hello  World"), (2L, "hello world"), (3L, "other thing"))
