@@ -62,6 +62,42 @@ class StreamingSpec extends SparkSpec {
     })
   }
 
+  test("streaming E3: legacy mux + splitter over MemoryStream == batch path") {
+    import spark.implicits._
+    import graft.translate.LegacyTranslators
+    import graft.route.EventTypeSplitter
+    val rows = Seq(
+      ("""{"uid":1,"name":"u1","created":1698314400}""", 0),
+      ("""{"orderId":"O-1","items":["i"],"placedAt":"2023-10-26T10:00:00Z"}""", 1),
+      ("""{"shipId":"S-1","status":"SHIPPED","deliveredAt":1698314400}""", 4),
+      ("""{"poison":true}""", 2))
+    val stream = MemoryStream[(String, Int)](spark)
+    val streamRaw = stream.toDF().toDF("value", "kind")
+    val routed = EventTypeSplitter.route(
+      LegacyTranslators.translateMux(streamRaw, col("kind")).valid
+        .select(col("event_json").as("value"))).routed
+      .select("topic", "value")
+    val q = routed.writeStream.format("memory").queryName("e3_stream")
+      .outputMode("append").start()
+    stream.addData(rows: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("e3_stream").collect()
+      .map(r => (r.getString(0), r.getString(1))).sorted
+    val batchRaw = rows.toDF("value", "kind")
+    val batch = EventTypeSplitter.route(
+      LegacyTranslators.translateMux(batchRaw, col("kind")).valid
+        .select(col("event_json").as("value"))).routed
+      .select("topic", "value").collect()
+      .map(r => (r.getString(0), r.getString(1))).sorted
+    assert(streamed.length === 3)
+    assert(streamed === batch)
+    assert(streamed.map(_._1).toSet === Set(
+      "persistent://acme/integration/user-profile-events",
+      "persistent://acme/integration/order-events",
+      "persistent://acme/integration/shipment-events"))
+  }
+
   test("streaming tumbling window: watermark advances and emits closed windows") {
     import spark.implicits._
     val stream = MemoryStream[(Long, String, Double, Long)](spark)
