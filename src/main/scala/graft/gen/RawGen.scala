@@ -40,6 +40,11 @@ object RawGen {
     else df
 
   def events(spark: SparkSession, sfDir: String): DataFrame = {
+    // Defensive: events.parquet stores ts as TIMESTAMP(NANOS), which Spark 4
+    // rejects unless read as LongType nanos. Our own sessions set this at
+    // build time; a caller-provided session (the driver's smoke check) may
+    // not — it is a runtime-settable SQL conf, so set it here.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path = s"$sfDir/events.parquet"
     val df = spread(spark, spark.read.parquet(path), path)
     val epochUs = df.schema("ts").dataType match {
