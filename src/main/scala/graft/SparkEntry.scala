@@ -270,6 +270,12 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  private def knnIvf(s: SparkSession, dir: String): DataFrame = {
+    val emb = RawGen.table(s, dir, "embeddings")
+    Similarity.ivfTopK(emb, knnQueries(s, dir), 5, numCentroids = 16, dim = 64)
+      .orderBy("query_id", "rank")
+  }
+
   private def knnLshProbe(s: SparkSession, dir: String): DataFrame = {
     val emb = RawGen.table(s, dir, "embeddings")
     Similarity.lshCosineTopKMultiprobe(emb, knnQueries(s, dir), 5,
@@ -360,6 +366,7 @@ object SparkEntry {
     "knn_brute" -> (knnBrute _),
     "knn_lsh" -> (knnLsh _),
     "knn_lsh_probe" -> (knnLshProbe _),
+    "knn_ivf" -> (knnIvf _),
     "window_tumbling" -> (windowTumbling _),
     "sessionize" -> (sessionizeQ _),
     "multimodal_meta" -> (multimodalMeta _),
@@ -721,6 +728,28 @@ object SparkEntry {
        |FROM r WHERE rk <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
+  private val knnIvfSql = {
+    val cents = Similarity.ivfCentroids(16, 64).map { cv =>
+      cv.map(d => if (d > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+    }
+    val scoreList = cents.map(c => s"list_dot_product(emb, $c::DOUBLE[])")
+      .mkString("[", ", ", "]")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm,
+       |  $scoreList AS s FROM e),
+       |c AS (SELECT vec_id, emb, nrm, list_position(s, list_max(s)) AS cid FROM n),
+       |q AS (SELECT vec_id AS qid, emb AS qemb, nrm AS qnrm,
+       |    unnest([list_position(s, list_max(s)),
+       |            list_position(s, list_max(list_filter(s, x -> x < list_max(s))))]) AS cid
+       |  FROM n WHERE vec_id < 8),
+       |sc AS (SELECT qid AS query_id, c.vec_id AS neighbor_id,
+       |    list_dot_product(qemb, emb)/(qnrm*nrm) AS sim
+       |  FROM q JOIN c ON c.cid = q.cid AND c.vec_id <> qid),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk FROM sc)
+       |SELECT query_id, neighbor_id, CAST(rk AS INT) AS rank, sim
+       |FROM r WHERE rk <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
   private val windowTumblingSql =
     s"""WITH e AS (SELECT $sqlEpochUs AS us, event_type, value FROM events),
        |g AS (SELECT (us//3600000000)*3600 AS win_s, event_type,
@@ -817,6 +846,7 @@ object SparkEntry {
     "knn_brute" -> knnBruteSql,
     "knn_lsh" -> knnLshSql,
     "knn_lsh_probe" -> knnLshProbeSql,
+    "knn_ivf" -> knnIvfSql,
     "window_tumbling" -> windowTumblingSql,
     "sessionize" -> sessionizeSql,
     "multimodal_meta" -> multimodalMetaSql,

@@ -130,6 +130,58 @@ object Similarity {
       .select("vec_a", "vec_b", "cos")
   }
 
+  /** Deterministic ±1 coarse-quantizer centroids for IVF, md5-derived like
+    * [[planes]] but from a disjoint seed family. */
+  def ivfCentroids(numCentroids: Int, dim: Int): Seq[Seq[Double]] =
+    (0 until numCentroids).map { c =>
+      (0 until dim).map { d =>
+        val digest = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"ivf:$c:$d".getBytes("UTF-8"))
+        if ((digest(0) & 1) == 1) 1.0 else -1.0
+      }
+    }
+
+  /** IVF-style ANN: corpus rows are assigned to their argmax-similarity
+    * centroid (the inverted-list key); each query probes its top-`2`
+    * centroids' lists only, then exact cosine re-ranks. Search cost scales
+    * with nprobe/numCentroids of the corpus — the partition-pruning shape of
+    * ANN, complementary to the LSH signature family. Assignment and probing
+    * are pure expressions, the list lookup is an equi-join on centroid id. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              numCentroids: Int = 16, dim: Int = 64): DataFrame = {
+    val cents = ivfCentroids(numCentroids, dim)
+    def scores(emb: Column): Column =
+      array(cents.map(cv => dot(emb, array(cv.map(lit): _*))): _*)
+
+    val c = corpus.select(col("vec_id").as("neighbor_id"),
+      asDouble(col("embedding")).as("c_emb"))
+      .withColumn("c_norm", norm(col("c_emb")))
+      .withColumn("_s", scores(col("c_emb")))
+      .withColumn("cid", array_position(col("_s"), array_max(col("_s"))))
+      .drop("_s")
+
+    // top-2 probe: argmax, then argmax of the rest (double ties are
+    // measure-zero; both engines resolve identically)
+    val q = queries.select(col("vec_id").as("query_id"),
+      asDouble(col("embedding")).as("q_emb"))
+      .withColumn("q_norm", norm(col("q_emb")))
+      .withColumn("_s", scores(col("q_emb")))
+      .withColumn("_m1", array_position(col("_s"), array_max(col("_s"))))
+      .withColumn("_m2", array_position(col("_s"),
+        array_max(filter(col("_s"), x => x < array_max(col("_s"))))))
+      .withColumn("cid", explode(array(col("_m1"), col("_m2"))))
+      .drop("_s", "_m1", "_m2")
+
+    val sim = dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm"))
+    val scored = c.join(broadcast(q), Seq("cid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), sim.cast("double").as("sim"))
+    val rn = row_number().over(
+      Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id")))
+    scored.withColumn("rank", rn).filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "sim")
+  }
+
   /** All `numPlanes`+1 multiprobe signatures of a query signature: the exact
     * bucket plus each single-bit flip. Probing adjacent buckets recovers most
     * of the recall single-bucket LSH loses for near-boundary vectors, at

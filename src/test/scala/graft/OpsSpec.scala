@@ -161,6 +161,19 @@ class OpsSpec extends SparkSpec {
     assert(multi.nonEmpty)
   }
 
+  test("ivfTopK: identical vector shares its centroid list and ranks first") {
+    import spark.implicits._
+    def vec(seed: Long): Seq[Float] =
+      (0 until 64).map(i => (((seed * 131 + i * 17) % 200) / 100.0f - 1.0f))
+    val corpus = ((0L until 50L).map(i => (i, vec(i))) :+ (99L, vec(5L)))
+      .toDF("vec_id", "embedding")
+    val queries = Seq((5L, vec(5L))).toDF("vec_id", "embedding")
+    val r = Similarity.ivfTopK(corpus, queries, 3).orderBy("rank").collect()
+    assert(r.nonEmpty)
+    assert(r.head.getLong(1) === 99L) // exact copy -> same centroid, cos 1.0
+    assert(math.abs(r.head.getDouble(3) - 1.0) < 1e-12)
+  }
+
   test("probeSignatures: exact sig plus every Hamming-1 neighbor") {
     import spark.implicits._
     val r = Seq("10110101").toDF("sig")
