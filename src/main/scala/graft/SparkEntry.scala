@@ -1,7 +1,7 @@
 package graft
 
 import graft.gen.RawGen
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis, Windows}
+import graft.ops.{Dedup, Joins, Multimodal, Similarity, TextAnalysis, Windows}
 import graft.route.{EventTypeSplitter, Filterer}
 import graft.translate.{LegacyTranslators, VehicleTranslators}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -283,6 +283,21 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** As-of join over the events stream: each click matched to the user's
+    * latest at-or-before view. Right side pre-deduped per (user, ts). */
+  private def asofJoinQ(s: SparkSession, dir: String): DataFrame = {
+    val ev = RawGen.events(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("epoch_us").as("click_us"))
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("epoch_us").as("view_us"))
+      .agg(max("event_id").as("view_id"))
+    Joins.asofJoin(clicks, views, "user_id", "click_us", "view_us", "view_id")
+      .select("user_id", "click_id", "click_us", "view_id", "view_id_ts")
+      .orderBy("click_id")
+  }
+
   private def windowTumbling(s: SparkSession, dir: String): DataFrame =
     Windows.tumblingCounts(RawGen.events(s, dir))
       .orderBy("window_start", "event_type")
@@ -367,6 +382,7 @@ object SparkEntry {
     "knn_lsh" -> (knnLsh _),
     "knn_lsh_probe" -> (knnLshProbe _),
     "knn_ivf" -> (knnIvf _),
+    "asof_join" -> (asofJoinQ _),
     "window_tumbling" -> (windowTumbling _),
     "sessionize" -> (sessionizeQ _),
     "multimodal_meta" -> (multimodalMeta _),
@@ -750,6 +766,18 @@ object SparkEntry {
        |FROM r WHERE rk <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
+  private val asofJoinSql =
+    s"""WITH e AS (SELECT event_id, user_id, event_type, $sqlEpochUs AS us FROM events),
+       |c AS (SELECT user_id, event_id AS click_id, us AS click_us FROM e
+       |  WHERE event_type = 'click'),
+       |v AS (SELECT user_id, us AS view_us, max(event_id) AS view_id FROM e
+       |  WHERE event_type = 'view' GROUP BY 1, 2)
+       |SELECT c.user_id, c.click_id, c.click_us, v.view_id,
+       |  v.view_us AS view_id_ts
+       |FROM c ASOF LEFT JOIN v
+       |  ON c.user_id = v.user_id AND c.click_us >= v.view_us
+       |ORDER BY click_id""".stripMargin
+
   private val windowTumblingSql =
     s"""WITH e AS (SELECT $sqlEpochUs AS us, event_type, value FROM events),
        |g AS (SELECT (us//3600000000)*3600 AS win_s, event_type,
@@ -847,6 +875,7 @@ object SparkEntry {
     "knn_lsh" -> knnLshSql,
     "knn_lsh_probe" -> knnLshProbeSql,
     "knn_ivf" -> knnIvfSql,
+    "asof_join" -> asofJoinSql,
     "window_tumbling" -> windowTumblingSql,
     "sessionize" -> sessionizeSql,
     "multimodal_meta" -> multimodalMetaSql,
