@@ -51,6 +51,31 @@ class PropSpec extends SparkSpec {
     assert(on.forall(_.getString(0) == "ON"))
   }
 
+  test("geotab poison contract: valid iff every required field survives (random field drops)") {
+    import spark.implicits._
+    val required = Set("Device_ID", "Vehicle_ID", "Record_DateTime", "Latitude", "Longitude")
+    val optional = Set("Odometer_mi", "Fuel_Level_pct", "Ignition_Status")
+    val fieldJson = Map(
+      "Device_ID" -> "\"Device_ID\":\"d\"",
+      "Vehicle_ID" -> "\"Vehicle_ID\":\"v\"",
+      "Record_DateTime" -> "\"Record_DateTime\":\"2023-10-26T10:00:00Z\"",
+      "Latitude" -> "\"Latitude\":1.5",
+      "Longitude" -> "\"Longitude\":2.5",
+      "Odometer_mi" -> "\"Odometer_mi\":3.0",
+      "Fuel_Level_pct" -> "\"Fuel_Level_pct\":4.0",
+      "Ignition_Status" -> "\"Ignition_Status\":\"ON\"")
+    val subsetGen = Gen.someOf(required ++ optional)
+    val cases = (1 to 120).flatMap(_ => subsetGen.sample).map(_.toSet)
+    val inputs = cases.map(fs => (
+      fs.map(fieldJson).mkString("{", ",", "}"),
+      required.subsetOf(fs)))
+    val df = inputs.map(_._1).toDF("value")
+    val t = graft.translate.VehicleTranslators.geotab(df, "t")
+    val expectValid = inputs.count(_._2)
+    assert(t.valid.count() === expectValid)
+    assert(t.quarantine.count() === inputs.length - expectValid)
+  }
+
   test("native graft_dot equals composable form on random vectors") {
     import spark.implicits._
     val vecGen = Gen.listOfN(16, Gen.chooseNum(-1000.0, 1000.0))
