@@ -1,7 +1,7 @@
 package graft
 
 import graft.gen.RawGen
-import graft.ops.{Dedup, Joins, Multimodal, Similarity, TextAnalysis, Windows}
+import graft.ops.{Dedup, Joins, Multimodal, Sampling, Similarity, TextAnalysis, Windows}
 import graft.route.{EventTypeSplitter, Filterer}
 import graft.translate.{LegacyTranslators, VehicleTranslators}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -345,6 +345,71 @@ object SparkEntry {
         (abs(col("at") - col("et")).cast("double") / col("et") < 0.05)
           .as("types_within_tol"))
 
+  private def neardupJaccardQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardNeardup(RawGen.table(s, dir, "documents").select("doc_id", "text"))
+      .orderBy("doc_a", "doc_b")
+
+  /** Cluster assignment over the minhash near-dup graph: every document gets
+    * the min doc_id of its connected component (singletons keep their own),
+    * i.e. the representative a dedup pipeline would retain. */
+  private def dedupClustersQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = RawGen.table(s, dir, "documents")
+    val edges = Dedup.minhashNeardup(docs.select("doc_id", "text"))
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    Dedup.connectedComponents(edges, Some(docs.select(col("doc_id").as("id"))))
+      .select(col("id").as("doc_id"), col("cluster_id"))
+      .orderBy("doc_id")
+  }
+
+  private def piiScrubQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.piiScrub(
+      TextAnalysis.withSyntheticPii(RawGen.table(s, dir, "documents")))
+      .orderBy("doc_id")
+
+  /** Data mixing: downsample high-resource langs, keep low-resource ones,
+    * then assign deterministic train/val/test splits. */
+  private val mixRates = Map("en" -> 0.25, "zh" -> 0.10, "es" -> 0.5)
+
+  private def sampleStratifiedQ(s: SparkSession, dir: String): DataFrame =
+    Sampling.splitAssign(
+      Sampling.stratifiedSample(RawGen.table(s, dir, "documents"),
+        "lang", "doc_id", mixRates), "doc_id")
+      .select("doc_id", "lang", "split")
+      .orderBy("doc_id")
+
+  private def qCube(s: SparkSession, dir: String): DataFrame =
+    RawGen.table(s, dir, "orders")
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("cnt"), col("revenue"))
+      .orderBy("status", "priority")
+
+  /** Exact interpolated percentiles. Taken over l_quantity (integral
+    * doubles) at quarter fractions, so every result is a multiple of 0.25 —
+    * exactly representable, hence bit-identical across engines regardless
+    * of each one's interpolation formula. */
+  private def qPercentiles(s: SparkSession, dir: String): DataFrame =
+    RawGen.table(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(expr("percentile(l_quantity, 0.25)").as("p25"),
+        expr("percentile(l_quantity, 0.5)").as("p50"),
+        expr("percentile(l_quantity, 0.75)").as("p75"),
+        count(lit(1)).as("cnt"))
+      .orderBy("l_returnflag")
+
+  /** Monthly revenue with the lag analytic. The un-partitioned window runs
+    * over the AGGREGATED frame (#months rows, not #orders), so the
+    * single-partition sort is a few dozen rows at any corpus scale. */
+  private def qMonthlyLag(s: SparkSession, dir: String): DataFrame =
+    RawGen.table(s, dir, "orders")
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+      .withColumn("prev_revenue", lag("revenue", 1).over(Window.orderBy("month")))
+      .orderBy("month")
+
   // ---------- registry ----------
 
   // ListMap: registry order is execution order in Verify/Bench, so per-query
@@ -389,7 +454,14 @@ object SparkEntry {
     "media_decode" -> (mediaDecode _),
     "media_frames" -> (mediaFrames _),
     "neardup_cosine" -> (neardupCosine _),
-    "approx_distinct" -> (approxDistinct _)
+    "approx_distinct" -> (approxDistinct _),
+    "neardup_jaccard" -> (neardupJaccardQ _),
+    "dedup_clusters" -> (dedupClustersQ _),
+    "pii_scrub" -> (piiScrubQ _),
+    "sample_stratified" -> (sampleStratifiedQ _),
+    "q_cube" -> (qCube _),
+    "q_percentiles" -> (qPercentiles _),
+    "q_monthly_lag" -> (qMonthlyLag _)
   )
 
   // ---------- DuckDB oracles ----------
@@ -658,12 +730,13 @@ object SparkEntry {
       |    THEN md5(array_to_string(list_sort(list_distinct(wins)), '')) END AS winnow_digest
       |FROM w ORDER BY doc_id""".stripMargin
 
-  private val neardupMinhashSql = {
+  /** Shared CTE chain: tokenize → shingle → 8-component minhash → 2 bands.
+    * Pre-stripped (no margins) so it can be spliced into plain strings by
+    * both the near-dup and the cluster oracle without double-stripMargin. */
+  private val minhashSigCtes = {
     val mh = (1 to 8).map(j =>
       s"list_min(list_transform(sh, x -> md5('$j:'||x))) AS mh$j").mkString(",\n  ")
-    val mcnt = (1 to 8).map(j =>
-      s"CASE WHEN a.mh$j = b.mh$j THEN 1 ELSE 0 END").mkString(" + ")
-    s"""WITH w AS (SELECT doc_id, $duckWords AS ws FROM documents),
+    s"""w AS (SELECT doc_id, $duckWords AS ws FROM documents),
        |f AS (SELECT doc_id, ws FROM w WHERE len(ws) >= 3),
        |shx AS (SELECT doc_id,
        |  list_distinct(list_transform(generate_series(0, len(ws)-3),
@@ -671,8 +744,14 @@ object SparkEntry {
        |sig AS (SELECT doc_id, sh,
        |  $mh
        |FROM shx),
-       |sigb AS (SELECT *, mh1||mh2||mh3||mh4 AS b0, mh5||mh6||mh7||mh8 AS b1 FROM sig)
-       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |sigb AS (SELECT *, mh1||mh2||mh3||mh4 AS b0, mh5||mh6||mh7||mh8 AS b1 FROM sig)""".stripMargin
+  }
+
+  private val neardupMinhashSql = {
+    val mcnt = (1 to 8).map(j =>
+      s"CASE WHEN a.mh$j = b.mh$j THEN 1 ELSE 0 END").mkString(" + ")
+    s"WITH $minhashSigCtes\n" +
+    s"""SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |  ($mcnt)/8.0 AS est_jaccard,
        |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
        |    len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
@@ -680,6 +759,35 @@ object SparkEntry {
        |  ON (a.b0 = b.b0 OR a.b1 = b.b1) AND a.doc_id < b.doc_id
        |ORDER BY doc_a, doc_b""".stripMargin
   }
+
+  /** CC oracle: same minhash band join yields the edges, then a recursive
+    * CTE computes each doc's min reachable id (= cluster id); singletons
+    * keep their own id via the non-recursive seed over all documents. */
+  private val dedupClustersSql =
+    s"WITH RECURSIVE $minhashSigCtes,\n" +
+    s"""e AS (SELECT a.doc_id AS da, b.doc_id AS db
+       |  FROM sigb a JOIN sigb b
+       |  ON (a.b0 = b.b0 OR a.b1 = b.b1) AND a.doc_id < b.doc_id),
+       |sym AS (SELECT da AS a, db AS b FROM e UNION ALL SELECT db, da FROM e),
+       |r(id, rc) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT r.id, sym.b FROM r JOIN sym ON sym.a = r.rc)
+       |SELECT id AS doc_id, CAST(min(rc) AS BIGINT) AS cluster_id
+       |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
+
+  private val neardupJaccardSql =
+    s"""WITH w AS (SELECT doc_id, $duckWords AS ws FROM documents),
+       |f AS (SELECT doc_id, list_distinct(list_transform(generate_series(0, len(ws)-3),
+       |    i -> array_to_string(ws[i+1:i+3], ' '))) AS sh FROM w WHERE len(ws) >= 3),
+       |x AS (SELECT doc_id, len(sh) AS nsh, unnest(sh) AS g FROM f),
+       |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    a.nsh AS na, b.nsh AS nb, count(*) AS c
+       |  FROM x a JOIN x b ON a.g = b.g AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2, 3, 4)
+       |SELECT doc_a, doc_b, CAST(c AS DOUBLE)/(na + nb - c) AS jaccard
+       |FROM p WHERE CAST(c AS DOUBLE)/(na + nb - c) >= 0.2
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   private val simhashSql = {
     val bits = (0 until 16).map { k =>
@@ -844,6 +952,68 @@ object SparkEntry {
       |  true AS users_within_tol, true AS types_within_tol
       |FROM events""".stripMargin
 
+  private val piiScrubSql = {
+    // augmented text must rebuild byte-for-byte what withSyntheticPii emits
+    val aug = "text || ' Contact user'||doc_id||'@example.com or +1-202-555-'" +
+      "||lpad((doc_id%10000)::VARCHAR,4,'0')||' from 10.'||(doc_id%256)" +
+      "||'.0.'||(doc_id%100)||' today'"
+    // DuckDB single-quoted strings are escape-free, so the runtime pattern
+    // strings (single backslashes) splice in verbatim
+    val email = TextAnalysis.emailPattern
+    val ip = TextAnalysis.ipv4Pattern
+    val phone = TextAnalysis.phonePattern
+    s"""WITH a AS (SELECT doc_id, $aug AS t0 FROM documents),
+       |s1 AS (SELECT doc_id, t0, regexp_replace(t0, '$email', '<EMAIL>', 'g') AS t1 FROM a),
+       |s2 AS (SELECT *, regexp_replace(t1, '$ip', '<IP>', 'g') AS t2 FROM s1),
+       |s3 AS (SELECT *, regexp_replace(t2, '$phone', '<PHONE>', 'g') AS t3 FROM s2)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(t0, '$email')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(t1, '$ip')) AS BIGINT) AS n_ips,
+       |  CAST(len(regexp_extract_all(t2, '$phone')) AS BIGINT) AS n_phones,
+       |  CAST(length(t3) AS BIGINT) AS scrubbed_len,
+       |  md5(t3) AS scrubbed_md5
+       |FROM s3 ORDER BY doc_id""".stripMargin
+  }
+
+  private val sampleStratifiedSql = {
+    val h1 = "substr(md5(doc_id::VARCHAR),1,2)"
+    val h2 = "substr(md5(doc_id::VARCHAR),3,2)"
+    val keep = mixRates.toSeq.sortBy(_._1).map { case (lang, rate) =>
+      s"WHEN '$lang' THEN $h1 < '${Sampling.hexThreshold(rate)}'"
+    }.mkString(" ")
+    s"""WITH k AS (SELECT doc_id, lang FROM documents
+       |  WHERE CASE lang $keep ELSE TRUE END)
+       |SELECT doc_id, lang,
+       |  CASE WHEN $h2 < '${Sampling.hexThreshold(0.8)}' THEN 'train'
+       |       WHEN $h2 < '${Sampling.hexThreshold(0.9)}' THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM k ORDER BY doc_id""".stripMargin
+  }
+
+  private val qCubeSql =
+    """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+      |  COALESCE(o_orderpriority, 'ALL') AS priority,
+      |  CAST(count(*) AS BIGINT) AS cnt,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      |ORDER BY 1, 2""".stripMargin
+
+  private val qPercentilesSql =
+    """SELECT l_returnflag,
+      |  quantile_cont(l_quantity, 0.25) AS p25,
+      |  quantile_cont(l_quantity, 0.5) AS p50,
+      |  quantile_cont(l_quantity, 0.75) AS p75,
+      |  CAST(count(*) AS BIGINT) AS cnt
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
+  private val qMonthlyLagSql =
+    """WITH m AS (SELECT strftime(o_orderdate, '%Y-%m') AS month,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |  FROM orders GROUP BY 1)
+      |SELECT month, revenue,
+      |  lag(revenue) OVER (ORDER BY month) AS prev_revenue
+      |FROM m ORDER BY month""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "cmf_geotab" -> cmfGeotabSql,
     "cmf_calamp" -> cmfCalampSql,
@@ -882,6 +1052,13 @@ object SparkEntry {
     "media_decode" -> mediaDecodeSql,
     "media_frames" -> mediaFramesSql,
     "neardup_cosine" -> neardupCosineSql,
-    "approx_distinct" -> approxDistinctSql
+    "approx_distinct" -> approxDistinctSql,
+    "neardup_jaccard" -> neardupJaccardSql,
+    "dedup_clusters" -> dedupClustersSql,
+    "pii_scrub" -> piiScrubSql,
+    "sample_stratified" -> sampleStratifiedSql,
+    "q_cube" -> qCubeSql,
+    "q_percentiles" -> qPercentilesSql,
+    "q_monthly_lag" -> qMonthlyLagSql
   )
 }

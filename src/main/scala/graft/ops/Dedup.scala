@@ -152,4 +152,91 @@ object Dedup {
     * after LSH candidate generation). */
   def ngramJaccard(aSh: Column, bSh: Column): Column =
     size(array_intersect(aSh, bSh)).cast("double") / size(array_union(aSh, bSh))
+
+  /** EXACT n-gram Jaccard near-dup via an inverted shingle index — the
+    * recall-complete complement of [[minhashNeardup]] (which trades recall
+    * for fewer candidates). No document payload ever shuffles:
+    *  1. one pass computes each doc's distinct shingle set and its size;
+    *  2. explode to a (shingle, doc_id, set_size) inverted index;
+    *  3. self-join on the shingle value (plain equi-join) and COUNT matches
+    *     per pair — because shingle sets are distinct, the match count IS
+    *     |A∩B|, so exact Jaccard = c/(|A|+|B|-c) falls out of the
+    *     aggregation with no array re-join;
+    *  4. threshold.
+    * The quadratic risk is a shingle shared by many docs (df² pairs);
+    * `maxDocFreq` drops such stop-shingles from the index. That bounds work
+    * at corpus scale and — unlike capping candidates later — biases only
+    * pairs whose ONLY common shingles are ubiquitous ones, which a Jaccard
+    * threshold would reject anyway (any pair with J ≥ t has ≥ t·|A∪B|
+    * common shingles; for it to vanish, all of them must be ultra-common).
+    * Default off so the oracle checks exact semantics. */
+  def jaccardNeardup(docs: DataFrame, shingleSize: Int = 3,
+                     threshold: Double = 0.2,
+                     maxDocFreq: Int = Int.MaxValue): DataFrame = {
+    val w = words(col("text"))
+    val sh = docs.filter(size(w) >= shingleSize)
+      .select(col("doc_id"), shingles(w, shingleSize).as("sh"))
+      .select(col("doc_id"), size(col("sh")).as("nsh"), explode(col("sh")).as("g"))
+    val inv =
+      if (maxDocFreq == Int.MaxValue) sh
+      else sh.withColumn("_df", count(lit(1)).over(Window.partitionBy("g")))
+        .filter(col("_df") <= maxDocFreq).drop("_df")
+    val a = inv.select(col("doc_id").as("doc_a"), col("nsh").as("na"), col("g"))
+    val b = inv.select(col("doc_id").as("doc_b"), col("nsh").as("nb"), col("g"))
+    a.join(b, Seq("g"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b", "na", "nb")
+      .agg(count(lit(1)).as("c"))
+      .withColumn("jaccard",
+        col("c").cast("double") / (col("na") + col("nb") - col("c")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** Connected components by iterative min-label propagation: every node's
+    * label converges to the smallest doc_id reachable from it, which is the
+    * canonical cluster id a dedup pipeline keeps one representative of.
+    *
+    * Each iteration is one equi-join + one aggregation (no cartesian), and
+    * `localCheckpoint` truncates the lineage so plan size stays O(1) across
+    * iterations instead of O(iterations). Iteration count = graph diameter;
+    * near-dup graphs are unions of small cliques (diameter ≲ 3), so this
+    * converges in 2–4 rounds. For adversarial long-chain graphs at corpus
+    * scale, swap in large-star/small-star (O(log n) rounds) — same join
+    * shape per round, so the scale argument is unchanged.
+    *
+    * @param edges    undirected pair frame with `src`/`dst` long columns
+    * @param allNodes optional universe of node ids (singletons keep their
+    *                 own id as cluster id); defaults to edge endpoints only
+    */
+  def connectedComponents(edges: DataFrame, allNodes: Option[DataFrame] = None,
+                          maxIter: Int = 20): DataFrame = {
+    val sym = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val endpoints = sym.select(col("src").as("id")).distinct()
+    var labels = allNodes.map(_.select(col("id")).unionByName(endpoints).distinct())
+      .getOrElse(endpoints)
+      .withColumn("lbl", col("id"))
+      .localCheckpoint()
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIter) {
+      // min label among each node's neighbors, one hop
+      val nbrMin = sym
+        .join(labels.withColumnRenamed("id", "src").withColumnRenamed("lbl", "src_lbl"), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("src_lbl")).as("nbr_min"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("nbr_min"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
+      done = next.join(labels.withColumnRenamed("lbl", "prev"), "id")
+        .filter(col("lbl") < col("prev")).isEmpty
+      labels = next
+      iter += 1
+    }
+    sym.unpersist()
+    labels.select(col("id"), col("lbl").as("cluster_id"))
+  }
 }

@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / data-mixing operators for training-data
+  * pipelines (SURVEY.md §2.5 extensions).
+  *
+  * All decisions are pure functions of a row's id: keep/split is decided by
+  * comparing a prefix of md5(id) against a threshold. That makes sampling
+  *  - reproducible (same corpus → same sample, any cluster size),
+  *  - engine-portable (the DuckDB oracle recomputes it with its own md5),
+  *  - shuffle-free (a scan-fused filter — at 100 TB the sample never
+  *    materializes the rejected rows anywhere),
+  *  - stable under incremental ingest (a doc's fate never depends on what
+  *    else is in the corpus — unlike reservoir or rand() sampling).
+  * Rates quantize to 1/256 steps via the first two hex digits; that
+  * granularity is plenty for mixture weights and keeps the predicate a
+  * cheap string compare.
+  */
+object Sampling {
+
+  /** Two-hex-digit threshold for a rate in [0,1]: keep iff
+    * substr(md5(id),1,2) < threshold. rate=1.0 keeps everything. */
+  def hexThreshold(rate: Double): String =
+    f"${math.min(256, math.max(0, math.round(rate * 256))).toInt}%02x"
+
+  def keepPredicate(idCol: Column, rate: Double): Column =
+    if (rate >= 1.0) lit(true)
+    else substring(md5(idCol.cast("string")), 1, 2) < hexThreshold(rate)
+
+  /** Stratified sample: per-stratum keep rates (data mixing — e.g. upsample
+    * low-resource languages, downsample boilerplate-heavy domains). Strata
+    * missing from `rates` use `defaultRate`. */
+  def stratifiedSample(df: DataFrame, strataCol: String, idCol: String,
+                       rates: Map[String, Double],
+                       defaultRate: Double = 1.0): DataFrame = {
+    val pred = rates.foldLeft(when(lit(false), lit(true))) {
+      case (acc, (stratum, rate)) =>
+        acc.when(col(strataCol) === stratum, keepPredicate(col(idCol), rate))
+    }.otherwise(keepPredicate(col(idCol), defaultRate))
+    df.filter(pred)
+  }
+
+  /** Deterministic train/validation/test assignment from the SECOND hex
+    * digit pair of the id hash, so splits are independent of any
+    * stratifiedSample decision taken on the first pair (a doc sampled in is
+    * not biased toward any split). Fractions quantize to 1/256. */
+  def splitAssign(df: DataFrame, idCol: String,
+                  trainFrac: Double = 0.8, valFrac: Double = 0.1): DataFrame = {
+    val h = substring(md5(col(idCol).cast("string")), 3, 2)
+    df.withColumn("split",
+      when(h < hexThreshold(trainFrac), "train")
+        .when(h < hexThreshold(trainFrac + valFrac), "val")
+        .otherwise("test"))
+  }
+}

@@ -109,6 +109,41 @@ object TextAnalysis {
       reasons.as("fail_reasons"))
   }
 
+  // PII patterns: conservative constructs only (char classes, bounded
+  // repeats, \b) so Java regex (Spark) and RE2 (DuckDB oracle) agree.
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Pattern  = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val phonePattern = "\\+?\\d[\\d\\-\\s()]{6,}\\d"
+
+  /** Deterministic PII-bearing corpus for exercising [[piiScrub]]: the test
+    * documents contain no real PII, so append one email, one phone, and one
+    * IPv4 derived from doc_id (pure function — the oracle rebuilds it). */
+  def withSyntheticPii(docs: DataFrame): DataFrame =
+    docs.withColumn("text", concat(col("text"),
+      lit(" Contact user"), col("doc_id").cast("string"), lit("@example.com or +1-202-555-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+      lit(" from 10."), (col("doc_id") % 256).cast("string"),
+      lit(".0."), (col("doc_id") % 100).cast("string"), lit(" today")))
+
+  /** PII scrubbing for training-data curation: redact emails, IPv4s, and
+    * phone numbers with typed placeholders, count each redaction class.
+    * Pure per-row expressions — scan-fused, shuffle-free, and safe to run
+    * as the first pass over a raw 100 TB crawl. Redaction order matters
+    * (emails contain dots/digits): emails → IPs → phones, with each count
+    * taken on the previous stage's output so the classes don't overlap. */
+  def piiScrub(docs: DataFrame): DataFrame = {
+    val s0 = col("text")
+    val s1 = regexp_replace(s0, emailPattern, "<EMAIL>")
+    val s2 = regexp_replace(s1, ipv4Pattern, "<IP>")
+    val s3 = regexp_replace(s2, phonePattern, "<PHONE>")
+    docs.select(col("doc_id"),
+      size(regexp_extract_all(s0, lit(emailPattern), lit(0))).cast("long").as("n_emails"),
+      size(regexp_extract_all(s1, lit(ipv4Pattern), lit(0))).cast("long").as("n_ips"),
+      size(regexp_extract_all(s2, lit(phonePattern), lit(0))).cast("long").as("n_phones"),
+      length(s3).cast("long").as("scrubbed_len"),
+      md5(s3).as("scrubbed_md5"))
+  }
+
   /** Winnowing document fingerprints (rolling k-gram hashes, sliding-window
     * minimum — the MOSS scheme): robust to local edits, shuffle-free, and
     * portable (md5-based hash family, so any engine reproduces it). Returns

@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 
 /** Structured-Streaming forms of the pipeline — the reference's actual
   * execution model is a standing stream (Filterer.kt:39 consumes unbounded
@@ -55,6 +55,65 @@ object StreamingOps {
       .withColumn("ts", timestamp_micros(col("epoch_us")))
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark(keys)
+
+  /** One user's open session (state) and an emitted closed session. */
+  case class OpenSession(startUs: Long, endUs: Long, n: Long)
+  case class ClosedSession(user_id: Long, start_us: Long, end_us: Long,
+                           n_events: Long)
+
+  /** Custom-state sessionization via `flatMapGroupsWithState` — the escape
+    * hatch for session semantics `session_window` can't express (here:
+    * sessions are CLOSED and emitted the moment a same-user event lands past
+    * the gap, rather than waiting for the watermark; the watermark-driven
+    * event-time timeout still closes trailing sessions with no successor).
+    *
+    * State per key is one O(1) OpenSession record, evicted on timeout, so
+    * total state is O(active users within the gap horizon) — bounded
+    * regardless of stream length. Semantics match the batch
+    * graft.ops.Windows.sessionize gap rule for every session that closes.
+    */
+  def sessionizeWithState(events: DataFrame,
+                          gapSeconds: Long = 1800): Dataset[ClosedSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapSeconds * 1000000L
+    val typed = events
+      .withColumn("ts", timestamp_micros(col("epoch_us")))
+      .withWatermark("ts", s"$gapSeconds seconds")
+      .select(col("user_id").cast("long"), col("epoch_us").cast("long"), col("ts"))
+      .as[(Long, Long, java.sql.Timestamp)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[(Long, Long, java.sql.Timestamp)],
+         state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(ClosedSession(uid, s.startUs, s.endUs, s.n))
+          } else {
+            val closed = scala.collection.mutable.ArrayBuffer[ClosedSession]()
+            var open = state.getOption
+            rows.map(_._2).toSeq.sorted.foreach { us =>
+              open match {
+                case Some(s) if us - s.endUs > gapUs =>
+                  closed += ClosedSession(uid, s.startUs, s.endUs, s.n)
+                  open = Some(OpenSession(us, us, 1))
+                case Some(s) =>
+                  open = Some(s.copy(endUs = math.max(s.endUs, us), n = s.n + 1))
+                case None =>
+                  open = Some(OpenSession(us, us, 1))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              // close once the watermark passes the session's gap horizon
+              state.setTimeoutTimestamp(s.endUs / 1000 + gapSeconds * 1000)
+            }
+            closed.iterator
+          }
+      }
+  }
 
   /** Per-tenant physical isolation as a streaming sink: each micro-batch is
     * one distributed `partitionBy(tenantId)` write — no driver-side loop

@@ -64,6 +64,44 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.minhashNeardup(d, maxBucket = 3).count() === 0)
   }
 
+  test("jaccardNeardup: exact J from inverted-index counts, thresholded") {
+    val a = "w1 w2 w3 w4 w5 w6"        // shingles: 4
+    val b = "w1 w2 w3 w4 w5 zz"        // shares 3 of its 4 -> J = 3/5
+    val c = "q1 q2 q3 q4 q5 q6"        // disjoint
+    val r = Dedup.jaccardNeardup(docs(1L -> a, 2L -> b, 3L -> c), threshold = 0.5)
+      .collect()
+    assert(r.length === 1)
+    assert(r.head.getLong(0) === 1L && r.head.getLong(1) === 2L)
+    assert(r.head.getDouble(2) === 0.6)
+  }
+
+  test("jaccardNeardup plan is equi-join only (no cartesian), maxDocFreq caps hot shingles") {
+    val d = docs(1L -> "a b c d e", 2L -> "a b c d e", 3L -> "a b c x y")
+    val plan = Dedup.jaccardNeardup(d).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+    // every shingle of the identical pair appears in 2-3 docs; df cap 1 kills all
+    assert(Dedup.jaccardNeardup(d, threshold = 0.0, maxDocFreq = 1).count() === 0)
+  }
+
+  test("connectedComponents: chain merges transitively, singletons keep their id") {
+    import spark.implicits._
+    // components: {1,2,3} via 1-2, 2-3; {5,6}; 9 isolated (via allNodes)
+    val edges = Seq((2L, 1L), (2L, 3L), (5L, 6L)).toDF("src", "dst")
+    val nodes = Seq(1L, 2L, 3L, 5L, 6L, 9L).toDF("id")
+    val r = Dedup.connectedComponents(edges, Some(nodes))
+      .orderBy("id").collect().map(x => (x.getLong(0), x.getLong(1)))
+    assert(r === Array((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (6L, 5L), (9L, 9L)))
+  }
+
+  test("connectedComponents converges on a long chain (diameter > 1 iteration)") {
+    import spark.implicits._
+    val n = 12L
+    val edges = (1L until n).map(i => (i, i + 1)).toDF("src", "dst")
+    val r = Dedup.connectedComponents(edges).collect()
+    assert(r.length === n.toInt)
+    assert(r.forall(_.getLong(1) === 1L))
+  }
+
   test("simhash: 16-bit fingerprint, equal for equal token multisets") {
     val d = docs(1L -> "one two three", 2L -> "one two three", 3L -> "four five six")
     val r = Dedup.simhash(d).collect().map(x => x.getLong(0) -> x.getString(1)).toMap

@@ -225,4 +225,60 @@ class OpsSpec extends SparkSpec {
       Row("1970-01-01T00:00:00Z", "click", 2L, 4.0),
       Row("1970-01-01T01:00:00Z", "view", 1L, 1.0)))
   }
+
+  test("piiScrub: redacts emails, IPs, phones with per-type counts") {
+    import spark.implicits._
+    val d = Seq((1L, "mail a.b+c@test.org or admin@x.io, " +
+      "call +1-202-555-0123, host 192.168.0.1 end")).toDF("doc_id", "text")
+    val r = TextAnalysis.piiScrub(d).head()
+    assert(r.getLong(1) === 2L) // emails
+    assert(r.getLong(2) === 1L) // ips
+    assert(r.getLong(3) === 1L) // phones
+    val scrubbed = d.select(
+      regexp_replace(regexp_replace(regexp_replace(col("text"),
+        TextAnalysis.emailPattern, "<EMAIL>"),
+        TextAnalysis.ipv4Pattern, "<IP>"),
+        TextAnalysis.phonePattern, "<PHONE>")).head().getString(0)
+    assert(scrubbed ===
+      "mail <EMAIL> or <EMAIL>, call <PHONE>, host <IP> end")
+  }
+
+  test("withSyntheticPii round-trips through piiScrub with exactly one of each") {
+    import spark.implicits._
+    val d = Seq((42L, "plain words only")).toDF("doc_id", "text")
+    val r = TextAnalysis.piiScrub(TextAnalysis.withSyntheticPii(d)).head()
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) === ((1L, 1L, 1L)))
+  }
+
+  test("stratifiedSample: rate 0 drops all, rate 1 keeps all, rates nest monotonically") {
+    import spark.implicits._
+    val d = (1L to 400L).map(i => (i, if (i % 2 == 0) "en" else "fr"))
+      .toDF("doc_id", "lang")
+    import graft.ops.Sampling
+    assert(Sampling.stratifiedSample(d, "lang", "doc_id", Map("en" -> 0.0, "fr" -> 1.0))
+      .filter(col("lang") === "en").count() === 0)
+    assert(Sampling.stratifiedSample(d, "lang", "doc_id", Map("en" -> 1.0)).count() === 400)
+    val at25 = Sampling.stratifiedSample(d, "lang", "doc_id", Map("en" -> 0.25, "fr" -> 0.25))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val at50 = Sampling.stratifiedSample(d, "lang", "doc_id", Map("en" -> 0.5, "fr" -> 0.5))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(at25.subsetOf(at50))
+    assert(at50.size > at25.size && at25.nonEmpty)
+    // deterministic: same input -> same sample
+    val again = Sampling.stratifiedSample(d, "lang", "doc_id", Map("en" -> 0.25, "fr" -> 0.25))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again === at25)
+  }
+
+  test("splitAssign: total partition into train/val/test, independent of sampling digit") {
+    import spark.implicits._
+    import graft.ops.Sampling
+    val d = (1L to 1000L).map(i => Tuple1(i)).toDF("doc_id")
+    val splits = Sampling.splitAssign(d, "doc_id").groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(splits.values.sum === 1000L)
+    assert(splits.keySet === Set("train", "val", "test"))
+    // 80/10/10 within ±5 points at n=1000
+    assert(splits("train") > 750 && splits("train") < 850)
+  }
 }

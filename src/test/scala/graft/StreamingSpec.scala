@@ -156,6 +156,44 @@ class StreamingSpec extends SparkSpec {
     assert(users === Array(10L, 20L))
   }
 
+  test("flatMapGroupsWithState sessionization: gap closes eagerly, timeout closes trailing") {
+    import spark.implicits._
+    val stream = MemoryStream[(Long, Long)](spark)
+    val events = stream.toDF().toDF("user_id", "epoch_us")
+    val sessions = StreamingOps.sessionizeWithState(events, gapSeconds = 100)
+    val q = sessions.writeStream.format("memory").queryName("fmgws_stream")
+      .outputMode("append").start()
+    // keep event times off epoch zero: the initial watermark is 0, and rows
+    // at-or-before the watermark are dropped as late
+    val us = (s: Long) => (1000 + s) * 1000000L
+    // session 1: u10 at +0s and +50s (within gap)
+    stream.addData((10L, us(0)), (10L, us(50)))
+    q.processAllAvailable()
+    // event at +1000s: gap exceeded -> session 1 closes EAGERLY (no watermark wait)
+    stream.addData((10L, us(1000)))
+    q.processAllAvailable()
+    val afterEager = spark.table("fmgws_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(afterEager === Array((10L, us(0), us(50), 2L)))
+    // watermark advance past +1000s + gap -> session 2 closes via event-time timeout
+    stream.addData((99L, us(3000)))
+    q.processAllAvailable()
+    stream.addData((99L, us(3001)))
+    q.processAllAvailable()
+    q.stop()
+    val all = spark.table("fmgws_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted
+    assert(all.contains((10L, us(1000), us(1000), 1L)))
+    // matches the batch sessionize gap rule for every closed session
+    val batch = graft.ops.Windows.sessionize(
+      Seq((10L, 1L, us(0)), (10L, 2L, us(50)), (10L, 3L, us(1000)))
+        .toDF("user_id", "event_id", "epoch_us"), gapSeconds = 100)
+      .select("user_id", "start_us", "end_us", "n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted
+    assert(batch === Array((10L, us(0), us(50), 2L), (10L, us(1000), us(1000), 1L)))
+    assert(all.filter(_._1 == 10L) === batch)
+  }
+
   test("streaming fan-out writes per-tenant directories via foreachBatch") {
     import spark.implicits._
     val out = java.nio.file.Files.createTempDirectory("fanout").toString
