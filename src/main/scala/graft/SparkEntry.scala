@@ -354,8 +354,8 @@ object SparkEntry {
     * i.e. the representative a dedup pipeline would retain. */
   private def dedupClustersQ(s: SparkSession, dir: String): DataFrame = {
     val docs = RawGen.table(s, dir, "documents")
-    val edges = Dedup.minhashNeardup(docs.select("doc_id", "text"))
-      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val edges = Dedup.minhashCandidates(docs.select("doc_id", "text"))
+      .select(col("a_doc_id").as("src"), col("b_doc_id").as("dst"))
     Dedup.connectedComponents(edges, Some(docs.select(col("doc_id").as("id"))))
       .select(col("id").as("doc_id"), col("cluster_id"))
       .orderBy("doc_id")

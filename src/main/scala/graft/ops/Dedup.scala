@@ -64,6 +64,16 @@ object Dedup {
     }.drop("text")
   }
 
+  /** Band-collision candidate pairs only — the LSH recall set with the
+    * signature-agreement estimate but WITHOUT the exact-Jaccard verify join.
+    * This is the right edge set for clustering (union-find treats every
+    * candidate as an edge anyway), and skipping the shingle rejoin halves
+    * the work when the caller doesn't need exact J. */
+  def minhashCandidates(docs: DataFrame, numHashes: Int = 8, bandSize: Int = 4,
+                        shingleSize: Int = 3,
+                        maxBucket: Int = Int.MaxValue): DataFrame =
+    candidatePairs(docs, numHashes, bandSize, shingleSize, maxBucket)
+
   /** LSH-bucketed near-duplicate candidate pairs with estimated
     * (signature-agreement) and exact (shingle) Jaccard.
     *
@@ -82,6 +92,29 @@ object Dedup {
   def minhashNeardup(docs: DataFrame, numHashes: Int = 8, bandSize: Int = 4,
                      shingleSize: Int = 3,
                      maxBucket: Int = Int.MaxValue): DataFrame = {
+    val cand = candidatePairs(docs, numHashes, bandSize, shingleSize, maxBucket)
+
+    // Exact-Jaccard verify on candidates only: shrink the corpus to docs
+    // that appear in a candidate pair, then recompute shingles for those.
+    val candIds = cand
+      .select(explode(array(col("a_doc_id"), col("b_doc_id"))).as("doc_id"))
+      .distinct()
+    val docSh = docs.join(candIds, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), shingles(words(col("text")), shingleSize).as("sh"))
+
+    cand
+      .join(docSh.select(col("doc_id").as("a_doc_id"), col("sh").as("a_sh")), "a_doc_id")
+      .join(docSh.select(col("doc_id").as("b_doc_id"), col("sh").as("b_sh")), "b_doc_id")
+      .select(
+        col("a_doc_id").as("doc_a"),
+        col("b_doc_id").as("doc_b"),
+        col("est_jaccard"),
+        ngramJaccard(col("a_sh"), col("b_sh")).as("jaccard"))
+  }
+
+  private def candidatePairs(docs: DataFrame, numHashes: Int, bandSize: Int,
+                             shingleSize: Int,
+                             maxBucket: Int): DataFrame = {
     val numBands = numHashes / bandSize
     val sigs = minhashSignatures(docs, numHashes, bandSize, shingleSize)
     val slim = sigs.select(col("doc_id"),
@@ -105,30 +138,15 @@ object Dedup {
       col("band_idx"), col("band_val"))
     val b = exploded.select(col("doc_id").as("b_doc_id"), col("mh").as("b_mh"),
       col("band_idx"), col("band_val"))
-    val cand = a.join(b, Seq("band_idx", "band_val"))
-      .filter(col("a_doc_id") < col("b_doc_id"))
-      .dropDuplicates("a_doc_id", "b_doc_id")
-      .drop("band_idx", "band_val")
-
-    // Exact-Jaccard verify on candidates only: shrink the corpus to docs
-    // that appear in a candidate pair, then recompute shingles for those.
-    val candIds = cand
-      .select(explode(array(col("a_doc_id"), col("b_doc_id"))).as("doc_id"))
-      .distinct()
-    val docSh = docs.join(candIds, Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), shingles(words(col("text")), shingleSize).as("sh"))
-
     val estMatches = aggregate(
       zip_with(col("a_mh"), col("b_mh"), (x, y) => when(x === y, 1).otherwise(0)),
       lit(0), (acc, x) => acc + x)
+    val cand = a.join(b, Seq("band_idx", "band_val"))
+      .filter(col("a_doc_id") < col("b_doc_id"))
+      .dropDuplicates("a_doc_id", "b_doc_id")
+      .select(col("a_doc_id"), col("b_doc_id"),
+        (estMatches.cast("double") / numHashes).as("est_jaccard"))
     cand
-      .join(docSh.select(col("doc_id").as("a_doc_id"), col("sh").as("a_sh")), "a_doc_id")
-      .join(docSh.select(col("doc_id").as("b_doc_id"), col("sh").as("b_sh")), "b_doc_id")
-      .select(
-        col("a_doc_id").as("doc_a"),
-        col("b_doc_id").as("doc_b"),
-        (estMatches.cast("double") / numHashes).as("est_jaccard"),
-        ngramJaccard(col("a_sh"), col("b_sh")).as("jaccard"))
   }
 
   /** 16-bit SimHash over word tokens: hash family = parity of the k-th md5
@@ -211,9 +229,12 @@ object Dedup {
     */
   def connectedComponents(edges: DataFrame, allNodes: Option[DataFrame] = None,
                           maxIter: Int = 20): DataFrame = {
+    // localCheckpoint (eager): materialize the edge derivation (often an
+    // expensive LSH pipeline) exactly once AND truncate its lineage, so the
+    // per-iteration joins replan against a flat in-memory relation.
     val sym = edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val endpoints = sym.select(col("src").as("id")).distinct()
     var labels = allNodes.map(_.select(col("id")).unionByName(endpoints).distinct())
       .getOrElse(endpoints)
@@ -236,7 +257,6 @@ object Dedup {
       labels = next
       iter += 1
     }
-    sym.unpersist()
     labels.select(col("id"), col("lbl").as("cluster_id"))
   }
 }
