@@ -410,6 +410,27 @@ object SparkEntry {
       .withColumn("prev_revenue", lag("revenue", 1).over(Window.orderBy("month")))
       .orderBy("month")
 
+  private def repetitionRatioQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetitionRatio(RawGen.table(s, dir, "documents"))
+      .orderBy("doc_id")
+
+  /** Point-in-interval range join: events bucketed against overlapping
+    * value intervals derived from the nation table, aggregated per
+    * interval. Exercises Joins.rangeJoinBucketed's explode-to-bucket shape
+    * (shuffle on bucket ids, never a cross product). */
+  private def rangeJoinQ(s: SparkSession, dir: String): DataFrame = {
+    val pts = RawGen.events(s, dir).select(col("event_id"), col("value"))
+    val iv = RawGen.table(s, dir, "nation").select(
+      col("n_nationkey"),
+      (col("n_nationkey") * 20.0).as("lo"),
+      (col("n_nationkey") * 20.0 + 30.0).as("hi"))
+    Joins.rangeJoinBucketed(pts, "value", iv, "lo", "hi", bucketWidth = 20.0)
+      .groupBy("n_nationkey", "lo", "hi")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+      .orderBy("n_nationkey")
+  }
+
   // ---------- registry ----------
 
   // ListMap: registry order is execution order in Verify/Bench, so per-query
@@ -461,7 +482,9 @@ object SparkEntry {
     "sample_stratified" -> (sampleStratifiedQ _),
     "q_cube" -> (qCube _),
     "q_percentiles" -> (qPercentiles _),
-    "q_monthly_lag" -> (qMonthlyLag _)
+    "q_monthly_lag" -> (qMonthlyLag _),
+    "repetition_ratio" -> (repetitionRatioQ _),
+    "range_join" -> (rangeJoinQ _)
   )
 
   // ---------- DuckDB oracles ----------
@@ -1014,6 +1037,28 @@ object SparkEntry {
       |  lag(revenue) OVER (ORDER BY month) AS prev_revenue
       |FROM m ORDER BY month""".stripMargin
 
+  private val repetitionRatioSql =
+    s"""WITH w AS (SELECT doc_id, $duckWords AS ws FROM documents),
+       |g AS (SELECT doc_id, list_transform(generate_series(0, len(ws)-2),
+       |    i -> array_to_string(ws[i+1:i+2], ' ')) AS grams
+       |  FROM w WHERE len(ws) >= 2),
+       |t AS (SELECT doc_id, len(grams) AS ng,
+       |    list_max(list_transform(list_distinct(grams),
+       |      d -> len(list_filter(grams, x -> x = d)))) AS topc
+       |  FROM g)
+       |SELECT doc_id, CAST(ng AS BIGINT) AS n_grams,
+       |  CAST(topc AS BIGINT) AS top_count,
+       |  CAST(topc AS DOUBLE)/ng AS rep_ratio
+       |FROM t ORDER BY doc_id""".stripMargin
+
+  private val rangeJoinSql =
+    """SELECT n_nationkey, n_nationkey*20.0 AS lo, n_nationkey*20.0+30.0 AS hi,
+      |  CAST(count(*) AS BIGINT) AS cnt,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |FROM nation JOIN events
+      |  ON value >= n_nationkey*20.0 AND value < n_nationkey*20.0+30.0
+      |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "cmf_geotab" -> cmfGeotabSql,
     "cmf_calamp" -> cmfCalampSql,
@@ -1059,6 +1104,8 @@ object SparkEntry {
     "sample_stratified" -> sampleStratifiedSql,
     "q_cube" -> qCubeSql,
     "q_percentiles" -> qPercentilesSql,
-    "q_monthly_lag" -> qMonthlyLagSql
+    "q_monthly_lag" -> qMonthlyLagSql,
+    "repetition_ratio" -> repetitionRatioSql,
+    "range_join" -> rangeJoinSql
   )
 }

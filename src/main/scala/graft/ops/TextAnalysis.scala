@@ -109,6 +109,26 @@ object TextAnalysis {
       reasons.as("fail_reasons"))
   }
 
+  /** Gopher-style repetition metric: the fraction of a doc's word n-grams
+    * taken by its single most frequent n-gram. Boilerplate/spam shows up as
+    * rep_ratio near 1. Row-local higher-order expressions (the per-row cost
+    * is O(distinct·total) on ~10²-word docs — fine; no shuffle, scan-fused).
+    * Docs with fewer than n words are dropped (no n-grams to measure). */
+  def repetitionRatio(docs: DataFrame, n: Int = 2): DataFrame = {
+    val w = split(trim(col("text")), "\\s+")
+    val grams = transform(sequence(lit(0), size(col("_ws")) - n),
+      i => array_join(slice(col("_ws"), i + lit(1), lit(n)), " "))
+    docs.filter(size(w) >= n)
+      .withColumn("_ws", w)
+      .withColumn("_grams", grams)
+      .withColumn("_top", array_max(transform(array_distinct(col("_grams")),
+        g => size(filter(col("_grams"), x => x === g)))))
+      .select(col("doc_id"),
+        size(col("_grams")).cast("long").as("n_grams"),
+        col("_top").cast("long").as("top_count"),
+        (col("_top").cast("double") / size(col("_grams"))).as("rep_ratio"))
+  }
+
   // PII patterns: conservative constructs only (char classes, bounded
   // repeats, \b) so Java regex (Spark) and RE2 (DuckDB oracle) agree.
   val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

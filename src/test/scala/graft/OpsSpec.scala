@@ -226,6 +226,33 @@ class OpsSpec extends SparkSpec {
       Row("1970-01-01T01:00:00Z", "view", 1L, 1.0)))
   }
 
+  test("repetitionRatio: boilerplate scores near 1, varied text lower") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "spam spam spam spam spam"),      // 4 bigrams, all "spam spam"
+      (2L, "one two three four five"),       // 4 bigrams, all distinct
+      (3L, "solo")                            // < 2 words -> dropped
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionRatio(d).orderBy("doc_id").collect()
+    assert(r.length === 2)
+    assert(r(0) === Row(1L, 4L, 4L, 1.0))
+    assert(r(1) === Row(2L, 4L, 1L, 0.25))
+  }
+
+  test("rangeJoinBucketed: exact interval semantics, equi-join plan") {
+    import spark.implicits._
+    import graft.ops.Joins
+    val pts = Seq((1L, 5.0), (2L, 25.0), (3L, 99.0)).toDF("id", "v")
+    val iv = Seq(("a", 0.0, 30.0), ("b", 20.0, 50.0)).toDF("name", "lo", "hi")
+    val joined = Joins.rangeJoinBucketed(pts, "v", iv, "lo", "hi", 20.0)
+    val got = joined.select("id", "name").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted
+    // 5.0 -> a; 25.0 -> a and b; 99.0 -> none
+    assert(got === Array((1L, "a"), (2L, "a"), (2L, "b")))
+    val p = joined.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("piiScrub: redacts emails, IPs, phones with per-type counts") {
     import spark.implicits._
     val d = Seq((1L, "mail a.b+c@test.org or admin@x.io, " +

@@ -58,6 +58,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastExchange"), s"query side not broadcast:\n$p")
   }
 
+  test("sampling and PII scrub are scan-fused: zero exchanges") {
+    import spark.implicits._
+    import graft.ops.{Sampling, TextAnalysis}
+    val docs = Seq((1L, "some text here", "en")).toDF("doc_id", "text", "lang")
+    val sampled = Sampling.splitAssign(
+      Sampling.stratifiedSample(docs, "lang", "doc_id", Map("en" -> 0.5)), "doc_id")
+    assert(!plan(sampled).contains("Exchange"), "sampling plan shuffles")
+    assert(!plan(TextAnalysis.piiScrub(docs)).contains("Exchange"), "piiScrub shuffles")
+  }
+
   test("minhash signature frame carries no shingle arrays into the band self-join") {
     import spark.implicits._
     val docs = Seq((1L, "a b c d e f"), (2L, "a b c d e f")).toDF("doc_id", "text")
