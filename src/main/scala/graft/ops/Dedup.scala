@@ -195,13 +195,22 @@ object Dedup {
     val sh = docs.filter(size(w) >= shingleSize)
       .select(col("doc_id"), shingles(w, shingleSize).as("sh"))
       .select(col("doc_id"), size(col("sh")).as("nsh"), explode(col("sh")).as("g"))
-    val inv =
-      if (maxDocFreq == Int.MaxValue) sh
-      else sh.withColumn("_df", count(lit(1)).over(Window.partitionBy("g")))
-        .filter(col("_df") <= maxDocFreq).drop("_df")
+    // Persist the slim (doc_id, nsh, shingle) index so the tokenize+shingle
+    // pass runs once, not once per join side — same shape as minhash's
+    // persisted signature frame: 3 narrow columns, never the document text.
+    val inv = {
+      val base =
+        if (maxDocFreq == Int.MaxValue) sh
+        else sh.withColumn("_df", count(lit(1)).over(Window.partitionBy("g")))
+          .filter(col("_df") <= maxDocFreq).drop("_df")
+      base.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
     val a = inv.select(col("doc_id").as("doc_a"), col("nsh").as("na"), col("g"))
     val b = inv.select(col("doc_id").as("doc_b"), col("nsh").as("nb"), col("g"))
-    a.join(b, Seq("g"))
+    // The inverted index is CORPUS-sized — never let the optimizer broadcast
+    // it (auto-broadcast fires on small test inputs and would OOM the driver
+    // at scale): hash-partition both sides on the shingle key instead.
+    a.hint("shuffle_hash").join(b, Seq("g"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b", "na", "nb")
       .agg(count(lit(1)).as("c"))
