@@ -431,6 +431,29 @@ object SparkEntry {
       .orderBy("n_nationkey")
   }
 
+  private def seqPackQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = RawGen.table(s, dir, "documents")
+    val tokens = size(regexp_extract_all(col("text"),
+      lit(TextAnalysis.tokenPattern), lit(0)))
+    graft.ops.Packing.seqPack(docs, tokens).orderBy("doc_id")
+  }
+
+  /** End-to-end dedup: keep each near-dup cluster's representative
+    * (doc_id == cluster_id) and measure the surviving corpus per language —
+    * the composition a curation pipeline actually ships. */
+  private def dedupApplyQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = RawGen.table(s, dir, "documents")
+    val edges = Dedup.minhashCandidates(docs.select("doc_id", "text"))
+      .select(col("a_doc_id").as("src"), col("b_doc_id").as("dst"))
+    val reps = Dedup.connectedComponents(edges, Some(docs.select(col("doc_id").as("id"))))
+      .filter(col("id") === col("cluster_id"))
+      .select(col("id").as("doc_id"))
+    docs.join(reps, Seq("doc_id"), "left_semi")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("kept_docs"), sum("n_chars").as("kept_chars"))
+      .orderBy("lang")
+  }
+
   // ---------- registry ----------
 
   // ListMap: registry order is execution order in Verify/Bench, so per-query
@@ -484,7 +507,9 @@ object SparkEntry {
     "q_percentiles" -> (qPercentiles _),
     "q_monthly_lag" -> (qMonthlyLag _),
     "repetition_ratio" -> (repetitionRatioQ _),
-    "range_join" -> (rangeJoinQ _)
+    "range_join" -> (rangeJoinQ _),
+    "seq_pack" -> (seqPackQ _),
+    "dedup_apply" -> (dedupApplyQ _)
   )
 
   // ---------- DuckDB oracles ----------
@@ -1059,6 +1084,34 @@ object SparkEntry {
       |  ON value >= n_nationkey*20.0 AND value < n_nationkey*20.0+30.0
       |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin
 
+  private val seqPackSql =
+    s"""WITH t AS (SELECT doc_id, doc_id % 8 AS bucket,
+       |    len(regexp_extract_all(text, '${TextAnalysis.tokenPattern}')) AS n_tokens
+       |  FROM documents),
+       |o AS (SELECT *, COALESCE(SUM(n_tokens) OVER (PARTITION BY bucket
+       |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+       |  FROM t)
+       |SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+       |  CAST(n_tokens AS BIGINT) AS n_tokens, CAST(off AS BIGINT) AS offset,
+       |  CAST(bucket*1000000 + off//256 AS BIGINT) AS bin
+       |FROM o ORDER BY doc_id""".stripMargin
+
+  private val dedupApplySql =
+    s"WITH RECURSIVE $minhashSigCtes,\n" +
+    s"""e AS (SELECT a.doc_id AS da, b.doc_id AS db
+       |  FROM sigb a JOIN sigb b
+       |  ON (a.b0 = b.b0 OR a.b1 = b.b1) AND a.doc_id < b.doc_id),
+       |sym AS (SELECT da AS a, db AS b FROM e UNION ALL SELECT db, da FROM e),
+       |r(id, rc) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT r.id, sym.b FROM r JOIN sym ON sym.a = r.rc),
+       |reps AS (SELECT id FROM r GROUP BY id HAVING min(rc) = id)
+       |SELECT lang, CAST(count(*) AS BIGINT) AS kept_docs,
+       |  CAST(SUM(n_chars) AS BIGINT) AS kept_chars
+       |FROM documents JOIN reps ON doc_id = reps.id
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "cmf_geotab" -> cmfGeotabSql,
     "cmf_calamp" -> cmfCalampSql,
@@ -1106,6 +1159,8 @@ object SparkEntry {
     "q_percentiles" -> qPercentilesSql,
     "q_monthly_lag" -> qMonthlyLagSql,
     "repetition_ratio" -> repetitionRatioSql,
-    "range_join" -> rangeJoinSql
+    "range_join" -> rangeJoinSql,
+    "seq_pack" -> seqPackSql,
+    "dedup_apply" -> dedupApplySql
   )
 }

@@ -253,6 +253,23 @@ class OpsSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("seqPack: per-bucket cumulative offsets, bin = sequence of first token") {
+    import spark.implicits._
+    import graft.ops.Packing
+    // one bucket (numBuckets=1) to make offsets easy to follow
+    val d = Seq((0L, 100L), (1L, 100L), (2L, 100L), (3L, 10L))
+      .toDF("doc_id", "toks")
+    val r = Packing.seqPack(d, col("toks"), seqLen = 256, numBuckets = 1)
+      .orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(3), x.getLong(4)))
+    // offsets 0,100,200,300 -> bins 0,0,0,1
+    assert(r === Array((0L, 0L, 0L), (1L, 100L, 0L), (2L, 200L, 0L), (3L, 300L, 1L)))
+    // bucketed: two independent streams, offsets restart per bucket
+    val r2 = Packing.seqPack(d, col("toks"), seqLen = 256, numBuckets = 2)
+      .orderBy("doc_id").collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(3)))
+    assert(r2 === Array((0L, 0L, 0L), (1L, 1L, 0L), (2L, 0L, 100L), (3L, 1L, 100L)))
+  }
+
   test("piiScrub: redacts emails, IPs, phones with per-type counts") {
     import spark.implicits._
     val d = Seq((1L, "mail a.b+c@test.org or admin@x.io, " +
