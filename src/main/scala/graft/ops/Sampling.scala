@@ -21,12 +21,16 @@ import org.apache.spark.sql.functions._
 object Sampling {
 
   /** Two-hex-digit threshold for a rate in [0,1]: keep iff
-    * substr(md5(id),1,2) < threshold. rate=1.0 keeps everything. */
+    * substr(md5(id),1,2) < threshold. Clamped to "ff" — a 3-char "100"
+    * would compare lexicographically BELOW every 2-char hex string and
+    * silently invert the predicate (caught by PropSpec's monotonicity
+    * property), so rates that round to 256/256 must short-circuit to
+    * always-keep instead (see [[keepPredicate]]). */
   def hexThreshold(rate: Double): String =
-    f"${math.min(256, math.max(0, math.round(rate * 256))).toInt}%02x"
+    f"${math.min(255, math.max(0, math.round(rate * 256))).toInt}%02x"
 
   def keepPredicate(idCol: Column, rate: Double): Column =
-    if (rate >= 1.0) lit(true)
+    if (math.round(rate * 256) >= 256) lit(true)
     else substring(md5(idCol.cast("string")), 1, 2) < hexThreshold(rate)
 
   /** Stratified sample: per-stratum keep rates (data mixing — e.g. upsample

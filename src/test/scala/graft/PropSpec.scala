@@ -76,6 +76,30 @@ class PropSpec extends SparkSpec {
     assert(t.quarantine.count() === inputs.length - expectValid)
   }
 
+  test("sampling thresholds: monotone in rate, total at the extremes, nested keep-sets") {
+    import spark.implicits._
+    import graft.ops.Sampling
+    val rates = (1 to 60).flatMap(_ => Gen.chooseNum(0.0, 1.0).sample)
+    // hexThreshold is monotone, so keep-sets nest: rate1 <= rate2 -> keep(rate1) ⊆ keep(rate2)
+    rates.sliding(2).foreach {
+      case Seq(a, b) =>
+        val (lo, hi) = (math.min(a, b), math.max(a, b))
+        assert(Sampling.hexThreshold(lo) <= Sampling.hexThreshold(hi))
+      case _ =>
+    }
+    assert(Sampling.hexThreshold(0.0) === "00")
+    val ids = (1L to 500L).map(Tuple1(_)).toDF("id")
+    val kept = rates.take(5).map { r =>
+      r -> ids.filter(Sampling.keepPredicate(col("id"), r)).collect().map(_.getLong(0)).toSet
+    }
+    kept.sortBy(_._1).sliding(2).foreach {
+      case Seq((_, s1), (_, s2)) => assert(s1.subsetOf(s2))
+      case _ =>
+    }
+    assert(ids.filter(Sampling.keepPredicate(col("id"), 1.0)).count() === 500)
+    assert(ids.filter(Sampling.keepPredicate(col("id"), 0.0)).count() === 0)
+  }
+
   test("native graft_dot equals composable form on random vectors") {
     import spark.implicits._
     val vecGen = Gen.listOfN(16, Gen.chooseNum(-1000.0, 1000.0))
