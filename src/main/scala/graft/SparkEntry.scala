@@ -454,6 +454,30 @@ object SparkEntry {
       .orderBy("lang")
   }
 
+  /** Explicit ROWS frame: 3-month moving average over the aggregated
+    * monthly series (window input is #months rows — see [[qMonthlyLag]]). */
+  private def qMovingAvg(s: SparkSession, dir: String): DataFrame =
+    RawGen.table(s, dir, "orders")
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+      .withColumn("mavg3", avg("revenue").over(
+        Window.orderBy("month").rowsBetween(-2, Window.currentRow)))
+      .orderBy("month")
+
+  /** ANN evaluation: recall@5 of the LSH-multiprobe index against the
+    * brute-force ground truth, per query — the accuracy/cost dial an ANN
+    * deployment is tuned by. */
+  private def knnRecallQ(s: SparkSession, dir: String): DataFrame = {
+    val brute = knnBrute(s, dir).select(col("query_id"), col("neighbor_id"))
+    val approx = knnLshProbe(s, dir)
+      .select(col("query_id").as("q2"), col("neighbor_id").as("n2"))
+    brute.join(approx,
+        col("query_id") === col("q2") && col("neighbor_id") === col("n2"), "left")
+      .groupBy("query_id")
+      .agg((count(col("n2")).cast("double") / count(lit(1))).as("recall_at_5"))
+      .orderBy("query_id")
+  }
+
   // ---------- registry ----------
 
   // ListMap: registry order is execution order in Verify/Bench, so per-query
@@ -509,7 +533,9 @@ object SparkEntry {
     "repetition_ratio" -> (repetitionRatioQ _),
     "range_join" -> (rangeJoinQ _),
     "seq_pack" -> (seqPackQ _),
-    "dedup_apply" -> (dedupApplyQ _)
+    "dedup_apply" -> (dedupApplyQ _),
+    "knn_recall" -> (knnRecallQ _),
+    "q_moving_avg" -> (qMovingAvg _)
   )
 
   // ---------- DuckDB oracles ----------
@@ -1112,6 +1138,25 @@ object SparkEntry {
        |FROM documents JOIN reps ON doc_id = reps.id
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // plain concatenation — re-stripMargin over the spliced (already-stripped)
+  // SQL bodies would eat their `||` concat operators
+  private val knnRecallSql =
+    "SELECT b.query_id,\n" +
+    "  CAST(count(l.neighbor_id) AS DOUBLE)/count(*) AS recall_at_5\n" +
+    s"FROM ($knnBruteSql) b\n" +
+    s"LEFT JOIN ($knnLshProbeSql) l\n" +
+    "  ON l.query_id = b.query_id AND l.neighbor_id = b.neighbor_id\n" +
+    "GROUP BY 1 ORDER BY 1"
+
+  private val qMovingAvgSql =
+    """WITH m AS (SELECT strftime(o_orderdate, '%Y-%m') AS month,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |  FROM orders GROUP BY 1)
+      |SELECT month, revenue,
+      |  avg(revenue) OVER (ORDER BY month
+      |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mavg3
+      |FROM m ORDER BY month""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "cmf_geotab" -> cmfGeotabSql,
     "cmf_calamp" -> cmfCalampSql,
@@ -1161,6 +1206,8 @@ object SparkEntry {
     "repetition_ratio" -> repetitionRatioSql,
     "range_join" -> rangeJoinSql,
     "seq_pack" -> seqPackSql,
-    "dedup_apply" -> dedupApplySql
+    "dedup_apply" -> dedupApplySql,
+    "knn_recall" -> knnRecallSql,
+    "q_moving_avg" -> qMovingAvgSql
   )
 }
