@@ -270,6 +270,12 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  private def knnTopkAgg(s: SparkSession, dir: String): DataFrame = {
+    val emb = RawGen.table(s, dir, "embeddings")
+    Similarity.cosineTopKAgg(emb, knnQueries(s, dir), 5)
+      .orderBy("query_id", "rank")
+  }
+
   private def knnIvf(s: SparkSession, dir: String): DataFrame = {
     val emb = RawGen.table(s, dir, "embeddings")
     Similarity.ivfTopK(emb, knnQueries(s, dir), 5, numCentroids = 16, dim = 64)
@@ -535,7 +541,8 @@ object SparkEntry {
     "seq_pack" -> (seqPackQ _),
     "dedup_apply" -> (dedupApplyQ _),
     "knn_recall" -> (knnRecallQ _),
-    "q_moving_avg" -> (qMovingAvg _)
+    "q_moving_avg" -> (qMovingAvg _),
+    "knn_topk_agg" -> (knnTopkAgg _)
   )
 
   // ---------- DuckDB oracles ----------
@@ -1208,6 +1215,8 @@ object SparkEntry {
     "seq_pack" -> seqPackSql,
     "dedup_apply" -> dedupApplySql,
     "knn_recall" -> knnRecallSql,
-    "q_moving_avg" -> qMovingAvgSql
+    "q_moving_avg" -> qMovingAvgSql,
+    // same semantics as knn_brute, different engine path (typed Aggregator)
+    "knn_topk_agg" -> knnBruteSql
   )
 }

@@ -88,6 +88,37 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "sim")
   }
 
+  /** [[cosineTopK]] with the ranking done by the typed
+    * [[graft.functions.TopKAggregator]] instead of localTopK+window:
+    * identical output, but the k-bounding happens inside the engine's
+    * two-phase aggregation (map-side partial buffers are already capped at
+    * k), so there is no imperative partition loop and no ranking window at
+    * all. Registered as its own query so the two implementations stay
+    * oracle-checked against each other. */
+  def cosineTopKAgg(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"),
+      asDouble(col("embedding")).as("q_emb"))
+      .withColumn("q_norm", norm(col("q_emb")))
+    val c = corpus.select(col("vec_id").as("neighbor_id"),
+      asDouble(col("embedding")).as("c_emb"))
+      .withColumn("c_norm", norm(col("c_emb")))
+    val sim = dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id").cast("long"), col("neighbor_id").cast("long"),
+        sim.cast("double").as("sim"))
+      .as(Encoders.product[ScoredPair])
+    val topk = new graft.functions.TopKAggregator(k).toColumn
+    scored.groupByKey(_.query_id)(Encoders.scalaLong)
+      .agg(topk)
+      .flatMap { case (qid, tops) =>
+        tops.iterator.zipWithIndex.map { case (e, i) =>
+          (qid, e.neighbor_id, i + 1, e.sim)
+        }
+      }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+        Encoders.scalaInt, Encoders.scalaDouble))
+      .toDF("query_id", "neighbor_id", "rank", "sim")
+  }
+
   /** Deterministic ±1 hyperplane coefficient for (plane, dim), derived from
     * md5 parity — reproducible anywhere (the DuckDB oracle inlines the same
     * values via [[planes]]). */

@@ -253,6 +253,20 @@ class OpsSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("cosineTopKAgg (typed Aggregator) equals cosineTopK (mapPartitions+window)") {
+    import spark.implicits._
+    val corpus = (0L until 60L).map(i =>
+      (i, Seq.tabulate(8)(d => ((i * 7 + d * 3) % 13 - 6).toFloat)))
+      .toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") < 4)
+    val a = Similarity.cosineTopK(corpus, queries, 5)
+      .orderBy("query_id", "rank").collect()
+    val b = Similarity.cosineTopKAgg(corpus, queries, 5)
+      .orderBy("query_id", "rank").collect()
+    assert(a.nonEmpty)
+    assert(a === b)
+  }
+
   test("seqPack: per-bucket cumulative offsets, bin = sequence of first token") {
     import spark.implicits._
     import graft.ops.Packing
