@@ -74,14 +74,17 @@ object DotProduct {
     Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
 }
 
-/** Session extension registering graft's native functions for SQL callers:
-  * `spark.sql.extensions=graft.functions.GraftExtensions` →
-  * `SELECT graft_dot(a, b)`. Column-API callers don't need this. */
+/** Session extension registering graft's native functions for SQL callers
+  * (`spark.sql.extensions=graft.functions.GraftExtensions` →
+  * `SELECT graft_dot(a, b)`; Column-API callers don't need it) and the
+  * [[RewriteDotProduct]] optimizer rule that upgrades the composable
+  * aggregate/zip_with dot-product idiom to the fused expression. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (children: Seq[Expression]) => DotProduct(children(0), children(1))))
+    ext.injectOptimizerRule(_ => RewriteDotProduct)
   }
 }

@@ -43,6 +43,28 @@ class FunctionsSpec extends SparkSpec {
     assert(r.getDouble(0) === 32.0)
   }
 
+  test("RewriteDotProduct rule: composable idiom optimizes to graft_dot, same results") {
+    import graft.functions.RewriteDotProduct
+    val before = spark.experimental.extraOptimizations
+    // non-literal source: a LocalRelation of literals would be constant-folded
+    // away before the rewrite could be observed
+    def frame = spark.range(5).select(col("id"),
+      transform(sequence(lit(0), lit(3)), i => (col("id") + i).cast("double")).as("a"),
+      transform(sequence(lit(0), lit(3)), i => (col("id") * 2 + i).cast("double")).as("b"))
+    try {
+      spark.experimental.extraOptimizations = before :+ RewriteDotProduct
+      val q = frame.select(col("id"),
+        Similarity.dotComposed(col("a"), col("b")).as("d"))
+      assert(q.queryExecution.optimizedPlan.toString.contains("graft_dot"),
+        s"rule did not fire:\n${q.queryExecution.optimizedPlan}")
+      val withRule = q.orderBy("id").collect()
+      spark.experimental.extraOptimizations = before
+      val without = frame.select(col("id"),
+        Similarity.dotComposed(col("a"), col("b")).as("d")).orderBy("id").collect()
+      assert(withRule === without)
+    } finally spark.experimental.extraOptimizations = before
+  }
+
   test("knn queries stay oracle-consistent under the native dot (cosine of copy = 1)") {
     import spark.implicits._
     def vec(seed: Long): Seq[Float] =
