@@ -194,6 +194,28 @@ class StreamingSpec extends SparkSpec {
     assert(all.filter(_._1 == 10L) === batch)
   }
 
+  test("TopKAggregator maintains a streaming top-k leaderboard across micro-batches") {
+    import spark.implicits._
+    import graft.ops.ScoredPair
+    val stream = MemoryStream[ScoredPair](spark)
+    val topk = new graft.functions.TopKAggregator(2).toColumn
+    val q = stream.toDS().groupByKey(_.query_id).agg(topk)
+      .map { case (qid, tops) => (qid, tops.map(_.neighbor_id)) }
+      .toDF("query_id", "top_ids")
+      .writeStream.format("memory").queryName("topk_stream")
+      .outputMode("complete").start()
+    stream.addData(ScoredPair(1L, 10L, 0.5), ScoredPair(1L, 11L, 0.9))
+    q.processAllAvailable()
+    // a later batch displaces the weaker entry
+    stream.addData(ScoredPair(1L, 12L, 0.7), ScoredPair(2L, 20L, 0.1))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("topk_stream").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(rows(1L) === Seq(11L, 12L)) // 0.9, 0.7 survive; 0.5 displaced
+    assert(rows(2L) === Seq(20L))
+  }
+
   test("streaming fan-out writes per-tenant directories via foreachBatch") {
     import spark.implicits._
     val out = java.nio.file.Files.createTempDirectory("fanout").toString
