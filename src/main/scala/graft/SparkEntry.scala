@@ -255,6 +255,10 @@ object SparkEntry {
   private def simhashBuckets(s: SparkSession, dir: String): DataFrame =
     Dedup.simhash(RawGen.table(s, dir, "documents")).orderBy("doc_id")
 
+  private def simhashNeardupQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNeardup(RawGen.table(s, dir, "documents").select("doc_id", "text"))
+      .orderBy("doc_a", "doc_b")
+
   private def knnQueries(s: SparkSession, dir: String): DataFrame =
     RawGen.table(s, dir, "embeddings").filter(col("vec_id") < 8)
 
@@ -542,7 +546,8 @@ object SparkEntry {
     "dedup_apply" -> (dedupApplyQ _),
     "knn_recall" -> (knnRecallQ _),
     "q_moving_avg" -> (qMovingAvg _),
-    "knn_topk_agg" -> (knnTopkAgg _)
+    "knn_topk_agg" -> (knnTopkAgg _),
+    "simhash_neardup" -> (simhashNeardupQ _)
   )
 
   // ---------- DuckDB oracles ----------
@@ -1164,6 +1169,28 @@ object SparkEntry {
       |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mavg3
       |FROM m ORDER BY month""".stripMargin
 
+  private val simhashNeardupSql = {
+    val bitsExpr = (0 until 32).map { k =>
+      s"(CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN " +
+      s"strpos('0123456789abcdef', substr(h, ${k + 1}, 1)) % 2 = 1 " +
+      s"THEN 1 ELSE -1 END)) > 0 THEN '1' ELSE '0' END)"
+    }.mkString(" || ")
+    val ham = (1 to 32).map(i =>
+      s"(CASE WHEN substr(a.sh,$i,1) <> substr(b.sh,$i,1) THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH w AS (SELECT doc_id,
+       |  list_transform($duckWords, x -> md5(x)) AS hs FROM documents),
+       |s AS (SELECT doc_id, $bitsExpr AS sh FROM w),
+       |sb AS (SELECT doc_id, sh, substr(sh,1,8) AS b0, substr(sh,9,8) AS b1,
+       |  substr(sh,17,8) AS b2, substr(sh,25,8) AS b3 FROM s),
+       |p AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, $ham AS hd
+       |  FROM sb a JOIN sb b
+       |  ON (a.b0=b.b0 OR a.b1=b.b1 OR a.b2=b.b2 OR a.b3=b.b3)
+       |    AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, CAST(hd AS BIGINT) AS hamming
+       |FROM p WHERE hd <= 3 ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "cmf_geotab" -> cmfGeotabSql,
     "cmf_calamp" -> cmfCalampSql,
@@ -1217,6 +1244,7 @@ object SparkEntry {
     "knn_recall" -> knnRecallSql,
     "q_moving_avg" -> qMovingAvgSql,
     // same semantics as knn_brute, different engine path (typed Aggregator)
-    "knn_topk_agg" -> knnBruteSql
+    "knn_topk_agg" -> knnBruteSql,
+    "simhash_neardup" -> simhashNeardupSql
   )
 }

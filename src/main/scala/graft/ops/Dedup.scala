@@ -149,21 +149,59 @@ object Dedup {
     cand
   }
 
-  /** 16-bit SimHash over word tokens: hash family = parity of the k-th md5
-    * hex digit; per-bit votes folded row-locally (no shuffle), weighted by
-    * token frequency. Returns (doc_id, simhash) where equal fingerprints are
-    * near-dup buckets. */
-  def simhash(docs: DataFrame): DataFrame = {
+  /** SimHash over word tokens: hash family = parity of the k-th md5 hex
+    * digit (k < 32); per-bit votes folded row-locally (no shuffle), weighted
+    * by token frequency. Returns (doc_id, simhash) where equal fingerprints
+    * are near-dup buckets. */
+  def simhash(docs: DataFrame, bits: Int = 16): DataFrame = {
+    require(bits <= 32, "md5 hex provides 32 parity positions")
     val hs = transform(words(col("text")), w => md5(w))
     val base = docs.withColumn("_hs", hs)
-    val bits = (0 until 16).map { k =>
+    val bitCols = (0 until bits).map { k =>
       val vote = expr(
         s"aggregate(_hs, 0, (acc, h) -> acc + CASE WHEN " +
         s"locate(substring(h, ${k + 1}, 1), '0123456789abcdef') % 2 = 1 " +
         s"THEN 1 ELSE -1 END)")
       when(vote > 0, "1").otherwise("0")
     }
-    base.select(col("doc_id"), concat(bits: _*).as("simhash"))
+    base.select(col("doc_id"), concat(bitCols: _*).as("simhash"))
+  }
+
+  /** Banded SimHash near-dup pairing (the Manku/Google web-dedup scheme):
+    * a pair within Hamming distance d of a b-bit fingerprint must agree
+    * exactly on at least one of b/bandBits bands when d < numBands, so
+    * band-equality equi-joins generate all candidates and an exact Hamming
+    * filter keeps the real ones. Same explode-once/single-join shape as
+    * [[minhashNeardup]]; complementary semantics (bit-distance on weighted
+    * token sketches vs set-Jaccard on shingles).
+    *
+    * Sizing at corpus scale: band width must grow with corpus size — 2^bandBits
+    * buckets bound the join's parallelism and bucket occupancy is
+    * corpus/2^bandBits (quadratic within a bucket). 8-bit bands suit ~10⁴–10⁶
+    * docs; a 100 TB crawl wants 64-bit fingerprints with 16-bit bands. */
+  def simhashNeardup(docs: DataFrame, bits: Int = 32, bandBits: Int = 8,
+                     maxHamming: Int = 3): DataFrame = {
+    require(bits % bandBits == 0, "bits must divide into equal bands")
+    val numBands = bits / bandBits
+    val sigs = simhash(docs, bits)
+    val bands = array((0 until numBands).map(b =>
+      substring(col("simhash"), b * bandBits + 1, bandBits)): _*)
+    val banded = sigs.select(col("doc_id"), col("simhash"),
+      posexplode(bands).as(Seq("band_idx", "band_val")))
+    val a = banded.select(col("doc_id").as("doc_a"), col("simhash").as("a_sh"),
+      col("band_idx"), col("band_val"))
+    val b = banded.select(col("doc_id").as("doc_b"), col("simhash").as("b_sh"),
+      col("band_idx"), col("band_val"))
+    val hamming = (1 to bits).map(i =>
+      when(substring(col("a_sh"), i, 1) =!= substring(col("b_sh"), i, 1), 1)
+        .otherwise(0)).reduce(_ + _)
+    // corpus-sized side: same no-broadcast rule as jaccardNeardup
+    a.hint("shuffle_hash").join(b, Seq("band_idx", "band_val"))
+      .filter(col("doc_a") < col("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("hamming", hamming.cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
   }
 
   /** n-gram Jaccard similarity for an explicit pair list (verification pass

@@ -102,6 +102,19 @@ class DedupSpec extends SparkSpec {
     assert(r.forall(_.getLong(1) === 1L))
   }
 
+  test("simhashNeardup: identical docs at hamming 0, disjoint docs filtered out") {
+    val same = "the quick brown fox jumps over the lazy dog tonight again ok"
+    val other = "completely different words appear within this other sentence body here now"
+    val pairs = Dedup.simhashNeardup(docs(1L -> same, 2L -> same, 3L -> other))
+      .collect()
+    assert(pairs.exists(p => p.getLong(0) === 1L && p.getLong(1) === 2L
+      && p.getLong(2) === 0L))
+    assert(!pairs.exists(p => p.getLong(1) === 3L || p.getLong(0) === 3L))
+    val plan = Dedup.simhashNeardup(docs(1L -> same, 2L -> same))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("simhash: 16-bit fingerprint, equal for equal token multisets") {
     val d = docs(1L -> "one two three", 2L -> "one two three", 3L -> "four five six")
     val r = Dedup.simhash(d).collect().map(x => x.getLong(0) -> x.getString(1)).toMap
