@@ -1175,15 +1175,18 @@ object SparkEntry {
       s"strpos('0123456789abcdef', substr(h, ${k + 1}, 1)) % 2 = 1 " +
       s"THEN 1 ELSE -1 END)) > 0 THEN '1' ELSE '0' END)"
     }.mkString(" || ")
-    val ham = (1 to 32).map(i =>
-      s"(CASE WHEN substr(a.sh,$i,1) <> substr(b.sh,$i,1) THEN 1 ELSE 0 END)")
+    // base-2 string -> BIGINT, mirroring Spark's conv(simhash, 2, 10)
+    val sigNum = (1 to 32).map(i =>
+      s"(CASE WHEN substr(sh,$i,1)='1' THEN ${1L << (32 - i)} ELSE 0 END)")
       .mkString(" + ")
     s"""WITH w AS (SELECT doc_id,
        |  list_transform($duckWords, x -> md5(x)) AS hs FROM documents),
        |s AS (SELECT doc_id, $bitsExpr AS sh FROM w),
-       |sb AS (SELECT doc_id, sh, substr(sh,1,8) AS b0, substr(sh,9,8) AS b1,
+       |sb AS (SELECT doc_id, CAST($sigNum AS BIGINT) AS sg,
+       |  substr(sh,1,8) AS b0, substr(sh,9,8) AS b1,
        |  substr(sh,17,8) AS b2, substr(sh,25,8) AS b3 FROM s),
-       |p AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, $ham AS hd
+       |p AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    bit_count(xor(a.sg, b.sg)) AS hd
        |  FROM sb a JOIN sb b
        |  ON (a.b0=b.b0 OR a.b1=b.b1 OR a.b2=b.b2 OR a.b3=b.b3)
        |    AND a.doc_id < b.doc_id)

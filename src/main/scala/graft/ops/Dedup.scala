@@ -186,21 +186,29 @@ object Dedup {
     val sigs = simhash(docs, bits)
     val bands = array((0 until numBands).map(b =>
       substring(col("simhash"), b * bandBits + 1, bandBits)): _*)
-    val banded = sigs.select(col("doc_id"), col("simhash"),
+    // persist: the per-row sketch (bits× aggregate() votes) is the dominant
+    // per-doc cost and both join sides would otherwise recompute it. The
+    // fingerprint rides the join as ONE long (conv base-2), so per-pair
+    // Hamming is a single xor+bit_count — candidate volume is quadratic in
+    // hot buckets, and a 32-branch comparison chain there is the bottleneck
+    // (measured 13 s vs 3 s at sf0.1).
+    val banded = sigs.select(col("doc_id"),
+      conv(col("simhash"), 2, 10).cast("long").as("sig_num"),
       posexplode(bands).as(Seq("band_idx", "band_val")))
-    val a = banded.select(col("doc_id").as("doc_a"), col("simhash").as("a_sh"),
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = banded.select(col("doc_id").as("doc_a"), col("sig_num").as("a_sig"),
       col("band_idx"), col("band_val"))
-    val b = banded.select(col("doc_id").as("doc_b"), col("simhash").as("b_sh"),
+    val b = banded.select(col("doc_id").as("doc_b"), col("sig_num").as("b_sig"),
       col("band_idx"), col("band_val"))
-    val hamming = (1 to bits).map(i =>
-      when(substring(col("a_sh"), i, 1) =!= substring(col("b_sh"), i, 1), 1)
-        .otherwise(0)).reduce(_ + _)
-    // corpus-sized side: same no-broadcast rule as jaccardNeardup
+    val hamming = bit_count(col("a_sig").bitwiseXOR(col("b_sig")))
+    // corpus-sized side: same no-broadcast rule as jaccardNeardup. The
+    // cheap Hamming predicate runs BEFORE the pair dedup so the
+    // dropDuplicates exchange carries only passing pairs.
     a.hint("shuffle_hash").join(b, Seq("band_idx", "band_val"))
       .filter(col("doc_a") < col("doc_b"))
-      .dropDuplicates("doc_a", "doc_b")
       .withColumn("hamming", hamming.cast("long"))
       .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("doc_a", "doc_b")
       .select("doc_a", "doc_b", "hamming")
   }
 
