@@ -474,6 +474,26 @@ object SparkEntry {
         Window.orderBy("month").rowsBetween(-2, Window.currentRow)))
       .orderBy("month")
 
+  /** Grouped distinct aggregation (Catalyst's expand-based distinct path)
+    * alongside plain aggregates in one pass. */
+  private def qDistinctAgg(s: SparkSession, dir: String): DataFrame =
+    RawGen.table(s, dir, "orders")
+      .groupBy("o_orderstatus")
+      .agg(countDistinct(col("o_custkey")).as("distinct_customers"),
+        count(lit(1)).as("orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+      .orderBy("o_orderstatus")
+
+  /** Pivot: per-user-bucket event-type counts as columns. The pivot values
+    * are pinned (stable column set at any SF) so the oracle can mirror them
+    * as CASE aggregates — which is also exactly how Catalyst lowers pivot. */
+  private def qPivot(s: SparkSession, dir: String): DataFrame =
+    RawGen.events(s, dir)
+      .groupBy((col("user_id") % 8).as("bucket"))
+      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .count()
+      .orderBy("bucket")
+
   /** ANN evaluation: recall@5 of the LSH-multiprobe index against the
     * brute-force ground truth, per query — the accuracy/cost dial an ANN
     * deployment is tuned by. */
@@ -547,7 +567,9 @@ object SparkEntry {
     "knn_recall" -> (knnRecallQ _),
     "q_moving_avg" -> (qMovingAvg _),
     "knn_topk_agg" -> (knnTopkAgg _),
-    "simhash_neardup" -> (simhashNeardupQ _)
+    "simhash_neardup" -> (simhashNeardupQ _),
+    "q_distinct_agg" -> (qDistinctAgg _),
+    "q_pivot" -> (qPivot _)
   )
 
   // ---------- DuckDB oracles ----------
@@ -1194,6 +1216,21 @@ object SparkEntry {
        |FROM p WHERE hd <= 3 ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  private val qDistinctAggSql =
+    """SELECT o_orderstatus, CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS distinct_customers,
+      |  CAST(count(*) AS BIGINT) AS orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
+  private val qPivotSql = {
+    val cols = Seq("click", "view", "purchase", "signup", "error").map(t =>
+      s"CAST(count(CASE WHEN event_type='$t' THEN 1 END) AS BIGINT) AS $t")
+      .mkString(",\n  ")
+    s"""SELECT user_id % 8 AS bucket,
+       |  $cols
+       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "cmf_geotab" -> cmfGeotabSql,
     "cmf_calamp" -> cmfCalampSql,
@@ -1248,6 +1285,8 @@ object SparkEntry {
     "q_moving_avg" -> qMovingAvgSql,
     // same semantics as knn_brute, different engine path (typed Aggregator)
     "knn_topk_agg" -> knnBruteSql,
-    "simhash_neardup" -> simhashNeardupSql
+    "simhash_neardup" -> simhashNeardupSql,
+    "q_distinct_agg" -> qDistinctAggSql,
+    "q_pivot" -> qPivotSql
   )
 }
