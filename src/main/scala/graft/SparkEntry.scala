@@ -474,6 +474,10 @@ object SparkEntry {
         Window.orderBy("month").rowsBetween(-2, Window.currentRow)))
       .orderBy("month")
 
+  private def tfidfQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tfidfTopTerms(RawGen.table(s, dir, "documents"))
+      .orderBy("doc_id", "rank")
+
   /** Grouped distinct aggregation (Catalyst's expand-based distinct path)
     * alongside plain aggregates in one pass. */
   private def qDistinctAgg(s: SparkSession, dir: String): DataFrame =
@@ -569,7 +573,8 @@ object SparkEntry {
     "knn_topk_agg" -> (knnTopkAgg _),
     "simhash_neardup" -> (simhashNeardupQ _),
     "q_distinct_agg" -> (qDistinctAgg _),
-    "q_pivot" -> (qPivot _)
+    "q_pivot" -> (qPivot _),
+    "tfidf_top_terms" -> (tfidfQ _)
   )
 
   // ---------- DuckDB oracles ----------
@@ -1216,6 +1221,20 @@ object SparkEntry {
        |FROM p WHERE hd <= 3 ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  private val tfidfSql =
+    s"""WITH tok AS (SELECT doc_id, unnest($duckWords) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+       |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |n AS (SELECT count(*) AS n_docs FROM documents),
+       |sc AS (SELECT doc_id, term, tf, df,
+       |    tf * CAST(n_docs + 1 AS DOUBLE) / (df + 1) AS score
+       |  FROM tf JOIN dft USING (term) CROSS JOIN n),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+       |    ORDER BY score DESC, term) AS rank FROM sc)
+       |SELECT doc_id, CAST(rank AS INT) AS rank, term,
+       |  CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, score
+       |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
+
   private val qDistinctAggSql =
     """SELECT o_orderstatus, CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS distinct_customers,
       |  CAST(count(*) AS BIGINT) AS orders,
@@ -1287,6 +1306,7 @@ object SparkEntry {
     "knn_topk_agg" -> knnBruteSql,
     "simhash_neardup" -> simhashNeardupSql,
     "q_distinct_agg" -> qDistinctAggSql,
-    "q_pivot" -> qPivotSql
+    "q_pivot" -> qPivotSql,
+    "tfidf_top_terms" -> tfidfSql
   )
 }

@@ -129,6 +129,35 @@ object TextAnalysis {
         (col("_top").cast("double") / size(col("_grams"))).as("rep_ratio"))
   }
 
+  /** Top-k characteristic terms per doc by smoothed TF-IDF. The idf is the
+    * RATIONAL form (N+1)/(df+1) rather than its log: ranking is what this
+    * operator is for, log is monotone, and a log-free score is bit-exact
+    * across engines (libm log implementations differ in the last ulp, which
+    * a hash-comparing oracle cannot tolerate).
+    *
+    * Scale shape: explode → two hash aggs (doc-term TF, term DF) → one
+    * broadcast of the term-DF side? No — DF is corpus-vocabulary-sized, so
+    * it joins BY TERM (shuffle on the term key, same partitioning the DF agg
+    * just produced); only the 1-row corpus count broadcasts. The final
+    * per-doc top-k is a window partitioned by doc_id. */
+  def tfidfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
+    val tokens = docs.select(col("doc_id"),
+      explode(split(trim(col("text")), "\\s+")).as("term"))
+    val tf = tokens.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val total = docs.select(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+    tf.join(dft, "term")
+      .crossJoin(broadcast(total))
+      .withColumn("score",
+        col("tf") * (col("n_docs") + 1).cast("double") / (col("df") + 1))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"),
+        col("score"))
+  }
+
   // PII patterns: conservative constructs only (char classes, bounded
   // repeats, \b) so Java regex (Spark) and RE2 (DuckDB oracle) agree.
   val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

@@ -226,6 +226,21 @@ class OpsSpec extends SparkSpec {
       Row("1970-01-01T01:00:00Z", "view", 1L, 1.0)))
   }
 
+  test("tfidfTopTerms: rare terms outrank common ones, rational idf exact") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "shared shared rare1"),
+      (2L, "shared common"),
+      (3L, "shared common")).toDF("doc_id", "text")
+    val r = TextAnalysis.tfidfTopTerms(d, k = 1).orderBy("doc_id").collect()
+    // doc 1: rare1 df=1 -> score 1*4/2=2.0 beats shared tf=2 df=3 -> 2*4/4=2.0;
+    // tie at 2.0 broken by term asc -> "rare1"
+    assert(r(0).getString(2) === "rare1" && r(0).getDouble(5) === 2.0)
+    // docs 2,3: common df=2 -> 1*4/3 beats shared 1*4/4
+    assert(r(1).getString(2) === "common" && r(1).getDouble(5) === 4.0 / 3)
+    assert(r(2).getString(2) === "common")
+  }
+
   test("repetitionRatio: boilerplate scores near 1, varied text lower") {
     import spark.implicits._
     val d = Seq(
