@@ -17,7 +17,8 @@ import org.apache.spark.sql.functions._
   *    string order — deterministic, seedable, and portable (any engine with
   *    md5 reproduces it, which is what the DuckDB oracle does).
   *  - SimHash is computed row-locally (no tokenize-then-shuffle): one md5 per
-  *    token, 16 parity votes folded with `aggregate()` higher-order calls.
+  *    token, per-bit parity votes folded with `aggregate()` higher-order
+  *    calls; banded Hamming pairing rides the fingerprint as one long.
   */
 object Dedup {
 
