@@ -490,13 +490,18 @@ object SparkEntry {
 
   /** Pivot: per-user-bucket event-type counts as columns. The pivot values
     * are pinned (stable column set at any SF) so the oracle can mirror them
-    * as CASE aggregates — which is also exactly how Catalyst lowers pivot. */
-  private def qPivot(s: SparkSession, dir: String): DataFrame =
+    * as CASE aggregates. Spark's pivot emits NULL for an empty cell where
+    * count(CASE ...) emits 0 — coalesce so the contract holds even at an SF
+    * where some (bucket, type) combination is absent. */
+  private def qPivot(s: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "view", "purchase", "signup", "error")
     RawGen.events(s, dir)
       .groupBy((col("user_id") % 8).as("bucket"))
-      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .pivot("event_type", types)
       .count()
+      .select(col("bucket") +: types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
       .orderBy("bucket")
+  }
 
   /** ANN evaluation: recall@5 of the LSH-multiprobe index against the
     * brute-force ground truth, per query — the accuracy/cost dial an ANN
@@ -1091,8 +1096,14 @@ object SparkEntry {
   private val sampleStratifiedSql = {
     val h1 = "substr(md5(doc_id::VARCHAR),1,2)"
     val h2 = "substr(md5(doc_id::VARCHAR),3,2)"
+    // mirror keepPredicate exactly, including its round(rate*256)>=256
+    // always-keep short-circuit (hexThreshold clamps to 'ff', which would
+    // wrongly drop md5 prefixes of 'ff' for rates that round to 256)
     val keep = mixRates.toSeq.sortBy(_._1).map { case (lang, rate) =>
-      s"WHEN '$lang' THEN $h1 < '${Sampling.hexThreshold(rate)}'"
+      val cond =
+        if (math.round(rate * 256) >= 256) "TRUE"
+        else s"$h1 < '${Sampling.hexThreshold(rate)}'"
+      s"WHEN '$lang' THEN $cond"
     }.mkString(" ")
     s"""WITH k AS (SELECT doc_id, lang FROM documents
        |  WHERE CASE lang $keep ELSE TRUE END)
@@ -1158,7 +1169,7 @@ object SparkEntry {
        |  FROM t)
        |SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
        |  CAST(n_tokens AS BIGINT) AS n_tokens, CAST(off AS BIGINT) AS offset,
-       |  CAST(bucket*1000000 + off//256 AS BIGINT) AS bin
+       |  CAST((off//256)*8 + bucket AS BIGINT) AS bin
        |FROM o ORDER BY doc_id""".stripMargin
 
   private val dedupApplySql =

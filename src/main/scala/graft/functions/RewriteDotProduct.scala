@@ -28,8 +28,11 @@ object RewriteDotProduct extends Rule[LogicalPlan] {
     case _ => false
   }
 
+  // containsNull must be false: DotProduct reads null slots as 0.0 via
+  // ArrayData.getDouble, while the composable fold nulls the whole result —
+  // rewriting a nullable-element array would turn NULL into a wrong number
   private def isDoubleArray(e: Expression): Boolean = e.dataType match {
-    case ArrayType(DoubleType, _) => true
+    case ArrayType(DoubleType, containsNull) => !containsNull
     case _ => false
   }
 

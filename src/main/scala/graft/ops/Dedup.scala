@@ -245,6 +245,9 @@ object Dedup {
     // Persist the slim (doc_id, nsh, shingle) index so the tokenize+shingle
     // pass runs once, not once per join side — same shape as minhash's
     // persisted signature frame: 3 narrow columns, never the document text.
+    // Deliberately not unpersisted: the returned frame is lazy, so the cache
+    // must outlive this call; long-lived sessions reclaim blocks via GC or
+    // spark.catalog.clearCache() between heavy operators.
     val inv = {
       val base =
         if (maxDocFreq == Int.MaxValue) sh
@@ -284,7 +287,7 @@ object Dedup {
     *                 own id as cluster id); defaults to edge endpoints only
     */
   def connectedComponents(edges: DataFrame, allNodes: Option[DataFrame] = None,
-                          maxIter: Int = 20): DataFrame = {
+                          maxIter: Int = 100): DataFrame = {
     // localCheckpoint (eager): materialize the edge derivation (often an
     // expensive LSH pipeline) exactly once AND truncate its lineage, so the
     // per-iteration joins replan against a flat in-memory relation.
@@ -313,6 +316,12 @@ object Dedup {
       labels = next
       iter += 1
     }
+    // a silent truncation would return labels that disagree with a fixpoint
+    // closure (and the DuckDB oracle) — refuse instead of being subtly wrong
+    if (!done) throw new IllegalStateException(
+      s"connectedComponents did not converge within $maxIter iterations " +
+      "(graph diameter exceeds the bound); raise maxIter or use a " +
+      "large-star/small-star variant for long-chain graphs")
     labels.select(col("id"), col("lbl").as("cluster_id"))
   }
 }

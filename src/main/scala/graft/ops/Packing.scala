@@ -32,8 +32,11 @@ object Packing {
       .withColumn("bucket", pmod(col("doc_id"), lit(numBuckets)))
       .withColumn("n_tokens", tokensCol.cast("long"))
       .withColumn("offset", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      // interleaved bin id: seq_idx*numBuckets + bucket is collision-free at
+      // ANY per-bucket stream length (a fixed bucket*K + seq_idx scheme
+      // would overlap the next bucket's space once seq_idx exceeded K)
       .withColumn("bin",
-        col("bucket") * 1000000L + floor(col("offset") / seqLen).cast("long"))
+        floor(col("offset") / seqLen).cast("long") * numBuckets + col("bucket"))
       .select(col("doc_id"), col("bucket").cast("long").as("bucket"),
         col("n_tokens"), col("offset"), col("bin"))
   }

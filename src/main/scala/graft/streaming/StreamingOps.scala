@@ -100,7 +100,10 @@ object StreamingOps {
                   closed += ClosedSession(uid, s.startUs, s.endUs, s.n)
                   open = Some(OpenSession(us, us, 1))
                 case Some(s) =>
-                  open = Some(s.copy(endUs = math.max(s.endUs, us), n = s.n + 1))
+                  // extend BOTH ends: an out-of-order event still inside the
+                  // watermark may legally precede the open session's start
+                  open = Some(OpenSession(math.min(s.startUs, us),
+                    math.max(s.endUs, us), s.n + 1))
                 case None =>
                   open = Some(OpenSession(us, us, 1))
               }
