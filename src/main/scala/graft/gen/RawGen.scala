@@ -33,8 +33,18 @@ object RawGen {
     * repartition onto the unsplittable single-core scan. A production-scale
     * input arrives pre-partitioned (many files/row groups) and skips both. */
   private val smallFileBytes = 1L << 30
+  /** Input size via the Hadoop FileSystem API — java.io.File.length is 0 for
+    * any non-local URI or directory-style dataset, which would misclassify a
+    * production-scale input as small. Unknown size ⇒ assume big (skip the
+    * small-file adaptation — the safe direction at scale). */
+  private def inputBytes(spark: SparkSession, path: String): Long =
+    try {
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .getContentSummary(p).getLength
+    } catch { case _: Exception => Long.MaxValue }
   private def spread(spark: SparkSession, df: DataFrame, path: String): DataFrame =
-    if (new java.io.File(path).length < smallFileBytes)
+    if (inputBytes(spark, path) < smallFileBytes)
       df.repartition(spark.sparkContext.defaultParallelism)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else df
@@ -45,6 +55,10 @@ object RawGen {
     // build time; a caller-provided session (the driver's smoke check) may
     // not — it is a runtime-settable SQL conf, so set it here.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // IsoTime's canonical output appends a literal Z, so a non-UTC caller
+    // session (the driver's smoke check) would silently emit wall-clock
+    // times labeled Z; both confs are runtime-settable — set both.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val path = s"$sfDir/events.parquet"
     val df = spread(spark, spark.read.parquet(path), path)
     val epochUs = df.schema("ts").dataType match {
@@ -57,6 +71,9 @@ object RawGen {
   }
 
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // timestamp-bearing tables (orders, lineitem) render through
+    // date_format in some queries — same UTC requirement as events()
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val path = s"$sfDir/$name.parquet"
     spread(spark, spark.read.parquet(path), path)
   }

@@ -63,7 +63,9 @@ object Multimodal {
       col("doc_id"),
       ceil(col("octet_len") / lit(frameBytes.toDouble)).cast("long").as("n_frames"),
       md5(substring(col("payload"), 1, frameBytes)).as("frame0_md5"),
-      when(col("octet_len") > 2 * frameBytes,
+      // guard must use STRIDE (an out-of-range binary substring md5s to the
+      // empty-input digest, not NULL — a fingerprint for a nonexistent frame)
+      when(col("octet_len") > stride * frameBytes,
         md5(substring(col("payload"), stride * frameBytes + 1, frameBytes)))
         .as(s"frame${stride}_md5"))
 }

@@ -154,7 +154,9 @@ object Similarity {
       col("nrm").as("a_nrm"), col("sig"))
     val b = base.select(col("vec_id").as("vec_b"), col("emb").as("b_emb"),
       col("nrm").as("b_nrm"), col("sig"))
-    a.join(b, Seq("sig"))
+    // corpus-sized signature self-join: pin the partitioned join (the
+    // optimizer would auto-broadcast one corpus-sized side at test SF)
+    a.hint("shuffle_hash").join(b, Seq("sig"))
       .filter(col("vec_a") < col("vec_b"))
       .withColumn("cos", dot(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm")))
       .filter(col("cos") >= threshold)
@@ -244,10 +246,13 @@ object Similarity {
       .withColumn("c_norm", norm(col("c_emb")))
       .withColumn("sig", lshSignature(col("c_emb"), ps))
     val sim = dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm"))
+    // no pair dedup needed: a corpus row has exactly ONE signature and the
+    // probe set (exact + single-bit flips) is pairwise distinct, so a
+    // (query, neighbor) pair can match the equi-join at most once — a
+    // dropDuplicates here would just add a full extra exchange
     val scored = c.join(broadcast(q), Seq("sig"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), sim.cast("double").as("sim"))
-      .dropDuplicates("query_id", "neighbor_id")
     val rn = row_number().over(
       Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id")))
     scored.withColumn("rank", rn).filter(col("rank") <= k)

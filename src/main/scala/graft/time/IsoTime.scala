@@ -28,13 +28,21 @@ object IsoTime {
       .otherwise(concat(base, lit("."), lpad(msPart.cast("string"), 3, "0"), lit("Z")))
   }
 
-  /** epoch seconds → canonical ISO-8601 UTC string (CalAmpTranslator.kt:100–101). */
-  def isoFromEpochSeconds(epochS: Column): Column = isoFromEpochMillis(epochS * 1000L)
+  /** epoch seconds → canonical ISO-8601 UTC string (CalAmpTranslator.kt:100–101).
+    * try_multiply: under ANSI mode a plain ×1000 on an absurd epoch THROWS —
+    * overflow must surface as NULL so callers fold it into the poison path
+    * (the reference's Kotlin wraps silently and emits garbage; quarantining
+    * is our documented divergence). */
+  def isoFromEpochSeconds(epochS: Column): Column =
+    isoFromEpochMillis(try_multiply(epochS, lit(1000L)))
 
-  /** ISO-8601 string (offset or `Z`, optional fraction) → epoch milliseconds.
+  /** ISO-8601 string (offset or `Z`, optional ms fraction) → epoch millis.
     * Mirrors `Instant.parse(s).toEpochMilli()` (GeotabTranslator.kt:108) and
     * yields NULL on unparseable input instead of raising (the poison-message
-    * path — GeotabTranslator.kt:154–157 drops such records).
-    */
-  def epochMillisFromIso(iso: Column): Column = unix_millis(try_to_timestamp(iso))
+    * path — GeotabTranslator.kt:154–157 drops such records). The explicit
+    * pattern matters: a format-less try_to_timestamp also accepts bare dates
+    * and space-separated datetimes that `Instant.parse` rejects, which would
+    * admit records the reference drops. */
+  def epochMillisFromIso(iso: Column): Column =
+    unix_millis(try_to_timestamp(iso, lit("yyyy-MM-dd'T'HH:mm:ss[.SSS]XXX")))
 }

@@ -44,10 +44,14 @@ object LegacyTranslators {
   val all: Seq[LegacySpec] =
     Seq(userProfile, orderRecord, inventoryUpdate, paymentNotice, shipmentStatus)
 
-  /** The envelope timestamp for a given raw payload column. */
+  /** The envelope timestamp for a given raw payload column. try_cast: a
+    * non-numeric epoch field must poison the RECORD (ts.isNotNull check in
+    * `ok`), never the job — ANSI-mode cast would throw. */
   private def tsColumn(value: Column, spec: LegacySpec): Column = {
     val raw = get_json_object(value, "$." + spec.tsField)
-    if (spec.tsIsEpochSeconds) IsoTime.isoFromEpochSeconds(raw.cast("long"))
+    if (spec.tsIsEpochSeconds)
+      IsoTime.isoFromEpochSeconds(expr(
+        s"try_cast(get_json_object(value, '$$.${spec.tsField}') AS BIGINT)"))
     else raw
   }
 
@@ -101,7 +105,8 @@ object LegacyTranslators {
 
   private def tsFromFields(j: String => Column, spec: LegacySpec): Column =
     if (spec.tsIsEpochSeconds)
-      IsoTime.isoFromEpochSeconds(j(spec.tsField).cast(LongType))
+      // try_cast, not cast: ANSI mode throws on non-numeric poison input
+      IsoTime.isoFromEpochSeconds(expr(s"try_cast(_j_${spec.tsField} AS BIGINT)"))
     else j(spec.tsField)
 
   /** All five translators multiplexed into ONE projection, selected per row

@@ -106,6 +106,11 @@ object VehicleTranslators {
     * must poison the record (Jackson parity), not fail the job. */
   private def jd(f: String): Column = expr(s"try_cast(_j_$f AS DOUBLE)")
   private def jl(f: String): Column = expr(s"try_cast(_j_$f AS BIGINT)")
+  /** Jackson parity for OPTIONAL numeric fields: absent/null is fine, but a
+    * present non-numeric value fails the whole record (InvalidFormatException
+    * in the reference's data-class binding). */
+  private def optNumOk(fields: (String => Column), names: Seq[String]): Column =
+    names.map(f => j(f).isNull || fields(f).isNotNull).reduce(_ && _)
 
   private def finish(tagged: DataFrame, cmf: Column,
                      jcols: Seq[String]): Translated =
@@ -126,6 +131,9 @@ object VehicleTranslators {
     val ok = j("Device_ID").isNotNull && j("Vehicle_ID").isNotNull &&
       epochSource.isNotNull &&
       jd("Latitude").isNotNull && jd("Longitude").isNotNull &&
+      optNumOk(jd, Seq("Odometer_mi", "EngineSpeed_rpm", "Fuel_Level_pct")) &&
+      (j("customGeotabField2").isNull ||
+        expr("try_cast(_j_customGeotabField2 AS INT)").isNotNull) &&
       !hasUnknownKeys(col("value"), fields)
     val tagged = parsed.withColumn("_ok", coalesce(ok, lit(false)))
 
@@ -154,13 +162,16 @@ object VehicleTranslators {
   def calAmp(raw: DataFrame, tenant: String): Translated = {
     val fields = calAmpInputSchema.fieldNames.toSeq
     val parsed = jsonTupled(raw, fields)
+    // try_multiply: ANSI mode would throw on a schema-valid message whose
+    // msg_ts overflows ×1000; overflow → NULL → quarantined (the reference's
+    // Kotlin wraps silently — quarantine is the documented divergence)
+    val epochSource = try_multiply(jl("msg_ts"), lit(1000L))
     val ok = j("unit_id").isNotNull && j("vid").isNotNull &&
-      jl("msg_ts").isNotNull &&
+      epochSource.isNotNull &&
       jd("gps_lat").isNotNull && jd("gps_lon").isNotNull &&
+      optNumOk(jd, Seq("speed_mph", "fuel_percent", "voltage")) &&
       !hasUnknownKeys(col("value"), fields)
     val tagged = parsed.withColumn("_ok", coalesce(ok, lit(false)))
-
-    val epochSource = jl("msg_ts") * 1000L
     val dateTime = IsoTime.isoFromEpochMillis(epochSource)
     val telemetry = Cmf.telemetryStruct(Map(
       "location" -> struct(dateTime.as("timestamp"), jd("gps_lon").as("lon"),
@@ -182,8 +193,7 @@ object VehicleTranslators {
     * `{}` when absent (:131). The nested `coords` object costs one extra
     * (tiny) json_tuple over its extracted text. */
   def ford(raw: DataFrame, tenant: String): Translated = {
-    val top = Seq("vin", "esn", "captureTime", "coords", "vehicleSpeed",
-      "fuelRemainingGallons", "rpm", "fordExtraData")
+    val top = fordAllKeys
     val sub = Seq("latValue", "lonValue", "ts")
     val parsed = jsonTupled(raw, top)
       .select(col("*"),
@@ -194,6 +204,11 @@ object VehicleTranslators {
       jl("captureTime").isNotNull && j("coords").isNotNull &&
       jcd("latValue").isNotNull && jcd("lonValue").isNotNull &&
       expr("try_cast(_j_c_ts AS BIGINT)").isNotNull &&
+      optNumOk(jd, Seq("vehicleSpeed", "fuelRemainingGallons")) &&
+      (j("rpm").isNull || expr("try_cast(_j_rpm AS INT)").isNotNull) &&
+      // fordExtraData: Map<String,Any> binding requires a JSON OBJECT
+      (j("fordExtraData").isNull ||
+        call_function("json_object_keys", j("fordExtraData")).isNotNull) &&
       !hasUnknownKeys(col("value"), fordAllKeys)
     val tagged = parsed.withColumn("_ok", coalesce(ok, lit(false)))
 

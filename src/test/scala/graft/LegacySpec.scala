@@ -62,6 +62,17 @@ class LegacySpec extends SparkSpec {
     assert(t.quarantine.count() === 2)
   }
 
+  test("non-numeric epoch timestamp quarantines the record under ANSI mode (both paths)") {
+    import org.apache.spark.sql.functions.col
+    val bad = """{"uid":1,"name":"x","created":"oops"}"""
+    val t = LegacyTranslators.translate(strings(bad),
+      LegacyTranslators.userProfile, deterministicIds = true)
+    assert(t.valid.count() === 0 && t.quarantine.count() === 1)
+    import spark.implicits._
+    val mux = LegacyTranslators.translateMux(Seq((bad, 0)).toDF("value", "kind"), col("kind"))
+    assert(mux.valid.count() === 0 && mux.quarantine.count() === 1)
+  }
+
   test("translateMux == per-source translate + union (scan-once parity)") {
     import spark.implicits._
     val rows = Seq(

@@ -226,6 +226,18 @@ class OpsSpec extends SparkSpec {
       Row("1970-01-01T01:00:00Z", "view", 1L, 1.0)))
   }
 
+  test("frameSample: stride beyond payload yields NULL, not the empty-input md5") {
+    import spark.implicits._
+    import graft.ops.Multimodal
+    val media = Multimodal.asMediaTable(
+      Seq((1L, "x" * 150)).toDF("doc_id", "text"))
+    // 150 bytes, stride 4 * 64 = 256 > 150 -> no frame4
+    val r = Multimodal.frameSample(media, frameBytes = 64, stride = 4).head()
+    assert(r.isNullAt(3), "nonexistent frame must fingerprint as NULL")
+    // stride 2 * 64 = 128 < 150 -> frame2 exists
+    assert(!Multimodal.frameSample(media, frameBytes = 64, stride = 2).head().isNullAt(3))
+  }
+
   test("tfidfTopTerms: rare terms outrank common ones, rational idf exact") {
     import spark.implicits._
     val d = Seq(

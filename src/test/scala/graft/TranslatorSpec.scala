@@ -191,4 +191,40 @@ class TranslatorSpec extends SparkSpec {
       col("cmf.telemetry.location.timestamp")).head()
     assert(r === Row("2023-12-01T12:00:00.123Z", "2023-12-01T12:00:00.120Z"))
   }
+
+  // --- ANSI-mode poison hardening (records quarantine, job never dies) ---
+
+  test("geotab: non-numeric OPTIONAL field poisons the record (Jackson InvalidFormatException parity)") {
+    val broken = geotabValid.replace("12345.6", "\"broken\"")
+    val t = VehicleTranslators.geotab(strings(broken), "t")
+    assert(t.valid.count() === 0)
+    assert(t.quarantine.count() === 1)
+  }
+
+  test("geotab: bare date / space-separated datetime rejected like Instant.parse") {
+    val dateOnly = geotabValid.replace("2023-10-26T10:00:00.000Z", "2023-10-26")
+    val spaced = geotabValid.replace("2023-10-26T10:00:00.000Z", "2023-10-26 10:00:00")
+    val t = VehicleTranslators.geotab(strings(dateOnly, spaced), "t")
+    assert(t.valid.count() === 0)
+    assert(t.quarantine.count() === 2)
+  }
+
+  test("calamp: msg_ts that overflows x1000 is quarantined, not a job crash (ANSI)") {
+    val huge =
+      """{"unit_id":"c","vid":"v","msg_ts":9223372036854775807,""" +
+      """"gps_lat":1.0,"gps_lon":2.0}"""
+    val t = VehicleTranslators.calAmp(strings(huge), "t")
+    assert(t.valid.count() === 0)
+    assert(t.quarantine.count() === 1)
+  }
+
+  test("ford: scalar fordExtraData (not an object) poisons the record") {
+    val scalar =
+      """{"vin":"v","esn":"e","captureTime":1698314400000,""" +
+      """"coords":{"latValue":1.0,"lonValue":2.0,"ts":1698314395000},""" +
+      """"fordExtraData":5}"""
+    val t = VehicleTranslators.ford(strings(scalar), "t")
+    assert(t.valid.count() === 0)
+    assert(t.quarantine.count() === 1)
+  }
 }
