@@ -27,14 +27,18 @@ object Bench {
     try graft.gen.RawGen.events(spark, sfDir).count()
     catch { case _: Throwable => () }
     Seq("documents", "embeddings", "lineitem", "orders", "customer",
-      "nation", "region").foreach { t =>
+      "nation", "region", "part", "supplier").foreach { t =>
       try graft.gen.RawGen.table(spark, sfDir, t).count()
       catch { case _: Throwable => () }
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
-        try { fn(spark, sfDir).count(); true }
+        // toRdd.count(), NOT count(): a count() action lets Catalyst prune
+        // every deterministic projection (and the sort), so scan-fused
+        // operators — md5/regexp/transform pipelines, the very work being
+        // measured — would be timed as zero-column scans
+        try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
         }

@@ -193,6 +193,11 @@ object Cmf {
     * Keeping the full width means downstream consumers see one stable schema
     * no matter which source produced the row. */
   def telemetryStruct(overrides: Map[String, Column]): Column = {
+    // fail fast on a typo'd binding — getOrElse would silently drop it and
+    // emit the real field as null, surfacing only if an oracle reads it
+    val unknown = overrides.keySet -- telemetryFields.map(_.name).toSet
+    require(unknown.isEmpty,
+      s"telemetryStruct: unknown telemetry field(s) ${unknown.mkString(", ")}")
     val cols = telemetryFields.map { f =>
       overrides.getOrElse(f.name, lit(null).cast(f.dataType)).as(f.name)
     }

@@ -25,18 +25,25 @@ object Joins {
     */
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
                leftTs: String, rightTs: String, rightVal: String): DataFrame = {
-    val l = left.withColumn("_t", col(leftTs)).withColumn("_is_left", lit(1))
-    val r = right.select(col(key), col(rightTs).as("_t"),
-      col(rightTs).as("_r_ts"), col(rightVal).as("_r_val"))
-      .withColumn("_is_left", lit(0))
+    // collision-safe internal names (a caller column named `_t` would be
+    // silently clobbered and dropped otherwise)
+    val T = "_graft_asof_t"; val L = "_graft_asof_is_left"; val R = "_graft_asof_r"
+    val l = left.withColumn(T, col(leftTs)).withColumn(L, lit(1))
+    val r = right.select(col(key), col(rightTs).as(T),
+      // ONE struct, not two parallel last() calls: independently-ignoring
+      // nulls would pair the latest timestamp with an OLDER non-null value
+      // whenever the latest right row carries a null value
+      struct(col(rightTs).as("ts"), col(rightVal).as("v")).as(R))
+      .withColumn(L, lit(0))
     val unioned = l.unionByName(r, allowMissingColumns = true)
-    val w = Window.partitionBy(key).orderBy(col("_t"), col("_is_left"))
+    val w = Window.partitionBy(key).orderBy(col(T), col(L))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     unioned
-      .withColumn(rightVal, last(col("_r_val"), ignoreNulls = true).over(w))
-      .withColumn(s"${rightVal}_ts", last(col("_r_ts"), ignoreNulls = true).over(w))
-      .filter(col("_is_left") === 1)
-      .drop("_t", "_is_left", "_r_ts", "_r_val")
+      .withColumn(R, last(col(R), ignoreNulls = true).over(w))
+      .withColumn(rightVal, col(R)("v"))
+      .withColumn(s"${rightVal}_ts", col(R)("ts"))
+      .filter(col(L) === 1)
+      .drop(T, L, R)
   }
 
   /** Point-in-interval join without a cross product: each interval explodes
@@ -47,6 +54,8 @@ object Joins {
   def rangeJoinBucketed(points: DataFrame, pCol: String,
                         intervals: DataFrame, loCol: String, hiCol: String,
                         bucketWidth: Double): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive (zero/negative " +
+      "widths saturate the bucket sequence or flip bucket signs)")
     val ivb = intervals.withColumn("_b", explode(sequence(
       floor(col(loCol) / bucketWidth).cast("long"),
       floor(col(hiCol) / bucketWidth).cast("long"))))

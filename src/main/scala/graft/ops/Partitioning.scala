@@ -31,6 +31,13 @@ object Partitioning {
     * tenant receiving half the corpus.) */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
                  saltFactor: Int = 8, joinType: String = "inner"): DataFrame = {
+    // right/full outer would emit every UNMATCHED small-side row saltFactor
+    // times (one per explode-replica) — only join types that never emit
+    // unmatched small-side rows preserve plain-join semantics
+    require(Set("inner", "left", "left_outer", "leftouter", "left_semi",
+      "leftsemi", "left_anti", "leftanti").contains(joinType.toLowerCase),
+      s"saltedJoin cannot preserve semantics for joinType=$joinType: " +
+      "unmatched replicated small-side rows would duplicate")
     val saltedBig = big.withColumn("_salt_b",
       pmod(hash(col(key), monotonically_increasing_id()), lit(saltFactor)))
     val saltedSmall = small.withColumn("_salt_s",

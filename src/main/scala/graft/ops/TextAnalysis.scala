@@ -66,12 +66,15 @@ object TextAnalysis {
       lang -> grams.map(g => size(regexp_extract_all(low, lit(g), lit(0))))
         .reduce(_ + _)
     }
-    val Seq(en, fr, de, es) = scores.map(_._2)
-    docs.select(col("doc_id"),
-      when(en >= fr && en >= de && en >= es, "en")
-        .when(fr >= de && fr >= es, "fr")
-        .when(de >= es, "de")
-        .otherwise("es").as("lang_ngram"))
+    // argmax with profile-order tie preference, derived from the list so a
+    // fifth language extends the cascade instead of MatchError-ing a
+    // hardcoded 4-way destructure (the oracle builder iterates the same way)
+    val cascade = scores.zipWithIndex.init.foldLeft(when(lit(false), "")) {
+      case (acc, ((lang, s), i)) =>
+        val laterScores = scores.drop(i + 1).map(_._2)
+        acc.when(laterScores.map(s >= _).reduce(_ && _), lang)
+    }.otherwise(scores.last._1)
+    docs.select(col("doc_id"), cascade.as("lang_ngram"))
   }
 
   /** Canonical-form fingerprint: md5 over lowercased, whitespace-collapsed
@@ -98,6 +101,10 @@ object TextAnalysis {
     val stopRatio =
       size(filter(w, x => x.isin("the", "a", "of", "and", "is"))).cast("double") / nWords
     val reasons = concat_ws(",",
+      // NULL text first: every threshold comparison on null evaluates to
+      // null, concat_ws skips nulls, and a contentless doc would otherwise
+      // sail through the gate with empty fail_reasons
+      when(col("text").isNull, "null_text"),
       when(nWords < minWords, "too_few_words"),
       when(nWords > maxWords, "too_many_words"),
       when(meanLen < minMeanWordLen, "short_words"),
@@ -207,8 +214,12 @@ object TextAnalysis {
       .withColumn("_grams", when(col("_n") >= 1,
         transform(sequence(lit(1), col("_n")),
           i => md5(col("_norm").substr(i, lit(k))))))
+    // least(element_at...) not array_min(slice...): slice materializes a
+    // fresh w-element array per window position — O(n·w) allocations per doc
+    // that dominated the honest (fully-materialized) benchmark at 67 s for
+    // 5k docs; direct element reads are allocation-free (0.5 s warm)
     val wins = transform(sequence(lit(0), col("_n") - window),
-      i => array_min(slice(col("_grams"), i + lit(1), lit(window))))
+      i => least((1 to window).map(o => element_at(col("_grams"), i + lit(o))): _*))
     base.select(col("doc_id"),
       col("_n").cast("long").as("n_grams"),
       when(col("_n") >= window,

@@ -41,22 +41,19 @@ object Pipeline {
     * the reference (SURVEY.md §2.3 R3). Returns (cmf topic frame, unioned
     * quarantine). */
   def vehicleCmfBatch(spark: SparkSession, baseDir: String,
-                      tenant: String = "acme"): Translated = {
-    val parts = vehicleBindings.map { b =>
-      b.translate(b.source.batch(spark, baseDir), tenant)
-    }
-    Translated(
-      valid = parts.map(_.valid.select(col("cmf_json").as("value")))
-        .reduce(_ unionByName _),
-      quarantine = parts.map(_.quarantine).reduce(_ unionByName _))
-  }
+                      tenant: String = "acme"): Translated =
+    vehicleCmf(b => b.source.batch(spark, baseDir), tenant)
 
   /** Streaming form of [[vehicleCmfBatch]] over the same spool layout. */
   def vehicleCmfStream(spark: SparkSession, baseDir: String,
-                       tenant: String = "acme"): Translated = {
-    val parts = vehicleBindings.map { b =>
-      b.translate(b.source.stream(spark, baseDir), tenant)
-    }
+                       tenant: String = "acme"): Translated =
+    vehicleCmf(b => b.source.stream(spark, baseDir), tenant)
+
+  /** The shared translate→union shape; only source resolution differs
+    * between batch and streaming, so it is the only injected piece. */
+  private def vehicleCmf(resolve: TranslatorBinding => DataFrame,
+                         tenant: String): Translated = {
+    val parts = vehicleBindings.map(b => b.translate(resolve(b), tenant))
     Translated(
       valid = parts.map(_.valid.select(col("cmf_json").as("value")))
         .reduce(_ unionByName _),

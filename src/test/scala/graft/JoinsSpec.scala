@@ -45,4 +45,36 @@ class JoinsSpec extends SparkSpec {
     assert(bucketed === naive)
     assert(bucketed.nonEmpty)
   }
+
+  test("asofJoin: a latest right row with NULL value wins as-is (no stale value substitution)") {
+    import spark.implicits._
+    val right = Seq((1L, 10L, Some("A")), (1L, 20L, None))
+      .toDF("k", "rts", "rv")
+    val left = Seq((1L, 30L)).toDF("k", "lts")
+    val r = Joins.asofJoin(left, right, "k", "lts", "rts", "rv").head()
+    // latest at-or-before is (ts=20, value=NULL); pairing ts=20 with "A"
+    // would misreport when the value was observed
+    assert(r.getAs[Long]("rv_ts") === 20L)
+    assert(r.isNullAt(r.fieldIndex("rv")))
+  }
+
+  test("asofJoin: caller columns named like old internals survive") {
+    import spark.implicits._
+    val right = Seq((1L, 10L, "A")).toDF("k", "rts", "rv")
+    val left = Seq((1L, 30L, "keep-me")).toDF("k", "lts", "_t")
+    val r = Joins.asofJoin(left, right, "k", "lts", "rts", "rv").head()
+    assert(r.getAs[String]("_t") === "keep-me")
+  }
+
+  test("saltedJoin rejects join types that would duplicate unmatched small rows") {
+    import spark.implicits._
+    import graft.ops.Partitioning
+    val big = Seq((1L, "x")).toDF("k", "a")
+    val small = Seq((1L, "y"), (2L, "unmatched")).toDF("k", "b")
+    intercept[IllegalArgumentException] {
+      Partitioning.saltedJoin(big, small, "k", joinType = "full")
+    }
+    // inner remains exact
+    assert(Partitioning.saltedJoin(big, small, "k").count() === 1)
+  }
 }

@@ -226,6 +226,15 @@ class OpsSpec extends SparkSpec {
       Row("1970-01-01T01:00:00Z", "view", 1L, 1.0)))
   }
 
+  test("qualityFilter: NULL text is rejected with an explicit reason") {
+    import spark.implicits._
+    val d = Seq((1L, null: String),
+      (2L, "the cat and the dog sat on a mat of straw here")).toDF("doc_id", "text")
+    val r = TextAnalysis.qualityFilter(d).orderBy("doc_id").collect()
+    assert(r(0).getBoolean(1) === false && r(0).getString(2) === "null_text")
+    assert(r(1).getBoolean(1) === true)
+  }
+
   test("frameSample: stride beyond payload yields NULL, not the empty-input md5") {
     import spark.implicits._
     import graft.ops.Multimodal
