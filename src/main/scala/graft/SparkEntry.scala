@@ -29,11 +29,23 @@ object SparkEntry {
   private val sqlEpochS  = s"($sqlEpochUs//1000000)"
   private def sqlIsoFromS(s: String) =
     s"strftime(make_timestamp(($s)*1000000), '%Y-%m-%dT%H:%M:%SZ')"
-  private def sqlIsoFromMs(ms: String) =
-    s"(strftime(make_timestamp((($ms)//1000)*1000000), '%Y-%m-%dT%H:%M:%S') || " +
-    s"CASE WHEN ($ms)%1000=0 THEN 'Z' ELSE '.'||lpad((($ms)%1000)::VARCHAR,3,'0')||'Z' END)"
-  /** Rows RawGen poisons for the vehicle-translator corpora. */
-  private val sqlVehicleValid = "event_id % 10 NOT IN (0, 5)"
+  // floor-div + pmod, NOT DuckDB's truncating // and sign-preserving %:
+  // Spark's date_format/pmod floor toward -inf, so a negative epoch-ms
+  // (pre-1970, or ford's ms-5000 near zero) would otherwise render garbage
+  // like '23:59:59.-50Z' on the oracle side only
+  private def sqlIsoFromMs(ms: String) = {
+    val sec = s"CAST(floor(($ms)/1000.0) AS BIGINT)"
+    val frac = s"((($ms) % 1000 + 1000) % 1000)"
+    s"(strftime(make_timestamp($sec*1000000), '%Y-%m-%dT%H:%M:%S') || " +
+    s"CASE WHEN $frac=0 THEN 'Z' ELSE '.'||lpad($frac::VARCHAR,3,'0')||'Z' END)"
+  }
+  /** Rows RawGen poisons for the vehicle-translator corpora, plus NULL-input
+    * rows (a NULL id/ts nulls a required JSON field → translator quarantine;
+    * NULL % 10 matches neither IN nor NOT IN, so it must be explicit). */
+  private val sqlVehicleValid = "event_id % 10 NOT IN (0, 5)" +
+    " AND event_id IS NOT NULL AND user_id IS NOT NULL AND ts IS NOT NULL"
+  private val sqlVehiclePoison = "(event_id % 10 IN (0, 5)" +
+    " OR event_id IS NULL OR user_id IS NULL OR ts IS NULL)"
 
   // ---------- query implementations ----------
 
@@ -228,8 +240,11 @@ object SparkEntry {
     RawGen.table(s, dir, "part")
       .groupBy("p_brand")
       .agg(count(lit(1)).as("cnt"),
-        (sum(col("p_retailprice").cast("decimal(18,4)")) /
-          count(lit(1))).cast("double").as("avg_price"),
+        // divide in DOUBLE on both engines: decimal÷bigint takes different
+        // rounding paths in Spark (exact decimal quotient, then cast) vs
+        // DuckDB (double÷double), differing by 1 ulp on unlucky averages
+        (sum(col("p_retailprice").cast("decimal(18,4)")).cast("double") /
+          count(lit(1))).as("avg_price"),
         max("p_size").as("max_size"))
       .orderBy("p_brand")
 
@@ -350,9 +365,13 @@ object SparkEntry {
       .select(
         col("eu").as("exact_users"),
         col("et").as("exact_types"),
-        (abs(col("au") - col("eu")).cast("double") / col("eu") < 0.05)
+        // exact=0 (empty table) means approx must be 0 too — the ratio form
+        // would be 0/0 = NULL where the oracle hardcodes true
+        when(col("eu") === 0, col("au") === 0)
+          .otherwise(abs(col("au") - col("eu")).cast("double") / col("eu") < 0.05)
           .as("users_within_tol"),
-        (abs(col("at") - col("et")).cast("double") / col("et") < 0.05)
+        when(col("et") === 0, col("at") === 0)
+          .otherwise(abs(col("at") - col("et")).cast("double") / col("et") < 0.05)
           .as("types_within_tol"))
 
   private def neardupJaccardQ(s: SparkSession, dir: String): DataFrame =
@@ -644,15 +663,16 @@ object SparkEntry {
        |FROM base ORDER BY device_id""".stripMargin
 
   private val quarantineSql =
-    """SELECT src AS source, CAST(n AS BIGINT) AS quarantined FROM (
-      |  SELECT 'calamp' AS src, count(*) AS n FROM events WHERE event_id % 10 IN (0,5)
-      |  UNION ALL SELECT 'ford', count(*) FROM events WHERE event_id % 10 IN (0,5)
-      |  UNION ALL SELECT 'geotab', count(*) FROM events WHERE event_id % 10 IN (0,5)
-      |) ORDER BY source""".stripMargin
+    s"""SELECT src AS source, CAST(n AS BIGINT) AS quarantined FROM (
+       |  SELECT 'calamp' AS src, count(*) AS n FROM events WHERE $sqlVehiclePoison
+       |  UNION ALL SELECT 'ford', count(*) FROM events WHERE $sqlVehiclePoison
+       |  UNION ALL SELECT 'geotab', count(*) FROM events WHERE $sqlVehiclePoison
+       |) ORDER BY source""".stripMargin
 
   private val routeFiltererSql =
     s"""WITH base AS (
-       |  SELECT user_id, $sqlEpochMs AS ms FROM events WHERE user_id % 6 = 5)
+       |  SELECT user_id, $sqlEpochMs AS ms FROM events
+       |  WHERE user_id % 6 = 5 AND ts IS NOT NULL)
        |SELECT 'tenant-'||(user_id%4) AS tenant_id,
        |  'persistent://tenant-'||(user_id%4)||'/integration/telemetry' AS topic,
        |  CAST(count(*) AS BIGINT) AS msg_cnt,
@@ -664,7 +684,11 @@ object SparkEntry {
     s"""WITH base AS (
        |  SELECT event_id, user_id, $sqlEpochS AS es, event_id % 5 AS kind,
        |    CAST(floor(value*100) AS BIGINT) AS cents
-       |  FROM events WHERE user_id % 9 <> 0),
+       |  FROM events
+       |  WHERE (user_id % 9 <> 0 OR user_id IS NULL)
+       |    AND event_id IS NOT NULL AND ts IS NOT NULL
+       |    AND (event_id % 5 <> 3 OR value IS NOT NULL)
+       |    AND (event_id % 5 NOT IN (0, 2) OR user_id IS NOT NULL)),
        |p AS (
        |  SELECT event_id, kind, ${sqlIsoFromS("es")} AS iso_s,
        |    CASE kind WHEN 0 THEN 'user-service' WHEN 1 THEN 'order-service'
@@ -701,8 +725,8 @@ object SparkEntry {
     s"""WITH v AS (SELECT ($sqlEpochS)*1000 AS es FROM events WHERE $sqlVehicleValid)
        |SELECT src AS source_type, CAST(n AS BIGINT) AS msg_cnt, mn AS min_epoch, mx AS max_epoch
        |FROM (
-       |  SELECT 'CalAmp' AS src, count(*) n, min(es) mn, max(es) mx FROM v
-       |  UNION ALL SELECT 'Geotab', count(*), min(es), max(es) FROM v
+       |  SELECT 'CalAmp' AS src, count(*) n, min(es) mn, max(es) mx FROM v HAVING count(*) > 0
+       |  UNION ALL SELECT 'Geotab', count(*), min(es), max(es) FROM v HAVING count(*) > 0
        |) ORDER BY source_type""".stripMargin
 
   private val q1AggSql =
@@ -801,7 +825,7 @@ object SparkEntry {
 
   private val qPartStatsSql =
     """SELECT p_brand, CAST(count(*) AS BIGINT) AS cnt,
-      |  CAST(SUM(CAST(p_retailprice AS DECIMAL(18,4)))/count(*) AS DOUBLE) AS avg_price,
+      |  CAST(SUM(CAST(p_retailprice AS DECIMAL(18,4))) AS DOUBLE)/count(*) AS avg_price,
       |  CAST(MAX(p_size) AS INT) AS max_size
       |FROM part GROUP BY 1 ORDER BY 1""".stripMargin
 
@@ -813,7 +837,7 @@ object SparkEntry {
 
   private val qualityFilterSql =
     s"""WITH w AS (SELECT doc_id, text, $duckWords AS ws FROM documents),
-       |m AS (SELECT doc_id,
+       |m AS (SELECT doc_id, text,
        |  len(ws) AS nw,
        |  CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)/len(ws) AS ml,
        |  CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
@@ -822,6 +846,7 @@ object SparkEntry {
        |    / len(ws) AS st
        |FROM w),
        |r AS (SELECT doc_id, concat_ws(',',
+       |  CASE WHEN text IS NULL THEN 'null_text' END,
        |  CASE WHEN nw < 10 THEN 'too_few_words' END,
        |  CASE WHEN nw > 100000 THEN 'too_many_words' END,
        |  CASE WHEN ml < 2.0 THEN 'short_words' END,
@@ -920,7 +945,8 @@ object SparkEntry {
 
   private val knnBruteSql =
     """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-      |n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
+      |n AS (SELECT * FROM (SELECT vec_id, emb,
+      |  sqrt(list_dot_product(emb, emb)) AS nrm FROM e) WHERE nrm > 0),
       |q AS (SELECT vec_id AS qid, emb AS qemb, nrm AS qnrm FROM n WHERE vec_id < 8),
       |s AS (SELECT qid AS query_id, n.vec_id AS neighbor_id,
       |    list_dot_product(qemb, emb)/(qnrm*nrm) AS sim
@@ -935,8 +961,9 @@ object SparkEntry {
       s"(CASE WHEN list_dot_product(emb, $arr::DOUBLE[]) > 0 THEN '1' ELSE '0' END)"
     }.mkString(" || ")
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-       |n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm,
-       |  $sigExpr AS sig FROM e),
+       |n AS (SELECT * FROM (SELECT vec_id, emb,
+       |  sqrt(list_dot_product(emb, emb)) AS nrm,
+       |  $sigExpr AS sig FROM e) WHERE nrm > 0),
        |q AS (SELECT vec_id AS qid, emb AS qemb, nrm AS qnrm, sig FROM n WHERE vec_id < 8),
        |s AS (SELECT qid AS query_id, n.vec_id AS neighbor_id,
        |    list_dot_product(qemb, emb)/(qnrm*nrm) AS sim
@@ -957,8 +984,9 @@ object SparkEntry {
       s"substr(sig,1,$j) || (CASE WHEN substr(sig,${j + 1},1)='1' THEN '0' ELSE '1' END) || substr(sig,${j + 2},${8 - j - 1})"
     }.mkString("[sig, ", ", ", "]")
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-       |n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm,
-       |  $sigExpr AS sig FROM e),
+       |n AS (SELECT * FROM (SELECT vec_id, emb,
+       |  sqrt(list_dot_product(emb, emb)) AS nrm,
+       |  $sigExpr AS sig FROM e) WHERE nrm > 0),
        |q AS (SELECT vec_id AS qid, emb AS qemb, nrm AS qnrm,
        |    unnest($flips) AS probe
        |  FROM n WHERE vec_id < 8),
@@ -977,8 +1005,9 @@ object SparkEntry {
     val scoreList = cents.map(c => s"list_dot_product(emb, $c::DOUBLE[])")
       .mkString("[", ", ", "]")
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-       |n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm,
-       |  $scoreList AS s FROM e),
+       |n AS (SELECT * FROM (SELECT vec_id, emb,
+       |  sqrt(list_dot_product(emb, emb)) AS nrm,
+       |  $scoreList AS s FROM e) WHERE nrm > 0),
        |c AS (SELECT vec_id, emb, nrm, list_position(s, list_max(s)) AS cid FROM n),
        |q AS (SELECT vec_id AS qid, emb AS qemb, nrm AS qnrm,
        |    unnest([list_position(s, list_max(s)),
@@ -1055,8 +1084,9 @@ object SparkEntry {
       s"(CASE WHEN list_dot_product(emb, $arr::DOUBLE[]) > 0 THEN '1' ELSE '0' END)"
     }.mkString(" || ")
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-       |n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm,
-       |  $sigExpr AS sig FROM e),
+       |n AS (SELECT * FROM (SELECT vec_id, emb,
+       |  sqrt(list_dot_product(emb, emb)) AS nrm,
+       |  $sigExpr AS sig FROM e) WHERE nrm > 0),
        |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        |    list_dot_product(a.emb, b.emb)/(a.nrm*b.nrm) AS cos
        |  FROM n a JOIN n b ON a.sig = b.sig AND a.vec_id < b.vec_id)

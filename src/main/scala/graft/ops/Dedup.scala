@@ -36,7 +36,8 @@ object Dedup {
       .groupBy(s"${textCol}_md5")
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("copies"))
 
-  def words(text: Column): Column = split(trim(text), "\\s+")
+  // wsPlus, not \\s+: Java \\s includes \\x0B, the oracle's RE2 \\s does not
+  def words(text: Column): Column = split(trim(text), TextAnalysis.wsPlus)
 
   /** Word n-gram shingles (requires size(words) >= n; filter first). */
   def shingles(wordsCol: Column, n: Int): Column =

@@ -75,9 +75,11 @@ object Similarity {
     val q = queries.select(col("vec_id").as("query_id"),
       asDouble(col("embedding")).as("q_emb"))
       .withColumn("q_norm", norm(col("q_emb")))
+      .filter(col("q_norm") > 0.0)
     val c = corpus.select(col("vec_id").as("neighbor_id"),
       asDouble(col("embedding")).as("c_emb"))
       .withColumn("c_norm", norm(col("c_emb")))
+      .filter(col("c_norm") > 0.0)
     val sim = dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .select(col("query_id").cast("long"), col("neighbor_id").cast("long"),
@@ -99,9 +101,11 @@ object Similarity {
     val q = queries.select(col("vec_id").as("query_id"),
       asDouble(col("embedding")).as("q_emb"))
       .withColumn("q_norm", norm(col("q_emb")))
+      .filter(col("q_norm") > 0.0)
     val c = corpus.select(col("vec_id").as("neighbor_id"),
       asDouble(col("embedding")).as("c_emb"))
       .withColumn("c_norm", norm(col("c_emb")))
+      .filter(col("c_norm") > 0.0)
     val sim = dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .select(col("query_id").cast("long"), col("neighbor_id").cast("long"),
@@ -149,6 +153,7 @@ object Similarity {
     val ps = planes(numPlanes, dim)
     val base = corpus.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
       .withColumn("nrm", norm(col("emb")))
+      .filter(col("nrm") > 0.0)
       .withColumn("sig", lshSignature(col("emb"), ps))
     val a = base.select(col("vec_id").as("vec_a"), col("emb").as("a_emb"),
       col("nrm").as("a_nrm"), col("sig"))
@@ -189,6 +194,7 @@ object Similarity {
     val c = corpus.select(col("vec_id").as("neighbor_id"),
       asDouble(col("embedding")).as("c_emb"))
       .withColumn("c_norm", norm(col("c_emb")))
+      .filter(col("c_norm") > 0.0)
       .withColumn("_s", scores(col("c_emb")))
       .withColumn("cid", array_position(col("_s"), array_max(col("_s"))))
       .drop("_s")
@@ -198,6 +204,7 @@ object Similarity {
     val q = queries.select(col("vec_id").as("query_id"),
       asDouble(col("embedding")).as("q_emb"))
       .withColumn("q_norm", norm(col("q_emb")))
+      .filter(col("q_norm") > 0.0)
       .withColumn("_s", scores(col("q_emb")))
       .withColumn("_m1", array_position(col("_s"), array_max(col("_s"))))
       .withColumn("_m2", array_position(col("_s"),
@@ -239,11 +246,13 @@ object Similarity {
     val q = queries.select(col("vec_id").as("query_id"),
       asDouble(col("embedding")).as("q_emb"))
       .withColumn("q_norm", norm(col("q_emb")))
+      .filter(col("q_norm") > 0.0)
       .withColumn("sig",
         explode(probeSignatures(lshSignature(col("q_emb"), ps), numPlanes)))
     val c = corpus.select(col("vec_id").as("neighbor_id"),
       asDouble(col("embedding")).as("c_emb"))
       .withColumn("c_norm", norm(col("c_emb")))
+      .filter(col("c_norm") > 0.0)
       .withColumn("sig", lshSignature(col("c_emb"), ps))
     val sim = dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm"))
     // no pair dedup needed: a corpus row has exactly ONE signature and the
@@ -268,10 +277,12 @@ object Similarity {
     val q = queries.select(col("vec_id").as("query_id"),
       asDouble(col("embedding")).as("q_emb"))
       .withColumn("q_norm", norm(col("q_emb")))
+      .filter(col("q_norm") > 0.0)
       .withColumn("sig", lshSignature(col("q_emb"), ps))
     val c = corpus.select(col("vec_id").as("neighbor_id"),
       asDouble(col("embedding")).as("c_emb"))
       .withColumn("c_norm", norm(col("c_emb")))
+      .filter(col("c_norm") > 0.0)
       .withColumn("sig", lshSignature(col("c_emb"), ps))
     val sim = dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm"))
     val scored = c.join(broadcast(q), Seq("sig"))

@@ -10,17 +10,25 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
+  /** The whitespace class shared by every tokenizer here: the RE2 set
+    * ([ \t\n\f\r]) written explicitly, because Java's \s additionally
+    * includes vertical tab (\x0B) while the DuckDB oracle's RE2 \s does
+    * not — an explicit class keeps both engines tokenizing identically. */
+  val wsChars = " \\t\\n\\f\\r"
+  val wsPlus = s"[$wsChars]+"
+  val wsOne = s"[$wsChars]"
+
   /** BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation. */
-  val tokenPattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+  val tokenPattern = s"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9$wsChars]"
 
   def textStats(docs: DataFrame): DataFrame = {
-    val w = split(trim(col("text")), "\\s+")
+    val w = split(trim(col("text")), wsPlus)
     docs.select(
       col("doc_id"),
       length(col("text")).cast("long").as("n_chars"),
       size(w).cast("long").as("n_words"),
       size(array_distinct(w)).cast("long").as("n_distinct_words"),
-      (length(regexp_replace(col("text"), "\\s", "")).cast("double") / size(w))
+      (length(regexp_replace(col("text"), wsOne, "")).cast("double") / size(w))
         .as("avg_word_len"),
       (size(filter(w, x => x.isin("the", "a", "of", "and"))).cast("double") / size(w))
         .as("stopword_ratio"),
@@ -33,7 +41,7 @@ object TextAnalysis {
   /** Heuristic language ID by stopword evidence, argmax over languages with
     * a fixed preference order on ties (en > fr > de > es). */
   def langId(docs: DataFrame): DataFrame = {
-    val w = split(trim(col("text")), "\\s+")
+    val w = split(trim(col("text")), wsPlus)
     def hits(stops: Seq[String]): Column =
       size(filter(w, x => x.isin(stops: _*)))
     val en = hits(Seq("the", "a", "of", "and", "is"))
@@ -81,7 +89,7 @@ object TextAnalysis {
     * text. Equal fingerprints ⇒ same normalized content. */
   def fingerprint(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
-      md5(regexp_replace(lower(col("text")), "\\s+", " ")).as("fingerprint"))
+      md5(regexp_replace(lower(col("text")), wsPlus, " ")).as("fingerprint"))
 
   /** Gopher-style quality gate: cheap per-row heuristics that drop boilerplate
     * and garbage before expensive dedup/training stages. Emits the verdict
@@ -92,11 +100,11 @@ object TextAnalysis {
                     minMeanWordLen: Double = 2.0, maxMeanWordLen: Double = 12.0,
                     maxSymbolRatio: Double = 0.2,
                     minStopwordRatio: Double = 0.005): DataFrame = {
-    val w = split(trim(col("text")), "\\s+")
+    val w = split(trim(col("text")), wsPlus)
     val nWords = size(w)
-    val meanLen = length(regexp_replace(col("text"), "\\s", "")).cast("double") / nWords
+    val meanLen = length(regexp_replace(col("text"), wsOne, "")).cast("double") / nWords
     val symbolRatio =
-      length(regexp_replace(col("text"), "[a-zA-Z0-9\\s]", "")).cast("double") /
+      length(regexp_replace(col("text"), s"[a-zA-Z0-9$wsChars]", "")).cast("double") /
         greatest(length(col("text")), lit(1))
     val stopRatio =
       size(filter(w, x => x.isin("the", "a", "of", "and", "is"))).cast("double") / nWords
@@ -122,7 +130,7 @@ object TextAnalysis {
     * is O(distinct·total) on ~10²-word docs — fine; no shuffle, scan-fused).
     * Docs with fewer than n words are dropped (no n-grams to measure). */
   def repetitionRatio(docs: DataFrame, n: Int = 2): DataFrame = {
-    val w = split(trim(col("text")), "\\s+")
+    val w = split(trim(col("text")), wsPlus)
     val grams = transform(sequence(lit(0), size(col("_ws")) - n),
       i => array_join(slice(col("_ws"), i + lit(1), lit(n)), " "))
     docs.filter(size(w) >= n)
@@ -149,7 +157,7 @@ object TextAnalysis {
     * per-doc top-k is a window partitioned by doc_id. */
   def tfidfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
     val tokens = docs.select(col("doc_id"),
-      explode(split(trim(col("text")), "\\s+")).as("term"))
+      explode(split(trim(col("text")), wsPlus)).as("term"))
     val tf = tokens.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val total = docs.select(count(lit(1)).as("n_docs"))
@@ -169,7 +177,7 @@ object TextAnalysis {
   // repeats, \b) so Java regex (Spark) and RE2 (DuckDB oracle) agree.
   val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val ipv4Pattern  = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
-  val phonePattern = "\\+?\\d[\\d\\-\\s()]{6,}\\d"
+  val phonePattern = s"\\+?\\d[\\d\\-$wsChars()]{6,}\\d"
 
   /** Deterministic PII-bearing corpus for exercising [[piiScrub]]: the test
     * documents contain no real PII, so append one email, one phone, and one
@@ -209,7 +217,7 @@ object TextAnalysis {
     // NB: Spark's sequence(a, b) DESCENDS when a > b (it never returns
     // empty), so every sequence below is guarded by a when() on the count.
     val base = docs.select(col("doc_id"),
-      regexp_replace(lower(col("text")), "\\s+", " ").as("_norm"))
+      regexp_replace(lower(col("text")), wsPlus, " ").as("_norm"))
       .withColumn("_n", greatest(length(col("_norm")) - (k - 1), lit(0)))
       .withColumn("_grams", when(col("_n") >= 1,
         transform(sequence(lit(1), col("_n")),
