@@ -216,6 +216,28 @@ class StreamingSpec extends SparkSpec {
     assert(rows(2L) === Seq(20L))
   }
 
+  test("sessionizeWithState: out-of-order event inside the watermark extends session START") {
+    import spark.implicits._
+    val stream = MemoryStream[(Long, Long)](spark)
+    val events = stream.toDF().toDF("user_id", "epoch_us")
+    val sessions = StreamingOps.sessionizeWithState(events, gapSeconds = 100)
+    val q = sessions.writeStream.format("memory").queryName("ooo_stream")
+      .outputMode("append").start()
+    val us = (s: Long) => s * 1000000L
+    stream.addData((10L, us(1000)))
+    q.processAllAvailable()
+    // watermark is 1000-100=900s, so 950s is legal late data; it precedes
+    // the open session's start and must extend it backward
+    stream.addData((10L, us(950)))
+    q.processAllAvailable()
+    stream.addData((10L, us(3000))) // gap-close the session
+    q.processAllAvailable()
+    q.stop()
+    val r = spark.table("ooo_stream").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    assert(r === Array((10L, us(950), us(1000), 2L)))
+  }
+
   test("streaming fan-out writes per-tenant directories via foreachBatch") {
     import spark.implicits._
     val out = java.nio.file.Files.createTempDirectory("fanout").toString
