@@ -68,6 +68,21 @@ class PlanSpec extends SparkSpec {
     assert(!plan(TextAnalysis.piiScrub(docs)).contains("Exchange"), "piiScrub shuffles")
   }
 
+  test("NO registered query plans a cartesian product; BNLJ only with a broadcast-small side") {
+    // broadcast nested-loop is INTENDED where a tiny side is broadcast
+    // against a non-equi condition: ANN brute scoring (a handful of query
+    // vectors; knn_recall embeds it) and tfidf's 1-row corpus-count join
+    val bnljAllowed = Set("knn_brute", "knn_topk_agg", "knn_recall", "tfidf_top_terms")
+    val dir = "/root/testdata/sf0.001"
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val p = fn(spark, dir).queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
+      if (!bnljAllowed.contains(name))
+        assert(!p.contains("BroadcastNestedLoopJoin"),
+          s"$name plans an unexpected nested-loop join")
+    }
+  }
+
   test("minhash signature frame carries no shingle arrays into the band self-join") {
     import spark.implicits._
     val docs = Seq((1L, "a b c d e f"), (2L, "a b c d e f")).toDF("doc_id", "text")
