@@ -238,6 +238,24 @@ class StreamingSpec extends SparkSpec {
     assert(r === Array((10L, us(950), us(1000), 2L)))
   }
 
+  test("curation ops run unchanged on a stream: piiScrub over MemoryStream == batch") {
+    import spark.implicits._
+    import graft.ops.TextAnalysis
+    val rows = Seq((1L, "reach me at who@where.org now"), (2L, "no pii here at all"))
+    val stream = MemoryStream[(Long, String)](spark)
+    val q = TextAnalysis.piiScrub(stream.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("pii_stream")
+      .outputMode("append").start()
+    stream.addData(rows: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("pii_stream").collect().map(_.toSeq).sortBy(_.head.toString)
+    val batch = TextAnalysis.piiScrub(rows.toDF("doc_id", "text"))
+      .collect().map(_.toSeq).sortBy(_.head.toString)
+    assert(streamed === batch)
+    assert(streamed.head(1) === 1L) // doc 1 found one email
+  }
+
   test("streaming fan-out writes per-tenant directories via foreachBatch") {
     import spark.implicits._
     val out = java.nio.file.Files.createTempDirectory("fanout").toString

@@ -141,6 +141,18 @@ class TranslatorSpec extends SparkSpec {
     assert(t.valid.count() === 0 && t.quarantine.count() === 1)
   }
 
+  test("calamp: null and malformed input quarantined, job survives (5-scenario parity)") {
+    val t = VehicleTranslators.calAmp(strings(null, """{"unit_id": 12"""), "t")
+    assert(t.valid.count() === 0 && t.quarantine.count() === 2)
+  }
+
+  test("calamp: unknown top-level key rejects the record (Jackson strictness)") {
+    val in = """{"unit_id":"u","vid":"v","msg_ts":1698919200,""" +
+      """"gps_lat":37.0,"gps_lon":-116.0,"surprise_field":1}"""
+    val t = VehicleTranslators.calAmp(strings(in), "t")
+    assert(t.valid.count() === 0 && t.quarantine.count() === 1)
+  }
+
   // --- Ford (FordTranslatorTest.kt) ---
 
   test("ford: valid input, dual timestamps, rpm widened (golden: FordTranslatorTest.kt:31-85)") {
@@ -180,6 +192,18 @@ class TranslatorSpec extends SparkSpec {
 
   test("ford: missing required (coords) quarantines (ref :122-129)") {
     val t = VehicleTranslators.ford(strings("""{"vin": "test"}"""), "t")
+    assert(t.valid.count() === 0 && t.quarantine.count() === 1)
+  }
+
+  test("ford: null and malformed input quarantined, job survives (5-scenario parity)") {
+    val t = VehicleTranslators.ford(strings(null, """{"vin": "trunc"""), "t")
+    assert(t.valid.count() === 0 && t.quarantine.count() === 2)
+  }
+
+  test("ford: unknown top-level key rejects the record (Jackson strictness)") {
+    val in = """{"vin":"v","esn":"e","captureTime":1701432000000,""" +
+      """"coords":{"latValue":1.0,"lonValue":2.0,"ts":1701431999000},"mystery":true}"""
+    val t = VehicleTranslators.ford(strings(in), "t")
     assert(t.valid.count() === 0 && t.quarantine.count() === 1)
   }
 
