@@ -1286,9 +1286,11 @@ object SparkEntry {
     val cols = Seq("click", "view", "purchase", "signup", "error").map(t =>
       s"CAST(count(CASE WHEN event_type='$t' THEN 1 END) AS BIGINT) AS $t")
       .mkString(",\n  ")
+    // NULLS FIRST: Spark's orderBy puts NULL first, DuckDB's puts it last —
+    // align so a future corpus with NULL user_id can't flip the row order.
     s"""SELECT user_id % 8 AS bucket,
        |  $cols
-       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+       |FROM events GROUP BY 1 ORDER BY 1 NULLS FIRST""".stripMargin
   }
 
   def oracleSql: Map[String, String] = Map(

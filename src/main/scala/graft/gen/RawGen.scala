@@ -14,6 +14,13 @@ import org.apache.spark.sql.types._
   * output from the same parquet with plain SQL. Poison shapes mirror the
   * reference's load generator, which intentionally sends schema-mismatched
   * payloads at the translators (load_test.py:32–52).
+  *
+  * SIDE EFFECT: `events`/`table` set `spark.sql.session.timeZone=UTC` and
+  * `spark.sql.legacy.parquet.nanosAsLong=true` on the CALLER's session.
+  * Both are load-bearing (IsoTime's literal-`Z` output; Spark 4's
+  * TIMESTAMP(NANOS) parquet rejection) and must hold for any session that
+  * reads these corpora — but a caller embedding this reader in a session
+  * that also runs non-UTC workloads inherits the change session-wide.
   */
 object RawGen {
 

@@ -189,7 +189,10 @@ object Dedup {
     val bands = array((0 until numBands).map(b =>
       substring(col("simhash"), b * bandBits + 1, bandBits)): _*)
     // persist: the per-row sketch (bits× aggregate() votes) is the dominant
-    // per-doc cost and both join sides would otherwise recompute it. The
+    // per-doc cost and both join sides would otherwise recompute it. Cache
+    // lifetime caveat (same as jaccardNeardup's inverted index): the block
+    // lives until session GC / clearCache — a long-lived pipeline invoking
+    // this repeatedly should eagerly materialize and unpersist. The
     // fingerprint rides the join as ONE long (conv base-2), so per-pair
     // Hamming is a single xor+bit_count — candidate volume is quadratic in
     // hot buckets, and a 32-branch comparison chain there is the bottleneck

@@ -49,13 +49,18 @@ object Sampling {
   /** Deterministic train/validation/test assignment from the SECOND hex
     * digit pair of the id hash, so splits are independent of any
     * stratifiedSample decision taken on the first pair (a doc sampled in is
-    * not biased toward any split). Fractions quantize to 1/256. */
+    * not biased toward any split). Fractions quantize to 1/256; a fraction
+    * (or cumulative train+val) that rounds to 256/256 short-circuits to
+    * always-match, mirroring [[keepPredicate]] — otherwise the clamped "ff"
+    * threshold would mis-assign the ~1/256 of ids whose hash pair is "ff". */
   def splitAssign(df: DataFrame, idCol: String,
                   trainFrac: Double = 0.8, valFrac: Double = 0.1): DataFrame = {
     val h = substring(md5(col(idCol).cast("string")), 3, 2)
+    def below(frac: Double): Column =
+      if (math.round(frac * 256) >= 256) lit(true) else h < hexThreshold(frac)
     df.withColumn("split",
-      when(h < hexThreshold(trainFrac), "train")
-        .when(h < hexThreshold(trainFrac + valFrac), "val")
+      when(below(trainFrac), "train")
+        .when(below(trainFrac + valFrac), "val")
         .otherwise("test"))
   }
 }

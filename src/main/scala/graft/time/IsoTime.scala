@@ -36,13 +36,23 @@ object IsoTime {
   def isoFromEpochSeconds(epochS: Column): Column =
     isoFromEpochMillis(try_multiply(epochS, lit(1000L)))
 
-  /** ISO-8601 string (offset or `Z`, optional ms fraction) → epoch millis.
+  /** ISO-8601 string (offset or `Z`, optional fraction) → epoch millis.
     * Mirrors `Instant.parse(s).toEpochMilli()` (GeotabTranslator.kt:108) and
     * yields NULL on unparseable input instead of raising (the poison-message
     * path — GeotabTranslator.kt:154–157 drops such records). The explicit
-    * pattern matters: a format-less try_to_timestamp also accepts bare dates
+    * patterns matter: a format-less try_to_timestamp also accepts bare dates
     * and space-separated datetimes that `Instant.parse` rejects, which would
-    * admit records the reference drops. */
-  def epochMillisFromIso(iso: Column): Column =
-    unix_millis(try_to_timestamp(iso, lit("yyyy-MM-dd'T'HH:mm:ss[.SSS]XXX")))
+    * admit records the reference drops. `Instant.parse` accepts 1–9
+    * fractional digits, so beyond the dominant 0/3-digit shape we fall back
+    * through every other width (coalesce stops at the first hit, so the
+    * common case pays for one parse); sub-millisecond digits truncate via
+    * unix_millis exactly as `toEpochMilli` does. */
+  def epochMillisFromIso(iso: Column): Column = {
+    val widths = Seq(3, 0, 1, 2, 4, 5, 6, 7, 8, 9)
+    val pats = widths.map {
+      case 0 => "yyyy-MM-dd'T'HH:mm:ssXXX"
+      case n => s"yyyy-MM-dd'T'HH:mm:ss.${"S" * n}XXX"
+    }
+    unix_millis(coalesce(pats.map(p => try_to_timestamp(iso, lit(p))): _*))
+  }
 }

@@ -27,6 +27,44 @@ class PropSpec extends SparkSpec {
     assert(bad === 0)
   }
 
+  test("epochMillisFromIso accepts 1-9 fractional digits like Instant.parse") {
+    import spark.implicits._
+    // Instant.parse("2023-10-26T10:00:00.<frac>Z").toEpochMilli truncates
+    // sub-ms digits; bare dates / space-separated datetimes stay rejected.
+    val cases = Seq(
+      ("2023-10-26T10:00:00Z", 1698314400000L),
+      ("2023-10-26T10:00:00.1Z", 1698314400100L),
+      ("2023-10-26T10:00:00.12Z", 1698314400120L),
+      ("2023-10-26T10:00:00.123Z", 1698314400123L),
+      ("2023-10-26T10:00:00.1234Z", 1698314400123L),
+      ("2023-10-26T10:00:00.12345Z", 1698314400123L),
+      ("2023-10-26T10:00:00.123456Z", 1698314400123L),
+      ("2023-10-26T10:00:00.1234567Z", 1698314400123L),
+      ("2023-10-26T10:00:00.12345678Z", 1698314400123L),
+      ("2023-10-26T10:00:00.123456789Z", 1698314400123L),
+      ("2023-10-26T11:00:00.5+01:00", 1698314400500L))
+    val got = cases.map(_._1).toDF("iso")
+      .select(IsoTime.epochMillisFromIso(col("iso")).as("ms"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getLong(0))
+    got.zip(cases.map(_._2)).foreach { case (g, e) => assert(g === e) }
+    val rejected = Seq("2023-10-26", "2023-10-26 10:00:00Z",
+      "2023-10-26T10:00:00.Z", "not-a-time").toDF("iso")
+      .select(IsoTime.epochMillisFromIso(col("iso")).as("ms"))
+    assert(rejected.filter(col("ms").isNotNull).count() === 0)
+  }
+
+  test("splitAssign: fractions rounding to 256/256 short-circuit to always-keep") {
+    import spark.implicits._
+    import graft.ops.Sampling
+    val ids = (1L to 512L).map(Tuple1(_)).toDF("doc_id")
+    // trainFrac=1.0: everything is train (no 'ff' leak to val/test)
+    val allTrain = Sampling.splitAssign(ids, "doc_id", trainFrac = 1.0, valFrac = 0.0)
+    assert(allTrain.filter(col("split") =!= "train").count() === 0)
+    // train+val=1.0: nothing may land in test
+    val noTest = Sampling.splitAssign(ids, "doc_id", trainFrac = 0.5, valFrac = 0.5)
+    assert(noTest.filter(col("split") === "test").count() === 0)
+  }
+
   test("whole-second instants never carry a fractional part (reference formatter parity)") {
     import spark.implicits._
     val secs = (1 to 100).flatMap(_ => Gen.chooseNum(0L, 4102444800L).sample)
