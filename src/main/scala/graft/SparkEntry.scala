@@ -536,6 +536,77 @@ object SparkEntry {
       .orderBy("query_id")
   }
 
+  private def decontaminateQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.decontaminate(RawGen.table(s, dir, "documents")).orderBy("doc_id")
+
+  private def dedupSegmentQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.segmentDedup(RawGen.table(s, dir, "documents")).orderBy("doc_id")
+
+  private def embedQuantQ(s: SparkSession, dir: String): DataFrame =
+    Similarity.quantizeInt8(RawGen.table(s, dir, "embeddings")).orderBy("vec_id")
+
+  private def tokenBudgetQ(s: SparkSession, dir: String): DataFrame =
+    Sampling.tokenBudget(RawGen.table(s, dir, "documents"), 2000).orderBy("doc_id")
+
+  private def windowSliding(s: SparkSession, dir: String): DataFrame =
+    Windows.slidingCounts(RawGen.events(s, dir))
+      .orderBy("window_start", "event_type")
+
+  /** Non-hierarchical grouping sets — the one grouping shape rollup/cube
+    * can't express ((rf),(ls) with no (rf,ls) row). Subtotal NULLs are
+    * COALESCEd to 'ALL' so Spark/DuckDB NULL-sort divergence can't bite. */
+  private def qGroupingSets(s: SparkSession, dir: String): DataFrame =
+    RawGen.table(s, dir, "lineitem")
+      .groupingSets(Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("sum_qty"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("cnt"), col("sum_qty"))
+      .orderBy("rf", "ls")
+
+  private def qIntersect(s: SparkSession, dir: String): DataFrame = {
+    val o = RawGen.table(s, dir, "orders")
+    o.filter(col("o_orderstatus") === "F").select("o_custkey")
+      .intersect(o.filter(col("o_orderstatus") === "O").select("o_custkey"))
+      .orderBy("o_custkey")
+  }
+
+  private def qExcept(s: SparkSession, dir: String): DataFrame = {
+    val o = RawGen.table(s, dir, "orders")
+    o.filter(col("o_orderstatus") === "F").select("o_custkey")
+      .except(o.filter(col("o_orderstatus") === "O").select("o_custkey"))
+      .orderBy("o_custkey")
+  }
+
+  /** ntile quartiles per order status, summarized per (status, quartile).
+    * The window's ORDER BY is a total order (price, key) so the standard's
+    * bucket-boundary rule gives both engines identical assignment. */
+  private def qNtile(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderstatus")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    RawGen.table(s, dir, "orders")
+      .withColumn("quartile", ntile(4).over(w))
+      .groupBy("o_orderstatus", "quartile")
+      .agg(count(lit(1)).as("cnt"),
+        min(col("o_totalprice")).cast("double").as("min_price"),
+        max(col("o_totalprice")).cast("double").as("max_price"))
+      .orderBy("o_orderstatus", "quartile")
+  }
+
+  /** Ordered string aggregation (LISTAGG): collect_list has no deterministic
+    * order in a distributed agg, so sort the array before joining — same
+    * result as the oracle's string_agg(... ORDER BY). */
+  private def qStringAgg(s: SparkSession, dir: String): DataFrame =
+    RawGen.table(s, dir, "supplier")
+      .join(broadcast(RawGen.table(s, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        array_join(array_sort(collect_list(col("s_name"))), "|").as("supplier_list"))
+      .orderBy("n_name")
+
   // ---------- registry ----------
 
   // ListMap: registry order is execution order in Verify/Bench, so per-query
@@ -598,7 +669,17 @@ object SparkEntry {
     "simhash_neardup" -> (simhashNeardupQ _),
     "q_distinct_agg" -> (qDistinctAgg _),
     "q_pivot" -> (qPivot _),
-    "tfidf_top_terms" -> (tfidfQ _)
+    "tfidf_top_terms" -> (tfidfQ _),
+    "decontaminate" -> (decontaminateQ _),
+    "dedup_segment" -> (dedupSegmentQ _),
+    "embed_quant" -> (embedQuantQ _),
+    "token_budget" -> (tokenBudgetQ _),
+    "window_sliding" -> (windowSliding _),
+    "q_grouping_sets" -> (qGroupingSets _),
+    "q_intersect" -> (qIntersect _),
+    "q_except" -> (qExcept _),
+    "q_ntile" -> (qNtile _),
+    "q_string_agg" -> (qStringAgg _)
   )
 
   // ---------- DuckDB oracles ----------
@@ -1293,6 +1374,107 @@ object SparkEntry {
        |FROM events GROUP BY 1 ORDER BY 1 NULLS FIRST""".stripMargin
   }
 
+  private val decontaminateSql =
+    s"""WITH w AS (SELECT doc_id, $duckWords AS ws FROM documents),
+       |f AS (SELECT doc_id, list_distinct(list_transform(generate_series(0, len(ws)-3),
+       |    i -> array_to_string(ws[i+1:i+3], ' '))) AS sh FROM w WHERE len(ws) >= 3),
+       |ev AS (SELECT DISTINCT unnest(sh) AS g FROM f WHERE doc_id % 10 = 7),
+       |tr AS (SELECT doc_id, len(sh) AS nsh, unnest(sh) AS g FROM f WHERE doc_id % 10 <> 7),
+       |j AS (SELECT tr.doc_id, tr.nsh, count(ev.g) AS c
+       |  FROM tr LEFT JOIN ev ON tr.g = ev.g GROUP BY 1, 2)
+       |SELECT doc_id, CAST(nsh AS BIGINT) AS n_shingles, CAST(c AS BIGINT) AS n_overlap,
+       |  CAST(c AS DOUBLE)/nsh AS overlap_ratio, c > 0 AS contaminated
+       |FROM j ORDER BY doc_id""".stripMargin
+
+  private val dedupSegmentSql =
+    s"""WITH w AS (SELECT doc_id, $duckWords AS ws FROM documents),
+       |s AS (SELECT doc_id, list_transform(generate_series(0, CAST(ceil(len(ws)/10.0) AS INT) - 1),
+       |    i -> array_to_string(ws[i*10+1:i*10+10], ' ')) AS segs FROM w),
+       |x AS (SELECT doc_id, len(segs) AS n_segs,
+       |    unnest(generate_series(0, len(segs)-1)) AS seg_idx, unnest(segs) AS seg FROM s),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn FROM x),
+       |k AS (SELECT doc_id, count(*) AS n_kept,
+       |    array_to_string(list(seg ORDER BY seg_idx), ' ') AS new_text
+       |  FROM r WHERE rn = 1 GROUP BY 1)
+       |SELECT d.doc_id, CAST(d.n_segs AS BIGINT) AS n_segs,
+       |  CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+       |  CAST(length(k.new_text) AS BIGINT) AS kept_chars,
+       |  md5(k.new_text) AS kept_md5
+       |FROM (SELECT DISTINCT doc_id, len(segs) AS n_segs FROM s) d
+       |LEFT JOIN k USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
+  private val embedQuantSql =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+      |s AS (SELECT vec_id, emb,
+      |    list_max(list_transform(emb, x -> abs(x)))/127.0 AS scale FROM e),
+      |q AS (SELECT vec_id, scale, emb,
+      |    list_transform(emb, x -> CASE WHEN scale = 0 THEN CAST(0 AS BIGINT)
+      |      ELSE greatest(CAST(-127 AS BIGINT), least(CAST(127 AS BIGINT),
+      |        CAST(floor(x/scale + 0.5) AS BIGINT))) END) AS qv
+      |  FROM s)
+      |SELECT vec_id, scale,
+      |  md5(array_to_string(qv, ',')) AS q_md5,
+      |  sqrt(list_sum(list_transform(generate_series(1, len(emb)),
+      |    i -> (emb[i] - qv[i]*scale)*(emb[i] - qv[i]*scale)))/len(emb)) AS rmse
+      |FROM q ORDER BY vec_id""".stripMargin
+
+  private val tokenBudgetSql =
+    s"""WITH t AS (SELECT doc_id, lang, len($duckWords) AS n_tokens,
+       |    md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+       |c AS (SELECT *, SUM(n_tokens) OVER (PARTITION BY lang ORDER BY h, doc_id
+       |    ROWS UNBOUNDED PRECEDING) - n_tokens AS cum_before FROM t)
+       |SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |  CAST(cum_before AS BIGINT) AS cum_before
+       |FROM c WHERE cum_before < 2000 ORDER BY doc_id""".stripMargin
+
+  private val windowSlidingSql =
+    s"""WITH e AS (SELECT $sqlEpochUs AS us, event_type, value FROM events),
+       |x AS (SELECT us, event_type, value, unnest([0, 1]) AS r FROM e),
+       |g AS (SELECT ((us//3600000000) - r)*3600 AS win_s, event_type,
+       |    count(*) AS cnt, SUM(CAST(value AS DECIMAL(18,4))) AS sd
+       |  FROM x GROUP BY 1, 2)
+       |SELECT ${sqlIsoFromS("win_s")} AS window_start,
+       |  ${sqlIsoFromS("win_s + 7200")} AS window_end, event_type,
+       |  CAST(cnt AS BIGINT) AS cnt, CAST(sd AS DOUBLE) AS sum_value
+       |FROM g ORDER BY 1, 3""".stripMargin
+
+  private val qGroupingSetsSql =
+    """SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
+      |  CAST(count(*) AS BIGINT) AS cnt,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+      |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+      |ORDER BY 1, 2""".stripMargin
+
+  private val qIntersectSql =
+    """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      |INTERSECT
+      |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      |ORDER BY o_custkey""".stripMargin
+
+  private val qExceptSql =
+    """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      |EXCEPT
+      |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      |ORDER BY o_custkey""".stripMargin
+
+  private val qNtileSql =
+    """WITH r AS (SELECT o_orderstatus, o_totalprice,
+      |    ntile(4) OVER (PARTITION BY o_orderstatus
+      |      ORDER BY o_totalprice, o_orderkey) AS quartile
+      |  FROM orders)
+      |SELECT o_orderstatus, CAST(quartile AS INT) AS quartile,
+      |  CAST(count(*) AS BIGINT) AS cnt,
+      |  CAST(min(o_totalprice) AS DOUBLE) AS min_price,
+      |  CAST(max(o_totalprice) AS DOUBLE) AS max_price
+      |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  private val qStringAggSql =
+    """SELECT n_name, CAST(count(*) AS BIGINT) AS n_suppliers,
+      |  string_agg(s_name, '|' ORDER BY s_name) AS supplier_list
+      |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "cmf_geotab" -> cmfGeotabSql,
     "cmf_calamp" -> cmfCalampSql,
@@ -1350,6 +1532,16 @@ object SparkEntry {
     "simhash_neardup" -> simhashNeardupSql,
     "q_distinct_agg" -> qDistinctAggSql,
     "q_pivot" -> qPivotSql,
-    "tfidf_top_terms" -> tfidfSql
+    "tfidf_top_terms" -> tfidfSql,
+    "decontaminate" -> decontaminateSql,
+    "dedup_segment" -> dedupSegmentSql,
+    "embed_quant" -> embedQuantSql,
+    "token_budget" -> tokenBudgetSql,
+    "window_sliding" -> windowSlidingSql,
+    "q_grouping_sets" -> qGroupingSetsSql,
+    "q_intersect" -> qIntersectSql,
+    "q_except" -> qExceptSql,
+    "q_ntile" -> qNtileSql,
+    "q_string_agg" -> qStringAggSql
   )
 }

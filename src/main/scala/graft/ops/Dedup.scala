@@ -39,6 +39,50 @@ object Dedup {
   // wsPlus, not \\s+: Java \\s includes \\x0B, the oracle's RE2 \\s does not
   def words(text: Column): Column = split(trim(text), TextAnalysis.wsPlus)
 
+  /** Segment-level exact dedup (the C4/RefinedWeb "line dedup" pass):
+    * split each document into segments, drop every segment whose exact text
+    * appeared in an earlier position of the corpus (global first-occurrence
+    * by (doc_id, seg_idx)), and reassemble documents from their surviving
+    * segments. The synthetic corpus has no newlines, so the segmenter here
+    * is fixed-size word chunks; a real crawl would split on a paragraph
+    * separator — only the `segs` expression changes.
+    *
+    * Scale shape: two shuffles, both necessary — (1) first-occurrence
+    * selection is a window partitioned BY SEGMENT HASH (md5, so the
+    * exchange key is 32 chars regardless of segment length; collisions
+    * merge dedup groups with probability ~2⁻¹²⁸ — accepted, same family
+    * of assumption as every minhash op here); (2) reassembly groups by
+    * doc_id. Segment text rides each shuffle once; no corpus-sized join. */
+  def segmentDedup(docs: DataFrame, segWords: Int = 10): DataFrame = {
+    val segs = transform(
+      sequence(lit(0), ceil(size(col("_ws")) / lit(segWords.toDouble)).cast("int") - 1),
+      i => array_join(slice(col("_ws"), i * segWords + 1, lit(segWords)), " "))
+    val exploded = docs
+      .withColumn("_ws", words(col("text")))
+      .withColumn("_segs", segs)
+      .select(col("doc_id"), size(col("_segs")).as("n_segs"),
+        posexplode(col("_segs")).as(Seq("seg_idx", "seg")))
+    val firstWin = Window.partitionBy(md5(col("seg")))
+      .orderBy(col("doc_id"), col("seg_idx"))
+    val kept = exploded
+      .withColumn("_rn", row_number().over(firstWin))
+      .filter(col("_rn") === 1)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("seg_idx"), col("seg")))),
+            s => s("seg")), " ").as("_new_text"))
+    // left join back so fully-deduplicated docs surface as n_kept=0 rather
+    // than silently vanishing (that row IS the dedup report for them)
+    exploded.select("doc_id", "n_segs").distinct()
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        col("n_segs").cast("long").as("n_segs"),
+        coalesce(col("n_kept"), lit(0L)).cast("long").as("n_kept"),
+        length(col("_new_text")).cast("long").as("kept_chars"),
+        md5(col("_new_text")).as("kept_md5"))
+  }
+
   /** Word n-gram shingles (requires size(words) >= n; filter first). */
   def shingles(wordsCol: Column, n: Int): Column =
     array_distinct(transform(sequence(lit(0), size(wordsCol) - n),

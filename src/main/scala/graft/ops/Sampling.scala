@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic sampling / data-mixing operators for training-data
@@ -62,5 +63,31 @@ object Sampling {
       when(below(trainFrac), "train")
         .when(below(trainFrac + valFrac), "val")
         .otherwise("test"))
+  }
+
+  /** Token-budget sampling for data mixing: per stratum (language/domain),
+    * keep documents in deterministic hash order until the stratum's
+    * cumulative token count reaches `budget` (greedy prefix — the budget
+    * overshoots by at most the last document). This is how a training mix
+    * caps each source at N tokens rather than N documents.
+    *
+    * Shape: one shuffle (window partitioned by stratum). The running sum is
+    * inherently sequential per stratum; at 100 TB a hot stratum makes this
+    * window the straggler — the scale-out form splits each stratum into
+    * hash-prefix buckets, computes per-bucket token totals (tiny frame),
+    * prefix-sums those offsets centrally, and broadcasts them so each
+    * bucket's window runs independently. Semantics are identical; this
+    * single-window form is the oracle-checkable reference. */
+  def tokenBudget(docs: DataFrame, budget: Long, strataCol: String = "lang",
+                  idCol: String = "doc_id"): DataFrame = {
+    val w = Window.partitionBy(strataCol)
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val nTok = size(split(trim(col("text")), graft.ops.TextAnalysis.wsPlus))
+    docs
+      .withColumn("n_tokens", nTok.cast("long"))
+      .withColumn("cum_before", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .filter(col("cum_before") < budget)
+      .select(col(idCol), col(strataCol), col("n_tokens"), col("cum_before"))
   }
 }

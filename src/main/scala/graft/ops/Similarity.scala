@@ -293,4 +293,36 @@ object Similarity {
     scored.withColumn("rank", rn).filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "sim")
   }
+
+  /** Symmetric per-vector int8 scalar quantization — the standard 4×
+    * footprint cut before an ANN index is built over a trillion-embedding
+    * corpus. scale = max|v|/127; q_i = clamp(round(v_i/scale), ±127);
+    * reports the quantized payload digest and the reconstruction RMSE so a
+    * pipeline can gate on quantization loss.
+    *
+    * Entirely row-local (scan-fused, shuffle-free). Determinism notes:
+    * round is spelled floor(x+0.5) because Spark's ROUND and DuckDB's
+    * round() disagree on negative-half cases (HALF_UP vs half-away); the
+    * error sum is a strict left-to-right fold matching the oracle's
+    * sequential list_sum; float→double widening is exact in both engines. */
+  def quantizeInt8(embs: DataFrame): DataFrame = {
+    val emb = asDouble(col("embedding"))
+    val scale = array_max(transform(col("_emb"), x => abs(x))) / lit(127.0)
+    val q = transform(col("_emb"), x =>
+      when(col("scale") === 0.0, lit(0L))
+        .otherwise(greatest(lit(-127L),
+          least(lit(127L), floor(x / col("scale") + lit(0.5)).cast("long")))))
+    val err2 = aggregate(
+      zip_with(col("_emb"), col("_q"), (v, qi) => {
+        val d = v - qi * col("scale"); d * d
+      }),
+      lit(0.0), (acc, x) => acc + x)
+    embs
+      .withColumn("_emb", emb)
+      .withColumn("scale", scale)
+      .withColumn("_q", q)
+      .select(col("vec_id"), col("scale"),
+        md5(array_join(transform(col("_q"), _.cast("string")), ",")).as("q_md5"),
+        sqrt(err2 / size(col("_emb"))).as("rmse"))
+  }
 }

@@ -208,6 +208,40 @@ object TextAnalysis {
       md5(s3).as("scrubbed_md5"))
   }
 
+  /** Train/eval decontamination: flag training documents sharing word
+    * n-grams with a held-out evaluation set (the standard guard against
+    * benchmark leakage into a training corpus). The eval membership
+    * predicate is a parameter; the default carves a deterministic ~10%
+    * pseudo-benchmark out of the corpus so the operator is oracle-checkable
+    * on synthetic data.
+    *
+    * Scale shape: the benchmark n-gram set is tiny relative to a 100 TB
+    * corpus (benchmarks are ~10⁶ n-grams), so it BROADCASTS — the corpus
+    * side stays scan-fused: shingle per row, hash-join against the
+    * broadcast set, one aggregation keyed by doc_id (map-side partial).
+    * Nothing corpus-sized ever shuffles except the per-doc count rows.
+    * If the eval side outgrows broadcast, drop the hint and Catalyst falls
+    * back to a shuffle join on the n-gram key. */
+  def decontaminate(docs: DataFrame, n: Int = 3,
+                    evalPred: Column = col("doc_id") % 10 === 7): DataFrame = {
+    val w = Dedup.words(col("text"))
+    val base = docs.filter(size(w) >= n)
+      .select(col("doc_id"), Dedup.shingles(w, n).as("sh"), evalPred.as("_eval"))
+    val evalGrams = base.filter(col("_eval"))
+      .select(explode(col("sh")).as("g")).distinct()
+      .withColumn("_hit", lit(1))
+    base.filter(!col("_eval"))
+      .select(col("doc_id"), size(col("sh")).as("_nsh"), explode(col("sh")).as("g"))
+      .join(broadcast(evalGrams), Seq("g"), "left")
+      .groupBy("doc_id", "_nsh")
+      .agg(sum(coalesce(col("_hit"), lit(0))).as("_c"))
+      .select(col("doc_id"),
+        col("_nsh").cast("long").as("n_shingles"),
+        col("_c").cast("long").as("n_overlap"),
+        (col("_c").cast("double") / col("_nsh")).as("overlap_ratio"),
+        (col("_c") > 0).as("contaminated"))
+  }
+
   /** Winnowing document fingerprints (rolling k-gram hashes, sliding-window
     * minimum — the MOSS scheme): robust to local edits, shuffle-free, and
     * portable (md5-based hash family, so any engine reproduces it). Returns

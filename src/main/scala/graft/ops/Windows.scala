@@ -30,6 +30,27 @@ object Windows {
         col("sum_dec").cast("double").as("sum_value"))
   }
 
+  /** Sliding (hopping) event-time windows: width `widthSeconds`, hop
+    * `slideSeconds` — each event lands in width/slide windows (Spark's
+    * TimeWindowing rule expands exactly that many rows before the agg, so
+    * the blow-up factor is explicit and bounded). Same single-shuffle shape
+    * as [[tumblingCounts]], input rows × (width/slide). */
+  def slidingCounts(events: DataFrame, widthSeconds: Long = 7200,
+                    slideSeconds: Long = 3600): DataFrame = {
+    val ts = timestamp_micros(col("epoch_us"))
+    events
+      .groupBy(window(ts, s"$widthSeconds seconds", s"$slideSeconds seconds").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast("decimal(18,4)")).as("sum_dec"))
+      .select(
+        IsoTime.isoFromEpochMillis(unix_millis(col("w.start"))).as("window_start"),
+        IsoTime.isoFromEpochMillis(unix_millis(col("w.end"))).as("window_end"),
+        col("event_type"),
+        col("cnt"),
+        col("sum_dec").cast("double").as("sum_value"))
+  }
+
   /** Gap-based sessionization per user: a new session starts when the gap
     * from the previous event exceeds `gapSeconds`. Single shuffle on
     * user_id; two window passes over the same partitioning (Catalyst reuses

@@ -364,6 +364,89 @@ class OpsSpec extends SparkSpec {
     assert(again === at25)
   }
 
+  test("decontaminate: flags training docs sharing n-grams with the eval set") {
+    import spark.implicits._
+    // doc 7 is eval (doc_id % 10 == 7); doc 1 repeats its words, doc 2 is clean
+    val d = Seq(
+      (7L, "alpha beta gamma delta"),
+      (1L, "alpha beta gamma something else entirely"),
+      (2L, "totally unrelated words with no overlap at all")).toDF("doc_id", "text")
+    val r = TextAnalysis.decontaminate(d)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r.keySet === Set(1L, 2L)) // eval doc itself is not reported
+    assert(r(1L).getBoolean(4) === true)
+    // doc 1 has 4 3-grams; only "alpha beta gamma" appears in the eval set
+    assert(r(1L).getLong(1) === 4L && r(1L).getLong(2) === 1L)
+    assert(r(2L).getBoolean(4) === false)
+    assert(r(2L).getLong(2) === 0L)
+  }
+
+  test("segmentDedup: drops repeated segments globally, reports fully-deduped docs") {
+    import spark.implicits._
+    val seg1 = (1 to 10).map(i => s"w$i").mkString(" ")   // exactly one 10-word segment
+    val seg2 = (11 to 20).map(i => s"x$i").mkString(" ")
+    val d = Seq(
+      (1L, s"$seg1 $seg2"),      // keeps both segments
+      (2L, s"$seg1 fresh tail"), // first segment duplicates doc 1's -> drops 1 of 2
+      (3L, seg2)                 // fully duplicated -> n_kept = 0
+    ).toDF("doc_id", "text")
+    val r = graft.ops.Dedup.segmentDedup(d)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getLong(1) === 2L && r(1L).getLong(2) === 2L)
+    assert(r(2L).getLong(1) === 2L && r(2L).getLong(2) === 1L)
+    assert(r(3L).getLong(1) === 1L && r(3L).getLong(2) === 0L)
+    assert(r(3L).isNullAt(4)) // no surviving text -> null digest
+    // doc 2's surviving text is its second segment only
+    assert(r(2L).getLong(3) === "fresh tail".length.toLong)
+  }
+
+  test("quantizeInt8: reconstruction bounded by scale/2, zero vector safe, clamp holds") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, Seq(1.0f, -0.5f, 0.25f, 0.127f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val r = Similarity.quantizeInt8(d).collect().map(x => x.getLong(0) -> x).toMap
+    val scale1 = r(1L).getDouble(1)
+    assert(math.abs(scale1 - 1.0 / 127.0) < 1e-15)
+    // per-component rounding error <= scale/2 -> rmse <= scale/2
+    assert(r(1L).getDouble(3) <= scale1 / 2 + 1e-15)
+    assert(r(2L).getDouble(1) === 0.0 && r(2L).getDouble(3) === 0.0)
+  }
+
+  test("tokenBudget: per-stratum kept set is a hash-order prefix under the budget") {
+    import spark.implicits._
+    val d = (1L to 100L).map(i =>
+      (i, if (i % 2 == 0) "en" else "fr", Seq.fill(10)("tok").mkString(" ")))
+      .toDF("doc_id", "lang", "text")
+    val kept = graft.ops.Sampling.tokenBudget(d, 105)
+    val perLang = kept.groupBy("lang").count().collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    // 10 tokens/doc, budget 105 -> cum_before of the 11th doc is 100 < 105,
+    // the 12th sees 110 -> exactly 11 docs per stratum
+    assert(perLang === Map("en" -> 11L, "fr" -> 11L))
+    assert(kept.agg(max("cum_before")).head().getLong(0) < 105)
+    // deterministic re-run
+    assert(graft.ops.Sampling.tokenBudget(d, 105).collect().toSet === kept.collect().toSet)
+  }
+
+  test("slidingCounts: every event lands in exactly width/slide windows") {
+    import spark.implicits._
+    val base = 1700000000000000L // µs, hour-unaligned offset applied per row
+    val ev = Seq(
+      (1L, base, "click", 1.0),
+      (2L, base + 1800L * 1000000, "click", 2.0),
+      (3L, base + 5400L * 1000000, "view", 3.0))
+      .toDF("event_id", "epoch_us", "event_type", "value")
+    val r = graft.ops.Windows.slidingCounts(ev, 7200, 3600)
+    // 3 events x (7200/3600 = 2 windows each) = 6 counted rows total
+    assert(r.agg(sum("cnt")).head().getLong(0) === 6L)
+    // window bounds are 2h apart and hour-aligned
+    val bounds = r.select("window_start", "window_end").collect()
+    bounds.foreach { b =>
+      assert(b.getString(0).endsWith(":00:00Z") && b.getString(1).endsWith(":00:00Z"))
+    }
+  }
+
   test("splitAssign: total partition into train/val/test, independent of sampling digit") {
     import spark.implicits._
     import graft.ops.Sampling
