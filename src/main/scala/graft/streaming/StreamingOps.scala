@@ -33,6 +33,24 @@ object StreamingOps {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("cnt"), col("sum_dec").cast("double").as("sum_value"))
 
+  /** Event-time sliding (hopping) window counts — streaming form of
+    * graft.ops.Windows.slidingCounts. Each event contributes to
+    * width/slide windows; state per window is evicted once the watermark
+    * passes its end, so total state is O(active windows × keys), bounded
+    * by the watermark horizon. */
+  def slidingCounts(events: DataFrame, widthSeconds: Long = 7200,
+                    slideSeconds: Long = 3600,
+                    watermarkDelay: String = "1 hour"): DataFrame =
+    events
+      .withColumn("ts", timestamp_micros(col("epoch_us")))
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), s"$widthSeconds seconds", s"$slideSeconds seconds").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast("decimal(18,4)")).as("sum_dec"))
+      .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
+        col("event_type"), col("cnt"), col("sum_dec").cast("double").as("sum_value"))
+
   /** Gap-based sessionization via `session_window` — the streaming
     * equivalent of graft.ops.Windows.sessionize (same gap rule; state is
     * evicted once the watermark passes a session's close). */

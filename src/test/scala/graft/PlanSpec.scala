@@ -83,6 +83,15 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("decontaminate broadcasts the eval n-gram set; corpus side never sort-merges") {
+    import spark.implicits._
+    val docs = (0L to 20L).map(i => (i, s"alpha beta gamma delta token$i end"))
+      .toDF("doc_id", "text")
+    val p = plan(graft.ops.TextAnalysis.decontaminate(docs))
+    assert(p.contains("BroadcastHashJoin"), s"eval set not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus side shuffled for the join:\n$p")
+  }
+
   test("minhash signature frame carries no shingle arrays into the band self-join") {
     import spark.implicits._
     val docs = Seq((1L, "a b c d e f"), (2L, "a b c d e f")).toDF("doc_id", "text")

@@ -121,6 +121,30 @@ class StreamingSpec extends SparkSpec {
     assert(rows.contains(Row("00:00:00", "click", 2L, 4.0)))
   }
 
+  test("streaming sliding window: each event lands in width/slide windows, closed by watermark") {
+    import spark.implicits._
+    val stream = MemoryStream[(Long, String, Double, Long)](spark)
+    val events = stream.toDF().toDF("event_id", "event_type", "value", "epoch_us")
+    val counts = StreamingOps.slidingCounts(events, widthSeconds = 120,
+      slideSeconds = 60, watermarkDelay = "30 seconds")
+    val q = counts.writeStream.format("memory").queryName("slide_stream")
+      .outputMode("append").start()
+    val us = (s: Long) => s * 1000000L
+    stream.addData((1L, "click", 1.5, us(70)))
+    q.processAllAvailable()
+    // event time 1000s: watermark passes both of event 1's windows
+    stream.addData((2L, "view", 1.0, us(1000)))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("slide_stream")
+      .select(date_format(col("window_start"), "HH:mm:ss"),
+        date_format(col("window_end"), "HH:mm:ss"), col("event_type"), col("cnt"))
+      .collect()
+    // event at 70s belongs to [0,120) and [60,180) — both emitted once closed
+    assert(rows.contains(Row("00:00:00", "00:02:00", "click", 1L)))
+    assert(rows.contains(Row("00:01:00", "00:03:00", "click", 1L)))
+  }
+
   test("streaming session_window groups events within the gap per user") {
     import spark.implicits._
     val stream = MemoryStream[(Long, Long, Long)](spark)
