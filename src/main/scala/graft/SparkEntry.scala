@@ -607,6 +607,23 @@ object SparkEntry {
         array_join(array_sort(collect_list(col("s_name"))), "|").as("supplier_list"))
       .orderBy("n_name")
 
+  private def qGaps(s: SparkSession, dir: String): DataFrame =
+    Windows.activityIslands(RawGen.events(s, dir))
+      .orderBy("user_id", "start_day")
+
+  /** Numeric profiling histogram: fixed-width value bins per event type —
+    * the data-profiling pass a pipeline runs before choosing quality
+    * thresholds. Pure groupBy; bin id via floor(value/width) which both
+    * engines evaluate identically on doubles. */
+  private def qHist(s: SparkSession, dir: String): DataFrame =
+    RawGen.events(s, dir)
+      .filter(col("value").isNotNull)
+      .groupBy(col("event_type"), floor(col("value") / 10).cast("long").as("bin"))
+      .agg(count(lit(1)).as("cnt"),
+        min(col("value")).cast("double").as("bin_min"),
+        max(col("value")).cast("double").as("bin_max"))
+      .orderBy("event_type", "bin")
+
   // ---------- registry ----------
 
   // ListMap: registry order is execution order in Verify/Bench, so per-query
@@ -679,7 +696,9 @@ object SparkEntry {
     "q_intersect" -> (qIntersect _),
     "q_except" -> (qExcept _),
     "q_ntile" -> (qNtile _),
-    "q_string_agg" -> (qStringAgg _)
+    "q_string_agg" -> (qStringAgg _),
+    "q_gaps" -> (qGaps _),
+    "q_hist" -> (qHist _)
   )
 
   // ---------- DuckDB oracles ----------
@@ -1475,6 +1494,22 @@ object SparkEntry {
       |FROM supplier JOIN nation ON s_nationkey = n_nationkey
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  private val qGapsSql =
+    s"""WITH e AS (SELECT DISTINCT user_id, $sqlEpochUs//86400000000 AS day FROM events
+       |  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn FROM e),
+       |g AS (SELECT user_id, day, day - rn AS grp FROM r)
+       |SELECT user_id, CAST(min(day) AS BIGINT) AS start_day,
+       |  CAST(max(day) AS BIGINT) AS end_day, CAST(count(*) AS BIGINT) AS n_days
+       |FROM g GROUP BY user_id, grp ORDER BY user_id, start_day""".stripMargin
+
+  private val qHistSql =
+    """SELECT event_type, CAST(floor(value/10) AS BIGINT) AS bin,
+      |  CAST(count(*) AS BIGINT) AS cnt,
+      |  CAST(min(value) AS DOUBLE) AS bin_min, CAST(max(value) AS DOUBLE) AS bin_max
+      |FROM events WHERE value IS NOT NULL
+      |GROUP BY 1, 2 ORDER BY 1 NULLS FIRST, 2""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "cmf_geotab" -> cmfGeotabSql,
     "cmf_calamp" -> cmfCalampSql,
@@ -1542,6 +1577,8 @@ object SparkEntry {
     "q_intersect" -> qIntersectSql,
     "q_except" -> qExceptSql,
     "q_ntile" -> qNtileSql,
-    "q_string_agg" -> qStringAggSql
+    "q_string_agg" -> qStringAggSql,
+    "q_gaps" -> qGapsSql,
+    "q_hist" -> qHistSql
   )
 }

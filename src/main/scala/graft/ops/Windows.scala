@@ -51,6 +51,25 @@ object Windows {
         col("sum_dec").cast("double").as("sum_value"))
   }
 
+  /** Gaps-and-islands: contiguous runs of active days per user (the
+    * engagement-streak analytic). Classic day−row_number trick: the
+    * distinct (user, day) frame and both window/agg passes share ONE
+    * user_id-keyed exchange. Day boundaries via integer division (`div`),
+    * not double division — a float quotient rounding up at a boundary
+    * would mis-bin an event in one engine only. */
+  def activityIslands(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("day")
+    events
+      .filter(col("user_id").isNotNull && col("epoch_us").isNotNull)
+      .select(col("user_id"), expr("epoch_us div 86400000000").as("day"))
+      .distinct()
+      .withColumn("grp", col("day") - row_number().over(w))
+      .groupBy("user_id", "grp")
+      .agg(min("day").as("start_day"), max("day").as("end_day"),
+        count(lit(1)).as("n_days"))
+      .select("user_id", "start_day", "end_day", "n_days")
+  }
+
   /** Gap-based sessionization per user: a new session starts when the gap
     * from the previous event exceeds `gapSeconds`. Single shuffle on
     * user_id; two window passes over the same partitioning (Catalyst reuses

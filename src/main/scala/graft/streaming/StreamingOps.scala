@@ -64,6 +64,33 @@ object StreamingOps {
       .select(col("user_id"), col("sw.start").as("session_start"),
         col("sw.end").as("session_end"), col("n_events"))
 
+  /** Stream-stream interval join: each click joined to same-user views in
+    * [click − maxDelay, click] — attribution over two unbounded streams.
+    * BOTH sides carry watermarks and the join condition bounds event-time
+    * distance, so Spark can evict each side's buffered state once the
+    * watermark passes the interval; without the time bound the state
+    * grows forever (Spark rejects such joins in append mode). */
+  def intervalJoin(clicks: DataFrame, views: DataFrame,
+                   maxDelaySeconds: Long = 3600,
+                   watermarkDelay: String = "1 hour"): DataFrame = {
+    val c = clicks
+      .withColumn("c_ts", timestamp_micros(col("epoch_us")))
+      .withWatermark("c_ts", watermarkDelay)
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("c_ts"))
+    val v = views
+      .withColumn("v_ts", timestamp_micros(col("epoch_us")))
+      .withWatermark("v_ts", watermarkDelay)
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        col("v_ts"))
+    c.join(v,
+      col("c_user") === col("v_user") &&
+        col("v_ts") <= col("c_ts") &&
+        col("v_ts") >= col("c_ts") - expr(s"INTERVAL $maxDelaySeconds SECONDS"))
+      .select(col("c_user").as("user_id"), col("click_id"), col("view_id"),
+        col("c_ts"), col("v_ts"))
+  }
+
   /** Streaming exact dedup: state-bounded variant of Dedup.exact's key set.
     * Keys older than the watermark are evicted, so state is O(keys within
     * the watermark horizon), not O(all keys ever). */

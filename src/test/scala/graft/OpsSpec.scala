@@ -429,6 +429,18 @@ class OpsSpec extends SparkSpec {
     assert(graft.ops.Sampling.tokenBudget(d, 105).collect().toSet === kept.collect().toSet)
   }
 
+  test("activityIslands: consecutive days merge, gaps split, duplicate days collapse") {
+    import spark.implicits._
+    val day = 86400000000L
+    val ev = Seq(
+      (1L, 1L * day + 5), (1L, 2L * day + 9), (1L, 2L * day + 99), // days 1,2 (dup day 2)
+      (1L, 5L * day),                                              // gap -> island [5,5]
+      (2L, 3L * day)).toDF("user_id", "epoch_us")
+    val r = graft.ops.Windows.activityIslands(ev)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    assert(r.toSet === Set((1L, 1L, 2L, 2L), (1L, 5L, 5L, 1L), (2L, 3L, 3L, 1L)))
+  }
+
   test("slidingCounts: every event lands in exactly width/slide windows") {
     import spark.implicits._
     val base = 1700000000000000L // µs, hour-unaligned offset applied per row

@@ -164,6 +164,34 @@ class StreamingSpec extends SparkSpec {
     assert(rows === Array(Row(10L, 1L), Row(10L, 2L), Row(20L, 1L)))
   }
 
+  test("stream-stream interval join: clicks attribute to in-window views only") {
+    import spark.implicits._
+    val clicks = MemoryStream[(Long, Long, Long)](spark)
+    val views = MemoryStream[(Long, Long, Long)](spark)
+    val toEv = (s: MemoryStream[(Long, Long, Long)]) =>
+      s.toDF().toDF("user_id", "event_id", "epoch_us")
+    val joined = StreamingOps.intervalJoin(toEv(clicks), toEv(views),
+      maxDelaySeconds = 60, watermarkDelay = "1 minute")
+    val q = joined.writeStream.format("memory").queryName("ij_stream")
+      .outputMode("append").start()
+    val us = (s: Long) => s * 1000000L
+    // user 1: view at 10s then click at 40s (in window); stale view at -100
+    // relative is impossible, so use view at 300s vs click at 500s (out of 60s window)
+    views.addData((1L, 100L, us(10)), (1L, 101L, us(300)))
+    clicks.addData((1L, 200L, us(40)), (1L, 201L, us(500)))
+    // advance both watermarks far past everything so results finalize
+    // (distinct users so the advancer rows can't join each other)
+    views.addData((8L, 999L, us(5000)))
+    clicks.addData((9L, 998L, us(5000)))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("ij_stream")
+      .select("click_id", "view_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // click 200 @40s matches view 100 @10s (30s delay <= 60s);
+    // click 201 @500s matches nothing (view 101 @300s is 200s stale)
+    assert(rows.toSet === Set((200L, 100L)))
+  }
+
   test("streaming dedup within watermark drops repeated keys") {
     import spark.implicits._
     val stream = MemoryStream[(Long, Long, Long)](spark)
