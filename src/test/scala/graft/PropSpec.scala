@@ -138,6 +138,57 @@ class PropSpec extends SparkSpec {
     assert(ids.filter(Sampling.keepPredicate(col("id"), 0.0)).count() === 0)
   }
 
+  test("segmentDedup invariants: kept counts bounded, distinct segments conserved") {
+    import spark.implicits._
+    import graft.ops.Dedup
+    val wordGen = Gen.oneOf("a", "b", "c", "d", "e")
+    val docGen = Gen.chooseNum(5, 40).flatMap(n => Gen.listOfN(n, wordGen))
+    val docs = (0 until 30).flatMap(i => docGen.sample.map(ws => (i.toLong, ws.mkString(" "))))
+      .toDF("doc_id", "text")
+    val r = Dedup.segmentDedup(docs, segWords = 4).collect()
+    // every doc reported exactly once; 0 <= n_kept <= n_segs
+    assert(r.length === docs.count())
+    assert(r.forall(x => x.getLong(2) >= 0 && x.getLong(2) <= x.getLong(1)))
+    // total kept segments == number of DISTINCT segments in the corpus
+    val distinctSegs = docs.select(explode(
+      org.apache.spark.sql.functions.transform(
+        sequence(lit(0), ceil(size(split(trim(col("text")), "[ ]+")) / lit(4.0)).cast("int") - 1),
+        i => array_join(slice(split(trim(col("text")), "[ ]+"), i * 4 + 1, lit(4)), " "))))
+      .distinct().count()
+    assert(r.map(_.getLong(2)).sum === distinctSegs)
+  }
+
+  test("decontaminate invariants: ratio in [0,1], contaminated iff overlap > 0") {
+    import spark.implicits._
+    import graft.ops.TextAnalysis
+    val wordGen = Gen.oneOf("w1", "w2", "w3", "w4", "w5", "w6")
+    val docGen = Gen.chooseNum(3, 25).flatMap(n => Gen.listOfN(n, wordGen))
+    val docs = (0 until 40).flatMap(i => docGen.sample.map(ws => (i.toLong, ws.mkString(" "))))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.decontaminate(docs).collect()
+    assert(r.forall { x =>
+      val ratio = x.getDouble(3)
+      ratio >= 0.0 && ratio <= 1.0 &&
+        (x.getBoolean(4) === (x.getLong(2) > 0)) &&
+        x.getLong(2) <= x.getLong(1)
+    })
+    // no eval doc (doc_id % 10 == 7) ever appears in the report
+    assert(r.forall(_.getLong(0) % 10 != 7))
+  }
+
+  test("quantizeInt8 invariants: |q| <= 127 encoded in digest domain, rmse <= scale/2") {
+    import spark.implicits._
+    import graft.ops.Similarity
+    val vecGen = Gen.listOfN(16, Gen.chooseNum(-10.0, 10.0).map(_.toFloat))
+    val vecs = (0 until 50).flatMap(i => vecGen.sample.map(v => (i.toLong, v)))
+      .toDF("vec_id", "embedding")
+    val r = Similarity.quantizeInt8(vecs).collect()
+    // max per-component quantization error is scale/2 (round-to-nearest),
+    // so rmse (a mean) can never exceed it
+    assert(r.forall(x => x.getDouble(3) <= x.getDouble(1) / 2 + 1e-12))
+    assert(r.forall(x => x.getDouble(1) >= 0.0))
+  }
+
   test("native graft_dot equals composable form on random vectors") {
     import spark.implicits._
     val vecGen = Gen.listOfN(16, Gen.chooseNum(-1000.0, 1000.0))
