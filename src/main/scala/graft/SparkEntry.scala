@@ -624,6 +624,36 @@ object SparkEntry {
         max(col("value")).cast("double").as("bin_max"))
       .orderBy("event_type", "bin")
 
+  /** RANGE-frame window (value-based, not row-based): events per user in
+    * the trailing hour INCLUDING ties at the boundary — the frame Spark's
+    * rangeBetween and SQL RANGE BETWEEN agree on by standard. */
+  private def qRangeFrame(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("epoch_s")
+      .rangeBetween(-3600, Window.currentRow)
+    RawGen.events(s, dir)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+        col("event_id").isNotNull)
+      .select(col("user_id"), col("event_id"), col("epoch_s"))
+      .withColumn("cnt_1h", count(lit(1)).over(w))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** first_value/last_value analytic pair per user over a total event-time
+    * order — last_value needs the explicit UNBOUNDED FOLLOWING frame in
+    * both engines (the default frame ends at CURRENT ROW). */
+  private def qFirstLast(s: SparkSession, dir: String): DataFrame = {
+    val order = Window.partitionBy("user_id").orderBy("epoch_us", "event_id")
+    val full = order.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    RawGen.events(s, dir)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+        col("event_id").isNotNull)
+      .select(col("user_id"),
+        first_value(col("event_type")).over(order).as("first_type"),
+        last_value(col("event_type")).over(full).as("last_type"))
+      .distinct()
+      .orderBy("user_id")
+  }
+
   // ---------- registry ----------
 
   // ListMap: registry order is execution order in Verify/Bench, so per-query
@@ -698,7 +728,9 @@ object SparkEntry {
     "q_ntile" -> (qNtile _),
     "q_string_agg" -> (qStringAgg _),
     "q_gaps" -> (qGaps _),
-    "q_hist" -> (qHist _)
+    "q_hist" -> (qHist _),
+    "q_range_frame" -> (qRangeFrame _),
+    "q_first_last" -> (qFirstLast _)
   )
 
   // ---------- DuckDB oracles ----------
@@ -1510,6 +1542,23 @@ object SparkEntry {
       |FROM events WHERE value IS NOT NULL
       |GROUP BY 1, 2 ORDER BY 1 NULLS FIRST, 2""".stripMargin
 
+  private val qRangeFrameSql =
+    s"""WITH e AS (SELECT user_id, event_id, $sqlEpochS AS epoch_s FROM events
+       |  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_id IS NOT NULL)
+       |SELECT user_id, event_id, epoch_s,
+       |  CAST(count(*) OVER (PARTITION BY user_id ORDER BY epoch_s
+       |    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS BIGINT) AS cnt_1h
+       |FROM e ORDER BY user_id, event_id""".stripMargin
+
+  private val qFirstLastSql =
+    s"""WITH e AS (SELECT user_id, event_id, event_type, $sqlEpochUs AS us FROM events
+       |  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_id IS NOT NULL)
+       |SELECT DISTINCT user_id,
+       |  first_value(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS first_type,
+       |  last_value(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_type
+       |FROM e ORDER BY user_id""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "cmf_geotab" -> cmfGeotabSql,
     "cmf_calamp" -> cmfCalampSql,
@@ -1579,6 +1628,8 @@ object SparkEntry {
     "q_ntile" -> qNtileSql,
     "q_string_agg" -> qStringAggSql,
     "q_gaps" -> qGapsSql,
-    "q_hist" -> qHistSql
+    "q_hist" -> qHistSql,
+    "q_range_frame" -> qRangeFrameSql,
+    "q_first_last" -> qFirstLastSql
   )
 }
