@@ -57,11 +57,16 @@ object Dedup {
     val segs = transform(
       sequence(lit(0), ceil(size(col("_ws")) / lit(segWords.toDouble)).cast("int") - 1),
       i => array_join(slice(col("_ws"), i * segWords + 1, lit(segWords)), " "))
-    val exploded = docs
+    val withSegs = docs
       .withColumn("_ws", words(col("text")))
       .withColumn("_segs", segs)
-      .select(col("doc_id"), size(col("_segs")).as("n_segs"),
-        posexplode(col("_segs")).as(Seq("seg_idx", "seg")))
+    // per-doc totals come from the UN-exploded frame: one row per doc with
+    // no shuffle, instead of a distinct over the exploded rows (which would
+    // add a corpus-of-segments exchange just to recover doc counts)
+    val counts = withSegs.select(col("doc_id"),
+      size(col("_segs")).cast("long").as("n_segs"))
+    val exploded = withSegs
+      .select(col("doc_id"), posexplode(col("_segs")).as(Seq("seg_idx", "seg")))
     val firstWin = Window.partitionBy(md5(col("seg")))
       .orderBy(col("doc_id"), col("seg_idx"))
     val kept = exploded
@@ -74,10 +79,9 @@ object Dedup {
             s => s("seg")), " ").as("_new_text"))
     // left join back so fully-deduplicated docs surface as n_kept=0 rather
     // than silently vanishing (that row IS the dedup report for them)
-    exploded.select("doc_id", "n_segs").distinct()
+    counts
       .join(kept, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        col("n_segs").cast("long").as("n_segs"),
+      .select(col("doc_id"), col("n_segs"),
         coalesce(col("n_kept"), lit(0L)).cast("long").as("n_kept"),
         length(col("_new_text")).cast("long").as("kept_chars"),
         md5(col("_new_text")).as("kept_md5"))
