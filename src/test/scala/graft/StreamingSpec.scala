@@ -308,6 +308,23 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.head(1) === 1L) // doc 1 found one email
   }
 
+  test("quantizeInt8 runs unchanged on a stream (row-local curation parity)") {
+    import spark.implicits._
+    import graft.ops.Similarity
+    val rows = Seq((1L, Seq(0.5f, -1.0f, 0.25f)), (2L, Seq(0.0f, 0.0f, 0.0f)))
+    val stream = MemoryStream[(Long, Seq[Float])](spark)
+    val q = Similarity.quantizeInt8(stream.toDF().toDF("vec_id", "embedding"))
+      .writeStream.format("memory").queryName("quant_stream")
+      .outputMode("append").start()
+    stream.addData(rows: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("quant_stream").collect().map(_.toSeq).sortBy(_.head.toString)
+    val batch = Similarity.quantizeInt8(rows.toDF("vec_id", "embedding"))
+      .collect().map(_.toSeq).sortBy(_.head.toString)
+    assert(streamed === batch)
+  }
+
   test("streaming fan-out writes per-tenant directories via foreachBatch") {
     import spark.implicits._
     val out = java.nio.file.Files.createTempDirectory("fanout").toString
