@@ -1165,8 +1165,10 @@ object SparkEntry {
        |  ON c.user_id = v.user_id AND c.click_us >= v.view_us
        |ORDER BY click_id""".stripMargin
 
+  // same ts IS NOT NULL rationale as windowSlidingSql below
   private val windowTumblingSql =
-    s"""WITH e AS (SELECT $sqlEpochUs AS us, event_type, value FROM events),
+    s"""WITH e AS (SELECT $sqlEpochUs AS us, event_type, value FROM events
+       |  WHERE ts IS NOT NULL),
        |g AS (SELECT (us//3600000000)*3600 AS win_s, event_type,
        |    count(*) AS cnt, SUM(CAST(value AS DECIMAL(18,4))) AS sd
        |  FROM e GROUP BY 1, 2)
@@ -1479,8 +1481,12 @@ object SparkEntry {
        |  CAST(cum_before AS BIGINT) AS cum_before
        |FROM c WHERE cum_before < 2000 ORDER BY doc_id""".stripMargin
 
+  // ts IS NOT NULL: Spark's window() drops null-timestamp rows (the
+  // TimeWindowing rule adds the filter implicitly); the oracle must match
+  // or a corpus revision with NULL ts would add a NULL-window row here only
   private val windowSlidingSql =
-    s"""WITH e AS (SELECT $sqlEpochUs AS us, event_type, value FROM events),
+    s"""WITH e AS (SELECT $sqlEpochUs AS us, event_type, value FROM events
+       |  WHERE ts IS NOT NULL),
        |x AS (SELECT us, event_type, value, unnest([0, 1]) AS r FROM e),
        |g AS (SELECT ((us//3600000000) - r)*3600 AS win_s, event_type,
        |    count(*) AS cnt, SUM(CAST(value AS DECIMAL(18,4))) AS sd

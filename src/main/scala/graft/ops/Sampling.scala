@@ -79,11 +79,13 @@ object Sampling {
     * bucket's window runs independently. Semantics are identical; this
     * single-window form is the oracle-checkable reference. */
   def tokenBudget(docs: DataFrame, budget: Long, strataCol: String = "lang",
-                  idCol: String = "doc_id"): DataFrame = {
+                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val w = Window.partitionBy(strataCol)
       .orderBy(md5(col(idCol).cast("string")), col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val nTok = size(split(trim(col("text")), graft.ops.TextAnalysis.wsPlus))
+    // Dedup.words, not an inline split: tokenization is defined ONCE so the
+    // RE2-whitespace-class contract can't drift between op and oracle
+    val nTok = size(Dedup.words(col(textCol)))
     docs
       .withColumn("n_tokens", nTok.cast("long"))
       .withColumn("cum_before", sum(col("n_tokens")).over(w) - col("n_tokens"))

@@ -43,12 +43,14 @@ object IsoTime {
     * patterns matter: a format-less try_to_timestamp also accepts bare dates
     * and space-separated datetimes that `Instant.parse` rejects, which would
     * admit records the reference drops. `Instant.parse` accepts 1–9
-    * fractional digits, so beyond the dominant 0/3-digit shape we fall back
-    * through every other width (coalesce stops at the first hit, so the
-    * common case pays for one parse); sub-millisecond digits truncate via
-    * unix_millis exactly as `toEpochMilli` does. */
+    * fractional digits, so beyond the dominant 0/3-digit shapes we fall
+    * back through every other width (coalesce stops at the first hit, so
+    * the common case pays for one parse — width 0 leads because the
+    * reference formatter suppresses the fraction on whole seconds, which is
+    * what the derived corpora overwhelmingly contain); sub-millisecond
+    * digits truncate via unix_millis exactly as `toEpochMilli` does. */
   def epochMillisFromIso(iso: Column): Column = {
-    val widths = Seq(3, 0, 1, 2, 4, 5, 6, 7, 8, 9)
+    val widths = Seq(0, 3, 1, 2, 4, 5, 6, 7, 8, 9)
     val pats = widths.map {
       case 0 => "yyyy-MM-dd'T'HH:mm:ssXXX"
       case n => s"yyyy-MM-dd'T'HH:mm:ss.${"S" * n}XXX"
