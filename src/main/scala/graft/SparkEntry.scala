@@ -654,6 +654,16 @@ object SparkEntry {
       .orderBy("user_id")
   }
 
+  /** Delta-vs-catalog dedup: the full corpus ingested against a catalog of
+    * every 5th document — survivors are the docs whose content hash is not
+    * already cataloged (bloom prefilter + exact verify inside the op). */
+  private def dedupIncrementalQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = RawGen.table(s, dir, "documents")
+    Dedup.incrementalDedup(docs, docs.filter(col("doc_id") % 5 === 0))
+      .select(col("doc_id"))
+      .orderBy("doc_id")
+  }
+
   // ---------- registry ----------
 
   // ListMap: registry order is execution order in Verify/Bench, so per-query
@@ -730,7 +740,8 @@ object SparkEntry {
     "q_gaps" -> (qGaps _),
     "q_hist" -> (qHist _),
     "q_range_frame" -> (qRangeFrame _),
-    "q_first_last" -> (qFirstLast _)
+    "q_first_last" -> (qFirstLast _),
+    "dedup_incremental" -> (dedupIncrementalQ _)
   )
 
   // ---------- DuckDB oracles ----------
@@ -1565,6 +1576,12 @@ object SparkEntry {
        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_type
        |FROM e ORDER BY user_id""".stripMargin
 
+  private val dedupIncrementalSql =
+    """SELECT doc_id FROM documents d
+      |WHERE NOT EXISTS (SELECT 1 FROM documents b
+      |  WHERE b.doc_id % 5 = 0 AND md5(b.text) = md5(d.text))
+      |ORDER BY doc_id""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "cmf_geotab" -> cmfGeotabSql,
     "cmf_calamp" -> cmfCalampSql,
@@ -1636,6 +1653,7 @@ object SparkEntry {
     "q_gaps" -> qGapsSql,
     "q_hist" -> qHistSql,
     "q_range_frame" -> qRangeFrameSql,
-    "q_first_last" -> qFirstLastSql
+    "q_first_last" -> qFirstLastSql,
+    "dedup_incremental" -> dedupIncrementalSql
   )
 }

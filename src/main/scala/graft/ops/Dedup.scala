@@ -39,6 +39,36 @@ object Dedup {
   // wsPlus, not \\s+: Java \\s includes \\x0B, the oracle's RE2 \\s does not
   def words(text: Column): Column = split(trim(text), TextAnalysis.wsPlus)
 
+  /** Incremental (delta-vs-catalog) exact dedup — the ingest-time pattern:
+    * drop delta documents whose text already exists in the accumulated
+    * catalog. A bloom filter over the catalog's content hashes prefilters
+    * the delta SCAN-SIDE (one broadcast sketch, no join for the
+    * overwhelmingly-common fresh documents); only bloom POSITIVES — true
+    * duplicates plus the sketch's ~1% false positives — reach the exact
+    * anti-join. At 100 TB this turns the anti-join's left side from
+    * |delta| into |dupes + FPs|, and the right side stays a slim
+    * 32-char-hash catalog. False negatives are impossible, so skipping the
+    * verify for negatives loses nothing. */
+  def incrementalDedup(delta: DataFrame, base: DataFrame,
+                       textCol: String = "text",
+                       expectedCatalogSize: Long = 1000000L): DataFrame = {
+    val baseH = base.select(md5(col(textCol)).as("_bh"))
+    // scalar subquery, not a cross join: might_contain requires its sketch
+    // input to be a constant or scalar subquery (it folds to a literal at
+    // the scan), and the subquery form keeps the delta side join-free
+    val bloom = baseH.agg(graft.functions.Bloom.bloomAgg(
+      xxhash64(col("_bh")), expectedCatalogSize, expectedCatalogSize * 8L).as("_bf"))
+      .scalar()
+    val flagged = delta
+      .withColumn("_h", md5(col(textCol)))
+      .withColumn("_maybe",
+        graft.functions.Bloom.mightContain(bloom, xxhash64(col("_h"))))
+    val fresh = flagged.filter(!col("_maybe"))
+    val verified = flagged.filter(col("_maybe"))
+      .join(baseH, col("_h") === col("_bh"), "left_anti")
+    fresh.unionByName(verified).drop("_h", "_maybe")
+  }
+
   /** Segment-level exact dedup (the C4/RefinedWeb "line dedup" pass):
     * split each document into segments, drop every segment whose exact text
     * appeared in an earlier position of the corpus (global first-occurrence

@@ -115,6 +115,25 @@ class DedupSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("incrementalDedup: bloom prefilter + verify equals the plain anti-join") {
+    import spark.implicits._
+    val base = Seq((1L, "already in catalog"), (2L, "also catalogued")).toDF("doc_id", "text")
+    val delta = Seq(
+      (10L, "already in catalog"),  // exact dup of base 1 -> dropped
+      (11L, "brand new document"),
+      (12L, "also catalogued"),     // dup of base 2 -> dropped
+      (13L, "another fresh one")).toDF("doc_id", "text")
+    val got = Dedup.incrementalDedup(delta, base)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got === Set(11L, 13L))
+    // the bloom path is an optimization only: results must equal the exact
+    // anti-join regardless of false positives
+    val exact = delta.withColumn("_h", md5(col("text")))
+      .join(base.select(md5(col("text")).as("_h")), Seq("_h"), "left_anti")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got === exact)
+  }
+
   test("simhash: 16-bit fingerprint, equal for equal token multisets") {
     val d = docs(1L -> "one two three", 2L -> "one two three", 3L -> "four five six")
     val r = Dedup.simhash(d).collect().map(x => x.getLong(0) -> x.getString(1)).toMap
