@@ -8,9 +8,13 @@ import org.apache.spark.sql.graftbridge.Bridge
 /** Column-API access to Spark's internal bloom-filter sketch expressions
   * (`BloomFilterAggregate` / `BloomFilterMightContain` — the same machinery
   * AQE's runtime row-level filtering uses, public classes but not in the
-  * function registry). The sketch is a binary column: build it over a
-  * catalog with [[bloomAgg]], broadcast the 1-row frame, and prefilter a
-  * scan with [[mightContain]] — false positives possible (verify exactly
+  * function registry). Build the sketch over a catalog with [[bloomAgg]]
+  * and attach it to the probe side as a SCALAR SUBQUERY
+  * (`aggFrame.scalar()`) — might_contain REJECTS any sketch input that is
+  * not a foldable constant or scalar subquery, so a joined/broadcast
+  * column throws AnalysisException. Over an empty build side the aggregate
+  * is NULL and might_contain propagates it — callers must
+  * `coalesce(..., lit(false))`. False positives possible (verify exactly
   * afterwards), false negatives impossible (negatives skip the verify).
   */
 object Bloom {

@@ -45,10 +45,14 @@ object Dedup {
     * the delta SCAN-SIDE (one broadcast sketch, no join for the
     * overwhelmingly-common fresh documents); only bloom POSITIVES — true
     * duplicates plus the sketch's ~1% false positives — reach the exact
-    * anti-join. At 100 TB this turns the anti-join's left side from
-    * |delta| into |dupes + FPs|, and the right side stays a slim
-    * 32-char-hash catalog. False negatives are impossible, so skipping the
-    * verify for negatives loses nothing. */
+    * anti-join. At 100 TB this turns the anti-join's (and its shuffle's)
+    * left side from |delta| into |dupes + FPs| — the fresh majority never
+    * shuffles — and the right side stays a slim 32-char-hash catalog.
+    * False negatives are impossible, so skipping the verify for negatives
+    * loses nothing. The deliberate trade: the split reads delta twice
+    * (column-pruned scans + md5, cheap) to keep the fresh majority out of
+    * the shuffle (same bytes over the network, expensive); persist the
+    * hashed frame instead when delta fits the cache. */
   def incrementalDedup(delta: DataFrame, base: DataFrame,
                        textCol: String = "text",
                        expectedCatalogSize: Long = 1000000L): DataFrame = {
@@ -59,12 +63,19 @@ object Dedup {
     val bloom = baseH.agg(graft.functions.Bloom.bloomAgg(
       xxhash64(col("_bh")), expectedCatalogSize, expectedCatalogSize * 8L).as("_bf"))
       .scalar()
+    // coalesce: over an EMPTY catalog BloomFilterAggregate returns NULL and
+    // might_contain propagates it — without the default both branches below
+    // would filter every row out and a first ingest would drop all of delta
     val flagged = delta
       .withColumn("_h", md5(col(textCol)))
-      .withColumn("_maybe",
-        graft.functions.Bloom.mightContain(bloom, xxhash64(col("_h"))))
+      .withColumn("_maybe", coalesce(
+        graft.functions.Bloom.mightContain(bloom, xxhash64(col("_h"))),
+        lit(false)))
     val fresh = flagged.filter(!col("_maybe"))
+    // catalog side pinned off auto-broadcast (same rule as the other dedup
+    // joins): slim per ROW, but catalog CARDINALITY is corpus-scale
     val verified = flagged.filter(col("_maybe"))
+      .hint("shuffle_hash")
       .join(baseH, col("_h") === col("_bh"), "left_anti")
     fresh.unionByName(verified).drop("_h", "_maybe")
   }

@@ -134,6 +134,29 @@ class DedupSpec extends SparkSpec {
     assert(got === exact)
   }
 
+  test("incrementalDedup: empty catalog passes the whole delta through (first ingest)") {
+    import spark.implicits._
+    val delta = Seq((1L, "first ever doc"), (2L, "second ever doc")).toDF("doc_id", "text")
+    val base = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    // bloom agg over zero rows is NULL; without the coalesce-to-false both
+    // branches would drop every row
+    val got = Dedup.incrementalDedup(delta, base)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got === Set(1L, 2L))
+  }
+
+  test("incrementalDedup: forced false positives are rescued by the verify join") {
+    import spark.implicits._
+    val base = (1L to 20L).map(i => (i, s"catalog doc number $i")).toDF("doc_id", "text")
+    val delta = (100L to 140L).map(i => (i, s"fresh doc number $i")).toDF("doc_id", "text")
+    // 8-bit sketch over 20 items -> saturated filter, ~every probe positive:
+    // all fresh docs take the bloom-positive path and must survive via the
+    // exact anti-join
+    val got = Dedup.incrementalDedup(delta, base, expectedCatalogSize = 1L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got === (100L to 140L).toSet)
+  }
+
   test("simhash: 16-bit fingerprint, equal for equal token multisets") {
     val d = docs(1L -> "one two three", 2L -> "one two three", 3L -> "four five six")
     val r = Dedup.simhash(d).collect().map(x => x.getLong(0) -> x.getString(1)).toMap
