@@ -73,10 +73,11 @@ object Dedup {
         lit(false)))
     val fresh = flagged.filter(!col("_maybe"))
     // catalog side pinned off auto-broadcast (same rule as the other dedup
-    // joins): slim per ROW, but catalog CARDINALITY is corpus-scale
+    // joins): slim per ROW, but catalog CARDINALITY is corpus-scale. The
+    // hint goes on the RIGHT side — LeftAnti always builds right, so a
+    // stream-side hint is silently ignored and broadcast wins
     val verified = flagged.filter(col("_maybe"))
-      .hint("shuffle_hash")
-      .join(baseH, col("_h") === col("_bh"), "left_anti")
+      .join(baseH.hint("shuffle_hash"), col("_h") === col("_bh"), "left_anti")
     fresh.unionByName(verified).drop("_h", "_maybe")
   }
 

@@ -92,6 +92,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"corpus side shuffled for the join:\n$p")
   }
 
+  test("incrementalDedup verify join stays a shuffle join (catalog never broadcasts)") {
+    import spark.implicits._
+    val base = (1L to 50L).map(i => (i, s"catalog $i")).toDF("doc_id", "text")
+    val delta = (100L to 150L).map(i => (i, s"delta $i")).toDF("doc_id", "text")
+    // at this size auto-broadcast WOULD fire without the hint; the catalog
+    // is corpus-cardinality at scale, so the pinned plan must shuffle
+    val p = plan(graft.ops.Dedup.incrementalDedup(delta, base))
+    assert(p.contains("ShuffledHashJoin"), s"verify join not shuffle-pinned:\n$p")
+    assert(!p.contains("BroadcastHashJoin"), s"catalog side broadcast:\n$p")
+  }
+
   test("minhash signature frame carries no shingle arrays into the band self-join") {
     import spark.implicits._
     val docs = Seq((1L, "a b c d e f"), (2L, "a b c d e f")).toDF("doc_id", "text")
