@@ -1185,7 +1185,7 @@ object SparkEntry {
        |  FROM e GROUP BY 1, 2)
        |SELECT ${sqlIsoFromS("win_s")} AS window_start, event_type,
        |  CAST(cnt AS BIGINT) AS cnt, CAST(sd AS DOUBLE) AS sum_value
-       |FROM g ORDER BY 1, 2""".stripMargin
+       |FROM g ORDER BY 1, 2 NULLS FIRST""".stripMargin
 
   private val sessionizeSql =
     s"""WITH e AS (SELECT user_id, event_id, $sqlEpochUs AS us FROM events),
@@ -1505,7 +1505,7 @@ object SparkEntry {
        |SELECT ${sqlIsoFromS("win_s")} AS window_start,
        |  ${sqlIsoFromS("win_s + 7200")} AS window_end, event_type,
        |  CAST(cnt AS BIGINT) AS cnt, CAST(sd AS DOUBLE) AS sum_value
-       |FROM g ORDER BY 1, 3""".stripMargin
+       |FROM g ORDER BY 1, 3 NULLS FIRST""".stripMargin
 
   private val qGroupingSetsSql =
     """SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,

@@ -68,13 +68,18 @@ object RawGen {
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     val path = s"$sfDir/events.parquet"
     val df = spread(spark, spark.read.parquet(path), path)
+    // FLOOR division, not `div` (which truncates toward zero): the DuckDB
+    // oracle computes epoch_ms/epoch_s with `//` (floor) and unix_micros
+    // floors too, so a pre-1970 (negative) timestamp must floor here as
+    // well or the two engines disagree by 1 on every negative boundary.
+    // (x - pmod(x, d)) is an exact multiple of d, so the `div` is exact.
     val epochUs = df.schema("ts").dataType match {
-      case LongType => expr("ts div 1000")
+      case LongType => expr("(ts - pmod(ts, 1000)) div 1000")
       case _        => unix_micros(col("ts"))
     }
     df.withColumn("epoch_us", epochUs)
-      .withColumn("epoch_ms", expr("epoch_us div 1000"))
-      .withColumn("epoch_s", expr("epoch_us div 1000000"))
+      .withColumn("epoch_ms", expr("(epoch_us - pmod(epoch_us, 1000)) div 1000"))
+      .withColumn("epoch_s", expr("(epoch_us - pmod(epoch_us, 1000000)) div 1000000"))
   }
 
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {

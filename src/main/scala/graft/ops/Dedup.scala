@@ -57,11 +57,24 @@ object Dedup {
                        textCol: String = "text",
                        expectedCatalogSize: Long = 1000000L): DataFrame = {
     val baseH = base.select(md5(col(textCol)).as("_bh"))
+    // BloomFilterAggregate silently clamps its sizing to the runtime-filter
+    // conf caps (default maxNumBits = 2^26 ≈ room for ~8.4M items at
+    // 8 bits/item): above that the sketch saturates and every delta row
+    // silently pays the verify join — correct but defeating the prefilter.
+    // Raise the caps to the requested size; the numBits literal is evaluated
+    // lazily against the active session conf, so setting it here is enough.
+    val numBits = expectedCatalogSize * 8L
+    val conf = delta.sparkSession.conf
+    val maxBitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val maxItemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    if (conf.get(maxBitsKey).toLong < numBits) conf.set(maxBitsKey, numBits)
+    if (conf.get(maxItemsKey).toLong < expectedCatalogSize)
+      conf.set(maxItemsKey, expectedCatalogSize)
     // scalar subquery, not a cross join: might_contain requires its sketch
     // input to be a constant or scalar subquery (it folds to a literal at
     // the scan), and the subquery form keeps the delta side join-free
     val bloom = baseH.agg(graft.functions.Bloom.bloomAgg(
-      xxhash64(col("_bh")), expectedCatalogSize, expectedCatalogSize * 8L).as("_bf"))
+      xxhash64(col("_bh")), expectedCatalogSize, numBits).as("_bf"))
       .scalar()
     // coalesce: over an EMPTY catalog BloomFilterAggregate returns NULL and
     // might_contain propagates it — without the default both branches below

@@ -54,14 +54,16 @@ object Windows {
   /** Gaps-and-islands: contiguous runs of active days per user (the
     * engagement-streak analytic). Classic day−row_number trick: the
     * distinct (user, day) frame and both window/agg passes share ONE
-    * user_id-keyed exchange. Day boundaries via integer division (`div`),
-    * not double division — a float quotient rounding up at a boundary
-    * would mis-bin an event in one engine only. */
+    * user_id-keyed exchange. Day boundaries via FLOOR division spelled
+    * (x - pmod(x, d)) div d — exact on longs (no double quotient), and it
+    * floors rather than truncating toward zero, matching the oracle's `//`
+    * for pre-1970 (negative) epochs. */
   def activityIslands(events: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("day")
     events
       .filter(col("user_id").isNotNull && col("epoch_us").isNotNull)
-      .select(col("user_id"), expr("epoch_us div 86400000000").as("day"))
+      .select(col("user_id"),
+        expr("(epoch_us - pmod(epoch_us, 86400000000)) div 86400000000").as("day"))
       .distinct()
       .withColumn("grp", col("day") - row_number().over(w))
       .groupBy("user_id", "grp")
