@@ -664,6 +664,115 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  private def docChunkQ(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Packing.chunkDocs(RawGen.table(s, dir, "documents"))
+      .orderBy("doc_id", "chunk_idx")
+
+  private def shardAssignQ(s: SparkSession, dir: String): DataFrame =
+    Sampling.shardAssign(RawGen.table(s, dir, "documents"), "doc_id", 8)
+      .select("doc_id", "shard", "pos")
+      .orderBy("doc_id")
+
+  private def ngramCountsQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.ngramCounts(RawGen.table(s, dir, "documents"))
+      .orderBy(col("occurrences").desc, col("gram"))
+
+  /** Training-mix recipe: 30/20/10 docs from three named domains out of a
+    * 100-doc budget, deterministic hash order. */
+  private val mixWeights = Map("src0" -> 0.30, "src1" -> 0.20, "src2" -> 0.10)
+
+  private def domainMixQ(s: SparkSession, dir: String): DataFrame =
+    Sampling.mixtureSample(RawGen.table(s, dir, "documents"),
+      "source", "doc_id", mixWeights, budget = 100)
+      .select("doc_id", "source", "rank")
+      .orderBy("doc_id")
+
+  private def corpusStatsQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.corpusStats(RawGen.table(s, dir, "documents"))
+      .select("lang", "n_docs", "total_tokens", "p25_tokens", "p50_tokens",
+        "p75_tokens", "mean_tokens")
+      .orderBy("lang")
+
+  /** Pearson correlation / sample covariance from DECIMAL-exact moment sums
+    * (built-in corr() aggregates doubles in partition order — results drift
+    * with partitioning and can never hash-match an oracle). The five moments
+    * are exact decimals cast to double, then the closed-form combination is
+    * written with identical operation order in both engines, so the final
+    * doubles are bit-identical. */
+  private def qCorr(s: SparkSession, dir: String): DataFrame = {
+    val dq = col("l_quantity").cast("decimal(12,2)")
+    val dp = col("l_extendedprice").cast("decimal(12,2)")
+    RawGen.table(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(dq).cast("double").as("sx"),
+        sum(dp).cast("double").as("sy"),
+        sum(dq * dq).cast("double").as("sxx"),
+        sum(dp * dp).cast("double").as("syy"),
+        sum(dq * dp).cast("double").as("sxy"))
+      .select(col("l_returnflag"),
+        col("n").cast("long").as("cnt"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+           sqrt(col("n") * col("syy") - col("sy") * col("sy"))))
+          .as("corr_qty_price"),
+        ((col("sxy") - col("sx") * col("sy") / col("n")) / (col("n") - 1.0))
+          .as("covar_qty_price"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Per-group mode with an explicit deterministic tie-break (count desc,
+    * then value asc) — built-in mode() picks an arbitrary winner on ties in
+    * both engines, which an oracle cannot tolerate. */
+  private def qMode(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderstatus")
+      .orderBy(col("cnt").desc, col("o_orderpriority"))
+    RawGen.table(s, dir, "orders")
+      .groupBy("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col("o_orderstatus"), col("o_orderpriority").as("mode_priority"),
+        col("cnt"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** Correlated scalar subquery (orders 50% above their customer's average):
+    * written as SQL so Catalyst's subquery decorrelation runs — the planner
+    * rewrites the per-row subquery into ONE aggregate + join, which is the
+    * scale shape (a literal per-row execution would be |orders| queries). */
+  private def qScalarSub(s: SparkSession, dir: String): DataFrame = {
+    RawGen.table(s, dir, "orders").createOrReplaceTempView("orders_ssq")
+    s.sql(
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders_ssq o
+        |WHERE o_totalprice > 1.5 * (
+        |  SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         / COUNT(*)
+        |  FROM orders_ssq o2 WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  /** Dense-grid zero-fill (the reporting idiom): every (event_type ×
+    * day-of-week) cell, including empty ones. The grid is a cross join of
+    * two TINY dims (distinct types × 7 days — broadcast NLJ, never
+    * corpus-sized), left-joined to the aggregated counts. */
+  private def qZeroFill(s: SparkSession, dir: String): DataFrame = {
+    val ev = RawGen.events(s, dir)
+      .filter(col("event_type").isNotNull && col("epoch_us").isNotNull)
+      .withColumn("dow",
+        pmod(expr("(epoch_us - pmod(epoch_us, 86400000000)) div 86400000000"),
+          lit(7L)))
+    val counts = ev.groupBy("event_type", "dow").agg(count(lit(1)).as("c"))
+    val types = ev.select("event_type").distinct()
+    val days = s.range(0, 7).select(col("id").as("dow"))
+    types.crossJoin(days)
+      .join(counts, Seq("event_type", "dow"), "left")
+      .select(col("event_type"), col("dow"),
+        coalesce(col("c"), lit(0L)).as("cnt"))
+      .orderBy("event_type", "dow")
+  }
+
   // ---------- registry ----------
 
   // ListMap: registry order is execution order in Verify/Bench, so per-query
@@ -741,7 +850,16 @@ object SparkEntry {
     "q_hist" -> (qHist _),
     "q_range_frame" -> (qRangeFrame _),
     "q_first_last" -> (qFirstLast _),
-    "dedup_incremental" -> (dedupIncrementalQ _)
+    "dedup_incremental" -> (dedupIncrementalQ _),
+    "doc_chunk" -> (docChunkQ _),
+    "shard_assign" -> (shardAssignQ _),
+    "ngram_counts" -> (ngramCountsQ _),
+    "domain_mix" -> (domainMixQ _),
+    "corpus_stats" -> (corpusStatsQ _),
+    "q_corr" -> (qCorr _),
+    "q_mode" -> (qMode _),
+    "q_scalar_sub" -> (qScalarSub _),
+    "q_zero_fill" -> (qZeroFill _)
   )
 
   // ---------- DuckDB oracles ----------
@@ -1582,6 +1700,112 @@ object SparkEntry {
       |  WHERE b.doc_id % 5 = 0 AND md5(b.text) = md5(d.text))
       |ORDER BY doc_id""".stripMargin
 
+  private val docChunkSql =
+    s"""WITH w AS (SELECT doc_id, $duckWords AS ws FROM documents
+       |  WHERE text IS NOT NULL AND trim(text) <> ''),
+       |n AS (SELECT doc_id, ws, len(ws) AS nw FROM w),
+       |x AS (SELECT doc_id, ws,
+       |    unnest(range(0, 1 + CAST(ceil(greatest(nw - 32, 0)/24.0) AS BIGINT))) AS ci
+       |  FROM n),
+       |c AS (SELECT doc_id, ci, ws[ci*24+1 : ci*24+32] AS chunk FROM x)
+       |SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
+       |  CAST(len(chunk) AS BIGINT) AS n_tokens,
+       |  md5(array_to_string(chunk, ' ')) AS chunk_md5
+       |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+
+  // 4-hex-digit value of md5's prefix, digit by digit (DuckDB has no
+  // hex-parse builtin; strpos on the alphabet is the established idiom here)
+  private val shardAssignSql = {
+    def hv(i: Int) = s"(strpos('0123456789abcdef', substr(h,$i,1))-1)"
+    s"""WITH h AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+       |v AS (SELECT doc_id, h,
+       |  (${hv(1)}*4096 + ${hv(2)}*256 + ${hv(3)}*16 + ${hv(4)}) % 8 AS shard FROM h)
+       |SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+       |  CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS BIGINT) AS pos
+       |FROM v ORDER BY doc_id""".stripMargin
+  }
+
+  private val ngramCountsSql =
+    s"""WITH w AS (SELECT doc_id, $duckWords AS ws FROM documents),
+       |f AS (SELECT doc_id, ws FROM w WHERE len(ws) >= 2),
+       |g AS (SELECT doc_id, unnest(list_transform(generate_series(0, len(ws)-2),
+       |    i -> array_to_string(ws[i+1:i+2], ' '))) AS gram FROM f)
+       |SELECT gram, CAST(count(*) AS BIGINT) AS occurrences,
+       |  CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
+       |FROM g GROUP BY gram ORDER BY occurrences DESC, gram LIMIT 100""".stripMargin
+
+  private val domainMixSql =
+    """WITH r AS (SELECT doc_id, source,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rank
+      |  FROM documents WHERE source IN ('src0','src1','src2'))
+      |SELECT doc_id, source, CAST(rank AS BIGINT) AS rank
+      |FROM r WHERE rank <= CASE source WHEN 'src0' THEN 30
+      |  WHEN 'src1' THEN 20 WHEN 'src2' THEN 10 END
+      |ORDER BY doc_id""".stripMargin
+
+  private val corpusStatsSql =
+    s"""WITH w AS (SELECT lang, len($duckWords) AS nt FROM documents)
+       |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(CAST(nt AS DECIMAL(18,0))) AS BIGINT) AS total_tokens,
+       |  quantile_cont(nt, 0.25) AS p25_tokens,
+       |  quantile_cont(nt, 0.5) AS p50_tokens,
+       |  quantile_cont(nt, 0.75) AS p75_tokens,
+       |  CAST(CAST(SUM(CAST(nt AS DECIMAL(18,0))) AS BIGINT) AS DOUBLE)/count(*)
+       |    AS mean_tokens
+       |FROM w GROUP BY lang ORDER BY lang""".stripMargin
+
+  // moment sums exact in decimal, closed forms written with the IDENTICAL
+  // operation order as the Spark side — bit-identical doubles (see qCorr)
+  private val qCorrSql =
+    """WITH m AS (SELECT l_returnflag,
+      |  CAST(count(*) AS DOUBLE) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy
+      |  FROM lineitem GROUP BY 1)
+      |SELECT l_returnflag, CAST(n AS BIGINT) AS cnt,
+      |  (n*sxy - sx*sy) / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy))
+      |    AS corr_qty_price,
+      |  (sxy - sx*sy/n) / (n - 1.0) AS covar_qty_price
+      |FROM m ORDER BY l_returnflag""".stripMargin
+
+  private val qModeSql =
+    """WITH c AS (SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+      |  FROM orders GROUP BY 1, 2),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY o_orderstatus
+      |    ORDER BY cnt DESC, o_orderpriority) AS rn FROM c)
+      |SELECT o_orderstatus, o_orderpriority AS mode_priority,
+      |  CAST(cnt AS BIGINT) AS cnt
+      |FROM r WHERE rn = 1 ORDER BY o_orderstatus""".stripMargin
+
+  private val qScalarSubSql =
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders o
+      |WHERE o_totalprice > 1.5 * (
+      |  SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |         / COUNT(*)
+      |  FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ((x%7)+7)%7, not plain %: DuckDB's % is sign-preserving while the Spark
+  // side uses pmod — identical for this corpus, but a pre-1970 epoch would
+  // make the day negative and flip the dow in one engine only
+  private val qZeroFillSql =
+    s"""WITH e AS (SELECT event_type,
+       |    ((($sqlEpochUs//86400000000) % 7) + 7) % 7 AS dow FROM events
+       |  WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+       |c AS (SELECT event_type, dow, count(*) AS cnt FROM e GROUP BY 1, 2),
+       |t AS (SELECT DISTINCT event_type FROM e),
+       |d AS (SELECT unnest(range(0, 7)) AS dow)
+       |SELECT t.event_type, CAST(d.dow AS BIGINT) AS dow,
+       |  CAST(COALESCE(c.cnt, 0) AS BIGINT) AS cnt
+       |FROM t CROSS JOIN d
+       |LEFT JOIN c ON c.event_type = t.event_type AND c.dow = d.dow
+       |ORDER BY 1, 2""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "cmf_geotab" -> cmfGeotabSql,
     "cmf_calamp" -> cmfCalampSql,
@@ -1654,6 +1878,15 @@ object SparkEntry {
     "q_hist" -> qHistSql,
     "q_range_frame" -> qRangeFrameSql,
     "q_first_last" -> qFirstLastSql,
-    "dedup_incremental" -> dedupIncrementalSql
+    "dedup_incremental" -> dedupIncrementalSql,
+    "doc_chunk" -> docChunkSql,
+    "shard_assign" -> shardAssignSql,
+    "ngram_counts" -> ngramCountsSql,
+    "domain_mix" -> domainMixSql,
+    "corpus_stats" -> corpusStatsSql,
+    "q_corr" -> qCorrSql,
+    "q_mode" -> qModeSql,
+    "q_scalar_sub" -> qScalarSubSql,
+    "q_zero_fill" -> qZeroFillSql
   )
 }

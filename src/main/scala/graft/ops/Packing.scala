@@ -40,4 +40,33 @@ object Packing {
       .select(col("doc_id"), col("bucket").cast("long").as("bucket"),
         col("n_tokens"), col("offset"), col("bin"))
   }
+
+  /** Overlapping token-window chunking (the RAG / long-context prep pass):
+    * split each document into windows of `chunkSize` tokens advancing by
+    * `stride` (< chunkSize ⇒ consecutive chunks overlap by chunkSize−stride
+    * tokens, so no span is ever cut without context). Chunk count per doc is
+    * 1 + ceil(max(nTokens − chunkSize, 0) / stride) — the final chunk is the
+    * (possibly short) tail.
+    *
+    * Scale shape: entirely row-local (tokenize → sequence → explode), zero
+    * shuffles; output size is input × ~chunkSize/stride, which is the
+    * intended duplication factor, not overhead. The explode keeps the token
+    * ARRAY on one row while slicing — document text never rides a shuffle. */
+  def chunkDocs(docs: DataFrame, chunkSize: Int = 32, stride: Int = 24): DataFrame = {
+    require(stride > 0 && chunkSize >= stride, "need 0 < stride <= chunkSize")
+    val nChunks = lit(1) +
+      ceil(greatest(col("nw") - chunkSize, lit(0)) / lit(stride.toDouble)).cast("int")
+    docs
+      .filter(col("text").isNotNull && length(trim(col("text"))) > 0)
+      .select(col("doc_id"), Dedup.words(col("text")).as("ws"))
+      .withColumn("nw", size(col("ws")))
+      .select(col("doc_id"), col("ws"),
+        explode(sequence(lit(0), nChunks - 1)).as("ci"))
+      // slice's start/length are IntegerType — keep ci int here, widen after
+      .select(col("doc_id"), col("ci"),
+        slice(col("ws"), col("ci") * stride + 1, lit(chunkSize)).as("chunk"))
+      .select(col("doc_id"), col("ci").cast("long").as("chunk_idx"),
+        size(col("chunk")).cast("long").as("n_tokens"),
+        md5(array_join(col("chunk"), " ")).as("chunk_md5"))
+  }
 }

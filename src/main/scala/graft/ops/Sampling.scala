@@ -92,4 +92,49 @@ object Sampling {
       .filter(col("cum_before") < budget)
       .select(col(idCol), col(strataCol), col("n_tokens"), col("cum_before"))
   }
+
+  /** Deterministic global shuffle for training-shard layout: every row gets
+    * a pseudo-random shard (first 4 hex digits of md5(id) mod numShards) and
+    * a position within that shard (rank in hash order) — together a
+    * reproducible random permutation of the corpus, without ever running a
+    * global sort. The trainer reads shard files in position order and sees
+    * hash-shuffled data.
+    *
+    * Scale shape: ONE shuffle (the per-shard rank window); partitions are
+    * balanced by construction (md5 is uniform), so no shard is a straggler.
+    * Contrast with orderBy(rand()): nondeterministic under retry AND a
+    * global range sort. */
+  def shardAssign(df: DataFrame, idCol: String, numShards: Int): DataFrame = {
+    val h = md5(col(idCol).cast("string"))
+    val shard = pmod(conv(substring(h, 1, 4), 16, 10).cast("long"), lit(numShards))
+    df.withColumn("_h", h)
+      .withColumn("shard", shard)
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("shard").orderBy(col("_h"), col(idCol))).cast("long"))
+      .drop("_h")
+  }
+
+  /** Count-quota mixture sampling (the training-mix recipe): given target
+    * WEIGHTS per stratum and a total document budget, keep the first
+    * floor(weight × budget) documents of each stratum in deterministic hash
+    * order. Strata absent from `weights` contribute nothing. Unlike
+    * [[stratifiedSample]] (rate per stratum — output scales with corpus),
+    * this caps absolute counts, which is how a mix spec ("30% web, 20%
+    * code…") is actually written.
+    *
+    * Scale shape: one shuffle (per-stratum rank window). The rank only needs
+    * to be computed for strata in the recipe — everything else is filtered
+    * before the window, so the exchange carries candidate strata only. */
+  def mixtureSample(df: DataFrame, stratumCol: String, idCol: String,
+                    weights: Map[String, Double], budget: Long): DataFrame = {
+    val quota = weights.foldLeft(when(lit(false), lit(0L))) {
+      case (acc, (stratum, w)) =>
+        acc.when(col(stratumCol) === stratum, lit(math.floor(w * budget).toLong))
+    }.otherwise(lit(0L))
+    df.filter(col(stratumCol).isin(weights.keys.toSeq: _*))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(stratumCol)
+          .orderBy(md5(col(idCol).cast("string")), col(idCol))).cast("long"))
+      .filter(col("rank") <= quota)
+  }
 }

@@ -267,4 +267,48 @@ object TextAnalysis {
       when(col("_n") >= window,
         md5(array_join(array_sort(array_distinct(wins)), ""))).as("winnow_digest"))
   }
+
+  /** Corpus-level n-gram frequency table, top-k: the vocabulary/boilerplate
+    * census a curation pipeline runs before choosing dedup and filtering
+    * thresholds. Counts are raw OCCURRENCES (not the per-doc-distinct
+    * shingle sets of [[Dedup.shingles]]) plus document frequency.
+    *
+    * Scale shape: explode → one hash agg keyed by the n-gram (map-side
+    * partial aggregation collapses repeats before the shuffle; count and
+    * count-distinct-doc share the agg) → global top-k via TakeOrdered
+    * (each partition keeps k rows; no global sort materializes). */
+  def ngramCounts(docs: DataFrame, n: Int = 2, topK: Int = 100): DataFrame = {
+    val w = Dedup.words(col("text"))
+    val grams = transform(sequence(lit(0), size(col("_ws")) - n),
+      i => array_join(slice(col("_ws"), i + lit(1), lit(n)), " "))
+    docs.filter(size(w) >= n)
+      .withColumn("_ws", w)
+      .select(col("doc_id"), explode(grams).as("gram"))
+      .groupBy("gram")
+      .agg(count(lit(1)).as("occurrences"),
+        countDistinct(col("doc_id")).as("doc_freq"))
+      .orderBy(col("occurrences").desc, col("gram"))
+      .limit(topK)
+  }
+
+  /** Per-stratum corpus profile: doc count, token totals, mean and exact
+    * quartile token counts — the report a mixture designer reads before
+    * writing weights. Quartiles of INTEGRAL token counts at quarter
+    * fractions are exactly representable doubles, so the result is
+    * bit-identical across engines (same trick as q_percentiles); the mean
+    * divides a decimal-exact sum, deterministic under any partitioning.
+    * One hash-agg shuffle on the stratum key. */
+  def corpusStats(docs: DataFrame, strataCol: String = "lang"): DataFrame = {
+    val nTok = size(Dedup.words(col("text"))).cast("long")
+    docs
+      .select(col(strataCol), nTok.as("_nt"))
+      .groupBy(strataCol)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("_nt").cast("decimal(18,0)")).cast("long").as("total_tokens"),
+        expr("percentile(_nt, 0.25)").as("p25_tokens"),
+        expr("percentile(_nt, 0.5)").as("p50_tokens"),
+        expr("percentile(_nt, 0.75)").as("p75_tokens"))
+      .withColumn("mean_tokens",
+        col("total_tokens").cast("double") / col("n_docs"))
+  }
 }

@@ -1,0 +1,121 @@
+package graft
+
+import graft.ops.{Packing, Sampling, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Round-6 curation operators: chunking, shard assignment, mixture
+  * sampling, n-gram census, corpus profile. */
+class CurationSpec extends SparkSpec {
+
+  test("chunkDocs: overlap, tail chunk, and single-chunk docs") {
+    import spark.implicits._
+    // 10 words, chunkSize 4, stride 3 -> chunks at 0,3,6 ... count =
+    // 1 + ceil((10-4)/3) = 3: [w1..w4] [w4..w7] [w7..w10]
+    val words10 = (1 to 10).map(i => s"w$i").mkString(" ")
+    val d = Seq((1L, words10), (2L, "a b"), (3L, " ")).toDF("doc_id", "text")
+    val r = Packing.chunkDocs(d, chunkSize = 4, stride = 3)
+      .orderBy("doc_id", "chunk_idx").collect()
+    val doc1 = r.filter(_.getLong(0) == 1L)
+    assert(doc1.map(_.getLong(1)).toSeq === Seq(0L, 1L, 2L))
+    assert(doc1.map(_.getLong(2)).toSeq === Seq(4L, 4L, 4L))
+    // doc 2: shorter than chunkSize -> exactly one (short) chunk
+    val doc2 = r.filter(_.getLong(0) == 2L)
+    assert(doc2.length === 1 && doc2.head.getLong(2) === 2L)
+    // doc 3: whitespace-only text is dropped entirely
+    assert(!r.exists(_.getLong(0) == 3L))
+    // overlap: chunk 1 starts at word 4 = stride+1
+    val m = md5(lit((4 to 7).map(i => s"w$i").mkString(" ")))
+    val expected = d.sparkSession.range(1).select(m).head.getString(0)
+    assert(doc1(1).getString(3) === expected)
+  }
+
+  test("chunkDocs covers every token: union of chunks at stride==chunkSize partitions the doc") {
+    import spark.implicits._
+    val words = (1 to 11).map(i => s"t$i").mkString(" ")
+    val d = Seq((1L, words)).toDF("doc_id", "text")
+    val r = Packing.chunkDocs(d, chunkSize = 4, stride = 4).collect()
+    // 11 words, no overlap -> 3 chunks of sizes 4,4,3
+    assert(r.map(_.getLong(2)).sorted.toSeq === Seq(3L, 4L, 4L))
+  }
+
+  test("shardAssign: deterministic, balanced-ish, positions dense per shard") {
+    import spark.implicits._
+    val d = spark.range(1000).select(col("id").as("doc_id"))
+    val r = Sampling.shardAssign(d, "doc_id", 8).cache()
+    assert(r.count() === 1000)
+    // same input -> same assignment (pure function of id)
+    val r2 = Sampling.shardAssign(d, "doc_id", 8)
+    assert(r.except(r2).isEmpty && r2.except(r).isEmpty)
+    // md5 is uniform: no shard should be empty or dominant at n=1000
+    val sizes = r.groupBy("shard").count().collect().map(_.getLong(1))
+    assert(sizes.length === 8 && sizes.min > 60 && sizes.max < 200)
+    // positions are 1..count(shard) exactly (a permutation, no gaps/dupes)
+    val bad = r.groupBy("shard").agg(count(lit(1)).as("n"),
+        min("pos").as("lo"), max("pos").as("hi"),
+        countDistinct("pos").as("np"))
+      .filter(col("lo") =!= 1 || col("hi") =!= col("n") || col("np") =!= col("n"))
+    assert(bad.isEmpty)
+  }
+
+  test("mixtureSample: quotas bind per stratum, deterministic hash-order prefix") {
+    import spark.implicits._
+    val d = spark.range(300).select(col("id").as("doc_id"),
+      concat(lit("s"), (col("id") % 3).cast("string")).as("source"))
+    val picked = Sampling.mixtureSample(d, "source", "doc_id",
+      Map("s0" -> 0.5, "s1" -> 0.2), budget = 40)
+    val bySrc = picked.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc === Map("s0" -> 20L, "s1" -> 8L))   // floor(w*40); s2 absent
+    // the kept set is the rank-prefix: max rank == count per stratum
+    val mx = picked.groupBy("source").agg(max("rank").as("mx"), count(lit(1)).as("n"))
+      .filter(col("mx") =!= col("n"))
+    assert(mx.isEmpty)
+  }
+
+  test("mixtureSample: quota larger than stratum keeps the whole stratum") {
+    import spark.implicits._
+    val d = spark.range(10).select(col("id").as("doc_id"), lit("s0").as("source"))
+    val picked = Sampling.mixtureSample(d, "source", "doc_id",
+      Map("s0" -> 1.0), budget = 100)
+    assert(picked.count() === 10)
+  }
+
+  test("ngramCounts: occurrences are raw (repeats count), doc_freq distinct") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "to be or not to be"),   // "to be" occurs twice in doc 1
+      (2L, "to be is the question")).toDF("doc_id", "text")
+    val r = TextAnalysis.ngramCounts(d, n = 2, topK = 10).collect()
+      .map(x => x.getString(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(r("to be") === (3L, 2L))
+    assert(r("be or") === (1L, 1L))
+    // top-k ordering: most frequent first, ties broken by gram asc
+    val top = TextAnalysis.ngramCounts(d, n = 2, topK = 1).head()
+    assert(top.getString(0) === "to be")
+  }
+
+  test("corpusStats: exact quartiles and decimal-exact mean per stratum") {
+    import spark.implicits._
+    // token counts 1..5 in lang a -> p25=2, p50=3, p75=4, mean=3
+    val docs = (1 to 5).map(n => (n.toLong, (1 to n).map(_ => "x").mkString(" "), "a"))
+    val d = docs.toDF("doc_id", "text", "lang")
+    val r = TextAnalysis.corpusStats(d).head()
+    assert(r.getLong(1) === 5L)                  // n_docs
+    assert(r.getLong(2) === 15L)                 // total_tokens
+    assert(r.getDouble(3) === 2.0 && r.getDouble(4) === 3.0 && r.getDouble(5) === 4.0)
+    assert(r.getDouble(6) === 3.0)
+  }
+
+  test("zero-fill grid emits empty cells (SparkEntry.q_zero_fill shape)") {
+    import spark.implicits._
+    // two types, events only on dow 0 -> grid must still have 7 rows per type
+    val types = Seq("a", "b").toDF("event_type")
+    val days = spark.range(0, 7).select(col("id").as("dow"))
+    val counts = Seq(("a", 0L, 5L)).toDF("event_type", "dow", "c")
+    val grid = types.crossJoin(days)
+      .join(counts, Seq("event_type", "dow"), "left")
+      .select(col("event_type"), col("dow"), coalesce(col("c"), lit(0L)).as("cnt"))
+    assert(grid.count() === 14)
+    assert(grid.filter(col("cnt") === 0).count() === 13)
+  }
+}
