@@ -87,11 +87,11 @@ class OpsSpec extends SparkSpec {
     assert(r(1L) !== r(3L))
   }
 
-  test("approx_count_distinct within 5% of exact (SparkEntry.approxDistinct contract)") {
+  test("hll_sketch_agg(lgK=14) within 5% of exact (SparkEntry.approxDistinct contract)") {
     val df = spark.range(100000).selectExpr("cast(id % 7919 as long) v")
-    val r = df.agg(
-      approx_count_distinct(col("v"), 0.01).as("a"),
-      countDistinct(col("v")).as("e")).head()
+    val r = df.selectExpr(
+      "hll_sketch_estimate(hll_sketch_agg(v, 14)) a",
+      "count(DISTINCT v) e").head()
     val (a, e) = (r.getLong(0), r.getLong(1))
     assert(math.abs(a - e).toDouble / e < 0.05)
   }
