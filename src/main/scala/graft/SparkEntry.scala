@@ -781,6 +781,42 @@ object SparkEntry {
       .orderBy("event_type", "dow")
   }
 
+  private def kmeansAssignQ(s: SparkSession, dir: String): DataFrame =
+    Similarity.kmeansAssign(RawGen.table(s, dir, "embeddings"))
+      .orderBy("vec_id")
+
+  private def kmeansUpdateQ(s: SparkSession, dir: String): DataFrame =
+    Similarity.kmeansUpdate(RawGen.table(s, dir, "embeddings"))
+      .orderBy("cid", "dim")
+
+  private def qUnion(s: SparkSession, dir: String): DataFrame = {
+    val o = RawGen.table(s, dir, "orders")
+    o.filter(col("o_orderstatus") === "F").select("o_custkey")
+      .union(o.filter(col("o_orderstatus") === "O").select("o_custkey"))
+      .distinct()
+      .orderBy("o_custkey")
+  }
+
+  /** Approx quantiles with the tolerance-boolean pattern (same as
+    * approx_distinct): percentile_approx returns actual data values and its
+    * sketch merge is partition-order-sensitive, so the hash-stable output is
+    * the EXACT p25 (quarter fraction — exactly representable) plus booleans
+    * asserting the approx p50/p90 land within 1.0 of the exact interpolated
+    * values. */
+  private def qApproxQuantiles(s: SparkSession, dir: String): DataFrame =
+    RawGen.table(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("cnt"),
+        expr("percentile(l_quantity, 0.25)").as("p25"),
+        expr("percentile(l_quantity, 0.5)").as("_e50"),
+        expr("percentile(l_quantity, 0.9)").as("_e90"),
+        expr("percentile_approx(l_quantity, 0.5, 10000)").as("_a50"),
+        expr("percentile_approx(l_quantity, 0.9, 10000)").as("_a90"))
+      .select(col("l_returnflag"), col("cnt"), col("p25"),
+        (abs(col("_a50") - col("_e50")) <= 1.0).as("p50_within_tol"),
+        (abs(col("_a90") - col("_e90")) <= 1.0).as("p90_within_tol"))
+      .orderBy("l_returnflag")
+
   // ---------- registry ----------
 
   // ListMap: registry order is execution order in Verify/Bench, so per-query
@@ -867,7 +903,11 @@ object SparkEntry {
     "q_corr" -> (qCorr _),
     "q_mode" -> (qMode _),
     "q_scalar_sub" -> (qScalarSub _),
-    "q_zero_fill" -> (qZeroFill _)
+    "q_zero_fill" -> (qZeroFill _),
+    "kmeans_assign" -> (kmeansAssignQ _),
+    "kmeans_update" -> (kmeansUpdateQ _),
+    "q_union" -> (qUnion _),
+    "approx_quantiles" -> (qApproxQuantiles _)
   )
 
   // ---------- DuckDB oracles ----------
@@ -1814,6 +1854,50 @@ object SparkEntry {
        |LEFT JOIN c ON c.event_type = t.event_type AND c.dow = d.dow
        |ORDER BY 1, 2""".stripMargin
 
+  // shared int8-quantization CTE chain (mirror of Similarity.quantizedVecs)
+  private val duckQuantCtes =
+    """e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
+      |s AS (SELECT vec_id, emb, list_max(list_transform(emb, x -> abs(x)))/127.0 AS scale FROM e),
+      |q AS (SELECT vec_id, CASE WHEN scale = 0
+      |    THEN list_transform(emb, x -> CAST(0 AS BIGINT))
+      |    ELSE list_transform(emb, x -> greatest(CAST(-127 AS BIGINT),
+      |      least(CAST(127 AS BIGINT), CAST(floor(x/scale + 0.5) AS BIGINT)))) END AS qv
+      |  FROM s),
+      |c AS (SELECT vec_id AS cid, qv AS cq FROM q ORDER BY vec_id LIMIT 8),
+      |d AS (SELECT q.vec_id, c.cid,
+      |    list_sum(list_transform(range(1, len(q.qv)+1),
+      |      i -> (q.qv[i]-c.cq[i])*(q.qv[i]-c.cq[i]))) AS dist2
+      |  FROM q CROSS JOIN c),
+      |a AS (SELECT vec_id, cid, dist2,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn
+      |  FROM d)""".stripMargin
+
+  private val kmeansAssignSql =
+    s"""WITH $duckQuantCtes
+       |SELECT vec_id, CAST(cid AS BIGINT) AS cid, CAST(dist2 AS BIGINT) AS dist2
+       |FROM a WHERE rn = 1 ORDER BY vec_id""".stripMargin
+
+  private val kmeansUpdateSql =
+    s"""WITH $duckQuantCtes,
+       |j AS (SELECT a.cid, q.qv FROM a JOIN q USING (vec_id) WHERE a.rn = 1),
+       |x AS (SELECT cid, qv, unnest(range(1, len(qv)+1)) AS i FROM j)
+       |SELECT CAST(cid AS BIGINT) AS cid, CAST(i-1 AS INT) AS dim,
+       |  CAST(count(*) AS BIGINT) AS n, CAST(SUM(qv[i]) AS BIGINT) AS sum_q,
+       |  CAST(CAST(SUM(qv[i]) AS BIGINT) AS DOUBLE)/count(*) AS mean_q
+       |FROM x GROUP BY cid, i ORDER BY cid, dim""".stripMargin
+
+  private val qUnionSql =
+    """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      |UNION
+      |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      |ORDER BY o_custkey""".stripMargin
+
+  private val approxQuantilesSql =
+    """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS cnt,
+      |  quantile_cont(l_quantity, 0.25) AS p25,
+      |  true AS p50_within_tol, true AS p90_within_tol
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "cmf_geotab" -> cmfGeotabSql,
     "cmf_calamp" -> cmfCalampSql,
@@ -1895,6 +1979,10 @@ object SparkEntry {
     "q_corr" -> qCorrSql,
     "q_mode" -> qModeSql,
     "q_scalar_sub" -> qScalarSubSql,
-    "q_zero_fill" -> qZeroFillSql
+    "q_zero_fill" -> qZeroFillSql,
+    "kmeans_assign" -> kmeansAssignSql,
+    "kmeans_update" -> kmeansUpdateSql,
+    "q_union" -> qUnionSql,
+    "approx_quantiles" -> approxQuantilesSql
   )
 }

@@ -305,6 +305,66 @@ object Similarity {
     * round() disagree on negative-half cases (HALF_UP vs half-away); the
     * error sum is a strict left-to-right fold matching the oracle's
     * sequential list_sum; float→double widening is exact in both engines. */
+  /** Int8-quantized embedding vectors (same formula as [[quantizeInt8]],
+    * kept as the ARRAY rather than a digest — the k-means ops below do
+    * integer arithmetic on it, which is what makes them deterministic). */
+  private def quantizedVecs(embs: DataFrame): DataFrame = {
+    val emb = asDouble(col("embedding"))
+    embs
+      .withColumn("_emb", emb)
+      .withColumn("_scale",
+        array_max(transform(col("_emb"), x => abs(x))) / lit(127.0))
+      .withColumn("qv",
+        when(col("_scale") === 0.0, transform(col("_emb"), _ => lit(0L)))
+          .otherwise(transform(col("_emb"), x =>
+            greatest(lit(-127L), least(lit(127L),
+              floor(x / col("_scale") + lit(0.5)).cast("long"))))))
+      .select(col("vec_id"), col("qv"))
+  }
+
+  /** One Lloyd assignment step of k-means over int8-quantized embeddings —
+    * the coarse-quantizer training loop an IVF index build runs. Centroids
+    * are the k lowest-id vectors (deterministic data-derived seeding);
+    * distances are INTEGER squared-L2 over the quantized values, so the
+    * argmin is bit-exact in any engine and under any partitioning (double
+    * accumulation order can never flip a winner).
+    *
+    * Scale shape: the k centroids BROADCAST; scoring is a broadcast
+    * nested-loop fused into the corpus scan; the argmin is a min(struct)
+    * aggregation whose map-side partials collapse the N×k scored rows to one
+    * row per vector before the shuffle. Nothing corpus-sized is exchanged
+    * except the (vec_id, cid, dist2) result. */
+  def kmeansAssign(embs: DataFrame, k: Int = 8): DataFrame = {
+    val q = quantizedVecs(embs)
+    val cents = q.orderBy("vec_id").limit(k)
+      .select(col("vec_id").as("cid"), col("qv").as("cq"))
+    val dist2 = aggregate(
+      zip_with(col("qv"), col("cq"), (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, x) => acc + x)
+    q.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cid"), dist2.as("dist2"))
+      .groupBy("vec_id")
+      // lexicographic struct-min = (smallest dist2, then lowest cid): a
+      // deterministic tie-break, unlike min_by
+      .agg(min(struct(col("dist2"), col("cid"))).as("_m"))
+      .select(col("vec_id"), col("_m.cid").as("cid"), col("_m.dist2").as("dist2"))
+  }
+
+  /** The matching Lloyd update step: per-(centroid, dimension) integer sums
+    * and counts over the assigned vectors, plus the double mean (exact
+    * integer sum ÷ count — deterministic). Output is k×dim rows (tiny).
+    * Shape: one join on vec_id, posexplode, one hash agg on (cid, dim). */
+  def kmeansUpdate(embs: DataFrame, k: Int = 8): DataFrame = {
+    val q = quantizedVecs(embs)
+    kmeansAssign(embs, k).select("vec_id", "cid")
+      .join(q, "vec_id")
+      .select(col("cid"), posexplode(col("qv")).as(Seq("dim", "v")))
+      .groupBy("cid", "dim")
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_q"))
+      .withColumn("mean_q", col("sum_q").cast("double") / col("n"))
+      .select(col("cid"), col("dim"), col("n"), col("sum_q"), col("mean_q"))
+  }
+
   def quantizeInt8(embs: DataFrame): DataFrame = {
     val emb = asDouble(col("embedding"))
     val scale = array_max(transform(col("_emb"), x => abs(x))) / lit(127.0)

@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Packing, Sampling, TextAnalysis}
+import graft.ops.{Packing, Sampling, Similarity, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** Round-6 curation operators: chunking, shard assignment, mixture
@@ -104,6 +104,40 @@ class CurationSpec extends SparkSpec {
     assert(r.getLong(2) === 15L)                 // total_tokens
     assert(r.getDouble(3) === 2.0 && r.getDouble(4) === 3.0 && r.getDouble(5) === 4.0)
     assert(r.getDouble(6) === 3.0)
+  }
+
+  test("kmeansAssign: vectors go to the nearest seed centroid, ties to lowest cid") {
+    import spark.implicits._
+    val d = Seq(
+      (0L, Array(10f, 0f, 0f, 0f)),   // seed centroid 0
+      (1L, Array(0f, 10f, 0f, 0f)),   // seed centroid 1
+      (2L, Array(9f, 0f, 0f, 0f)),    // quantizes identically to v0
+      (3L, Array(0f, 11f, 0f, 0f)),   // near centroid 1
+      (4L, Array(0f, 0f, 0f, 0f))     // zero vector: equidistant -> cid 0
+    ).toDF("vec_id", "embedding")
+    val r = Similarity.kmeansAssign(d, k = 2).orderBy("vec_id").collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r === Map(0L -> 0L, 1L -> 1L, 2L -> 0L, 3L -> 1L, 4L -> 0L))
+    // seeds are distance 0 from themselves
+    val d0 = Similarity.kmeansAssign(d, k = 2).filter(col("vec_id") < 2)
+      .agg(max("dist2")).head.getLong(0)
+    assert(d0 === 0L)
+  }
+
+  test("kmeansUpdate: integer per-dimension sums and exact means") {
+    import spark.implicits._
+    val d = Seq(
+      (0L, Array(10f, 0f, 0f, 0f)),
+      (1L, Array(0f, 10f, 0f, 0f)),
+      (2L, Array(9f, 0f, 0f, 0f)),
+      (4L, Array(0f, 0f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val r = Similarity.kmeansUpdate(d, k = 2)
+      .filter(col("cid") === 0 && col("dim") === 0).head()
+    // cluster 0 = {v0, v2, v4}; quantized dim0 = 127, 127, 0
+    assert(r.getLong(2) === 3L)          // n
+    assert(r.getLong(3) === 254L)        // sum_q
+    assert(r.getDouble(4) === 254.0 / 3) // mean_q
   }
 
   test("zero-fill grid emits empty cells (SparkEntry.q_zero_fill shape)") {
