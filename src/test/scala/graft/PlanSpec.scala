@@ -70,9 +70,12 @@ class PlanSpec extends SparkSpec {
 
   test("NO registered query plans a cartesian product; BNLJ only with a broadcast-small side") {
     // broadcast nested-loop is INTENDED where a tiny side is broadcast
-    // against a non-equi condition: ANN brute scoring (a handful of query
-    // vectors; knn_recall embeds it) and tfidf's 1-row corpus-count join
-    val bnljAllowed = Set("knn_brute", "knn_topk_agg", "knn_recall", "tfidf_top_terms")
+    // against a non-equi condition (or a deliberate tiny cross join): ANN
+    // brute scoring (a handful of query vectors; knn_recall embeds it),
+    // tfidf's 1-row corpus-count join, k-means' k broadcast centroids, and
+    // q_zero_fill's (types × 7 days) grid
+    val bnljAllowed = Set("knn_brute", "knn_topk_agg", "knn_recall",
+      "tfidf_top_terms", "kmeans_assign", "kmeans_update", "q_zero_fill")
     val dir = "/root/testdata/sf0.001"
     SparkEntry.queries.foreach { case (name, fn) =>
       val p = fn(spark, dir).queryExecution.executedPlan.toString
@@ -101,6 +104,31 @@ class PlanSpec extends SparkSpec {
     val p = plan(graft.ops.Dedup.incrementalDedup(delta, base))
     assert(p.contains("ShuffledHashJoin"), s"verify join not shuffle-pinned:\n$p")
     assert(!p.contains("BroadcastHashJoin"), s"catalog side broadcast:\n$p")
+  }
+
+  test("chunkDocs is scan-fused: zero exchanges") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d e f g h")).toDF("doc_id", "text")
+    assert(!plan(graft.ops.Packing.chunkDocs(docs)).contains("Exchange"),
+      "chunking plan shuffles")
+  }
+
+  test("shardAssign: exactly one hash exchange (the per-shard rank window)") {
+    import spark.implicits._
+    val docs = spark.range(100).select(col("id").as("doc_id"))
+    val p = plan(graft.ops.Sampling.shardAssign(docs, "doc_id", 8))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges === 1, s"expected 1 exchange, got $exchanges:\n$p")
+  }
+
+  test("kmeansAssign: centroids broadcast; argmin agg is the only hash exchange") {
+    import spark.implicits._
+    val embs = (0L until 50L).map(i => (i, Seq.fill(8)((i % 5) / 5.0f)))
+      .toDF("vec_id", "embedding")
+    val p = plan(Similarity.kmeansAssign(embs, 4))
+    assert(p.contains("BroadcastExchange"), s"centroids not broadcast:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges === 1, s"expected 1 hash exchange (argmin agg), got $exchanges:\n$p")
   }
 
   test("minhash signature frame carries no shingle arrays into the band self-join") {

@@ -325,6 +325,25 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("chunkDocs runs unchanged on a stream (row-local chunking parity)") {
+    import spark.implicits._
+    val rows = Seq((1L, (1 to 9).map(i => s"w$i").mkString(" ")), (2L, "a b c"))
+    val stream = MemoryStream[(Long, String)](spark)
+    val q = graft.ops.Packing.chunkDocs(stream.toDF().toDF("doc_id", "text"),
+        chunkSize = 4, stride = 3)
+      .writeStream.format("memory").queryName("chunk_stream")
+      .outputMode("append").start()
+    stream.addData(rows: _*)
+    q.processAllAvailable()
+    q.stop()
+    val key = (s: Seq[Any]) => (s.head.toString, s(1).toString)
+    val streamed = spark.table("chunk_stream").collect().map(_.toSeq).sortBy(key)
+    val batch = graft.ops.Packing.chunkDocs(rows.toDF("doc_id", "text"),
+      chunkSize = 4, stride = 3).collect().map(_.toSeq).sortBy(key)
+    assert(streamed === batch)
+    assert(streamed.length === 4)  // doc1: 3 chunks, doc2: 1
+  }
+
   test("streaming fan-out writes per-tenant directories via foreachBatch") {
     import spark.implicits._
     val out = java.nio.file.Files.createTempDirectory("fanout").toString
