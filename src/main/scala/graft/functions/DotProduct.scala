@@ -85,6 +85,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (children: Seq[Expression]) => DotProduct(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_l2sq"),
+      new ExpressionInfo(classOf[L2Squared].getName, "graft_l2sq"),
+      (children: Seq[Expression]) => L2Squared(children(0), children(1))))
     ext.injectOptimizerRule(_ => RewriteDotProduct)
   }
 }

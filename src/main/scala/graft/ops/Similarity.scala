@@ -338,9 +338,10 @@ object Similarity {
     val q = quantizedVecs(embs)
     val cents = q.orderBy("vec_id").limit(k)
       .select(col("vec_id").as("cid"), col("qv").as("cq"))
-    val dist2 = aggregate(
-      zip_with(col("qv"), col("cq"), (a, b) => (a - b) * (a - b)),
-      lit(0L), (acc, x) => acc + x)
+    // native codegen'd loop, not aggregate(zip_with(...)): HOFs are
+    // CodegenFallback and allocate an intermediate array per (vector,
+    // centroid) pair — this sits in the N×k scoring hot path
+    val dist2 = graft.functions.L2Squared.l2sq(col("qv"), col("cq"))
     q.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("cid"), dist2.as("dist2"))
       .groupBy("vec_id")

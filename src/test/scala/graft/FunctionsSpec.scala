@@ -65,6 +65,26 @@ class FunctionsSpec extends SparkSpec {
     } finally spark.experimental.extraOptimizations = before
   }
 
+  test("graft_l2sq == composable form on long arrays, incl. NULL on length mismatch") {
+    import spark.implicits._
+    val lv = Seq(
+      (1L, Seq(1L, 2L, 3L), Seq(4L, 6L, 8L)),      // 9+16+25 = 50
+      (2L, Seq(-127L, 127L), Seq(127L, -127L)),    // 2*254^2 = 129032
+      (3L, Seq.empty[Long], Seq.empty[Long]),
+      (4L, Seq(1L), Seq(1L, 2L))                   // mismatch -> NULL
+    ).toDF("id", "a", "b")
+    val native = lv.select(col("id"),
+      graft.functions.L2Squared.l2sq(col("a"), col("b")).as("d")).orderBy("id").collect()
+    val composed = lv.select(col("id"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, x) => acc + x).as("d")).orderBy("id").collect()
+    assert(native === composed)
+    assert(native(0).getLong(1) === 50L)
+    assert(native(1).getLong(1) === 129032L)
+    assert(native(2).getLong(1) === 0L)
+    assert(native(3).isNullAt(1))
+  }
+
   test("knn queries stay oracle-consistent under the native dot (cosine of copy = 1)") {
     import spark.implicits._
     def vec(seed: Long): Seq[Float] =
