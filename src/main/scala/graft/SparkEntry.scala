@@ -789,6 +789,10 @@ object SparkEntry {
     Similarity.kmeansUpdate(RawGen.table(s, dir, "embeddings"))
       .orderBy("cid", "dim")
 
+  private def kmeansIterQ(s: SparkSession, dir: String): DataFrame =
+    Similarity.kmeansIter(RawGen.table(s, dir, "embeddings"))
+      .orderBy("vec_id")
+
   private def qUnion(s: SparkSession, dir: String): DataFrame = {
     val o = RawGen.table(s, dir, "orders")
     o.filter(col("o_orderstatus") === "F").select("o_custkey")
@@ -910,6 +914,7 @@ object SparkEntry {
     "q_zero_fill" -> (qZeroFill _),
     "kmeans_assign" -> (kmeansAssignQ _),
     "kmeans_update" -> (kmeansUpdateQ _),
+    "kmeans_iter" -> (kmeansIterQ _),
     "q_union" -> (qUnion _),
     "approx_quantiles" -> (qApproxQuantiles _)
   )
@@ -1858,16 +1863,19 @@ object SparkEntry {
        |LEFT JOIN c ON c.event_type = t.event_type AND c.dow = d.dow
        |ORDER BY 1, 2""".stripMargin
 
-  // shared int8-quantization CTE chain (mirror of Similarity.quantizedVecs)
-  private val duckQuantCtes =
+  // shared int8-quantization CTEs (mirror of Similarity.quantizedVecs)
+  private val duckQuantBase =
     """e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
       |s AS (SELECT vec_id, emb, list_max(list_transform(emb, x -> abs(x)))/127.0 AS scale FROM e),
       |q AS (SELECT vec_id, CASE WHEN scale = 0
       |    THEN list_transform(emb, x -> CAST(0 AS BIGINT))
       |    ELSE list_transform(emb, x -> greatest(CAST(-127 AS BIGINT),
       |      least(CAST(127 AS BIGINT), CAST(floor(x/scale + 0.5) AS BIGINT)))) END AS qv
-      |  FROM s),
-      |c AS (SELECT vec_id AS cid, qv AS cq FROM q ORDER BY vec_id LIMIT 8),
+      |  FROM s)""".stripMargin
+
+  // seed centroids + one assignment pass on top of the base CTEs
+  private val duckSeedAssign =
+    """c AS (SELECT vec_id AS cid, qv AS cq FROM q ORDER BY vec_id LIMIT 8),
       |d AS (SELECT q.vec_id, c.cid,
       |    list_sum(list_transform(range(1, len(q.qv)+1),
       |      i -> (q.qv[i]-c.cq[i])*(q.qv[i]-c.cq[i]))) AS dist2
@@ -1877,18 +1885,52 @@ object SparkEntry {
       |  FROM d)""".stripMargin
 
   private val kmeansAssignSql =
-    s"""WITH $duckQuantCtes
+    s"""WITH $duckQuantBase,
+       |$duckSeedAssign
        |SELECT vec_id, CAST(cid AS BIGINT) AS cid, CAST(dist2 AS BIGINT) AS dist2
        |FROM a WHERE rn = 1 ORDER BY vec_id""".stripMargin
 
   private val kmeansUpdateSql =
-    s"""WITH $duckQuantCtes,
+    s"""WITH $duckQuantBase,
+       |$duckSeedAssign,
        |j AS (SELECT a.cid, q.qv FROM a JOIN q USING (vec_id) WHERE a.rn = 1),
        |x AS (SELECT cid, qv, unnest(range(1, len(qv)+1)) AS i FROM j)
        |SELECT CAST(cid AS BIGINT) AS cid, CAST(i-1 AS INT) AS dim,
        |  CAST(count(*) AS BIGINT) AS n, CAST(SUM(qv[i]) AS BIGINT) AS sum_q,
        |  CAST(CAST(SUM(qv[i]) AS BIGINT) AS DOUBLE)/count(*) AS mean_q
        |FROM x GROUP BY cid, i ORDER BY cid, dim""".stripMargin
+
+  /** Unrolled oracle for the fixed-round Lloyd loop: the iteration count is
+    * a compile-time constant, so the recursive structure is generated as a
+    * flat CTE chain (assign → integer-rounded means → new centroid lists,
+    * repeated), exactly mirroring Similarity.kmeansIter's rounds. */
+  private val kmeansIterSql = {
+    val k = 8; val iters = 2
+    def dist(c: String) =
+      s"list_sum(list_transform(range(1, len(q.qv)+1), " +
+      s"j -> (q.qv[j]-$c.cq[j])*(q.qv[j]-$c.cq[j])))"
+    val parts = scala.collection.mutable.ArrayBuffer[String](
+      s"c0 AS (SELECT vec_id AS cid, qv AS cq FROM q ORDER BY vec_id LIMIT $k)")
+    for (i <- 0 until iters) {
+      parts += s"d$i AS (SELECT q.vec_id, c$i.cid, ${dist(s"c$i")} AS dist2 " +
+        s"FROM q CROSS JOIN c$i)"
+      parts += s"a$i AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, " +
+        s"row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn " +
+        s"FROM d$i) WHERE rn = 1)"
+      parts += s"x$i AS (SELECT a$i.cid, q.qv, unnest(range(1, len(q.qv)+1)) AS i " +
+        s"FROM a$i JOIN q USING (vec_id))"
+      parts += s"m$i AS (SELECT cid, i, CAST(floor(CAST(SUM(qv[i]) AS DOUBLE)" +
+        s"/count(*) + 0.5) AS BIGINT) AS rv FROM x$i GROUP BY cid, i)"
+      parts += s"c${i + 1} AS (SELECT cid, list(rv ORDER BY i) AS cq FROM m$i GROUP BY cid)"
+    }
+    parts += s"df AS (SELECT q.vec_id, c$iters.cid, ${dist(s"c$iters")} AS dist2 " +
+      s"FROM q CROSS JOIN c$iters)"
+    s"WITH $duckQuantBase,\n${parts.mkString(",\n")}\n" +
+    "SELECT vec_id, CAST(cid AS BIGINT) AS cid, CAST(dist2 AS BIGINT) AS dist2 " +
+    "FROM (SELECT vec_id, cid, dist2, row_number() OVER " +
+    "(PARTITION BY vec_id ORDER BY dist2, cid) AS rn FROM df) " +
+    "WHERE rn = 1 ORDER BY vec_id"
+  }
 
   private val qUnionSql =
     """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
@@ -1986,6 +2028,7 @@ object SparkEntry {
     "q_zero_fill" -> qZeroFillSql,
     "kmeans_assign" -> kmeansAssignSql,
     "kmeans_update" -> kmeansUpdateSql,
+    "kmeans_iter" -> kmeansIterSql,
     "q_union" -> qUnionSql,
     "approx_quantiles" -> approxQuantilesSql
   )

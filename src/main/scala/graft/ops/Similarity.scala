@@ -366,6 +366,50 @@ object Similarity {
       .select(col("cid"), col("dim"), col("n"), col("sum_q"), col("mean_q"))
   }
 
+  /** Fixed-round Lloyd k-means over int8-quantized embeddings: `iters`
+    * (assign → update) rounds, then a final assignment. Updated centroids
+    * are ROUNDED BACK TO INTEGERS (floor(mean+0.5)), so every round's
+    * distances stay integer squared-L2 — the whole loop is bit-exact under
+    * any partitioning and cluster size, which is what lets a 100 TB
+    * clustering job be resumed, re-run, and oracle-verified to the bit.
+    * A fixed iteration count (not a convergence test) keeps the round
+    * count engine-independent; clusters that lose all members drop out
+    * (their id simply stops appearing).
+    *
+    * Scale shape per round: same as [[kmeansAssign]]/[[kmeansUpdate]] —
+    * k broadcast centroids, map-side-collapsed argmin, one k×dim-row
+    * update agg. `localCheckpoint` truncates lineage so the plan stays
+    * O(1) across rounds (the connectedComponents pattern). */
+  def kmeansIter(embs: DataFrame, k: Int = 8, iters: Int = 2): DataFrame = {
+    val q = quantizedVecs(embs).localCheckpoint()
+    def assign(cents: DataFrame): DataFrame = {
+      val dist2 = graft.functions.L2Squared.l2sq(col("qv"), col("cq"))
+      q.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("cid"), dist2.as("dist2"))
+        .groupBy("vec_id")
+        .agg(min(struct(col("dist2"), col("cid"))).as("_m"))
+        .select(col("vec_id"), col("_m.cid").as("cid"), col("_m.dist2").as("dist2"))
+    }
+    var cents = q.orderBy("vec_id").limit(k)
+      .select(col("vec_id").as("cid"), col("qv").as("cq"))
+    var i = 0
+    while (i < iters) {
+      val rounded = floor(col("s").cast("double") / col("n") + lit(0.5)).cast("long")
+      cents = assign(cents).select("vec_id", "cid")
+        .join(q, "vec_id")
+        .select(col("cid"), posexplode(col("qv")).as(Seq("dim", "v")))
+        .groupBy("cid", "dim")
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+        .select(col("cid"), col("dim"), rounded.as("rv"))
+        .groupBy("cid")
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("rv")))),
+          x => x("rv")).as("cq"))
+        .localCheckpoint()
+      i += 1
+    }
+    assign(cents)
+  }
+
   def quantizeInt8(embs: DataFrame): DataFrame = {
     val emb = asDouble(col("embedding"))
     val scale = array_max(transform(col("_emb"), x => abs(x))) / lit(127.0)

@@ -140,6 +140,30 @@ class CurationSpec extends SparkSpec {
     assert(r.getDouble(4) === 254.0 / 3) // mean_q
   }
 
+  test("kmeansIter: zero rounds == single assign; rounds move centroids to integer means") {
+    import spark.implicits._
+    val d = Seq(
+      (0L, Array(10f, 0f, 0f, 0f)),
+      (1L, Array(0f, 10f, 0f, 0f)),
+      (2L, Array(9f, 0f, 0f, 0f)),
+      (3L, Array(0f, 11f, 0f, 0f)),
+      (4L, Array(0f, 0f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val zeroRounds = Similarity.kmeansIter(d, k = 2, iters = 0)
+      .orderBy("vec_id").collect().map(_.toSeq)
+    val singleStep = Similarity.kmeansAssign(d, k = 2)
+      .orderBy("vec_id").collect().map(_.toSeq)
+    assert(zeroRounds === singleStep)
+    // after a full round, cluster 0's centroid is the rounded mean of
+    // dim-0 values {127,127,0} = floor(254/3+0.5) = 85; v4 (all zero) is
+    // then at dist2 85^2=7225 from c0 vs 127^2 from the unmoved c1 ->
+    // assigned to cid 0 outright (no tie anymore)
+    val r = Similarity.kmeansIter(d, k = 2, iters = 1)
+      .orderBy("vec_id").collect()
+    assert(r.map(_.getLong(1)).toSeq === Seq(0L, 1L, 0L, 1L, 0L))
+    assert(r(4).getLong(2) === 85L * 85L)
+  }
+
   test("zero-fill grid emits empty cells (SparkEntry.q_zero_fill shape)") {
     import spark.implicits._
     // two types, events only on dow 0 -> grid must still have 7 rows per type
