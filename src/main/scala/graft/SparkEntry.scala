@@ -825,6 +825,23 @@ object SparkEntry {
         (abs(col("_a90") - col("_e90")) <= 1.0).as("p90_within_tol"))
       .orderBy("l_returnflag")
 
+  /** The remaining ranking-window family in one query: dense_rank,
+    * percent_rank, cume_dist over a deterministic (value, key) order.
+    * percent_rank/cume_dist are exact rational fractions computed
+    * identically in both engines from integer rank/count, so the doubles
+    * hash-match. */
+  private def qRankFamily(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderstatus")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    RawGen.table(s, dir, "orders")
+      .filter(col("o_orderkey") % 100 === 0)  // slim, stable sample
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        dense_rank().over(w).as("drank"),
+        percent_rank().over(w).as("prank"),
+        cume_dist().over(w).as("cdist"))
+      .orderBy("o_orderkey")
+  }
+
   // ---------- registry ----------
 
   // ListMap: registry order is execution order in Verify/Bench, so per-query
@@ -916,7 +933,8 @@ object SparkEntry {
     "kmeans_update" -> (kmeansUpdateQ _),
     "kmeans_iter" -> (kmeansIterQ _),
     "q_union" -> (qUnion _),
-    "approx_quantiles" -> (qApproxQuantiles _)
+    "approx_quantiles" -> (qApproxQuantiles _),
+    "q_rank_family" -> (qRankFamily _)
   )
 
   // ---------- DuckDB oracles ----------
@@ -1938,6 +1956,17 @@ object SparkEntry {
       |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
       |ORDER BY o_custkey""".stripMargin
 
+  private val qRankFamilySql =
+    """WITH f AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      |  WHERE o_orderkey % 100 = 0)
+      |SELECT o_orderkey, o_orderstatus, o_totalprice,
+      |  CAST(dense_rank() OVER w AS INT) AS drank,
+      |  percent_rank() OVER w AS prank,
+      |  cume_dist() OVER w AS cdist
+      |FROM f
+      |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+      |ORDER BY o_orderkey""".stripMargin
+
   private val approxQuantilesSql =
     """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS cnt,
       |  quantile_cont(l_quantity, 0.25) AS p25,
@@ -2030,6 +2059,7 @@ object SparkEntry {
     "kmeans_update" -> kmeansUpdateSql,
     "kmeans_iter" -> kmeansIterSql,
     "q_union" -> qUnionSql,
-    "approx_quantiles" -> approxQuantilesSql
+    "approx_quantiles" -> approxQuantilesSql,
+    "q_rank_family" -> qRankFamilySql
   )
 }

@@ -200,4 +200,49 @@ class PropSpec extends SparkSpec {
       .withColumn("c", graft.ops.Similarity.dotComposed(col("a"), col("b")))
     assert(df.filter(col("n") =!= col("c")).count() === 0)
   }
+
+  test("chunkDocs invariants: token coverage, bounded sizes, stride-aligned overlap") {
+    import spark.implicits._
+    import graft.ops.Packing
+    val (cs, st) = (7, 5)
+    val docGen = Gen.chooseNum(1, 40).map(n => (1 to n).map(i => s"t$i").mkString(" "))
+    val docs = (0 until 60).flatMap(i => docGen.sample.map(t => (i.toLong, t)))
+    val df = docs.toDF("doc_id", "text")
+    val chunks = Packing.chunkDocs(df, cs, st).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.sortBy(_.getLong(1))).toMap
+    docs.foreach { case (id, text) =>
+      val n = text.split(" ").length
+      val expected = 1 + math.ceil(math.max(n - cs, 0) / st.toDouble).toInt
+      val cl = chunks(id)
+      assert(cl.length === expected, s"doc $id ($n words)")
+      // every chunk is full-size except possibly the last; indices dense
+      assert(cl.map(_.getLong(1)).toSeq === (0 until expected).map(_.toLong))
+      cl.init.foreach(c => assert(c.getLong(2) === cs))
+      assert(cl.last.getLong(2) === math.min(cs, n - (expected - 1) * st))
+    }
+  }
+
+  test("shardAssign is a permutation: every id exactly once, shards in range") {
+    import spark.implicits._
+    import graft.ops.Sampling
+    val ids = Gen.listOfN(300, Gen.chooseNum(0L, 1000000L)).sample.get.distinct
+    val r = Sampling.shardAssign(ids.map(Tuple1(_)).toDF("doc_id"), "doc_id", 5)
+      .collect()
+    assert(r.length === ids.length)
+    assert(r.map(_.getLong(0)).sorted.toSeq === ids.sorted)
+    assert(r.forall(x => x.getLong(1) >= 0 && x.getLong(1) < 5))
+  }
+
+  test("mixtureSample quotas are monotone in budget (prefix property)") {
+    import spark.implicits._
+    import graft.ops.Sampling
+    val docs = (0L until 200L).map(i => (i, s"s${i % 4}")).toDF("doc_id", "source")
+    val w = Map("s0" -> 0.4, "s1" -> 0.3)
+    val small = Sampling.mixtureSample(docs, "source", "doc_id", w, 50)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val large = Sampling.mixtureSample(docs, "source", "doc_id", w, 100)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // growing the budget only ADDS documents (hash-order prefix grows)
+    assert(small.subsetOf(large))
+  }
 }
