@@ -336,19 +336,42 @@ object Similarity {
     * except the (vec_id, cid, dist2) result. */
   def kmeansAssign(embs: DataFrame, k: Int = 8): DataFrame = {
     val q = quantizedVecs(embs)
-    val cents = q.orderBy("vec_id").limit(k)
-      .select(col("vec_id").as("cid"), col("qv").as("cq"))
-    // native codegen'd loop, not aggregate(zip_with(...)): HOFs are
-    // CodegenFallback and allocate an intermediate array per (vector,
-    // centroid) pair — this sits in the N×k scoring hot path
-    val dist2 = graft.functions.L2Squared.l2sq(col("qv"), col("cq"))
-    q.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("cid"), dist2.as("dist2"))
+    assignToCentroids(q, q.orderBy("vec_id").limit(k)
+      .select(col("vec_id").as("cid"), col("qv").as("cq")))
+  }
+
+  /** Argmin assignment of every `q` row to its nearest centroid.
+    *
+    * The (dist2, centroid) argmin is ENCODED INTO ONE LONG —
+    * dist2·2²⁴ + dense-centroid-index — so the aggregation is a plain
+    * min(long) that Spark executes as a HashAggregate; a min(struct(...))
+    * spelling forces SortAggregate (struct buffers aren't mutable in the
+    * hash path), i.e. two extra per-round SORTS of the N×k scored rows.
+    * Ties in dist2 break by centroid index, which is assigned in ascending
+    * cid order — identical semantics to lexicographic (dist2, cid) min.
+    * Bounds: index < 2²⁴ centroids; dist2·2²⁴ fits a long for any
+    * dim·254² < 2³⁹ (dim ≲ 8.5M) — int8 vectors can't overflow it.
+    *
+    * The native codegen'd [[graft.functions.L2Squared]] (not
+    * aggregate(zip_with(...))) keeps scoring inside whole-stage codegen:
+    * HOFs are CodegenFallback and allocate an intermediate array per
+    * (vector, centroid) pair — this sits in the N×k hot path. */
+  private def assignToCentroids(q: DataFrame, cents: DataFrame): DataFrame = {
+    val shift = 1L << 24
+    // k rows: the single-partition ordering window is over the tiny
+    // centroid frame only, never the corpus
+    val centsIdx = cents.withColumn("cidx",
+      row_number().over(Window.orderBy("cid")).cast("long") - 1)
+    val enc = graft.functions.L2Squared.l2sq(col("qv"), col("cq")) * shift +
+      col("cidx")
+    q.crossJoin(broadcast(centsIdx))
+      .select(col("vec_id"), enc.as("enc"))
       .groupBy("vec_id")
-      // lexicographic struct-min = (smallest dist2, then lowest cid): a
-      // deterministic tie-break, unlike min_by
-      .agg(min(struct(col("dist2"), col("cid"))).as("_m"))
-      .select(col("vec_id"), col("_m.cid").as("cid"), col("_m.dist2").as("dist2"))
+      .agg(min(col("enc")).as("enc"))
+      .select(col("vec_id"), pmod(col("enc"), lit(shift)).as("cidx"),
+        shiftright(col("enc"), 24).as("dist2"))
+      .join(broadcast(centsIdx.select(col("cidx"), col("cid"))), "cidx")
+      .select(col("vec_id"), col("cid"), col("dist2"))
   }
 
   /** The matching Lloyd update step: per-(centroid, dimension) integer sums
@@ -382,20 +405,12 @@ object Similarity {
     * O(1) across rounds (the connectedComponents pattern). */
   def kmeansIter(embs: DataFrame, k: Int = 8, iters: Int = 2): DataFrame = {
     val q = quantizedVecs(embs).localCheckpoint()
-    def assign(cents: DataFrame): DataFrame = {
-      val dist2 = graft.functions.L2Squared.l2sq(col("qv"), col("cq"))
-      q.crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("cid"), dist2.as("dist2"))
-        .groupBy("vec_id")
-        .agg(min(struct(col("dist2"), col("cid"))).as("_m"))
-        .select(col("vec_id"), col("_m.cid").as("cid"), col("_m.dist2").as("dist2"))
-    }
     var cents = q.orderBy("vec_id").limit(k)
       .select(col("vec_id").as("cid"), col("qv").as("cq"))
     var i = 0
     while (i < iters) {
       val rounded = floor(col("s").cast("double") / col("n") + lit(0.5)).cast("long")
-      cents = assign(cents).select("vec_id", "cid")
+      cents = assignToCentroids(q, cents).select("vec_id", "cid")
         .join(q, "vec_id")
         .select(col("cid"), posexplode(col("qv")).as(Seq("dim", "v")))
         .groupBy("cid", "dim")
@@ -407,7 +422,7 @@ object Similarity {
         .localCheckpoint()
       i += 1
     }
-    assign(cents)
+    assignToCentroids(q, cents)
   }
 
   def quantizeInt8(embs: DataFrame): DataFrame = {

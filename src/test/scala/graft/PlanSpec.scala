@@ -122,7 +122,7 @@ class PlanSpec extends SparkSpec {
     assert(exchanges === 1, s"expected 1 exchange, got $exchanges:\n$p")
   }
 
-  test("kmeansAssign: centroids broadcast; argmin agg is the only hash exchange") {
+  test("kmeansAssign: centroids broadcast; argmin is ONE hash exchange and hash-aggregated") {
     import spark.implicits._
     val embs = (0L until 50L).map(i => (i, Seq.fill(8)((i % 5) / 5.0f)))
       .toDF("vec_id", "embedding")
@@ -130,6 +130,10 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastExchange"), s"centroids not broadcast:\n$p")
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
     assert(exchanges === 1, s"expected 1 hash exchange (argmin agg), got $exchanges:\n$p")
+    // the encoded-long argmin must stay a HashAggregate — min(struct) would
+    // silently degrade to SortAggregate (two extra sorts of the N×k rows)
+    assert(p.contains("HashAggregate"), s"argmin not hash-aggregated:\n$p")
+    assert(!p.contains("SortAggregate"), s"argmin degraded to sort agg:\n$p")
   }
 
   test("minhash signature frame carries no shingle arrays into the band self-join") {
