@@ -35,17 +35,26 @@ object Bench {
     val canon = (p: String) => try new java.io.File(p).getCanonicalPath
                                catch { case NonFatal(_) => p }
     val warmDir = Option(new java.io.File(canon(sfDir)).getParentFile)
-      .map(_.listFiles(f => f.isDirectory && f.getName.startsWith("sf")).toSeq)
-      .getOrElse(Seq.empty)
+      // listFiles is null (not empty) for a missing/unlistable parent — a
+      // mistyped SPARK_GRAFT_SF_DIR must degrade to no-warmup, not NPE
+      // before the bench JSON is ever printed
+      .flatMap(p => Option(p.listFiles(f => f.isDirectory && f.getName.startsWith("sf"))))
+      .map(_.toSeq).getOrElse(Seq.empty)
       .filter(d => canon(d.getPath) != canon(sfDir))
       // smallest corpus = cheapest warm pass (codegen cache is SF-independent)
       .sortBy(d => try d.getName.stripPrefix("sf").toDouble
                    catch { case NonFatal(_) => Double.MaxValue })
       .headOption.map(_.getPath)
+    // NonFatal + StackOverflowError: an SOE from one deep Catalyst plan must
+    // not kill the whole bench (the JSON contract reports it as failed
+    // instead), while a genuine OOM still aborts — timing after heap
+    // exhaustion would be fiction anyway
+    val benchRecoverable: Throwable => Boolean =
+      t => NonFatal(t) || t.isInstanceOf[StackOverflowError]
     warmDir.foreach { wd =>
       SparkEntry.queries.foreach { case (_, fn) =>
         try fn(spark, wd).queryExecution.toRdd.count()
-        catch { case NonFatal(_) => () }
+        catch { case t: Throwable if benchRecoverable(t) => () }
       }
     }
     // The warm pass persisted the warm dir's RawGen corpus caches
@@ -68,8 +77,8 @@ object Bench {
         // operators — md5/regexp/transform pipelines, the very work being
         // measured — would be timed as zero-column scans
         try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
-        catch { case NonFatal(e) =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
+        catch { case t: Throwable if benchRecoverable(t) =>
+          System.err.println(s"[bench] $name FAILED: ${t.getMessage}"); false
         }
       (name, (System.nanoTime() - t0) / 1e9, ok)
     }

@@ -772,7 +772,9 @@ object SparkEntry {
         pmod(expr("(epoch_us - pmod(epoch_us, 86400000000)) div 86400000000"),
           lit(7L)))
     val counts = ev.groupBy("event_type", "dow").agg(count(lit(1)).as("c"))
-    val types = ev.select("event_type").distinct()
+    // dims from the AGGREGATED frame (~|types|×7 rows), not a second
+    // distinct over the corpus — same result, one corpus pass instead of two
+    val types = counts.select("event_type").distinct()
     val days = s.range(0, 7).select(col("id").as("dow"))
     types.crossJoin(days)
       .join(counts, Seq("event_type", "dow"), "left")

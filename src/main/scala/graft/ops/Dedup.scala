@@ -61,8 +61,12 @@ object Dedup {
     // conf caps (default maxNumBits = 2^26 ≈ room for ~8.4M items at
     // 8 bits/item): above that the sketch saturates and every delta row
     // silently pays the verify join — correct but defeating the prefilter.
-    // Raise the caps to the requested size; the numBits literal is evaluated
-    // lazily against the active session conf, so setting it here is enough.
+    // Raise the caps to the requested size. DELIBERATE SESSION-WIDE SIDE
+    // EFFECT: the expression reads the conf lazily at execution, after this
+    // function has returned its lazy frame, so a scoped set/restore is
+    // impossible — the raise is monotone (max of current and requested) and
+    // also governs Spark's own injected runtime filters for the rest of the
+    // session, which inherit the larger allowance.
     val numBits = expectedCatalogSize * 8L
     val conf = delta.sparkSession.conf
     val maxBitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"

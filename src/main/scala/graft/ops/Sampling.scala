@@ -129,7 +129,11 @@ object Sampling {
                     weights: Map[String, Double], budget: Long): DataFrame = {
     val quota = weights.foldLeft(when(lit(false), lit(0L))) {
       case (acc, (stratum, w)) =>
-        acc.when(col(stratumCol) === stratum, lit(math.floor(w * budget).toLong))
+        // +1e-6 before the floor: w*budget in binary floats can land just
+        // below the intended integer (0.29*100 = 28.999999999999996) and
+        // silently under-allocate the decimal spec by one document
+        acc.when(col(stratumCol) === stratum,
+          lit(math.floor(w * budget + 1e-6).toLong))
     }.otherwise(lit(0L))
     df.filter(col(stratumCol).isin(weights.keys.toSeq: _*))
       .withColumn("rank", row_number().over(

@@ -379,8 +379,12 @@ object Similarity {
     * integer sum ÷ count — deterministic). Output is k×dim rows (tiny).
     * Shape: one join on vec_id, posexplode, one hash agg on (cid, dim). */
   def kmeansUpdate(embs: DataFrame, k: Int = 8): DataFrame = {
+    // ONE quantization pass shared between the assign and the update join
+    // (kmeansAssign(embs, k) would rebuild quantizedVecs internally)
     val q = quantizedVecs(embs)
-    kmeansAssign(embs, k).select("vec_id", "cid")
+    val assigned = assignToCentroids(q, q.orderBy("vec_id").limit(k)
+      .select(col("vec_id").as("cid"), col("qv").as("cq")))
+    assigned.select("vec_id", "cid")
       .join(q, "vec_id")
       .select(col("cid"), posexplode(col("qv")).as(Seq("dim", "v")))
       .groupBy("cid", "dim")
