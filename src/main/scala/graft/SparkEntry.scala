@@ -844,6 +844,22 @@ object SparkEntry {
       .orderBy("o_orderkey")
   }
 
+  /** NOT IN subquery — the null-aware anti join, a physically distinct
+    * operator from the plain anti join (q_anti): three-valued NOT IN logic
+    * means one NULL on the inner side empties the result, so the engine
+    * must track inner-null existence, not just key misses. Expressed in SQL
+    * so Catalyst's NotIn-to-NAAJ planning runs. */
+  private def qNotIn(s: SparkSession, dir: String): DataFrame = {
+    RawGen.table(s, dir, "customer").createOrReplaceTempView("customer_ni")
+    RawGen.table(s, dir, "orders").createOrReplaceTempView("orders_ni")
+    s.sql(
+      """SELECT c_custkey, c_name
+        |FROM customer_ni
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders_ni
+        |                        WHERE o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
   // ---------- registry ----------
 
   // ListMap: registry order is execution order in Verify/Bench, so per-query
@@ -936,7 +952,8 @@ object SparkEntry {
     "kmeans_iter" -> (kmeansIterQ _),
     "q_union" -> (qUnion _),
     "approx_quantiles" -> (qApproxQuantiles _),
-    "q_rank_family" -> (qRankFamily _)
+    "q_rank_family" -> (qRankFamily _),
+    "q_not_in" -> (qNotIn _)
   )
 
   // ---------- DuckDB oracles ----------
@@ -1969,6 +1986,13 @@ object SparkEntry {
       |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
       |ORDER BY o_orderkey""".stripMargin
 
+  private val qNotInSql =
+    """SELECT c_custkey, c_name
+      |FROM customer
+      |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+      |                        WHERE o_orderstatus = 'F')
+      |ORDER BY c_custkey""".stripMargin
+
   private val approxQuantilesSql =
     """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS cnt,
       |  quantile_cont(l_quantity, 0.25) AS p25,
@@ -2062,6 +2086,7 @@ object SparkEntry {
     "kmeans_iter" -> kmeansIterSql,
     "q_union" -> qUnionSql,
     "approx_quantiles" -> approxQuantilesSql,
-    "q_rank_family" -> qRankFamilySql
+    "q_rank_family" -> qRankFamilySql,
+    "q_not_in" -> qNotInSql
   )
 }
