@@ -860,6 +860,21 @@ object SparkEntry {
         |ORDER BY c_custkey""".stripMargin)
   }
 
+  /** Skew-salted join under the correctness gate: results must equal a
+    * plain join (the salt only reshapes the shuffle), proven by aggregating
+    * both sides down to a deterministic per-segment summary the oracle
+    * computes with an ordinary join. */
+  private def qSaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val orders = RawGen.table(s, dir, "orders")
+    val cust = RawGen.table(s, dir, "customer")
+      .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+    graft.ops.Partitioning.saltedJoin(orders, cust, "o_custkey")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+      .orderBy("c_mktsegment")
+  }
+
   // ---------- registry ----------
 
   // ListMap: registry order is execution order in Verify/Bench, so per-query
@@ -953,7 +968,8 @@ object SparkEntry {
     "q_union" -> (qUnion _),
     "approx_quantiles" -> (qApproxQuantiles _),
     "q_rank_family" -> (qRankFamily _),
-    "q_not_in" -> (qNotIn _)
+    "q_not_in" -> (qNotIn _),
+    "q_salted_join" -> (qSaltedJoin _)
   )
 
   // ---------- DuckDB oracles ----------
@@ -1986,6 +2002,12 @@ object SparkEntry {
       |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
       |ORDER BY o_orderkey""".stripMargin
 
+  private val qSaltedJoinSql =
+    """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS cnt,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   private val qNotInSql =
     """SELECT c_custkey, c_name
       |FROM customer
@@ -2087,6 +2109,7 @@ object SparkEntry {
     "q_union" -> qUnionSql,
     "approx_quantiles" -> approxQuantilesSql,
     "q_rank_family" -> qRankFamilySql,
-    "q_not_in" -> qNotInSql
+    "q_not_in" -> qNotInSql,
+    "q_salted_join" -> qSaltedJoinSql
   )
 }

@@ -93,6 +93,48 @@ object Sampling {
       .select(col(idCol), col(strataCol), col("n_tokens"), col("cum_before"))
   }
 
+  /** The scale-out form of [[tokenBudget]] promised in its scaladoc:
+    * identical semantics (greedy prefix per stratum in global md5-hash
+    * order), but the inherently-sequential running sum is split into
+    * `numBuckets` hash-PREFIX ranges per stratum — bucket id is a monotone
+    * function of the hash, so (bucket, hash, id) order IS the global hash
+    * order. Per-bucket token totals (a strata×buckets frame — tiny at any
+    * corpus size) are prefix-summed into bucket offsets and broadcast back;
+    * each bucket's window then runs independently with `offset` added.
+    * One corpus shuffle keyed (stratum, bucket) — numBuckets× the
+    * parallelism of the single-stratum window, same output bit-for-bit
+    * (asserted against [[tokenBudget]] in CurationSpec). */
+  def tokenBudgetBucketed(docs: DataFrame, budget: Long,
+                          strataCol: String = "lang", idCol: String = "doc_id",
+                          textCol: String = "text",
+                          numBuckets: Int = 16): DataFrame = {
+    require(numBuckets >= 1 && numBuckets <= 256, "1 <= numBuckets <= 256")
+    val h = md5(col(idCol).cast("string"))
+    // floor(b2 * numBuckets / 256) over the first two hex digits: monotone
+    // in the hash prefix, so bucket order preserves global hash order
+    val bucket = (conv(substring(h, 1, 2), 16, 10).cast("int") * numBuckets)
+      .divide(lit(256)).cast("int")
+    val base = docs
+      .withColumn("_h", h)
+      .withColumn("_bkt", bucket)
+      .withColumn("n_tokens", size(Dedup.words(col(textCol))).cast("long"))
+    val wOff = Window.partitionBy(strataCol).orderBy("_bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy(col(strataCol), col("_bkt"))
+      .agg(sum(col("n_tokens")).as("_bt"))
+      .withColumn("_offset", coalesce(sum(col("_bt")).over(wOff), lit(0L)))
+      .select(col(strataCol), col("_bkt"), col("_offset"))
+    val wIn = Window.partitionBy(strataCol, "_bkt")
+      .orderBy(col("_h"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base
+      .join(broadcast(offsets), Seq(strataCol, "_bkt"))
+      .withColumn("cum_before",
+        col("_offset") + sum(col("n_tokens")).over(wIn) - col("n_tokens"))
+      .filter(col("cum_before") < budget)
+      .select(col(idCol), col(strataCol), col("n_tokens"), col("cum_before"))
+  }
+
   /** Deterministic global shuffle for training-shard layout: every row gets
     * a pseudo-random shard (first 4 hex digits of md5(id) mod numShards) and
     * a position within that shard (rank in hash order) — together a
