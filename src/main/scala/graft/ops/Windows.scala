@@ -72,6 +72,29 @@ object Windows {
       .select("user_id", "start_day", "end_day", "n_days")
   }
 
+  /** The 100 TB alternative to exact ntile (DESIGN.md §4): exact n-tiling
+    * partitioned by a low-cardinality key serializes one reducer per
+    * partition value, so at scale the cut points are estimated once
+    * (percentile_approx — a mergeable sketch, fully parallel) and bucket
+    * assignment becomes a SCAN-FUSED comparison against the broadcast cut
+    * points. Trades exactness at bucket boundaries (sketch rank error) for
+    * full parallelism; bucket populations converge to n/numBuckets as the
+    * sketch accuracy grows.
+    *
+    * Shape: one pass builds per-key cut arrays (hash agg, tiny result),
+    * broadcast-joined back; assignment is `1 + #cuts below value` computed
+    * row-locally. No window, no per-key serialization. */
+  def ntileApprox(df: DataFrame, partCol: String, valueCol: String,
+                  numBuckets: Int = 4, accuracy: Int = 10000): DataFrame = {
+    val fracs = (1 until numBuckets).map(_.toDouble / numBuckets)
+    val cuts = df.groupBy(partCol).agg(
+      expr(s"percentile_approx($valueCol, array(${fracs.mkString(",")}), $accuracy)")
+        .as("_cuts"))
+    val bucket = (lit(1) +
+      size(filter(col("_cuts"), c => c < col(valueCol)))).as("bucket")
+    df.join(broadcast(cuts), partCol).withColumn("bucket", bucket).drop("_cuts")
+  }
+
   /** Gap-based sessionization per user: a new session starts when the gap
     * from the previous event exceeds `gapSeconds`. Single shuffle on
     * user_id; two window passes over the same partitioning (Catalyst reuses

@@ -96,6 +96,26 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(a - e).toDouble / e < 0.05)
   }
 
+  test("ntileApprox tracks exact ntile on distinct values and balances buckets") {
+    val df = spark.range(8000).select(
+      (col("id") % 2).cast("string").as("k"),
+      col("id").as("rid"),
+      ((col("id") * 2654435761L) % 1000000L).cast("double").as("v"))
+    val w = Window.partitionBy("k").orderBy(col("v"), col("rid"))
+    val exact = df.withColumn("exact_b", ntile(4).over(w))
+    val approx = Windows.ntileApprox(df, "k", "v")
+    val joined = exact.join(approx.select(col("rid"), col("bucket")), "rid")
+    val n = joined.count()
+    // value-based cuts vs rank-based ntile: disagreement only within the
+    // sketch's rank error around each cut point
+    val agree = joined.filter(col("exact_b") === col("bucket")).count()
+    assert(agree.toDouble / n > 0.99, s"agreement ${agree.toDouble / n}")
+    // buckets stay balanced within 10% of n/4 per key
+    val sizes = approx.groupBy("k", "bucket").count().collect().map(_.getLong(2))
+    assert(sizes.length === 8)
+    assert(sizes.forall(s => math.abs(s - 1000.0) < 100), sizes.mkString(","))
+  }
+
   test("cosineTopK: local-top-k pass returns exactly the global window's answer") {
     import spark.implicits._
     // deterministic pseudo-random corpus, spread over several partitions so
