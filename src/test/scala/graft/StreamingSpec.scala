@@ -344,6 +344,36 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.length === 4)  // doc1: 3 chunks, doc2: 1
   }
 
+  test("foreachBatch ingest loop: incrementalDedup against a growing parquet catalog") {
+    import spark.implicits._
+    val catalogDir = java.nio.file.Files.createTempDirectory("catalog").toString + "/docs"
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt2").toString
+    val stream = MemoryStream[(Long, String)](spark)
+    val q = stream.toDF().toDF("doc_id", "text")
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // first micro-batch: no catalog yet -> empty frame with the same
+        // schema (incrementalDedup's empty-catalog path keeps everything)
+        val catalog =
+          try spark.read.parquet(catalogDir)
+          catch { case _: Exception => batch.limit(0) }
+        graft.ops.Dedup.incrementalDedup(batch, catalog)
+          .write.mode("append").parquet(catalogDir)
+      }
+      .start()
+    stream.addData((1L, "alpha text"), (2L, "beta text"), (3L, "gamma text"))
+    q.processAllAvailable()
+    stream.addData((4L, "beta text"), (5L, "delta text"), (6L, "alpha text"))
+    q.processAllAvailable()
+    q.stop()
+    val cat = spark.read.parquet(catalogDir)
+    // cross-batch duplicates (4: beta, 6: alpha) were dropped at ingest
+    assert(cat.count() === 4)
+    assert(cat.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ===
+      Seq(1L, 2L, 3L, 5L))
+    assert(cat.select("text").distinct().count() === 4)
+  }
+
   test("streaming fan-out writes per-tenant directories via foreachBatch") {
     import spark.implicits._
     val out = java.nio.file.Files.createTempDirectory("fanout").toString
