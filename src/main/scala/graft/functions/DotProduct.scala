@@ -89,6 +89,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_l2sq"),
       new ExpressionInfo(classOf[L2Squared].getName, "graft_l2sq"),
       (children: Seq[Expression]) => L2Squared(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinSeededMd5].getName, "graft_minhash"),
+      (children: Seq[Expression]) => MinSeededMd5(children(0), children(1))))
     ext.injectOptimizerRule(_ => RewriteDotProduct)
   }
 }

@@ -151,8 +151,18 @@ object Dedup {
     array_distinct(transform(sequence(lit(0), size(wordsCol) - n),
       i => array_join(slice(wordsCol, i + lit(1), lit(n)), " ")))
 
-  /** One MinHash component: lexicographic min of seeded md5 over shingles. */
+  /** One MinHash component: lexicographic min of seeded md5 over shingles.
+    * Native fused loop ([[graft.functions.MinSeededMd5]]) — the composable
+    * `array_min(transform(...))` spelling walks two CodegenFallback HOF
+    * interpreters and allocates a hex-string array per (doc, seed); this is
+    * the signature pass's entire per-row cost, numHashes× per document.
+    * [[minhashComposed]] is the built-ins reference; parity is asserted in
+    * FunctionsSpec and by every minhash oracle. */
   def minhash(shinglesCol: Column, seed: Int): Column =
+    graft.functions.MinSeededMd5.minSeededMd5(shinglesCol, lit(s"$seed:"))
+
+  /** Built-ins-only reference implementation of [[minhash]]. */
+  def minhashComposed(shinglesCol: Column, seed: Int): Column =
     array_min(transform(shinglesCol, x => md5(concat(lit(s"$seed:"), x))))
 
   /** doc → (doc_id, sh, mh1..mhH, band_1..band_B) signature frame.

@@ -85,6 +85,25 @@ class FunctionsSpec extends SparkSpec {
     assert(native(3).isNullAt(1))
   }
 
+  test("graft_minhash == composable array_min(transform(md5)) form, incl. empty -> NULL") {
+    import spark.implicits._
+    import graft.ops.Dedup
+    val rows = Seq(
+      (1L, Seq("a b c", "b c d", "c d e")),
+      (2L, Seq("solo")),
+      (3L, Seq.empty[String]),
+      (4L, (1 to 50).map(i => s"shingle $i text"))
+    ).toDF("id", "sh")
+    for (seed <- Seq(1, 2, 7)) {
+      val native = rows.select(col("id"), Dedup.minhash(col("sh"), seed).as("m"))
+        .orderBy("id").collect()
+      val composed = rows.select(col("id"), Dedup.minhashComposed(col("sh"), seed).as("m"))
+        .orderBy("id").collect()
+      assert(native === composed, s"seed=$seed")
+      assert(native(2).isNullAt(1))
+    }
+  }
+
   test("knn queries stay oracle-consistent under the native dot (cosine of copy = 1)") {
     import spark.implicits._
     def vec(seed: Long): Seq[Float] =
