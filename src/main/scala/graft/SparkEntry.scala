@@ -720,11 +720,18 @@ object SparkEntry {
         sum(dq * dp).cast("double").as("sxy"))
       .select(col("l_returnflag"),
         col("n").cast("long").as("cnt"),
-        ((col("n") * col("sxy") - col("sx") * col("sy")) /
-          (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
-           sqrt(col("n") * col("syy") - col("sy") * col("sy"))))
+        // degenerate-group guard: a single-row or zero-variance group would
+        // divide by zero — Spark yields NaN/Infinity while DuckDB's behavior
+        // depends on its ieee_floating_point_ops setting, so both engines
+        // emit NULL instead (guard mirrored in qCorrSql)
+        when((col("n") * col("sxx") - col("sx") * col("sx")) > 0.0 &&
+             (col("n") * col("syy") - col("sy") * col("sy")) > 0.0,
+          (col("n") * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+             sqrt(col("n") * col("syy") - col("sy") * col("sy"))))
           .as("corr_qty_price"),
-        ((col("sxy") - col("sx") * col("sy") / col("n")) / (col("n") - 1.0))
+        when(col("n") > 1.0,
+          (col("sxy") - col("sx") * col("sy") / col("n")) / (col("n") - 1.0))
           .as("covar_qty_price"))
       .orderBy("l_returnflag")
   }
@@ -1877,9 +1884,11 @@ object SparkEntry {
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy
       |  FROM lineitem GROUP BY 1)
       |SELECT l_returnflag, CAST(n AS BIGINT) AS cnt,
-      |  (n*sxy - sx*sy) / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy))
-      |    AS corr_qty_price,
-      |  (sxy - sx*sy/n) / (n - 1.0) AS covar_qty_price
+      |  CASE WHEN (n*sxx - sx*sx) > 0.0 AND (n*syy - sy*sy) > 0.0
+      |    THEN (n*sxy - sx*sy) / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy))
+      |    END AS corr_qty_price,
+      |  CASE WHEN n > 1.0 THEN (sxy - sx*sy/n) / (n - 1.0)
+      |    END AS covar_qty_price
       |FROM m ORDER BY l_returnflag""".stripMargin
 
   private val qModeSql =

@@ -127,8 +127,14 @@ object Sampling {
     val wIn = Window.partitionBy(strataCol, "_bkt")
       .orderBy(col("_h"), col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // Null-safe (<=>) join keys: tokenBudget's window keeps a NULL stratum
+    // as its own partition, so the bucketed form must too — a plain equi-join
+    // would silently drop those rows and break the bit-for-bit parity.
+    val off = offsets.withColumnRenamed(strataCol, "_os")
+      .withColumnRenamed("_bkt", "_ob")
     base
-      .join(broadcast(offsets), Seq(strataCol, "_bkt"))
+      .join(broadcast(off),
+        col(strataCol) <=> col("_os") && col("_bkt") <=> col("_ob"))
       .withColumn("cum_before",
         col("_offset") + sum(col("n_tokens")).over(wIn) - col("n_tokens"))
       .filter(col("cum_before") < budget)

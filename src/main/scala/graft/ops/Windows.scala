@@ -90,9 +90,16 @@ object Windows {
     val cuts = df.groupBy(partCol).agg(
       expr(s"percentile_approx($valueCol, array(${fracs.mkString(",")}), $accuracy)")
         .as("_cuts"))
-    val bucket = (lit(1) +
-      size(filter(col("_cuts"), c => c < col(valueCol)))).as("bucket")
-    df.join(broadcast(cuts), partCol).withColumn("bucket", bucket).drop("_cuts")
+      .withColumnRenamed(partCol, "_pc")
+    // Null-safe (<=>) join: exact ntile buckets NULL partition keys as their
+    // own partition, so a plain equi-join would silently drop those rows.
+    // A NULL value gets a NULL bucket (the lambda comparison filters to
+    // false, which would otherwise misfile it into bucket 1).
+    val bucket = when(col(valueCol).isNull, lit(null).cast("int"))
+      .otherwise(lit(1) + size(filter(col("_cuts"), c => c < col(valueCol))))
+      .as("bucket")
+    df.join(broadcast(cuts), col(partCol) <=> col("_pc"))
+      .withColumn("bucket", bucket).drop("_cuts", "_pc")
   }
 
   /** Gap-based sessionization per user: a new session starts when the gap
