@@ -88,7 +88,7 @@ object Bench {
     // 1-minute loadavg before and after the timed pass so a contaminated
     // run is self-identifying in the JSON, not a forensic exercise.
     def loadavg(): Double =
-      try scala.io.Source.fromFile("/proc/loadavg").mkString
+      try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
         .split("\\s+").head.toDouble
       catch { case NonFatal(_) => -1.0 }
     val loadBefore = loadavg()
@@ -113,17 +113,27 @@ object Bench {
       // for noisy queries only; the reported total stays comparable to the
       // single-sample rounds because min/median of repeats of the same
       // steady-state work equals the old number on a quiet host.
-      val timed = sample().map { t1 =>
+      // ANY failed sample fails the query — a nondeterministically-throwing
+      // query masked as ok:true would hide exactly the flakiness repeat
+      // sampling exists to expose.
+      val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
+      val timed = sample().flatMap { t1 =>
         sample() match {
           case Some(t2) if math.max(t1, t2) <= math.min(t1, t2) * 1.5 =>
-            math.min(t1, t2)
-          case Some(t2) =>
-            sample() match {
-              case Some(t3) => Seq(t1, t2, t3).sorted.apply(1)
-              case None     => math.min(t1, t2)
-            }
-          case None => t1
+            Some(math.min(t1, t2))
+          case Some(t2) => sample().map(t3 => Seq(t1, t2, t3).sorted.apply(1))
+          case None     => None
         }
+      }
+      // Leak fence between queries: release any block a sample persisted and
+      // didn't unpersist (managed operators release their own; this catches
+      // everything else), so stacked MEMORY_AND_DISK blocks from query k
+      // can't evict cache / inflate GC for queries k+1..n — the round-7
+      // simhash_neardup 2.1x "regression" mechanism. The pre-warmed RawGen
+      // corpus caches are in persistedBefore and survive.
+      val persistedNow = spark.sparkContext.getPersistentRDDs
+      (persistedNow.keySet -- persistedBefore).foreach { id =>
+        persistedNow.get(id).foreach(_.unpersist(blocking = false))
       }
       (name, timed.getOrElse(0.0), timed.isDefined)
     }

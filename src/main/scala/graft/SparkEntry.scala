@@ -264,14 +264,16 @@ object SparkEntry {
     TextAnalysis.winnow(RawGen.table(s, dir, "documents")).orderBy("doc_id")
 
   private def neardupMinhash(s: SparkSession, dir: String): DataFrame =
-    Dedup.minhashNeardup(RawGen.table(s, dir, "documents").select("doc_id", "text"))
+    Dedup.minhashNeardup(RawGen.table(s, dir, "documents").select("doc_id", "text"),
+        managed = true)
       .orderBy("doc_a", "doc_b")
 
   private def simhashBuckets(s: SparkSession, dir: String): DataFrame =
     Dedup.simhash(RawGen.table(s, dir, "documents")).orderBy("doc_id")
 
   private def simhashNeardupQ(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhashNeardup(RawGen.table(s, dir, "documents").select("doc_id", "text"))
+    Dedup.simhashNeardup(RawGen.table(s, dir, "documents").select("doc_id", "text"),
+        managed = true)
       .orderBy("doc_a", "doc_b")
 
   private def knnQueries(s: SparkSession, dir: String): DataFrame =
@@ -383,7 +385,8 @@ object SparkEntry {
           .as("types_within_tol"))
 
   private def neardupJaccardQ(s: SparkSession, dir: String): DataFrame =
-    Dedup.jaccardNeardup(RawGen.table(s, dir, "documents").select("doc_id", "text"))
+    Dedup.jaccardNeardup(RawGen.table(s, dir, "documents").select("doc_id", "text"),
+        managed = true)
       .orderBy("doc_a", "doc_b")
 
   /** Cluster assignment over the minhash near-dup graph: every document gets
@@ -391,7 +394,7 @@ object SparkEntry {
     * i.e. the representative a dedup pipeline would retain. */
   private def dedupClustersQ(s: SparkSession, dir: String): DataFrame = {
     val docs = RawGen.table(s, dir, "documents")
-    val edges = Dedup.minhashCandidates(docs.select("doc_id", "text"))
+    val edges = Dedup.minhashCandidates(docs.select("doc_id", "text"), managed = true)
       .select(col("a_doc_id").as("src"), col("b_doc_id").as("dst"))
     Dedup.connectedComponents(edges, Some(docs.select(col("doc_id").as("id"))))
       .select(col("id").as("doc_id"), col("cluster_id"))
@@ -480,7 +483,7 @@ object SparkEntry {
     * the composition a curation pipeline actually ships. */
   private def dedupApplyQ(s: SparkSession, dir: String): DataFrame = {
     val docs = RawGen.table(s, dir, "documents")
-    val edges = Dedup.minhashCandidates(docs.select("doc_id", "text"))
+    val edges = Dedup.minhashCandidates(docs.select("doc_id", "text"), managed = true)
       .select(col("a_doc_id").as("src"), col("b_doc_id").as("dst"))
     val reps = Dedup.connectedComponents(edges, Some(docs.select(col("doc_id").as("id"))))
       .filter(col("id") === col("cluster_id"))

@@ -157,6 +157,43 @@ class DedupSpec extends SparkSpec {
     assert(got === (100L to 140L).toSet)
   }
 
+  test("managed lifecycle: results identical, intermediate cache released") {
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val b = "alpha beta gamma delta epsilon zeta eta theta iota lambda"
+    val d = docs(1L -> a, 2L -> b, 3L -> "q1 q2 q3 q4 q5 q6 q7 q8 q9 q0")
+    val sc = spark.sparkContext
+    spark.catalog.clearCache()
+
+    def persistedBeyond(base: Set[Int]): Set[Int] =
+      sc.getPersistentRDDs.keySet.toSet -- base
+
+    // UNMANAGED leaves the catalog-cached intermediate alive after the action
+    val base0 = sc.getPersistentRDDs.keySet.toSet
+    val unmanaged = Dedup.jaccardNeardup(d, threshold = 0.5).collect()
+    assert(persistedBeyond(base0).nonEmpty, "expected session-cached intermediate")
+    spark.catalog.clearCache()
+
+    // MANAGED: same rows, and the only surviving block is the eagerly
+    // checkpointed RESULT the caller holds — never the intermediate index.
+    // Repeat invocation (the bench's 2-3 samples) must not stack blocks:
+    // block count after N calls stays N (result frames), not 2N.
+    for (op <- Seq[(org.apache.spark.sql.DataFrame, Boolean) => org.apache.spark.sql.DataFrame](
+        (df, m) => Dedup.jaccardNeardup(df, threshold = 0.5, managed = m),
+        (df, m) => Dedup.simhashNeardup(df, managed = m),
+        (df, m) => Dedup.minhashNeardup(df, managed = m))) {
+      val base = sc.getPersistentRDDs.keySet.toSet
+      val r1 = op(d, true); r1.count()
+      val r2 = op(d, true); r2.count()
+      val extra = persistedBeyond(base)
+      // each managed call may keep exactly its checkpointed result; the
+      // persisted LSH intermediates (1+ per call) must be gone
+      assert(extra.size <= 2, s"leaked blocks: $extra")
+    }
+    val managedRows = Dedup.jaccardNeardup(d, threshold = 0.5, managed = true).collect()
+    assert(managedRows.toSeq === unmanaged.toSeq)
+    spark.catalog.clearCache()
+  }
+
   test("simhash: 16-bit fingerprint, equal for equal token multisets") {
     val d = docs(1L -> "one two three", 2L -> "one two three", 3L -> "four five six")
     val r = Dedup.simhash(d).collect().map(x => x.getLong(0) -> x.getString(1)).toMap
