@@ -553,6 +553,10 @@ object SparkEntry {
   private def dedupSegmentQ(s: SparkSession, dir: String): DataFrame =
     Dedup.segmentDedup(RawGen.table(s, dir, "documents")).orderBy("doc_id")
 
+  private def dedupSubstringQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.substringDedup(RawGen.table(s, dir, "documents").select("doc_id", "text"))
+      .orderBy("doc_id")
+
   private def embedQuantQ(s: SparkSession, dir: String): DataFrame =
     Similarity.quantizeInt8(RawGen.table(s, dir, "embeddings")).orderBy("vec_id")
 
@@ -950,6 +954,7 @@ object SparkEntry {
     "tfidf_top_terms" -> (tfidfQ _),
     "decontaminate" -> (decontaminateQ _),
     "dedup_segment" -> (dedupSegmentQ _),
+    "dedup_substring" -> (dedupSubstringQ _),
     "embed_quant" -> (embedQuantQ _),
     "token_budget" -> (tokenBudgetQ _),
     "window_sliding" -> (windowSliding _),
@@ -1706,6 +1711,34 @@ object SparkEntry {
        |LEFT JOIN k USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  // Substring dedup, k = 10 words. Parallel unnests in one SELECT zip in
+  // DuckDB (pos with its gram hash); generate_series is inclusive, so
+  // 0..len-10 yields the len-9 gram starts. The covered-position expansion
+  // runs only over rn > 1 rows, mirroring the Spark side.
+  private val dedupSubstringSql =
+    s"""WITH w AS (SELECT doc_id, $duckWords AS ws FROM documents),
+       |g AS (SELECT doc_id,
+       |    unnest(generate_series(0, len(ws)-10)) AS pos,
+       |    unnest(list_transform(generate_series(0, len(ws)-10),
+       |      i -> md5(array_to_string(ws[i+1:i+10], ' ')))) AS g
+       |  FROM w WHERE len(ws) >= 10),
+       |r AS (SELECT doc_id, pos,
+       |    row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn FROM g),
+       |cov AS (SELECT DISTINCT doc_id, p FROM
+       |    (SELECT doc_id, unnest(generate_series(pos, pos+9)) AS p
+       |     FROM r WHERE rn > 1)),
+       |wp AS (SELECT doc_id, unnest(generate_series(0, len(ws)-1)) AS p,
+       |    unnest(ws) AS wd FROM w),
+       |kept AS (SELECT wp.doc_id, count(*) AS n_kept,
+       |    array_to_string(list(wd ORDER BY p), ' ') AS new_text
+       |  FROM wp ANTI JOIN cov USING (doc_id, p) GROUP BY 1)
+       |SELECT w.doc_id, CAST(len(w.ws) AS BIGINT) AS n_words,
+       |  CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+       |  CAST(length(COALESCE(k.new_text, '')) AS BIGINT) AS kept_chars,
+       |  md5(COALESCE(k.new_text, '')) AS kept_md5
+       |FROM w LEFT JOIN kept k USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   private val embedQuantSql =
     """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
       |s AS (SELECT vec_id, emb,
@@ -2093,6 +2126,7 @@ object SparkEntry {
     "tfidf_top_terms" -> tfidfSql,
     "decontaminate" -> decontaminateSql,
     "dedup_segment" -> dedupSegmentSql,
+    "dedup_substring" -> dedupSubstringSql,
     "embed_quant" -> embedQuantSql,
     "token_budget" -> tokenBudgetSql,
     "window_sliding" -> windowSlidingSql,

@@ -162,6 +162,58 @@ object Dedup {
         md5(col("_new_text")).as("kept_md5"))
   }
 
+  /** Substring-level exact dedup (the Lee-et-al "Deduplicating Training Data
+    * Makes Language Models Better" modality, at word granularity): any k-word
+    * span whose exact text occurred EARLIER in the corpus — global
+    * (doc_id, pos) order, so each repeated region keeps exactly its first
+    * copy — marks its word positions as duplicated, and each document is
+    * reassembled from its surviving words. Complements exact/segment dedup
+    * (whole-doc / fixed-chunk granularity): this catches a duplicated
+    * paragraph embedded in otherwise-unique documents, at any alignment.
+    *
+    * The paper's suffix array is replaced by the Spark-native shape
+    * ([[segmentDedup]]'s shuffle template):
+    *  1. ONE corpus-wide exchange keyed by the span's md5 (32 chars
+    *     regardless of k — span text never shuffles) for global
+    *     first-occurrence selection via a window;
+    *  2. only DUPLICATE spans (a small minority at clean-corpus dup rates)
+    *     explode into covered word positions and aggregate per doc;
+    *  3. reassembly is ROW-LOCAL: the covered-position set joins back by
+    *     doc_id and a higher-order `filter` drops covered words in place —
+    *     the corpus is never exploded to word rows and re-grouped, so the
+    *     only full-corpus shuffle is (1).
+    * Overlapping duplicate spans merge via the position-set union; a doc
+    * whose every span is a later-occurrence collapses to the empty string
+    * (its content lives at its first occurrence elsewhere).
+    */
+  def substringDedup(docs: DataFrame, k: Int = 10): DataFrame = {
+    val withWs = docs
+      .withColumn("_ws", words(col("text")))
+      .withColumn("_n", size(col("_ws")))
+    val grams = withWs
+      .filter(col("_n") >= k)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), col("_n") - k),
+          i => md5(array_join(slice(col("_ws"), i + 1, lit(k)), " "))))
+          .as(Seq("pos", "g")))
+    val firstWin = Window.partitionBy("g").orderBy(col("doc_id"), col("pos"))
+    val covered = grams
+      .withColumn("_rn", row_number().over(firstWin))
+      .filter(col("_rn") > 1)
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + k - 1)).as("p"))
+      .groupBy("doc_id")
+      .agg(collect_set(col("p")).as("_cov"))
+    withWs.join(covered, Seq("doc_id"), "left")
+      .withColumn("_kept", when(col("_cov").isNull, col("_ws"))
+        .otherwise(filter(col("_ws"), (_, i) => !array_contains(col("_cov"), i))))
+      .select(col("doc_id"),
+        col("_n").cast("long").as("n_words"),
+        size(col("_kept")).cast("long").as("n_kept"),
+        length(array_join(col("_kept"), " ")).cast("long").as("kept_chars"),
+        md5(array_join(col("_kept"), " ")).as("kept_md5"))
+  }
+
   /** Word n-gram shingles (requires size(words) >= n; filter first). */
   def shingles(wordsCol: Column, n: Int): Column =
     array_distinct(transform(sequence(lit(0), size(wordsCol) - n),

@@ -64,6 +64,43 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.minhashNeardup(d, maxBucket = 3).count() === 0)
   }
 
+  test("substringDedup: later copies of a k-span vanish, first copy survives") {
+    // doc 1: unique prefix + shared 4-word span; doc 2: the same span at a
+    // DIFFERENT alignment inside otherwise-unique text; doc 3: fully unique
+    val d = docs(
+      1L -> "u1 u2 u3 s1 s2 s3 s4",
+      2L -> "v1 s1 s2 s3 s4 v2 v3",
+      3L -> "w1 w2 w3 w4 w5 w6 w7")
+    val r = Dedup.substringDedup(d, k = 4).orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSeq
+    // doc 1 keeps all 7 (its span occurrence is the corpus-first);
+    // doc 2 loses exactly the 4 span words; doc 3 untouched
+    assert(r === Seq((1L, 7L, 7L), (2L, 7L, 3L), (3L, 7L, 7L)))
+  }
+
+  test("substringDedup: within-doc repetition keeps only the first region") {
+    // "a b c" repeated 3x with k=3: grams at pos 3..6 are all later
+    // occurrences of pos-0..2 grams, covering words 3..8
+    val r = Dedup.substringDedup(docs(1L -> "a b c a b c a b c"), k = 3).collect()
+    assert(r.head.getLong(1) === 9L && r.head.getLong(2) === 3L)
+    // kept text is "a b c"
+    assert(r.head.getString(4) ===
+      java.security.MessageDigest.getInstance("MD5").digest("a b c".getBytes)
+        .map("%02x".format(_)).mkString)
+  }
+
+  test("substringDedup: exact duplicate doc collapses to empty, short docs pass through") {
+    val same = "x1 x2 x3 x4 x5"
+    val r = Dedup.substringDedup(docs(1L -> same, 2L -> same, 3L -> "t1 t2"), k = 5)
+      .orderBy("doc_id").collect()
+    assert(r(0).getLong(2) === 5L)   // first copy intact
+    assert(r(1).getLong(2) === 0L && r(1).getLong(3) === 0L) // second vanishes
+    assert(r(2).getLong(2) === 2L)   // below k: never touched
+    val plan = Dedup.substringDedup(docs(1L -> same, 2L -> same), k = 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("jaccardNeardup: exact J from inverted-index counts, thresholded") {
     val a = "w1 w2 w3 w4 w5 w6"        // shingles: 4
     val b = "w1 w2 w3 w4 w5 zz"        // shares 3 of its 4 -> J = 3/5
