@@ -340,8 +340,10 @@ object SparkEntry {
       .orderBy("doc_id")
 
   private def mediaDecode(s: SparkSession, dir: String): DataFrame =
-    Multimodal.decode(s, Multimodal.asMediaTable(RawGen.table(s, dir, "documents")))
-      .toDF().select("doc_id", "octet_len", "width", "height", "frames")
+    Multimodal.decode(s, Multimodal.syntheticMedia(
+        RawGen.table(s, dir, "documents").select("doc_id", "text")))
+      .toDF().select("doc_id", "mime", "octet_len", "width", "height",
+        "sample_rate", "channels", "payload_hex_md5")
       .orderBy("doc_id")
 
   private def mediaFrames(s: SparkSession, dir: String): DataFrame =
@@ -1447,15 +1449,46 @@ object SparkEntry {
       |  sha256(text) AS payload_sha256
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // Rebuilds the synthetic BMP/WAV files byte-for-byte from the same per-doc
+  // parameters (Multimodal.syntheticMedia's contract), then checks BOTH the
+  // parsed header fields (vs the parameter formulas — validates the parser)
+  // and md5 of the uppercase payload hex (vs its own byte construction —
+  // validates the generator). leb(v) = one little-endian byte as hex.
   private val mediaDecodeSql = {
-    def hv(i: Int) = s"(strpos('0123456789abcdef', substr(h,$i,1))-1)"
-    s"""WITH m AS (SELECT doc_id, octet_length(text::BLOB) AS olen, md5(text) AS h
-       |  FROM documents)
-       |SELECT doc_id, CAST(olen AS BIGINT) AS octet_len,
-       |  CAST(${hv(1)}*16 + ${hv(2)} + 1 AS INT) AS width,
-       |  CAST(${hv(3)}*16 + ${hv(4)} + 1 AS INT) AS height,
-       |  CAST(${hv(5)} % 8 + 1 AS INT) AS frames
-       |FROM m ORDER BY doc_id""".stripMargin
+    def leb(v: String) = s"lpad(to_hex(($v) % 256), 2, '0')"
+    s"""WITH m AS (SELECT doc_id, md5(text) AS h,
+       |    doc_id % 31 + 1 AS w, doc_id % 17 + 1 AS ht,
+       |    doc_id % 2 + 1 AS ch, 8000 + (doc_id % 8) * 1000 AS sr
+       |  FROM documents),
+       |x AS (SELECT doc_id, h, w, ht, ch, sr,
+       |    sr * ch * 2 AS br, ch * 2 AS ba,
+       |    (w*3 + 3 - (w*3 + 3) % 4) * ht AS pixb FROM m),
+       |hx AS (SELECT doc_id, w, ht, ch, sr,
+       |    CASE WHEN doc_id % 2 = 0 THEN
+       |      '424d' || ${leb("pixb + 54")} || ${leb("(pixb + 54) // 256")} || '0000'
+       |      || '00000000' || '36000000' || '28000000'
+       |      || ${leb("w")} || '000000' || ${leb("ht")} || '000000'
+       |      || '0100' || '1800' || '00000000'
+       |      || ${leb("pixb")} || ${leb("pixb // 256")} || '0000'
+       |      || '130b0000' || '130b0000' || '00000000' || '00000000'
+       |      || rpad('', CAST(pixb * 2 AS INT), h)
+       |    ELSE
+       |      '52494646' || '34000000' || '57415645' || '666d7420'
+       |      || '10000000' || '0100' || ${leb("ch")} || '00'
+       |      || ${leb("sr")} || ${leb("sr // 256")} || '0000'
+       |      || ${leb("br")} || ${leb("br // 256")} || '0000'
+       |      || ${leb("ba")} || '00' || '1000' || '64617461' || '10000000' || h
+       |    END AS hexstr
+       |  FROM x)
+       |SELECT doc_id,
+       |  CASE WHEN doc_id % 2 = 0 THEN 'image/bmp' ELSE 'audio/wav' END AS mime,
+       |  CAST(length(hexstr) // 2 AS BIGINT) AS octet_len,
+       |  CAST(CASE WHEN doc_id % 2 = 0 THEN w ELSE 0 END AS INT) AS width,
+       |  CAST(CASE WHEN doc_id % 2 = 0 THEN ht ELSE 0 END AS INT) AS height,
+       |  CAST(CASE WHEN doc_id % 2 = 1 THEN sr ELSE 0 END AS INT) AS sample_rate,
+       |  CAST(CASE WHEN doc_id % 2 = 1 THEN ch ELSE 0 END AS INT) AS channels,
+       |  md5(upper(hexstr)) AS payload_hex_md5
+       |FROM hx ORDER BY doc_id""".stripMargin
   }
 
   private val mediaFramesSql =

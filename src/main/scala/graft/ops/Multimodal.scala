@@ -1,22 +1,28 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column handling (SURVEY.md §2.5): media payloads ride as
   * opaque `binary` columns with a typed metadata struct; decode / feature
   * extraction runs batched per partition.
   *
-  * The actual codec is STUBBED (this container has no image/audio libraries)
-  * with a deterministic fake that derives "decoded" properties from the
-  * payload bytes — the Spark-side plumbing (schema, encoders, partition-wise
-  * batching, metadata extraction) is real and tested.
+  * The container has no image/audio codec libraries, so the corpus is
+  * synthetic BMP/WAV files ([[syntheticMedia]] — real, spec-conformant
+  * headers built from deterministic per-doc parameters) and [[decode]] is a
+  * REAL header parser: container sniffing on magic bytes plus little-endian
+  * field extraction with ByteBuffer, exactly what a production decode UDF
+  * does before handing the payload to a codec. The DuckDB oracle rebuilds
+  * the same bytes independently and checks both the parsed fields (against
+  * the generator parameters) and a payload fingerprint (against its own
+  * byte construction), so generator and parser are each validated.
   */
 object Multimodal {
 
   final case class MediaRecord(doc_id: Long, mime: String, payload: Array[Byte])
   final case class DecodedMedia(doc_id: Long, mime: String, octet_len: Long,
-                                width: Int, height: Int, frames: Int)
+                                width: Int, height: Int, sample_rate: Int,
+                                channels: Int, payload_hex_md5: String)
 
   /** Wrap a text corpus as a media table: payload = UTF-8 bytes, plus the
     * expression-only metadata (length, sha256) the oracle can check. */
@@ -28,27 +34,137 @@ object Multimodal {
       octet_length(col("text")).cast("long").as("octet_len"),
       sha2(col("text").cast("binary"), 256).as("payload_sha256"))
 
-  /** Partition-batched "decode" (mapPartitions — the JVM analogue of a
-    * vectorized decode UDF; one MessageDigest per partition, not per row).
-    * Real decoding would open each payload with a codec here; the stub
-    * derives deterministic dimensions from the payload's md5 so the result
-    * is ORACLE-CHECKABLE (DuckDB recomputes the same formula from the same
-    * hex digits — SparkEntry.mediaDecodeSql), not just shape-testable. */
+  // ---- synthetic BMP/WAV corpus ------------------------------------------
+
+  private def le2(v: Int): String = f"${v & 0xff}%02x${(v >> 8) & 0xff}%02x"
+  private def le4(v: Int): String = le2(v & 0xffff) + le2((v >>> 16) & 0xffff)
+  /** One little-endian byte of a column value (0..255). */
+  private def leByte(c: Column): Column =
+    lpad(lower(hex(pmod(c.cast("long"), lit(256)))), 2, "0")
+  /** Two little-endian bytes of a column value (0..65535). */
+  private def le2c(c: Column): Column =
+    concat(leByte(c), leByte(floor(c.cast("long") / 256).cast("long")))
+  /** Four little-endian bytes of a column value (0..65535 here). */
+  private def le4c(c: Column): Column = concat(le2c(c), lit("0000"))
+
+  /** Deterministic per-doc media parameters — shared contract between the
+    * generator and the oracle's independent recomputation. */
+  private def bmpWidth(id: Column): Column = pmod(id, lit(31)) + 1
+  private def bmpHeight(id: Column): Column = pmod(id, lit(17)) + 1
+  private def wavChannels(id: Column): Column = pmod(id, lit(2)) + 1
+  private def wavSampleRate(id: Column): Column = pmod(id, lit(8)) * 1000 + 8000
+
+  /** Synthetic media corpus over `documents`: even doc_id → a 24-bit BMP
+    * (BITMAPINFOHEADER + a FULL 4-byte-aligned pixel array, so a stock
+    * decoder — OpsSpec uses the JDK's ImageIO — reads it end to end), odd
+    * doc_id → a 16-bit PCM WAV (44-byte RIFF header + one filler data
+    * chunk). All content bytes derive from the doc text's md5
+    * (deterministic, so the oracle rebuilds identical files). Built from
+    * pure expressions (hex concat + unhex), so generation itself is
+    * scan-fused and engine-portable. */
+  def syntheticMedia(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    val base = docs.select(
+      col("doc_id"),
+      md5(col("text")).as("h"), // 32 hex chars = 16 content bytes
+      bmpWidth(id).cast("int").as("w"),
+      bmpHeight(id).cast("int").as("ht"),
+      wavChannels(id).cast("int").as("ch"),
+      wavSampleRate(id).cast("int").as("sr"))
+      // BMP rows pad to 4-byte boundaries: rowb = ceil(w*3/4)*4
+      .withColumn("rowb", col("w") * 3 + 3 - pmod(col("w") * 3 + 3, lit(4)))
+      .withColumn("pixb", col("rowb") * col("ht"))
+    val byteRate = col("sr") * col("ch") * 2 // sr * channels * bytes/sample
+    val blockAlign = col("ch") * 2
+    // pixel array: the md5 filler tiled to exactly pixb bytes (2 hex chars
+    // per byte); rpad's pad argument repeats a multi-char string
+    val pixels = expr("rpad('', pixb * 2, h)")
+    // BITMAPFILEHEADER (14) + BITMAPINFOHEADER (40) + pixel array
+    val bmpHex = concat(
+      lit("424d"),            // 'BM'
+      le4c(col("pixb") + 54), // file size
+      lit("00000000" +        // reserved
+        le4(54) +             // pixel data offset
+        le4(40)),             // DIB header size
+      le4c(col("w")), le4c(col("ht")),
+      lit(le2(1) +            // planes
+        le2(24) +             // bits per pixel
+        le4(0)),              // compression = BI_RGB
+      le4c(col("pixb")),      // image size
+      lit(le4(2835) + le4(2835) + // 72 DPI in pixels/metre
+        le4(0) + le4(0)),     // palette sizes
+      pixels)
+    // RIFF (12) + fmt chunk (24) + data chunk header (8) + 16 data bytes
+    val wavHex = concat(
+      lit("52494646" +        // 'RIFF'
+        le4(36 + 16) +        // riff payload size
+        "57415645" +          // 'WAVE'
+        "666d7420" +          // 'fmt '
+        le4(16) +             // fmt chunk size
+        le2(1)),              // PCM
+      le2c(col("ch")), le4c(col("sr")), le4c(byteRate), le2c(blockAlign),
+      lit(le2(16) +           // bits per sample
+        "64617461" +          // 'data'
+        le4(16)),             // data chunk size
+      col("h"))
+    base.select(
+      col("doc_id"),
+      when(pmod(id, lit(2)) === 0, lit("image/bmp"))
+        .otherwise(lit("audio/wav")).as("mime"),
+      unhex(when(pmod(id, lit(2)) === 0, bmpHex).otherwise(wavHex)).as("payload"))
+      .withColumn("octet_len", octet_length(col("payload")).cast("long"))
+  }
+
+  // ---- decode -------------------------------------------------------------
+
+  private val HEX_UPPER = "0123456789ABCDEF".toCharArray
+  private def hexUpper(bytes: Array[Byte]): String = {
+    val out = new Array[Char](bytes.length * 2)
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xff
+      out(2 * i) = HEX_UPPER(b >> 4)
+      out(2 * i + 1) = HEX_UPPER(b & 15)
+      i += 1
+    }
+    new String(out)
+  }
+
+  private def ascii(p: Array[Byte], off: Int, s: String): Boolean =
+    p.length >= off + s.length &&
+      s.indices.forall(i => p(off + i) == s.charAt(i).toByte)
+
+  /** Partition-batched media decode (mapPartitions — the JVM analogue of a
+    * vectorized decode UDF; one MessageDigest per partition, not per row):
+    * sniff the container on magic bytes, then parse the real header fields
+    * little-endian — BMP width/height at offsets 18/22, WAV channels/rate
+    * at 22/24. Unknown containers decode to zeroed fields rather than
+    * throwing (the quarantine decision belongs to the caller). The
+    * fingerprint is md5 over the payload's UPPERCASE HEX encoding — an
+    * engine-portable spelling (DuckDB's md5 takes VARCHAR only) that still
+    * pins every payload byte. */
   def decode(spark: SparkSession, media: DataFrame): Dataset[DecodedMedia] = {
     import spark.implicits._
     media.select("doc_id", "mime", "payload").as[MediaRecord]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
-        def hv(c: Char): Int = "0123456789abcdef".indexOf(c)
         it.map { r =>
-          // --- STUB decode: replace the md5-derived fake with a real codec
-          // (javax.imageio / ffmpeg binding) when the runtime has one ---
+          val p = r.payload
+          val bb = java.nio.ByteBuffer.wrap(p).order(java.nio.ByteOrder.LITTLE_ENDIAN)
           md.reset()
-          val h = md.digest(r.payload).map("%02x".format(_)).mkString
-          DecodedMedia(r.doc_id, r.mime, r.payload.length.toLong,
-            width = hv(h(0)) * 16 + hv(h(1)) + 1,
-            height = hv(h(2)) * 16 + hv(h(3)) + 1,
-            frames = hv(h(4)) % 8 + 1)
+          val fp = md.digest(hexUpper(p).getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+            .map("%02x".format(_)).mkString
+          if (ascii(p, 0, "BM") && p.length >= 54)
+            DecodedMedia(r.doc_id, r.mime, p.length.toLong,
+              width = bb.getInt(18), height = bb.getInt(22),
+              sample_rate = 0, channels = 0, payload_hex_md5 = fp)
+          else if (ascii(p, 0, "RIFF") && ascii(p, 8, "WAVEfmt ") && p.length >= 44)
+            DecodedMedia(r.doc_id, r.mime, p.length.toLong,
+              width = 0, height = 0,
+              sample_rate = bb.getInt(24), channels = bb.getShort(22) & 0xffff,
+              payload_hex_md5 = fp)
+          else
+            DecodedMedia(r.doc_id, r.mime, p.length.toLong, 0, 0, 0, 0, fp)
         }
       }
   }
