@@ -403,6 +403,18 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Same cluster assignment computed by large-star/small-star contraction
+    * (O(log n) rounds on any diameter) — must agree with the propagation
+    * variant and the oracle's transitive-closure fixpoint. */
+  private def dedupClustersStarQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = RawGen.table(s, dir, "documents")
+    val edges = Dedup.minhashCandidates(docs.select("doc_id", "text"), managed = true)
+      .select(col("a_doc_id").as("src"), col("b_doc_id").as("dst"))
+    Dedup.connectedComponentsStar(edges, Some(docs.select(col("doc_id").as("id"))))
+      .select(col("id").as("doc_id"), col("cluster_id"))
+      .orderBy("doc_id")
+  }
+
   private def piiScrubQ(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.piiScrub(
       TextAnalysis.withSyntheticPii(RawGen.table(s, dir, "documents")))
@@ -938,6 +950,7 @@ object SparkEntry {
     "approx_distinct" -> (approxDistinct _),
     "neardup_jaccard" -> (neardupJaccardQ _),
     "dedup_clusters" -> (dedupClustersQ _),
+    "dedup_clusters_star" -> (dedupClustersStarQ _),
     "pii_scrub" -> (piiScrubQ _),
     "sample_stratified" -> (sampleStratifiedQ _),
     "q_cube" -> (qCube _),
@@ -2140,6 +2153,7 @@ object SparkEntry {
     "approx_distinct" -> approxDistinctSql,
     "neardup_jaccard" -> neardupJaccardSql,
     "dedup_clusters" -> dedupClustersSql,
+    "dedup_clusters_star" -> dedupClustersSql,
     "pii_scrub" -> piiScrubSql,
     "sample_stratified" -> sampleStratifiedSql,
     "q_cube" -> qCubeSql,

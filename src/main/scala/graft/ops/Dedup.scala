@@ -519,8 +519,77 @@ object Dedup {
     // closure (and the DuckDB oracle) — refuse instead of being subtly wrong
     if (!done) throw new IllegalStateException(
       s"connectedComponents did not converge within $maxIter iterations " +
-      "(graph diameter exceeds the bound); raise maxIter or use a " +
-      "large-star/small-star variant for long-chain graphs")
+      "(graph diameter exceeds the bound); raise maxIter or use " +
+      "connectedComponentsStar for long-chain graphs")
     labels.select(col("id"), col("lbl").as("cluster_id"))
+  }
+
+  /** Connected components by alternating large-star / small-star
+    * contractions (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14) — the long-chain-safe alternative to
+    * [[connectedComponents]]: label propagation needs diameter rounds (a
+    * 100 TB web-dedup graph can chain arbitrarily long through shared
+    * boilerplate), star contraction converges in O(log n) rounds on any
+    * topology. Same per-round machinery — equi-join + aggregation on the
+    * node key, never a cartesian — so the scale argument is unchanged;
+    * edges are canonical (hi > lo) distinct pairs throughout.
+    *
+    * large-star: every node connects its strictly-larger neighbors to the
+    * minimum of its closed neighborhood (processed from the smaller
+    * endpoint of each edge, via the symmetric view). small-star: every
+    * node connects itself and all smaller neighbors to their minimum —
+    * in canonical form the smaller neighbors of `hi` are exactly its `lo`
+    * partners, so one groupBy("hi") suffices. Fixpoint = both passes are
+    * the identity = each component is a single star rooted at its min.
+    */
+  def connectedComponentsStar(edges: DataFrame,
+                              allNodes: Option[DataFrame] = None,
+                              maxIter: Int = 50): DataFrame = {
+    var e = edges.select(
+        greatest(col("src"), col("dst")).as("hi"),
+        least(col("src"), col("dst")).as("lo"))
+      .filter(col("hi") =!= col("lo"))
+      .distinct()
+      .localCheckpoint() // materialize the (often LSH-derived) edges once
+    var iter = 0
+    var done = e.isEmpty
+    while (!done && iter < maxIter) {
+      val sym = e.select(col("hi").as("u"), col("lo").as("v"))
+        .unionByName(e.select(col("lo").as("u"), col("hi").as("v")))
+      val minsL = sym.groupBy("u")
+        .agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val large = sym.filter(col("v") > col("u"))
+        .join(minsL, "u")
+        .select(col("v").as("hi"), col("m").as("lo"))
+        .filter(col("hi") =!= col("lo"))
+        .distinct()
+      val minsS = large.groupBy("hi").agg(min(col("lo")).as("m"))
+      val next = large.join(minsS, "hi")
+        .select(col("lo").as("hi"), col("m").as("lo"))
+        .unionByName(minsS.select(col("hi"), col("m").as("lo")))
+        .filter(col("hi") =!= col("lo"))
+        .distinct()
+        .localCheckpoint()
+      // fixpoint of the combined round: same canonical edge set
+      done = next.count() == e.count() &&
+        next.join(e, Seq("hi", "lo"), "left_anti").isEmpty
+      e = next
+      iter += 1
+    }
+    if (!done && iter >= maxIter) throw new IllegalStateException(
+      s"connectedComponentsStar did not converge within $maxIter rounds — " +
+      "not expected for any graph with fewer than 2^maxIter nodes")
+    // at fixpoint e is a star set (node -> component min): non-roots appear
+    // exactly once as hi, roots only as lo
+    val labels = e.select(col("hi").as("id"), col("lo").as("lbl"))
+      .unionByName(e.select(col("lo").as("id"), col("lo").as("lbl")).distinct())
+    val withSingletons = allNodes.map { nodes =>
+      labels.unionByName(
+        nodes.select(col("id"))
+          .join(labels, Seq("id"), "left_anti")
+          .select(col("id"), col("id").as("lbl")))
+    }.getOrElse(labels)
+    withSingletons.select(col("id"), col("lbl").as("cluster_id"))
   }
 }

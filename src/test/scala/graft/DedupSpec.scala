@@ -139,6 +139,32 @@ class DedupSpec extends SparkSpec {
     assert(r.forall(_.getLong(1) === 1L))
   }
 
+  test("connectedComponentsStar: agrees with propagation on a mixed graph") {
+    import spark.implicits._
+    val edges = Seq((2L, 1L), (2L, 3L), (5L, 6L), (8L, 7L), (7L, 6L)).toDF("src", "dst")
+    val nodes = Seq(1L, 2L, 3L, 5L, 6L, 7L, 8L, 9L).toDF("id")
+    val prop = Dedup.connectedComponents(edges, Some(nodes))
+      .orderBy("id").collect().map(x => (x.getLong(0), x.getLong(1))).toSeq
+    val star = Dedup.connectedComponentsStar(edges, Some(nodes))
+      .orderBy("id").collect().map(x => (x.getLong(0), x.getLong(1))).toSeq
+    assert(star === prop)
+    assert(star === Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (6L, 5L),
+      (7L, 5L), (8L, 5L), (9L, 9L)))
+  }
+
+  test("connectedComponentsStar: 1000-node path converges in O(log n) rounds") {
+    import spark.implicits._
+    val n = 1000L
+    val edges = (1L until n).map(i => (i, i + 1)).toDF("src", "dst")
+    // propagation would need ~999 rounds here (and throws at its bound);
+    // star contraction must finish well under its 50-round ceiling — the
+    // ceiling IS the O(log n) assertion (2^50 >> 1000 nodes, and the op
+    // throws rather than truncating if the bound is hit)
+    val r = Dedup.connectedComponentsStar(edges, maxIter = 20).collect()
+    assert(r.length === n.toInt)
+    assert(r.forall(_.getLong(1) === 1L))
+  }
+
   test("simhashNeardup: identical docs at hamming 0, disjoint docs filtered out") {
     val same = "the quick brown fox jumps over the lazy dog tonight again ok"
     val other = "completely different words appear within this other sentence body here now"
