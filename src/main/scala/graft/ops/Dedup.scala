@@ -73,32 +73,22 @@ object Dedup {
                        textCol: String = "text",
                        expectedCatalogSize: Long = 1000000L): DataFrame = {
     val baseH = base.select(md5(col(textCol)).as("_bh"))
-    // BloomFilterAggregate silently clamps its sizing to the runtime-filter
-    // conf caps (default maxNumBits = 2^26 ≈ room for ~8.4M items at
-    // 8 bits/item): above that the sketch saturates and every delta row
-    // silently pays the verify join — correct but defeating the prefilter.
-    // Raise the caps to the requested size. DELIBERATE SESSION-WIDE SIDE
-    // EFFECT: the expression reads the conf lazily at execution, after this
-    // function has returned its lazy frame, so a scoped set/restore is
-    // impossible — the raise is monotone (max of current and requested) and
-    // also governs Spark's own injected runtime filters for the rest of the
-    // session, which inherit the larger allowance.
+    // Explicitly-sized sketch (Bloom.bloomAggSized): BloomFilterAggregate
+    // would silently clamp this sizing to the session's runtime-filter conf
+    // caps (default maxNumBits = 2^26 ≈ room for ~8.4M items at
+    // 8 bits/item) — above that it saturates and every delta row silently
+    // pays the verify join. The sized aggregator honors the request with no
+    // session-wide conf mutation.
     val numBits = expectedCatalogSize * 8L
-    val conf = delta.sparkSession.conf
-    val maxBitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
-    val maxItemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
-    if (conf.get(maxBitsKey).toLong < numBits) conf.set(maxBitsKey, numBits)
-    if (conf.get(maxItemsKey).toLong < expectedCatalogSize)
-      conf.set(maxItemsKey, expectedCatalogSize)
     // scalar subquery, not a cross join: might_contain requires its sketch
     // input to be a constant or scalar subquery (it folds to a literal at
     // the scan), and the subquery form keeps the delta side join-free
-    val bloom = baseH.agg(graft.functions.Bloom.bloomAgg(
+    val bloom = baseH.agg(graft.functions.Bloom.bloomAggSized(
       xxhash64(col("_bh")), expectedCatalogSize, numBits).as("_bf"))
       .scalar()
-    // coalesce: over an EMPTY catalog BloomFilterAggregate returns NULL and
-    // might_contain propagates it — without the default both branches below
-    // would filter every row out and a first ingest would drop all of delta
+    // coalesce: defensive NULL guard (bloomAggSized finishes an empty
+    // sketch over an empty catalog, so probes are already false, but a
+    // NULL-propagating sketch source would otherwise drop all of delta)
     val flagged = delta
       .withColumn("_h", md5(col(textCol)))
       .withColumn("_maybe", coalesce(

@@ -220,6 +220,22 @@ class DedupSpec extends SparkSpec {
     assert(got === (100L to 140L).toSet)
   }
 
+  test("incrementalDedup sizes its sketch without touching session confs") {
+    import spark.implicits._
+    val keys = Seq("spark.sql.optimizer.runtime.bloomFilter.maxNumBits",
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems")
+    val before = keys.map(k => k -> spark.conf.get(k))
+    // request a capacity far above the default conf caps (2^26 bits): the
+    // sized aggregator must honor it directly, not by raising session confs
+    val base = Seq((1L, "catalogued text")).toDF("doc_id", "text")
+    val delta = Seq((2L, "catalogued text"), (3L, "fresh text")).toDF("doc_id", "text")
+    val got = Dedup.incrementalDedup(delta, base, expectedCatalogSize = 100000000L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got === Set(3L))
+    assert(keys.map(k => k -> spark.conf.get(k)) === before,
+      "operator mutated session-wide bloom-filter caps")
+  }
+
   test("managed lifecycle: results identical, intermediate cache released") {
     val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val b = "alpha beta gamma delta epsilon zeta eta theta iota lambda"
