@@ -13,14 +13,18 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   *  - kafka-protocol sources (Kafka S2, Event Hub S4) → `format("kafka")`
   *  - Kinesis S1 → `format("kinesis")` where the connector jar exists
   *  - RabbitMQ S3 / HTTP S5 / gRPC S6 → no first-party Spark source: a tiny
-  *    receiver bridges into a spool directory consumed as a file stream
+  *    receiver bridges into a spool directory consumed through the
+  *    [[SpoolDataSource]] DataSourceV2 (`graft-spool` — a real
+  *    TableProvider with BATCH_READ + MICRO_BATCH_READ, filename-watermark
+  *    offsets)
   *  - Pulsar S7 → `format("pulsar")`
-  * This zero-egress harness has none of those connector jars, so EVERY
-  * source resolves through the file/directory form ([[SourceDef.stream]]) —
-  * the topology (source → raw topic → translator → CMF → router) is what's
-  * under test, and it is identical whichever physical resolver backs a
-  * topic. The cluster-format mapping is kept as data ([[SourceDef.sparkFormat]])
-  * so a deployment with the jars present can switch resolver per source.
+  * This zero-egress harness has none of the broker connector jars, so the
+  * CLUSTER formats (kafka/kinesis/pulsar) resolve through the built-in
+  * text file stream over the same spool layout — the topology (source →
+  * raw topic → translator → CMF → router) is what's under test, and it is
+  * identical whichever physical resolver backs a topic. The format mapping
+  * is data ([[SourceDef.sparkFormat]]): bridged sources exercise the V2
+  * seam offline, and a jar-equipped deployment switches per source.
   */
 sealed trait SourceDef {
   /** Connector instance name (pipeline.yaml key). */
@@ -34,14 +38,21 @@ sealed trait SourceDef {
 
   /** Streaming resolution: one row per message, column `value` (the
     * reference's Schema.STRING wire contract, Filterer.kt:39). Offline the
-    * topic is a spool directory of text files under `baseDir`. */
+    * topic is a spool directory of text files under `baseDir`; bridged
+    * sources consume it through the graft-spool MicroBatchStream, cluster
+    * formats through the built-in file stream. */
   def stream(spark: SparkSession, baseDir: String): DataFrame =
-    spark.readStream.schema(valueSchema)
-      .text(s"$baseDir/$outputTopic")
+    if (sparkFormat == SpoolDataSource.NAME)
+      spark.readStream.format(SpoolDataSource.NAME).load(s"$baseDir/$outputTopic")
+    else
+      spark.readStream.schema(valueSchema).text(s"$baseDir/$outputTopic")
 
   /** Batch resolution over the same spool layout (replay/backfill path). */
   def batch(spark: SparkSession, baseDir: String): DataFrame =
-    spark.read.schema(valueSchema).text(s"$baseDir/$outputTopic")
+    if (sparkFormat == SpoolDataSource.NAME)
+      spark.read.format(SpoolDataSource.NAME).load(s"$baseDir/$outputTopic")
+    else
+      spark.read.schema(valueSchema).text(s"$baseDir/$outputTopic")
 }
 
 /** S1 — AWS Kinesis (connectors/kinesis/config.sample.yml:21–26). */
@@ -76,7 +87,7 @@ final case class RabbitMqSource(
     prefetchCount: Int = 0,
     requestedHeartbeat: Int = 60,
     outputTopic: String) extends SourceDef {
-  val sparkFormat = "text" // no first-party source: receiver → spool dir
+  val sparkFormat = SpoolDataSource.NAME // receiver → spool → graft-spool V2
 }
 
 /** S4 — Azure Event Hub via its Kafka-protocol head
@@ -96,7 +107,7 @@ final case class HttpSource(
     host: String = "0.0.0.0",
     port: Int = 10999,
     outputTopic: String) extends SourceDef {
-  val sparkFormat = "text"
+  val sparkFormat = SpoolDataSource.NAME
 }
 
 /** S6 — gRPC (connectors/grpc/config.sample.yml:1–5 — config-only in the
@@ -105,7 +116,7 @@ final case class GrpcSource(
     name: String,
     grpcEndpoint: String,
     outputTopic: String) extends SourceDef {
-  val sparkFormat = "text"
+  val sparkFormat = SpoolDataSource.NAME
 }
 
 /** S7 — Pulsar→Pulsar passthrough (pipeline.yaml:35–39; no directory in the

@@ -1,0 +1,137 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Spool-directory DataSourceV2 — the real source-API seam behind the
+  * bridged connectors (SURVEY.md §2.1: RabbitMQ S3 / HTTP S5 / gRPC S6 have
+  * no first-party Spark source; a receiver bridges messages into a spool
+  * directory). Where the previous resolution borrowed the built-in text
+  * file stream, this is the connector seam itself: a `TableProvider`
+  * exposing BATCH_READ and MICRO_BATCH_READ over the spool, registered as
+  * `graft-spool` — exactly the interface a live RabbitMQ/HTTP receiver
+  * source would implement, with the spool directory standing in for the
+  * broker cursor.
+  *
+  * Contract (matches the bridge receivers' behavior):
+  *  - files are IMMUTABLE once written, with MONOTONICALLY increasing
+  *    names (receivers name by sequence/timestamp);
+  *  - streaming offsets are a lexicographic FILENAME WATERMARK: a batch is
+  *    (watermark, latest] in name order, so restarts resume exactly and a
+  *    file that appears BELOW the watermark (out-of-contract) is dropped,
+  *    never double-read;
+  *  - one InputPartition per file (a production receiver coalesces spool
+  *    files; at 100 TB the spool is the bridge buffer, not the lake).
+  */
+object SpoolDataSource {
+  val NAME = "graft-spool"
+  val SCHEMA: StructType = StructType(Seq(StructField("value", StringType)))
+
+  /** Sorted (name, fullPath) listing of the spool; missing dir = empty
+    * (the topic simply has not produced yet — matches broker semantics). */
+  private[sources] def listFiles(dir: String): Seq[(String, String)] = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(new Configuration())
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(s => s.isFile && !s.getPath.getName.startsWith(".") &&
+        !s.getPath.getName.startsWith("_"))
+      .map(s => (s.getPath.getName, s.getPath.toString))
+      .sortBy(_._1)
+  }
+}
+
+class SpoolDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = SpoolDataSource.NAME
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    SpoolDataSource.SCHEMA
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table = {
+    val path = properties.get("path")
+    require(path != null && path.nonEmpty, "graft-spool requires a path")
+    new SpoolTable(path)
+  }
+}
+
+class SpoolTable(path: String) extends Table with SupportsRead {
+  override def name(): String = s"${SpoolDataSource.NAME}($path)"
+  override def schema(): StructType = SpoolDataSource.SCHEMA
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder { override def build(): Scan = new SpoolScan(path) }
+}
+
+class SpoolScan(path: String) extends Scan {
+  override def readSchema(): StructType = SpoolDataSource.SCHEMA
+  override def toBatch: Batch = new Batch {
+    override def planInputPartitions(): Array[InputPartition] =
+      SpoolDataSource.listFiles(path)
+        .map(f => SpoolFilePartition(f._2): InputPartition).toArray
+    override def createReaderFactory(): PartitionReaderFactory =
+      new SpoolReaderFactory
+  }
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new SpoolMicroBatchStream(path)
+}
+
+/** Streaming offset: the highest spool filename read so far ("" = nothing).
+  * Watermark-by-name (not a file count) makes restart resumption exact and
+  * immunizes planning against late out-of-order files. */
+case class SpoolOffset(watermark: String) extends Offset {
+  override def json(): String = watermark
+}
+
+class SpoolMicroBatchStream(path: String) extends MicroBatchStream {
+  override def initialOffset(): Offset = SpoolOffset("")
+  override def deserializeOffset(json: String): Offset = SpoolOffset(json)
+  override def latestOffset(): Offset = {
+    val files = SpoolDataSource.listFiles(path)
+    SpoolOffset(if (files.isEmpty) "" else files.last._1)
+  }
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val lo = start.asInstanceOf[SpoolOffset].watermark
+    val hi = end.asInstanceOf[SpoolOffset].watermark
+    SpoolDataSource.listFiles(path)
+      .filter { case (name, _) => name > lo && name <= hi }
+      .map(f => SpoolFilePartition(f._2): InputPartition).toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory = new SpoolReaderFactory
+  override def commit(end: Offset): Unit = () // spool files are retained
+  override def stop(): Unit = ()
+}
+
+case class SpoolFilePartition(filePath: String) extends InputPartition
+
+class SpoolReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val file = partition.asInstanceOf[SpoolFilePartition].filePath
+    new PartitionReader[InternalRow] {
+      // hadoop FS (not java.io) so hdfs:/s3a: spools read identically on a
+      // cluster; the default Configuration resolves scheme from the URI
+      private val p = new Path(file)
+      private val in = p.getFileSystem(new Configuration()).open(p)
+      private val lines = new java.io.BufferedReader(
+        new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8))
+      private var current: String = _
+      override def next(): Boolean = { current = lines.readLine(); current != null }
+      override def get(): InternalRow =
+        new GenericInternalRow(Array[Any](UTF8String.fromString(current)))
+      override def close(): Unit = lines.close()
+    }
+  }
+}
