@@ -37,24 +37,50 @@ object ScaleProbe {
     println(s"[probe] docs n1=${docs1.count()} n10=${docs10.count()} " +
       s"emb n10=${emb10.count()}")
 
-    def time(name: String, df: => DataFrame): Unit = {
+    def time(name: String, df: => DataFrame): Double = {
       df.queryExecution.toRdd.count()  // warm codegen + caches
       val t0 = System.nanoTime()
       val n = df.queryExecution.toRdd.count()
-      println(f"[probe] $name%-28s ${(System.nanoTime() - t0) / 1e9}%6.2f s  rows=$n")
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[probe] $name%-28s $sec%6.2f s  rows=$n")
+      sec
+    }
+    // measured growth exponent for the 10x input: t10/t1 = 10^e, so
+    // e = log10(ratio); linear work ~ 1.0, n log n ~ 1.1, quadratic ~ 2.0.
+    // Sub-linear readings mean the 1x run is overhead-dominated (fixed
+    // per-query planning/launch costs hide the data term).
+    def pair(name: String, at1x: => DataFrame, at10x: => DataFrame): Unit = {
+      val t1 = time(s"$name 1x", at1x)
+      val t10 = time(s"$name 10x", at10x)
+      println(f"[probe] $name%-28s exponent=${math.log10(t10 / t1)}%5.2f")
     }
 
-    import graft.ops.{Packing, Sampling, Similarity, TextAnalysis}
-    time("chunk_docs 1x", Packing.chunkDocs(docs1))
-    time("chunk_docs 10x", Packing.chunkDocs(docs10))
-    time("shard_assign 1x", Sampling.shardAssign(docs1, "doc_id", 8))
-    time("shard_assign 10x", Sampling.shardAssign(docs10, "doc_id", 8))
-    time("ngram_counts 1x", TextAnalysis.ngramCounts(docs1))
-    time("ngram_counts 10x", TextAnalysis.ngramCounts(docs10))
-    time("kmeans_assign 1x", Similarity.kmeansAssign(emb1))
-    time("kmeans_assign 10x", Similarity.kmeansAssign(emb10))
-    time("kmeans_iter 1x", Similarity.kmeansIter(emb1))
-    time("kmeans_iter 10x", Similarity.kmeansIter(emb10))
+    import graft.ops.{Dedup, Packing, Sampling, Similarity, TextAnalysis}
+    val d1 = docs1.select(col("doc_id"), col("text"))
+    val d10 = docs10.select(col("doc_id"), col("text"))
+    pair("chunk_docs", Packing.chunkDocs(docs1), Packing.chunkDocs(docs10))
+    pair("shard_assign", Sampling.shardAssign(docs1, "doc_id", 8),
+      Sampling.shardAssign(docs10, "doc_id", 8))
+    pair("ngram_counts", TextAnalysis.ngramCounts(docs1),
+      TextAnalysis.ngramCounts(docs10))
+    pair("winnow", TextAnalysis.winnow(docs1), TextAnalysis.winnow(docs10))
+    pair("minhash_neardup", Dedup.minhashNeardup(d1, managed = true),
+      Dedup.minhashNeardup(d10, managed = true))
+    pair("jaccard_neardup", Dedup.jaccardNeardup(d1, managed = true),
+      Dedup.jaccardNeardup(d10, managed = true))
+    pair("simhash_neardup", Dedup.simhashNeardup(d1, managed = true),
+      Dedup.simhashNeardup(d10, managed = true))
+    pair("substring_dedup", Dedup.substringDedup(d1), Dedup.substringDedup(d10))
+    def clusters(d: DataFrame, star: Boolean): DataFrame = {
+      val edges = Dedup.minhashCandidates(d, managed = true)
+        .select(col("a_doc_id").as("src"), col("b_doc_id").as("dst"))
+      if (star) Dedup.connectedComponentsStar(edges)
+      else Dedup.connectedComponents(edges)
+    }
+    pair("cc_propagation", clusters(d1, star = false), clusters(d10, star = false))
+    pair("cc_star", clusters(d1, star = true), clusters(d10, star = true))
+    pair("kmeans_assign", Similarity.kmeansAssign(emb1), Similarity.kmeansAssign(emb10))
+    pair("kmeans_iter", Similarity.kmeansIter(emb1), Similarity.kmeansIter(emb10))
     spark.stop()
   }
 }
