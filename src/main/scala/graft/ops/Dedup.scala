@@ -38,6 +38,25 @@ object Dedup {
     out
   }
 
+  /** Iterative-loop checkpoint hygiene: localCheckpoint blocks live until
+    * the RDD is GC'd, so a converging loop otherwise accumulates one block
+    * set per round. Checkpoint while recording which persistent-RDD ids the
+    * call created; once the NEXT round is materialized, the previous
+    * round's ids are released explicitly. NEVER release a checkpointed
+    * frame that can still be read — lineage is truncated, so its blocks
+    * are the only copy. */
+  private def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
+    val sc = df.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet.toSet
+    val out = df.localCheckpoint()
+    (out, sc.getPersistentRDDs.keySet.toSet -- before)
+  }
+
+  private def releaseBlocks(df: DataFrame, ids: Set[Int]): Unit = {
+    val persisted = df.sparkSession.sparkContext.getPersistentRDDs
+    ids.foreach(id => persisted.get(id).foreach(_.unpersist(blocking = false)))
+  }
+
   /** Exact dedup keyed on arbitrary columns; keeps the lowest `idCol` per
     * group (deterministic, unlike dropDuplicates' arbitrary winner). */
   def exact(df: DataFrame, keyCols: Seq[String], idCol: String): DataFrame =
@@ -480,14 +499,14 @@ object Dedup {
     // localCheckpoint (eager): materialize the edge derivation (often an
     // expensive LSH pipeline) exactly once AND truncate its lineage, so the
     // per-iteration joins replan against a flat in-memory relation.
-    val sym = edges.select(col("src"), col("dst"))
-      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint()
+    val (sym, symIds) = checkpointTracked(
+      edges.select(col("src"), col("dst"))
+        .unionByName(edges.select(col("dst").as("src"), col("src").as("dst"))))
     val endpoints = sym.select(col("src").as("id")).distinct()
-    var labels = allNodes.map(_.select(col("id")).unionByName(endpoints).distinct())
-      .getOrElse(endpoints)
-      .withColumn("lbl", col("id"))
-      .localCheckpoint()
+    var (labels, labelIds) = checkpointTracked(
+      allNodes.map(_.select(col("id")).unionByName(endpoints).distinct())
+        .getOrElse(endpoints)
+        .withColumn("lbl", col("id")))
     var iter = 0
     var done = false
     while (!done && iter < maxIter) {
@@ -496,15 +515,20 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "src").withColumnRenamed("lbl", "src_lbl"), "src")
         .groupBy(col("dst").as("id"))
         .agg(min(col("src_lbl")).as("nbr_min"))
-      val next = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("lbl"), coalesce(col("nbr_min"), col("lbl"))).as("lbl"))
-        .localCheckpoint()
+      val (next, nextIds) = checkpointTracked(
+        labels.join(nbrMin, Seq("id"), "left")
+          .select(col("id"),
+            least(col("lbl"), coalesce(col("nbr_min"), col("lbl"))).as("lbl")))
       done = next.join(labels.withColumnRenamed("lbl", "prev"), "id")
         .filter(col("lbl") < col("prev")).isEmpty
+      // previous round's labels are never read again past this point
+      releaseBlocks(labels, labelIds)
       labels = next
+      labelIds = nextIds
       iter += 1
     }
+    // the returned frame reads only `labels`; the edge blocks can go now
+    releaseBlocks(sym, symIds)
     // a silent truncation would return labels that disagree with a fixpoint
     // closure (and the DuckDB oracle) — refuse instead of being subtly wrong
     if (!done) throw new IllegalStateException(
@@ -535,12 +559,12 @@ object Dedup {
   def connectedComponentsStar(edges: DataFrame,
                               allNodes: Option[DataFrame] = None,
                               maxIter: Int = 50): DataFrame = {
-    var e = edges.select(
-        greatest(col("src"), col("dst")).as("hi"),
-        least(col("src"), col("dst")).as("lo"))
-      .filter(col("hi") =!= col("lo"))
-      .distinct()
-      .localCheckpoint() // materialize the (often LSH-derived) edges once
+    var (e, eIds) = checkpointTracked(
+      edges.select(
+          greatest(col("src"), col("dst")).as("hi"),
+          least(col("src"), col("dst")).as("lo"))
+        .filter(col("hi") =!= col("lo"))
+        .distinct()) // materialize the (often LSH-derived) edges once
     var iter = 0
     var done = e.isEmpty
     while (!done && iter < maxIter) {
@@ -555,16 +579,19 @@ object Dedup {
         .filter(col("hi") =!= col("lo"))
         .distinct()
       val minsS = large.groupBy("hi").agg(min(col("lo")).as("m"))
-      val next = large.join(minsS, "hi")
-        .select(col("lo").as("hi"), col("m").as("lo"))
-        .unionByName(minsS.select(col("hi"), col("m").as("lo")))
-        .filter(col("hi") =!= col("lo"))
-        .distinct()
-        .localCheckpoint()
+      val (next, nextIds) = checkpointTracked(
+        large.join(minsS, "hi")
+          .select(col("lo").as("hi"), col("m").as("lo"))
+          .unionByName(minsS.select(col("hi"), col("m").as("lo")))
+          .filter(col("hi") =!= col("lo"))
+          .distinct())
       // fixpoint of the combined round: same canonical edge set
       done = next.count() == e.count() &&
         next.join(e, Seq("hi", "lo"), "left_anti").isEmpty
+      // the convergence check was the last read of the previous round
+      releaseBlocks(e, eIds)
       e = next
+      eIds = nextIds
       iter += 1
     }
     if (!done && iter >= maxIter) throw new IllegalStateException(

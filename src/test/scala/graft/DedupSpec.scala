@@ -152,6 +152,23 @@ class DedupSpec extends SparkSpec {
       (7L, 5L), (8L, 5L), (9L, 9L)))
   }
 
+  test("CC loops release per-round checkpoint blocks (no per-iteration leak)") {
+    import spark.implicits._
+    val sc = spark.sparkContext
+    val edges = (1L until 64L).map(i => (i, i + 1)).toDF("src", "dst")
+    for (star <- Seq(false, true)) {
+      val before = sc.getPersistentRDDs.keySet.toSet
+      val r = if (star) Dedup.connectedComponentsStar(edges)
+              else Dedup.connectedComponents(edges)
+      assert(r.count() === 64)
+      // a 63-diameter chain runs many rounds (63 for propagation, ~6 for
+      // star); only the FINAL round's frame may keep blocks — every earlier
+      // round and the symmetric edge set must have been released
+      val extra = sc.getPersistentRDDs.keySet.toSet -- before
+      assert(extra.size <= 1, s"star=$star leaked ${extra.size} block sets")
+    }
+  }
+
   test("connectedComponentsStar: 1000-node path converges in O(log n) rounds") {
     import spark.implicits._
     val n = 1000L
