@@ -233,6 +233,40 @@ class PropSpec extends SparkSpec {
     assert(r.forall(x => x.getLong(1) >= 0 && x.getLong(1) < 5))
   }
 
+  test("substringDedup matches a brute-force reference on random dup-heavy corpora") {
+    import spark.implicits._
+    import graft.ops.Dedup
+    // tiny vocab + short docs -> dense k-gram collisions, the adversarial
+    // regime for first-occurrence bookkeeping (overlaps, within-doc repeats,
+    // whole-doc copies all occur by construction)
+    val k = 3
+    val vocab = Vector("a", "b", "c", "d")
+    val docGen = Gen.chooseNum(1, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(vocab)).map(_.mkString(" ")))
+    val corpus = (0 until 3).map { round =>
+      (1 to 25).flatMap(i => docGen.sample.map(t => ((round * 100 + i).toLong, t)))
+    }
+    // independent reference: per-doc word vectors, global first-occurrence
+    // scan in (doc_id, pos) order over exact gram text, positional masking
+    def reference(docs: Seq[(Long, String)]): Map[Long, (Int, Int)] = {
+      val ws = docs.sortBy(_._1).map { case (id, t) => id -> t.split("\\s+").toVector }
+      val seen = scala.collection.mutable.Set[String]()
+      val covered = scala.collection.mutable.Map[Long, Set[Int]]().withDefaultValue(Set())
+      for ((id, w) <- ws; p <- 0 to w.length - k) {
+        val g = w.slice(p, p + k).mkString(" ")
+        if (seen(g)) covered(id) = covered(id) ++ (p until p + k)
+        else seen += g
+      }
+      ws.map { case (id, w) => id -> (w.length, w.length - covered(id).size) }.toMap
+    }
+    corpus.foreach { docs =>
+      val got = Dedup.substringDedup(docs.toDF("doc_id", "text"), k = k)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1).toInt, r.getLong(2).toInt))
+        .toMap
+      assert(got === reference(docs))
+    }
+  }
+
   test("mixtureSample quotas are monotone in budget (prefix property)") {
     import spark.implicits._
     import graft.ops.Sampling
