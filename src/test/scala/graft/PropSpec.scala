@@ -267,6 +267,39 @@ class PropSpec extends SparkSpec {
     }
   }
 
+  test("both CC variants match union-find on random graphs") {
+    import spark.implicits._
+    import graft.ops.Dedup
+    def unionFind(n: Long, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map((1L to n).map(i => i -> i): _*)
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) { parent(r) = parent(parent(r)); r = parent(r) }
+        r
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      (1L to n).map(i => i -> find(i)).toMap
+    }
+    val edgeGen = for {
+      a <- Gen.chooseNum(1L, 40L); b <- Gen.chooseNum(1L, 40L)
+    } yield (a, b)
+    (0 until 3).foreach { _ =>
+      val edges = (1 to 30).flatMap(_ => edgeGen.sample).filter(e => e._1 != e._2)
+      val expected = unionFind(40L, edges).toSeq.sorted
+      val nodes = (1L to 40L).map(Tuple1(_)).toDF("id")
+      val e = edges.toDF("src", "dst")
+      val prop = Dedup.connectedComponents(e, Some(nodes))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).sorted.toSeq
+      val star = Dedup.connectedComponentsStar(e, Some(nodes))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).sorted.toSeq
+      assert(prop === expected)
+      assert(star === expected)
+    }
+  }
+
   test("mixtureSample quotas are monotone in budget (prefix property)") {
     import spark.implicits._
     import graft.ops.Sampling
