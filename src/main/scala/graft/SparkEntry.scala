@@ -431,6 +431,30 @@ object SparkEntry {
       .select("doc_id", "lang", "split")
       .orderBy("doc_id")
 
+  /** The full curation pipeline as ONE composed query — the shape a
+    * training-data build actually ships: quality gate → exact content
+    * dedup (keep the lowest-id representative) → stratified language mix →
+    * deterministic split assignment → per-(lang, split) corpus report.
+    * Every stage is an already-oracle-checked operator; this entry checks
+    * the COMPOSITION (semi-join chaining, no stage reordering surprises).
+    * All stages except the final tiny aggregation are scan-fused filters or
+    * a single hash-agg — the pipeline adds no shuffle beyond its parts. */
+  private def curateE2E(s: SparkSession, dir: String): DataFrame = {
+    val docs = RawGen.table(s, dir, "documents")
+    val kept = docs.join(
+      TextAnalysis.qualityFilter(docs).filter(col("keep")).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    val reps = Dedup.exactByHash(kept, "text", "doc_id")
+      .select(col("keep_id").as("doc_id"))
+    val deduped = kept.join(reps, Seq("doc_id"), "left_semi")
+    Sampling.splitAssign(
+        Sampling.stratifiedSample(deduped, "lang", "doc_id", mixRates), "doc_id")
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(Dedup.words(col("text")))).cast("long").as("n_tokens"))
+      .orderBy("lang", "split")
+  }
+
   private def qCube(s: SparkSession, dir: String): DataFrame =
     RawGen.table(s, dir, "orders")
       .cube("o_orderstatus", "o_orderpriority")
@@ -970,6 +994,7 @@ object SparkEntry {
     "decontaminate" -> (decontaminateQ _),
     "dedup_segment" -> (dedupSegmentQ _),
     "dedup_substring" -> (dedupSubstringQ _),
+    "curate_e2e" -> (curateE2E _),
     "embed_quant" -> (embedQuantQ _),
     "token_budget" -> (tokenBudgetQ _),
     "window_sliding" -> (windowSliding _),
@@ -1785,6 +1810,42 @@ object SparkEntry {
        |FROM w LEFT JOIN kept k USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  // The composed pipeline: each CTE mirrors one already-green stage oracle
+  // (quality thresholds from qualityFilterSql, min-id-per-md5 dedup from
+  // dedupExactSql's family, keep/split hashes from sampleStratifiedSql).
+  private val curateE2ESql = {
+    val h1 = "substr(md5(doc_id::VARCHAR),1,2)"
+    val h2 = "substr(md5(doc_id::VARCHAR),3,2)"
+    val keep = mixRates.toSeq.sortBy(_._1).map { case (lang, rate) =>
+      val cond =
+        if (math.round(rate * 256) >= 256) "TRUE"
+        else s"$h1 < '${Sampling.hexThreshold(rate)}'"
+      s"WHEN '$lang' THEN $cond"
+    }.mkString(" ")
+    s"""WITH w AS (SELECT doc_id, text, lang, $duckWords AS ws FROM documents),
+       |m AS (SELECT doc_id, len(ws) AS nw,
+       |  CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)/len(ws) AS ml,
+       |  CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+       |    / greatest(length(text), 1) AS sr,
+       |  CAST(len(list_filter(ws, x -> x IN ('the','a','of','and','is'))) AS DOUBLE)
+       |    / len(ws) AS st
+       |  FROM w WHERE text IS NOT NULL),
+       |q AS (SELECT doc_id FROM m WHERE nw >= 10 AND nw <= 100000
+       |  AND ml >= 2.0 AND ml <= 12.0 AND sr <= 0.2 AND st >= 0.005),
+       |reps AS (SELECT min(w.doc_id) AS doc_id FROM w JOIN q USING (doc_id)
+       |  GROUP BY md5(w.text)),
+       |k AS (SELECT w.doc_id, w.lang, len(w.ws) AS nt FROM w JOIN reps USING (doc_id)
+       |  WHERE CASE w.lang $keep ELSE TRUE END),
+       |sp AS (SELECT lang, nt,
+       |  CASE WHEN $h2 < '${Sampling.hexThreshold(0.8)}' THEN 'train'
+       |       WHEN $h2 < '${Sampling.hexThreshold(0.9)}' THEN 'val'
+       |       ELSE 'test' END AS split
+       |  FROM k)
+       |SELECT lang, split, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(nt) AS BIGINT) AS n_tokens
+       |FROM sp GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   private val embedQuantSql =
     """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
       |s AS (SELECT vec_id, emb,
@@ -2174,6 +2235,7 @@ object SparkEntry {
     "decontaminate" -> decontaminateSql,
     "dedup_segment" -> dedupSegmentSql,
     "dedup_substring" -> dedupSubstringSql,
+    "curate_e2e" -> curateE2ESql,
     "embed_quant" -> embedQuantSql,
     "token_budget" -> tokenBudgetSql,
     "window_sliding" -> windowSlidingSql,
