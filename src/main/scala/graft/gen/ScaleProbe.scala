@@ -50,9 +50,18 @@ object ScaleProbe {
     // Sub-linear readings mean the 1x run is overhead-dominated (fixed
     // per-query planning/launch costs hide the data term).
     def pair(name: String, at1x: => DataFrame, at10x: => DataFrame): Unit = {
+      // leak fence (same rationale as Bench's): each by-name evaluation of
+      // a managed frame leaves its eagerly-checkpointed result blocks until
+      // GC — 4 evaluations per pair at 10x scale would contaminate later
+      // pairs' measurements. The corpus caches predate the probe loop and
+      // survive the diff.
+      val before = spark.sparkContext.getPersistentRDDs.keySet
       val t1 = time(s"$name 1x", at1x)
       val t10 = time(s"$name 10x", at10x)
       println(f"[probe] $name%-28s exponent=${math.log10(t10 / t1)}%5.2f")
+      val now = spark.sparkContext.getPersistentRDDs
+      (now.keySet -- before).foreach(id =>
+        now.get(id).foreach(_.unpersist(blocking = false)))
     }
 
     import graft.ops.{Dedup, Packing, Sampling, Similarity, TextAnalysis}

@@ -56,16 +56,23 @@ object Metrics {
       failures.computeIfAbsent(funcName, _ => new AtomicLong).incrementAndGet()
   }
 
-  /** Streaming progress metrics keyed by query name (or id when unnamed). */
+  /** Streaming progress metrics keyed by query name (or id when unnamed).
+    * A query's series END at termination: its keys are dropped in
+    * onQueryTerminated, so gauges never report phantom state for dead
+    * queries and a restart-heavy driver's maps stay bounded by the number
+    * of LIVE queries (termination events carry only the id, so an id→name
+    * index is kept alongside). */
   final class StreamingMetricsListener extends StreamingQueryListener {
     private[obs] val inputRows = new ConcurrentHashMap[String, Counter]()
     private[obs] val batchDurations = new ConcurrentHashMap[String, Counter]()
     private[obs] val stateRows = new ConcurrentHashMap[String, AtomicLong]()
+    private val idToKey = new ConcurrentHashMap[String, String]()
 
     override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
     override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
       val p = e.progress
       val name = Option(p.name).getOrElse(p.id.toString)
+      idToKey.put(p.id.toString, name)
       inputRows.computeIfAbsent(name, _ => new Counter)
         .observe(p.numInputRows.toDouble)
       Option(p.durationMs.get("triggerExecution")).foreach(ms =>
@@ -75,7 +82,14 @@ object Metrics {
       stateRows.computeIfAbsent(name, _ => new AtomicLong).set(st)
     }
     override def onQueryTerminated(
-        e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+        e: StreamingQueryListener.QueryTerminatedEvent): Unit = {
+      val key = idToKey.remove(e.id.toString)
+      if (key != null) {
+        inputRows.remove(key)
+        batchDurations.remove(key)
+        stateRows.remove(key)
+      }
+    }
   }
 
   /** Install both listeners on the session; returns them for rendering. */

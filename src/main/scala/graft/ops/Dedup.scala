@@ -40,22 +40,20 @@ object Dedup {
 
   /** Iterative-loop checkpoint hygiene: localCheckpoint blocks live until
     * the RDD is GC'd, so a converging loop otherwise accumulates one block
-    * set per round. Checkpoint while recording which persistent-RDD ids the
-    * call created; once the NEXT round is materialized, the previous
-    * round's ids are released explicitly. NEVER release a checkpointed
-    * frame that can still be read — lineage is truncated, so its blocks
-    * are the only copy. */
-  private def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
-    val sc = df.sparkSession.sparkContext
-    val before = sc.getPersistentRDDs.keySet.toSet
-    val out = df.localCheckpoint()
-    (out, sc.getPersistentRDDs.keySet.toSet -- before)
-  }
-
-  private def releaseBlocks(df: DataFrame, ids: Set[Int]): Unit = {
-    val persisted = df.sparkSession.sparkContext.getPersistentRDDs
-    ids.foreach(id => persisted.get(id).foreach(_.unpersist(blocking = false)))
-  }
+    * set per round; once the NEXT round is materialized, the previous
+    * round's blocks are released explicitly. Ownership is exact: a
+    * checkpointed Dataset's analyzed plan IS the LogicalRDD wrapping the
+    * persisted checkpoint RDD, so only that RDD is unpersisted — never a
+    * registry diff, which could capture blocks owned by concurrent queries
+    * or a shared corpus cache that happened to materialize inside the
+    * checkpoint action. NEVER release a checkpointed frame that can still
+    * be read — lineage is truncated, so its blocks are the only copy. */
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => () // not a checkpointed frame; nothing owned here
+    }
 
   /** Exact dedup keyed on arbitrary columns; keeps the lowest `idCol` per
     * group (deterministic, unlike dropDuplicates' arbitrary winner). */
@@ -213,9 +211,15 @@ object Dedup {
         explode(sequence(col("pos"), col("pos") + k - 1)).as("p"))
       .groupBy("doc_id")
       .agg(collect_set(col("p")).as("_cov"))
+    // array_except builds a hash set of the covered positions once per row
+    // (O(n_words + n_covered)); a filter-lambda with array_contains would
+    // rescan the covered array per word — O(n·cov), a one-task straggler on
+    // a large mostly-duplicated document, exactly this operator's target
     withWs.join(covered, Seq("doc_id"), "left")
       .withColumn("_kept", when(col("_cov").isNull, col("_ws"))
-        .otherwise(filter(col("_ws"), (_, i) => !array_contains(col("_cov"), i))))
+        .otherwise(transform(
+          array_except(sequence(lit(0), col("_n") - 1), col("_cov")),
+          p => element_at(col("_ws"), p + 1))))
       .select(col("doc_id"),
         col("_n").cast("long").as("n_words"),
         size(col("_kept")).cast("long").as("n_kept"),
@@ -499,14 +503,14 @@ object Dedup {
     // localCheckpoint (eager): materialize the edge derivation (often an
     // expensive LSH pipeline) exactly once AND truncate its lineage, so the
     // per-iteration joins replan against a flat in-memory relation.
-    val (sym, symIds) = checkpointTracked(
-      edges.select(col("src"), col("dst"))
-        .unionByName(edges.select(col("dst").as("src"), col("src").as("dst"))))
+    val sym = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
     val endpoints = sym.select(col("src").as("id")).distinct()
-    var (labels, labelIds) = checkpointTracked(
-      allNodes.map(_.select(col("id")).unionByName(endpoints).distinct())
-        .getOrElse(endpoints)
-        .withColumn("lbl", col("id")))
+    var labels = allNodes.map(_.select(col("id")).unionByName(endpoints).distinct())
+      .getOrElse(endpoints)
+      .withColumn("lbl", col("id"))
+      .localCheckpoint()
     var iter = 0
     var done = false
     while (!done && iter < maxIter) {
@@ -515,20 +519,19 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "src").withColumnRenamed("lbl", "src_lbl"), "src")
         .groupBy(col("dst").as("id"))
         .agg(min(col("src_lbl")).as("nbr_min"))
-      val (next, nextIds) = checkpointTracked(
-        labels.join(nbrMin, Seq("id"), "left")
-          .select(col("id"),
-            least(col("lbl"), coalesce(col("nbr_min"), col("lbl"))).as("lbl")))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("nbr_min"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
       done = next.join(labels.withColumnRenamed("lbl", "prev"), "id")
         .filter(col("lbl") < col("prev")).isEmpty
       // previous round's labels are never read again past this point
-      releaseBlocks(labels, labelIds)
+      releaseCheckpoint(labels)
       labels = next
-      labelIds = nextIds
       iter += 1
     }
     // the returned frame reads only `labels`; the edge blocks can go now
-    releaseBlocks(sym, symIds)
+    releaseCheckpoint(sym)
     // a silent truncation would return labels that disagree with a fixpoint
     // closure (and the DuckDB oracle) — refuse instead of being subtly wrong
     if (!done) throw new IllegalStateException(
@@ -559,12 +562,18 @@ object Dedup {
   def connectedComponentsStar(edges: DataFrame,
                               allNodes: Option[DataFrame] = None,
                               maxIter: Int = 50): DataFrame = {
-    var (e, eIds) = checkpointTracked(
-      edges.select(
-          greatest(col("src"), col("dst")).as("hi"),
-          least(col("src"), col("dst")).as("lo"))
-        .filter(col("hi") =!= col("lo"))
-        .distinct()) // materialize the (often LSH-derived) edges once
+    // endpoint universe BEFORE dropping self-loops: a node whose only edge
+    // is (x, x) must still label itself, exactly as the propagation
+    // variant's symmetric view keeps it
+    val endpoints = edges.select(col("src").as("id"))
+      .unionByName(edges.select(col("dst").as("id")))
+      .distinct()
+    var e = edges.select(
+        greatest(col("src"), col("dst")).as("hi"),
+        least(col("src"), col("dst")).as("lo"))
+      .filter(col("hi") =!= col("lo"))
+      .distinct()
+      .localCheckpoint() // materialize the (often LSH-derived) edges once
     var iter = 0
     var done = e.isEmpty
     while (!done && iter < maxIter) {
@@ -579,19 +588,18 @@ object Dedup {
         .filter(col("hi") =!= col("lo"))
         .distinct()
       val minsS = large.groupBy("hi").agg(min(col("lo")).as("m"))
-      val (next, nextIds) = checkpointTracked(
-        large.join(minsS, "hi")
-          .select(col("lo").as("hi"), col("m").as("lo"))
-          .unionByName(minsS.select(col("hi"), col("m").as("lo")))
-          .filter(col("hi") =!= col("lo"))
-          .distinct())
+      val next = large.join(minsS, "hi")
+        .select(col("lo").as("hi"), col("m").as("lo"))
+        .unionByName(minsS.select(col("hi"), col("m").as("lo")))
+        .filter(col("hi") =!= col("lo"))
+        .distinct()
+        .localCheckpoint()
       // fixpoint of the combined round: same canonical edge set
       done = next.count() == e.count() &&
         next.join(e, Seq("hi", "lo"), "left_anti").isEmpty
       // the convergence check was the last read of the previous round
-      releaseBlocks(e, eIds)
+      releaseCheckpoint(e)
       e = next
-      eIds = nextIds
       iter += 1
     }
     if (!done && iter >= maxIter) throw new IllegalStateException(
@@ -601,12 +609,14 @@ object Dedup {
     // exactly once as hi, roots only as lo
     val labels = e.select(col("hi").as("id"), col("lo").as("lbl"))
       .unionByName(e.select(col("lo").as("id"), col("lo").as("lbl")).distinct())
-    val withSingletons = allNodes.map { nodes =>
-      labels.unionByName(
-        nodes.select(col("id"))
-          .join(labels, Seq("id"), "left_anti")
-          .select(col("id"), col("id").as("lbl")))
-    }.getOrElse(labels)
+    // singleton universe = explicit allNodes plus every edge endpoint (the
+    // latter covers self-loop-only nodes the canonical filter removed)
+    val universe = allNodes.map(_.select(col("id")).unionByName(endpoints))
+      .getOrElse(endpoints)
+    val withSingletons = labels.unionByName(
+      universe.distinct()
+        .join(labels, Seq("id"), "left_anti")
+        .select(col("id"), col("id").as("lbl")))
     withSingletons.select(col("id"), col("lbl").as("cluster_id"))
   }
 }

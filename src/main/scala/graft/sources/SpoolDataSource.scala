@@ -6,6 +6,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
@@ -16,6 +17,7 @@ import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.SerializableConfiguration
 
 /** Spool-directory DataSourceV2 — the real source-API seam behind the
   * bridged connectors (SURVEY.md §2.1: RabbitMQ S3 / HTTP S5 / gRPC S6 have
@@ -30,22 +32,36 @@ import org.apache.spark.unsafe.types.UTF8String
   * Contract (matches the bridge receivers' behavior):
   *  - files are IMMUTABLE once written, with MONOTONICALLY increasing
   *    names (receivers name by sequence/timestamp);
+  *  - BATCH reads snapshot the directory listing once per `load()` (the
+  *    built-in file sources' InMemoryFileIndex semantics), so repeated
+  *    actions on one DataFrame see one consistent file set even while the
+  *    receiver keeps appending;
   *  - streaming offsets are a lexicographic FILENAME WATERMARK: a batch is
   *    (watermark, latest] in name order, so restarts resume exactly and a
   *    file that appears BELOW the watermark (out-of-contract) is dropped,
   *    never double-read;
   *  - one InputPartition per file (a production receiver coalesces spool
-  *    files; at 100 TB the spool is the bridge buffer, not the lake).
+  *    files; at 100 TB the spool is the bridge buffer, not the lake);
+  *  - the SESSION's Hadoop configuration rides to both the driver listing
+  *    and the executor readers (SerializableConfiguration), so an
+  *    hdfs:/s3a: spool with `spark.hadoop.*` credentials behaves exactly
+  *    like a local one.
   */
 object SpoolDataSource {
   val NAME = "graft-spool"
   val SCHEMA: StructType = StructType(Seq(StructField("value", StringType)))
 
+  /** The active session's Hadoop conf — spark.hadoop.* settings included. */
+  private[sources] def hadoopConf(): Configuration =
+    SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new Configuration())
+
   /** Sorted (name, fullPath) listing of the spool; missing dir = empty
     * (the topic simply has not produced yet — matches broker semantics). */
-  private[sources] def listFiles(dir: String): Seq[(String, String)] = {
+  private[sources] def listFiles(dir: String, conf: Configuration): Seq[(String, String)] = {
     val p = new Path(dir)
-    val fs = p.getFileSystem(new Configuration())
+    val fs = p.getFileSystem(conf)
     if (!fs.exists(p)) Seq.empty
     else fs.listStatus(p).toSeq
       .filter(s => s.isFile && !s.getPath.getName.startsWith(".") &&
@@ -68,25 +84,35 @@ class SpoolDataSource extends TableProvider with DataSourceRegister {
 }
 
 class SpoolTable(path: String) extends Table with SupportsRead {
+  // captured at table creation (driver): one conf for every scan this
+  // DataFrame plans, serializable for the executor-side readers
+  private val conf = new SerializableConfiguration(SpoolDataSource.hadoopConf())
+  // batch consistency: freeze the listing at first batch use, NOT per
+  // action — df.count() then df.collect() must see the same files
+  private lazy val batchSnapshot: Seq[(String, String)] =
+    SpoolDataSource.listFiles(path, conf.value)
+
   override def name(): String = s"${SpoolDataSource.NAME}($path)"
   override def schema(): StructType = SpoolDataSource.SCHEMA
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder { override def build(): Scan = new SpoolScan(path) }
+    new ScanBuilder {
+      override def build(): Scan = new SpoolScan(path, conf, () => batchSnapshot)
+    }
 }
 
-class SpoolScan(path: String) extends Scan {
+class SpoolScan(path: String, conf: SerializableConfiguration,
+                snapshot: () => Seq[(String, String)]) extends Scan {
   override def readSchema(): StructType = SpoolDataSource.SCHEMA
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] =
-      SpoolDataSource.listFiles(path)
-        .map(f => SpoolFilePartition(f._2): InputPartition).toArray
+      snapshot().map(f => SpoolFilePartition(f._2): InputPartition).toArray
     override def createReaderFactory(): PartitionReaderFactory =
-      new SpoolReaderFactory
+      new SpoolReaderFactory(conf)
   }
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new SpoolMicroBatchStream(path)
+    new SpoolMicroBatchStream(path, conf)
 }
 
 /** Streaming offset: the highest spool filename read so far ("" = nothing).
@@ -96,35 +122,38 @@ case class SpoolOffset(watermark: String) extends Offset {
   override def json(): String = watermark
 }
 
-class SpoolMicroBatchStream(path: String) extends MicroBatchStream {
+class SpoolMicroBatchStream(path: String, conf: SerializableConfiguration)
+    extends MicroBatchStream {
   override def initialOffset(): Offset = SpoolOffset("")
   override def deserializeOffset(json: String): Offset = SpoolOffset(json)
   override def latestOffset(): Offset = {
-    val files = SpoolDataSource.listFiles(path)
+    val files = SpoolDataSource.listFiles(path, conf.value)
     SpoolOffset(if (files.isEmpty) "" else files.last._1)
   }
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val lo = start.asInstanceOf[SpoolOffset].watermark
     val hi = end.asInstanceOf[SpoolOffset].watermark
-    SpoolDataSource.listFiles(path)
+    SpoolDataSource.listFiles(path, conf.value)
       .filter { case (name, _) => name > lo && name <= hi }
       .map(f => SpoolFilePartition(f._2): InputPartition).toArray
   }
-  override def createReaderFactory(): PartitionReaderFactory = new SpoolReaderFactory
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SpoolReaderFactory(conf)
   override def commit(end: Offset): Unit = () // spool files are retained
   override def stop(): Unit = ()
 }
 
 case class SpoolFilePartition(filePath: String) extends InputPartition
 
-class SpoolReaderFactory extends PartitionReaderFactory {
+class SpoolReaderFactory(conf: SerializableConfiguration)
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val file = partition.asInstanceOf[SpoolFilePartition].filePath
     new PartitionReader[InternalRow] {
-      // hadoop FS (not java.io) so hdfs:/s3a: spools read identically on a
-      // cluster; the default Configuration resolves scheme from the URI
+      // hadoop FS (not java.io) with the SESSION conf, so hdfs:/s3a: spools
+      // read identically on a cluster (credentials, nameservices included)
       private val p = new Path(file)
-      private val in = p.getFileSystem(new Configuration()).open(p)
+      private val in = p.getFileSystem(conf.value).open(p)
       private val lines = new java.io.BufferedReader(
         new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8))
       private var current: String = _

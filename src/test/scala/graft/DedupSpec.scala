@@ -152,6 +152,20 @@ class DedupSpec extends SparkSpec {
       (7L, 5L), (8L, 5L), (9L, 9L)))
   }
 
+  test("connectedComponentsStar: self-loop-only nodes keep their label (propagation parity)") {
+    import spark.implicits._
+    // node 5's only edge is (5,5); node 7 has a real edge — without the
+    // pre-canonicalization endpoint universe, 5 would vanish from the
+    // star variant's output while propagation keeps it
+    val edges = Seq((5L, 5L), (7L, 8L)).toDF("src", "dst")
+    val prop = Dedup.connectedComponents(edges)
+      .orderBy("id").collect().map(x => (x.getLong(0), x.getLong(1))).toSeq
+    val star = Dedup.connectedComponentsStar(edges)
+      .orderBy("id").collect().map(x => (x.getLong(0), x.getLong(1))).toSeq
+    assert(star === prop)
+    assert(star === Seq((5L, 5L), (7L, 7L), (8L, 7L)))
+  }
+
   test("CC loops release per-round checkpoint blocks (no per-iteration leak)") {
     import spark.implicits._
     val sc = spark.sparkContext

@@ -29,8 +29,8 @@ class MetricsSpec extends SparkSpec {
       val sq = ms.toDF().writeStream.format("memory")
         .queryName("metrics_stream").outputMode("append").start()
       sq.processAllAvailable()
-      sq.stop()
 
+      // while LIVE: both batch-action and streaming series present
       val text = eventually() {
         val t = Metrics.prometheusText(q, s)
         assert(t.contains("graft_query_duration_seconds_count{action=\"collect\"}"))
@@ -50,6 +50,14 @@ class MetricsSpec extends SparkSpec {
       val read = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(out)), "UTF-8")
       assert(read.contains("# TYPE graft_stream_input_rows_count counter"))
+
+      // after termination: the query's series END (no phantom gauges, maps
+      // bounded by live queries)
+      sq.stop()
+      eventually() {
+        val t = Metrics.prometheusText(q, s)
+        assert(!t.contains("metrics_stream"), "terminated query still exported")
+      }
     } finally {
       spark.listenerManager.unregister(q)
       spark.streams.removeListener(s)
