@@ -303,6 +303,12 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  private def knnPq(s: SparkSession, dir: String): DataFrame = {
+    val emb = RawGen.table(s, dir, "embeddings")
+    Similarity.pqTopK(emb, knnQueries(s, dir), m = 4, k = 4, topK = 5, dim = 64)
+      .orderBy("query_id", "rank")
+  }
+
   private def knnLshProbe(s: SparkSession, dir: String): DataFrame = {
     val emb = RawGen.table(s, dir, "embeddings")
     Similarity.lshCosineTopKMultiprobe(emb, knnQueries(s, dir), 5,
@@ -964,6 +970,7 @@ object SparkEntry {
     "knn_lsh" -> (knnLsh _),
     "knn_lsh_probe" -> (knnLshProbe _),
     "knn_ivf" -> (knnIvf _),
+    "knn_pq" -> (knnPq _),
     "asof_join" -> (asofJoinQ _),
     "window_tumbling" -> (windowTumbling _),
     "sessionize" -> (sessionizeQ _),
@@ -2137,6 +2144,49 @@ object SparkEntry {
     "WHERE rn = 1 ORDER BY vec_id"
   }
 
+  // PQ replay: per subspace — slice, seed codebook (k lowest vec_ids), one
+  // Lloyd round (argmin ties by cid, floor(mean+0.5)), re-encode, query LUT
+  // — then the ADC sum + per-query rank. Same integer-exactness contract as
+  // kmeansIterSql, so the chain is deterministic end to end.
+  private val knnPqSql = {
+    val m = 4; val k = 4; val dim = 64; val sl = dim / m; val topK = 5
+    def dist(a: String, b: String) =
+      s"list_sum(list_transform(range(1, len($a)+1), " +
+      s"j -> ($a[j]-$b[j])*($a[j]-$b[j])))"
+    val parts = scala.collection.mutable.ArrayBuffer[String]()
+    for (i <- 0 until m) {
+      parts += s"s$i AS (SELECT vec_id, qv[${i * sl + 1}:${(i + 1) * sl}] AS sv FROM q)"
+      parts += s"c$i AS (SELECT vec_id AS cid, sv AS cq FROM s$i ORDER BY vec_id LIMIT $k)"
+      parts += s"a$i AS (SELECT vec_id, cid FROM (SELECT s$i.vec_id, c.cid, " +
+        s"row_number() OVER (PARTITION BY s$i.vec_id " +
+        s"ORDER BY ${dist(s"s$i.sv", "c.cq")}, c.cid) AS rn " +
+        s"FROM s$i CROSS JOIN c$i c) WHERE rn = 1)"
+      parts += s"x$i AS (SELECT a$i.cid, s$i.sv, unnest(range(1, len(s$i.sv)+1)) AS ii " +
+        s"FROM a$i JOIN s$i USING (vec_id))"
+      parts += s"m$i AS (SELECT cid, ii, CAST(floor(CAST(SUM(sv[ii]) AS DOUBLE)" +
+        s"/count(*) + 0.5) AS BIGINT) AS rv FROM x$i GROUP BY cid, ii)"
+      parts += s"cb$i AS (SELECT cid, list(rv ORDER BY ii) AS cq FROM m$i GROUP BY cid)"
+      parts += s"e$i AS (SELECT vec_id, $i AS sub, cid FROM (SELECT s$i.vec_id, c.cid, " +
+        s"row_number() OVER (PARTITION BY s$i.vec_id " +
+        s"ORDER BY ${dist(s"s$i.sv", "c.cq")}, c.cid) AS rn " +
+        s"FROM s$i CROSS JOIN cb$i c) WHERE rn = 1)"
+      parts += s"l$i AS (SELECT s$i.vec_id AS query_id, $i AS sub, c.cid, " +
+        s"${dist(s"s$i.sv", "c.cq")} AS d2 " +
+        s"FROM s$i CROSS JOIN cb$i c WHERE s$i.vec_id < 8)"
+    }
+    parts += (0 until m).map(i => s"SELECT * FROM e$i")
+      .mkString("codes AS (", " UNION ALL ", ")")
+    parts += (0 until m).map(i => s"SELECT * FROM l$i")
+      .mkString("lut AS (", " UNION ALL ", ")")
+    parts += "sc AS (SELECT lut.query_id, codes.vec_id, SUM(lut.d2) AS adc " +
+      "FROM codes JOIN lut USING (sub, cid) GROUP BY 1, 2)"
+    s"WITH $duckQuantBase,\n${parts.mkString(",\n")}\n" +
+    "SELECT query_id, vec_id, CAST(adc AS BIGINT) AS adc_dist2, " +
+    "CAST(rn AS BIGINT) AS rank FROM (SELECT query_id, vec_id, adc, " +
+    "row_number() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS rn " +
+    s"FROM sc) WHERE rn <= $topK ORDER BY query_id, rank"
+  }
+
   private val qUnionSql =
     """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
       |UNION
@@ -2204,6 +2254,7 @@ object SparkEntry {
     "knn_lsh" -> knnLshSql,
     "knn_lsh_probe" -> knnLshProbeSql,
     "knn_ivf" -> knnIvfSql,
+    "knn_pq" -> knnPqSql,
     "asof_join" -> asofJoinSql,
     "window_tumbling" -> windowTumblingSql,
     "sessionize" -> sessionizeSql,

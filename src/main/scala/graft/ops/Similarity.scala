@@ -429,6 +429,89 @@ object Similarity {
     assignToCentroids(q, cents)
   }
 
+  /** Product-quantization ANN with asymmetric-distance (ADC) scoring — the
+    * codebook compression that makes billion-vector search feasible
+    * (Jégou et al., "Product Quantization for Nearest Neighbor Search",
+    * TPAMI'11). Each int8-quantized vector splits into `m` subvectors;
+    * each subspace learns a k-centroid codebook (ONE integer Lloyd round,
+    * seeded by the k lowest-id vectors — the [[kmeansIter]] determinism
+    * contract, so codebooks/codes/rankings are bit-exact across engines
+    * and partitionings); the corpus is stored as m small codes per vector.
+    * A query computes exact distances to all k×m codebook cells ONCE (a
+    * tiny lookup table, broadcast), and scoring a corpus vector is m
+    * lookup-adds over its codes — no full-vector arithmetic in the hot
+    * loop. At scale the codes table is ~dim/m× smaller than the vectors
+    * and the scan is memory-bandwidth-shaped; this composes with
+    * [[ivfTopK]]'s inverted lists (IVF-PQ) by restricting `codes` to the
+    * probed lists. Complements brute (exact), LSH/multiprobe (bucketed),
+    * IVF (partition-pruned): the compressed-domain family member.
+    */
+  def pqTopK(embs: DataFrame, queries: DataFrame, m: Int = 4, k: Int = 4,
+             topK: Int = 5, dim: Int = 64): DataFrame = {
+    require(dim % m == 0, "dim must divide into m equal subvectors")
+    val subLen = dim / m
+    def sub(c: Column, i: Int): Column = slice(c, i * subLen + 1, subLen)
+    // corpus quantized once, reused by every subspace (m codebook builds +
+    // m encode passes); released after the eager codebook/code builds
+    val q = quantizedVecs(embs).localCheckpoint()
+    val subFrames = (0 until m).map(i =>
+      q.select(col("vec_id"), sub(col("qv"), i).as("qv")))
+    // one integer Lloyd round per subspace -> k×subLen codebook (tiny)
+    val books = subFrames.map { subs =>
+      val seed = subs.orderBy("vec_id").limit(k)
+        .select(col("vec_id").as("cid"), col("qv").as("cq"))
+      val rounded = floor(col("s").cast("double") / col("n") + lit(0.5)).cast("long")
+      assignToCentroids(subs, seed).select("vec_id", "cid")
+        .join(subs, "vec_id")
+        .select(col("cid"), posexplode(col("qv")).as(Seq("dim", "v")))
+        .groupBy("cid", "dim")
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+        .select(col("cid"), col("dim"), rounded.as("rv"))
+        .groupBy("cid")
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("rv")))),
+          x => x("rv")).as("cq"))
+        .localCheckpoint()
+    }
+    // encode: (vec_id, subspace, code) — the compressed corpus
+    val codes = (0 until m).map { i =>
+      assignToCentroids(subFrames(i), books(i))
+        .select(col("vec_id"), lit(i).as("sub"), col("cid"))
+    }.reduce(_ unionByName _)
+    // ADC lookup table: queries × (m × k) cells, exact integer distances
+    val qQ = quantizedVecs(queries)
+    val lut = (0 until m).map { i =>
+      qQ.select(col("vec_id").as("query_id"), sub(col("qv"), i).as("sq"))
+        .crossJoin(broadcast(books(i)))
+        .select(col("query_id"), lit(i).as("sub"), col("cid"),
+          graft.functions.L2Squared.l2sq(col("sq"), col("cq")).as("d2"))
+    }.reduce(_ unionByName _)
+    // compressed-domain scan: m lookup-adds per corpus vector per query,
+    // map-side partial sums collapse before the (query_id, vec_id) exchange
+    val scored = codes.join(broadcast(lut), Seq("sub", "cid"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("d2")).as("adc_dist2"))
+    val w = Window.partitionBy("query_id").orderBy(col("adc_dist2"), col("vec_id"))
+    val result = scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("vec_id"),
+        col("adc_dist2").cast("long").as("adc_dist2"), col("rank"))
+      // managed lifecycle (Dedup.materializeThenRelease pattern): the
+      // quantized-corpus checkpoint is corpus-sized — materialize the tiny
+      // top-k result eagerly, then release corpus + codebook blocks
+      .localCheckpoint()
+    (q +: books).foreach(releaseCheckpoint)
+    result
+  }
+
+  /** Unpersist exactly the RDD backing a localCheckpointed frame (see
+    * Dedup's twin — precise ownership, never a registry diff). */
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   def quantizeInt8(embs: DataFrame): DataFrame = {
     val emb = asDouble(col("embedding"))
     val scale = array_max(transform(col("_emb"), x => abs(x))) / lit(127.0)

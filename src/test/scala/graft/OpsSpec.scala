@@ -286,6 +286,34 @@ class OpsSpec extends SparkSpec {
     assert(!Multimodal.frameSample(media, frameBytes = 64, stride = 2).head().isNullAt(3))
   }
 
+  test("pqTopK: ADC retrieval separates well-separated clusters, deterministic") {
+    import spark.implicits._
+    import graft.ops.Similarity
+    // two tight clusters far apart in the first coordinates; 8-dim, m=2
+    def vec(base: Float, j: Int): Array[Float] =
+      Array.tabulate(8)(d => base + (if (d == j % 4) 0.5f else 0f))
+    val corpus = ((1L to 6L).map(i => (i, vec(10f, i.toInt))) ++
+      (7L to 12L).map(i => (i, vec(-10f, i.toInt)))).toDF("vec_id", "embedding")
+    val queries = Seq((1L, vec(10f, 1)), (7L, vec(-10f, 7)))
+      .toDF("vec_id", "embedding")
+    val r = Similarity.pqTopK(corpus, queries, m = 2, k = 2, topK = 5, dim = 8)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    // every retrieved neighbor is from the query's own cluster
+    assert(r.filter(_._1 == 1L).forall(_._2 <= 6L), r.mkString(","))
+    assert(r.filter(_._1 == 7L).forall(_._2 >= 7L), r.mkString(","))
+    // ranks are 1..5 per query, ADC distances nonneg and nondecreasing
+    for (qid <- Seq(1L, 7L)) {
+      val mine = r.filter(_._1 == qid).sortBy(_._4)
+      assert(mine.map(_._4).toSeq === (1L to 5L))
+      assert(mine.map(_._3).toSeq === mine.map(_._3).sorted.toSeq)
+      assert(mine.forall(_._3 >= 0L))
+    }
+    // bit-exact determinism across runs (integer codebooks + ADC)
+    val r2 = Similarity.pqTopK(corpus, queries, m = 2, k = 2, topK = 5, dim = 8)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    assert(r.sorted.toSeq === r2.sorted.toSeq)
+  }
+
   test("decode parses real headers: files written by the JDK's own encoders") {
     import spark.implicits._
     import graft.ops.Multimodal
