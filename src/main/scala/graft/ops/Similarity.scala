@@ -450,41 +450,58 @@ object Similarity {
              topK: Int = 5, dim: Int = 64): DataFrame = {
     require(dim % m == 0, "dim must divide into m equal subvectors")
     val subLen = dim / m
-    def sub(c: Column, i: Int): Column = slice(c, i * subLen + 1, subLen)
-    // corpus quantized once, reused by every subspace (m codebook builds +
-    // m encode passes); released after the eager codebook/code builds
-    val q = quantizedVecs(embs).localCheckpoint()
-    val subFrames = (0 until m).map(i =>
-      q.select(col("vec_id"), sub(col("qv"), i).as("qv")))
-    // one integer Lloyd round per subspace -> k×subLen codebook (tiny)
-    val books = subFrames.map { subs =>
-      val seed = subs.orderBy("vec_id").limit(k)
-        .select(col("vec_id").as("cid"), col("qv").as("cq"))
-      val rounded = floor(col("s").cast("double") / col("n") + lit(0.5)).cast("long")
-      assignToCentroids(subs, seed).select("vec_id", "cid")
-        .join(subs, "vec_id")
-        .select(col("cid"), posexplode(col("qv")).as(Seq("dim", "v")))
-        .groupBy("cid", "dim")
-        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
-        .select(col("cid"), col("dim"), rounded.as("rv"))
-        .groupBy("cid")
-        .agg(transform(array_sort(collect_list(struct(col("dim"), col("rv")))),
-          x => x("rv")).as("cq"))
-        .localCheckpoint()
+    val shift = 1L << 24
+    // SUBSPACE AS DATA, not as a Scala loop: one (vec_id, sub, sv) frame
+    // carries all m subspaces, so the whole pipeline is three eager
+    // actions (corpus quantization, codebooks, result) instead of ~3·m —
+    // per-job overhead is the entire cost of this op below cluster scale.
+    def subsOf(df: DataFrame, idName: String): DataFrame =
+      df.select(col("vec_id").as(idName),
+        posexplode(array((0 until m).map(i =>
+          slice(col("qv"), i * subLen + 1, subLen)): _*)).as(Seq("sub", "sv")))
+    // encoded-long argmin per (vector, subspace) against a tiny broadcast
+    // (sub, cid, cq) codebook frame — assignToCentroids' trick with `sub`
+    // added to every key (ties break by dense index in ascending cid order,
+    // the cross-engine contract)
+    def encode(side: DataFrame, books: DataFrame): DataFrame = {
+      val idx = books.withColumn("cidx",
+        row_number().over(Window.partitionBy("sub").orderBy("cid")).cast("long") - 1)
+      val enc = graft.functions.L2Squared.l2sq(col("sv"), col("cq")) * shift +
+        col("cidx")
+      side.join(broadcast(idx), Seq("sub"))
+        .select(col("vec_id"), col("sub"), enc.as("enc"))
+        .groupBy("vec_id", "sub")
+        .agg(min(col("enc")).as("enc"))
+        .select(col("vec_id"), col("sub"), pmod(col("enc"), lit(shift)).as("cidx"))
+        .join(broadcast(idx.select(col("sub"), col("cidx"), col("cid"))),
+          Seq("sub", "cidx"))
+        .select(col("vec_id"), col("sub"), col("cid"))
     }
-    // encode: (vec_id, subspace, code) — the compressed corpus
-    val codes = (0 until m).map { i =>
-      assignToCentroids(subFrames(i), books(i))
-        .select(col("vec_id"), lit(i).as("sub"), col("cid"))
-    }.reduce(_ unionByName _)
+    val q = quantizedVecs(embs).localCheckpoint()
+    val subs = subsOf(q, "vec_id")
+    // seeds: the k lowest-id vectors supply every subspace's initial
+    // centroids (k×m rows — no corpus-wide window needed)
+    val seeds = subsOf(q.orderBy("vec_id").limit(k), "cid")
+      .select(col("sub"), col("cid"), col("sv").as("cq"))
+    // one integer Lloyd round, all subspaces in one plan -> (sub, cid, cq)
+    val rounded = floor(col("s").cast("double") / col("n") + lit(0.5)).cast("long")
+    val books = encode(subs, seeds)
+      .join(subs, Seq("vec_id", "sub"))
+      .select(col("sub"), col("cid"), posexplode(col("sv")).as(Seq("dim", "v")))
+      .groupBy("sub", "cid", "dim")
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+      .select(col("sub"), col("cid"), col("dim"), rounded.as("rv"))
+      .groupBy("sub", "cid")
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("rv")))),
+        x => x("rv")).as("cq"))
+      .localCheckpoint()
+    // compressed corpus: m codes per vector
+    val codes = encode(subs, books)
     // ADC lookup table: queries × (m × k) cells, exact integer distances
-    val qQ = quantizedVecs(queries)
-    val lut = (0 until m).map { i =>
-      qQ.select(col("vec_id").as("query_id"), sub(col("qv"), i).as("sq"))
-        .crossJoin(broadcast(books(i)))
-        .select(col("query_id"), lit(i).as("sub"), col("cid"),
-          graft.functions.L2Squared.l2sq(col("sq"), col("cq")).as("d2"))
-    }.reduce(_ unionByName _)
+    val lut = subsOf(quantizedVecs(queries), "query_id")
+      .join(broadcast(books), Seq("sub"))
+      .select(col("query_id"), col("sub"), col("cid"),
+        graft.functions.L2Squared.l2sq(col("sv"), col("cq")).as("d2"))
     // compressed-domain scan: m lookup-adds per corpus vector per query,
     // map-side partial sums collapse before the (query_id, vec_id) exchange
     val scored = codes.join(broadcast(lut), Seq("sub", "cid"))
@@ -499,7 +516,7 @@ object Similarity {
       // quantized-corpus checkpoint is corpus-sized — materialize the tiny
       // top-k result eagerly, then release corpus + codebook blocks
       .localCheckpoint()
-    (q +: books).foreach(releaseCheckpoint)
+    Seq(q, books).foreach(releaseCheckpoint)
     result
   }
 
