@@ -477,7 +477,7 @@ object Similarity {
           Seq("sub", "cidx"))
         .select(col("vec_id"), col("sub"), col("cid"))
     }
-    val q = quantizedVecs(embs).localCheckpoint()
+    val q = normalizedQuantVecs(embs).localCheckpoint()
     val subs = subsOf(q, "vec_id")
     // seeds: the k lowest-id vectors supply every subspace's initial
     // centroids (k×m rows — no corpus-wide window needed)
@@ -498,7 +498,7 @@ object Similarity {
     // compressed corpus: m codes per vector
     val codes = encode(subs, books)
     // ADC lookup table: queries × (m × k) cells, exact integer distances
-    val lut = subsOf(quantizedVecs(queries), "query_id")
+    val lut = subsOf(normalizedQuantVecs(queries), "query_id")
       .join(broadcast(books), Seq("sub"))
       .select(col("query_id"), col("sub"), col("cid"),
         graft.functions.L2Squared.l2sq(col("sv"), col("cq")).as("d2"))
@@ -518,6 +518,27 @@ object Similarity {
       .localCheckpoint()
     Seq(q, books).foreach(releaseCheckpoint)
     result
+  }
+
+  /** Unit-normalize, THEN int8-quantize at the fixed scale 127 (unit
+    * vectors have |x_i| ≤ 1). On unit vectors squared-L2 is 2−2·cos, so
+    * PQ's integer-L2 ADC ranking tracks the cosine ranking the rest of the
+    * ANN family (and its recall ground truth) uses — without this, raw
+    * int8 L2 ranks by magnitude as much as by angle. Same determinism
+    * contract as [[quantizedVecs]]: strict left-to-right fold for the
+    * norm, floor(x+0.5) rounding, IEEE sqrt/div exact in both engines. */
+  private def normalizedQuantVecs(embs: DataFrame): DataFrame = {
+    val emb = asDouble(col("embedding"))
+    embs
+      .withColumn("_emb", emb)
+      .withColumn("_nrm",
+        sqrt(aggregate(col("_emb"), lit(0.0), (a, x) => a + x * x)))
+      .withColumn("qv",
+        when(col("_nrm") === 0.0, transform(col("_emb"), _ => lit(0L)))
+          .otherwise(transform(col("_emb"), x =>
+            greatest(lit(-127L), least(lit(127L),
+              floor(x * 127.0 / col("_nrm") + lit(0.5)).cast("long"))))))
+      .select(col("vec_id"), col("qv"))
   }
 
   /** Unpersist exactly the RDD backing a localCheckpointed frame (see
