@@ -75,6 +75,7 @@ class PlanSpec extends SparkSpec {
     // tfidf's 1-row corpus-count join, k-means' k broadcast centroids, and
     // q_zero_fill's (types × 7 days) grid
     val bnljAllowed = Set("knn_brute", "knn_topk_agg", "knn_recall",
+      "knn_pq_recall", // embeds knn_brute's broadcast-query scoring
       "tfidf_top_terms", "kmeans_assign", "kmeans_update", "kmeans_iter",
       "q_zero_fill")
     val dir = "/root/testdata/sf0.001"
