@@ -314,6 +314,13 @@ object SparkEntry {
     * distance concentration bounds ANY sublinear index — the multiprobe
     * LSH baseline (knn_recall) measures 0.125 here; PQ's ~0.30 with a
     * 16-byte-per-vector representation is 2.4x that baseline. */
+  private def knnIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val emb = RawGen.table(s, dir, "embeddings")
+    Similarity.ivfPqTopK(emb, knnQueries(s, dir), m = 4, k = 16, topK = 5,
+        dim = 64, numCentroids = 16)
+      .orderBy("query_id", "rank")
+  }
+
   private def knnPqRecallQ(s: SparkSession, dir: String): DataFrame = {
     val brute = knnBrute(s, dir).select(col("query_id"), col("neighbor_id"))
     val pq = knnPq(s, dir).select(col("query_id").as("q2"), col("vec_id").as("n2"))
@@ -987,6 +994,7 @@ object SparkEntry {
     "knn_ivf" -> (knnIvf _),
     "knn_pq" -> (knnPq _),
     "knn_pq_recall" -> (knnPqRecallQ _),
+    "knn_ivf_pq" -> (knnIvfPq _),
     "asof_join" -> (asofJoinQ _),
     "window_tumbling" -> (windowTumbling _),
     "sessionize" -> (sessionizeQ _),
@@ -2189,8 +2197,10 @@ object SparkEntry {
       |      least(CAST(127 AS BIGINT), CAST(floor(x*127.0/nrm + 0.5) AS BIGINT)))) END AS qv
       |  FROM s)""".stripMargin
 
-  private val knnPqSql = {
-    val m = 4; val k = 16; val dim = 64; val sl = dim / m; val topK = 5
+  /** The PQ pipeline's generated CTEs (codebooks, codes, lut) — shared by
+    * knn_pq and knn_ivf_pq; expects a `q (vec_id, qv)` CTE in scope. */
+  private def pqCtes(m: Int, k: Int, dim: Int): Seq[String] = {
+    val sl = dim / m
     def dist(a: String, b: String) =
       s"list_sum(list_transform(range(1, len($a)+1), " +
       s"j -> ($a[j]-$b[j])*($a[j]-$b[j])))"
@@ -2219,13 +2229,48 @@ object SparkEntry {
       .mkString("codes AS (", " UNION ALL ", ")")
     parts += (0 until m).map(i => s"SELECT * FROM l$i")
       .mkString("lut AS (", " UNION ALL ", ")")
-    parts += "sc AS (SELECT lut.query_id, codes.vec_id, SUM(lut.d2) AS adc " +
-      "FROM codes JOIN lut USING (sub, cid) GROUP BY 1, 2)"
-    s"WITH $duckNormQuantBase,\n${parts.mkString(",\n")}\n" +
+    parts.toSeq
+  }
+
+  private def pqRankSql(topK: Int): String =
     "SELECT query_id, vec_id, CAST(adc AS BIGINT) AS adc_dist2, " +
     "CAST(rn AS BIGINT) AS rank FROM (SELECT query_id, vec_id, adc, " +
     "row_number() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS rn " +
     s"FROM sc) WHERE rn <= $topK ORDER BY query_id, rank"
+
+  private val knnPqSql = {
+    val parts = pqCtes(m = 4, k = 16, dim = 64) :+
+      ("sc AS (SELECT lut.query_id, codes.vec_id, SUM(lut.d2) AS adc " +
+       "FROM codes JOIN lut USING (sub, cid) GROUP BY 1, 2)")
+    s"WITH $duckNormQuantBase,\n${parts.mkString(",\n")}\n" + pqRankSql(5)
+  }
+
+  // IVF-PQ: the knn_ivf coarse quantizer picks WHICH vectors are scored
+  // (probed lists, self-pair excluded), the PQ chain scores them in the
+  // compressed domain. CTE namespaces: raw/n/cc/qp = coarse side over the
+  // RAW embeddings; e/s/q (duckNormQuantBase) + pqCtes = PQ side.
+  private val knnIvfPqSql = {
+    val cents = Similarity.ivfCentroids(16, 64).map { cv =>
+      cv.map(d => if (d > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+    }
+    val scoreList = cents.map(c => s"list_dot_product(emb, $c::DOUBLE[])")
+      .mkString("[", ", ", "]")
+    val coarse = Seq(
+      "raw AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)",
+      "n AS (SELECT * FROM (SELECT vec_id, sqrt(list_dot_product(emb, emb)) AS nrm, " +
+        s"$scoreList AS cs FROM raw) WHERE nrm > 0)",
+      "cc AS (SELECT vec_id, list_position(cs, list_max(cs)) AS ccid FROM n)",
+      "qp AS (SELECT vec_id AS query_id, unnest([list_position(cs, list_max(cs)), " +
+        "list_position(cs, list_max(list_filter(cs, x -> x < list_max(cs))))]) AS ccid " +
+        "FROM n WHERE vec_id < 8)",
+      "cand AS (SELECT qp.query_id, cc.vec_id FROM cc JOIN qp USING (ccid) " +
+        "WHERE cc.vec_id <> qp.query_id)")
+    val parts = coarse ++ pqCtes(m = 4, k = 16, dim = 64) :+
+      ("sc AS (SELECT lut.query_id, codes.vec_id, SUM(lut.d2) AS adc " +
+       "FROM codes JOIN lut USING (sub, cid) " +
+       "JOIN cand ON cand.query_id = lut.query_id AND cand.vec_id = codes.vec_id " +
+       "GROUP BY 1, 2)")
+    s"WITH $duckNormQuantBase,\n${parts.mkString(",\n")}\n" + pqRankSql(5)
   }
 
   private val qUnionSql =
@@ -2297,6 +2342,7 @@ object SparkEntry {
     "knn_ivf" -> knnIvfSql,
     "knn_pq" -> knnPqSql,
     "knn_pq_recall" -> knnPqRecallSql,
+    "knn_ivf_pq" -> knnIvfPqSql,
     "asof_join" -> asofJoinSql,
     "window_tumbling" -> windowTumblingSql,
     "sessionize" -> sessionizeSql,

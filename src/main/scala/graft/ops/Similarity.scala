@@ -448,6 +448,81 @@ object Similarity {
     */
   def pqTopK(embs: DataFrame, queries: DataFrame, m: Int = 4, k: Int = 4,
              topK: Int = 5, dim: Int = 64): DataFrame = {
+    val (codes, lut, release) = pqIndex(embs, queries, m, k, dim)
+    // compressed-domain scan: m lookup-adds per corpus vector per query,
+    // map-side partial sums collapse before the (query_id, vec_id) exchange
+    val scored = codes.join(broadcast(lut), Seq("sub", "cid"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("d2")).as("adc_dist2"))
+    finishPq(scored, topK, release)
+  }
+
+  /** IVF-PQ: [[ivfTopK]]'s coarse inverted lists restrict WHICH vectors are
+    * scored; [[pqTopK]]'s codes+ADC decide HOW each one is scored. The
+    * candidate set per query is nprobe/numCentroids of the corpus and the
+    * scan over it is compressed-domain — the standard billion-scale recipe
+    * (FAISS IVFPQ), here with both stages' determinism contracts intact so
+    * the DuckDB oracle replays the composition. */
+  def ivfPqTopK(embs: DataFrame, queries: DataFrame, m: Int = 4, k: Int = 16,
+                topK: Int = 5, dim: Int = 64,
+                numCentroids: Int = 16): DataFrame = {
+    val cents = ivfCentroids(numCentroids, dim)
+    def scores(emb: Column): Column =
+      array(cents.map(cv => dot(emb, array(cv.map(lit): _*))): _*)
+    // coarse lists over the raw embeddings (same quantizer as ivfTopK)
+    val corpusCid = embs
+      .select(col("vec_id"), asDouble(col("embedding")).as("c_emb"))
+      .withColumn("_nrm", norm(col("c_emb")))
+      .filter(col("_nrm") > 0.0)
+      .withColumn("_s", scores(col("c_emb")))
+      .select(col("vec_id"), array_position(col("_s"), array_max(col("_s"))).as("ccid"))
+    val queryProbes = queries
+      .select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("q_emb"))
+      .withColumn("_nrm", norm(col("q_emb")))
+      .filter(col("_nrm") > 0.0)
+      .withColumn("_s", scores(col("q_emb")))
+      .withColumn("_m1", array_position(col("_s"), array_max(col("_s"))))
+      .withColumn("_m2", array_position(col("_s"),
+        array_max(filter(col("_s"), x => x < array_max(col("_s"))))))
+      .select(col("query_id"), explode(array(col("_m1"), col("_m2"))).as("ccid"))
+    // probed candidates: (query_id, vec_id) pairs inside probed lists; the
+    // self-pair is excluded for parity with ivfTopK
+    val cand = corpusCid.join(broadcast(queryProbes), Seq("ccid"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"))
+    val (codes, lut, release) = pqIndex(embs, queries, m, k, dim)
+    // restrict the compressed scan to probed candidates FIRST — at scale
+    // this is the IVF win: only nprobe/numCentroids of codes rows survive
+    // into the per-(query, vector) ADC aggregation
+    val scored = codes.join(cand, Seq("vec_id"))
+      .join(broadcast(lut), Seq("query_id", "sub", "cid"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("d2")).as("adc_dist2"))
+    finishPq(scored, topK, release)
+  }
+
+  private def finishPq(scored: DataFrame, topK: Int,
+                       release: () => Unit): DataFrame = {
+    val w = Window.partitionBy("query_id").orderBy(col("adc_dist2"), col("vec_id"))
+    val result = scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("vec_id"),
+        col("adc_dist2").cast("long").as("adc_dist2"), col("rank"))
+      // managed lifecycle (Dedup.materializeThenRelease pattern): the
+      // quantized-corpus checkpoint is corpus-sized — materialize the tiny
+      // top-k result eagerly, then release corpus + codebook blocks
+      .localCheckpoint()
+    release()
+    result
+  }
+
+  /** Shared PQ index build: (codes, lut, release). `codes` is the
+    * compressed corpus — (vec_id, sub, cid), m rows per vector; `lut` the
+    * per-query ADC lookup table — (query_id, sub, cid, d2), k×m rows per
+    * query; `release` frees the corpus/codebook checkpoints once the
+    * caller has materialized its result. */
+  private def pqIndex(embs: DataFrame, queries: DataFrame, m: Int, k: Int,
+                      dim: Int): (DataFrame, DataFrame, () => Unit) = {
     require(dim % m == 0, "dim must divide into m equal subvectors")
     val subLen = dim / m
     val shift = 1L << 24
@@ -502,22 +577,7 @@ object Similarity {
       .join(broadcast(books), Seq("sub"))
       .select(col("query_id"), col("sub"), col("cid"),
         graft.functions.L2Squared.l2sq(col("sv"), col("cq")).as("d2"))
-    // compressed-domain scan: m lookup-adds per corpus vector per query,
-    // map-side partial sums collapse before the (query_id, vec_id) exchange
-    val scored = codes.join(broadcast(lut), Seq("sub", "cid"))
-      .groupBy(col("query_id"), col("vec_id"))
-      .agg(sum(col("d2")).as("adc_dist2"))
-    val w = Window.partitionBy("query_id").orderBy(col("adc_dist2"), col("vec_id"))
-    val result = scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= topK)
-      .select(col("query_id"), col("vec_id"),
-        col("adc_dist2").cast("long").as("adc_dist2"), col("rank"))
-      // managed lifecycle (Dedup.materializeThenRelease pattern): the
-      // quantized-corpus checkpoint is corpus-sized — materialize the tiny
-      // top-k result eagerly, then release corpus + codebook blocks
-      .localCheckpoint()
-    Seq(q, books).foreach(releaseCheckpoint)
-    result
+    (codes, lut, () => Seq(q, books).foreach(releaseCheckpoint))
   }
 
   /** Unit-normalize, THEN int8-quantize at the fixed scale 127 (unit

@@ -314,6 +314,29 @@ class OpsSpec extends SparkSpec {
     assert(r.sorted.toSeq === r2.sorted.toSeq)
   }
 
+  test("ivfPqTopK: scores a subset of pqTopK's candidates with identical ADC distances") {
+    import spark.implicits._
+    import graft.ops.Similarity
+    def vec(base: Float, j: Int): Array[Float] =
+      Array.tabulate(8)(d => base + (if (d == j % 4) 0.5f else 0f))
+    val corpus = ((1L to 6L).map(i => (i, vec(10f, i.toInt))) ++
+      (7L to 12L).map(i => (i, vec(-10f, i.toInt)))).toDF("vec_id", "embedding")
+    val queries = Seq((1L, vec(10f, 1)), (7L, vec(-10f, 7)))
+      .toDF("vec_id", "embedding")
+    val pq = Similarity.pqTopK(corpus, queries, m = 2, k = 2, topK = 12, dim = 8)
+      .select($"query_id", $"vec_id", $"adc_dist2".as("full_adc"))
+    val ivfPq = Similarity.ivfPqTopK(corpus, queries, m = 2, k = 2, topK = 5,
+      dim = 8, numCentroids = 4)
+    val joined = ivfPq.join(pq, Seq("query_id", "vec_id"), "left")
+    // every IVF-PQ hit exists in the full PQ ranking with the SAME ADC
+    // distance (the coarse stage may only restrict candidates, never
+    // change how a candidate is scored); self-pairs are excluded
+    assert(joined.filter($"full_adc".isNull ||
+      $"adc_dist2" =!= $"full_adc").count() === 0)
+    assert(ivfPq.filter($"query_id" === $"vec_id").count() === 0)
+    assert(ivfPq.count() > 0)
+  }
+
   test("decode parses real headers: files written by the JDK's own encoders") {
     import spark.implicits._
     import graft.ops.Multimodal
