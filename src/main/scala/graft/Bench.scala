@@ -64,8 +64,15 @@ object Bench {
     // exhaustion would be fiction anyway
     val benchRecoverable: Throwable => Boolean =
       t => NonFatal(t) || t.isInstanceOf[StackOverflowError]
+    // Optional comma-separated allowlist for local iteration on specific
+    // queries (SPARK_GRAFT_ONLY=dedup_clusters_star,kmeans_iter). The
+    // driver never sets it, so driver runs always time the full registry.
+    val registry = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .map(keep => SparkEntry.queries.filter { case (n, _) => keep(n) })
+      .getOrElse(SparkEntry.queries)
     warmDir.foreach { wd =>
-      SparkEntry.queries.foreach { case (_, fn) =>
+      registry.foreach { case (_, fn) =>
         try fn(spark, wd).queryExecution.toRdd.count()
         catch { case t: Throwable if benchRecoverable(t) => () }
       }
@@ -92,7 +99,7 @@ object Bench {
         .split("\\s+").head.toDouble
       catch { case NonFatal(_) => -1.0 }
     val loadBefore = loadavg()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = registry.map { case (name, fn) =>
       // toRdd.count(), NOT count(): a count() action lets Catalyst prune
       // every deterministic projection (and the sort), so scan-fused
       // operators — md5/regexp/transform pipelines, the very work being

@@ -574,8 +574,27 @@ object Dedup {
       .filter(col("hi") =!= col("lo"))
       .distinct()
       .localCheckpoint() // materialize the (often LSH-derived) edges once
+    // Convergence state = (edge count, order-independent xor of per-edge
+    // xxhash64). Both edge sets are DISTINCT canonical pairs, so set
+    // equality — the Kiveris fixpoint test — is decided by comparing these
+    // two numbers, computed by ONE aggregate job over the LAZILY-
+    // checkpointed round result: the same job materializes the checkpoint
+    // blocks and measures them. (Round 8 ran three driver-synchronized
+    // actions per round — eager checkpoint + count + anti-join — and under
+    // co-tenant load the per-action scheduler latency, multiplied by
+    // rounds x actions, dominated the whole query: 8.69 s driver vs 1.96 s
+    // steady.) A (count, xor-of-64-bit-hash) collision between different
+    // sets is ~2^-64; the star-forest assertion after the loop refuses the
+    // output rather than mislabeling if one ever happens.
+    def stats(df: DataFrame): (Long, Long) = {
+      val r = df.agg(
+        count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(hi, lo))"), lit(0L))).head
+      (r.getLong(0), r.getLong(1))
+    }
+    var eStats = stats(e)
     var iter = 0
-    var done = e.isEmpty
+    var done = eStats._1 == 0L
     while (!done && iter < maxIter) {
       val sym = e.select(col("hi").as("u"), col("lo").as("v"))
         .unionByName(e.select(col("lo").as("u"), col("hi").as("v")))
@@ -593,18 +612,30 @@ object Dedup {
         .unionByName(minsS.select(col("hi"), col("m").as("lo")))
         .filter(col("hi") =!= col("lo"))
         .distinct()
-        .localCheckpoint()
-      // fixpoint of the combined round: same canonical edge set
-      done = next.count() == e.count() &&
-        next.join(e, Seq("hi", "lo"), "left_anti").isEmpty
-      // the convergence check was the last read of the previous round
+        .localCheckpoint(eager = false)
+      // one job: materializes the checkpoint AND decides the fixpoint
+      val nextStats = stats(next)
+      done = nextStats == eStats
+      // the stats job was the last read of the previous round
       releaseCheckpoint(e)
       e = next
+      eStats = nextStats
       iter += 1
     }
     if (!done && iter >= maxIter) throw new IllegalStateException(
       s"connectedComponentsStar did not converge within $maxIter rounds — " +
       "not expected for any graph with fewer than 2^maxIter nodes")
+    // Star-forest sanity: at a true fixpoint no node appears as both a
+    // child (hi) and a root (lo) — the property the label extraction below
+    // relies on. A violation means one of the passes was edited into
+    // something that is not a star contraction (or the probabilistic
+    // convergence checksum collided); refuse rather than emit
+    // multi-labeled nodes. One post-loop semi-join, not a per-round cost.
+    if (!e.select(col("hi").as("id"))
+          .join(e.select(col("lo").as("id")), Seq("id"), "left_semi")
+          .isEmpty) throw new IllegalStateException(
+      "connectedComponentsStar fixpoint is not a star forest (some node " +
+      "appears as both child and root); refusing to emit labels")
     // at fixpoint e is a star set (node -> component min): non-roots appear
     // exactly once as hi, roots only as lo
     val labels = e.select(col("hi").as("id"), col("lo").as("lbl"))
