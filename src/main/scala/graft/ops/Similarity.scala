@@ -180,13 +180,14 @@ object Similarity {
     }
 
   /** IVF-style ANN: corpus rows are assigned to their argmax-similarity
-    * centroid (the inverted-list key); each query probes its top-`2`
+    * centroid (the inverted-list key); each query probes its top-`nprobe`
     * centroids' lists only, then exact cosine re-ranks. Search cost scales
     * with nprobe/numCentroids of the corpus — the partition-pruning shape of
     * ANN, complementary to the LSH signature family. Assignment and probing
     * are pure expressions, the list lookup is an equi-join on centroid id. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              numCentroids: Int = 16, dim: Int = 64): DataFrame = {
+              numCentroids: Int = 16, dim: Int = 64,
+              nprobe: Int = 2): DataFrame = {
     val cents = ivfCentroids(numCentroids, dim)
     def scores(emb: Column): Column =
       array(cents.map(cv => dot(emb, array(cv.map(lit): _*))): _*)
@@ -199,18 +200,23 @@ object Similarity {
       .withColumn("cid", array_position(col("_s"), array_max(col("_s"))))
       .drop("_s")
 
-    // top-2 probe: argmax, then argmax of the rest (double ties are
-    // measure-zero; both engines resolve identically)
+    // probe set = rank-<=nprobe filter over the exploded (centroid, score)
+    // pairs, ties broken by centroid index — every query gets exactly
+    // min(nprobe, numCentroids) probes. (The previous argmax-of-the-rest
+    // spelling silently degenerated to ONE probe when all centroid scores
+    // tied.) The ranking window partitions the tiny exploded QUERY side
+    // only (|queries| x numCentroids rows), never the corpus.
     val q = queries.select(col("vec_id").as("query_id"),
       asDouble(col("embedding")).as("q_emb"))
       .withColumn("q_norm", norm(col("q_emb")))
       .filter(col("q_norm") > 0.0)
-      .withColumn("_s", scores(col("q_emb")))
-      .withColumn("_m1", array_position(col("_s"), array_max(col("_s"))))
-      .withColumn("_m2", array_position(col("_s"),
-        array_max(filter(col("_s"), x => x < array_max(col("_s"))))))
-      .withColumn("cid", explode(array(col("_m1"), col("_m2"))))
-      .drop("_s", "_m1", "_m2")
+      .select(col("query_id"), col("q_emb"), col("q_norm"),
+        posexplode(scores(col("q_emb"))).as(Seq("_pos", "_sc")))
+      .withColumn("_pr", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("_sc").desc, col("_pos"))))
+      .filter(col("_pr") <= nprobe)
+      .select(col("query_id"), col("q_emb"), col("q_norm"),
+        (col("_pos") + 1).cast("long").as("cid"))
 
     val sim = dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm"))
     val scored = c.join(broadcast(q), Seq("cid"))
@@ -466,48 +472,118 @@ object Similarity {
     finishPq(scored, topK, release)
   }
 
-  /** IVF-PQ: [[ivfTopK]]'s coarse inverted lists restrict WHICH vectors are
-    * scored; [[pqTopK]]'s codes+ADC decide HOW each one is scored. The
-    * candidate set per query is nprobe/numCentroids of the corpus and the
-    * scan over it is compressed-domain — the standard billion-scale recipe
-    * (FAISS IVFPQ), here with both stages' determinism contracts intact so
-    * the DuckDB oracle replays the composition. */
+  /** IVF-PQ with RESIDUAL encoding (Jégou et al. §IV — the FAISS IVFADC
+    * recipe): [[ivfTopK]]'s coarse inverted lists restrict WHICH vectors
+    * are scored; PQ codes+ADC decide HOW — but each vector's codes
+    * quantize its RESIDUAL against its own coarse centroid, not the raw
+    * vector. Residuals stay integer (normalized-int8 corpus minus the
+    * int8-scaled ±1/√dim centroid, components within ±143), so the whole
+    * composition keeps the bit-exact determinism contract and the DuckDB
+    * oracle replays it end to end.
+    *
+    * Codebooks are PER COARSE LIST (the local-codebook IVFPQ variant),
+    * not pooled. Measured reason: this corpus's coarse centroids explain
+    * only ~22% of vector energy (isotropic embeddings), so residuals keep
+    * most of the −centroid component and a POOLED codebook spends all its
+    * cells separating the numCentroids list-clusters instead of encoding
+    * within-list variation — recall@5 collapsed to 0.025 vs raw PQ's
+    * 0.30. Within one list the centroid term is constant, so per-list
+    * cells encode actual variation: recall@5 recovers to 0.15 (nprobe=2)
+    * / 0.325 (nprobe=8) at the same m and k. Codebook count scales as
+    * numCentroids×m (broadcast-tiny; cells are k per book max).
+    * Seeds are the k globally-lowest-id vectors residualized against
+    * EVERY list (one limit(k) + a numCentroids-row cross join) — no
+    * per-list rank window over the corpus, and seeds stay deterministic.
+    *
+    * Asymmetric distance on the query side: each (query, probed list)
+    * pair gets its OWN lookup table over the query's residual vs that
+    * list's centroid and that list's codebook — k×m×nprobe tiny rows per
+    * query, broadcast. The (ccid, sub, cid) equi-join of corpus codes
+    * against that LUT is the IVF restriction AND the ADC lookup in one:
+    * codes outside probed lists match no LUT row and never reach the
+    * aggregation — at scale only ~nprobe/numCentroids of the codes table
+    * survives the join. */
   def ivfPqTopK(embs: DataFrame, queries: DataFrame, m: Int = 4, k: Int = 16,
                 topK: Int = 5, dim: Int = 64,
-                numCentroids: Int = 16): DataFrame = {
+                numCentroids: Int = 16, nprobe: Int = 2): DataFrame = {
+    require(dim % m == 0, "dim must divide into m equal subvectors")
+    val subLen = dim / m
     val cents = ivfCentroids(numCentroids, dim)
     def scores(emb: Column): Column =
       array(cents.map(cv => dot(emb, array(cv.map(lit): _*))): _*)
-    // coarse lists over the raw embeddings (same quantizer as ivfTopK)
-    val corpusCid = embs
-      .select(col("vec_id"), asDouble(col("embedding")).as("c_emb"))
-      .withColumn("_nrm", norm(col("c_emb")))
+    // the coarse centroids expressed in the normalized-int8 domain:
+    // unit-normalizing a ±1 vector gives ±1/√dim components, which
+    // quantize at scale 127 to ±round(127/√dim) — exact integers
+    val cs = math.floor(127.0 / math.sqrt(dim.toDouble) + 0.5).toLong
+    val centArrs = array(cents.map(cv =>
+      array(cv.map(v => lit(if (v > 0) cs else -cs)): _*)): _*)
+    def residual(qv: Column, ccid: Column): Column =
+      zip_with(qv, element_at(centArrs, ccid.cast("int")), (a, b) => a - b)
+    def normQuant(emb: Column, nrm: Column): Column =
+      transform(emb, x => greatest(lit(-127L), least(lit(127L),
+        floor(x * 127.0 / nrm + lit(0.5)).cast("long"))))
+
+    // ONE corpus pass computes the normalized int8 vector, the coarse
+    // assignment, and the residual. Zero-norm rows have no coarse list
+    // and are unreachable candidates — filtered, exactly like ivfTopK.
+    val rcorpus = embs
+      .select(col("vec_id"), asDouble(col("embedding")).as("_emb"))
+      .withColumn("_nrm",
+        sqrt(aggregate(col("_emb"), lit(0.0), (a, x) => a + x * x)))
       .filter(col("_nrm") > 0.0)
-      .withColumn("_s", scores(col("c_emb")))
-      .select(col("vec_id"), array_position(col("_s"), array_max(col("_s"))).as("ccid"))
-    val queryProbes = queries
-      .select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("q_emb"))
-      .withColumn("_nrm", norm(col("q_emb")))
+      .withColumn("_qv", normQuant(col("_emb"), col("_nrm")))
+      .withColumn("_s", scores(col("_emb")))
+      .withColumn("ccid", array_position(col("_s"), array_max(col("_s"))))
+      .select(col("vec_id"), col("ccid"),
+        residual(col("_qv"), col("ccid")).as("qv"))
+      .localCheckpoint()
+
+    // query probes: rank-<=nprobe centroids (ivfTopK's spelling), one
+    // residual PER PROBED LIST — asymmetric distance re-expresses the
+    // query in each probed list's residual frame
+    val qprobe = queries
+      .select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("_emb"))
+      .withColumn("_nrm",
+        sqrt(aggregate(col("_emb"), lit(0.0), (a, x) => a + x * x)))
       .filter(col("_nrm") > 0.0)
-      .withColumn("_s", scores(col("q_emb")))
-      .withColumn("_m1", array_position(col("_s"), array_max(col("_s"))))
-      .withColumn("_m2", array_position(col("_s"),
-        array_max(filter(col("_s"), x => x < array_max(col("_s"))))))
-      .select(col("query_id"), explode(array(col("_m1"), col("_m2"))).as("ccid"))
-    // probed candidates: (query_id, vec_id) pairs inside probed lists; the
-    // self-pair is excluded for parity with ivfTopK
-    val cand = corpusCid.join(broadcast(queryProbes), Seq("ccid"))
+      .withColumn("_qv", normQuant(col("_emb"), col("_nrm")))
+      .select(col("query_id"), col("_qv"),
+        posexplode(scores(col("_emb"))).as(Seq("_pos", "_sc")))
+      .withColumn("_pr", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("_sc").desc, col("_pos"))))
+      .filter(col("_pr") <= nprobe)
+      .select(col("query_id"), (col("_pos") + 1).cast("long").as("ccid"),
+        residual(col("_qv"), col("_pos") + 1).as("qv"))
+
+    val subs = subspacesOf(rcorpus, Seq(col("vec_id"), col("ccid")), m, subLen)
+    // seeds: reconstruct the k globally-lowest-id vectors' normalized qv
+    // from their own-list residual (qv + ownCent — exact), then residualize
+    // each against EVERY list via a numCentroids-row cross join (tiny)
+    val centDf = rcorpus.sparkSession.range(1)
+      .select(posexplode(centArrs).as(Seq("_p", "carr")))
+      .select((col("_p") + 1).cast("long").as("bccid"), col("carr"))
+    val seedBase = rcorpus.orderBy("vec_id").limit(k)
+      .select(col("vec_id").as("cid"),
+        zip_with(col("qv"), element_at(centArrs, col("ccid").cast("int")),
+          (a, b) => a + b).as("nqv"))
+    val seeds = subspacesOf(
+      seedBase.crossJoin(centDf)
+        .select(col("cid"), col("bccid").as("ccid"),
+          zip_with(col("nqv"), col("carr"), (a, b) => a - b).as("qv")),
+      Seq(col("ccid"), col("cid")), m, subLen)
+      .select(col("ccid"), col("sub"), col("cid"), col("sv").as("cq"))
+    val books = pqTrainBooks(subs, seeds,
+      Seq("vec_id", "ccid"), Seq("ccid", "sub"))
+    val codes = pqEncode(subs, books, Seq("vec_id", "ccid"), Seq("ccid", "sub"))
+    val lut = subspacesOf(qprobe, Seq(col("query_id"), col("ccid")), m, subLen)
+      .join(broadcast(books), Seq("ccid", "sub"))
+      .select(col("query_id"), col("ccid"), col("sub"), col("cid"),
+        graft.functions.L2Squared.l2sq(col("sv"), col("cq")).as("d2"))
+    val scored = codes.join(broadcast(lut), Seq("ccid", "sub", "cid"))
       .filter(col("query_id") =!= col("vec_id"))
-      .select(col("query_id"), col("vec_id"))
-    val (codes, lut, release) = pqIndex(embs, queries, m, k, dim)
-    // restrict the compressed scan to probed candidates FIRST — at scale
-    // this is the IVF win: only nprobe/numCentroids of codes rows survive
-    // into the per-(query, vector) ADC aggregation
-    val scored = codes.join(cand, Seq("vec_id"))
-      .join(broadcast(lut), Seq("query_id", "sub", "cid"))
-      .groupBy(col("query_id"), col("vec_id"))
+      .groupBy("query_id", "vec_id")
       .agg(sum(col("d2")).as("adc_dist2"))
-    finishPq(scored, topK, release)
+    finishPq(scored, topK, () => Seq(rcorpus, books).foreach(releaseCheckpoint))
   }
 
   private def finishPq(scored: DataFrame, topK: Int,
@@ -525,7 +601,67 @@ object Similarity {
     result
   }
 
-  /** Shared PQ index build: (codes, lut, release). `codes` is the
+  /** Explode an (keys..., qv) frame into per-subspace rows
+    * (keys..., sub, sv) — SUBSPACE AS DATA, not a Scala loop: one frame
+    * carries all m subspaces, so a PQ pipeline is ~3 eager actions
+    * (corpus quantization, codebooks, result) instead of ~3·m — per-job
+    * overhead is the entire cost of these ops below cluster scale. */
+  private def subspacesOf(df: DataFrame, keyCols: Seq[Column], m: Int,
+                          subLen: Int): DataFrame =
+    df.select(keyCols :+ posexplode(array((0 until m).map(i =>
+      slice(col("qv"), i * subLen + 1, subLen)): _*)).as(Seq("sub", "sv")): _*)
+
+  /** Encoded-long argmin per (vecKeys, subspace) against a tiny broadcast
+    * codebook frame keyed by `bookKeys` — (sub, cid, cq) for one shared
+    * codebook per subspace, (ccid, sub, cid, cq) for per-coarse-list
+    * codebooks. assignToCentroids' trick with the book key added to every
+    * group (ties break by dense index in ascending cid order, the
+    * cross-engine contract). `vecKeys` must contain every non-`sub`
+    * book key so the cell lookup joins unambiguously. */
+  private def pqEncode(side: DataFrame, books: DataFrame,
+                       vecKeys: Seq[String],
+                       bookKeys: Seq[String] = Seq("sub")): DataFrame = {
+    val shift = 1L << 24
+    val idx = books.withColumn("cidx",
+      row_number().over(
+        Window.partitionBy(bookKeys.map(col): _*).orderBy("cid")).cast("long") - 1)
+    val enc = graft.functions.L2Squared.l2sq(col("sv"), col("cq")) * shift +
+      col("cidx")
+    val keys = (vecKeys :+ "sub").map(col)
+    side.join(broadcast(idx), bookKeys)
+      .select(keys :+ enc.as("enc"): _*)
+      .groupBy(keys: _*)
+      .agg(min(col("enc")).as("enc"))
+      .select(keys :+ pmod(col("enc"), lit(shift)).as("cidx"): _*)
+      .join(broadcast(idx.select((bookKeys :+ "cidx" :+ "cid").map(col): _*)),
+        bookKeys :+ "cidx")
+      .select(keys :+ col("cid"): _*)
+  }
+
+  /** One integer Lloyd round over every (book key, subspace) in one plan:
+    * assign each (vector, subspace) to its seed cell, integer-mean the
+    * members (floor(mean+0.5)), rebuild the (bookKeys, cid, cq) codebooks.
+    * Cells that capture no member drop out (the kmeansIter contract).
+    * Eagerly checkpointed; the caller releases via [[releaseCheckpoint]]. */
+  private def pqTrainBooks(subs: DataFrame, seeds: DataFrame,
+                           vecKeys: Seq[String] = Seq("vec_id"),
+                           bookKeys: Seq[String] = Seq("sub")): DataFrame = {
+    val rounded = floor(col("s").cast("double") / col("n") + lit(0.5)).cast("long")
+    val bk = bookKeys.map(col)
+    pqEncode(subs, seeds, vecKeys, bookKeys)
+      .join(subs.select((vecKeys :+ "sub" :+ "sv").map(col): _*),
+        vecKeys :+ "sub")
+      .select(bk :+ col("cid") :+ posexplode(col("sv")).as(Seq("dim", "v")): _*)
+      .groupBy(bk :+ col("cid") :+ col("dim"): _*)
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+      .select(bk :+ col("cid") :+ col("dim") :+ rounded.as("rv"): _*)
+      .groupBy(bk :+ col("cid"): _*)
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("rv")))),
+        x => x("rv")).as("cq"))
+      .localCheckpoint()
+  }
+
+  /** Raw-vector PQ index build: (codes, lut, release). `codes` is the
     * compressed corpus — (vec_id, sub, cid), m rows per vector; `lut` the
     * per-query ADC lookup table — (query_id, sub, cid, d2), k×m rows per
     * query; `release` frees the corpus/codebook checkpoints once the
@@ -534,55 +670,19 @@ object Similarity {
                       dim: Int): (DataFrame, DataFrame, () => Unit) = {
     require(dim % m == 0, "dim must divide into m equal subvectors")
     val subLen = dim / m
-    val shift = 1L << 24
-    // SUBSPACE AS DATA, not as a Scala loop: one (vec_id, sub, sv) frame
-    // carries all m subspaces, so the whole pipeline is three eager
-    // actions (corpus quantization, codebooks, result) instead of ~3·m —
-    // per-job overhead is the entire cost of this op below cluster scale.
-    def subsOf(df: DataFrame, idName: String): DataFrame =
-      df.select(col("vec_id").as(idName),
-        posexplode(array((0 until m).map(i =>
-          slice(col("qv"), i * subLen + 1, subLen)): _*)).as(Seq("sub", "sv")))
-    // encoded-long argmin per (vector, subspace) against a tiny broadcast
-    // (sub, cid, cq) codebook frame — assignToCentroids' trick with `sub`
-    // added to every key (ties break by dense index in ascending cid order,
-    // the cross-engine contract)
-    def encode(side: DataFrame, books: DataFrame): DataFrame = {
-      val idx = books.withColumn("cidx",
-        row_number().over(Window.partitionBy("sub").orderBy("cid")).cast("long") - 1)
-      val enc = graft.functions.L2Squared.l2sq(col("sv"), col("cq")) * shift +
-        col("cidx")
-      side.join(broadcast(idx), Seq("sub"))
-        .select(col("vec_id"), col("sub"), enc.as("enc"))
-        .groupBy("vec_id", "sub")
-        .agg(min(col("enc")).as("enc"))
-        .select(col("vec_id"), col("sub"), pmod(col("enc"), lit(shift)).as("cidx"))
-        .join(broadcast(idx.select(col("sub"), col("cidx"), col("cid"))),
-          Seq("sub", "cidx"))
-        .select(col("vec_id"), col("sub"), col("cid"))
-    }
     val q = normalizedQuantVecs(embs).localCheckpoint()
-    val subs = subsOf(q, "vec_id")
+    val subs = subspacesOf(q, Seq(col("vec_id")), m, subLen)
     // seeds: the k lowest-id vectors supply every subspace's initial
     // centroids (k×m rows — no corpus-wide window needed)
-    val seeds = subsOf(q.orderBy("vec_id").limit(k), "cid")
+    val seeds = subspacesOf(q.orderBy("vec_id").limit(k),
+      Seq(col("vec_id").as("cid")), m, subLen)
       .select(col("sub"), col("cid"), col("sv").as("cq"))
-    // one integer Lloyd round, all subspaces in one plan -> (sub, cid, cq)
-    val rounded = floor(col("s").cast("double") / col("n") + lit(0.5)).cast("long")
-    val books = encode(subs, seeds)
-      .join(subs, Seq("vec_id", "sub"))
-      .select(col("sub"), col("cid"), posexplode(col("sv")).as(Seq("dim", "v")))
-      .groupBy("sub", "cid", "dim")
-      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
-      .select(col("sub"), col("cid"), col("dim"), rounded.as("rv"))
-      .groupBy("sub", "cid")
-      .agg(transform(array_sort(collect_list(struct(col("dim"), col("rv")))),
-        x => x("rv")).as("cq"))
-      .localCheckpoint()
+    val books = pqTrainBooks(subs, seeds)
     // compressed corpus: m codes per vector
-    val codes = encode(subs, books)
+    val codes = pqEncode(subs, books, Seq("vec_id"))
     // ADC lookup table: queries × (m × k) cells, exact integer distances
-    val lut = subsOf(normalizedQuantVecs(queries), "query_id")
+    val lut = subspacesOf(normalizedQuantVecs(queries),
+      Seq(col("vec_id").as("query_id")), m, subLen)
       .join(broadcast(books), Seq("sub"))
       .select(col("query_id"), col("sub"), col("cid"),
         graft.functions.L2Squared.l2sq(col("sv"), col("cq")).as("d2"))

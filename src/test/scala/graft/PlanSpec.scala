@@ -76,6 +76,10 @@ class PlanSpec extends SparkSpec {
     // q_zero_fill's (types × 7 days) grid
     val bnljAllowed = Set("knn_brute", "knn_topk_agg", "knn_recall",
       "knn_pq_recall", // embeds knn_brute's broadcast-query scoring
+      // IVF-PQ seeds: limit(k) crossJoin the numCentroids-row centroid
+      // frame (k x numCentroids rows, both sides driver-tiny);
+      // the recall eval additionally embeds knn_brute
+      "knn_ivf_pq", "knn_ivf_pq_recall",
       "tfidf_top_terms", "kmeans_assign", "kmeans_update", "kmeans_iter",
       "q_zero_fill")
     val dir = "/root/testdata/sf0.001"
