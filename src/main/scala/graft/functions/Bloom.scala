@@ -34,7 +34,18 @@ object Bloom {
     * BloomFilterImpl stream [[mightContain]] deserializes, with the same
     * putLong/mightContainLong hashing. Size `numBits` ≈ 8–10 bits/item for
     * ~1–2% false-positive rate. Empty input finishes the zero buffer — an
-    * empty sketch (all probes false), not NULL. */
+    * empty sketch (all probes false), not NULL.
+    *
+    * COST MODEL — read before sizing large: every partial-aggregation
+    * buffer allocates the FULL numBits bitmap and java-serializes it
+    * through the merge exchange, so a build over P input partitions
+    * materializes P bitmaps and shuffles P×(numBits/8) bytes (e.g.
+    * numBits=1e9 ⇒ ~125 MB per map-side buffer). For very large sizings,
+    * bound P on the build side first — `coalesce(small_n)` on the hashed
+    * frame (the build input is one narrow long column, so wide tasks are
+    * cheap) — rather than letting the corpus's natural partitioning fan
+    * the bitmap out. [[graft.ops.Dedup.incrementalDedup]] sizes to the
+    * expected CATALOG count with this trade in mind. */
   def bloomAggSized(hashed: Column, expectedItems: Long, numBits: Long): Column = {
     val agg = new Aggregator[Long, BloomFilter, Array[Byte]] {
       override def zero: BloomFilter = BloomFilter.create(expectedItems, numBits)

@@ -30,8 +30,15 @@ import org.apache.spark.util.SerializableConfiguration
   * broker cursor.
   *
   * Contract (matches the bridge receivers' behavior):
-  *  - files are IMMUTABLE once written, with MONOTONICALLY increasing
-  *    names (receivers name by sequence/timestamp);
+  *  - files are IMMUTABLE once written, with LEXICOGRAPHICALLY increasing
+  *    names: the streaming watermark is a plain string comparison, so
+  *    numeric sequence names MUST be zero-padded ("part-00009" then
+  *    "part-00010"; an unpadded "part-9" followed by "part-10" sorts
+  *    BACKWARDS and every later file would be silently skipped).
+  *    Timestamp names must use a sortable format (ISO-8601/epoch, fixed
+  *    width). Out-of-contract arrivals below the watermark are dropped by
+  *    design (never double-read) and logged as warnings — see
+  *    [[SpoolMicroBatchStream]];
   *  - BATCH reads snapshot the directory listing once per `load()` (the
   *    built-in file sources' InMemoryFileIndex semantics), so repeated
   *    actions on one DataFrame see one consistent file set even while the
@@ -124,6 +131,36 @@ case class SpoolOffset(watermark: String) extends Offset {
 
 class SpoolMicroBatchStream(path: String, conf: SerializableConfiguration)
     extends MicroBatchStream {
+  @transient private lazy val log =
+    org.slf4j.LoggerFactory.getLogger(classOf[SpoolMicroBatchStream])
+  // Names at or below a batch's start watermark that are legitimately
+  // accounted for: everything this run planned into a batch, plus
+  // everything already at/below the restart watermark the FIRST time this
+  // stream plans (those were read by a previous run). A file later
+  // observed at/below the watermark that is in neither set arrived OUT OF
+  // CONTRACT (non-lexicographic naming, e.g. unpadded sequence numbers) —
+  // it will never be read, so make the drop loud instead of silent.
+  // Driver-side state, bounded by the spool's file count (the spool is the
+  // bridge buffer, not the lake).
+  @transient private var accounted: Set[String] = null
+  @transient private var warnedDropped: Set[String] = Set.empty
+
+  private def noteDropped(files: Seq[(String, String)], watermark: String): Unit = {
+    if (accounted == null)
+      accounted = files.collect { case (n, _) if n <= watermark => n }.toSet
+    val dropped = files.collect { case (n, _)
+      if n <= watermark && !accounted.contains(n) && !warnedDropped.contains(n) => n }
+    if (dropped.nonEmpty) {
+      log.warn(s"graft-spool($path): ${dropped.size} file(s) sort at or below " +
+        s"the committed watermark '$watermark' but were never part of a batch " +
+        s"and will NEVER be read: ${dropped.take(5).mkString(", ")}" +
+        (if (dropped.size > 5) ", ..." else "") +
+        ". The spool contract requires lexicographically increasing names " +
+        "(zero-pad sequence numbers).")
+      warnedDropped ++= dropped
+    }
+  }
+
   override def initialOffset(): Offset = SpoolOffset("")
   override def deserializeOffset(json: String): Offset = SpoolOffset(json)
   override def latestOffset(): Offset = {
@@ -133,9 +170,11 @@ class SpoolMicroBatchStream(path: String, conf: SerializableConfiguration)
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val lo = start.asInstanceOf[SpoolOffset].watermark
     val hi = end.asInstanceOf[SpoolOffset].watermark
-    SpoolDataSource.listFiles(path, conf.value)
-      .filter { case (name, _) => name > lo && name <= hi }
-      .map(f => SpoolFilePartition(f._2): InputPartition).toArray
+    val files = SpoolDataSource.listFiles(path, conf.value)
+    noteDropped(files, lo)
+    val batch = files.filter { case (name, _) => name > lo && name <= hi }
+    accounted ++= batch.map(_._1)
+    batch.map(f => SpoolFilePartition(f._2): InputPartition).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new SpoolReaderFactory(conf)
