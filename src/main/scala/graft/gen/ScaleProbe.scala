@@ -90,6 +90,13 @@ object ScaleProbe {
     pair("cc_star", clusters(d1, star = true), clusters(d10, star = true))
     pair("kmeans_assign", Similarity.kmeansAssign(emb1), Similarity.kmeansAssign(emb10))
     pair("kmeans_iter", Similarity.kmeansIter(emb1), Similarity.kmeansIter(emb10))
+    // fixed 8-query set on both sides (the registered-query shape), so the
+    // exponent isolates corpus growth: index build + compressed scan
+    pair("ivf_pq_topk",
+      Similarity.ivfPqTopK(emb1, emb1.filter(col("vec_id") < 8),
+        m = 4, k = 16, topK = 5),
+      Similarity.ivfPqTopK(emb10, emb10.filter(col("vec_id") < 8),
+        m = 4, k = 16, topK = 5))
     spark.stop()
   }
 }
