@@ -48,7 +48,7 @@ object Dedup {
     * or a shared corpus cache that happened to materialize inside the
     * checkpoint action. NEVER release a checkpointed frame that can still
     * be read — lineage is truncated, so its blocks are the only copy. */
-  private def releaseCheckpoint(df: DataFrame): Unit =
+  private[graft] def releaseCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed match {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
         lr.rdd.unpersist(blocking = false)
@@ -136,12 +136,7 @@ object Dedup {
     * of assumption as every minhash op here); (2) reassembly groups by
     * doc_id. Segment text rides each shuffle once; no corpus-sized join. */
   def segmentDedup(docs: DataFrame, segWords: Int = 10): DataFrame = {
-    val segs = transform(
-      sequence(lit(0), ceil(size(col("_ws")) / lit(segWords.toDouble)).cast("int") - 1),
-      i => array_join(slice(col("_ws"), i * segWords + 1, lit(segWords)), " "))
-    val withSegs = docs
-      .withColumn("_ws", words(col("text")))
-      .withColumn("_segs", segs)
+    val withSegs = segmented(docs, segWords)
     // per-doc totals come from the UN-exploded frame: one row per doc with
     // no shuffle, instead of a distinct over the exploded rows (which would
     // add a corpus-of-segments exchange just to recover doc counts)
@@ -154,19 +149,93 @@ object Dedup {
     val kept = exploded
       .withColumn("_rn", row_number().over(firstWin))
       .filter(col("_rn") === 1)
+      .drop("_rn")
+    reassembleSegs(counts, kept)
+  }
+
+  /** Fixed-size word segmentation shared by [[segmentDedup]] and
+    * [[segmentDedupIncrement]], so the batch and incremental forms agree on
+    * segment boundaries byte-for-byte: adds `_ws` (words) and `_segs`
+    * (segWords-word chunks). */
+  private def segmented(docs: DataFrame, segWords: Int): DataFrame = {
+    val segs = transform(
+      sequence(lit(0), ceil(size(col("_ws")) / lit(segWords.toDouble)).cast("int") - 1),
+      i => array_join(slice(col("_ws"), i * segWords + 1, lit(segWords)), " "))
+    docs.withColumn("_ws", words(col("text"))).withColumn("_segs", segs)
+  }
+
+  /** Reassemble documents from surviving (doc_id, seg_idx, seg) rows.
+    * Left join back so fully-deduplicated docs surface as n_kept=0 rather
+    * than silently vanishing (that row IS the dedup report for them). */
+  private def reassembleSegs(counts: DataFrame, keptRows: DataFrame): DataFrame = {
+    val kept = keptRows
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_kept"),
         array_join(
           transform(array_sort(collect_list(struct(col("seg_idx"), col("seg")))),
             s => s("seg")), " ").as("_new_text"))
-    // left join back so fully-deduplicated docs surface as n_kept=0 rather
-    // than silently vanishing (that row IS the dedup report for them)
     counts
       .join(kept, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_segs"),
         coalesce(col("n_kept"), lit(0L)).cast("long").as("n_kept"),
         length(col("_new_text")).cast("long").as("kept_chars"),
         md5(col("_new_text")).as("kept_md5"))
+  }
+
+  /** One micro-batch of INCREMENTAL segment-level dedup — the ingest-time
+    * form of [[segmentDedup]], mirroring [[incrementalDedup]]'s
+    * bloom-prefiltered catalog pattern at segment granularity. `catalog`
+    * holds the md5 of every segment kept by earlier batches (one `seg_md5`
+    * column); a segment survives iff it is the batch's own first occurrence
+    * (the batch operator's (doc_id, seg_idx) window) AND absent from the
+    * catalog. Returns (deduped docs in [[segmentDedup]]'s exact output
+    * schema, the NEW catalog rows to append — the survivors' hashes,
+    * already distinct because intra-batch firsts are unique per hash).
+    *
+    * Scale shape per batch: the sized bloom sketch prefilters catalog
+    * membership scan-side, so only catalog-positive segments (true dups +
+    * ~1% false positives) reach the exact anti-join — the fresh majority of
+    * a clean crawl never shuffles against the catalog, and the catalog side
+    * stays a slim 32-char hash column regardless of segment length.
+    *
+    * Parity contract (asserted in StreamingSpec): processing the corpus in
+    * ascending (doc_id) order across ANY micro-batch split reproduces the
+    * batch operator byte-for-byte, because "kept by an earlier batch" and
+    * "earlier (doc_id, seg_idx)" then agree on which occurrence is first.
+    * Out-of-order arrival keeps the dedup exact but may crown a different
+    * (earlier-arriving) copy as the kept first occurrence — the same
+    * arrival-order semantics as [[incrementalDedup]]. */
+  def segmentDedupIncrement(batch: DataFrame, catalog: DataFrame,
+                            segWords: Int = 10,
+                            expectedCatalogSize: Long = 1000000L): (DataFrame, DataFrame) = {
+    val withSegs = segmented(batch, segWords)
+    val counts = withSegs.select(col("doc_id"),
+      size(col("_segs")).cast("long").as("n_segs"))
+    val exploded = withSegs
+      .select(col("doc_id"), posexplode(col("_segs")).as(Seq("seg_idx", "seg")))
+      .withColumn("_h", md5(col("seg")))
+    val firstWin = Window.partitionBy("_h").orderBy(col("doc_id"), col("seg_idx"))
+    val intraFirst = exploded
+      .withColumn("_rn", row_number().over(firstWin))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
+    // same sized-sketch + scalar-subquery + NULL-guard recipe as
+    // incrementalDedup (see the comments there for each choice's rationale)
+    val numBits = expectedCatalogSize * 8L
+    val bloom = catalog.agg(graft.functions.Bloom.bloomAggSized(
+      xxhash64(col("seg_md5")), expectedCatalogSize, numBits).as("_bf"))
+      .scalar()
+    val flagged = intraFirst.withColumn("_maybe", coalesce(
+      graft.functions.Bloom.mightContain(bloom, xxhash64(col("_h"))),
+      lit(false)))
+    val fresh = flagged.filter(!col("_maybe"))
+    // hint on the RIGHT (build) side, same as incrementalDedup: the catalog
+    // is slim per row but corpus-scale in cardinality
+    val verified = flagged.filter(col("_maybe"))
+      .join(catalog.hint("shuffle_hash"), col("_h") === col("seg_md5"), "left_anti")
+    val survivors = fresh.unionByName(verified)
+    (reassembleSegs(counts, survivors.drop("_h", "_maybe")),
+      survivors.select(col("_h").as("seg_md5")))
   }
 
   /** Substring-level exact dedup (the Lee-et-al "Deduplicating Training Data

@@ -176,4 +176,41 @@ object StreamingOps {
         batch.write.mode("append").partitionBy("tenantId").parquet(baseDir)
       }
       .start()
+
+  /** Incremental segment-level dedup as a streaming sink
+    * ([[graft.ops.Dedup.segmentDedupIncrement]] per micro-batch — the
+    * ingest-time form of the batch `segmentDedup` pass): the
+    * first-occurrence catalog lives as parquet at `catalogDir` (one
+    * `seg_md5` column) and grows by each batch's surviving segments;
+    * deduped documents (batch-operator schema) append to `outDir`.
+    *
+    * foreachBatch serializes micro-batches, so the read→compute→append
+    * cycle on the catalog is race-free. Ordering INSIDE the batch matters:
+    * the new catalog rows are eagerly materialized (localCheckpoint) before
+    * either write, so the catalog append never plans a scan over the very
+    * files it is committing; the deduped output (which also reads the
+    * catalog, via the bloom subquery and anti-join) is written before the
+    * catalog grows. Checkpoint blocks are released once the appends land
+    * (same exact-ownership hygiene as the iterative Dedup loops). */
+  def segmentDedupStream(docs: DataFrame, catalogDir: String, outDir: String,
+                         checkpointDir: String, segWords: Int = 10,
+                         expectedCatalogSize: Long = 1000000L): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val catPath = new org.apache.hadoop.fs.Path(catalogDir)
+        val fs = catPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val catalog =
+          if (fs.exists(catPath)) spark.read.parquet(catalogDir)
+          else spark.range(0).select(lit(null).cast("string").as("seg_md5"))
+        val (deduped, freshRows) = graft.ops.Dedup.segmentDedupIncrement(
+          batch, catalog, segWords, expectedCatalogSize)
+        val freshMat = freshRows.localCheckpoint() // reads catalog pre-append
+        deduped.write.mode("append").parquet(outDir)
+        freshMat.write.mode("append").parquet(catalogDir)
+        graft.ops.Dedup.releaseCheckpoint(freshMat)
+      }
+      .start()
 }

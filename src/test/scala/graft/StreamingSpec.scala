@@ -374,6 +374,37 @@ class StreamingSpec extends SparkSpec {
     assert(cat.select("text").distinct().count() === 4)
   }
 
+  test("incremental segment dedup over micro-batches == batch segmentDedup") {
+    import spark.implicits._
+    // 5-sentence vocab, 4-word sentences, segWords=4 -> segments ARE the
+    // sentences, so duplicates abound both within docs (i where the three
+    // picks collide) and across docs/batches; docs past the first batch are
+    // mostly fully-duplicated (exercises the n_kept=0 / NULL kept_md5 path)
+    val sent = Vector("a b c d", "e f g h", "i j k l", "m n o p", "q r s t")
+    val docs = (0L until 30L).map { i =>
+      (i, Seq(sent((i % 5).toInt), sent(((i * 2) % 5).toInt),
+        sent(((i * i) % 5).toInt)).mkString(" "))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("segdedup").toString
+    val stream = MemoryStream[(Long, String)](spark)
+    val q = StreamingOps.segmentDedupStream(stream.toDF().toDF("doc_id", "text"),
+      s"$dir/catalog", s"$dir/out", s"$dir/ckpt", segWords = 4)
+    // ascending doc_id across batches — the documented parity contract
+    docs.grouped(10).foreach { chunk =>
+      stream.addData(chunk: _*); q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.read.parquet(s"$dir/out")
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+    val batch = graft.ops.Dedup.segmentDedup(docs.toDF("doc_id", "text"), segWords = 4)
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+    assert(streamed === batch)
+    // catalog holds exactly the corpus's distinct segments (the 5 sentences)
+    val cat = spark.read.parquet(s"$dir/catalog")
+    assert(cat.count() === 5)
+    assert(cat.distinct().count() === 5)
+  }
+
   test("streaming fan-out writes per-tenant directories via foreachBatch") {
     import spark.implicits._
     val out = java.nio.file.Files.createTempDirectory("fanout").toString
