@@ -520,8 +520,18 @@ object Dedup {
                      maxDocFreq: Int = Int.MaxValue,
                      managed: Boolean = false): DataFrame = {
     val w = words(col("text"))
+    // Index on 64-bit shingle HASHES, not shingle strings: the match count
+    // only needs equality, so an 8-byte key carries it — the index shuffle
+    // drops from ~(n·len) string bytes to 8n per entry and the equi-join
+    // compares longs. The fused [[graft.functions.ShingleHashes]] expression
+    // computes the distinct hash set with zero string allocation (the
+    // composable slice+array_join spelling was ~54% of this whole query);
+    // its scaladoc states the exact-equality contract that keeps nsh and
+    // intersection counts — and therefore the string-semantics oracle —
+    // bit-identical up to negligible 64-bit collisions.
     val sh = docs.filter(size(w) >= shingleSize)
-      .select(col("doc_id"), shingles(w, shingleSize).as("sh"))
+      .select(col("doc_id"),
+        graft.functions.ShingleHashes.shingleHashes(w, shingleSize).as("sh"))
       .select(col("doc_id"), size(col("sh")).as("nsh"), explode(col("sh")).as("g"))
     // Persist the slim (doc_id, nsh, shingle) index so the tokenize+shingle
     // pass runs once, not once per join side — same shape as minhash's

@@ -225,8 +225,15 @@ object TextAnalysis {
   def decontaminate(docs: DataFrame, n: Int = 3,
                     evalPred: Column = col("doc_id") % 10 === 7): DataFrame = {
     val w = Dedup.words(col("text"))
+    // Probe on 64-bit shingle hashes via the fused
+    // [[graft.functions.ShingleHashes]] expression (zero string allocation;
+    // see its scaladoc for the exact-equality contract): the broadcast set
+    // becomes 8 bytes/gram and the join compares longs. A 64-bit collision
+    // can only flip one gram into a false overlap hit — negligible.
     val base = docs.filter(size(w) >= n)
-      .select(col("doc_id"), Dedup.shingles(w, n).as("sh"), evalPred.as("_eval"))
+      .select(col("doc_id"),
+        graft.functions.ShingleHashes.shingleHashes(w, n).as("sh"),
+        evalPred.as("_eval"))
     val evalGrams = base.filter(col("_eval"))
       .select(explode(col("sh")).as("g")).distinct()
       .withColumn("_hit", lit(1))

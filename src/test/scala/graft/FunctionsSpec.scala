@@ -117,4 +117,46 @@ class FunctionsSpec extends SparkSpec {
     assert(top.getLong(1) === 42L)
     assert(math.abs(top.getDouble(3) - 1.0) < 1e-12)
   }
+
+  test("graft_shingle_hashes: set cardinality + pairwise intersections match the string spelling") {
+    import graft.functions.ShingleHashes
+    import graft.ops.Dedup
+    import spark.implicits._
+    // random-ish word docs with deliberate repetition (dup shingles within
+    // a doc) and shared runs across docs (non-empty intersections)
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val docs = (0L until 30L).map { id =>
+      val base = Vector.fill(5 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size)))
+      // every third doc repeats its own head (intra-doc dup shingles)
+      val ws = if (id % 3 == 0) base ++ base.take(6) else base
+      (id, ws.mkString(" "))
+    }.toDF("doc_id", "text")
+    val w = Dedup.words(col("text"))
+    val n = 3
+    val strings = docs.filter(size(w) >= n)
+      .select(col("doc_id"), Dedup.shingles(w, n).as("sh"))
+    val hashes = docs.filter(size(w) >= n)
+      .select(col("doc_id"), ShingleHashes.shingleHashes(w, n).as("sh"))
+    // 1. per-doc distinct cardinality identical (this is `nsh` in
+    //    jaccardNeardup / `n_shingles` in decontaminate)
+    val cs = strings.select(col("doc_id"), size(col("sh")).as("c")).orderBy("doc_id").collect()
+    val ch = hashes.select(col("doc_id"), size(col("sh")).as("c")).orderBy("doc_id").collect()
+    assert(cs === ch)
+    // 2. every pairwise intersection size identical (this is the Jaccard
+    //    numerator): hash equality must mirror string equality exactly
+    def pairCounts(df: org.apache.spark.sql.DataFrame) = {
+      val e = df.select(col("doc_id"), explode(col("sh")).as("g"))
+      e.as("a").join(e.as("b"),
+          col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .agg(count(lit(1)).as("c")).orderBy("da", "db").collect()
+    }
+    assert(pairCounts(strings) === pairCounts(hashes))
+    // 3. short docs: fewer than n words -> filtered before the expression;
+    //    exactly n words -> single shingle
+    val one = Seq((0L, "a b c")).toDF("doc_id", "text")
+    val r = one.select(ShingleHashes.shingleHashes(Dedup.words(col("text")), 3).as("sh")).head()
+    assert(r.getSeq[Long](0).size === 1)
+  }
 }
