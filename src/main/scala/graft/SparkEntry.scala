@@ -321,6 +321,18 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** IVF-PQ shortlist (same nprobe=2 operating point as knn_ivf_pq) with
+    * exact-cosine re-ranking over the raw vectors — the oracle re-derives
+    * the identical shortlist in SQL and re-scores it with
+    * list_dot_product, so both the candidate SET and the exact ORDER are
+    * cross-checked. */
+  private def knnIvfPqRerankQ(s: SparkSession, dir: String): DataFrame = {
+    val emb = RawGen.table(s, dir, "embeddings")
+    Similarity.ivfPqRerankTopK(emb, knnQueries(s, dir), m = 4, k = 16,
+        topK = 5, dim = 64, numCentroids = 16, nprobe = 2, shortlist = 20)
+      .orderBy("query_id", "rank")
+  }
+
   private def knnPqRecallQ(s: SparkSession, dir: String): DataFrame = {
     val brute = knnBrute(s, dir).select(col("query_id"), col("neighbor_id"))
     val pq = knnPq(s, dir).select(col("query_id").as("q2"), col("vec_id").as("n2"))
@@ -1015,6 +1027,7 @@ object SparkEntry {
     "knn_pq_recall" -> (knnPqRecallQ _),
     "knn_ivf_pq" -> (knnIvfPq _),
     "knn_ivf_pq_recall" -> (knnIvfPqRecallQ _),
+    "knn_ivf_pq_rerank" -> (knnIvfPqRerankQ _),
     "asof_join" -> (asofJoinQ _),
     "window_tumbling" -> (windowTumbling _),
     "sessionize" -> (sessionizeQ _),
@@ -2279,7 +2292,7 @@ object SparkEntry {
   // and codebook (asymmetric distance). CTE namespaces: raw/n/cc/qp/ci/
   // rc/rq/gs = coarse + residual side; e/s/q (duckNormQuantBase) = int8
   // base; s$i..l$i = the per-subspace per-list PQ chain over residuals.
-  private def knnIvfPqSqlFor(nprobe: Int): String = {
+  private def knnIvfPqSqlFor(nprobe: Int, finish: String): String = {
     val m = 4; val k = 16; val dim = 64; val sl = dim / m
     val cents = Similarity.ivfCentroids(16, dim)
     val scoreList = cents.map { cv =>
@@ -2345,10 +2358,39 @@ object SparkEntry {
     parts += "sc AS (SELECT lut.query_id, codes.vec_id, SUM(lut.d2) AS adc " +
       "FROM codes JOIN lut ON lut.ccid = codes.ccid AND lut.sub = codes.sub " +
       "AND lut.cid = codes.cid WHERE codes.vec_id <> lut.query_id GROUP BY 1, 2)"
-    s"WITH $duckNormQuantBase,\n${parts.mkString(",\n")}\n" + pqRankSql(5)
+    s"WITH $duckNormQuantBase,\n${parts.mkString(",\n")}\n" + finish
   }
 
+  private def knnIvfPqSqlFor(nprobe: Int): String =
+    knnIvfPqSqlFor(nprobe, pqRankSql(5))
+
   private lazy val knnIvfPqSql = knnIvfPqSqlFor(2)
+
+  // IVF-PQ + exact re-rank (the FAISS refine recipe): the ADC chain picks
+  // a SHORTLIST of candidates per query; the final ranking re-scores that
+  // shortlist with exact cosine over the RAW embeddings, fixing ADC's
+  // quantization-induced ordering errors. `raw` has the unnormalized
+  // vectors, `n` their norms (emb is projected away in n, hence the
+  // double join).
+  private def knnIvfPqRerankFinish(shortlist: Int, topK: Int): String =
+    // leading comma: this finish EXTENDS the WITH chain (pqRankSql-style
+    // finishes start at the final SELECT instead)
+    s",\nshort AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id, " +
+    "row_number() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS rn " +
+    s"FROM sc) WHERE rn <= $shortlist),\n" +
+    "ex AS (SELECT s.query_id, s.vec_id, " +
+    "list_dot_product(rq2.emb, rv.emb)/(nq.nrm*nv.nrm) AS sim FROM short s " +
+    "JOIN raw rq2 ON rq2.vec_id = s.query_id " +
+    "JOIN n nq ON nq.vec_id = s.query_id " +
+    "JOIN raw rv ON rv.vec_id = s.vec_id " +
+    "JOIN n nv ON nv.vec_id = s.vec_id)\n" +
+    "SELECT query_id, vec_id, sim, CAST(rn AS BIGINT) AS rank FROM " +
+    "(SELECT query_id, vec_id, sim, row_number() OVER " +
+    "(PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn FROM ex) " +
+    s"WHERE rn <= $topK ORDER BY query_id, rank"
+
+  private lazy val knnIvfPqRerankSql =
+    knnIvfPqSqlFor(2, knnIvfPqRerankFinish(shortlist = 20, topK = 5))
 
   // recall@5 of residual IVF-PQ vs exact cosine, at the recall-oriented
   // nprobe=8 operating point (half the lists probed; knn_ivf_pq itself
@@ -2436,6 +2478,7 @@ object SparkEntry {
     "knn_pq_recall" -> knnPqRecallSql,
     "knn_ivf_pq" -> knnIvfPqSql,
     "knn_ivf_pq_recall" -> knnIvfPqRecallSql,
+    "knn_ivf_pq_rerank" -> knnIvfPqRerankSql,
     "asof_join" -> asofJoinSql,
     "window_tumbling" -> windowTumblingSql,
     "sessionize" -> sessionizeSql,

@@ -586,6 +586,43 @@ object Similarity {
     finishPq(scored, topK, () => Seq(rcorpus, books).foreach(releaseCheckpoint))
   }
 
+  /** IVF-PQ with exact re-ranking — the FAISS "refine" recipe (Jégou §VII):
+    * the compressed-domain ADC chain picks a SHORTLIST of `shortlist`
+    * candidates per query (cheap, scans only probed lists' codes), then the
+    * final ranking re-scores exactly those (query, candidate) pairs with
+    * exact cosine over the RAW embeddings, fixing the ordering errors ADC's
+    * quantization introduces. Recall ceiling = the shortlist's coverage of
+    * the true top-k (what nprobe/shortlist control); within that ceiling
+    * the ranking is exact.
+    *
+    * Scale shape: the shortlist is |Q|·shortlist rows — broadcast it, so
+    * the exact pass is ONE corpus scan restricted by a broadcast hash join
+    * (never a corpus shuffle), plus a broadcast of the |Q| query vectors.
+    * Per-query candidate identity rides the shortlist pairs, so a vector
+    * shortlisted for query A is never rescored for query B. */
+  def ivfPqRerankTopK(embs: DataFrame, queries: DataFrame, m: Int = 4,
+                      k: Int = 16, topK: Int = 5, dim: Int = 64,
+                      numCentroids: Int = 16, nprobe: Int = 2,
+                      shortlist: Int = 20): DataFrame = {
+    val short = ivfPqTopK(embs, queries, m, k, shortlist, dim,
+        numCentroids, nprobe)
+      .select(col("query_id"), col("vec_id"))
+    def withNorm(df: DataFrame, id: String, v: String, n: String) = df
+      .select(col("vec_id").as(id), asDouble(col("embedding")).as(v))
+      .withColumn(n, sqrt(aggregate(col(v), lit(0.0), (a, x) => a + x * x)))
+      .filter(col(n) > 0.0)
+    val corpus = withNorm(embs, "vec_id", "_cv", "_cn")
+    val qs = withNorm(queries, "query_id", "_qv", "_qn")
+    val rescored = corpus
+      .join(broadcast(short), Seq("vec_id"))
+      .join(broadcast(qs), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        (dot(col("_qv"), col("_cv")) / (col("_qn") * col("_cn"))).as("sim"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))
+    rescored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+  }
+
   private def finishPq(scored: DataFrame, topK: Int,
                        release: () => Unit): DataFrame = {
     val w = Window.partitionBy("query_id").orderBy(col("adc_dist2"), col("vec_id"))

@@ -343,6 +343,51 @@ class OpsSpec extends SparkSpec {
     assert(cands(1).subsetOf(cands(4)))
   }
 
+  test("ivfPqRerankTopK: exact rescoring of the ADC shortlist, order by true cosine") {
+    import spark.implicits._
+    import graft.ops.Similarity
+    def vec(base: Float, j: Int): Array[Float] =
+      Array.tabulate(8)(d => base + (if (d == j % 4) 0.5f else 0f))
+    val corpus = ((1L to 6L).map(i => (i, vec(10f, i.toInt))) ++
+      (7L to 12L).map(i => (i, vec(-10f, i.toInt)))).toDF("vec_id", "embedding")
+    val queries = Seq((1L, vec(10f, 1)), (7L, vec(-10f, 7)))
+      .toDF("vec_id", "embedding")
+    val r = Similarity.ivfPqRerankTopK(corpus, queries, m = 2, k = 2,
+        topK = 3, dim = 8, numCentroids = 4, shortlist = 8)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2), x.getLong(3)))
+    // cluster structure survives (same contract as the ADC-only test)
+    assert(r.filter(_._1 == 1L).forall(n => n._2 <= 6L && n._2 != 1L), r.mkString(","))
+    assert(r.filter(_._1 == 7L).forall(n => n._2 >= 7L && n._2 != 7L), r.mkString(","))
+    // the re-ranked order is the TRUE cosine order of the shortlist: for
+    // each query, ranks follow descending exact cosine vs the raw vectors
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      d / (math.sqrt(a.map(x => x.toDouble * x.toDouble).sum) *
+           math.sqrt(b.map(x => x.toDouble * x.toDouble).sum))
+    }
+    val raw = ((1L to 6L).map(i => (i, vec(10f, i.toInt))) ++
+      (7L to 12L).map(i => (i, vec(-10f, i.toInt)))).toMap
+    for (qid <- Seq(1L, 7L)) {
+      val mine = r.filter(_._1 == qid).sortBy(_._4)
+      assert(mine.map(_._4).toSeq === (1L to 3L))
+      // sims are exactly the recomputed cosines, in nonincreasing order
+      mine.foreach { case (_, v, sim, _) =>
+        assert(math.abs(sim - cos(raw(qid), raw(v))) < 1e-9) }
+      assert(mine.map(_._3).toSeq === mine.map(_._3).sorted.reverse.toSeq)
+    }
+    // with the shortlist spanning the reachable candidates, rerank's top-k
+    // can only improve on ADC's: its rank-1 is the true nearest among them
+    val adc = Similarity.ivfPqTopK(corpus, queries, m = 2, k = 2, topK = 8,
+        dim = 8, numCentroids = 4)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val rerankTop = r.filter(_._4 == 1L).map(t => (t._1, t._2))
+    rerankTop.foreach { case (q, v) =>
+      val best = adc.filter(_._1 == q).map(_._2)
+        .maxBy(c => cos(raw(q), raw(c)))
+      assert(v === best, s"query $q rank-1 $v != true-best-in-shortlist $best")
+    }
+  }
+
   test("ivfTopK: candidate set grows monotonically with nprobe") {
     import spark.implicits._
     import graft.ops.Similarity
