@@ -425,6 +425,66 @@ object Dedup {
     if (managed) materializeThenRelease(cand, slim) else cand
   }
 
+  /** Incremental (delta-vs-catalog) MinHash LSH near-dup — the ingest-time
+    * form of [[minhashNeardup]]: the catalog persists each seen document's
+    * slim signature row `(doc_id, text, mh, bands)`; a new batch band-joins
+    * its signatures against batch ∪ catalog and emits exactly the pairs
+    * with at least one endpoint in the batch. Pair identity is normalized
+    * with least/greatest, and bands are content-derived, so processing a
+    * corpus in ANY micro-batch split yields the same `(doc_a, doc_b,
+    * est_jaccard, jaccard)` set as one batch pass — asserted in
+    * StreamingSpec.
+    *
+    * Scale shape: the batch side of the band join is |delta|·numBands rows
+    * — the catalog never re-explodes per batch beyond this one equi-join,
+    * and the exact-Jaccard verify re-shingles only candidate docs (the
+    * same shrink-then-verify shape as the batch form). `shuffle_hash` pins
+    * the join off broadcast (the catalog side is corpus-sized).
+    *
+    * @return (pairs for this batch, signature rows to append to the
+    *         catalog — eagerly materialized, release after writing) */
+  def minhashNeardupIncrement(batch: DataFrame, catalog: DataFrame,
+                              numHashes: Int = 8, bandSize: Int = 4,
+                              shingleSize: Int = 3): (DataFrame, DataFrame) = {
+    val numBands = numHashes / bandSize
+    val sigs = minhashSignatures(batch, numHashes, bandSize, shingleSize)
+    // materialized once: feeds the pair join, the verify universe, AND the
+    // caller's catalog append (which must observe pre-append pairs first)
+    val slimB = sigs.select(col("doc_id"),
+        array((1 to numHashes).map(j => col(s"mh$j")): _*).as("mh"),
+        array((0 until numBands).map(b => col(s"band_$b")): _*).as("bands"))
+      .join(batch.select(col("doc_id"), col("text")), Seq("doc_id"))
+      .select(col("doc_id"), col("text"), col("mh"), col("bands"))
+      .localCheckpoint()
+    val all = slimB.unionByName(catalog)
+    val eb = slimB.select(col("doc_id").as("a_doc_id"), col("mh").as("a_mh"),
+      posexplode(col("bands")).as(Seq("band_idx", "band_val")))
+    val ea = all.select(col("doc_id").as("b_doc_id"), col("mh").as("b_mh"),
+      posexplode(col("bands")).as(Seq("band_idx", "band_val")))
+    val estMatches = aggregate(
+      zip_with(col("a_mh"), col("b_mh"), (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, x) => acc + x)
+    val cand = eb.hint("shuffle_hash").join(ea, Seq("band_idx", "band_val"))
+      .filter(col("a_doc_id") =!= col("b_doc_id"))
+      .select(least(col("a_doc_id"), col("b_doc_id")).as("doc_a"),
+        greatest(col("a_doc_id"), col("b_doc_id")).as("doc_b"),
+        (estMatches.cast("double") / numHashes).as("est_jaccard"))
+      .dropDuplicates("doc_a", "doc_b")
+    val candIds = cand
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
+    val texts = batch.select(col("doc_id"), col("text"))
+      .unionByName(catalog.select(col("doc_id"), col("text")))
+    val docSh = texts.join(candIds, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), shingles(words(col("text")), shingleSize).as("sh"))
+    val pairs = cand
+      .join(docSh.select(col("doc_id").as("doc_a"), col("sh").as("a_sh")), "doc_a")
+      .join(docSh.select(col("doc_id").as("doc_b"), col("sh").as("b_sh")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"),
+        ngramJaccard(col("a_sh"), col("b_sh")).as("jaccard"))
+    (pairs, slimB)
+  }
+
   /** SimHash over word tokens: hash family = parity of the k-th md5 hex
     * digit (k < 32); per-bit votes folded row-locally (no shuffle), weighted
     * by token frequency. Returns (doc_id, simhash) where equal fingerprints

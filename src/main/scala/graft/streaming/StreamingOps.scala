@@ -213,4 +213,39 @@ object StreamingOps {
         graft.ops.Dedup.releaseCheckpoint(freshMat)
       }
       .start()
+
+  /** Streaming MinHash LSH near-dup: each micro-batch band-joins against a
+    * parquet catalog of previously-seen signature rows, appends its pair
+    * output (at least one endpoint per pair is from the batch), then
+    * appends its own signatures to the catalog — the same
+    * incremental-vs-catalog pattern as [[segmentDedupStream]], so any
+    * micro-batch split of a corpus emits exactly the batch
+    * [[graft.ops.Dedup.minhashNeardup]] pair set (parity asserted in
+    * StreamingSpec). */
+  def minhashNeardupStream(docs: DataFrame, catalogDir: String, outDir: String,
+                           checkpointDir: String, numHashes: Int = 8,
+                           bandSize: Int = 4,
+                           shingleSize: Int = 3): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val catPath = new org.apache.hadoop.fs.Path(catalogDir)
+        val fs = catPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val catalog =
+          if (fs.exists(catPath)) spark.read.parquet(catalogDir)
+          else spark.range(0).select(col("id").as("doc_id"),
+            lit(null).cast("string").as("text"),
+            lit(null).cast("array<string>").as("mh"),
+            lit(null).cast("array<string>").as("bands"))
+        val (pairs, sigRows) = graft.ops.Dedup.minhashNeardupIncrement(
+          batch, catalog, numHashes, bandSize, shingleSize)
+        // sigRows is already eagerly checkpointed by the increment — pairs
+        // (which read the catalog pre-append) write first, then the append
+        pairs.write.mode("append").parquet(outDir)
+        sigRows.write.mode("append").parquet(catalogDir)
+        graft.ops.Dedup.releaseCheckpoint(sigRows)
+      }
+      .start()
 }

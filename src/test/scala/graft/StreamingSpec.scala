@@ -405,6 +405,45 @@ class StreamingSpec extends SparkSpec {
     assert(cat.distinct().count() === 5)
   }
 
+  test("incremental minhash near-dup over micro-batches == batch minhashNeardup") {
+    import spark.implicits._
+    // small word vocab + doc templates that repeat across batches, so LSH
+    // bands collide both within one micro-batch and across them; several
+    // docs are exact copies (jaccard 1.0) and several share most shingles
+    val tpl = Vector(
+      "the quick brown fox jumps over the lazy dog tonight",
+      "the quick brown fox jumps over the lazy cat tonight",
+      "pack my box with five dozen liquor jugs again now",
+      "pack my box with five dozen liquor mugs again now",
+      "sphinx of black quartz judge my vow tonight again")
+    val docs = (0L until 24L).map(i => (i, tpl((i % 5).toInt)))
+    val dir = java.nio.file.Files.createTempDirectory("mhdedup").toString
+    val stream = MemoryStream[(Long, String)](spark)
+    val q = StreamingOps.minhashNeardupStream(
+      stream.toDF().toDF("doc_id", "text"),
+      s"$dir/catalog", s"$dir/out", s"$dir/ckpt")
+    docs.grouped(8).foreach { chunk =>
+      stream.addData(chunk: _*); q.processAllAvailable()
+    }
+    q.stop()
+    def norm(rows: Array[org.apache.spark.sql.Row]) = rows
+      .map(r => (r.getLong(0), r.getLong(1),
+        math.round(r.getDouble(2) * 1e9), math.round(r.getDouble(3) * 1e9)))
+      .sortBy(t => (t._1, t._2))
+    val streamed = norm(spark.read.parquet(s"$dir/out").collect())
+    val batch = norm(
+      graft.ops.Dedup.minhashNeardup(docs.toDF("doc_id", "text")).collect())
+    assert(streamed === batch)
+    // pairs exist both within one batch and across batches
+    assert(streamed.exists { case (a, b, _, _) => a / 8 == b / 8 })
+    assert(streamed.exists { case (a, b, _, _) => a / 8 != b / 8 })
+    // exact duplicates score jaccard 1.0; the catalog holds every doc once
+    assert(streamed.count(_._4 == 1000000000L) > 0)
+    val cat = spark.read.parquet(s"$dir/catalog")
+    assert(cat.count() === 24)
+    assert(cat.select("doc_id").distinct().count() === 24)
+  }
+
   test("streaming fan-out writes per-tenant directories via foreachBatch") {
     import spark.implicits._
     val out = java.nio.file.Files.createTempDirectory("fanout").toString
