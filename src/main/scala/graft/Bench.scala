@@ -89,6 +89,13 @@ object Bench {
       try graft.gen.RawGen.table(spark, sfDir, t).count()
       catch { case NonFatal(_) => () }
     }
+    // The derived wire corpora are input data too (see RawGen.wire): the
+    // translator/router queries read them like tables, so they join the
+    // untimed re-materialization pass.
+    graft.gen.RawGen.wireKinds.foreach { k =>
+      try graft.gen.RawGen.wire(spark, sfDir, k).count()
+      catch { case NonFatal(_) => () }
+    }
     // Host-load telemetry: round-6's driver run reported 9-48x inflated
     // numbers for three queries purely from co-tenant CPU contention (a
     // 102.7 s run at load-average 11.9 was discarded by hand). Emit the

@@ -50,7 +50,7 @@ object SparkEntry {
   // ---------- query implementations ----------
 
   private def cmfGeotab(s: SparkSession, dir: String): DataFrame = {
-    val t = VehicleTranslators.geotab(RawGen.geotabRaw(RawGen.events(s, dir)), "acme")
+    val t = VehicleTranslators.geotab(RawGen.wire(s, dir, "geotab"), "acme")
     t.valid.select(
       col("cmf.deviceId").as("device_id"),
       col("cmf.vehicleId").as("vehicle_id"),
@@ -71,7 +71,7 @@ object SparkEntry {
   }
 
   private def cmfCalamp(s: SparkSession, dir: String): DataFrame = {
-    val t = VehicleTranslators.calAmp(RawGen.calAmpRaw(RawGen.events(s, dir)), "acme")
+    val t = VehicleTranslators.calAmp(RawGen.wire(s, dir, "calamp"), "acme")
     t.valid.select(
       col("cmf.deviceId").as("device_id"),
       col("cmf.vehicleId").as("vehicle_id"),
@@ -88,7 +88,7 @@ object SparkEntry {
   }
 
   private def cmfFord(s: SparkSession, dir: String): DataFrame = {
-    val t = VehicleTranslators.ford(RawGen.fordRaw(RawGen.events(s, dir)), "acme")
+    val t = VehicleTranslators.ford(RawGen.wire(s, dir, "ford"), "acme")
     t.valid.select(
       col("cmf.deviceId").as("device_id"),
       col("cmf.vehicleId").as("vehicle_id"),
@@ -106,24 +106,23 @@ object SparkEntry {
   }
 
   private def quarantineCounts(s: SparkSession, dir: String): DataFrame = {
-    val ev = RawGen.events(s, dir)
     def cnt(name: String, q: DataFrame) =
       q.agg(count(lit(1)).as("quarantined")).select(lit(name).as("source"), col("quarantined"))
-    cnt("calamp", VehicleTranslators.calAmp(RawGen.calAmpRaw(ev), "acme").quarantine)
-      .unionByName(cnt("ford", VehicleTranslators.ford(RawGen.fordRaw(ev), "acme").quarantine))
-      .unionByName(cnt("geotab", VehicleTranslators.geotab(RawGen.geotabRaw(ev), "acme").quarantine))
+    cnt("calamp", VehicleTranslators.calAmp(RawGen.wire(s, dir, "calamp"), "acme").quarantine)
+      .unionByName(cnt("ford", VehicleTranslators.ford(RawGen.wire(s, dir, "ford"), "acme").quarantine))
+      .unionByName(cnt("geotab", VehicleTranslators.geotab(RawGen.wire(s, dir, "geotab"), "acme").quarantine))
       .orderBy("source")
   }
 
   private def routeFilterer(s: SparkSession, dir: String): DataFrame =
-    Filterer.route(RawGen.cmfRoutingRaw(RawGen.events(s, dir))).routed
+    Filterer.route(RawGen.wire(s, dir, "routing")).routed
       .groupBy(col("tenantId").as("tenant_id"), col("topic"))
       .agg(count(lit(1)).as("msg_cnt"),
         sum(length(col("value")).cast("long")).as("bytes"))
       .orderBy("tenant_id")
 
   private def legacyUnion(s: SparkSession, dir: String): DataFrame = {
-    val raw = RawGen.legacyRaw(RawGen.events(s, dir))
+    val raw = RawGen.wire(s, dir, "legacy")
     LegacyTranslators.translateMux(raw, col("kind")).valid
   }
 
@@ -144,9 +143,8 @@ object SparkEntry {
       .orderBy("event_type")
 
   private def unionSources(s: SparkSession, dir: String): DataFrame = {
-    val ev = RawGen.events(s, dir)
-    val g = VehicleTranslators.geotab(RawGen.geotabRaw(ev), "acme").valid
-    val c = VehicleTranslators.calAmp(RawGen.calAmpRaw(ev), "acme").valid
+    val g = VehicleTranslators.geotab(RawGen.wire(s, dir, "geotab"), "acme").valid
+    val c = VehicleTranslators.calAmp(RawGen.wire(s, dir, "calamp"), "acme").valid
     def proj(df: DataFrame) = df.select(col("cmf.sourceType").as("source_type"),
       col("cmf.epochSource").as("es"))
     proj(g).unionByName(proj(c))
