@@ -93,6 +93,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinSeededMd5].getName, "graft_minhash"),
       (children: Seq[Expression]) => MinSeededMd5(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, "graft_shingle_hashes"),
+      // SQL surface takes (words_array, n) with a literal int n — the
+      // shingle width is a plan-time constant, same contract as the
+      // Column API
+      (children: Seq[Expression]) => ShingleHashes(children(0),
+        children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_shingle_hashes requires a literal int shingle size, got $other")
+        })))
     ext.injectOptimizerRule(_ => RewriteDotProduct)
   }
 }

@@ -158,5 +158,21 @@ class FunctionsSpec extends SparkSpec {
     val one = Seq((0L, "a b c")).toDF("doc_id", "text")
     val r = one.select(ShingleHashes.shingleHashes(Dedup.words(col("text")), 3).as("sh")).head()
     assert(r.getSeq[Long](0).size === 1)
+    // 4. SQL surface (GraftExtensions contract): literal int width, same
+    //    result as the Column API
+    spark.sessionState.functionRegistry.registerFunction(
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_shingle_hashes"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[ShingleHashes].getName, "graft_shingle_hashes"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        ShingleHashes(children(0), children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(other.toString)
+        }))
+    one.createOrReplaceTempView("shdocs")
+    val sqlR = spark.sql(
+      "SELECT graft_shingle_hashes(split(trim(text), '\\\\s+'), 3) AS sh FROM shdocs")
+      .head().getSeq[Long](0)
+    assert(sqlR === r.getSeq[Long](0))
   }
 }
