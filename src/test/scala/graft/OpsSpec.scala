@@ -352,8 +352,15 @@ class OpsSpec extends SparkSpec {
       (7L to 12L).map(i => (i, vec(-10f, i.toInt)))).toDF("vec_id", "embedding")
     val queries = Seq((1L, vec(10f, 1)), (7L, vec(-10f, 7)))
       .toDF("vec_id", "embedding")
-    val r = Similarity.ivfPqRerankTopK(corpus, queries, m = 2, k = 2,
+    def rerank = Similarity.ivfPqRerankTopK(corpus, queries, m = 2, k = 2,
         topK = 3, dim = 8, numCentroids = 4, shortlist = 8)
+    // plan shape: the exact pass must be broadcast-restricted (shortlist +
+    // queries broadcast into the corpus scan), never a cartesian/NLJ over
+    // the corpus
+    val plan = rerank.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in rerank plan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"exact pass not broadcast-restricted:\n$plan")
+    val r = rerank
       .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2), x.getLong(3)))
     // cluster structure survives (same contract as the ADC-only test)
     assert(r.filter(_._1 == 1L).forall(n => n._2 <= 6L && n._2 != 1L), r.mkString(","))
