@@ -69,7 +69,15 @@ object Bench {
     // driver never sets it, so driver runs always time the full registry.
     val registry = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-      .map(keep => SparkEntry.queries.filter { case (n, _) => keep(n) })
+      .map { keep =>
+        // a typo'd name would otherwise silently shrink (or empty) the run
+        // and print a plausible-looking 0-second total
+        val unknown = keep -- SparkEntry.queries.keySet
+        if (unknown.nonEmpty)
+          System.err.println(
+            s"[bench] SPARK_GRAFT_ONLY names not in the registry: ${unknown.mkString(", ")}")
+        SparkEntry.queries.filter { case (n, _) => keep(n) }
+      }
       .getOrElse(SparkEntry.queries)
     warmDir.foreach { wd =>
       registry.foreach { case (_, fn) =>

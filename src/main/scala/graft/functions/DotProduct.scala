@@ -99,12 +99,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       // SQL surface takes (words_array, n) with a literal int n — the
       // shingle width is a plan-time constant, same contract as the
       // Column API
-      (children: Seq[Expression]) => ShingleHashes(children(0),
-        children(1) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-          case other => throw new IllegalArgumentException(
-            s"graft_shingle_hashes requires a literal int shingle size, got $other")
-        })))
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          s"graft_shingle_hashes takes (array<string> words, int n), got ${children.size} args")
+        ShingleHashes(children(0),
+          children(1) match {
+            case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+            case other => throw new IllegalArgumentException(
+              s"graft_shingle_hashes requires a literal int shingle size, got $other")
+          })
+      }))
     ext.injectOptimizerRule(_ => RewriteDotProduct)
   }
 }

@@ -43,6 +43,19 @@ case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
   override def nullable: Boolean = child.nullable
   override def prettyName: String = "graft_shingle_hashes"
 
+  // The SQL surface (GraftExtensions) accepts arbitrary expressions, so
+  // type-check at analysis instead of ClassCastException-ing at runtime.
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<string>, got ${other.catalogString}")
+    }
+
   override def nullSafeEval(arr: Any): Any =
     ShingleHashes.compute(arr.asInstanceOf[ArrayData], n)
 
@@ -69,8 +82,15 @@ object ShingleHashes {
     var i = 0
     while (i < len) {
       val s = arr.getUTF8String(i)
+      // internal callers (words()) never produce null elements, but the
+      // SQL surface can: hash a null slot as the empty string rather than
+      // NPE-ing (deterministic, and distinct from any real word w.h.p.
+      // only when mixed with non-empty neighbors — null-vs-"" ambiguity is
+      // acceptable for a hash set over tokenizer output)
       wordHash(i) =
-        XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, Seed)
+        if (s == null) XXH64.hashUnsafeBytes(Array.emptyByteArray,
+          org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, 0, Seed)
+        else XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, Seed)
       i += 1
     }
     val out = new Array[Long](m)

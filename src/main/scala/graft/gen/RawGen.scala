@@ -256,9 +256,21 @@ object RawGen {
   private val wireCache =
     scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
   def wire(spark: SparkSession, sfDir: String, kind: String): DataFrame = {
-    val df = wireCache.getOrElseUpdate((sfDir, kind),
-      wireDerive(kind)(events(spark, sfDir))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val key = (sfDir, kind)
+    // A cached frame is bound to the SparkContext it was built on: after a
+    // stop()/rebuild cycle (tests, notebooks) the entry would reference a
+    // dead context and every action on it would throw — validate liveness
+    // and context identity before reuse, rebuild otherwise.
+    val live = wireCache.get(key).filter { df =>
+      val sc = df.sparkSession.sparkContext
+      !sc.isStopped && (sc eq spark.sparkContext)
+    }
+    val df = live.getOrElse {
+      val built = wireDerive(kind)(events(spark, sfDir))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      wireCache.put(key, built)
+      built
+    }
     if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
       df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     df

@@ -233,9 +233,14 @@ object Dedup {
     // is slim per row but corpus-scale in cardinality
     val verified = flagged.filter(col("_maybe"))
       .join(catalog.hint("shuffle_hash"), col("_h") === col("seg_md5"), "left_anti")
-    val survivors = fresh.unionByName(verified)
-    (reassembleSegs(counts, survivors.drop("_h", "_maybe")),
-      survivors.select(col("_h").as("seg_md5")))
+    // Materialize survivors ONCE: both returned frames derive from it, so
+    // without this the bloom build (a full catalog scan sized to the ever-
+    // growing catalog) and the anti-join would run twice per batch — once
+    // for the dedup output, once for the catalog append. The caller owns
+    // the block: write both outputs, then releaseCheckpoint the second
+    // element (it IS the checkpointed frame, so release resolves it).
+    val survivorsMat = fresh.unionByName(verified).localCheckpoint()
+    (reassembleSegs(counts, survivorsMat.drop("_h", "_maybe")), survivorsMat)
   }
 
   /** Substring-level exact dedup (the Lee-et-al "Deduplicating Training Data

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 
@@ -192,25 +192,49 @@ object StreamingOps {
     * catalog, via the bloom subquery and anti-join) is written before the
     * catalog grows. Checkpoint blocks are released once the appends land
     * (same exact-ownership hygiene as the iterative Dedup loops). */
+  /** Idempotent-retry layout shared by the catalog streams: foreachBatch is
+    * AT-LEAST-ONCE — a crash between the data write and the streaming
+    * commit re-runs the same (batch, batchId), so plain `append` sinks
+    * would double-write AND, worse, re-read a catalog that already
+    * contains the batch's own rows (every segment then looks previously
+    * seen and the retry emits corrupted results). Instead, each epoch
+    * writes whole per-batch partition directories with `overwrite`, and
+    * the catalog READ excludes the current epoch's partition — a retry
+    * therefore recomputes byte-identical output from the same pre-batch
+    * catalog view and overwrites its own partial leftovers. `batch` is a
+    * visible partition column on read; [[readBatched]] drops it. */
+  private def batchDir(dir: String, batchId: Long) = s"$dir/batch=$batchId"
+
+  /** Read a per-batch-partitioned dir as plain rows (drops the `batch`
+    * partition column); `priorTo` restricts to partitions before the given
+    * epoch — the pre-batch catalog view a retried epoch must see. */
+  def readBatched(spark: SparkSession, dir: String,
+                  priorTo: Option[Long] = None): DataFrame = {
+    val all = spark.read.parquet(dir)
+    priorTo.fold(all)(b => all.filter(col("batch") < b)).drop("batch")
+  }
+
   def segmentDedupStream(docs: DataFrame, catalogDir: String, outDir: String,
                          checkpointDir: String, segWords: Int = 10,
                          expectedCatalogSize: Long = 1000000L): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val catPath = new org.apache.hadoop.fs.Path(catalogDir)
         val fs = catPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val catalog =
-          if (fs.exists(catPath)) spark.read.parquet(catalogDir)
+          if (fs.exists(catPath)) readBatched(spark, catalogDir, Some(batchId))
           else spark.range(0).select(lit(null).cast("string").as("seg_md5"))
-        val (deduped, freshRows) = graft.ops.Dedup.segmentDedupIncrement(
+        val (deduped, survivors) = graft.ops.Dedup.segmentDedupIncrement(
           batch, catalog, segWords, expectedCatalogSize)
-        val freshMat = freshRows.localCheckpoint() // reads catalog pre-append
-        deduped.write.mode("append").parquet(outDir)
-        freshMat.write.mode("append").parquet(catalogDir)
-        graft.ops.Dedup.releaseCheckpoint(freshMat)
+        // survivors is eagerly checkpointed by the increment (one bloom
+        // build + anti-join per batch, shared by both writes)
+        deduped.write.mode("overwrite").parquet(batchDir(outDir, batchId))
+        survivors.select(col("_h").as("seg_md5"))
+          .write.mode("overwrite").parquet(batchDir(catalogDir, batchId))
+        graft.ops.Dedup.releaseCheckpoint(survivors)
       }
       .start()
 
@@ -229,22 +253,22 @@ object StreamingOps {
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val catPath = new org.apache.hadoop.fs.Path(catalogDir)
         val fs = catPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val catalog =
-          if (fs.exists(catPath)) spark.read.parquet(catalogDir)
+          if (fs.exists(catPath)) readBatched(spark, catalogDir, Some(batchId))
           else spark.range(0).select(col("id").as("doc_id"),
             lit(null).cast("string").as("text"),
             lit(null).cast("array<string>").as("mh"),
             lit(null).cast("array<string>").as("bands"))
         val (pairs, sigRows) = graft.ops.Dedup.minhashNeardupIncrement(
           batch, catalog, numHashes, bandSize, shingleSize)
-        // sigRows is already eagerly checkpointed by the increment — pairs
-        // (which read the catalog pre-append) write first, then the append
-        pairs.write.mode("append").parquet(outDir)
-        sigRows.write.mode("append").parquet(catalogDir)
+        // sigRows is eagerly checkpointed by the increment; per-batch
+        // overwrite partitions make the retry idempotent (see batchDir)
+        pairs.write.mode("overwrite").parquet(batchDir(outDir, batchId))
+        sigRows.write.mode("overwrite").parquet(batchDir(catalogDir, batchId))
         graft.ops.Dedup.releaseCheckpoint(sigRows)
       }
       .start()

@@ -74,12 +74,18 @@ class PlanSpec extends SparkSpec {
     // brute scoring (a handful of query vectors; knn_recall embeds it),
     // tfidf's 1-row corpus-count join, k-means' k broadcast centroids, and
     // q_zero_fill's (types × 7 days) grid
+    // COVERAGE BOUNDARY: queries whose pipelines eagerly localCheckpoint
+    // (the PQ / IVF-PQ family via finishPq, kmeans_iter's loop) execute
+    // their joins during CONSTRUCTION — this executedPlan assertion sees
+    // only the final Sort-over-LogicalRDD, so their internal join shapes
+    // are pinned where the frames are still lazy instead: OpsSpec's
+    // ivfPqRerank plan test (exact pass broadcast-restricted, no
+    // cartesian) and DedupSpec's no-cartesian asserts. knn_ivf_pq needs no
+    // BNLJ allowance for exactly that reason; the recall evals appear here
+    // only because they embed knn_brute's lazy broadcast-query scoring.
     val bnljAllowed = Set("knn_brute", "knn_topk_agg", "knn_recall",
       "knn_pq_recall", // embeds knn_brute's broadcast-query scoring
-      // IVF-PQ seeds: limit(k) crossJoin the numCentroids-row centroid
-      // frame (k x numCentroids rows, both sides driver-tiny);
-      // the recall eval additionally embeds knn_brute
-      "knn_ivf_pq", "knn_ivf_pq_recall",
+      "knn_ivf_pq_recall", // embeds knn_brute's ground truth
       "tfidf_top_terms", "kmeans_assign", "kmeans_update", "kmeans_iter",
       "q_zero_fill")
     val dir = "/root/testdata/sf0.001"

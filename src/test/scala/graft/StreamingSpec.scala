@@ -394,15 +394,21 @@ class StreamingSpec extends SparkSpec {
       stream.addData(chunk: _*); q.processAllAvailable()
     }
     q.stop()
-    val streamed = spark.read.parquet(s"$dir/out")
+    val batchDf = graft.ops.Dedup.segmentDedup(docs.toDF("doc_id", "text"), segWords = 4)
+    // per-batch partition dirs (the idempotent-retry layout) surface a
+    // `batch` column — read through the helper that drops it
+    val streamed = StreamingOps.readBatched(spark, s"$dir/out")
+      .select(batchDf.columns.map(col): _*)
       .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
-    val batch = graft.ops.Dedup.segmentDedup(docs.toDF("doc_id", "text"), segWords = 4)
-      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+    val batch = batchDf.collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
     assert(streamed === batch)
     // catalog holds exactly the corpus's distinct segments (the 5 sentences)
-    val cat = spark.read.parquet(s"$dir/catalog")
+    val cat = StreamingOps.readBatched(spark, s"$dir/catalog")
     assert(cat.count() === 5)
     assert(cat.distinct().count() === 5)
+    // one partition dir per epoch — the overwrite target a retry would hit
+    assert(new java.io.File(s"$dir/out").listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("batch=")) === 3)
   }
 
   test("incremental minhash near-dup over micro-batches == batch minhashNeardup") {
@@ -430,7 +436,8 @@ class StreamingSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1),
         math.round(r.getDouble(2) * 1e9), math.round(r.getDouble(3) * 1e9)))
       .sortBy(t => (t._1, t._2))
-    val streamed = norm(spark.read.parquet(s"$dir/out").collect())
+    val streamed = norm(StreamingOps.readBatched(spark, s"$dir/out")
+      .select("doc_a", "doc_b", "est_jaccard", "jaccard").collect())
     val batch = norm(
       graft.ops.Dedup.minhashNeardup(docs.toDF("doc_id", "text")).collect())
     assert(streamed === batch)
@@ -439,9 +446,23 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exists { case (a, b, _, _) => a / 8 != b / 8 })
     // exact duplicates score jaccard 1.0; the catalog holds every doc once
     assert(streamed.count(_._4 == 1000000000L) > 0)
-    val cat = spark.read.parquet(s"$dir/catalog")
+    val cat = StreamingOps.readBatched(spark, s"$dir/catalog")
     assert(cat.count() === 24)
     assert(cat.select("doc_id").distinct().count() === 24)
+    // retry semantics (foreachBatch is at-least-once): re-running the LAST
+    // epoch against its pre-batch catalog view and overwriting its
+    // partitions — exactly what a crashed-then-restarted epoch does — must
+    // leave output and catalog byte-identical
+    val lastChunk = docs.grouped(8).toSeq.last.toDF("doc_id", "text")
+    val preCat = StreamingOps.readBatched(spark, s"$dir/catalog", Some(2L))
+    val (rp, rs) = graft.ops.Dedup.minhashNeardupIncrement(lastChunk, preCat)
+    rp.write.mode("overwrite").parquet(s"$dir/out/batch=2")
+    rs.write.mode("overwrite").parquet(s"$dir/catalog/batch=2")
+    graft.ops.Dedup.releaseCheckpoint(rs)
+    val retried = norm(StreamingOps.readBatched(spark, s"$dir/out")
+      .select("doc_a", "doc_b", "est_jaccard", "jaccard").collect())
+    assert(retried === batch)
+    assert(StreamingOps.readBatched(spark, s"$dir/catalog").count() === 24)
   }
 
   test("streaming fan-out writes per-tenant directories via foreachBatch") {
