@@ -589,6 +589,28 @@ object SparkEntry {
       .orderBy("lang")
   }
 
+  /** Same clusters as dedup_apply, but the kept representative is the
+    * LONGEST member (n_chars as the quality proxy; ties -> lowest id) via
+    * the encoded-argmax [[Dedup.bestPerCluster]] — "keep the best copy",
+    * the form real curation pipelines run once a quality score exists. */
+  private def dedupApplyBestQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = RawGen.table(s, dir, "documents")
+    val edges = Dedup.minhashCandidates(docs.select("doc_id", "text"), managed = true)
+      .select(col("a_doc_id").as("src"), col("b_doc_id").as("dst"))
+    val clusters = Dedup.connectedComponents(edges,
+      Some(docs.select(col("doc_id").as("id"))))
+    val reps = Dedup.bestPerCluster(clusters,
+      docs.select(col("doc_id"), col("n_chars").cast("int").as("score")))
+    docs.join(reps.select("doc_id"), Seq("doc_id"), "left_semi")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("kept_docs"), sum("n_chars").as("kept_chars"))
+      .orderBy("lang")
+  }
+
+  private def lmUnigramQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.unigramLogProb(RawGen.table(s, dir, "documents"))
+      .orderBy("doc_id")
+
   /** Explicit ROWS frame: 3-month moving average over the aggregated
     * monthly series (window input is #months rows — see [[qMonthlyLag]]). */
   private def qMovingAvg(s: SparkSession, dir: String): DataFrame =
@@ -1046,6 +1068,8 @@ object SparkEntry {
     "range_join" -> (rangeJoinQ _),
     "seq_pack" -> (seqPackQ _),
     "dedup_apply" -> (dedupApplyQ _),
+    "dedup_apply_best" -> (dedupApplyBestQ _),
+    "lm_unigram_score" -> (lmUnigramQ _),
     "knn_recall" -> (knnRecallQ _),
     "q_moving_avg" -> (qMovingAvg _),
     "knn_topk_agg" -> (knnTopkAgg _),
@@ -1739,6 +1763,38 @@ object SparkEntry {
        |  CAST(SUM(n_chars) AS BIGINT) AS kept_chars
        |FROM documents JOIN reps ON doc_id = reps.id
        |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // same recursive-CC chain as dedupApplySql, but the kept member is the
+  // per-cluster argmax on (n_chars DESC, doc_id ASC) — mirrors
+  // Dedup.bestPerCluster's encoded max exactly
+  private val dedupApplyBestSql =
+    s"WITH RECURSIVE $minhashSigCtes,\n" +
+    s"""e AS (SELECT a.doc_id AS da, b.doc_id AS db
+       |  FROM sigb a JOIN sigb b
+       |  ON (a.b0 = b.b0 OR a.b1 = b.b1) AND a.doc_id < b.doc_id),
+       |sym AS (SELECT da AS a, db AS b FROM e UNION ALL SELECT db, da FROM e),
+       |r(id, rc) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT r.id, sym.b FROM r JOIN sym ON sym.a = r.rc),
+       |cl AS (SELECT id, min(rc) AS cluster_id FROM r GROUP BY id),
+       |best AS (SELECT doc_id FROM (
+       |  SELECT d.doc_id, row_number() OVER (PARTITION BY cl.cluster_id
+       |    ORDER BY d.n_chars DESC, d.doc_id) AS rn
+       |  FROM cl JOIN documents d ON d.doc_id = cl.id) WHERE rn = 1)
+       |SELECT lang, CAST(count(*) AS BIGINT) AS kept_docs,
+       |  CAST(SUM(n_chars) AS BIGINT) AS kept_chars
+       |FROM documents JOIN best USING (doc_id)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  private val lmUnigramSql =
+    s"""WITH t AS (SELECT doc_id, unnest($duckWords) AS tok FROM documents),
+       |c AS (SELECT tok, count(*) AS cnt FROM t GROUP BY 1),
+       |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM t)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |  avg(ln(CAST(cnt AS DOUBLE) / n.n)) AS avg_logprob
+       |FROM t JOIN c USING (tok) CROSS JOIN n
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // plain concatenation — re-stripMargin over the spliced (already-stripped)
   // SQL bodies would eat their `||` concat operators
@@ -2497,6 +2553,8 @@ object SparkEntry {
     "range_join" -> rangeJoinSql,
     "seq_pack" -> seqPackSql,
     "dedup_apply" -> dedupApplySql,
+    "dedup_apply_best" -> dedupApplyBestSql,
+    "lm_unigram_score" -> lmUnigramSql,
     "knn_recall" -> knnRecallSql,
     "q_moving_avg" -> qMovingAvgSql,
     // same semantics as knn_brute, different engine path (typed Aggregator)

@@ -430,6 +430,39 @@ object Dedup {
     if (managed) materializeThenRelease(cand, slim) else cand
   }
 
+  /** Cluster representatives by QUALITY instead of id: keeps each
+    * cluster's member with the highest score, ties broken toward the
+    * lowest id — the pipeline form of "keep the best copy, not the first
+    * copy" (length, model quality, recency...). The argmax is encoded
+    * into ONE long so the aggregate stays a HashAggregate (a
+    * `max(struct(score, id))` buffer degrades to SortAggregate — the
+    * k-means argmin lesson): high 32 bits score, low 32 bits the
+    * bit-flipped id, so `max` orders by score then by LOWEST id.
+    * Requires 0 <= score < 2^31 and 0 <= id < 2^32 (enforced; corpus ids
+    * beyond 2^32 should pre-rank scores into the int range instead).
+    * One shuffle, on cluster_id — the same key the clustering output is
+    * already partitioned by, so at scale the exchange is reusable.
+    *
+    * @param clusters (id, cluster_id) from a connected-components pass
+    * @param scores   (doc_id, score int column)
+    * @return one (cluster_id, doc_id) representative per cluster */
+  def bestPerCluster(clusters: DataFrame, scores: DataFrame): DataFrame = {
+    val twoTo32 = 4294967296L
+    val enc = col("score").cast("long") * twoTo32 +
+      (lit(twoTo32 - 1) - col("id"))
+    clusters.join(scores, col("id") === col("doc_id"))
+      .select(col("cluster_id"),
+        when(col("score").cast("long").between(0L, Int.MaxValue.toLong) &&
+             col("id").between(0L, twoTo32 - 1), enc)
+          .otherwise(raise_error(lit(
+            "bestPerCluster: score must be in [0, 2^31) and id in [0, 2^32)")))
+          .as("_enc"))
+      .groupBy("cluster_id")
+      .agg(max(col("_enc")).as("_m"))
+      .select(col("cluster_id"),
+        (lit(twoTo32 - 1) - pmod(col("_m"), lit(twoTo32))).as("doc_id"))
+  }
+
   /** Incremental (delta-vs-catalog) MinHash LSH near-dup — the ingest-time
     * form of [[minhashNeardup]]: the catalog persists each seen document's
     * slim signature row `(doc_id, text, mh, bands)`; a new batch band-joins

@@ -124,6 +124,30 @@ object TextAnalysis {
       reasons.as("fail_reasons"))
   }
 
+  /** Corpus-self-trained unigram LM score — the cheapest member of the
+    * model-based quality family: each document's mean log-probability
+    * under the corpus's own unigram distribution. Documents of common,
+    * fluent vocabulary score high; gibberish, rare-token spam, and
+    * wrong-language fragments score low (their tokens are rare in-corpus).
+    * The standard use is a percentile cut before expensive model scoring.
+    *
+    * Scale shape: token counts are one hash-agg shuffle; the score join is
+    * an equi-join on the token (shuffle_hash pinned — a 100 TB corpus's
+    * vocabulary is far beyond broadcast); the per-doc mean is a second
+    * hash-agg. The exploded token frame is recomputed per consumer rather
+    * than persisted — it is corpus-sized, and two column-pruned scans beat
+    * caching it. */
+  def unigramLogProb(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(split(trim(col("text")), wsPlus)).as("tok"))
+    val counts = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val n = toks.agg(count(lit(1)).cast("double").as("n")).scalar()
+    toks.join(counts.hint("shuffle_hash"), Seq("tok"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        avg(log(col("cnt").cast("double") / n)).as("avg_logprob"))
+  }
+
   /** Gopher-style repetition metric: the fraction of a doc's word n-grams
     * taken by its single most frequent n-gram. Boilerplate/spam shows up as
     * rep_ratio near 1. Row-local higher-order expressions (the per-row cost

@@ -146,6 +146,29 @@ class DedupSpec extends SparkSpec {
     assert(got === Set((1L, 3L), (1L, 4L), (3L, 4L)))
   }
 
+  test("bestPerCluster: keeps highest score, ties break to lowest id; HashAggregate plan") {
+    import spark.implicits._
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (6L, 5L), (9L, 9L))
+      .toDF("id", "cluster_id")
+    val scores = Seq((1L, 10), (2L, 40), (3L, 40), (5L, 7), (6L, 7), (9L, 0))
+      .toDF("doc_id", "score")
+    val reps = Dedup.bestPerCluster(clusters, scores)
+    val plan = reps.queryExecution.executedPlan.toString
+    // the argmax must stay an encoded-long HashAggregate (a struct max
+    // would degrade to SortAggregate)
+    assert(plan.contains("HashAggregate") && !plan.contains("SortAggregate"), plan)
+    val got = reps.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === Map(1L -> 2L, // score 40 tie between 2 and 3 -> lowest id
+      5L -> 5L,                  // score 7 tie -> lowest id
+      9L -> 9L))                 // singleton, score 0
+    // out-of-range score refuses loudly instead of mis-encoding
+    val bad = Dedup.bestPerCluster(clusters,
+      Seq((1L, -1), (2L, 1), (3L, 1), (5L, 1), (6L, 1), (9L, 1)).toDF("doc_id", "score"))
+    val e = intercept[Exception](bad.collect())
+    assert(e.getMessage.contains("bestPerCluster") ||
+      Option(e.getCause).exists(_.getMessage.contains("bestPerCluster")), e.toString)
+  }
+
   test("connectedComponents: chain merges transitively, singletons keep their id") {
     import spark.implicits._
     // components: {1,2,3} via 1-2, 2-3; {5,6}; 9 isolated (via allNodes)

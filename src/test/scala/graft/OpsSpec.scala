@@ -395,6 +395,25 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("unigramLogProb: common-vocabulary docs outscore rare-token docs; probs sum sane") {
+    import spark.implicits._
+    import graft.ops.TextAnalysis
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),     // all tokens recur across docs
+      (2L, "the cat sat on the mat"),
+      (3L, "zyx qwv jkl pqr"),            // every token unique to doc 3
+      (4L, "the cat")).toDF("doc_id", "text")
+    val r = TextAnalysis.unigramLogProb(docs).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).sortBy(_._1)
+    assert(r.map(_._1).toSeq === Seq(1L, 2L, 3L, 4L))
+    // identical docs -> identical scores; rare-token doc scores strictly lower
+    assert(r(0)._3 === r(1)._3)
+    assert(r(2)._3 < r(0)._3)
+    // "the" (freq 5/16) scores above ln(1/16) floor; all logprobs negative
+    assert(r.forall(_._3 < 0.0))
+    assert(r(0)._2 === 6L && r(3)._2 === 2L)
+  }
+
   test("ivfTopK: candidate set grows monotonically with nprobe") {
     import spark.implicits._
     import graft.ops.Similarity
