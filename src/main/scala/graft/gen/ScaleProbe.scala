@@ -97,6 +97,8 @@ object ScaleProbe {
         m = 4, k = 16, topK = 5),
       Similarity.ivfPqTopK(emb10, emb10.filter(col("vec_id") < 8),
         m = 4, k = 16, topK = 5))
+    pair("lm_unigram", TextAnalysis.unigramLogProb(d1),
+      TextAnalysis.unigramLogProb(d10))
     // rerank adds one broadcast-restricted exact pass over the raw vectors
     // on top of ivf_pq_topk; the shortlist is fixed-size per query, so the
     // exact pass's data term is the corpus scan of the semi-join, not a
