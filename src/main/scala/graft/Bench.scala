@@ -76,7 +76,12 @@ object Bench {
         if (unknown.nonEmpty)
           System.err.println(
             s"[bench] SPARK_GRAFT_ONLY names not in the registry: ${unknown.mkString(", ")}")
-        SparkEntry.queries.filter { case (n, _) => keep(n) }
+        val kept = SparkEntry.queries.filter { case (n, _) => keep(n) }
+        // an all-typos filter must fail loudly, not print a green 0-query
+        // JSON that a local iteration loop would chase
+        require(kept.nonEmpty,
+          s"SPARK_GRAFT_ONLY matched no registered query: ${keep.mkString(", ")}")
+        kept
       }
       .getOrElse(SparkEntry.queries)
     warmDir.foreach { wd =>

@@ -189,8 +189,11 @@ object Dedup {
     * column); a segment survives iff it is the batch's own first occurrence
     * (the batch operator's (doc_id, seg_idx) window) AND absent from the
     * catalog. Returns (deduped docs in [[segmentDedup]]'s exact output
-    * schema, the NEW catalog rows to append — the survivors' hashes,
-    * already distinct because intra-batch firsts are unique per hash).
+    * schema, the FULL surviving-segment frame — EAGERLY CHECKPOINTED, so
+    * the bloom build + anti-join run once for both outputs; the caller
+    * projects `col("_h").as("seg_md5")` for the catalog append and then
+    * `releaseCheckpoint`s this frame. Hashes are already distinct because
+    * intra-batch firsts are unique per hash).
     *
     * Scale shape per batch: the sized bloom sketch prefilters catalog
     * membership scan-side, so only catalog-positive segments (true dups +
@@ -448,11 +451,16 @@ object Dedup {
     * @return one (cluster_id, doc_id) representative per cluster */
   def bestPerCluster(clusters: DataFrame, scores: DataFrame): DataFrame = {
     val twoTo32 = 4294967296L
-    val enc = col("score").cast("long") * twoTo32 +
-      (lit(twoTo32 - 1) - col("id"))
-    clusters.join(scores, col("id") === col("doc_id"))
+    // LEFT join + missing/NULL score encoded as -1: a member a partial
+    // scorer skipped (a sampled quality model is the normal case) ranks
+    // BELOW every scored member but still competes by lowest id, so a
+    // cluster with no scored member keeps its lowest id (dedup_apply
+    // semantics) instead of being silently deleted whole.
+    val sc = coalesce(col("score").cast("long"), lit(-1L))
+    val enc = (sc + 1L) * twoTo32 + (lit(twoTo32 - 1) - col("id"))
+    clusters.join(scores, col("id") === col("doc_id"), "left")
       .select(col("cluster_id"),
-        when(col("score").cast("long").between(0L, Int.MaxValue.toLong) &&
+        when(sc.between(-1L, Int.MaxValue.toLong) &&
              col("id").between(0L, twoTo32 - 1), enc)
           .otherwise(raise_error(lit(
             "bestPerCluster: score must be in [0, 2^31) and id in [0, 2^32)")))

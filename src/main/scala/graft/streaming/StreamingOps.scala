@@ -177,21 +177,6 @@ object StreamingOps {
       }
       .start()
 
-  /** Incremental segment-level dedup as a streaming sink
-    * ([[graft.ops.Dedup.segmentDedupIncrement]] per micro-batch — the
-    * ingest-time form of the batch `segmentDedup` pass): the
-    * first-occurrence catalog lives as parquet at `catalogDir` (one
-    * `seg_md5` column) and grows by each batch's surviving segments;
-    * deduped documents (batch-operator schema) append to `outDir`.
-    *
-    * foreachBatch serializes micro-batches, so the read→compute→append
-    * cycle on the catalog is race-free. Ordering INSIDE the batch matters:
-    * the new catalog rows are eagerly materialized (localCheckpoint) before
-    * either write, so the catalog append never plans a scan over the very
-    * files it is committing; the deduped output (which also reads the
-    * catalog, via the bloom subquery and anti-join) is written before the
-    * catalog grows. Checkpoint blocks are released once the appends land
-    * (same exact-ownership hygiene as the iterative Dedup loops). */
   /** Idempotent-retry layout shared by the catalog streams: foreachBatch is
     * AT-LEAST-ONCE — a crash between the data write and the streaming
     * commit re-runs the same (batch, batchId), so plain `append` sinks
@@ -214,9 +199,29 @@ object StreamingOps {
     priorTo.fold(all)(b => all.filter(col("batch") < b)).drop("batch")
   }
 
-  def segmentDedupStream(docs: DataFrame, catalogDir: String, outDir: String,
-                         checkpointDir: String, segWords: Int = 10,
-                         expectedCatalogSize: Long = 1000000L): StreamingQuery =
+  /** True iff `dir` holds at least one COMMITTED batch partition (a
+    * batch=N subdir containing a part file). A crash during the very first
+    * catalog write can leave the directory existing with only _temporary
+    * droppings — schema inference over that throws on every retry, wedging
+    * the stream; such a directory must read as the empty catalog. */
+  private def hasCommittedBatch(fs: org.apache.hadoop.fs.FileSystem,
+                                path: org.apache.hadoop.fs.Path): Boolean =
+    fs.exists(path) && fs.listStatus(path).exists { st =>
+      st.isDirectory && st.getPath.getName.startsWith("batch=") &&
+        fs.listStatus(st.getPath).exists(_.getPath.getName.endsWith(".parquet"))
+    }
+
+  /** The shared foreachBatch skeleton of the catalog streams (segment and
+    * minhash dedup): read the pre-batch catalog view (empty-typed when no
+    * batch has ever committed), run the increment, overwrite this epoch's
+    * output and catalog partitions, release the increment's checkpoint.
+    * See the [[batchDir]] scaladoc for why this layout makes at-least-once
+    * retries exact. */
+  private def catalogStream(docs: DataFrame, catalogDir: String,
+                            outDir: String, checkpointDir: String,
+                            emptyCatalog: SparkSession => DataFrame,
+                            increment: (DataFrame, DataFrame) => (DataFrame, DataFrame),
+                            catalogProj: DataFrame => DataFrame): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
@@ -225,18 +230,35 @@ object StreamingOps {
         val catPath = new org.apache.hadoop.fs.Path(catalogDir)
         val fs = catPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val catalog =
-          if (fs.exists(catPath)) readBatched(spark, catalogDir, Some(batchId))
-          else spark.range(0).select(lit(null).cast("string").as("seg_md5"))
-        val (deduped, survivors) = graft.ops.Dedup.segmentDedupIncrement(
-          batch, catalog, segWords, expectedCatalogSize)
-        // survivors is eagerly checkpointed by the increment (one bloom
-        // build + anti-join per batch, shared by both writes)
-        deduped.write.mode("overwrite").parquet(batchDir(outDir, batchId))
-        survivors.select(col("_h").as("seg_md5"))
-          .write.mode("overwrite").parquet(batchDir(catalogDir, batchId))
-        graft.ops.Dedup.releaseCheckpoint(survivors)
+          if (hasCommittedBatch(fs, catPath)) readBatched(spark, catalogDir, Some(batchId))
+          else emptyCatalog(spark)
+        // the increment returns its second element eagerly checkpointed —
+        // the expensive shared pass runs once, feeding both writes
+        val (out, sig) = increment(batch, catalog)
+        out.write.mode("overwrite").parquet(batchDir(outDir, batchId))
+        catalogProj(sig).write.mode("overwrite").parquet(batchDir(catalogDir, batchId))
+        graft.ops.Dedup.releaseCheckpoint(sig)
       }
       .start()
+
+  /** Incremental segment-level dedup as a streaming sink
+    * ([[graft.ops.Dedup.segmentDedupIncrement]] per micro-batch — the
+    * ingest-time form of the batch `segmentDedup` pass): the
+    * first-occurrence catalog lives as per-batch parquet partitions under
+    * `catalogDir` (one `seg_md5` column) and grows by each epoch's
+    * surviving segments; deduped documents (batch-operator schema) land in
+    * per-batch partitions under `outDir` — read either through
+    * [[readBatched]]. Retry safety comes from the partition-exclusion
+    * layout ([[batchDir]]), not from write ordering. */
+  def segmentDedupStream(docs: DataFrame, catalogDir: String, outDir: String,
+                         checkpointDir: String, segWords: Int = 10,
+                         expectedCatalogSize: Long = 1000000L): StreamingQuery =
+    catalogStream(docs, catalogDir, outDir, checkpointDir,
+      emptyCatalog = s =>
+        s.range(0).select(lit(null).cast("string").as("seg_md5")),
+      increment = (batch, catalog) => graft.ops.Dedup.segmentDedupIncrement(
+        batch, catalog, segWords, expectedCatalogSize),
+      catalogProj = _.select(col("_h").as("seg_md5")))
 
   /** Streaming MinHash LSH near-dup: each micro-batch band-joins against a
     * parquet catalog of previously-seen signature rows, appends its pair
@@ -250,26 +272,12 @@ object StreamingOps {
                            checkpointDir: String, numHashes: Int = 8,
                            bandSize: Int = 4,
                            shingleSize: Int = 3): StreamingQuery =
-    docs.writeStream
-      .option("checkpointLocation", checkpointDir)
-      .outputMode("append")
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        val catPath = new org.apache.hadoop.fs.Path(catalogDir)
-        val fs = catPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val catalog =
-          if (fs.exists(catPath)) readBatched(spark, catalogDir, Some(batchId))
-          else spark.range(0).select(col("id").as("doc_id"),
-            lit(null).cast("string").as("text"),
-            lit(null).cast("array<string>").as("mh"),
-            lit(null).cast("array<string>").as("bands"))
-        val (pairs, sigRows) = graft.ops.Dedup.minhashNeardupIncrement(
-          batch, catalog, numHashes, bandSize, shingleSize)
-        // sigRows is eagerly checkpointed by the increment; per-batch
-        // overwrite partitions make the retry idempotent (see batchDir)
-        pairs.write.mode("overwrite").parquet(batchDir(outDir, batchId))
-        sigRows.write.mode("overwrite").parquet(batchDir(catalogDir, batchId))
-        graft.ops.Dedup.releaseCheckpoint(sigRows)
-      }
-      .start()
+    catalogStream(docs, catalogDir, outDir, checkpointDir,
+      emptyCatalog = s => s.range(0).select(col("id").as("doc_id"),
+        lit(null).cast("string").as("text"),
+        lit(null).cast("array<string>").as("mh"),
+        lit(null).cast("array<string>").as("bands")),
+      increment = (batch, catalog) => graft.ops.Dedup.minhashNeardupIncrement(
+        batch, catalog, numHashes, bandSize, shingleSize),
+      catalogProj = identity)
 }

@@ -161,9 +161,17 @@ class DedupSpec extends SparkSpec {
     assert(got === Map(1L -> 2L, // score 40 tie between 2 and 3 -> lowest id
       5L -> 5L,                  // score 7 tie -> lowest id
       9L -> 9L))                 // singleton, score 0
-    // out-of-range score refuses loudly instead of mis-encoding
+    // partial scorer coverage: unscored members rank below every scored
+    // one; a cluster with NO scored member keeps its lowest id instead of
+    // being silently deleted whole
+    val partial = Dedup.bestPerCluster(clusters,
+      Seq((3L, 5)).toDF("doc_id", "score")) // only doc 3 scored
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(partial === Map(1L -> 3L, // the one scored member wins
+      5L -> 5L, 9L -> 9L))           // unscored clusters -> lowest id
+    // genuinely out-of-range score refuses loudly instead of mis-encoding
     val bad = Dedup.bestPerCluster(clusters,
-      Seq((1L, -1), (2L, 1), (3L, 1), (5L, 1), (6L, 1), (9L, 1)).toDF("doc_id", "score"))
+      Seq((1L, -5), (2L, 1), (3L, 1), (5L, 1), (6L, 1), (9L, 1)).toDF("doc_id", "score"))
     val e = intercept[Exception](bad.collect())
     assert(e.getMessage.contains("bestPerCluster") ||
       Option(e.getCause).exists(_.getMessage.contains("bestPerCluster")), e.toString)
