@@ -29,7 +29,13 @@ object Joins {
     // silently clobbered and dropped otherwise)
     val T = "_graft_asof_t"; val L = "_graft_asof_is_left"; val R = "_graft_asof_r"
     val l = left.withColumn(T, col(leftTs)).withColumn(L, lit(1))
-    val r = right.select(col(key), col(rightTs).as(T),
+    // A NULL right timestamp must match NOTHING (ASOF `rightTs <= ts` is
+    // never true on NULL — the DuckDB oracle agrees): drop such rows before
+    // the union, or the NULLS-FIRST sort would carry their value into every
+    // left row. A NULL LEFT timestamp then also sorts first, sees no
+    // preceding right row, and correctly gets NULL.
+    val r = right.filter(col(rightTs).isNotNull)
+      .select(col(key), col(rightTs).as(T),
       // ONE struct, not two parallel last() calls: independently-ignoring
       // nulls would pair the latest timestamp with an OLDER non-null value
       // whenever the latest right row carries a null value
@@ -56,9 +62,20 @@ object Joins {
                         bucketWidth: Double): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive (zero/negative " +
       "widths saturate the bucket sequence or flip bucket signs)")
-    val ivb = intervals.withColumn("_b", explode(sequence(
-      floor(col(loCol) / bucketWidth).cast("long"),
-      floor(col(hiCol) / bucketWidth).cast("long"))))
+    // Upper bucket: hi is EXCLUSIVE, so a width-aligned interval must not
+    // explode into the bucket starting exactly at hi (no point there can
+    // match — for aligned intervals that replica doubled the interval-side
+    // shuffle for pure waste). greatest(..) keeps degenerate lo==hi
+    // intervals at one bucket; inverted intervals (hi < lo) are filtered
+    // out entirely rather than fed to sequence(), which would descend and
+    // emit spurious rows.
+    val hiDiv = floor(col(hiCol) / bucketWidth).cast("long")
+    val hiBucket = greatest(
+      when(col(hiCol) === hiDiv * bucketWidth, hiDiv - 1).otherwise(hiDiv),
+      floor(col(loCol) / bucketWidth).cast("long"))
+    val ivb = intervals.filter(col(hiCol) >= col(loCol))
+      .withColumn("_b", explode(sequence(
+        floor(col(loCol) / bucketWidth).cast("long"), hiBucket)))
     val ptb = points.withColumn("_b", floor(col(pCol) / bucketWidth).cast("long"))
     ptb.join(ivb, "_b")
       .filter(col(pCol) >= col(loCol) && col(pCol) < col(hiCol))

@@ -150,6 +150,14 @@ object Multimodal {
         val md = java.security.MessageDigest.getInstance("MD5")
         it.map { r =>
           val p = r.payload
+          if (p == null) {
+            // NULL payload (a null-text source row) is "unknown container"
+            // taken to its limit: zeroed fields, empty-payload fingerprint
+            // — never an NPE mid-job; the caller quarantines on the zeros.
+            md.reset()
+            val fp0 = md.digest(Array.emptyByteArray).map("%02x".format(_)).mkString
+            DecodedMedia(r.doc_id, r.mime, 0L, 0, 0, 0, 0, fp0)
+          } else {
           val bb = java.nio.ByteBuffer.wrap(p).order(java.nio.ByteOrder.LITTLE_ENDIAN)
           md.reset()
           val fp = md.digest(hexUpper(p).getBytes(java.nio.charset.StandardCharsets.US_ASCII))
@@ -165,14 +173,18 @@ object Multimodal {
               payload_hex_md5 = fp)
           else
             DecodedMedia(r.doc_id, r.mime, p.length.toLong, 0, 0, 0, 0, fp)
+          }
         }
       }
   }
 
-  /** Frame sampling as pure expressions: fixed-size byte frames, every
-    * `stride`-th frame fingerprinted. Runs scan-fused (binary `substring` +
-    * `md5` are codegen'd built-ins) — no row-object materialization, which
-    * is the difference between this and a UDF at 100 TB of video payloads. */
+  /** Frame sampling as pure expressions: fixed-size byte frames; the FIRST
+    * frame and the `stride`-th frame are fingerprinted (a fixed-arity probe
+    * pair — enough to pin payload identity and detect truncation; a
+    * full every-stride sweep would be a posexplode over frame indices).
+    * Runs scan-fused (binary `substring` + `md5` are codegen'd built-ins) —
+    * no row-object materialization, which is the difference between this
+    * and a UDF at 100 TB of video payloads. */
   def frameSample(media: DataFrame, frameBytes: Int = 64,
                   stride: Int = 2): DataFrame =
     media.select(

@@ -153,6 +153,9 @@ object Sampling {
     * Contrast with orderBy(rand()): nondeterministic under retry AND a
     * global range sort. */
   def shardAssign(df: DataFrame, idCol: String, numShards: Int): DataFrame = {
+    // pmod(x, 0) is NULL under non-ANSI SQL — every row would land in a
+    // NULL shard with garbage positions instead of erroring
+    require(numShards >= 1, s"numShards must be >= 1, got $numShards")
     val h = md5(col(idCol).cast("string"))
     val shard = pmod(conv(substring(h, 1, 4), 16, 10).cast("long"), lit(numShards))
     df.withColumn("_h", h)

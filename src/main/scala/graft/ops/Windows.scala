@@ -87,9 +87,12 @@ object Windows {
   def ntileApprox(df: DataFrame, partCol: String, valueCol: String,
                   numBuckets: Int = 4, accuracy: Int = 10000): DataFrame = {
     val fracs = (1 until numBuckets).map(_.toDouble / numBuckets)
+    // typed percentile_approx(Column, Column, Column), not an expr() splice:
+    // a caller column named "my value" (or worse) must resolve as a column
+    // reference, never be parsed as SQL text
     val cuts = df.groupBy(partCol).agg(
-      expr(s"percentile_approx($valueCol, array(${fracs.mkString(",")}), $accuracy)")
-        .as("_cuts"))
+      percentile_approx(col(valueCol),
+        array(fracs.map(lit): _*), lit(accuracy)).as("_cuts"))
       .withColumnRenamed(partCol, "_pc")
     // Null-safe (<=>) join: exact ntile buckets NULL partition keys as their
     // own partition, so a plain equi-join would silently drop those rows.
@@ -113,9 +116,10 @@ object Windows {
     val isNew = when(prev.isNull || col("epoch_us") - prev > gapUs, 1).otherwise(0)
     events
       .withColumn("_new", isNew)
+      // same spec object as the lag pass — editing the ordering in one
+      // place cannot silently split sessions differently between passes
       .withColumn("session_idx", sum(col("_new")).over(
-        Window.partitionBy("user_id").orderBy("epoch_us", "event_id")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col("user_id"), col("session_idx"))
       .agg(count(lit(1)).as("n_events"),
         min(col("epoch_us")).as("start_us"),

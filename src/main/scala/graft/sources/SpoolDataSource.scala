@@ -161,11 +161,28 @@ class SpoolMicroBatchStream(path: String, conf: SerializableConfiguration)
     }
   }
 
+  // High-water mark of every offset this stream object has returned:
+  // latestOffset must be MONOTONE. A transient empty/partial directory
+  // listing would otherwise regress the watermark to "" (or a lower name),
+  // and the next full listing would re-plan — and re-read — every already-
+  // consumed file above it: mass duplicates downstream. (Spark restores
+  // committed offsets from its own checkpoint on restart, so this guard
+  // only needs to span one stream instance's lifetime.)
+  @transient private var highWater: String = ""
+
   override def initialOffset(): Offset = SpoolOffset("")
-  override def deserializeOffset(json: String): Offset = SpoolOffset(json)
+  override def deserializeOffset(json: String): Offset = {
+    // a restart seeds the high-water mark from the restored offset, so a
+    // bad listing in the FIRST trigger after restart cannot regress either
+    val o = SpoolOffset(json)
+    if (o.watermark > highWater) highWater = o.watermark
+    o
+  }
   override def latestOffset(): Offset = {
     val files = SpoolDataSource.listFiles(path, conf.value)
-    SpoolOffset(if (files.isEmpty) "" else files.last._1)
+    val seen = if (files.isEmpty) "" else files.last._1
+    if (seen > highWater) highWater = seen
+    SpoolOffset(highWater)
   }
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val lo = start.asInstanceOf[SpoolOffset].watermark

@@ -453,6 +453,12 @@ class OpsSpec extends SparkSpec {
     val r = Multimodal.decode(spark, media).collect().sortBy(_.doc_id)
     assert(r(0).width === 13 && r(0).height === 7)
     assert(r(1).sample_rate === 11025 && r(1).channels === 2)
+    // NULL payload: zeroed quarantine-able row, never an NPE mid-job
+    val withNull = Seq((3L, "application/octet-stream", null: Array[Byte]))
+      .toDF("doc_id", "mime", "payload")
+    val n = Multimodal.decode(spark, withNull).head()
+    assert(n.octet_len === 0L && n.width === 0 && n.sample_rate === 0)
+    assert(n.payload_hex_md5.nonEmpty) // empty-payload fingerprint, not null
   }
 
   test("syntheticMedia BMPs are read by a stock decoder; decode matches the contract") {

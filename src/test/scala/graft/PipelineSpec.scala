@@ -116,6 +116,30 @@ class PipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("graft-spool V2: latestOffset is monotone under a transient empty listing") {
+    val dir = java.nio.file.Files.createTempDirectory("spool_mono")
+    java.nio.file.Files.write(dir.resolve("part-0001.txt"), "a".getBytes("UTF-8"))
+    val stream = new graft.sources.SpoolMicroBatchStream(dir.toString,
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration))
+    val o1 = stream.latestOffset().asInstanceOf[graft.sources.SpoolOffset]
+    assert(o1.watermark.endsWith("part-0001.txt"))
+    // simulate a transient empty/partial listing (file vanishes from view):
+    // the offset must NOT regress — a regression would re-plan and re-read
+    // every already-consumed file on the next full listing
+    java.nio.file.Files.delete(dir.resolve("part-0001.txt"))
+    val o2 = stream.latestOffset().asInstanceOf[graft.sources.SpoolOffset]
+    assert(o2.watermark === o1.watermark, "offset regressed on empty listing")
+    // a fresh stream instance (restart) seeds its high-water mark from the
+    // checkpoint-restored offset, closing the same hole across restarts
+    val restarted = new graft.sources.SpoolMicroBatchStream(dir.toString,
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration))
+    restarted.deserializeOffset(o1.json())
+    val o3 = restarted.latestOffset().asInstanceOf[graft.sources.SpoolOffset]
+    assert(o3.watermark === o1.watermark, "offset regressed after restart")
+  }
+
   test("graft-spool V2: checkpointed restart resumes exactly (no replay, no loss)") {
     val base = java.nio.file.Files.createTempDirectory("spool_ckpt").toString
     val topic = Sources.rabbitMqInput.outputTopic
