@@ -208,10 +208,13 @@ object Cmf {
     * `UNKNOWN` catch-all the reference applies (GeotabTranslator.kt:120–124:
     * `when (s?.uppercase()) { "ON" -> ON; "OFF" -> OFF; else -> UNKNOWN }`).
     * NULL input also maps to UNKNOWN, matching the Kotlin `when` semantics. */
-  def enumNormalize(c: Column, domain: Seq[String]): Column =
-    domain.foldLeft(when(lit(false), lit(""))) { (acc, v) =>
+  def enumNormalize(c: Column, domain: Seq[String]): Column = {
+    require(domain.nonEmpty, "enumNormalize needs a non-empty domain")
+    domain.tail.foldLeft(
+      when(upper(c) === domain.head.toUpperCase, domain.head)) { (acc, v) =>
       acc.when(upper(c) === v.toUpperCase, v)
     }.otherwise("UNKNOWN")
+  }
 
   /** Assemble the full CMF envelope struct. `sourceSpecificData` must already
     * be a JSON-text column; `meta` keys land in `additionalProperties`. */

@@ -53,11 +53,18 @@ object Pipeline {
     * between batch and streaming, so it is the only injected piece. */
   private def vehicleCmf(resolve: TranslatorBinding => DataFrame,
                          tenant: String): Translated = {
-    val parts = vehicleBindings.map(b => b.translate(resolve(b), tenant))
+    val parts = vehicleBindings.map(b => (b, b.translate(resolve(b), tenant)))
     Translated(
-      valid = parts.map(_.valid.select(col("cmf_json").as("value")))
+      valid = parts.map(_._2.valid.select(col("cmf_json").as("value")))
         .reduce(_ unionByName _),
-      quarantine = parts.map(_.quarantine).reduce(_ unionByName _))
+      // tag each quarantine slice with its translator BEFORE the union —
+      // a caller holding only the combined frame can still tell a poisoned
+      // Geotab record from a poisoned Ford one (per-source dead-letter
+      // replay needs provenance; one post-union tag can't recover it)
+      quarantine = parts
+        .map { case (b, t) =>
+          t.quarantine.withColumn("source", lit(b.functionName)) }
+        .reduce(_ unionByName _))
   }
 
   /** E1/E2 tail (pipeline.yaml:63–68): CMF topic → Filterer → dynamic

@@ -31,7 +31,10 @@ object Filterer {
   def route(messages: DataFrame): Routed = {
     val t = tenantId(col("value"))
     val withTenant = messages.withColumn("tenantId", t)
-    val ok = col("tenantId").isNotNull && length(trim(col("tenantId"))) > 0
+    // rlike("\\S") mirrors Kotlin isNullOrBlank (trim() strips only ASCII
+    // 0x20, so a tab/newline-only tenant would route to a whitespace-named
+    // topic and partition directory)
+    val ok = col("tenantId").isNotNull && col("tenantId").rlike("\\S")
     Routed(
       routed = withTenant.filter(ok)
         .withColumn("topic",
@@ -78,7 +81,9 @@ object EventTypeSplitter {
             namespace: String = "integration"): Routed = {
     val et = eventType(col("value"))
     val withType = messages.withColumn("eventType", et)
-    val ok = col("eventType").isNotNull && length(trim(col("eventType"))) > 0
+    // same isNullOrBlank parity as Filterer.route: any-whitespace-only
+    // event types are dropped, not routed
+    val ok = col("eventType").isNotNull && col("eventType").rlike("\\S")
     Routed(
       routed = withType.filter(ok)
         .withColumn("topic", topicFor(col("eventType"), tenant, namespace)),

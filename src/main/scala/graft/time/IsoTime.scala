@@ -19,11 +19,28 @@ import org.apache.spark.sql.functions._
   */
 object IsoTime {
 
-  /** epoch milliseconds → canonical ISO-8601 UTC string. Null-safe. */
+  // timestamp_millis converts to micros with Math.multiplyExact: beyond
+  // |Long.MaxValue/1000| ms it THROWS (ANSI-independent) — an absurd but
+  // schema-valid epoch must surface as NULL (the quarantine path), never
+  // kill the job. Also beyond java.time's own +/-year-999999999 instant
+  // range date_format would fail; the micros bound is hit first.
+  private val MaxSafeMs = Long.MaxValue / 1000L
+
+  /** True iff the epoch-millis value survives [[isoFromEpochMillis]] —
+    * translators include this in their validity gate so an unrepresentable
+    * epoch QUARANTINES (matching the "poison the record" divergence
+    * contract) instead of passing through with a NULL dateTime. */
+  def representableMs(epochMs: Column): Column = abs(epochMs) <= MaxSafeMs
+
+  /** epoch milliseconds → canonical ISO-8601 UTC string. Null-safe; an
+    * out-of-range epoch (|ms| > Long.MaxValue/1000, where the millis→micros
+    * conversion overflows) yields NULL instead of an ArithmeticException —
+    * poison the record, never the job. */
   def isoFromEpochMillis(epochMs: Column): Column = {
-    val base   = date_format(timestamp_millis(epochMs), "yyyy-MM-dd'T'HH:mm:ss")
-    val msPart = pmod(epochMs, lit(1000L))
-    when(epochMs.isNull, lit(null).cast("string"))
+    val safe   = when(abs(epochMs) <= MaxSafeMs, epochMs)
+    val base   = date_format(timestamp_millis(safe), "yyyy-MM-dd'T'HH:mm:ss")
+    val msPart = pmod(safe, lit(1000L))
+    when(safe.isNull, lit(null).cast("string"))
       .when(msPart === 0L, concat(base, lit("Z")))
       .otherwise(concat(base, lit("."), lpad(msPart.cast("string"), 3, "0"), lit("Z")))
   }
@@ -42,18 +59,22 @@ object IsoTime {
     * path — GeotabTranslator.kt:154–157 drops such records). The explicit
     * patterns matter: a format-less try_to_timestamp also accepts bare dates
     * and space-separated datetimes that `Instant.parse` rejects, which would
-    * admit records the reference drops. `Instant.parse` accepts 1–9
-    * fractional digits, so beyond the dominant 0/3-digit shapes we fall
-    * back through every other width (coalesce stops at the first hit, so
-    * the common case pays for one parse — width 0 leads because the
-    * reference formatter suppresses the fraction on whole seconds, which is
-    * what the derived corpora overwhelmingly contain); sub-millisecond
-    * digits truncate via unix_millis exactly as `toEpochMilli` does. */
+    * admit records the reference drops.
+    *
+    * Pattern set: Spark's 'S' parser accepts any fraction length in
+    * [1, count(S)] (measured), so widths {0, 3, 9} cover all of
+    * `Instant.parse`'s 0–9 fractional digits — width 0 leads because the
+    * reference formatter suppresses the fraction on whole seconds (the
+    * overwhelmingly common derived shape), 3 catches the millisecond form,
+    * 9 subsumes every other width. `Instant.parse` also accepts
+    * seconds-bearing offsets (+05:30:15), which XXX (hour:minute) rejects —
+    * the XXXXX spellings admit those. Sub-millisecond digits truncate via
+    * unix_millis exactly as `toEpochMilli` does. */
   def epochMillisFromIso(iso: Column): Column = {
-    val widths = Seq(0, 3, 1, 2, 4, 5, 6, 7, 8, 9)
-    val pats = widths.map {
-      case 0 => "yyyy-MM-dd'T'HH:mm:ssXXX"
-      case n => s"yyyy-MM-dd'T'HH:mm:ss.${"S" * n}XXX"
+    val pats = Seq(0, 3, 9).flatMap { n =>
+      val frac = if (n == 0) "" else s".${"S" * n}"
+      Seq(s"yyyy-MM-dd'T'HH:mm:ss${frac}XXX",
+          s"yyyy-MM-dd'T'HH:mm:ss${frac}XXXXX")
     }
     unix_millis(coalesce(pats.map(p => try_to_timestamp(iso, lit(p))): _*))
   }

@@ -44,6 +44,16 @@ object LegacyTranslators {
   val all: Seq[LegacySpec] =
     Seq(userProfile, orderRecord, inventoryUpdate, paymentNotice, shipmentStatus)
 
+  /** JSON-escape a string that is spliced between double quotes in a
+    * hand-assembled envelope: json_tuple/get_json_object UNESCAPE on
+    * extraction, so a pass-through value containing `"` or `\` would
+    * otherwise emit a malformed envelope that the splitter's
+    * get_json_object silently nulls (the reference's Jackson re-escapes on
+    * serialization). Control characters are not re-escaped — the upstream
+    * validity checks never admit them into the pass-through fields. */
+  private def jsonEscape(c: Column): Column =
+    regexp_replace(c, "([\\\\\"])", "\\\\$1")
+
   /** The envelope timestamp for a given raw payload column. try_cast: a
     * non-numeric epoch field must poison the RECORD (ts.isNotNull check in
     * `ok`), never the job — ANSI-mode cast would throw. */
@@ -86,7 +96,7 @@ object LegacyTranslators {
         lit("{\"eventId\":\""), col("eventId"),
         lit("\",\"source\":\""), col("source"),
         lit("\",\"eventType\":\""), col("eventType"),
-        lit("\",\"timestamp\":\""), col("timestamp"),
+        lit("\",\"timestamp\":\""), jsonEscape(col("timestamp")),
         lit("\",\"data\":"), value, lit("}")))
     Translated(valid, tagged.filter(!col("_ok")).drop("_ok").select("value"))
   }
@@ -144,7 +154,7 @@ object LegacyTranslators {
         lit("{\"eventId\":\""), col("eventId"),
         lit("\",\"source\":\""), col("source"),
         lit("\",\"eventType\":\""), col("eventType"),
-        lit("\",\"timestamp\":\""), col("timestamp"),
+        lit("\",\"timestamp\":\""), jsonEscape(col("timestamp")),
         lit("\",\"data\":"), value, lit("}")))
       .drop(jcols: _*)
     Translated(valid, tagged.filter(!col("_ok")).select("value"))

@@ -167,7 +167,7 @@ object VehicleTranslators {
     // Kotlin wraps silently — quarantine is the documented divergence)
     val epochSource = try_multiply(jl("msg_ts"), lit(1000L))
     val ok = j("unit_id").isNotNull && j("vid").isNotNull &&
-      epochSource.isNotNull &&
+      epochSource.isNotNull && IsoTime.representableMs(epochSource) &&
       jd("gps_lat").isNotNull && jd("gps_lon").isNotNull &&
       optNumOk(jd, Seq("speed_mph", "fuel_percent", "voltage")) &&
       !hasUnknownKeys(col("value"), fields)
@@ -201,15 +201,28 @@ object VehicleTranslators {
     def jc(f: String): Column = col(s"_j_c_$f")
     def jcd(f: String): Column = expr(s"try_cast(_j_c_$f AS DOUBLE)")
     val ok = j("vin").isNotNull && j("esn").isNotNull &&
-      jl("captureTime").isNotNull && j("coords").isNotNull &&
+      jl("captureTime").isNotNull &&
+      IsoTime.representableMs(jl("captureTime")) && j("coords").isNotNull &&
       jcd("latValue").isNotNull && jcd("lonValue").isNotNull &&
       expr("try_cast(_j_c_ts AS BIGINT)").isNotNull &&
+      IsoTime.representableMs(expr("try_cast(_j_c_ts AS BIGINT)")) &&
       optNumOk(jd, Seq("vehicleSpeed", "fuelRemainingGallons")) &&
       (j("rpm").isNull || expr("try_cast(_j_rpm AS INT)").isNotNull) &&
-      // fordExtraData: Map<String,Any> binding requires a JSON OBJECT
+      // fordExtraData: Map<String,Any> binding requires a JSON OBJECT.
+      // KNOWN LIMITATION (json_tuple type erasure): a STRING value whose
+      // text happens to look like an object ("{\"a\":1}") extracts to the
+      // same unescaped text as a real object and passes this guard, where
+      // Jackson would reject the record — distinguishing them needs a raw
+      // JSON tokenizer, which no built-in exposes. Same erasure accepts
+      // non-string scalars in string-typed fields.
       (j("fordExtraData").isNull ||
         call_function("json_object_keys", j("fordExtraData")).isNotNull) &&
-      !hasUnknownKeys(col("value"), fordAllKeys)
+      !hasUnknownKeys(col("value"), fordAllKeys) &&
+      // FAIL_ON_UNKNOWN_PROPERTIES applies to the NESTED FordCoordinates
+      // binding too — an unknown key inside coords must quarantine exactly
+      // like one at the top level (json_tuple surfaces the coords object's
+      // raw text, so the same key check applies)
+      !hasUnknownKeys(j("coords"), sub)
     val tagged = parsed.withColumn("_ok", coalesce(ok, lit(false)))
 
     val dateTime = IsoTime.isoFromEpochMillis(jl("captureTime"))

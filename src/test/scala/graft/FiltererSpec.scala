@@ -33,6 +33,13 @@ class FiltererSpec extends SparkSpec {
     assert(r.routed.count() === 0 && r.dropped.count() === 1)
   }
 
+  test("filterer: drops tab/newline-only tenantId (Kotlin isNullOrBlank parity)") {
+    // trim() strips only ASCII spaces — a tab-only tenant used to route to
+    // a whitespace-named topic and partition directory
+    val r = Filterer.route(strings(cmf(""","meta":{"tenantId":"\t\n"}""")))
+    assert(r.routed.count() === 0 && r.dropped.count() === 1)
+  }
+
   test("filterer: drops when tenantId field missing from meta (ref :134-142)") {
     val r = Filterer.route(strings(cmf(""","meta":{}""")))
     assert(r.routed.count() === 0 && r.dropped.count() === 1)

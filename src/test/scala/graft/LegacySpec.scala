@@ -93,4 +93,18 @@ class LegacySpec extends SparkSpec {
     assert(muxRows === refRows)
     assert(mux.quarantine.count() === 1)
   }
+
+  test("envelope: quote/backslash in a pass-through timestamp stays valid JSON") {
+    // json extraction UNESCAPES, so the splice must re-escape or the
+    // envelope is malformed and the splitter silently nulls it
+    val in = """{"txnId":"T","amount":1,"currency":"EUR","time":"12:00\"x\\y"}"""
+    val t = LegacyTranslators.translate(strings(in), LegacyTranslators.paymentNotice,
+      deterministicIds = true)
+    val r = t.valid.select(
+      get_json_object(col("event_json"), "$.timestamp").as("ts"),
+      get_json_object(col("event_json"), "$.eventType").as("et")).head()
+    // round-trips through a second json parse to the original unescaped text
+    assert(r.getString(0) === """12:00"x\y""")
+    assert(r.getString(1) === "PAYMENT_EVENT") // envelope still parseable
+  }
 }

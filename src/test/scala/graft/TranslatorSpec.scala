@@ -242,6 +242,39 @@ class TranslatorSpec extends SparkSpec {
     assert(t.quarantine.count() === 1)
   }
 
+  test("calamp: epoch whose x1000 fits a long but overflows timestamp_millis quarantines, no job crash") {
+    // msg_ts = 1e13 s: x1000 = 1e16 ms passes try_multiply (< Long.Max)
+    // but timestamp_millis's millis->micros conversion would overflow —
+    // previously an ArithmeticException that killed the whole job
+    val absurd =
+      """{"unit_id":"c","vid":"v","msg_ts":10000000000000,""" +
+      """"gps_lat":1.0,"gps_lon":2.0}"""
+    val t = VehicleTranslators.calAmp(strings(absurd), "t")
+    assert(t.valid.count() === 0)
+    assert(t.quarantine.count() === 1)
+  }
+
+  test("geotab: seconds-bearing UTC offset parses like Instant.parse") {
+    val offs =
+      """{"Device_ID":"d","Vehicle_ID":"v",""" +
+      """"Record_DateTime":"2023-01-01T00:00:00+05:30:15","Latitude":1.0,""" +
+      """"Longitude":2.0}"""
+    val t = VehicleTranslators.geotab(strings(offs), "t")
+    assert(t.valid.count() === 1, "Instant.parse accepts +HH:MM:SS offsets")
+    // epoch matches java.time.Instant.parse
+    val es = t.valid.select(col("cmf.epochSource")).head().getLong(0)
+    assert(es === java.time.Instant.parse("2023-01-01T00:00:00+05:30:15").toEpochMilli)
+  }
+
+  test("ford: unknown key nested in coords quarantines (nested Jackson strictness)") {
+    val nested =
+      """{"vin":"v","esn":"e","captureTime":1698314400000,""" +
+      """"coords":{"latValue":1.0,"lonValue":2.0,"ts":1698314395000,"altitude":5}}"""
+    val t = VehicleTranslators.ford(strings(nested), "t")
+    assert(t.valid.count() === 0)
+    assert(t.quarantine.count() === 1)
+  }
+
   test("ford: scalar fordExtraData (not an object) poisons the record") {
     val scalar =
       """{"vin":"v","esn":"e","captureTime":1698314400000,""" +
