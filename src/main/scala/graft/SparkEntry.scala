@@ -310,7 +310,7 @@ object SparkEntry {
   /** Recall@5 of PQ/ADC vs exact cosine. Context for the absolute number:
     * the synthetic embeddings are unit-norm isotropic vectors, where
     * distance concentration bounds ANY sublinear index — the multiprobe
-    * LSH baseline (knn_recall) measures 0.125 here; PQ's ~0.30 with a
+    * LSH baseline (knn_recall) measures 0.125 here; PQ's ~0.325 with a
     * 16-byte-per-vector representation is 2.4x that baseline. */
   private def knnIvfPq(s: SparkSession, dir: String): DataFrame = {
     val emb = RawGen.table(s, dir, "embeddings")
@@ -345,7 +345,9 @@ object SparkEntry {
     * recall-oriented nprobe=8 operating point (knn_ivf_pq itself runs the
     * throughput point nprobe=2, whose recall is coverage-capped at
     * ~nprobe/numCentroids on isotropic embeddings). Measured 0.325 —
-    * above plain PQ's 0.30 (same m, k, ground truth) and 2.6× the
+    * matching plain PQ (0.325 after the self-pair fix freed one slot per
+    * query; same m, k, ground truth) while probing only half the lists,
+    * and 2.6× the
     * multiprobe-LSH 0.125 floor (knn_recall). */
   private def knnIvfPqRecallQ(s: SparkSession, dir: String): DataFrame = {
     val brute = knnBrute(s, dir).select(col("query_id"), col("neighbor_id"))
@@ -2329,7 +2331,9 @@ object SparkEntry {
   private val knnPqSql = {
     val parts = pqCtes(m = 4, k = 16, dim = 64) :+
       ("sc AS (SELECT lut.query_id, codes.vec_id, SUM(lut.d2) AS adc " +
-       "FROM codes JOIN lut USING (sub, cid) GROUP BY 1, 2)")
+       "FROM codes JOIN lut USING (sub, cid) " +
+       // self-pairs excluded, mirroring pqTopK (and the IVF-PQ chain)
+       "WHERE codes.vec_id <> lut.query_id GROUP BY 1, 2)")
     s"WITH $duckNormQuantBase,\n${parts.mkString(",\n")}\n" + pqRankSql(5)
   }
 
@@ -2449,8 +2453,9 @@ object SparkEntry {
   // recall@5 of residual IVF-PQ vs exact cosine, at the recall-oriented
   // nprobe=8 operating point (half the lists probed; knn_ivf_pq itself
   // runs the throughput point nprobe=2, whose recall is coverage-capped
-  // at ~nprobe/numCentroids on isotropic data). Measured 0.325 vs plain
-  // PQ's 0.30 (same m, k, ground truth) and multiprobe LSH's 0.125 —
+  // at ~nprobe/numCentroids on isotropic data). Measured 0.325, matching
+  // plain PQ at half the lists probed (same m, k, ground truth), 2.6×
+  // multiprobe LSH's 0.125 —
   // the residual/per-list codebooks beat the raw shared codebook once
   // coverage is comparable.
   private lazy val knnIvfPqRecallSql =

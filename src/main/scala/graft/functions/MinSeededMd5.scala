@@ -34,6 +34,20 @@ case class MinSeededMd5(left: Expression, right: Expression)
   override def nullable: Boolean = true
   override def prettyName: String = "graft_minhash"
 
+  // analysis-time check: the SQL surface (GraftExtensions) accepts
+  // arbitrary expressions — fail at analysis, not ClassCastException at run
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StringType, _), StringType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires (array<string>, string), got " +
+          s"(${l.catalogString}, ${r.catalogString})")
+    }
+
   override def nullSafeEval(arr: Any, prefix: Any): Any =
     MinSeededMd5.compute(arr.asInstanceOf[ArrayData],
       prefix.asInstanceOf[UTF8String])
@@ -80,13 +94,20 @@ object MinSeededMd5 {
     var best: Array[Byte] = null
     var i = 0
     while (i < n) {
-      md.reset()
-      md.update(prefixBytes)
-      md.update(arr.getUTF8String(i).getBytes)
-      val d = md.digest()
-      if (best == null || less(d, best)) best = d
+      val s = arr.getUTF8String(i)
+      // null element: the composable spelling's md5(concat(prefix, NULL))
+      // is NULL, which array_min IGNORES — skip, don't NPE (internal
+      // callers never produce null shingles; the SQL surface can)
+      if (s != null) {
+        md.reset()
+        md.update(prefixBytes)
+        md.update(s.getBytes)
+        val d = md.digest()
+        if (best == null || less(d, best)) best = d
+      }
       i += 1
     }
+    if (best == null) return null // all-null array == array_min of all-NULL
     val out = new Array[Byte](32)
     var j = 0
     while (j < 16) {

@@ -460,7 +460,10 @@ object Dedup {
     val enc = (sc + 1L) * twoTo32 + (lit(twoTo32 - 1) - col("id"))
     clusters.join(scores, col("id") === col("doc_id"), "left")
       .select(col("cluster_id"),
-        when(sc.between(-1L, Int.MaxValue.toLong) &&
+        // score strictly below Int.MaxValue: (Int.MaxValue+1)*2^32 = 2^63
+        // overflows Long (ANSI throws; legacy wraps negative and silently
+        // crowns the wrong member) — the top value is rejected, not encoded
+        when(sc.between(-1L, Int.MaxValue.toLong - 1L) &&
              col("id").between(0L, twoTo32 - 1), enc)
           .otherwise(raise_error(lit(
             "bestPerCluster: score must be in [0, 2^31) and id in [0, 2^32)")))
@@ -566,6 +569,12 @@ object Dedup {
                      managed: Boolean = false): DataFrame = {
     require(bits % bandBits == 0, "bits must divide into equal bands")
     val numBands = bits / bandBits
+    // the banded-recall guarantee (any pair within maxHamming collides in
+    // >= 1 band, pigeonhole) requires MORE bands than differing bits —
+    // silently missing pairs would void the documented completeness
+    require(maxHamming < numBands,
+      s"maxHamming=$maxHamming needs > $maxHamming bands, got $numBands " +
+      s"(bits=$bits / bandBits=$bandBits)")
     val sigs = simhash(docs, bits)
     val bands = array((0 until numBands).map(b =>
       substring(col("simhash"), b * bandBits + 1, bandBits)): _*)
@@ -747,18 +756,27 @@ object Dedup {
   def connectedComponentsStar(edges: DataFrame,
                               allNodes: Option[DataFrame] = None,
                               maxIter: Int = 50): DataFrame = {
+    // Materialize the raw (often LSH-derived) edge pairs ONCE and derive
+    // BOTH consumers from it before releasing: the endpoint universe is
+    // read after the loop at label extraction, so without this the whole
+    // near-dup pipeline re-executed there. endpoints checkpoints eagerly
+    // (it is the small distinct-node set) so the corpus-sized raw block
+    // can be released here rather than riding the returned frame.
+    val raw = edges.select(col("src"), col("dst")).localCheckpoint()
     // endpoint universe BEFORE dropping self-loops: a node whose only edge
     // is (x, x) must still label itself, exactly as the propagation
     // variant's symmetric view keeps it
-    val endpoints = edges.select(col("src").as("id"))
-      .unionByName(edges.select(col("dst").as("id")))
+    val endpoints = raw.select(col("src").as("id"))
+      .unionByName(raw.select(col("dst").as("id")))
       .distinct()
-    var e = edges.select(
+      .localCheckpoint()
+    var e = raw.select(
         greatest(col("src"), col("dst")).as("hi"),
         least(col("src"), col("dst")).as("lo"))
       .filter(col("hi") =!= col("lo"))
       .distinct()
-      .localCheckpoint() // materialize the (often LSH-derived) edges once
+      .localCheckpoint() // canonical pairs: the loop's working set
+    releaseCheckpoint(raw) // both derivations are materialized
     // Convergence state = (edge count, order-independent xor of per-edge
     // xxhash64). Both edge sets are DISTINCT canonical pairs, so set
     // equality — the Kiveris fixpoint test — is decided by comparing these

@@ -38,8 +38,14 @@ object Partitioning {
       "leftsemi", "left_anti", "leftanti").contains(joinType.toLowerCase),
       s"saltedJoin cannot preserve semantics for joinType=$joinType: " +
       "unmatched replicated small-side rows would duplicate")
+    // Deterministic salt from the FULL row content, never
+    // monotonically_increasing_id: the salt is a join key, and a
+    // nondeterministic key re-salts rows differently when a shuffle-fetch
+    // failure recomputes only some map tasks — rows silently drop or
+    // duplicate. Row-content hashing keeps same-key rows spread across
+    // salts (the whole point) while staying stable under retries.
     val saltedBig = big.withColumn("_salt_b",
-      pmod(hash(col(key), monotonically_increasing_id()), lit(saltFactor)))
+      pmod(hash(big.columns.map(col): _*), lit(saltFactor)))
     val saltedSmall = small.withColumn("_salt_s",
       explode(sequence(lit(0), lit(saltFactor - 1))))
     saltedBig.join(saltedSmall,

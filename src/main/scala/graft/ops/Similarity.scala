@@ -465,8 +465,12 @@ object Similarity {
              topK: Int = 5, dim: Int = 64): DataFrame = {
     val (codes, lut, release) = pqIndex(embs, queries, m, k, dim)
     // compressed-domain scan: m lookup-adds per corpus vector per query,
-    // map-side partial sums collapse before the (query_id, vec_id) exchange
+    // map-side partial sums collapse before the (query_id, vec_id) exchange.
+    // Self-pairs excluded like every sibling top-k operator — queries drawn
+    // from the corpus would otherwise burn rank 1 on themselves (adc 0)
+    // and depress recall@k comparisons by one slot.
     val scored = codes.join(broadcast(lut), Seq("sub", "cid"))
+      .filter(col("query_id") =!= col("vec_id"))
       .groupBy(col("query_id"), col("vec_id"))
       .agg(sum(col("d2")).as("adc_dist2"))
     finishPq(scored, topK, release)
@@ -487,7 +491,7 @@ object Similarity {
     * most of the −centroid component and a POOLED codebook spends all its
     * cells separating the numCentroids list-clusters instead of encoding
     * within-list variation — recall@5 collapsed to 0.025 vs raw PQ's
-    * 0.30. Within one list the centroid term is constant, so per-list
+    * 0.325. Within one list the centroid term is constant, so per-list
     * cells encode actual variation: recall@5 recovers to 0.15 (nprobe=2)
     * / 0.325 (nprobe=8) at the same m and k. Codebook count scales as
     * numCentroids×m (broadcast-tiny; cells are k per book max).
@@ -529,7 +533,7 @@ object Similarity {
     val rcorpus = embs
       .select(col("vec_id"), asDouble(col("embedding")).as("_emb"))
       .withColumn("_nrm",
-        sqrt(aggregate(col("_emb"), lit(0.0), (a, x) => a + x * x)))
+        norm(col("_emb")))
       .filter(col("_nrm") > 0.0)
       .withColumn("_qv", normQuant(col("_emb"), col("_nrm")))
       .withColumn("_s", scores(col("_emb")))
@@ -544,7 +548,7 @@ object Similarity {
     val qprobe = queries
       .select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("_emb"))
       .withColumn("_nrm",
-        sqrt(aggregate(col("_emb"), lit(0.0), (a, x) => a + x * x)))
+        norm(col("_emb")))
       .filter(col("_nrm") > 0.0)
       .withColumn("_qv", normQuant(col("_emb"), col("_nrm")))
       .select(col("query_id"), col("_qv"),
@@ -609,7 +613,7 @@ object Similarity {
       .select(col("query_id"), col("vec_id"))
     def withNorm(df: DataFrame, id: String, v: String, n: String) = df
       .select(col("vec_id").as(id), asDouble(col("embedding")).as(v))
-      .withColumn(n, sqrt(aggregate(col(v), lit(0.0), (a, x) => a + x * x)))
+      .withColumn(n, norm(col(v)))
       .filter(col(n) > 0.0)
     val corpus = withNorm(embs, "vec_id", "_cv", "_cn")
     val qs = withNorm(queries, "query_id", "_qv", "_qn")
@@ -738,7 +742,7 @@ object Similarity {
     embs
       .withColumn("_emb", emb)
       .withColumn("_nrm",
-        sqrt(aggregate(col("_emb"), lit(0.0), (a, x) => a + x * x)))
+        norm(col("_emb")))
       .withColumn("qv",
         when(col("_nrm") === 0.0, transform(col("_emb"), _ => lit(0L)))
           .otherwise(transform(col("_emb"), x =>
@@ -747,14 +751,11 @@ object Similarity {
       .select(col("vec_id"), col("qv"))
   }
 
-  /** Unpersist exactly the RDD backing a localCheckpointed frame (see
-    * Dedup's twin — precise ownership, never a registry diff). */
+  /** Unpersist exactly the RDD backing a localCheckpointed frame — one
+    * shared implementation (Dedup's), so an ownership-sensitive fix can
+    * never drift between copies. */
   private def releaseCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed match {
-      case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        lr.rdd.unpersist(blocking = false)
-      case _ => ()
-    }
+    Dedup.releaseCheckpoint(df)
 
   def quantizeInt8(embs: DataFrame): DataFrame = {
     val emb = asDouble(col("embedding"))

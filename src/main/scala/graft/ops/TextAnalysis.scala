@@ -187,7 +187,10 @@ object TextAnalysis {
     val total = docs.select(count(lit(1)).as("n_docs"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("score").desc, col("term"))
-    tf.join(dft, "term")
+    // shuffle_hash pinned: dft is corpus-VOCABULARY-sized (the scaladoc's
+    // whole point) — auto-broadcast on small-looking stats would be the
+    // driver-OOM path at scale, same pin as unigramLogProb's counts join
+    tf.join(dft.hint("shuffle_hash"), "term")
       .crossJoin(broadcast(total))
       .withColumn("score",
         col("tf") * (col("n_docs") + 1).cast("double") / (col("df") + 1))

@@ -233,10 +233,14 @@ class DedupSpec extends SparkSpec {
               else Dedup.connectedComponents(edges)
       assert(r.count() === 64)
       // a 63-diameter chain runs many rounds (63 for propagation, ~6 for
-      // star); only the FINAL round's frame may keep blocks — every earlier
-      // round and the symmetric edge set must have been released
+      // star); the surviving set must be ITERATION-INDEPENDENT — the final
+      // round's frame, plus (star only) the small endpoint-universe
+      // checkpoint that spares the edge lineage a second execution at
+      // label extraction. Every earlier round, the symmetric view, and the
+      // raw-edge materialization must have been released.
       val extra = sc.getPersistentRDDs.keySet.toSet -- before
-      assert(extra.size <= 1, s"star=$star leaked ${extra.size} block sets")
+      val bound = if (star) 2 else 1
+      assert(extra.size <= bound, s"star=$star leaked ${extra.size} block sets")
     }
   }
 
