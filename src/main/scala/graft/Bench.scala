@@ -168,10 +168,19 @@ object Bench {
     // Driver contract: "queries" maps name -> seconds. Failed queries are
     // omitted from it (and from the total) and listed under "failed" instead.
     val okResults = results.filter(_._3)
-    val qs = okResults.map { case (k, v, _) => s""""$k":$v""" }.mkString("{", ",", "}")
+    // Millisecond precision (%.3f), not full double digits: the driver
+    // captures only a bounded TAIL of this process's output, and at ~100
+    // registered queries the full-precision line overflows it — rounds 8/9
+    // lost the line's head and the driver recorded parsed:null. 3 decimals
+    // keeps the whole line inside the tail window; sub-ms digits of a
+    // wall-clock sample are noise anyway.
+    // Locale.ROOT: a comma-decimal default locale would emit invalid JSON
+    def f3(v: Double) = String.format(java.util.Locale.ROOT, "%.3f",
+      java.lang.Double.valueOf(v))
+    val qs = okResults.map { case (k, v, _) => s""""$k":${f3(v)}""" }.mkString("{", ",", "}")
     val total = okResults.map(_._2).sum
     val failed = results.filterNot(_._3).map(r => "\"" + r._1 + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ok_count":${okResults.size},"failed":$failed,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"timing":"min2med3","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"ok_count":${okResults.size},"failed":$failed,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"timing":"min2med3","sf":"$sfDir"}""")
     spark.stop()
   }
 }

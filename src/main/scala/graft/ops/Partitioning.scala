@@ -38,14 +38,30 @@ object Partitioning {
       "leftsemi", "left_anti", "leftanti").contains(joinType.toLowerCase),
       s"saltedJoin cannot preserve semantics for joinType=$joinType: " +
       "unmatched replicated small-side rows would duplicate")
-    // Deterministic salt from the FULL row content, never
+    // Deterministic salt from row content, never
     // monotonically_increasing_id: the salt is a join key, and a
     // nondeterministic key re-salts rows differently when a shuffle-fetch
     // failure recomputes only some map tasks — rows silently drop or
     // duplicate. Row-content hashing keeps same-key rows spread across
     // salts (the whole point) while staying stable under retries.
+    // hash() rejects MapType (AnalysisException without the legacy conf),
+    // so map-typed columns — at any nesting depth — are excluded from the
+    // salt input. The join key itself is always hashable (Spark rejects
+    // map-typed equi-join keys), so the input is never empty. Known
+    // limitation: EXACT full-row duplicates share one salt — determinism
+    // under retries and spreading identical rows are mutually exclusive
+    // (any per-replica tiebreaker is recompute-unstable); the hot-KEY
+    // skew this operator targets is still mitigated.
+    import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
+    def hasMap(dt: DataType): Boolean = dt match {
+      case _: MapType      => true
+      case s: StructType   => s.fields.exists(f => hasMap(f.dataType))
+      case a: ArrayType    => hasMap(a.elementType)
+      case _               => false
+    }
+    val saltCols = big.schema.fields.filterNot(f => hasMap(f.dataType)).map(f => col(f.name))
     val saltedBig = big.withColumn("_salt_b",
-      pmod(hash(big.columns.map(col): _*), lit(saltFactor)))
+      pmod(hash(saltCols.toSeq: _*), lit(saltFactor)))
     val saltedSmall = small.withColumn("_salt_s",
       explode(sequence(lit(0), lit(saltFactor - 1))))
     saltedBig.join(saltedSmall,

@@ -460,6 +460,13 @@ object Similarity {
     * [[ivfTopK]]'s inverted lists (IVF-PQ) by restricting `codes` to the
     * probed lists. Complements brute (exact), LSH/multiprobe (bucketed),
     * IVF (partition-pruned): the compressed-domain family member.
+    *
+    * Shared-id-space assumption (family-wide, like every sibling top-k
+    * operator here): `query_id` and `vec_id` are drawn from ONE id space,
+    * and a pair with `query_id == vec_id` is treated as a self-match and
+    * excluded. If the query set is EXTERNAL to the corpus, an id collision
+    * silently drops one legitimate neighbor — re-key external queries
+    * (e.g. negate or offset their ids) before calling.
     */
   def pqTopK(embs: DataFrame, queries: DataFrame, m: Int = 4, k: Int = 4,
              topK: Int = 5, dim: Int = 64): DataFrame = {

@@ -31,10 +31,12 @@ object Filterer {
   def route(messages: DataFrame): Routed = {
     val t = tenantId(col("value"))
     val withTenant = messages.withColumn("tenantId", t)
-    // rlike("\\S") mirrors Kotlin isNullOrBlank (trim() strips only ASCII
-    // 0x20, so a tab/newline-only tenant would route to a whitespace-named
-    // topic and partition directory)
-    val ok = col("tenantId").isNotNull && col("tenantId").rlike("\\S")
+    // [^\p{javaWhitespace}] mirrors Kotlin isNullOrBlank EXACTLY: Kotlin
+    // isBlank tests Char.isWhitespace (Unicode-aware), while Java regex \S
+    // is ASCII-only — a tenantId of only U+2028/U+1680 etc. is blank to
+    // the reference but \S would route it to a whitespace-named topic.
+    val ok = col("tenantId").isNotNull &&
+      col("tenantId").rlike("[^\\p{javaWhitespace}]")
     Routed(
       routed = withTenant.filter(ok)
         .withColumn("topic",
@@ -82,8 +84,10 @@ object EventTypeSplitter {
     val et = eventType(col("value"))
     val withType = messages.withColumn("eventType", et)
     // same isNullOrBlank parity as Filterer.route: any-whitespace-only
-    // event types are dropped, not routed
-    val ok = col("eventType").isNotNull && col("eventType").rlike("\\S")
+    // (Unicode, via \p{javaWhitespace} = Character.isWhitespace) event
+    // types are dropped, not routed
+    val ok = col("eventType").isNotNull &&
+      col("eventType").rlike("[^\\p{javaWhitespace}]")
     Routed(
       routed = withType.filter(ok)
         .withColumn("topic", topicFor(col("eventType"), tenant, namespace)),

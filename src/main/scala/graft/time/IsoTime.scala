@@ -29,15 +29,19 @@ object IsoTime {
   /** True iff the epoch-millis value survives [[isoFromEpochMillis]] —
     * translators include this in their validity gate so an unrepresentable
     * epoch QUARANTINES (matching the "poison the record" divergence
-    * contract) instead of passing through with a NULL dateTime. */
-  def representableMs(epochMs: Column): Column = abs(epochMs) <= MaxSafeMs
+    * contract) instead of passing through with a NULL dateTime.
+    * between(), not abs()<=: under non-ANSI SQL abs(Long.MinValue) wraps
+    * to Long.MinValue (negative), so an abs-guard PASSES the one value it
+    * exists to reject and timestamp_millis throws anyway. */
+  def representableMs(epochMs: Column): Column =
+    epochMs.between(-MaxSafeMs, MaxSafeMs)
 
   /** epoch milliseconds → canonical ISO-8601 UTC string. Null-safe; an
     * out-of-range epoch (|ms| > Long.MaxValue/1000, where the millis→micros
     * conversion overflows) yields NULL instead of an ArithmeticException —
     * poison the record, never the job. */
   def isoFromEpochMillis(epochMs: Column): Column = {
-    val safe   = when(abs(epochMs) <= MaxSafeMs, epochMs)
+    val safe   = when(epochMs.between(-MaxSafeMs, MaxSafeMs), epochMs)
     val base   = date_format(timestamp_millis(safe), "yyyy-MM-dd'T'HH:mm:ss")
     val msPart = pmod(safe, lit(1000L))
     when(safe.isNull, lit(null).cast("string"))

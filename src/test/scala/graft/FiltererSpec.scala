@@ -40,6 +40,18 @@ class FiltererSpec extends SparkSpec {
     assert(r.routed.count() === 0 && r.dropped.count() === 1)
   }
 
+  test("filterer: drops Unicode-whitespace-only tenantId (Character.isWhitespace parity)") {
+    // Kotlin isNullOrBlank is Unicode-aware (Char.isWhitespace); Java regex
+    // \S is ASCII-only — U+2028 LINE SEPARATOR / U+1680 OGHAM SPACE MARK
+    // tenants must drop, not route to a whitespace-named topic
+    val lineSep = "\u2028"
+    val ogham   = "\u1680"
+    val r = Filterer.route(strings(
+      cmf(s""","meta":{"tenantId":"$lineSep"}"""),
+      cmf(s""","meta":{"tenantId":"$ogham$lineSep"}""")))
+    assert(r.routed.count() === 0 && r.dropped.count() === 2)
+  }
+
   test("filterer: drops when tenantId field missing from meta (ref :134-142)") {
     val r = Filterer.route(strings(cmf(""","meta":{}""")))
     assert(r.routed.count() === 0 && r.dropped.count() === 1)

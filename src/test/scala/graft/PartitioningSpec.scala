@@ -37,6 +37,18 @@ class PartitioningSpec extends SparkSpec {
     assert(salted === plain)
   }
 
+  test("saltedJoin tolerates map-typed columns on the big side") {
+    import spark.implicits._
+    // hash() rejects MapType — the salt must exclude map columns (at any
+    // nesting depth) instead of throwing AnalysisException on frames that
+    // plain join handles fine
+    val big = ((1L to 50L).map(i => (i % 5, s"v$i", Map("a" -> i))) ++
+      (1L to 200L).map(_ => (3L, "hot", Map("b" -> 1L)))).toDF("k", "v", "attrs")
+    val small = (0L until 5L).map(i => (i, s"dim$i")).toDF("k", "d")
+    val plain = big.join(small, "k").count()
+    assert(Partitioning.saltedJoin(big, small, "k").count() === plain)
+  }
+
   private def withSql[T](kv: (String, String))(f: => T): T = {
     val prev = spark.conf.getOption(kv._1)
     spark.conf.set(kv._1, kv._2)

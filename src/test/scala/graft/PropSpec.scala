@@ -53,6 +53,28 @@ class PropSpec extends SparkSpec {
     assert(rejected.filter(col("ms").isNotNull).count() === 0)
   }
 
+  test("epoch extremes quarantine instead of throwing (Long.MinValue abs-wrap)") {
+    import spark.implicits._
+    // abs(Long.MinValue) wraps negative under non-ANSI SQL (and throws
+    // under ANSI), so an abs()-based range guard passes the one value it
+    // must reject and timestamp_millis kills the job — the guard now uses
+    // between(). These are schema-valid wire values (raw JSON longs via
+    // calAmp captureTime / ford ts), so they MUST poison, never throw.
+    val extremes = Seq(Long.MinValue, Long.MaxValue,
+      Long.MinValue / 1000L, Long.MaxValue / 1000L, 0L)
+    val df = extremes.toDF("ms")
+      .withColumn("rep", IsoTime.representableMs(col("ms")))
+      .withColumn("iso", IsoTime.isoFromEpochMillis(col("ms")))
+    val rows = df.collect().map(r =>
+      r.getLong(0) -> ((r.getBoolean(1), Option(r.getString(2))))).toMap
+    assert(rows(Long.MinValue) === (false, None))
+    assert(rows(Long.MaxValue) === (false, None))
+    // the in-range extremes stay representable
+    assert(rows(Long.MinValue / 1000L)._1 === true)
+    assert(rows(Long.MaxValue / 1000L)._1 === true)
+    assert(rows(0L) === (true, Some("1970-01-01T00:00:00Z")))
+  }
+
   test("splitAssign: fractions rounding to 256/256 short-circuit to always-keep") {
     import spark.implicits._
     import graft.ops.Sampling
