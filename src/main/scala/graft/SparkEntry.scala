@@ -928,6 +928,10 @@ object SparkEntry {
     Similarity.kmeansIter(RawGen.table(s, dir, "embeddings"))
       .orderBy("vec_id")
 
+  private def dedupSemanticQ(s: SparkSession, dir: String): DataFrame =
+    Similarity.semanticDedup(RawGen.table(s, dir, "embeddings"))
+      .orderBy("vec_id")
+
   private def qUnion(s: SparkSession, dir: String): DataFrame = {
     val o = RawGen.table(s, dir, "orders")
     o.filter(col("o_orderstatus") === "F").select("o_custkey")
@@ -1108,6 +1112,7 @@ object SparkEntry {
     "kmeans_assign" -> (kmeansAssignQ _),
     "kmeans_update" -> (kmeansUpdateQ _),
     "kmeans_iter" -> (kmeansIterQ _),
+    "dedup_semantic" -> (dedupSemanticQ _),
     "q_union" -> (qUnion _),
     "approx_quantiles" -> (qApproxQuantiles _),
     "q_rank_family" -> (qRankFamily _),
@@ -2240,6 +2245,33 @@ object SparkEntry {
        |  CAST(CAST(SUM(qv[i]) AS BIGINT) AS DOUBLE)/count(*) AS mean_q
        |FROM x GROUP BY cid, i ORDER BY cid, dim""".stripMargin
 
+  // SemDeDup replay: kmeans assignment (raw-int8 CTEs) buckets vectors;
+  // within-cluster ordered pairs score by integer dot over NORMALIZED
+  // int8 vectors (127²·cosine); threshold 5646 = ceil(0.35·127²). A
+  // vector is dropped when any lower-id cluster-mate clears the bar.
+  private val dedupSemanticSql =
+    s"""WITH $duckQuantBase,
+       |$duckSeedAssign,
+       |asg AS (SELECT vec_id, cid FROM a WHERE rn = 1),
+       |sn AS (SELECT vec_id, emb, sqrt(list_sum(list_transform(emb, x -> x*x))) AS nrm FROM e),
+       |qn AS (SELECT vec_id, CASE WHEN nrm = 0
+       |    THEN list_transform(emb, x -> CAST(0 AS BIGINT))
+       |    ELSE list_transform(emb, x -> greatest(CAST(-127 AS BIGINT),
+       |      least(CAST(127 AS BIGINT), CAST(floor(x*127.0/nrm + 0.5) AS BIGINT)))) END AS qv
+       |  FROM sn),
+       |pairs AS (SELECT a2.vec_id AS hi,
+       |    list_sum(list_transform(range(1, len(n1.qv)+1), i -> n1.qv[i]*n2.qv[i])) AS dt
+       |  FROM asg a1 JOIN asg a2 ON a1.cid = a2.cid AND a1.vec_id < a2.vec_id
+       |  JOIN qn n1 ON n1.vec_id = a1.vec_id
+       |  JOIN qn n2 ON n2.vec_id = a2.vec_id),
+       |dup AS (SELECT hi, count(*) AS n_sim, max(dt) AS max_dot
+       |  FROM pairs WHERE dt >= 5646 GROUP BY hi)
+       |SELECT asg.vec_id, CAST(asg.cid AS BIGINT) AS cid,
+       |  CAST(COALESCE(dup.n_sim, 0) AS BIGINT) AS n_sim_lower,
+       |  CAST(COALESCE(dup.max_dot, 0) AS BIGINT) AS max_dot_lower,
+       |  dup.hi IS NULL AS keep
+       |FROM asg LEFT JOIN dup ON dup.hi = asg.vec_id ORDER BY vec_id""".stripMargin
+
   /** Unrolled oracle for the fixed-round Lloyd loop: the iteration count is
     * a compile-time constant, so the recursive structure is generated as a
     * flat CTE chain (assign → integer-rounded means → new centroid lists,
@@ -2595,6 +2627,7 @@ object SparkEntry {
     "q_scalar_sub" -> qScalarSubSql,
     "q_zero_fill" -> qZeroFillSql,
     "kmeans_assign" -> kmeansAssignSql,
+    "dedup_semantic" -> dedupSemanticSql,
     "kmeans_update" -> kmeansUpdateSql,
     "kmeans_iter" -> kmeansIterSql,
     "q_union" -> qUnionSql,

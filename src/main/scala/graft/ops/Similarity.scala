@@ -444,6 +444,65 @@ object Similarity {
     assignToCentroids(q, cents)
   }
 
+  /** SemDeDup — semantic deduplication by clustering then within-cluster
+    * cosine pruning (Abbas et al., "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication", 2023). The insight: exact
+    * and fuzzy text dedup miss SEMANTIC duplicates (paraphrases, format
+    * variants), but corpus-wide pairwise cosine is O(N²). Clustering first
+    * bounds the quadratic term to within-cluster pairs — the paper prunes
+    * inside k-means clusters of the embedding space, which is where near
+    * duplicates land by construction.
+    *
+    * Composition here: [[kmeansAssign]]'s deterministic integer Lloyd
+    * assignment (raw-int8 domain, k lowest-id seeds) buckets the corpus;
+    * within each cluster, every (lower-id, higher-id) pair is scored by
+    * integer dot product over the NORMALIZED int8 vectors (127²·cosine —
+    * the [[normalizedQuantVecs]] domain, so the threshold is a cosine
+    * threshold and the arithmetic is bit-exact in any engine: int products
+    * ≤ 127²·dim ≪ 2⁵³ stay exact in double). A vector is dropped when ANY
+    * lower-id vector in its cluster clears `tau` — first-occurrence-wins,
+    * the same convention as every dedup operator in this library.
+    *
+    * Scale shape: the cluster assignment is [[kmeansAssign]]'s broadcast
+    * argmin (nothing corpus-sized shuffles except the assignment rows);
+    * the pairwise stage is an EQUI-JOIN on cid — never a corpus cross
+    * join — so its cost is Σ|cluster|², the quantity the paper's k
+    * controls. At 100 TB, k grows with N (k ≈ N/target-cluster-size,
+    * e.g. 10⁵ clusters for 10¹⁰ docs) holding per-cluster pair counts
+    * flat and the cid key cardinality high enough to partition evenly;
+    * the demo k=8 mirrors the oracle-checkable kmeans family. A skewed
+    * hot cluster is the operator's known failure mode (the paper
+    * re-clusters oversized clusters; [[Partitioning.saltedJoin]]-style
+    * salting does NOT apply — the pair predicate needs all members
+    * co-located).
+    */
+  def semanticDedup(embs: DataFrame, k: Int = 8,
+                    tau: Double = 0.35): DataFrame = {
+    // 127²·tau, ceil'd: an integer bar in the normalized-int8 dot domain
+    val minDot = math.ceil(tau * 127L * 127L).toLong
+    val q = quantizedVecs(embs)
+    val assigned = assignToCentroids(q, q.orderBy("vec_id").limit(k)
+      .select(col("vec_id").as("cid"), col("qv").as("cq")))
+      .select(col("vec_id"), col("cid"))
+    val withVec = assigned.join(normalizedQuantVecs(embs), "vec_id")
+      .select(col("cid"), col("vec_id"), col("qv").cast("array<double>").as("nv"))
+    val lo = withVec.select(col("cid"), col("vec_id").as("lo_id"), col("nv").as("lo_nv"))
+    val hi = withVec.select(col("cid"), col("vec_id").as("hi_id"), col("nv").as("hi_nv"))
+    // equi-join on cid + id-order predicate: each unordered pair scored once
+    val dots = lo.join(hi, Seq("cid"))
+      .filter(col("lo_id") < col("hi_id"))
+      .select(col("hi_id"),
+        dot(col("lo_nv"), col("hi_nv")).cast("long").as("dt"))
+      .filter(col("dt") >= minDot)
+      .groupBy("hi_id")
+      .agg(count(lit(1)).as("n_sim"), max(col("dt")).as("max_dot"))
+    assigned.join(dots, assigned("vec_id") === dots("hi_id"), "left")
+      .select(col("vec_id"), col("cid"),
+        coalesce(col("n_sim"), lit(0L)).cast("long").as("n_sim_lower"),
+        coalesce(col("max_dot"), lit(0L)).cast("long").as("max_dot_lower"),
+        col("n_sim").isNull.as("keep"))
+  }
+
   /** Product-quantization ANN with asymmetric-distance (ADC) scoring — the
     * codebook compression that makes billion-vector search feasible
     * (Jégou et al., "Product Quantization for Nearest Neighbor Search",

@@ -709,4 +709,37 @@ class OpsSpec extends SparkSpec {
     // 80/10/10 within ±5 points at n=1000
     assert(splits("train") > 750 && splits("train") < 850)
   }
+
+  test("semanticDedup: within-cluster near-dups drop, cross-direction outlier survives") {
+    import spark.implicits._
+    import graft.ops.Similarity
+    def vec(vals: (Int, Float)*): Array[Float] = {
+      val a = Array.fill(8)(0f); vals.foreach { case (i, v) => a(i) = v }; a
+    }
+    // two directional groups (±e0) that cluster by raw L2 to the two seed
+    // vectors (ids 1, 2), plus an orthogonal LOW-magnitude outlier that
+    // lands in cluster 1 by L2 but has cosine ≈ 0.03 with its cluster-mates
+    val corpus = Seq(
+      (1L, vec(0 -> 10f)), (2L, vec(0 -> -10f)),
+      (3L, vec(0 -> 10f, 1 -> 0.5f)), (4L, vec(0 -> -10f, 1 -> 0.5f)),
+      (5L, vec(0 -> 10.5f, 2 -> 0.5f)), (6L, vec(0 -> -10.5f, 2 -> 0.5f)),
+      (7L, vec(0 -> 0.1f, 3 -> 3f))).toDF("vec_id", "embedding")
+    def run() = Similarity.semanticDedup(corpus, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4)))
+    val r = run()
+    // every input vector reported exactly once; keep <=> no similar lower id
+    assert(r.length === 7)
+    assert(r.forall(x => x._5 === (x._3 === 0L)))
+    val keep = r.filter(_._5).map(_._1).toSet
+    assert(keep === Set(1L, 2L, 7L), r.mkString(","))
+    // dropped vectors saw at least one lower-id cluster-mate over the bar
+    assert(r.filterNot(_._5).forall(x => x._3 >= 1 && x._4 >= 5646))
+    // bit-exact determinism (integer cluster geometry + integer dots)
+    assert(r.sorted.toSeq === run().sorted.toSeq)
+    // the pairwise stage is an equi-join on cid, never a corpus cartesian
+    val plan = Similarity.semanticDedup(corpus, k = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in plan:\n$plan")
+  }
 }
