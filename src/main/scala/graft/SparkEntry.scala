@@ -932,6 +932,10 @@ object SparkEntry {
     Similarity.semanticDedup(RawGen.table(s, dir, "embeddings"))
       .orderBy("vec_id")
 
+  private def bm25Q(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bm25Search(RawGen.table(s, dir, "documents"))
+      .orderBy("query_id", "rank")
+
   private def qUnion(s: SparkSession, dir: String): DataFrame = {
     val o = RawGen.table(s, dir, "orders")
     o.filter(col("o_orderstatus") === "F").select("o_custkey")
@@ -1113,6 +1117,7 @@ object SparkEntry {
     "kmeans_update" -> (kmeansUpdateQ _),
     "kmeans_iter" -> (kmeansIterQ _),
     "dedup_semantic" -> (dedupSemanticQ _),
+    "bm25_search" -> (bm25Q _),
     "q_union" -> (qUnion _),
     "approx_quantiles" -> (qApproxQuantiles _),
     "q_rank_family" -> (qRankFamily _),
@@ -1875,6 +1880,32 @@ object SparkEntry {
        |  CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, score
        |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
 
+  // BM25 replay: inverted index restricted to query terms, Lucene "+1"
+  // idf, per-term scores quantized to DECIMAL(28,12) before the
+  // per-(query, doc) sum — exact, order-independent addition, so the
+  // rank order (ties by doc_id) matches the Spark side bit for bit.
+  private val bm25Sql =
+    s"""WITH w AS (SELECT doc_id, $duckWords AS ws FROM documents),
+       |base AS (SELECT doc_id, ws FROM w WHERE len(ws) >= 1),
+       |qd AS (SELECT doc_id AS query_id, unnest(list_distinct(ws[1:8])) AS term
+       |  FROM base WHERE doc_id % 17 = 3),
+       |corp AS (SELECT doc_id, ws, len(ws) AS dl FROM base WHERE doc_id % 17 <> 3),
+       |post AS (SELECT doc_id, dl, unnest(ws) AS term FROM corp),
+       |tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM post GROUP BY 1, 2, 3),
+       |qt AS (SELECT DISTINCT term FROM qd),
+       |rp AS (SELECT tf.* FROM tf JOIN qt USING (term)),
+       |dfq AS (SELECT term, count(*) AS df FROM rp GROUP BY 1),
+       |stats AS (SELECT count(*) AS n_docs, CAST(SUM(dl) AS DOUBLE)/count(*) AS avgdl FROM corp),
+       |sc AS (SELECT qd.query_id, rp.doc_id,
+       |    CAST(ln(1 + (n_docs - df + 0.5)/(df + 0.5)) *
+       |      rp.tf*(1.2+1)/(rp.tf + 1.2*(1 - 0.75 + 0.75*rp.dl/avgdl)) AS DECIMAL(28,12)) AS s
+       |  FROM rp JOIN qd USING (term) JOIN dfq USING (term) CROSS JOIN stats),
+       |agg AS (SELECT query_id, doc_id, SUM(s) AS sd FROM sc GROUP BY 1, 2),
+       |r AS (SELECT query_id, doc_id, sd,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY sd DESC, doc_id) AS rank FROM agg)
+       |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, CAST(sd AS DOUBLE) AS score
+       |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   private val qDistinctAggSql =
     """SELECT o_orderstatus, CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS distinct_customers,
       |  CAST(count(*) AS BIGINT) AS orders,
@@ -2628,6 +2659,7 @@ object SparkEntry {
     "q_zero_fill" -> qZeroFillSql,
     "kmeans_assign" -> kmeansAssignSql,
     "dedup_semantic" -> dedupSemanticSql,
+    "bm25_search" -> bm25Sql,
     "kmeans_update" -> kmeansUpdateSql,
     "kmeans_iter" -> kmeansIterSql,
     "q_union" -> qUnionSql,

@@ -276,6 +276,71 @@ object TextAnalysis {
         (col("_c") > 0).as("contaminated"))
   }
 
+  /** BM25 ranked retrieval (Robertson–Spärck Jones; the Lucene "+1" idf
+    * form so every term weight is positive): top-k corpus documents per
+    * query, scored by Σ_t idf(t)·tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)).
+    * Queries are carved from the corpus by `evalPred` (the decontaminate
+    * convention — deterministic, oracle-checkable on synthetic data);
+    * each query is the distinct first `queryTerms` tokens of its doc.
+    *
+    * Determinism contract: per-term scores are doubles (ln differs by
+    * ulps across engines), but each is QUANTIZED to DECIMAL(28,12) before
+    * the per-(query, doc) sum — decimal addition is exact and
+    * order-independent, so the sum (and therefore the rank order, ties
+    * broken by doc_id) cannot depend on partitioning or fold order the
+    * way a double sum would.
+    *
+    * Scale shape: the corpus pays one explode + hash agg to build
+    * postings (doc_id, dl, term, tf) — the standard inverted-index build,
+    * shuffled on nothing bigger than its own rows. The query term set is
+    * tiny (queries × ≤queryTerms rows), so it BROADCASTS three times:
+    * restricting postings to query terms (a broadcast semi-join fused
+    * into the agg output), attaching query_ids, and attaching per-term
+    * df (computed on the restricted frame — never a vocabulary-wide df
+    * pass). Only (query_id, matching doc) rows reach the final agg +
+    * per-query top-k window. Known skew: a stopword query term matches
+    * ~every doc and lands one query's candidates in one window
+    * partition — cap query terms by df upstream if that bites. */
+  def bm25Search(docs: DataFrame, topK: Int = 5, queryTerms: Int = 8,
+                 k1: Double = 1.2, b: Double = 0.75,
+                 evalPred: Column = col("doc_id") % 17 === 3): DataFrame = {
+    val w = Dedup.words(col("text"))
+    val base = docs.filter(size(w) >= 1)
+      .select(col("doc_id"), w.as("ws"), evalPred.as("_q"))
+    val corpus = base.filter(!col("_q"))
+    val queries = base.filter(col("_q"))
+      .select(col("doc_id").as("query_id"),
+        explode(array_distinct(slice(col("ws"), 1, queryTerms))).as("term"))
+    val postings = corpus
+      .select(col("doc_id"), size(col("ws")).cast("long").as("dl"),
+        explode(col("ws")).as("term"))
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+    // restrict to query terms FIRST: df is then computed over a frame
+    // bounded by Σ df(query terms), not the corpus vocabulary
+    val rp = postings.join(broadcast(queries.select("term").distinct()), "term")
+    val dfq = rp.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = corpus.agg(count(lit(1)).as("n_docs"),
+      (sum(size(col("ws")).cast("long")).cast("double") /
+        count(lit(1))).as("avgdl"))
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val tfNorm = col("tf") * (k1 + 1) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+    val scored = rp.join(broadcast(queries), "term")
+      .join(broadcast(dfq), "term")
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("doc_id"),
+        (idf * tfNorm).cast("decimal(28,12)").as("s"))
+    val ranked = scored.groupBy("query_id", "doc_id")
+      .agg(sum(col("s")).as("sd"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id").orderBy(col("sd").desc, col("doc_id"))))
+      .filter(col("rank") <= topK)
+    ranked.select(col("query_id"), col("rank"), col("doc_id"),
+      col("sd").cast("double").as("score"))
+  }
+
   /** Winnowing document fingerprints (rolling k-gram hashes, sliding-window
     * minimum — the MOSS scheme): robust to local edits, shuffle-free, and
     * portable (md5-based hash family, so any engine reproduces it). Returns

@@ -710,6 +710,36 @@ class OpsSpec extends SparkSpec {
     assert(splits("train") > 750 && splits("train") < 850)
   }
 
+  test("bm25Search: rare-term and short-doc boosts rank as BM25 says") {
+    import spark.implicits._
+    // query doc 3 (3 % 17 == 3): terms {apple, banana}. Corpus: doc 4 has
+    // BOTH terms in a short doc (rare banana dominates → rank 1); doc 1
+    // has apple 3× (tf saturation still beats doc 2's single apple);
+    // doc 5 matches nothing and must be absent.
+    val docs = Seq(
+      (1L, "apple apple apple common common common common"),
+      (2L, "apple common common common common common common"),
+      (3L, "apple banana"),
+      (4L, "banana apple common common"),
+      (5L, "common common common common")).toDF("doc_id", "text")
+    def run() = TextAnalysis.bm25Search(docs)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val r = run()
+    assert(r.length === 3)
+    assert(r.map(x => (x._2, x._3)).toSeq.sorted === Seq((1, 4L), (2, 1L), (3, 2L)))
+    // scores strictly decrease down the ranking; all positive
+    val byRank = r.sortBy(_._2).map(_._4)
+    assert(byRank.zip(byRank.tail).forall { case (a, b) => a > b })
+    assert(byRank.forall(_ > 0))
+    // decimal-quantized sums: bit-identical across runs
+    assert(r.sorted.toSeq === run().sorted.toSeq)
+    // plan: query-side frames broadcast; no cartesian over the corpus
+    // (the 1-row stats frame is the one justified broadcast cross join)
+    val plan = TextAnalysis.bm25Search(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in bm25 plan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"query side not broadcast:\n$plan")
+  }
+
   test("semanticDedup: within-cluster near-dups drop, cross-direction outlier survives") {
     import spark.implicits._
     import graft.ops.Similarity
