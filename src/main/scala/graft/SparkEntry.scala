@@ -1888,8 +1888,8 @@ object SparkEntry {
     s"""WITH w AS (SELECT doc_id, $duckWords AS ws FROM documents),
        |base AS (SELECT doc_id, ws FROM w WHERE len(ws) >= 1),
        |qd AS (SELECT doc_id AS query_id, unnest(list_distinct(ws[1:8])) AS term
-       |  FROM base WHERE doc_id % 17 = 3),
-       |corp AS (SELECT doc_id, ws, len(ws) AS dl FROM base WHERE doc_id % 17 <> 3),
+       |  FROM base WHERE doc_id % 17 = 3 AND doc_id < 544),
+       |corp AS (SELECT doc_id, ws, len(ws) AS dl FROM base WHERE NOT (doc_id % 17 = 3 AND doc_id < 544)),
        |post AS (SELECT doc_id, dl, unnest(ws) AS term FROM corp),
        |tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM post GROUP BY 1, 2, 3),
        |qt AS (SELECT DISTINCT term FROM qd),

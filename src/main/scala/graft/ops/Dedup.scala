@@ -99,7 +99,13 @@ object Dedup {
     val numBits = expectedCatalogSize * 8L
     // scalar subquery, not a cross join: might_contain requires its sketch
     // input to be a constant or scalar subquery (it folds to a literal at
-    // the scan), and the subquery form keeps the delta side join-free
+    // the scan), and the subquery form keeps the delta side join-free.
+    // This makes the operator irreducibly TWO driver-synchronized jobs
+    // (sketch build, then probe+verify) — the bloom must exist before the
+    // probe folds — so under heavy co-tenant load its wall clock carries
+    // 2× the scheduler latency of a single-job query; that is load
+    // sensitivity, not a data-volume term (driver round 9 measured 4.2×
+    // at loadavg 15 vs 1.0× quiet).
     val bloom = baseH.agg(graft.functions.Bloom.bloomAggSized(
       xxhash64(col("_bh")), expectedCatalogSize, numBits).as("_bf"))
       .scalar()
