@@ -936,6 +936,10 @@ object SparkEntry {
     TextAnalysis.bm25Search(RawGen.table(s, dir, "documents"))
       .orderBy("query_id", "rank")
 
+  private def bpePairsQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bpePairCounts(RawGen.table(s, dir, "documents"))
+      .orderBy("rank")
+
   private def qUnion(s: SparkSession, dir: String): DataFrame = {
     val o = RawGen.table(s, dir, "orders")
     o.filter(col("o_orderstatus") === "F").select("o_custkey")
@@ -1118,6 +1122,7 @@ object SparkEntry {
     "kmeans_iter" -> (kmeansIterQ _),
     "dedup_semantic" -> (dedupSemanticQ _),
     "bm25_search" -> (bm25Q _),
+    "bpe_pairs" -> (bpePairsQ _),
     "q_union" -> (qUnion _),
     "approx_quantiles" -> (qApproxQuantiles _),
     "q_rank_family" -> (qRankFamily _),
@@ -1906,6 +1911,19 @@ object SparkEntry {
        |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, CAST(sd AS DOUBLE) AS score
        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  // BPE round replay: word-frequency dict → per-word character-pair
+  // explode (dictionary-sized, not corpus-sized) → freq-weighted counts,
+  // rank ties broken by pair text (ASCII, so both engines byte-order).
+  private val bpePairsSql =
+    s"""WITH tok AS (SELECT unnest($duckWords) AS wd FROM documents),
+       |wf AS (SELECT wd, count(*) AS freq FROM tok WHERE wd <> '' GROUP BY 1),
+       |ch AS (SELECT wd, freq, string_split_regex(wd, '') AS cs FROM wf),
+       |pr AS (SELECT freq, unnest(list_transform(generate_series(1, len(cs)-1),
+       |    i -> cs[i] || ' ' || cs[i+1])) AS pair FROM ch WHERE len(cs) >= 2),
+       |agg AS (SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt FROM pr GROUP BY 1),
+       |r AS (SELECT pair, cnt, row_number() OVER (ORDER BY cnt DESC, pair) AS rank FROM agg)
+       |SELECT CAST(rank AS INT) AS rank, pair, cnt FROM r WHERE rank <= 50 ORDER BY rank""".stripMargin
+
   private val qDistinctAggSql =
     """SELECT o_orderstatus, CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS distinct_customers,
       |  CAST(count(*) AS BIGINT) AS orders,
@@ -2660,6 +2678,7 @@ object SparkEntry {
     "kmeans_assign" -> kmeansAssignSql,
     "dedup_semantic" -> dedupSemanticSql,
     "bm25_search" -> bm25Sql,
+    "bpe_pairs" -> bpePairsSql,
     "kmeans_update" -> kmeansUpdateSql,
     "kmeans_iter" -> kmeansIterSql,
     "q_union" -> qUnionSql,

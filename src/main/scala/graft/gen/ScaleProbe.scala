@@ -99,6 +99,20 @@ object ScaleProbe {
         m = 4, k = 16, topK = 5))
     pair("lm_unigram", TextAnalysis.unigramLogProb(d1),
       TextAnalysis.unigramLogProb(d10))
+    // same 32 query docs on both sides (their 10x ids are originalId*10,
+    // replica r=0): the exponent isolates postings-build + candidate-scan
+    // growth at a FIXED query budget — the operator's real serving shape
+    pair("bm25_search", TextAnalysis.bm25Search(d1),
+      TextAnalysis.bm25Search(d10,
+        evalPred = col("doc_id") % 170 === 30 && col("doc_id") < 5440))
+    // fixed k: cluster sizes grow 10x, within-cluster pairs 100x — the
+    // regime the SemDeDup paper says NOT to run (expect exponent → 2)
+    pair("semantic_dedup_fixedk", Similarity.semanticDedup(emb1),
+      Similarity.semanticDedup(emb10))
+    // k ∝ N (the paper's recipe): cluster sizes stay flat, pair count
+    // grows linearly — the 100 TB operating point
+    pair("semantic_dedup_scaledk", Similarity.semanticDedup(emb1, k = 8),
+      Similarity.semanticDedup(emb10, k = 80))
     // rerank adds one broadcast-restricted exact pass over the raw vectors
     // on top of ivf_pq_topk; the shortlist is fixed-size per query, so the
     // exact pass's data term is the corpus scan of the semi-join, not a

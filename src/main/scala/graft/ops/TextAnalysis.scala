@@ -350,6 +350,41 @@ object TextAnalysis {
       col("sd").cast("double").as("score"))
   }
 
+  /** One BPE tokenizer-training round: corpus-wide adjacent-symbol pair
+    * counts (characters as initial symbols), weighted by word frequency —
+    * the statistic whose argmax IS the next BPE merge (Sennrich et al.,
+    * "Neural Machine Translation of Rare Words with Subword Units", 2016).
+    * A tokenizer-training pipeline iterates this; one round is the
+    * oracle-checkable unit, and each subsequent round only changes the
+    * symbol segmentation, not the shape of the computation.
+    *
+    * Scale shape — the reason this belongs in a 100 TB engine: the pair
+    * explode runs on the DISTINCT-WORD dictionary, not the corpus. The
+    * corpus pays exactly one token hash-agg (map-side combine collapses
+    * repeats before the shuffle); the dictionary is Heaps-law-sublinear
+    * in corpus size, and the pair frame it explodes to is bounded by
+    * dictionary size × word length. The final rank is a global window
+    * over the aggregated PAIR frame — ≤ |alphabet|² + observed multi-char
+    * symbols, thousands of rows regardless of corpus size. */
+  def bpePairCounts(docs: DataFrame, topK: Int = 50): DataFrame = {
+    val toks = docs.select(explode(Dedup.words(col("text"))).as("wd"))
+      .filter(col("wd") =!= "")
+    val wf = toks.groupBy("wd").agg(count(lit(1)).as("freq"))
+    val pairs = wf
+      .withColumn("_cs", split(col("wd"), ""))
+      .filter(size(col("_cs")) >= 2)
+      .select(col("freq"), explode(transform(
+        sequence(lit(1), size(col("_cs")) - 1),
+        i => concat(element_at(col("_cs"), i), lit(" "),
+          element_at(col("_cs"), i + 1)))).as("pair"))
+    pairs.groupBy("pair").agg(sum(col("freq")).cast("long").as("cnt"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("cnt").desc, col("pair"))).cast("int"))
+      .filter(col("rank") <= topK)
+      .select(col("rank"), col("pair"), col("cnt"))
+  }
+
   /** Winnowing document fingerprints (rolling k-gram hashes, sliding-window
     * minimum — the MOSS scheme): robust to local edits, shuffle-free, and
     * portable (md5-based hash family, so any engine reproduces it). Returns

@@ -710,6 +710,18 @@ class OpsSpec extends SparkSpec {
     assert(splits("train") > 750 && splits("train") < 850)
   }
 
+  test("bpePairCounts: frequency-weighted adjacent pairs, deterministic tie order") {
+    import spark.implicits._
+    // word freqs: "aab" ×3, "ab" ×2, "b" ×1 (no pair) →
+    //   "a a": 3 (from aab), "a b": 3+2=5 → rank1="a b"(5), rank2="a a"(3)
+    val docs = Seq((1L, "aab ab aab"), (2L, "ab aab b")).toDF("doc_id", "text")
+    val r = TextAnalysis.bpePairCounts(docs)
+      .collect().map(x => (x.getInt(0), x.getString(1), x.getLong(2)))
+    assert(r.toSeq === Seq((1, "a b", 5L), (2, "a a", 3L)))
+    // single-char words contribute nothing; ranks are dense from 1
+    assert(r.map(_._1).toSeq === (1 to r.length))
+  }
+
   test("bm25Search: rare-term and short-doc boosts rank as BM25 says") {
     import spark.implicits._
     // query doc 3 (3 % 17 == 3): terms {apple, banana}. Corpus: doc 4 has
