@@ -37,6 +37,33 @@ class PartitioningSpec extends SparkSpec {
     assert(salted === plain)
   }
 
+  test("bm25 persisted index: identical results to the live search, no corpus scan at query time") {
+    import spark.implicits._
+    import graft.ops.TextAnalysis
+    val docs = Seq(
+      (1L, "apple apple apple common common common common"),
+      (2L, "apple common common common common common common"),
+      (3L, "apple banana"),
+      (4L, "banana apple common common"),
+      (5L, "common common common common")).toDF("doc_id", "text")
+    TextAnalysis.bm25WriteIndex(docs, "bm25t", buckets = 4)
+    val queries = TextAnalysis.bm25Queries(docs)
+    val indexed = TextAnalysis.bm25SearchIndexed(spark, queries, "bm25t")
+    val live = TextAnalysis.bm25Search(docs)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(rows(indexed) === rows(live))
+    // query-time plan reads the persisted postings (table-backed scan) and
+    // never re-explodes the corpus: its only Generate is the query frame's
+    // own term explode
+    val p = indexed.queryExecution.executedPlan.toString
+    assert(p.contains("bm25t_postings"), s"indexed search not table-backed:\n$p")
+    val gens = "Generate".r.findAllIn(p).length
+    val liveGens = "Generate".r
+      .findAllIn(live.queryExecution.executedPlan.toString).length
+    assert(gens < liveGens, s"indexed plan still explodes the corpus ($gens vs $liveGens)")
+  }
+
   test("saltedJoin tolerates map-typed columns on the big side") {
     import spark.implicits._
     // hash() rejects MapType — the salt must exclude map columns (at any
