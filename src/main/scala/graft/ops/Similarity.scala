@@ -478,16 +478,40 @@ object Similarity {
     */
   def semanticDedup(embs: DataFrame, k: Int = 8,
                     tau: Double = 0.35): DataFrame = {
-    // 127²·tau, ceil'd: an integer bar in the normalized-int8 dot domain
-    val minDot = math.ceil(tau * 127L * 127L).toLong
+    val withVec = semanticWithVec(embs, semanticCentroids(embs, k))
+    semanticVerdicts(withVec, withVec, semanticMinDot(tau))
+  }
+
+  // 127²·tau, ceil'd: an integer bar in the normalized-int8 dot domain
+  private def semanticMinDot(tau: Double): Long =
+    math.ceil(tau * 127L * 127L).toLong
+
+  /** The k-lowest-id integer centroids [[semanticDedup]] seeds with —
+    * exposed so the STREAMING form can train once (on the corpus or a
+    * sample) and assign every micro-batch against the same fixed frame. */
+  def semanticCentroids(embs: DataFrame, k: Int = 8): DataFrame = {
     val q = quantizedVecs(embs)
-    val assigned = assignToCentroids(q, q.orderBy("vec_id").limit(k)
-      .select(col("vec_id").as("cid"), col("qv").as("cq")))
+    q.orderBy("vec_id").limit(k)
+      .select(col("vec_id").as("cid"), col("qv").as("cq"))
+  }
+
+  // (cid, vec_id, nv): cluster assignment + normalized-int8 vector (as
+  // exact doubles) — the row shape the pairwise stage and the streaming
+  // catalog share
+  private def semanticWithVec(embs: DataFrame, cents: DataFrame): DataFrame =
+    assignToCentroids(quantizedVecs(embs), cents)
       .select(col("vec_id"), col("cid"))
-    val withVec = assigned.join(normalizedQuantVecs(embs), "vec_id")
+      .join(normalizedQuantVecs(embs), "vec_id")
       .select(col("cid"), col("vec_id"), col("qv").cast("array<double>").as("nv"))
-    val lo = withVec.select(col("cid"), col("vec_id").as("lo_id"), col("nv").as("lo_nv"))
-    val hi = withVec.select(col("cid"), col("vec_id").as("hi_id"), col("nv").as("hi_nv"))
+
+  // verdicts for every hiSide vector: dropped iff ANY loSide vector with
+  // a lower id in the same cluster clears minDot. loSide ⊇ hiSide gives
+  // the batch form; loSide = catalog ∪ batch, hiSide = batch gives the
+  // incremental form.
+  private def semanticVerdicts(loSide: DataFrame, hiSide: DataFrame,
+                               minDot: Long): DataFrame = {
+    val lo = loSide.select(col("cid"), col("vec_id").as("lo_id"), col("nv").as("lo_nv"))
+    val hi = hiSide.select(col("cid"), col("vec_id").as("hi_id"), col("nv").as("hi_nv"))
     // equi-join on cid + id-order predicate: each unordered pair scored once
     val dots = lo.join(hi, Seq("cid"))
       .filter(col("lo_id") < col("hi_id"))
@@ -496,11 +520,40 @@ object Similarity {
       .filter(col("dt") >= minDot)
       .groupBy("hi_id")
       .agg(count(lit(1)).as("n_sim"), max(col("dt")).as("max_dot"))
+    val assigned = hiSide.select(col("vec_id"), col("cid"))
     assigned.join(dots, assigned("vec_id") === dots("hi_id"), "left")
       .select(col("vec_id"), col("cid"),
         coalesce(col("n_sim"), lit(0L)).cast("long").as("n_sim_lower"),
         coalesce(col("max_dot"), lit(0L)).cast("long").as("max_dot_lower"),
         col("n_sim").isNull.as("keep"))
+  }
+
+  /** Incremental SemDeDup against a catalog of previously-seen vectors —
+    * the ingest-time form of [[semanticDedup]], same verdict semantics:
+    * a batch vector drops iff some lower-id vector IN THE SAME CLUSTER
+    * (from the catalog or this batch) clears `tau`. Centroids are a
+    * FIXED frame trained once via [[semanticCentroids]] — per-batch
+    * re-seeding would silently re-cluster the space every epoch and
+    * verdicts would stop being comparable across batches. When vec_ids
+    * arrive in ascending order (the batch-split scenario), the union of
+    * per-batch outputs equals the batch operator's output exactly
+    * (StreamingSpec parity); out-of-order arrival only MISSES
+    * comparisons against lower ids that have not arrived yet — verdicts
+    * never flip from drop to keep.
+    *
+    * Scale shape: the pairwise stage is |batch| × (catalog cluster
+    * partners) under the same cid equi-join as the batch form — the
+    * catalog never self-joins, so a long-running stream pays per-batch
+    * cost linear in catalog size, exactly the bound k ∝ N controls.
+    *
+    * @return (verdicts for this batch, catalog rows to append — eagerly
+    *         materialized, release after writing) */
+  def semanticDedupIncrement(batch: DataFrame, catalog: DataFrame,
+                             cents: DataFrame,
+                             tau: Double = 0.35): (DataFrame, DataFrame) = {
+    val withVec = semanticWithVec(batch, cents).localCheckpoint()
+    (semanticVerdicts(withVec.unionByName(catalog), withVec,
+      semanticMinDot(tau)), withVec)
   }
 
   /** Product-quantization ANN with asymmetric-distance (ADC) scoring — the

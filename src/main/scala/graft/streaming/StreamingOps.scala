@@ -280,4 +280,24 @@ object StreamingOps {
       increment = (batch, catalog) => graft.ops.Dedup.minhashNeardupIncrement(
         batch, catalog, numHashes, bandSize, shingleSize),
       catalogProj = identity)
+
+  /** Streaming SemDeDup: micro-batches of (vec_id, embedding) rows are
+    * assigned to a FIXED centroid frame (train once via
+    * [[graft.ops.Similarity.semanticCentroids]] — on the corpus for the
+    * parity scenario, on a sample in production) and verdict-checked
+    * against the catalog of all previously-seen vectors in the same
+    * cluster — [[graft.ops.Similarity.semanticDedupIncrement]] per
+    * micro-batch, under the same idempotent per-batch-partition catalog
+    * layout as the segment and minhash streams. Ascending vec_id arrival
+    * reproduces the batch operator's verdicts exactly (StreamingSpec). */
+  def semanticDedupStream(embs: DataFrame, catalogDir: String, outDir: String,
+                          checkpointDir: String, cents: DataFrame,
+                          tau: Double = 0.35): StreamingQuery =
+    catalogStream(embs, catalogDir, outDir, checkpointDir,
+      emptyCatalog = s => s.range(0).select(col("id").as("cid"),
+        col("id").as("vec_id"),
+        lit(null).cast("array<double>").as("nv")),
+      increment = (batch, catalog) =>
+        graft.ops.Similarity.semanticDedupIncrement(batch, catalog, cents, tau),
+      catalogProj = identity)
 }

@@ -465,6 +465,53 @@ class StreamingSpec extends SparkSpec {
     assert(StreamingOps.readBatched(spark, s"$dir/catalog").count() === 24)
   }
 
+  test("incremental semantic dedup over micro-batches == batch semanticDedup") {
+    import spark.implicits._
+    import graft.ops.Similarity
+    def vec(vals: (Int, Float)*): Seq[Float] = {
+      val a = Array.fill(8)(0f); vals.foreach { case (i, v) => a(i) = v }; a.toSeq
+    }
+    // two directional clusters seeded by ids 1/2; later members are near
+    // copies of their group (dropped), except two low-magnitude orthogonal
+    // outliers (7: cluster 1, 16: cluster 2) that survive
+    val docs = (1L to 24L).map {
+      case 7L  => (7L, vec(0 -> 0.1f, 3 -> 3f))
+      case 16L => (16L, vec(0 -> -0.1f, 5 -> 3f))
+      case i if i % 2 == 1 => (i, vec(0 -> 10f, (i % 4).toInt -> 0.5f))
+      case i => (i, vec(0 -> -10f, (i % 4).toInt -> 0.5f))
+    }
+    val corpus = docs.toDF("vec_id", "embedding")
+    // trained ONCE on the corpus (the parity scenario); every micro-batch
+    // assigns against this fixed frame
+    val cents = Similarity.semanticCentroids(corpus, k = 2)
+    val dir = java.nio.file.Files.createTempDirectory("semdedup").toString
+    val stream = MemoryStream[(Long, Seq[Float])](spark)
+    val q = StreamingOps.semanticDedupStream(
+      stream.toDF().toDF("vec_id", "embedding"),
+      s"$dir/catalog", s"$dir/out", s"$dir/ckpt", cents)
+    // ascending vec_id across batches — the documented parity contract
+    docs.grouped(8).foreach { chunk =>
+      stream.addData(chunk: _*); q.processAllAvailable()
+    }
+    q.stop()
+    val batchDf = Similarity.semanticDedup(corpus, k = 2)
+    val streamed = StreamingOps.readBatched(spark, s"$dir/out")
+      .select(batchDf.columns.map(col): _*)
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+    val batch = batchDf.collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+    assert(streamed === batch)
+    // survivors: the two seeds + the two orthogonal outliers — keeps occur
+    // in batches past the first, so the catalog comparison did the work
+    val keep = streamed.filter(_.last.asInstanceOf[Boolean])
+      .map(_.head.asInstanceOf[Long]).toSet
+    assert(keep === Set(1L, 2L, 7L, 16L))
+    // catalog holds every vector once (kept or not — verdicts compare
+    // against ALL lower ids, not just survivors)
+    val cat = StreamingOps.readBatched(spark, s"$dir/catalog")
+    assert(cat.count() === 24)
+    assert(cat.select("vec_id").distinct().count() === 24)
+  }
+
   test("streaming fan-out writes per-tenant directories via foreachBatch") {
     import spark.implicits._
     val out = java.nio.file.Files.createTempDirectory("fanout").toString
