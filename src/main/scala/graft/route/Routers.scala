@@ -31,12 +31,15 @@ object Filterer {
   def route(messages: DataFrame): Routed = {
     val t = tenantId(col("value"))
     val withTenant = messages.withColumn("tenantId", t)
-    // [^\p{javaWhitespace}] mirrors Kotlin isNullOrBlank EXACTLY: Kotlin
-    // isBlank tests Char.isWhitespace (Unicode-aware), while Java regex \S
-    // is ASCII-only — a tenantId of only U+2028/U+1680 etc. is blank to
-    // the reference but \S would route it to a whitespace-named topic.
+    // Kotlin isNullOrBlank parity: Kotlin Char.isWhitespace is
+    // Character.isWhitespace(c) || Character.isSpaceChar(c), so the
+    // non-blank witness must exclude BOTH classes — javaWhitespace alone
+    // misses the SPACE_SEPARATOR chars isWhitespace rejects (U+00A0 NBSP,
+    // U+2007, U+202F), and ASCII \S missed all Unicode whitespace; either
+    // gap routes a blank tenant to a whitespace-named topic + partition
+    // directory.
     val ok = col("tenantId").isNotNull &&
-      col("tenantId").rlike("[^\\p{javaWhitespace}]")
+      col("tenantId").rlike("[^\\p{javaWhitespace}\\p{javaSpaceChar}]")
     Routed(
       routed = withTenant.filter(ok)
         .withColumn("topic",
@@ -83,11 +86,10 @@ object EventTypeSplitter {
             namespace: String = "integration"): Routed = {
     val et = eventType(col("value"))
     val withType = messages.withColumn("eventType", et)
-    // same isNullOrBlank parity as Filterer.route: any-whitespace-only
-    // (Unicode, via \p{javaWhitespace} = Character.isWhitespace) event
-    // types are dropped, not routed
+    // same isNullOrBlank parity as Filterer.route (isWhitespace ∪
+    // isSpaceChar): any Unicode-whitespace-only event type drops
     val ok = col("eventType").isNotNull &&
-      col("eventType").rlike("[^\\p{javaWhitespace}]")
+      col("eventType").rlike("[^\\p{javaWhitespace}\\p{javaSpaceChar}]")
     Routed(
       routed = withType.filter(ok)
         .withColumn("topic", topicFor(col("eventType"), tenant, namespace)),

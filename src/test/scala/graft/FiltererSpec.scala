@@ -46,10 +46,14 @@ class FiltererSpec extends SparkSpec {
     // tenants must drop, not route to a whitespace-named topic
     val lineSep = "\u2028"
     val ogham   = "\u1680"
+    // NBSP is the adversarial case: isWhitespace=false but isSpaceChar=true
+    // - Kotlin isBlank still treats it as blank
+    val nbsp    = "\u00a0"
     val r = Filterer.route(strings(
       cmf(s""","meta":{"tenantId":"$lineSep"}"""),
-      cmf(s""","meta":{"tenantId":"$ogham$lineSep"}""")))
-    assert(r.routed.count() === 0 && r.dropped.count() === 2)
+      cmf(s""","meta":{"tenantId":"$ogham$lineSep"}"""),
+      cmf(s""","meta":{"tenantId":"$nbsp$nbsp"}""")))
+    assert(r.routed.count() === 0 && r.dropped.count() === 3)
   }
 
   test("filterer: drops when tenantId field missing from meta (ref :134-142)") {
