@@ -322,6 +322,86 @@ class PropSpec extends SparkSpec {
     }
   }
 
+  test("semanticDedup matches a brute-force reference on random int8 geometries") {
+    import spark.implicits._
+    import graft.ops.Similarity
+    val dim = 8; val k = 4
+    val vecGen = Gen.listOfN(dim, Gen.chooseNum(-5.0, 5.0).map(_.toFloat))
+    // independent reference: same quantization contract re-implemented in
+    // plain Scala — raw-int8 L2 argmin to the k lowest-id seeds (ties by
+    // ascending cid), normalized-int8 integer dots within clusters
+    def refVerdicts(vs: Seq[(Long, Seq[Float])], minDot: Long): Map[Long, (Long, Long, Long, Boolean)] = {
+      def quantRaw(v: Seq[Float]): Seq[Long] = {
+        val d = v.map(_.toDouble); val sc = d.map(math.abs).max / 127.0
+        if (sc == 0) d.map(_ => 0L)
+        else d.map(x => math.max(-127L, math.min(127L, math.floor(x / sc + 0.5).toLong)))
+      }
+      def quantNorm(v: Seq[Float]): Seq[Long] = {
+        val d = v.map(_.toDouble); val n = math.sqrt(d.map(x => x * x).sum)
+        if (n == 0) d.map(_ => 0L)
+        else d.map(x => math.max(-127L, math.min(127L, math.floor(x * 127.0 / n + 0.5).toLong)))
+      }
+      val sorted = vs.sortBy(_._1)
+      val cents = sorted.take(k).map { case (id, v) => (id, quantRaw(v)) }
+      def l2(a: Seq[Long], b: Seq[Long]) = a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+      val asg = vs.map { case (id, v) =>
+        id -> cents.map { case (cid, cq) => (l2(quantRaw(v), cq), cid) }.min._2
+      }.toMap
+      val nq = vs.map { case (id, v) => id -> quantNorm(v) }.toMap
+      vs.map { case (id, _) =>
+        val lower = vs.filter(o => o._1 < id && asg(o._1) == asg(id))
+          .map(o => nq(o._1).zip(nq(id)).map { case (x, y) => x * y }.sum)
+          .filter(_ >= minDot)
+        id -> (asg(id), lower.length.toLong,
+          (if (lower.isEmpty) 0L else lower.max), lower.isEmpty)
+      }.toMap
+    }
+    (0 until 3).foreach { round =>
+      val vs = (0 until 40).flatMap(i => vecGen.sample.map(v => ((round * 100 + i).toLong, v.toSeq)))
+      val got = Similarity.semanticDedup(vs.toDF("vec_id", "embedding"), k = k, tau = 0.35)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))))
+        .toMap
+      // the operator's integer bar: ceil(0.35 * 127^2)
+      assert(got === refVerdicts(vs, 5646), s"round $round")
+    }
+  }
+
+  test("bm25Search matches a naive reference scorer on random corpora") {
+    import spark.implicits._
+    import graft.ops.TextAnalysis
+    val wordGen = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val docGen = Gen.chooseNum(2, 12).flatMap(n => Gen.listOfN(n, wordGen))
+    val docs = (0 until 40).flatMap(i => docGen.sample.map(ws => (i.toLong, ws.mkString(" "))))
+    // reference: same carving (doc_id % 17 == 3, first-8 distinct terms),
+    // Lucene '+1' idf, decimal-12 per-term quantization, rank by (sum desc, doc)
+    def ref(ds: Seq[(Long, String)], topK: Int): Seq[(Long, Int, Long)] = {
+      val toks = ds.map { case (id, t) => id -> t.trim.split("\\s+").toSeq }
+      val (qs, corpus) = toks.partition { case (id, _) => id % 17 == 3 && id < 544 }
+      val n = corpus.length
+      val avgdl = corpus.map(_._2.length).sum.toDouble / n
+      val df = corpus.flatMap(_._2.distinct).groupBy(identity).view.mapValues(_.length).toMap
+      qs.flatMap { case (qid, ws) =>
+        val terms = ws.take(8).distinct
+        corpus.flatMap { case (did, cws) =>
+          val s = terms.flatMap { t =>
+            val tf = cws.count(_ == t)
+            if (tf == 0) None else {
+              val idf = math.log(1.0 + (n - df(t) + 0.5) / (df(t) + 0.5))
+              val tfn = tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * cws.length / avgdl))
+              Some(BigDecimal(idf * tfn).setScale(12, BigDecimal.RoundingMode.HALF_UP))
+            }
+          }
+          if (s.isEmpty) None else Some((did, s.sum))
+        }.sortBy { case (did, sd) => (-sd, did) }
+          .take(topK).zipWithIndex
+          .map { case ((did, _), i) => (qid, i + 1, did) }
+      }
+    }
+    val got = TextAnalysis.bm25Search(docs.toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq.sorted
+    assert(got === ref(docs, 5).sorted)
+  }
+
   test("mixtureSample quotas are monotone in budget (prefix property)") {
     import spark.implicits._
     import graft.ops.Sampling
