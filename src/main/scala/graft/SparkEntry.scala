@@ -940,6 +940,10 @@ object SparkEntry {
     TextAnalysis.bpePairCounts(RawGen.table(s, dir, "documents"))
       .orderBy("rank")
 
+  private def embedOutliersQ(s: SparkSession, dir: String): DataFrame =
+    Similarity.embeddingOutliers(RawGen.table(s, dir, "embeddings"))
+      .orderBy("vec_id")
+
   private def qUnion(s: SparkSession, dir: String): DataFrame = {
     val o = RawGen.table(s, dir, "orders")
     o.filter(col("o_orderstatus") === "F").select("o_custkey")
@@ -1123,6 +1127,7 @@ object SparkEntry {
     "dedup_semantic" -> (dedupSemanticQ _),
     "bm25_search" -> (bm25Q _),
     "bpe_pairs" -> (bpePairsQ _),
+    "embed_outliers" -> (embedOutliersQ _),
     "q_union" -> (qUnion _),
     "approx_quantiles" -> (qApproxQuantiles _),
     "q_rank_family" -> (qRankFamily _),
@@ -2321,6 +2326,22 @@ object SparkEntry {
        |  dup.hi IS NULL AS keep
        |FROM asg LEFT JOIN dup ON dup.hi = asg.vec_id ORDER BY vec_id""".stripMargin
 
+  // Outlier replay: kmeans assignment distances, per-cluster exact
+  // integer moments cast to double once, z-score flag at 2σ.
+  private val embedOutliersSql =
+    s"""WITH $duckQuantBase,
+       |$duckSeedAssign,
+       |asg AS (SELECT vec_id, cid, dist2 FROM a WHERE rn = 1),
+       |st AS (SELECT cid, count(*) AS n, CAST(SUM(dist2) AS DOUBLE) AS s1,
+       |    CAST(SUM(dist2*dist2) AS DOUBLE) AS s2 FROM asg GROUP BY 1),
+       |j AS (SELECT asg.vec_id, asg.cid, asg.dist2, s1/n AS mean_d2,
+       |    sqrt(greatest(s2/n - (s1/n)*(s1/n), 0)) AS std_d2
+       |  FROM asg JOIN st USING (cid))
+       |SELECT vec_id, CAST(cid AS BIGINT) AS cid, CAST(dist2 AS BIGINT) AS dist2,
+       |  mean_d2, std_d2,
+       |  CAST(dist2 AS DOUBLE) > mean_d2 + 2.0*std_d2 AS is_outlier
+       |FROM j ORDER BY vec_id""".stripMargin
+
   /** Unrolled oracle for the fixed-round Lloyd loop: the iteration count is
     * a compile-time constant, so the recursive structure is generated as a
     * flat CTE chain (assign → integer-rounded means → new centroid lists,
@@ -2679,6 +2700,7 @@ object SparkEntry {
     "dedup_semantic" -> dedupSemanticSql,
     "bm25_search" -> bm25Sql,
     "bpe_pairs" -> bpePairsSql,
+    "embed_outliers" -> embedOutliersSql,
     "kmeans_update" -> kmeansUpdateSql,
     "kmeans_iter" -> kmeansIterSql,
     "q_union" -> qUnionSql,

@@ -528,6 +528,37 @@ object Similarity {
         col("n_sim").isNull.as("keep"))
   }
 
+  /** Embedding-space outlier scoring — the data-PRUNING cousin of
+    * [[semanticDedup]] (prototype-distance metrics in the SSL-prototypes /
+    * DataComp tradition): every vector's integer squared-L2 distance to
+    * its cluster prototype, z-scored against its own cluster's distance
+    * distribution. Far-from-every-prototype vectors are mislabeled junk,
+    * OCR garbage, or genuinely novel content — either way the tail a
+    * curation pipeline inspects or drops first. Dedup removes the
+    * too-similar; this flags the too-strange.
+    *
+    * Determinism: distances are integers ([[kmeansAssign]]'s contract);
+    * per-cluster moments are EXACT decimal sums of integers cast to
+    * double once (correctly-rounded in any engine), so mean/std — and
+    * every flag — are bit-identical across engines and partitionings.
+    * Scale shape: one broadcast-argmin assignment + one k-row stats agg
+    * broadcast back; nothing corpus-sized shuffles except the
+    * assignment rows. */
+  def embeddingOutliers(embs: DataFrame, k: Int = 8,
+                        zThresh: Double = 2.0): DataFrame = {
+    val asg = assignToCentroids(quantizedVecs(embs), semanticCentroids(embs, k))
+    val stats = asg.groupBy("cid").agg(
+      count(lit(1)).as("n"),
+      sum(col("dist2").cast("decimal(28,0)")).cast("double").as("s1"),
+      sum((col("dist2") * col("dist2")).cast("decimal(38,0)")).cast("double").as("s2"))
+    val mean = col("s1") / col("n")
+    val std  = sqrt(greatest(col("s2") / col("n") - mean * mean, lit(0.0)))
+    asg.join(broadcast(stats), "cid")
+      .select(col("vec_id"), col("cid"), col("dist2"),
+        mean.as("mean_d2"), std.as("std_d2"),
+        (col("dist2").cast("double") > mean + lit(zThresh) * std).as("is_outlier"))
+  }
+
   /** Incremental SemDeDup against a catalog of previously-seen vectors —
     * the ingest-time form of [[semanticDedup]], same verdict semantics:
     * a batch vector drops iff some lower-id vector IN THE SAME CLUSTER

@@ -752,6 +752,31 @@ class OpsSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"query side not broadcast:\n$plan")
   }
 
+  test("embeddingOutliers: far-from-prototype vector flagged, flags self-consistent") {
+    import spark.implicits._
+    import graft.ops.Similarity
+    def vec(vals: (Int, Float)*): Array[Float] = {
+      val a = Array.fill(8)(0f); vals.foreach { case (i, v) => a(i) = v }; a
+    }
+    // cluster 1 (seed id 1): seven exact copies (dist2 0) + one far member
+    // (id 15, dist2 = 102² in the quantized domain → z ≈ 2.6); cluster 2:
+    // four exact copies of the seed — zero variance, no outliers possible
+    val corpus = (Seq(1L, 3L, 5L, 7L, 9L, 11L, 13L).map(i => (i, vec(0 -> 10f))) ++
+      Seq((15L, vec(0 -> 10f, 1 -> 8f))) ++
+      Seq(2L, 4L, 6L, 8L).map(i => (i, vec(0 -> -10f)))).toDF("vec_id", "embedding")
+    def run() = Similarity.embeddingOutliers(corpus, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getBoolean(5)))
+    val r = run()
+    assert(r.length === 12)
+    assert(r.filter(_._6).map(_._1).toSeq === Seq(15L), r.mkString(","))
+    // the flag is exactly the 2σ rule over the returned columns
+    assert(r.forall(x => x._6 === (x._3.toDouble > x._4 + 2.0 * x._5)))
+    // zero-variance cluster: every member AT the mean, none flagged
+    assert(r.filter(_._2 == 2L).forall(x => x._5 === 0.0 && !x._6))
+    assert(r.sorted.toSeq === run().sorted.toSeq)
+  }
+
   test("semanticDedup: within-cluster near-dups drop, cross-direction outlier survives") {
     import spark.implicits._
     import graft.ops.Similarity

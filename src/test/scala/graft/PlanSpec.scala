@@ -88,6 +88,7 @@ class PlanSpec extends SparkSpec {
       "knn_ivf_pq_recall", // embeds knn_brute's ground truth
       "tfidf_top_terms", "kmeans_assign", "kmeans_update", "kmeans_iter",
       "dedup_semantic", // embeds kmeansAssign's k broadcast centroids
+      "embed_outliers", // same broadcast-centroid assignment shape
       "bm25_search", // 1-row (n_docs, avgdl) stats frame, broadcast cross join
       "q_zero_fill")
     val dir = "/root/testdata/sf0.001"
