@@ -2333,7 +2333,8 @@ object SparkEntry {
        |$duckSeedAssign,
        |asg AS (SELECT vec_id, cid, dist2 FROM a WHERE rn = 1),
        |st AS (SELECT cid, count(*) AS n, CAST(SUM(dist2) AS DOUBLE) AS s1,
-       |    CAST(SUM(dist2*dist2) AS DOUBLE) AS s2 FROM asg GROUP BY 1),
+       |    CAST(SUM(CAST(dist2 AS HUGEINT)*CAST(dist2 AS HUGEINT)) AS DOUBLE) AS s2
+       |  FROM asg GROUP BY 1),
        |j AS (SELECT asg.vec_id, asg.cid, asg.dist2, s1/n AS mean_d2,
        |    sqrt(greatest(s2/n - (s1/n)*(s1/n), 0)) AS std_d2
        |  FROM asg JOIN st USING (cid))

@@ -546,11 +546,18 @@ object Similarity {
     * assignment rows. */
   def embeddingOutliers(embs: DataFrame, k: Int = 8,
                         zThresh: Double = 2.0): DataFrame = {
-    val asg = assignToCentroids(quantizedVecs(embs), semanticCentroids(embs, k))
+    // the existing assignment operator IS this op's first stage — one
+    // composition, so a future seeding/encoding change can't diverge
+    val asg = kmeansAssign(embs, k)
+    // square in DECIMAL, not long: dist2 reaches dim·254², so a long
+    // product wraps silently past dim ≈ 47k (inside assignToCentroids'
+    // documented dim ≲ 8.5M envelope) while the oracle's engine errors —
+    // the worst kind of asymmetry. (19,0)×(19,0) → (38,0) is exact.
+    val d2 = col("dist2").cast("decimal(19,0)")
     val stats = asg.groupBy("cid").agg(
       count(lit(1)).as("n"),
       sum(col("dist2").cast("decimal(28,0)")).cast("double").as("s1"),
-      sum((col("dist2") * col("dist2")).cast("decimal(38,0)")).cast("double").as("s2"))
+      sum(d2 * d2).cast("double").as("s2"))
     val mean = col("s1") / col("n")
     val std  = sqrt(greatest(col("s2") / col("n") - mean * mean, lit(0.0)))
     asg.join(broadcast(stats), "cid")
@@ -569,8 +576,11 @@ object Similarity {
     * arrive in ascending order (the batch-split scenario), the union of
     * per-batch outputs equals the batch operator's output exactly
     * (StreamingSpec parity); out-of-order arrival only MISSES
-    * comparisons against lower ids that have not arrived yet — verdicts
-    * never flip from drop to keep.
+    * comparisons against lower ids that have not arrived yet, so an
+    * emitted DROP is always correct but an emitted KEEP may be one the
+    * batch operator would have dropped — verdicts never flip from keep
+    * to drop, and a consumer needing full dedup coverage under
+    * out-of-order ingest must re-check keeps once the stream drains.
     *
     * Scale shape: the pairwise stage is |batch| × (catalog cluster
     * partners) under the same cid equi-join as the batch form — the

@@ -292,12 +292,20 @@ object StreamingOps {
     * reproduces the batch operator's verdicts exactly (StreamingSpec). */
   def semanticDedupStream(embs: DataFrame, catalogDir: String, outDir: String,
                           checkpointDir: String, cents: DataFrame,
-                          tau: Double = 0.35): StreamingQuery =
+                          tau: Double = 0.35): StreamingQuery = {
+    // Materialize the trained centroids ONCE into a driver-local frame
+    // (k×dim longs — tiny at any corpus scale; the kmeansIter pattern):
+    // the incoming `cents` is typically a lazy plan over the training
+    // corpus, and capturing it as-is in the foreachBatch closure would
+    // re-run that full training scan inside every epoch's broadcast build.
+    val localCents = cents.sparkSession.createDataFrame(
+      java.util.Arrays.asList(cents.collect(): _*), cents.schema)
     catalogStream(embs, catalogDir, outDir, checkpointDir,
       emptyCatalog = s => s.range(0).select(col("id").as("cid"),
         col("id").as("vec_id"),
         lit(null).cast("array<double>").as("nv")),
       increment = (batch, catalog) =>
-        graft.ops.Similarity.semanticDedupIncrement(batch, catalog, cents, tau),
+        graft.ops.Similarity.semanticDedupIncrement(batch, catalog, localCents, tau),
       catalogProj = identity)
+  }
 }
