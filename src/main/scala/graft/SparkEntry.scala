@@ -514,6 +514,31 @@ object SparkEntry {
       .orderBy("lang", "split")
   }
 
+  /** The round-10 curation composition: text quality gate × semantic
+    * (SemDeDup) keeps × embedding-outlier pruning, reported per language.
+    * Exercises the modern curation recipe — heuristic gates for junk,
+    * embedding-space dedup for paraphrase redundancy, prototype-distance
+    * pruning for the strange tail — as one oracle-checked plan. doc_id
+    * and vec_id share an id space in the test corpus (TESTDATA.md). */
+  private def curateSemanticQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = RawGen.table(s, dir, "documents")
+    val embs = RawGen.table(s, dir, "embeddings")
+    val okDocs = TextAnalysis.qualityFilter(docs).filter(col("keep"))
+      .select("doc_id")
+    val semKeep = Similarity.semanticDedup(embs).filter(col("keep"))
+      .select(col("vec_id").as("doc_id"))
+    val inliers = Similarity.embeddingOutliers(embs).filter(!col("is_outlier"))
+      .select(col("vec_id").as("doc_id"))
+    docs.join(okDocs, Seq("doc_id"), "left_semi")
+      .join(semKeep, Seq("doc_id"), "left_semi")
+      .join(inliers, Seq("doc_id"), "left_semi")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(Dedup.words(col("text"))).cast("decimal(18,0)")).cast("long")
+          .as("total_tokens"))
+      .orderBy("lang")
+  }
+
   private def qCube(s: SparkSession, dir: String): DataFrame =
     RawGen.table(s, dir, "orders")
       .cube("o_orderstatus", "o_orderpriority")
@@ -1128,6 +1153,7 @@ object SparkEntry {
     "bm25_search" -> (bm25Q _),
     "bpe_pairs" -> (bpePairsQ _),
     "embed_outliers" -> (embedOutliersQ _),
+    "curate_semantic" -> (curateSemanticQ _),
     "q_union" -> (qUnion _),
     "approx_quantiles" -> (qApproxQuantiles _),
     "q_rank_family" -> (qRankFamily _),
@@ -2343,6 +2369,59 @@ object SparkEntry {
        |  CAST(dist2 AS DOUBLE) > mean_d2 + 2.0*std_d2 AS is_outlier
        |FROM j ORDER BY vec_id""".stripMargin
 
+  // Curation-composition replay: quality gate (mirrors qualityFilterSql,
+  // stopword column renamed st0 to free the outlier-stats CTE name) ×
+  // SemDeDup keeps × outlier inliers, per-language report.
+  private val curateSemanticSql =
+    s"""WITH w AS (SELECT doc_id, text, $duckWords AS ws FROM documents),
+       |m AS (SELECT doc_id, text, len(ws) AS nw,
+       |  CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)/len(ws) AS ml,
+       |  CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+       |    / greatest(length(text), 1) AS sr,
+       |  CAST(len(list_filter(ws, x -> x IN ('the','a','of','and','is'))) AS DOUBLE)
+       |    / len(ws) AS st0
+       |FROM w),
+       |r AS (SELECT doc_id, concat_ws(',',
+       |  CASE WHEN text IS NULL THEN 'null_text' END,
+       |  CASE WHEN nw < 10 THEN 'too_few_words' END,
+       |  CASE WHEN nw > 100000 THEN 'too_many_words' END,
+       |  CASE WHEN ml < 2.0 THEN 'short_words' END,
+       |  CASE WHEN ml > 12.0 THEN 'long_words' END,
+       |  CASE WHEN sr > 0.2 THEN 'symbol_heavy' END,
+       |  CASE WHEN st0 < 0.005 THEN 'no_stopwords' END) AS fail_reasons
+       |FROM m),
+       |qk AS (SELECT doc_id FROM r WHERE fail_reasons = ''),
+       |$duckQuantBase,
+       |$duckSeedAssign,
+       |asg AS (SELECT vec_id, cid, dist2 FROM a WHERE rn = 1),
+       |sn AS (SELECT vec_id, emb, sqrt(list_sum(list_transform(emb, x -> x*x))) AS nrm FROM e),
+       |qn AS (SELECT vec_id, CASE WHEN nrm = 0
+       |    THEN list_transform(emb, x -> CAST(0 AS BIGINT))
+       |    ELSE list_transform(emb, x -> greatest(CAST(-127 AS BIGINT),
+       |      least(CAST(127 AS BIGINT), CAST(floor(x*127.0/nrm + 0.5) AS BIGINT)))) END AS qv
+       |  FROM sn),
+       |pairs AS (SELECT a2.vec_id AS hi,
+       |    list_sum(list_transform(range(1, len(n1.qv)+1), i -> n1.qv[i]*n2.qv[i])) AS dt
+       |  FROM asg a1 JOIN asg a2 ON a1.cid = a2.cid AND a1.vec_id < a2.vec_id
+       |  JOIN qn n1 ON n1.vec_id = a1.vec_id
+       |  JOIN qn n2 ON n2.vec_id = a2.vec_id),
+       |dup AS (SELECT hi FROM pairs WHERE dt >= 5646 GROUP BY hi),
+       |semk AS (SELECT asg.vec_id FROM asg LEFT JOIN dup ON dup.hi = asg.vec_id
+       |  WHERE dup.hi IS NULL),
+       |stt AS (SELECT cid, count(*) AS n, CAST(SUM(dist2) AS DOUBLE) AS s1,
+       |    CAST(SUM(CAST(dist2 AS HUGEINT)*CAST(dist2 AS HUGEINT)) AS DOUBLE) AS s2
+       |  FROM asg GROUP BY 1),
+       |j AS (SELECT asg.vec_id, asg.dist2, s1/n AS mean_d2,
+       |    sqrt(greatest(s2/n - (s1/n)*(s1/n), 0)) AS std_d2
+       |  FROM asg JOIN stt USING (cid)),
+       |inl AS (SELECT vec_id FROM j WHERE NOT (CAST(dist2 AS DOUBLE) > mean_d2 + 2.0*std_d2)),
+       |tok AS (SELECT doc_id, lang, len($duckWords) AS nt FROM documents)
+       |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, CAST(SUM(nt) AS BIGINT) AS total_tokens
+       |FROM tok JOIN qk USING (doc_id)
+       |JOIN semk ON semk.vec_id = tok.doc_id
+       |JOIN inl ON inl.vec_id = tok.doc_id
+       |GROUP BY lang ORDER BY lang""".stripMargin
+
   /** Unrolled oracle for the fixed-round Lloyd loop: the iteration count is
     * a compile-time constant, so the recursive structure is generated as a
     * flat CTE chain (assign → integer-rounded means → new centroid lists,
@@ -2702,6 +2781,7 @@ object SparkEntry {
     "bm25_search" -> bm25Sql,
     "bpe_pairs" -> bpePairsSql,
     "embed_outliers" -> embedOutliersSql,
+    "curate_semantic" -> curateSemanticSql,
     "kmeans_update" -> kmeansUpdateSql,
     "kmeans_iter" -> kmeansIterSql,
     "q_union" -> qUnionSql,

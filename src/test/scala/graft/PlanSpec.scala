@@ -89,6 +89,7 @@ class PlanSpec extends SparkSpec {
       "tfidf_top_terms", "kmeans_assign", "kmeans_update", "kmeans_iter",
       "dedup_semantic", // embeds kmeansAssign's k broadcast centroids
       "embed_outliers", // same broadcast-centroid assignment shape
+      "curate_semantic", // composes the two ops above
       "bm25_search", // 1-row (n_docs, avgdl) stats frame, broadcast cross join
       "q_zero_fill")
     val dir = "/root/testdata/sf0.001"
