@@ -525,9 +525,10 @@ object SparkEntry {
     val embs = RawGen.table(s, dir, "embeddings")
     val okDocs = TextAnalysis.qualityFilter(docs).filter(col("keep"))
       .select("doc_id")
-    val semKeep = Similarity.semanticDedup(embs).filter(col("keep"))
-      .select(col("vec_id").as("doc_id"))
-    val inliers = Similarity.embeddingOutliers(embs).filter(!col("is_outlier"))
+    // one shared assignment pass feeds both embedding-side stages
+    val (sem, outl) = Similarity.semanticCurate(embs)
+    val semKeep = sem.filter(col("keep")).select(col("vec_id").as("doc_id"))
+    val inliers = outl.filter(!col("is_outlier"))
       .select(col("vec_id").as("doc_id"))
     docs.join(okDocs, Seq("doc_id"), "left_semi")
       .join(semKeep, Seq("doc_id"), "left_semi")
@@ -1395,15 +1396,20 @@ object SparkEntry {
       |FROM supplier JOIN nation ON s_nationkey = n_nationkey
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
-  private val qualityFilterSql =
-    s"""WITH w AS (SELECT doc_id, text, $duckWords AS ws FROM documents),
+  /** Quality-gate CTE chain (w → m → r), ending in r(doc_id,
+    * fail_reasons). Shared verbatim by qualityFilterSql and
+    * curateSemanticSql so a threshold or formula change cannot drift
+    * between them. The stopword-ratio column is named st0 (not st) to
+    * stay clear of sibling CTE/column names in larger splices. */
+  private val duckQualityCtes =
+    s"""w AS (SELECT doc_id, text, $duckWords AS ws FROM documents),
        |m AS (SELECT doc_id, text,
        |  len(ws) AS nw,
        |  CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)/len(ws) AS ml,
        |  CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
        |    / greatest(length(text), 1) AS sr,
        |  CAST(len(list_filter(ws, x -> x IN ('the','a','of','and','is'))) AS DOUBLE)
-       |    / len(ws) AS st
+       |    / len(ws) AS st0
        |FROM w),
        |r AS (SELECT doc_id, concat_ws(',',
        |  CASE WHEN text IS NULL THEN 'null_text' END,
@@ -1412,8 +1418,11 @@ object SparkEntry {
        |  CASE WHEN ml < 2.0 THEN 'short_words' END,
        |  CASE WHEN ml > 12.0 THEN 'long_words' END,
        |  CASE WHEN sr > 0.2 THEN 'symbol_heavy' END,
-       |  CASE WHEN st < 0.005 THEN 'no_stopwords' END) AS fail_reasons
-       |FROM m)
+       |  CASE WHEN st0 < 0.005 THEN 'no_stopwords' END) AS fail_reasons
+       |FROM m)""".stripMargin
+
+  private val qualityFilterSql =
+    s"""WITH $duckQualityCtes
        |SELECT doc_id, fail_reasons = '' AS keep, fail_reasons
        |FROM r ORDER BY doc_id""".stripMargin
 
@@ -2309,11 +2318,48 @@ object SparkEntry {
       |    row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn
       |  FROM d)""".stripMargin
 
+  // winner rows of the assignment window — the frame every downstream
+  // embedding-op fragment (SemDeDup pairs, outlier stats) builds on
+  private val duckAsgCte =
+    "asg AS (SELECT vec_id, cid, dist2 FROM a WHERE rn = 1)"
+
+  /** SemDeDup pairwise chain on top of asg: NORMALIZED int8 vectors,
+    * within-cluster ordered-pair integer dots (127²·cosine), and
+    * dup = vectors with a lower-id cluster-mate clearing 5646 =
+    * ceil(0.35·127²). Shared by dedupSemanticSql and curateSemanticSql. */
+  private val duckSemPairCtes =
+    """sn AS (SELECT vec_id, emb, sqrt(list_sum(list_transform(emb, x -> x*x))) AS nrm FROM e),
+      |qn AS (SELECT vec_id, CASE WHEN nrm = 0
+      |    THEN list_transform(emb, x -> CAST(0 AS BIGINT))
+      |    ELSE list_transform(emb, x -> greatest(CAST(-127 AS BIGINT),
+      |      least(CAST(127 AS BIGINT), CAST(floor(x*127.0/nrm + 0.5) AS BIGINT)))) END AS qv
+      |  FROM sn),
+      |pairs AS (SELECT a2.vec_id AS hi,
+      |    list_sum(list_transform(range(1, len(n1.qv)+1), i -> n1.qv[i]*n2.qv[i])) AS dt
+      |  FROM asg a1 JOIN asg a2 ON a1.cid = a2.cid AND a1.vec_id < a2.vec_id
+      |  JOIN qn n1 ON n1.vec_id = a1.vec_id
+      |  JOIN qn n2 ON n2.vec_id = a2.vec_id),
+      |dup AS (SELECT hi, count(*) AS n_sim, max(dt) AS max_dot
+      |  FROM pairs WHERE dt >= 5646 GROUP BY hi)""".stripMargin
+
+  /** Outlier-stats chain on top of asg: per-cluster exact integer moments
+    * cast to double once, per-vector z-scores in CTE j. The stats CTE is
+    * named stt (not st) to stay clear of sibling names in larger splices.
+    * Shared by embedOutliersSql and curateSemanticSql. */
+  private val duckOutlierCtes =
+    """stt AS (SELECT cid, count(*) AS n, CAST(SUM(dist2) AS DOUBLE) AS s1,
+      |    CAST(SUM(CAST(dist2 AS HUGEINT)*CAST(dist2 AS HUGEINT)) AS DOUBLE) AS s2
+      |  FROM asg GROUP BY 1),
+      |j AS (SELECT asg.vec_id, asg.cid, asg.dist2, s1/n AS mean_d2,
+      |    sqrt(greatest(s2/n - (s1/n)*(s1/n), 0)) AS std_d2
+      |  FROM asg JOIN stt USING (cid))""".stripMargin
+
   private val kmeansAssignSql =
     s"""WITH $duckQuantBase,
-       |$duckSeedAssign
+       |$duckSeedAssign,
+       |$duckAsgCte
        |SELECT vec_id, CAST(cid AS BIGINT) AS cid, CAST(dist2 AS BIGINT) AS dist2
-       |FROM a WHERE rn = 1 ORDER BY vec_id""".stripMargin
+       |FROM asg ORDER BY vec_id""".stripMargin
 
   private val kmeansUpdateSql =
     s"""WITH $duckQuantBase,
@@ -2326,94 +2372,45 @@ object SparkEntry {
        |FROM x GROUP BY cid, i ORDER BY cid, dim""".stripMargin
 
   // SemDeDup replay: kmeans assignment (raw-int8 CTEs) buckets vectors;
-  // within-cluster ordered pairs score by integer dot over NORMALIZED
-  // int8 vectors (127²·cosine); threshold 5646 = ceil(0.35·127²). A
-  // vector is dropped when any lower-id cluster-mate clears the bar.
+  // the shared pair chain scores them; a vector is dropped when any
+  // lower-id cluster-mate clears the bar.
   private val dedupSemanticSql =
     s"""WITH $duckQuantBase,
        |$duckSeedAssign,
-       |asg AS (SELECT vec_id, cid FROM a WHERE rn = 1),
-       |sn AS (SELECT vec_id, emb, sqrt(list_sum(list_transform(emb, x -> x*x))) AS nrm FROM e),
-       |qn AS (SELECT vec_id, CASE WHEN nrm = 0
-       |    THEN list_transform(emb, x -> CAST(0 AS BIGINT))
-       |    ELSE list_transform(emb, x -> greatest(CAST(-127 AS BIGINT),
-       |      least(CAST(127 AS BIGINT), CAST(floor(x*127.0/nrm + 0.5) AS BIGINT)))) END AS qv
-       |  FROM sn),
-       |pairs AS (SELECT a2.vec_id AS hi,
-       |    list_sum(list_transform(range(1, len(n1.qv)+1), i -> n1.qv[i]*n2.qv[i])) AS dt
-       |  FROM asg a1 JOIN asg a2 ON a1.cid = a2.cid AND a1.vec_id < a2.vec_id
-       |  JOIN qn n1 ON n1.vec_id = a1.vec_id
-       |  JOIN qn n2 ON n2.vec_id = a2.vec_id),
-       |dup AS (SELECT hi, count(*) AS n_sim, max(dt) AS max_dot
-       |  FROM pairs WHERE dt >= 5646 GROUP BY hi)
+       |$duckAsgCte,
+       |$duckSemPairCtes
        |SELECT asg.vec_id, CAST(asg.cid AS BIGINT) AS cid,
        |  CAST(COALESCE(dup.n_sim, 0) AS BIGINT) AS n_sim_lower,
        |  CAST(COALESCE(dup.max_dot, 0) AS BIGINT) AS max_dot_lower,
        |  dup.hi IS NULL AS keep
        |FROM asg LEFT JOIN dup ON dup.hi = asg.vec_id ORDER BY vec_id""".stripMargin
 
-  // Outlier replay: kmeans assignment distances, per-cluster exact
-  // integer moments cast to double once, z-score flag at 2σ.
+  // Outlier replay: kmeans assignment distances through the shared
+  // z-score chain, flag at 2σ.
   private val embedOutliersSql =
     s"""WITH $duckQuantBase,
        |$duckSeedAssign,
-       |asg AS (SELECT vec_id, cid, dist2 FROM a WHERE rn = 1),
-       |st AS (SELECT cid, count(*) AS n, CAST(SUM(dist2) AS DOUBLE) AS s1,
-       |    CAST(SUM(CAST(dist2 AS HUGEINT)*CAST(dist2 AS HUGEINT)) AS DOUBLE) AS s2
-       |  FROM asg GROUP BY 1),
-       |j AS (SELECT asg.vec_id, asg.cid, asg.dist2, s1/n AS mean_d2,
-       |    sqrt(greatest(s2/n - (s1/n)*(s1/n), 0)) AS std_d2
-       |  FROM asg JOIN st USING (cid))
+       |$duckAsgCte,
+       |$duckOutlierCtes
        |SELECT vec_id, CAST(cid AS BIGINT) AS cid, CAST(dist2 AS BIGINT) AS dist2,
        |  mean_d2, std_d2,
        |  CAST(dist2 AS DOUBLE) > mean_d2 + 2.0*std_d2 AS is_outlier
        |FROM j ORDER BY vec_id""".stripMargin
 
-  // Curation-composition replay: quality gate (mirrors qualityFilterSql,
-  // stopword column renamed st0 to free the outlier-stats CTE name) ×
-  // SemDeDup keeps × outlier inliers, per-language report.
+  // Curation-composition replay assembled from the SHARED stage
+  // fragments (quality gate, SemDeDup pair chain, outlier z-scores), so
+  // a threshold change in any stage oracle flows here automatically:
+  // per-language report over quality keeps × SemDeDup keeps × inliers.
   private val curateSemanticSql =
-    s"""WITH w AS (SELECT doc_id, text, $duckWords AS ws FROM documents),
-       |m AS (SELECT doc_id, text, len(ws) AS nw,
-       |  CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)/len(ws) AS ml,
-       |  CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
-       |    / greatest(length(text), 1) AS sr,
-       |  CAST(len(list_filter(ws, x -> x IN ('the','a','of','and','is'))) AS DOUBLE)
-       |    / len(ws) AS st0
-       |FROM w),
-       |r AS (SELECT doc_id, concat_ws(',',
-       |  CASE WHEN text IS NULL THEN 'null_text' END,
-       |  CASE WHEN nw < 10 THEN 'too_few_words' END,
-       |  CASE WHEN nw > 100000 THEN 'too_many_words' END,
-       |  CASE WHEN ml < 2.0 THEN 'short_words' END,
-       |  CASE WHEN ml > 12.0 THEN 'long_words' END,
-       |  CASE WHEN sr > 0.2 THEN 'symbol_heavy' END,
-       |  CASE WHEN st0 < 0.005 THEN 'no_stopwords' END) AS fail_reasons
-       |FROM m),
+    s"""WITH $duckQualityCtes,
        |qk AS (SELECT doc_id FROM r WHERE fail_reasons = ''),
        |$duckQuantBase,
        |$duckSeedAssign,
-       |asg AS (SELECT vec_id, cid, dist2 FROM a WHERE rn = 1),
-       |sn AS (SELECT vec_id, emb, sqrt(list_sum(list_transform(emb, x -> x*x))) AS nrm FROM e),
-       |qn AS (SELECT vec_id, CASE WHEN nrm = 0
-       |    THEN list_transform(emb, x -> CAST(0 AS BIGINT))
-       |    ELSE list_transform(emb, x -> greatest(CAST(-127 AS BIGINT),
-       |      least(CAST(127 AS BIGINT), CAST(floor(x*127.0/nrm + 0.5) AS BIGINT)))) END AS qv
-       |  FROM sn),
-       |pairs AS (SELECT a2.vec_id AS hi,
-       |    list_sum(list_transform(range(1, len(n1.qv)+1), i -> n1.qv[i]*n2.qv[i])) AS dt
-       |  FROM asg a1 JOIN asg a2 ON a1.cid = a2.cid AND a1.vec_id < a2.vec_id
-       |  JOIN qn n1 ON n1.vec_id = a1.vec_id
-       |  JOIN qn n2 ON n2.vec_id = a2.vec_id),
-       |dup AS (SELECT hi FROM pairs WHERE dt >= 5646 GROUP BY hi),
+       |$duckAsgCte,
+       |$duckSemPairCtes,
        |semk AS (SELECT asg.vec_id FROM asg LEFT JOIN dup ON dup.hi = asg.vec_id
        |  WHERE dup.hi IS NULL),
-       |stt AS (SELECT cid, count(*) AS n, CAST(SUM(dist2) AS DOUBLE) AS s1,
-       |    CAST(SUM(CAST(dist2 AS HUGEINT)*CAST(dist2 AS HUGEINT)) AS DOUBLE) AS s2
-       |  FROM asg GROUP BY 1),
-       |j AS (SELECT asg.vec_id, asg.dist2, s1/n AS mean_d2,
-       |    sqrt(greatest(s2/n - (s1/n)*(s1/n), 0)) AS std_d2
-       |  FROM asg JOIN stt USING (cid)),
+       |$duckOutlierCtes,
        |inl AS (SELECT vec_id FROM j WHERE NOT (CAST(dist2 AS DOUBLE) > mean_d2 + 2.0*std_d2)),
        |tok AS (SELECT doc_id, lang, len($duckWords) AS nt FROM documents)
        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, CAST(SUM(nt) AS BIGINT) AS total_tokens

@@ -545,10 +545,12 @@ object Similarity {
     * broadcast back; nothing corpus-sized shuffles except the
     * assignment rows. */
   def embeddingOutliers(embs: DataFrame, k: Int = 8,
-                        zThresh: Double = 2.0): DataFrame = {
+                        zThresh: Double = 2.0): DataFrame =
     // the existing assignment operator IS this op's first stage — one
     // composition, so a future seeding/encoding change can't diverge
-    val asg = kmeansAssign(embs, k)
+    outliersFromAssign(kmeansAssign(embs, k), zThresh)
+
+  private def outliersFromAssign(asg: DataFrame, zThresh: Double): DataFrame = {
     // square in DECIMAL, not long: dist2 reaches dim·254², so a long
     // product wraps silently past dim ≈ 47k (inside assignToCentroids'
     // documented dim ≲ 8.5M envelope) while the oracle's engine errors —
@@ -564,6 +566,27 @@ object Similarity {
       .select(col("vec_id"), col("cid"), col("dist2"),
         mean.as("mean_d2"), std.as("std_d2"),
         (col("dist2").cast("double") > mean + lit(zThresh) * std).as("is_outlier"))
+  }
+
+  /** [[semanticDedup]] verdicts and [[embeddingOutliers]] flags derived
+    * from ONE shared quantize + broadcast-argmin assignment pass — the
+    * composition a curation pipeline runs (drop the too-similar AND the
+    * too-strange in one read of the embeddings). Called separately, each
+    * operator builds its own identical assignment subtree and the N×k
+    * scoring executes twice; sharing the frame makes the two subtrees
+    * literally identical, so Spark's ReuseExchange computes the
+    * assignment aggregation once per query. Results are bit-identical to
+    * the standalone operators (OpsSpec asserts both). */
+  def semanticCurate(embs: DataFrame, k: Int = 8, tau: Double = 0.35,
+                     zThresh: Double = 2.0): (DataFrame, DataFrame) = {
+    val q = quantizedVecs(embs)
+    val asg = assignToCentroids(q, q.orderBy("vec_id").limit(k)
+      .select(col("vec_id").as("cid"), col("qv").as("cq")))
+    val withVec = asg.select(col("vec_id"), col("cid"))
+      .join(normalizedQuantVecs(embs), "vec_id")
+      .select(col("cid"), col("vec_id"), col("qv").cast("array<double>").as("nv"))
+    (semanticVerdicts(withVec, withVec, semanticMinDot(tau)),
+      outliersFromAssign(asg, zThresh))
   }
 
   /** Incremental SemDeDup against a catalog of previously-seen vectors —

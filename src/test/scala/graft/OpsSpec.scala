@@ -809,4 +809,27 @@ class OpsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), s"cartesian in plan:\n$plan")
   }
+
+  test("semanticCurate: shared-assignment composition == standalone operators") {
+    import spark.implicits._
+    import graft.ops.Similarity
+    def vec(vals: (Int, Float)*): Array[Float] = {
+      val a = Array.fill(8)(0f); vals.foreach { case (i, v) => a(i) = v }; a
+    }
+    // union of the two standalone fixtures: directional near-dup groups
+    // for the verdict side, a far-from-prototype member for the flag side
+    val corpus = Seq(
+      (1L, vec(0 -> 10f)), (2L, vec(0 -> -10f)),
+      (3L, vec(0 -> 10f, 1 -> 0.5f)), (4L, vec(0 -> -10f, 1 -> 0.5f)),
+      (5L, vec(0 -> 10.5f, 2 -> 0.5f)), (6L, vec(0 -> -10.5f, 2 -> 0.5f)),
+      (7L, vec(0 -> 0.1f, 3 -> 3f)), (15L, vec(0 -> 10f, 1 -> 8f)))
+      .toDF("vec_id", "embedding")
+    val (sem, outl) = Similarity.semanticCurate(corpus, k = 2)
+    assert(sem.collect().map(_.toSeq).sortBy(_.head.toString) ===
+      Similarity.semanticDedup(corpus, k = 2)
+        .collect().map(_.toSeq).sortBy(_.head.toString))
+    assert(outl.collect().map(_.toSeq).sortBy(_.head.toString) ===
+      Similarity.embeddingOutliers(corpus, k = 2)
+        .collect().map(_.toSeq).sortBy(_.head.toString))
+  }
 }
