@@ -639,6 +639,23 @@ object SparkEntry {
     TextAnalysis.unigramLogProb(RawGen.table(s, dir, "documents"))
       .orderBy("doc_id")
 
+  private def lmBigramQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bigramLogProb(RawGen.table(s, dir, "documents"))
+      .orderBy("doc_id")
+
+  private def bpeTrainQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bpeTrain(RawGen.table(s, dir, "documents"))
+      .orderBy("round")
+
+  private def bpeEncodeQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bpeEncode(RawGen.table(s, dir, "documents"))
+      .orderBy("doc_id")
+
+  private def pageRankQ(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Graph.pageRank(
+      graft.ops.Graph.coPurchaseEdges(RawGen.table(s, dir, "lineitem")))
+      .orderBy("node")
+
   /** Explicit ROWS frame: 3-month moving average over the aggregated
     * monthly series (window input is #months rows — see [[qMonthlyLag]]). */
   private def qMovingAvg(s: SparkSession, dir: String): DataFrame =
@@ -1159,7 +1176,11 @@ object SparkEntry {
     "approx_quantiles" -> (qApproxQuantiles _),
     "q_rank_family" -> (qRankFamily _),
     "q_not_in" -> (qNotIn _),
-    "q_salted_join" -> (qSaltedJoin _)
+    "q_salted_join" -> (qSaltedJoin _),
+    "lm_bigram_score" -> (lmBigramQ _),
+    "bpe_train" -> (bpeTrainQ _),
+    "bpe_encode" -> (bpeEncodeQ _),
+    "graph_pagerank" -> (pageRankQ _)
   )
 
   // ---------- DuckDB oracles ----------
@@ -1852,6 +1873,85 @@ object SparkEntry {
        |  avg(ln(CAST(cnt AS DOUBLE) / n.n)) AS avg_logprob
        |FROM t JOIN c USING (tok) CROSS JOIN n
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // Bigram replay: parallel unnest of the two shifted word-list slices
+  // zips (w1, w2) rows; head-position counts make the conditional proper.
+  private val lmBigramSql =
+    s"""WITH w AS (SELECT doc_id, $duckWords AS ws FROM documents),
+       |b AS (SELECT doc_id, unnest(ws[1:len(ws)-1]) AS w1,
+       |    unnest(ws[2:len(ws)]) AS w2 FROM w WHERE len(ws) >= 2),
+       |c2 AS (SELECT w1, w2, count(*) AS c12 FROM b GROUP BY 1, 2),
+       |c1 AS (SELECT w1, count(*) AS cnt1 FROM b GROUP BY 1)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |  avg(ln(CAST(c12 AS DOUBLE) / cnt1)) AS avg_logprob
+       |FROM b JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** BPE replay: the same double-separator symbol-stream encoding as
+    * TextAnalysis.bpeFit (chr(31) boundaries, plain replace = greedy
+    * merge), unrolled to a flat CTE chain — one (pair-count → argmax →
+    * merge) block per round. LEFT JOIN ON TRUE keeps the chain total
+    * when a round finds no pair (mirrors the Scala early-stop). */
+  private def duckBpeCtes(rounds: Int): String = {
+    val parts = scala.collection.mutable.ArrayBuffer[String](
+      s"w0 AS (SELECT unnest($duckWords) AS wd FROM documents)",
+      "d0 AS (SELECT wd, CAST(count(*) AS BIGINT) AS freq, " +
+        "chr(31) || regexp_replace(wd, '(?s)(.)', chr(31)||'\\1'||chr(31), 'g') || chr(31) AS seg " +
+        "FROM w0 WHERE wd <> '' AND strpos(wd, chr(31)) = 0 GROUP BY wd)")
+    for (r <- 0 until rounds) {
+      parts += s"p$r AS (SELECT freq, unnest(ls[1:len(ls)-1]) AS lhs, " +
+        s"unnest(ls[2:len(ls)]) AS rhs FROM (SELECT freq, " +
+        s"list_filter(string_split(seg, chr(31)||chr(31)), x -> x <> '') AS ls " +
+        s"FROM d$r) WHERE len(ls) >= 2)"
+      parts += s"m$r AS (SELECT lhs, rhs, CAST(SUM(freq) AS BIGINT) AS cnt " +
+        s"FROM p$r GROUP BY 1, 2 ORDER BY cnt DESC, lhs, rhs LIMIT 1)"
+      parts += s"d${r + 1} AS (SELECT wd, freq, CASE WHEN m.lhs IS NULL THEN seg " +
+        s"ELSE replace(seg, chr(31)||m.lhs||chr(31)||chr(31)||m.rhs||chr(31), " +
+        s"chr(31)||m.lhs||m.rhs||chr(31)) END AS seg FROM d$r LEFT JOIN m$r m ON TRUE)"
+    }
+    parts.mkString(",\n")
+  }
+
+  private val bpeRounds = 6
+
+  private val bpeTrainSql = {
+    val rows = (0 until bpeRounds).map(r =>
+      s"SELECT $r AS round, lhs, rhs, cnt AS freq FROM m$r")
+    s"WITH ${duckBpeCtes(bpeRounds)}\n" +
+      rows.mkString("", "\nUNION ALL\n", "\nORDER BY round")
+  }
+
+  private val bpeEncodeSql =
+    s"""WITH ${duckBpeCtes(bpeRounds)},
+       |tw AS (SELECT wd, CAST(len(list_filter(string_split(seg, chr(31)||chr(31)),
+       |    x -> x <> '')) AS BIGINT) AS nt FROM d$bpeRounds),
+       |dt AS (SELECT doc_id, unnest($duckWords) AS wd FROM documents)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(SUM(nt) AS BIGINT) AS n_tokens
+       |FROM dt JOIN tw USING (wd) GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** PageRank replay: integer fixed-point (rank·10⁶, damping as the exact
+    * rational 85/100, `//` floor division), unrolled one (contribution →
+    * rank) CTE pair per round — Graph.pageRank's compile-time iters. */
+  private val pageRankSql = {
+    val iters = 3
+    val parts = scala.collection.mutable.ArrayBuffer[String](
+      "li AS (SELECT l_orderkey AS ok, l_partkey AS pk, l_linenumber AS ln FROM lineitem)",
+      "e AS (SELECT a.pk AS src, b.pk AS dst FROM li a JOIN li b " +
+        "ON a.ok = b.ok AND a.ln < b.ln AND a.pk <> b.pk)",
+      "n AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+      "od AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS odeg FROM e GROUP BY 1)",
+      "r0 AS (SELECT n.node, CAST(1000000 AS BIGINT) AS pr, " +
+        "COALESCE(od.odeg, 0) AS odeg FROM n LEFT JOIN od USING (node))")
+    for (i <- 0 until iters) {
+      parts += s"c$i AS (SELECT e.dst AS node, SUM(r.pr // r.odeg) AS insum " +
+        s"FROM e JOIN r$i r ON r.node = e.src WHERE r.odeg > 0 GROUP BY 1)"
+      parts += s"r${i + 1} AS (SELECT r.node, " +
+        s"CAST(150000 + (85 * COALESCE(c.insum, 0)) // 100 AS BIGINT) AS pr, " +
+        s"r.odeg FROM r$i r LEFT JOIN c$i c USING (node))"
+    }
+    s"WITH ${parts.mkString(",\n")}\nSELECT node, pr FROM r$iters ORDER BY node"
+  }
 
   // plain concatenation — re-stripMargin over the spliced (already-stripped)
   // SQL bodies would eat their `||` concat operators
@@ -2785,6 +2885,10 @@ object SparkEntry {
     "approx_quantiles" -> approxQuantilesSql,
     "q_rank_family" -> qRankFamilySql,
     "q_not_in" -> qNotInSql,
-    "q_salted_join" -> qSaltedJoinSql
+    "q_salted_join" -> qSaltedJoinSql,
+    "lm_bigram_score" -> lmBigramSql,
+    "bpe_train" -> bpeTrainSql,
+    "bpe_encode" -> bpeEncodeSql,
+    "graph_pagerank" -> pageRankSql
   )
 }

@@ -1,0 +1,101 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over edge lists — the link-structure family a
+  * training-data pipeline runs beside connected components (Dedup.scala):
+  * centrality for source/domain weighting, co-occurrence graphs for
+  * curriculum mixing. Everything here is expressed as equi-joins and
+  * hash aggregations on the node key — the only shapes that survive a
+  * 100 TB edge list — and all rank arithmetic is integer fixed-point so
+  * results are bit-identical across engines and partitionings
+  * (floating-point PageRank sums are order-dependent; integer sums are
+  * associative-commutative exactly).
+  */
+object Graph {
+
+  /** Directed co-purchase edges from a lineitem-shaped fact table: one
+    * edge src→dst per pair of line items in the same order with the
+    * source's line number strictly below the destination's (sequential
+    * add-to-basket order — the item-graph construction behind
+    * co-occurrence recommenders). Self-loops (the same part appearing
+    * twice in an order) are dropped; parallel edges from different order
+    * pairs are KEPT — edge multiplicity is the co-purchase weight.
+    *
+    * Scale shape: a self-equi-join on the order key — at 100 TB the
+    * orders co-partition on one shuffle of each side, and the per-order
+    * pair fan-out is bounded by order size squared (TPC-H order lines
+    * ≤ 7; a retail basket is similarly tens, never corpus-scale). */
+  def coPurchaseEdges(lineitem: DataFrame): DataFrame = {
+    val a = lineitem.select(col("l_orderkey").as("ok"),
+      col("l_partkey").as("src"), col("l_linenumber").as("sn"))
+    val b = lineitem.select(col("l_orderkey").as("ok"),
+      col("l_partkey").as("dst"), col("l_linenumber").as("dn"))
+    a.join(b, Seq("ok"))
+      .filter(col("sn") < col("dn") && col("src") =!= col("dst"))
+      .select("src", "dst")
+  }
+
+  /** Fixed-iteration PageRank in integer fixed-point (rank scaled by
+    * `scale`, damping 0.85 as the exact rational 85/100, all division
+    * integral) — deterministic to the bit on any engine, which is what
+    * lets a DuckDB oracle replay it. Fixed `iters` rather than an
+    * epsilon fixpoint: production web-graph PageRank runs a fixed round
+    * budget too (convergence tests cost a driver-synchronized job per
+    * round — the round-8 star-CC lesson), and the oracle needs a
+    * compile-time unroll depth.
+    *
+    * Semantics: rank₀ = scale for every node appearing as an endpoint;
+    * each round every edge carries ⌊rank(src)/outdeg(src)⌋ (parallel
+    * edges carry it once each — multiplicity is weight), and
+    * rank' = ⌊scale·15/100⌋ + ⌊85·Σin/100⌋. Mass parked on dangling
+    * nodes (no out-edges) is dropped, the standard simplification —
+    * ranks are relative weights here, not a strict probability
+    * distribution.
+    *
+    * Scale shape per round: ONE shuffle join of the edge list with the
+    * rank frame on src (outdeg rides the rank frame, so the join is
+    * single) + one hash-agg on dst with map-side combine; the rank frame
+    * is node-sized, the edge frame dominates and is checkpointed once.
+    * Rounds localCheckpoint with exact release ([[Dedup.releaseCheckpoint]])
+    * so a round's blocks die when the next is materialized. */
+  def pageRank(edges: DataFrame, iters: Int = 3,
+               scale: Long = 1000000L): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint()
+    val outdeg = e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("odeg"))
+    val base = scale * 15L / 100L
+    // outdeg joins ranks ONCE up front (left: dangling nodes have no odeg)
+    // and rides every round inside the rank frame — per round cost stays
+    // one join + one agg instead of two joins.
+    var ranks = nodes.join(outdeg, Seq("node"), "left")
+      .select(col("node"), lit(scale).as("pr"),
+        coalesce(col("odeg"), lit(0L)).as("odeg"))
+      .localCheckpoint()
+    var i = 0
+    while (i < iters) {
+      val contrib = e.join(ranks.withColumnRenamed("node", "src")
+          .filter(col("odeg") > 0), Seq("src"))
+        .select(col("dst").as("node"), expr("pr div odeg").as("c"))
+        .groupBy("node").agg(sum(col("c")).as("insum"))
+      val next = ranks.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(base) + expr(s"85 * coalesce(insum, 0L) div 100").cast("long"))
+            .as("pr"),
+          col("odeg"))
+        .localCheckpoint()
+      Dedup.releaseCheckpoint(ranks)
+      ranks = next
+      i += 1
+    }
+    // only the final rank checkpoint backs the returned frame
+    Dedup.releaseCheckpoint(e)
+    Dedup.releaseCheckpoint(nodes)
+    ranks.select(col("node"), col("pr"))
+  }
+}

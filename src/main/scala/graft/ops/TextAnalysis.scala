@@ -508,4 +508,130 @@ object TextAnalysis {
       .withColumn("mean_tokens",
         col("total_tokens").cast("double") / col("n_docs"))
   }
+
+  /** Bigram-LM fluency score — the second-order refinement of
+    * [[unigramLogProb]]: per doc, the mean log P(wᵢ | wᵢ₋₁) under the
+    * corpus MLE (bigram count over head-position count, so the
+    * conditional sums to 1 over continuations). Fluent word ORDER now
+    * matters: a doc of common words in a scrambled order scores low
+    * where the unigram model cannot tell. Docs with fewer than two
+    * tokens have no bigram and drop out (mirrored by the oracle).
+    *
+    * Scale shape: the bigram explode is corpus-sized but row-local; the
+    * two count frames are one hash-agg each; the score join is pinned
+    * shuffle_hash (a 100 TB corpus's bigram vocabulary is far beyond
+    * broadcast). Like the unigram op, the exploded frame is recomputed
+    * per consumer — three column-pruned scans beat persisting a
+    * corpus-sized intermediate. */
+  def bigramLogProb(docs: DataFrame): DataFrame = {
+    val ws = split(trim(col("text")), wsPlus)
+    val bi = docs.filter(size(ws) >= 2).select(col("doc_id"),
+      explode(transform(sequence(lit(1), size(ws) - 1),
+        i => struct(element_at(ws, i).as("w1"),
+          element_at(ws, i + 1).as("w2")))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val c12 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = bi.groupBy("w1").agg(count(lit(1)).as("cnt1"))
+    bi.join(c12.hint("shuffle_hash"), Seq("w1", "w2"))
+      .join(c1.hint("shuffle_hash"), Seq("w1"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_bigrams"),
+        avg(log(col("c12").cast("double") / col("cnt1"))).as("avg_logprob"))
+  }
+
+  // ---- BPE tokenizer: training rounds + corpus encode ----
+  //
+  // Symbol-stream representation: each dictionary word's current
+  // segmentation is ONE string, tokens separated by a DOUBLE unit
+  // separator (\u001f\u001f) with the double separator also at both ends.
+  // A merge of pair (a,b) is then a plain string replace of
+  //   \u001f a \u001f\u001f b \u001f   with   \u001f a b \u001f
+  // — the single-separator pattern edges overlap the double boundaries,
+  // which makes left-to-right non-overlapping replace() EXACTLY BPE's
+  // greedy merge semantics: adjacent disjoint occurrences (…a b a b…)
+  // each keep an untouched boundary char so both merge, while overlapping
+  // occurrences (…a a a… for pair (a,a)) merge alternately because the
+  // first match consumes the middle boundary. No lookahead regex needed,
+  // so the same expression runs on Java and RE2-based engines.
+
+  private val bpeSep = "\u001f"
+  private val bpeBound = bpeSep + bpeSep
+
+  /** Shared BPE fit: checkpointed (word, freq, seg) dictionary plus the
+    * merge table learned over `rounds` greedy rounds (argmax pair by
+    * summed word frequency, ties by pair lexicographically — Sennrich et
+    * al. 2016). Each round runs ONE dictionary-sized job (pair explode +
+    * hash-agg + top-1) and collects a single row to the driver, which is
+    * re-injected as a literal in the next round's segmentation
+    * expression — so the plan stays linear in rounds with no per-round
+    * checkpoints (the kmeansIter lesson). The corpus is touched exactly
+    * once, by the dictionary hash-agg: training cost scales with the
+    * DISTINCT-word dictionary (Heaps-law-sublinear), not corpus size.
+    * Words containing the separator byte are excluded up front (they
+    * would corrupt the symbol stream); the oracle applies the same
+    * filter. Rounds stop early if no adjacent pair remains. */
+  private def bpeFit(docs: DataFrame, rounds: Int):
+      (DataFrame, Column, Seq[(Int, String, String, Long)]) = {
+    val dict = docs.select(explode(Dedup.words(col("text"))).as("wd"))
+      .filter(col("wd") =!= "" && !col("wd").contains(bpeSep))
+      .groupBy("wd").agg(count(lit(1)).as("freq"))
+      .withColumn("seg", concat(lit(bpeSep),
+        // (?s): Java's default `.` excludes  / / where
+        // RE2's excludes only \n — DOTALL makes both engines wrap every
+        // non-separator char identically
+        regexp_replace(col("wd"), "(?s)(.)", bpeSep + "$1" + bpeSep),
+        lit(bpeSep)))
+      .localCheckpoint()
+    var seg: Column = col("seg")
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    var r = 0
+    var exhausted = false
+    while (r < rounds && !exhausted) {
+      val syms = filter(split(seg, bpeBound), x => x =!= "")
+      val top = dict.filter(size(syms) >= 2)
+        .select(col("freq"), explode(transform(sequence(lit(1), size(syms) - 1),
+          i => struct(element_at(syms, i).as("lhs"),
+            element_at(syms, i + 1).as("rhs")))).as("p"))
+        .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("lhs"), col("rhs"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, rh, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((r, l, rh, c))
+        seg = replace(seg, lit(bpeSep + l + bpeBound + rh + bpeSep),
+          lit(bpeSep + l + rh + bpeSep))
+      }
+      r += 1
+    }
+    (dict, seg, merges.toSeq)
+  }
+
+  /** BPE tokenizer training: the merge table (round, lhs, rhs, freq)
+    * learned by [[bpeFit]] — one row per greedy merge round. This is the
+    * artifact a tokenizer-training pipeline persists; [[bpePairCounts]]
+    * is its single-round statistic. */
+  def bpeTrain(docs: DataFrame, rounds: Int = 6): DataFrame = {
+    val sp = docs.sparkSession
+    import sp.implicits._
+    val (_, _, merges) = bpeFit(docs, rounds)
+    merges.toDF("round", "lhs", "rhs", "freq")
+  }
+
+  /** Corpus encode with the trained merges: per doc, word count and BPE
+    * token count under the final segmentation — the compression statistic
+    * (tokens per word) that decides whether a tokenizer is worth its
+    * vocabulary. One corpus pass (word explode) joined to the
+    * dictionary's per-word token counts; the join is pinned shuffle_hash
+    * (the dictionary of a 100 TB corpus is beyond broadcast). */
+  def bpeEncode(docs: DataFrame, rounds: Int = 6): DataFrame = {
+    val (dict, seg, _) = bpeFit(docs, rounds)
+    val tokCounts = dict.select(col("wd"),
+      size(filter(split(seg, bpeBound), x => x =!= "")).cast("long").as("nt"))
+    docs.select(col("doc_id"), explode(Dedup.words(col("text"))).as("wd"))
+      .join(tokCounts.hint("shuffle_hash"), Seq("wd"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum(col("nt")).as("n_tokens"))
+  }
 }

@@ -832,4 +832,50 @@ class OpsSpec extends SparkSpec {
       Similarity.embeddingOutliers(corpus, k = 2)
         .collect().map(_.toSeq).sortBy(_.head.toString))
   }
+  test("coPurchaseEdges: ordered pairs within order, no self-loops, multiplicity kept") {
+    import spark.implicits._
+    import graft.ops.Graph
+    // order 1: parts 10,20,10 on lines 1,2,3 -> (10,20),(10,10)x,(20,10);
+    // order 2: single line -> no edges
+    val li = Seq(
+      (1L, 10L, 1), (1L, 20L, 2), (1L, 10L, 3),
+      (2L, 30L, 1))
+      .toDF("l_orderkey", "l_partkey", "l_linenumber")
+    val got = Graph.coPurchaseEdges(li).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    // (10,10) self-loop dropped; both cross pairs kept (direction by line)
+    assert(got === Seq((10L, 20L), (20L, 10L)))
+  }
+
+  test("pageRank: hand-computed 3-node cycle with a split edge") {
+    import spark.implicits._
+    import graft.ops.Graph
+    // 1->2, 1->3, 2->3, 3->1 at scale 1e6, damping 85/100, 3 rounds —
+    // values traced by hand with floor division at every step
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val got = Graph.pageRank(edges, iters = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1054187L, 2L -> 728531L, 3L -> 1217281L))
+  }
+
+  test("pageRank: dangling node keeps base rank, no-inlink node too") {
+    import spark.implicits._
+    import graft.ops.Graph
+    val edges = Seq((1L, 2L)).toDF("src", "dst")
+    val got = Graph.pageRank(edges, iters = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // node 1 has no in-edges -> base only; node 2 receives 1's full rank
+    assert(got === Map(1L -> 150000L, 2L -> 1000000L))
+  }
+
+  test("bigramLogProb: head-position MLE on a hand-checked corpus") {
+    import spark.implicits._
+    import graft.ops.TextAnalysis
+    // bigrams: d1: (a b),(b a),(a b); d2: (a b); d3 has 1 word -> dropped
+    val docs = Seq((1L, "a b a b"), (2L, "a b"), (3L, "a")).toDF("doc_id", "text")
+    val got = TextAnalysis.bigramLogProb(docs).orderBy("doc_id").collect()
+    // c12(a,b)=3 c1(a)=3 -> logP=0; c12(b,a)=1 c1(b)=1 -> logP=0
+    assert(got.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq ===
+      Seq((1L, 3L, 0.0), (2L, 1L, 0.0)))
+  }
 }

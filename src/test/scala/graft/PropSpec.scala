@@ -414,4 +414,89 @@ class PropSpec extends SparkSpec {
     // growing the budget only ADDS documents (hash-order prefix grows)
     assert(small.subsetOf(large))
   }
+  test("bpeTrain/bpeEncode match a naive merge-list reference on random corpora") {
+    import spark.implicits._
+    import graft.ops.TextAnalysis
+    // tiny alphabet with runs -> overlapping same-pair occurrences (aaa),
+    // the adversarial case for greedy left-to-right merge semantics
+    val wordGen = Gen.chooseNum(1, 6).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c")).map(_.mkString))
+    val docGen = Gen.chooseNum(2, 8).flatMap(n =>
+      Gen.listOfN(n, wordGen).map(_.mkString(" ")))
+    def mergeWord(sym: Vector[String], a: String, b: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < sym.length) {
+        if (i + 1 < sym.length && sym(i) == a && sym(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += sym(i); i += 1 }
+      }
+      out.result()
+    }
+    def reference(docs: Seq[(Long, String)], rounds: Int)
+        : (Seq[(Int, String, String, Long)], Map[String, Int]) = {
+      val words = docs.flatMap(_._2.split("\\s+")).filter(_.nonEmpty)
+      val freq = words.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      var segs = freq.keys.map(w => w -> w.map(_.toString).toVector).toMap
+      val merges = Seq.newBuilder[(Int, String, String, Long)]
+      var r = 0
+      var exhausted = false
+      while (r < rounds && !exhausted) {
+        val counts = scala.collection.mutable.Map[(String, String), Long]()
+          .withDefaultValue(0L)
+        for ((w, sym) <- segs if sym.length >= 2; p <- sym.sliding(2))
+          counts((p(0), p(1))) += freq(w)
+        if (counts.isEmpty) exhausted = true
+        else {
+          val ((a, b), c) = counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
+          merges += ((r, a, b, c))
+          segs = segs.map { case (w, sym) => w -> mergeWord(sym, a, b) }
+        }
+        r += 1
+      }
+      (merges.result(), segs.view.mapValues(_.length).toMap)
+    }
+    (0 until 3).foreach { round =>
+      val docs = (1 to 20).flatMap(i =>
+        docGen.sample.map(t => ((round * 100 + i).toLong, t)))
+      val (refMerges, refTokens) = reference(docs, rounds = 4)
+      val df = docs.toDF("doc_id", "text")
+      val gotMerges = TextAnalysis.bpeTrain(df, rounds = 4).collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+      assert(gotMerges === refMerges)
+      val gotEnc = TextAnalysis.bpeEncode(df, rounds = 4).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val refEnc = docs.map { case (id, t) =>
+        val ws = t.split("\\s+").filter(_.nonEmpty)
+        id -> (ws.length.toLong, ws.map(w => refTokens(w).toLong).sum)
+      }.filter(_._2._1 > 0).toMap
+      assert(gotEnc === refEnc)
+    }
+  }
+
+  test("pageRank matches an integer reference on random multigraphs") {
+    import spark.implicits._
+    import graft.ops.Graph
+    def reference(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+      val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+      val outdeg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      var pr = nodes.map(_ -> 1000000L).toMap
+      for (_ <- 0 until iters) {
+        val insum = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+        for ((s, d) <- edges) insum(d) += pr(s) / outdeg(s)
+        pr = nodes.map(n => n -> (150000L + 85L * insum(n) / 100L)).toMap
+      }
+      pr
+    }
+    val edgeGen = for {
+      s <- Gen.chooseNum(1L, 12L); d <- Gen.chooseNum(1L, 12L) if s != d
+    } yield (s, d)
+    (0 until 3).foreach { _ =>
+      // duplicates kept: parallel edges are weight, exactly as the op treats
+      val edges = (1 to 30).flatMap(_ => edgeGen.sample)
+      val got = Graph.pageRank(edges.toDF("src", "dst"), iters = 3).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === reference(edges, 3))
+    }
+  }
 }
