@@ -24,11 +24,12 @@ import org.apache.spark.sql.types._
   */
 object RawGen {
 
-  /** `events` with normalized epoch columns. The driver's parquet stores
-    * `ts` as TIMESTAMP(NANOS); Spark maps that to TimestampType (µs,
-    * truncating) or — under `spark.sql.legacy.parquet.nanosAsLong` — to
-    * LongType nanos. Both normalize to the same floor(µs) the DuckDB oracle
-    * sees, so derived corpora agree bit-for-bit.
+  /** `events` with normalized epoch columns. The driver's parquet has
+    * carried `ts` as TIMESTAMP(NANOS) (→ LongType nanos under
+    * `nanosAsLong`, or tz-aware TimestampType) and, since round 10, as
+    * timestamp[us] with no timezone (→ TimestampNTZType). All three
+    * encodings normalize to the same floor(µs) the DuckDB oracle sees,
+    * so derived corpora agree bit-for-bit.
     */
   /** The driver's test corpora are single-row-group parquet files, which
     * parquet cannot split — so without this every scan-side expression
@@ -75,7 +76,12 @@ object RawGen {
     // (x - pmod(x, d)) is an exact multiple of d, so the `div` is exact.
     val epochUs = df.schema("ts").dataType match {
       case LongType => expr("(ts - pmod(ts, 1000)) div 1000")
-      case _        => unix_micros(col("ts"))
+      // timestamp[us] with no timezone (pandas/arrow default) maps to
+      // TimestampNTZType, which unix_micros rejects. The session TZ is
+      // forced UTC above, so casting NTZ→TZ reinterprets the wall-clock
+      // value as UTC — exactly the epoch the DuckDB oracle computes.
+      case TimestampNTZType => unix_micros(col("ts").cast(TimestampType))
+      case _                => unix_micros(col("ts"))
     }
     df.withColumn("epoch_us", epochUs)
       .withColumn("epoch_ms", expr("(epoch_us - pmod(epoch_us, 1000)) div 1000"))
