@@ -517,26 +517,42 @@ object TextAnalysis {
     * where the unigram model cannot tell. Docs with fewer than two
     * tokens have no bigram and drop out (mirrored by the oracle).
     *
-    * Scale shape: the bigram explode is corpus-sized but row-local; the
-    * two count frames are one hash-agg each; the score join is pinned
-    * shuffle_hash (a 100 TB corpus's bigram vocabulary is far beyond
-    * broadcast). Like the unigram op, the exploded frame is recomputed
-    * per consumer — three column-pruned scans beat persisting a
-    * corpus-sized intermediate. */
+    * Scale shape (reworked after the r10 plan audit): the corpus-sized
+    * bigram explode runs ONCE — immediately pre-aggregated to per-doc
+    * bigram-TYPE counts `(doc_id, w1, w2, c)` (map-side partial combine
+    * shrinks the shuffle by the in-doc repetition factor) and
+    * localCheckpointed so the three consumers share the materialization
+    * instead of re-running the Generate. The corpus counts `c12`/`cnt1`
+    * are vocabulary-sized rollups OF that frame. The two conditionals
+    * are joined vocab×vocab FIRST (c12 ⋈ c1 on w1 — dictionary-sized
+    * both sides, Zipf skew on w1 bounded by the continuation fan-out of
+    * the hottest head word, ≤ |vocab|), so the corpus-sized frame joins
+    * exactly once, on the (w1, w2) COMPOSITE key — which splinters the
+    * stopword hot keys ("the", "of") across their continuations instead
+    * of funneling each into one reducer, the 100 TB skew killer the old
+    * w1-only instance join had. shuffle_hash pinned: bigram vocabulary
+    * is far beyond broadcast at scale. Per-doc mean over instances is
+    * recovered exactly as the c-weighted mean over types. */
   def bigramLogProb(docs: DataFrame): DataFrame = {
     val ws = split(trim(col("text")), wsPlus)
-    val bi = docs.filter(size(ws) >= 2).select(col("doc_id"),
+    val perDoc = docs.filter(size(ws) >= 2).select(col("doc_id"),
       explode(transform(sequence(lit(1), size(ws) - 1),
         i => struct(element_at(ws, i).as("w1"),
           element_at(ws, i + 1).as("w2")))).as("bg"))
-      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-    val c12 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-    val c1 = bi.groupBy("w1").agg(count(lit(1)).as("cnt1"))
-    bi.join(c12.hint("shuffle_hash"), Seq("w1", "w2"))
-      .join(c1.hint("shuffle_hash"), Seq("w1"))
+      .groupBy(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val c12 = perDoc.groupBy("w1", "w2")
+      .agg(sum(col("c")).cast("long").as("c12"))
+    val c1 = perDoc.groupBy("w1").agg(sum(col("c")).cast("long").as("cnt1"))
+    val logp = c12.join(c1.hint("shuffle_hash"), Seq("w1"))
+      .select(col("w1"), col("w2"),
+        log(col("c12").cast("double") / col("cnt1")).as("lp"))
+    perDoc.join(logp.hint("shuffle_hash"), Seq("w1", "w2"))
       .groupBy("doc_id")
-      .agg(count(lit(1)).cast("long").as("n_bigrams"),
-        avg(log(col("c12").cast("double") / col("cnt1"))).as("avg_logprob"))
+      .agg(sum(col("c")).cast("long").as("n_bigrams"),
+        (sum(col("lp") * col("c")) / sum(col("c")).cast("double"))
+          .as("avg_logprob"))
   }
 
   // ---- BPE tokenizer: training rounds + corpus encode ----
