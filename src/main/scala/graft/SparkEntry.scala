@@ -121,6 +121,23 @@ object SparkEntry {
         sum(length(col("value")).cast("long")).as("bytes"))
       .orderBy("tenant_id")
 
+  /** Full publish round-trip through the graft-spool SINK (the Kafka-sink
+    * dynamic `topic` column contract, offline): route → per-topic spool
+    * publish → read every committed topic back and profile it. What the
+    * oracle then checks is that nothing was lost, duplicated, or
+    * mis-routed by the two-phase writer. The driver-side dir listing is
+    * topology-scale (one entry per tenant), not data-scale. */
+  private def routeTopicSink(s: SparkSession, dir: String): DataFrame = {
+    val routed = Filterer.route(RawGen.wire(s, dir, "routing")).routed
+    val root = java.nio.file.Files.createTempDirectory("graft_topic_sink").toString
+    Filterer.fanOutTopics(routed, root)
+    s.read.format("graft-spool").option("topics", "true").load(root)
+      .groupBy("topic")
+      .agg(count(lit(1)).as("msg_cnt"),
+        sum(length(col("value")).cast("long")).as("bytes"))
+      .orderBy("topic")
+  }
+
   private def legacyUnion(s: SparkSession, dir: String): DataFrame = {
     val raw = RawGen.wire(s, dir, "legacy")
     LegacyTranslators.translateMux(raw, col("kind")).valid
@@ -1080,6 +1097,7 @@ object SparkEntry {
     "cmf_ford" -> (cmfFord _),
     "quarantine_counts" -> (quarantineCounts _),
     "route_filterer" -> (routeFilterer _),
+    "route_topic_sink" -> (routeTopicSink _),
     "route_splitter" -> (routeSplitter _),
     "legacy_translate" -> (legacyTranslate _),
     "union_sources" -> (unionSources _),
@@ -1261,6 +1279,19 @@ object SparkEntry {
        |  CAST(sum(length('{"meta":{"tenantId":"tenant-'||(user_id%4)||'"},"vehicleId":"veh-'
        |    ||user_id||'","partitionKey":"veh-'||user_id||'","epochSource":'||ms||'}')) AS BIGINT) AS bytes
        |FROM base GROUP BY 1, 2 ORDER BY 1""".stripMargin
+
+  // Same routed corpus profiled per topic AFTER the spool-sink round-trip:
+  // equality with this oracle proves the two-phase publish lost/duplicated/
+  // mis-routed nothing.
+  private val routeTopicSinkSql =
+    s"""WITH base AS (
+       |  SELECT user_id, $sqlEpochMs AS ms FROM events
+       |  WHERE user_id % 6 = 5 AND ts IS NOT NULL)
+       |SELECT 'persistent://tenant-'||(user_id%4)||'/integration/telemetry' AS topic,
+       |  CAST(count(*) AS BIGINT) AS msg_cnt,
+       |  CAST(sum(length('{"meta":{"tenantId":"tenant-'||(user_id%4)||'"},"vehicleId":"veh-'
+       |    ||user_id||'","partitionKey":"veh-'||user_id||'","epochSource":'||ms||'}')) AS BIGINT) AS bytes
+       |FROM base GROUP BY 1 ORDER BY 1""".stripMargin
 
   private val legacyBaseSql =
     s"""WITH base AS (
@@ -2787,6 +2818,7 @@ object SparkEntry {
     "cmf_ford" -> cmfFordSql,
     "quarantine_counts" -> quarantineSql,
     "route_filterer" -> routeFiltererSql,
+    "route_topic_sink" -> routeTopicSinkSql,
     "route_splitter" -> routeSplitterSql,
     "legacy_translate" -> legacyTranslateSql,
     "union_sources" -> unionSourcesSql,

@@ -52,6 +52,20 @@ object Filterer {
   def fanOutParquet(routed: DataFrame, baseDir: String): Unit =
     routed.select("tenantId", "value")
       .write.mode("overwrite").partitionBy("tenantId").parquet(baseDir)
+
+  /** Dynamic per-tenant TOPIC publish — the reference Filterer's actual
+    * sink shape (Filterer.kt:36–41: `persistent://{tenantId}/integration/
+    * telemetry`, a topic per tenant chosen per message). Spark's Kafka sink
+    * established the contract for this — a row-level `topic` column routes
+    * each row — and the graft-spool sink implements the same contract
+    * offline, so swapping `format("graft-spool")` for `format("kafka")`
+    * (plus broker options) is the ONLY change a live deployment makes.
+    * One shuffle-free distributed pass; the original `value` bytes are
+    * forwarded untouched (FiltererTest.kt:113). */
+  def fanOutTopics(routed: DataFrame, spoolRoot: String): Unit =
+    routed.select("topic", "value")
+      .write.format("graft-spool").mode("append")
+      .option("topics", "true").option("path", spoolRoot).save()
 }
 
 /** Dead-letter sink (SURVEY.md §2.3 R4): the reference logs-and-drops poison

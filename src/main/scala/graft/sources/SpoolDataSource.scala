@@ -9,10 +9,11 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -57,6 +58,36 @@ import org.apache.spark.util.SerializableConfiguration
 object SpoolDataSource {
   val NAME = "graft-spool"
   val SCHEMA: StructType = StructType(Seq(StructField("value", StringType)))
+  /** Schema of the `topics` mode (option `topics=true`): the whole bus —
+    * row-level topic + payload, the Kafka sink/source column contract. */
+  val TOPIC_SCHEMA: StructType = StructType(Seq(
+    StructField("topic", StringType), StructField("value", StringType)))
+
+  /** Topic name → spool sub-directory. Topic URIs carry characters Hadoop
+    * paths reject (the `:` in `persistent://tenant/ns/topic`), so the
+    * mapping percent-encodes everything outside [A-Za-z0-9._-] —
+    * deterministic, collision-free, and reversible, so a bridge daemon
+    * draining spool dirs to a real broker can recover the exact topic. */
+  def topicDir(topic: String): String =
+    topic.getBytes(java.nio.charset.StandardCharsets.UTF_8).map {
+      case b if (b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z') ||
+        (b >= '0' && b <= '9') || b == '.' || b == '_' || b == '-' =>
+        b.toChar.toString
+      case b => f"%%${b & 0xff}%02X"
+    }.mkString
+
+  /** Inverse of [[topicDir]] — a bridge daemon recovers the broker topic
+    * from the spool directory name. */
+  def topicFromDir(dir: String): String = {
+    val out = new java.io.ByteArrayOutputStream()
+    var i = 0
+    while (i < dir.length) {
+      if (dir.charAt(i) == '%') {
+        out.write(Integer.parseInt(dir.substring(i + 1, i + 3), 16)); i += 3
+      } else { out.write(dir.charAt(i).toInt); i += 1 }
+    }
+    new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+  }
 
   /** The active session's Hadoop conf — spark.hadoop.* settings included. */
   private[sources] def hadoopConf(): Configuration =
@@ -76,50 +107,117 @@ object SpoolDataSource {
       .map(s => (s.getPath.getName, s.getPath.toString))
       .sortBy(_._1)
   }
+
+  /** `topics` mode listing: every topic sub-directory of the bus root,
+    * flattened to (decoded topic, filePath). Directory count is
+    * topology-scale (one per topic/tenant); file listing parallelism is
+    * not needed at that cardinality. */
+  private[sources] def listTopicFiles(root: String, conf: Configuration): Seq[(String, String)] = {
+    val p = new Path(root)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.filter(_.isDirectory)
+      .sortBy(_.getPath.getName)
+      .flatMap { d =>
+        val topic = topicFromDir(d.getPath.getName)
+        listFiles(d.getPath.toString, conf).map { case (_, fp) => (topic, fp) }
+      }
+  }
 }
 
 class SpoolDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = SpoolDataSource.NAME
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    SpoolDataSource.SCHEMA
+    if (options.getBoolean("topics", false)) SpoolDataSource.TOPIC_SCHEMA
+    else SpoolDataSource.SCHEMA
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table = {
     val path = properties.get("path")
     require(path != null && path.nonEmpty, "graft-spool requires a path")
-    new SpoolTable(path)
+    new SpoolTable(path, "true".equalsIgnoreCase(properties.get("topics")))
   }
 }
 
-class SpoolTable(path: String) extends Table with SupportsRead {
+/** `topics = false` (default): one spool directory = one topic, schema
+  * `(value)`, batch + micro-batch reads — the consumer side of a single
+  * bridged source. `topics = true`: `path` is a BUS ROOT holding one
+  * sub-directory per topic, schema `(topic, value)` — the Kafka column
+  * contract on both sides: batch read returns every message on the bus
+  * tagged with its topic; writes route each row to its topic's directory.
+  * Streaming reads stay per-topic (a multi-topic watermark would couple
+  * unrelated topics' progress; subscribe per topic as Kafka does). */
+class SpoolTable(path: String, topics: Boolean = false)
+    extends Table with SupportsRead with SupportsWrite {
   // captured at table creation (driver): one conf for every scan this
   // DataFrame plans, serializable for the executor-side readers
   private val conf = new SerializableConfiguration(SpoolDataSource.hadoopConf())
   // batch consistency: freeze the listing at first batch use, NOT per
   // action — df.count() then df.collect() must see the same files
-  private lazy val batchSnapshot: Seq[(String, String)] =
-    SpoolDataSource.listFiles(path, conf.value)
+  private lazy val batchSnapshot: Seq[SpoolFilePartition] =
+    if (topics)
+      SpoolDataSource.listTopicFiles(path, conf.value)
+        .map { case (t, fp) => SpoolFilePartition(fp, t) }
+    else
+      SpoolDataSource.listFiles(path, conf.value)
+        .map { case (_, fp) => SpoolFilePartition(fp, null) }
 
   override def name(): String = s"${SpoolDataSource.NAME}($path)"
-  override def schema(): StructType = SpoolDataSource.SCHEMA
+  override def schema(): StructType =
+    if (topics) SpoolDataSource.TOPIC_SCHEMA else SpoolDataSource.SCHEMA
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
+    (if (topics) Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
+     else Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+       TableCapability.BATCH_WRITE)).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
-      override def build(): Scan = new SpoolScan(path, conf, () => batchSnapshot)
+      override def build(): Scan =
+        new SpoolScan(path, topics, conf, () => batchSnapshot)
     }
+
+  /** Publish seam (the write half of the bridge contract): the Kafka sink's
+    * row-level dynamic routing, re-expressed over the spool. Input schema is
+    * `value STRING` plus an optional `topic STRING` column — with `topic`
+    * present each row lands in `path/<topicDir(topic)>/`, mirroring the
+    * reference Filterer's dynamic `persistent://{tenantId}/...` publish
+    * (Filterer.kt:36–41); without it every row goes to `path` itself (the
+    * fixed-topic producer). Append-only, as a broker topic is: Spark's
+    * overwrite mode is rejected (no SupportsTruncate). Values are framed one
+    * per line (the read contract), so a `value` containing a newline is
+    * rejected at write time rather than silently split into two messages. */
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val s = info.schema()
+    require(s.fieldNames.contains("value") &&
+      s("value").dataType == StringType,
+      s"${SpoolDataSource.NAME} sink requires a `value` STRING column; got $s")
+    val topicIdx = s.fieldNames.indexOf("topic")
+    require(topicIdx < 0 || s("topic").dataType == StringType,
+      s"${SpoolDataSource.NAME} sink `topic` column must be STRING; got $s")
+    require(s.fieldNames.forall(f => f == "value" || f == "topic"),
+      s"${SpoolDataSource.NAME} sink accepts only (topic?, value); got $s")
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite =
+          new SpoolBatchWrite(path, s.fieldNames.indexOf("value"), topicIdx, conf)
+      }
+    }
+  }
 }
 
-class SpoolScan(path: String, conf: SerializableConfiguration,
-                snapshot: () => Seq[(String, String)]) extends Scan {
-  override def readSchema(): StructType = SpoolDataSource.SCHEMA
+class SpoolScan(path: String, topics: Boolean, conf: SerializableConfiguration,
+                snapshot: () => Seq[SpoolFilePartition]) extends Scan {
+  override def readSchema(): StructType =
+    if (topics) SpoolDataSource.TOPIC_SCHEMA else SpoolDataSource.SCHEMA
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] =
-      snapshot().map(f => SpoolFilePartition(f._2): InputPartition).toArray
+      snapshot().map(p => p: InputPartition).toArray
     override def createReaderFactory(): PartitionReaderFactory =
       new SpoolReaderFactory(conf)
   }
-  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+    require(!topics, s"${SpoolDataSource.NAME}: streaming reads are per-topic " +
+      "— point readStream at one topic directory (topics=true is batch-only)")
     new SpoolMicroBatchStream(path, conf)
+  }
 }
 
 /** Streaming offset: the highest spool filename read so far ("" = nothing).
@@ -199,23 +297,144 @@ class SpoolMicroBatchStream(path: String, conf: SerializableConfiguration)
   override def stop(): Unit = ()
 }
 
-case class SpoolFilePartition(filePath: String) extends InputPartition
+/** One spool file; `topic` is non-null only in `topics` mode (the reader
+  * then emits the two-column (topic, value) rows). */
+case class SpoolFilePartition(filePath: String, topic: String = null)
+    extends InputPartition
+
+/** One task-written temp file: which spool dir it belongs to, its hidden
+  * temp name, and the writing partition (the commit orders by partition so
+  * final sequence numbers are deterministic given the upstream plan). */
+case class SpoolWriteEntry(dir: String, tmpName: String, partitionId: Int)
+case class SpoolCommitMessage(entries: Seq[SpoolWriteEntry]) extends WriterCommitMessage
+
+/** Two-phase spool publish. Tasks write `.tmp-*` files — the dot prefix
+  * makes them INVISIBLE to [[SpoolDataSource.listFiles]], so concurrent
+  * readers never observe an uncommitted batch. The driver-side job commit
+  * then renames each to the next zero-padded `part-NNNNNNNN` per directory,
+  * continuing after the highest existing sequence — which is exactly the
+  * lexicographically-increasing-name contract the streaming watermark
+  * needs, so a micro-batch consumer tails a spool that a batch job is
+  * publishing into. A failed task's temp files are deleted by abort; a
+  * crashed executor's stragglers stay hidden behind the dot prefix. */
+class SpoolBatchWrite(root: String, valueIdx: Int, topicIdx: Int,
+                      conf: SerializableConfiguration) extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new SpoolWriterFactory(root, valueIdx, topicIdx, conf)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val entries = messages.collect { case SpoolCommitMessage(es) => es }.flatten
+    entries.groupBy(_.dir).foreach { case (dir, es) =>
+      val p = new Path(dir)
+      val fs = p.getFileSystem(conf.value)
+      val existing = SpoolDataSource.listFiles(dir, conf.value)
+        .map(_._1).filter(_.startsWith("part-"))
+      var seq = existing
+        .map(n => n.stripPrefix("part-").takeWhile(_.isDigit))
+        .filter(_.nonEmpty).map(_.toLong).foldLeft(-1L)(math.max) + 1
+      // deterministic final order: by writing partition, then temp name
+      es.sortBy(e => (e.partitionId, e.tmpName)).foreach { e =>
+        val to = new Path(dir, f"part-$seq%08d")
+        // rename reports failure as `false`, not an exception — a silent
+        // miss here would drop a committed task's messages
+        require(fs.rename(new Path(dir, e.tmpName), to),
+          s"${SpoolDataSource.NAME} commit: rename ${e.tmpName} -> $to failed in $dir")
+        seq += 1
+      }
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val entries = messages.collect { case SpoolCommitMessage(es) => es }.flatten
+    entries.foreach { e =>
+      val p = new Path(e.dir, e.tmpName)
+      val fs = p.getFileSystem(conf.value)
+      if (fs.exists(p)) fs.delete(p, false)
+    }
+  }
+}
+
+class SpoolWriterFactory(root: String, valueIdx: Int, topicIdx: Int,
+                         conf: SerializableConfiguration) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new SpoolDataWriter(root, valueIdx, topicIdx, partitionId, taskId, conf)
+}
+
+class SpoolDataWriter(root: String, valueIdx: Int, topicIdx: Int,
+                      partitionId: Int, taskId: Long,
+                      conf: SerializableConfiguration) extends DataWriter[InternalRow] {
+  // one open temp file per topic this task has seen; task-scoped names
+  // (partitionId + taskId) cannot collide across speculative attempts
+  private val open = scala.collection.mutable.LinkedHashMap[
+    String, (SpoolWriteEntry, java.io.BufferedWriter)]()
+  private var n = 0
+
+  private def writerFor(dir: String): java.io.BufferedWriter =
+    open.getOrElseUpdate(dir, {
+      val name = f".tmp-$partitionId%05d-$taskId-${open.size}%03d"
+      val p = new Path(dir, name)
+      val fs = p.getFileSystem(conf.value)
+      fs.mkdirs(new Path(dir))
+      (SpoolWriteEntry(dir, name, partitionId), new java.io.BufferedWriter(
+        new java.io.OutputStreamWriter(fs.create(p, false),
+          java.nio.charset.StandardCharsets.UTF_8)))
+    })._2
+
+  override def write(row: InternalRow): Unit = {
+    require(!row.isNullAt(valueIdx),
+      s"${SpoolDataSource.NAME} sink: null `value` (row ${n} of partition $partitionId)")
+    val value = row.getUTF8String(valueIdx).toString
+    require(!value.contains('\n'),
+      s"${SpoolDataSource.NAME} sink: `value` contains a newline — the spool " +
+        "frames one message per line (escape or re-encode the payload)")
+    val dir =
+      if (topicIdx < 0) root
+      else {
+        require(!row.isNullAt(topicIdx),
+          s"${SpoolDataSource.NAME} sink: null `topic` (row $n of partition " +
+            s"$partitionId) — route or filter null topics before publishing")
+        s"$root/${SpoolDataSource.topicDir(row.getUTF8String(topicIdx).toString)}"
+      }
+    val w = writerFor(dir)
+    w.write(value); w.write('\n')
+    n += 1
+  }
+
+  override def commit(): WriterCommitMessage = {
+    open.values.foreach(_._2.close())
+    SpoolCommitMessage(open.values.map(_._1).toSeq)
+  }
+  override def abort(): Unit = {
+    open.values.foreach { case (e, w) =>
+      try w.close() catch { case _: Exception => () }
+      val p = new Path(e.dir, e.tmpName)
+      val fs = p.getFileSystem(conf.value)
+      if (fs.exists(p)) fs.delete(p, false)
+    }
+  }
+  override def close(): Unit = ()
+}
 
 class SpoolReaderFactory(conf: SerializableConfiguration)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val file = partition.asInstanceOf[SpoolFilePartition].filePath
+    val part = partition.asInstanceOf[SpoolFilePartition]
     new PartitionReader[InternalRow] {
       // hadoop FS (not java.io) with the SESSION conf, so hdfs:/s3a: spools
       // read identically on a cluster (credentials, nameservices included)
-      private val p = new Path(file)
+      private val p = new Path(part.filePath)
       private val in = p.getFileSystem(conf.value).open(p)
       private val lines = new java.io.BufferedReader(
         new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8))
+      private val topicUtf8 =
+        if (part.topic == null) null else UTF8String.fromString(part.topic)
       private var current: String = _
       override def next(): Boolean = { current = lines.readLine(); current != null }
       override def get(): InternalRow =
-        new GenericInternalRow(Array[Any](UTF8String.fromString(current)))
+        if (topicUtf8 == null)
+          new GenericInternalRow(Array[Any](UTF8String.fromString(current)))
+        else
+          new GenericInternalRow(Array[Any](topicUtf8, UTF8String.fromString(current)))
       override def close(): Unit = lines.close()
     }
   }

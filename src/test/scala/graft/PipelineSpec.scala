@@ -176,4 +176,63 @@ class PipelineSpec extends SparkSpec {
       "persistent://acme/integration/shipment-events",
       "persistent://acme/integration/user-profile-events"))
   }
+
+  test("graft-spool sink: dynamic topic publish round-trips per tenant") {
+    import spark.implicits._
+    val msgs = (0 until 6).map(i =>
+      s"""{"meta":{"tenantId":"t-${i % 3}"},"vehicleId":"veh-$i"}""")
+    val r = Filterer.route(msgs.toDF("value"))
+    val root = java.nio.file.Files.createTempDirectory("spool_sink").toString
+    Filterer.fanOutTopics(r.routed, root)
+    // each tenant's topic dir holds exactly that tenant's ORIGINAL bytes
+    (0 until 3).foreach { t =>
+      val dir = graft.sources.SpoolDataSource.topicDir(
+        s"persistent://t-$t/integration/telemetry")
+      val got = spark.read.format("graft-spool").load(s"$root/$dir")
+        .collect().map(_.getString(0)).sorted
+      assert(got === msgs.filter(_.contains(s""""t-$t"""")).sorted.toArray)
+    }
+    // committed names follow the spool contract: zero-padded, increasing
+    // (dot-prefixed checksum/temp files are hidden from spool listings)
+    val aDir = new java.io.File(root).listFiles().filter(_.isDirectory).head
+    val names = aDir.listFiles().map(_.getName).filterNot(_.startsWith(".")).sorted
+    assert(names.forall(_.matches("part-\\d{8}")), names.mkString(","))
+    // and the whole bus reads back in ONE topic-tagged scan
+    val bus = spark.read.format("graft-spool").option("topics", "true").load(root)
+    assert(bus.columns === Array("topic", "value"))
+    assert(bus.count() === 6)
+    assert(bus.select("topic").distinct().count() === 3)
+  }
+
+  test("graft-spool sink: append continues the per-directory sequence") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("spool_seq").toString
+    def publish(v: String): Unit =
+      Seq(("persistent://a/n/t", v)).toDF("topic", "value")
+        .coalesce(1).write.format("graft-spool").mode("append")
+        .option("topics", "true").option("path", root).save()
+    publish("m1"); publish("m2")
+    val dir = s"$root/${graft.sources.SpoolDataSource.topicDir("persistent://a/n/t")}"
+    val names = new java.io.File(dir).listFiles().map(_.getName)
+      .filterNot(_.startsWith(".")).sorted
+    assert(names === Array("part-00000000", "part-00000001"))
+    // a batch-published spool TAILS correctly: both files visible, in order
+    val rows = spark.read.format("graft-spool").load(dir)
+      .collect().map(_.getString(0))
+    assert(rows.sorted === Array("m1", "m2"))
+  }
+
+  test("graft-spool sink: rejects values the line framing cannot carry") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("spool_bad").toString
+    val e = intercept[Exception] {
+      Seq(("persistent://a/n/t", "line1\nline2")).toDF("topic", "value")
+        .write.format("graft-spool").mode("append")
+        .option("topics", "true").option("path", root).save()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c =>
+      c.getMessage != null && c.getMessage.contains("newline")))
+  }
 }
