@@ -78,4 +78,42 @@ object Pipeline {
     val t = LegacyTranslators.translateMux(raw, col("kind"))
     (t, EventTypeSplitter.route(t.valid.select(col("event_json").as("value"))))
   }
+
+  /** The COMPLETE E1/E2 dataflow as continuously-running streaming jobs —
+    * the reference's deployed shape (pipeline.yaml:41–68 end to end):
+    * spool sources → three translators → CMF union → Filterer → dynamic
+    * per-tenant topic publish (graft-spool streaming sink; swap the format
+    * for "kafka" on a live bus), plus a dead-letter sink capturing every
+    * translator's quarantine AND the Filterer's unroutable drops, tagged
+    * by origin for per-source replay (SURVEY.md §2.3 R4).
+    *
+    * Two streaming queries, each with its own checkpoint: the publish
+    * path and the dead-letter path re-read the cheap spool source rather
+    * than sharing a plan — streaming DataFrames cannot fork into two
+    * sinks inside one query, and an always-on pipeline wants the failure
+    * domains separate anyway (a dead-letter sink outage must not stop
+    * tenant delivery). Returns (publish, deadLetter) handles; the caller
+    * owns their lifecycle. */
+  def runVehicleTopology(spark: SparkSession, spoolBase: String,
+                         busRoot: String, deadLetterDir: String,
+                         checkpointRoot: String, tenant: String = "acme")
+      : (org.apache.spark.sql.streaming.StreamingQuery,
+         org.apache.spark.sql.streaming.StreamingQuery) = {
+    val publish = Filterer.route(
+      vehicleCmfStream(spark, spoolBase, tenant).valid)
+      .routed.select("topic", "value")
+      .writeStream.format("graft-spool")
+      .option("topics", "true").option("path", busRoot)
+      .option("checkpointLocation", s"$checkpointRoot/publish")
+      .outputMode("append").start()
+    val cmf2 = vehicleCmfStream(spark, spoolBase, tenant)
+    val deadLetter = cmf2.quarantine
+      .unionByName(Filterer.route(cmf2.valid).dropped
+        .withColumn("source", lit("filterer")))
+      .writeStream.format("parquet").partitionBy("source")
+      .option("path", deadLetterDir)
+      .option("checkpointLocation", s"$checkpointRoot/dead-letter")
+      .outputMode("append").start()
+    (publish, deadLetter)
+  }
 }

@@ -14,6 +14,7 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -165,9 +166,11 @@ class SpoolTable(path: String, topics: Boolean = false)
   override def schema(): StructType =
     if (topics) SpoolDataSource.TOPIC_SCHEMA else SpoolDataSource.SCHEMA
   override def capabilities(): util.Set[TableCapability] =
-    (if (topics) Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
+    (if (topics)
+      Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+        TableCapability.STREAMING_WRITE)
      else Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
-       TableCapability.BATCH_WRITE)).asJava
+       TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE)).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
       override def build(): Scan =
@@ -198,6 +201,8 @@ class SpoolTable(path: String, topics: Boolean = false)
       override def build(): Write = new Write {
         override def toBatch: BatchWrite =
           new SpoolBatchWrite(path, s.fieldNames.indexOf("value"), topicIdx, conf)
+        override def toStreaming: StreamingWrite =
+          new SpoolStreamingWrite(path, s.fieldNames.indexOf("value"), topicIdx, conf)
       }
     }
   }
@@ -317,12 +322,13 @@ case class SpoolCommitMessage(entries: Seq[SpoolWriteEntry]) extends WriterCommi
   * needs, so a micro-batch consumer tails a spool that a batch job is
   * publishing into. A failed task's temp files are deleted by abort; a
   * crashed executor's stragglers stay hidden behind the dot prefix. */
-class SpoolBatchWrite(root: String, valueIdx: Int, topicIdx: Int,
-                      conf: SerializableConfiguration) extends BatchWrite {
-  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new SpoolWriterFactory(root, valueIdx, topicIdx, conf)
-
-  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+private object SpoolCommit {
+  /** Driver-side commit: per directory, rename the batch's temp files to
+    * the next zero-padded sequence names after the highest already
+    * committed. Shared by the batch and streaming forms — an epoch commit
+    * IS a batch commit over that epoch's temp files. */
+  def commit(messages: Array[WriterCommitMessage],
+             conf: SerializableConfiguration): Unit = {
     val entries = messages.collect { case SpoolCommitMessage(es) => es }.flatten
     entries.groupBy(_.dir).foreach { case (dir, es) =>
       val p = new Path(dir)
@@ -344,14 +350,53 @@ class SpoolBatchWrite(root: String, valueIdx: Int, topicIdx: Int,
     }
   }
 
-  override def abort(messages: Array[WriterCommitMessage]): Unit = {
-    val entries = messages.collect { case SpoolCommitMessage(es) => es }.flatten
-    entries.foreach { e =>
+  def abort(messages: Array[WriterCommitMessage],
+            conf: SerializableConfiguration): Unit =
+    messages.collect { case SpoolCommitMessage(es) => es }.flatten.foreach { e =>
       val p = new Path(e.dir, e.tmpName)
       val fs = p.getFileSystem(conf.value)
       if (fs.exists(p)) fs.delete(p, false)
     }
-  }
+}
+
+class SpoolBatchWrite(root: String, valueIdx: Int, topicIdx: Int,
+                      conf: SerializableConfiguration) extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new SpoolWriterFactory(root, valueIdx, topicIdx, conf)
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    SpoolCommit.commit(messages, conf)
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    SpoolCommit.abort(messages, conf)
+}
+
+/** Streaming publish: one [[SpoolCommit]] per epoch. Delivery is
+  * AT-LEAST-ONCE on failure recovery — matching the Kafka sink's
+  * documented guarantee (and strictly stronger than the reference
+  * Filterer's fire-and-forget `sendAsync`, which loses messages on
+  * failure, Filterer.kt:42–45): a crash between an epoch's renames and
+  * Spark's offset-log commit replays the epoch into fresh sequence
+  * numbers. Readers needing exactly-once dedup on message content, as
+  * they must with Kafka. */
+class SpoolStreamingWrite(root: String, valueIdx: Int, topicIdx: Int,
+                          conf: SerializableConfiguration) extends StreamingWrite {
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    new SpoolStreamingWriterFactory(root, valueIdx, topicIdx, conf)
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    SpoolCommit.commit(messages, conf)
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    SpoolCommit.abort(messages, conf)
+}
+
+/** Top-level (NOT an inner class): the factory ships to executors, and an
+  * anonymous subclass would drag its enclosing StreamingWrite — which
+  * holds nothing serializable-worthy — into the task closure. */
+class SpoolStreamingWriterFactory(root: String, valueIdx: Int, topicIdx: Int,
+                                  conf: SerializableConfiguration)
+    extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+                            epochId: Long): DataWriter[InternalRow] =
+    new SpoolDataWriter(root, valueIdx, topicIdx, partitionId, taskId,
+      conf, epochId)
 }
 
 class SpoolWriterFactory(root: String, valueIdx: Int, topicIdx: Int,
@@ -362,16 +407,19 @@ class SpoolWriterFactory(root: String, valueIdx: Int, topicIdx: Int,
 
 class SpoolDataWriter(root: String, valueIdx: Int, topicIdx: Int,
                       partitionId: Int, taskId: Long,
-                      conf: SerializableConfiguration) extends DataWriter[InternalRow] {
+                      conf: SerializableConfiguration,
+                      epochId: Long = -1L) extends DataWriter[InternalRow] {
   // one open temp file per topic this task has seen; task-scoped names
-  // (partitionId + taskId) cannot collide across speculative attempts
+  // (partitionId + taskId, plus the epoch in streaming mode) cannot
+  // collide across speculative attempts or epochs
   private val open = scala.collection.mutable.LinkedHashMap[
     String, (SpoolWriteEntry, java.io.BufferedWriter)]()
   private var n = 0
 
   private def writerFor(dir: String): java.io.BufferedWriter =
     open.getOrElseUpdate(dir, {
-      val name = f".tmp-$partitionId%05d-$taskId-${open.size}%03d"
+      val epochTag = if (epochId < 0) "" else s"e$epochId-"
+      val name = f".tmp-$epochTag$partitionId%05d-$taskId-${open.size}%03d"
       val p = new Path(dir, name)
       val fs = p.getFileSystem(conf.value)
       fs.mkdirs(new Path(dir))

@@ -222,6 +222,30 @@ class PipelineSpec extends SparkSpec {
     assert(rows.sorted === Array("m1", "m2"))
   }
 
+  test("E1/E2 full topology: translators -> CMF -> Filterer -> bus, dead-letter replayable") {
+    val base = spoolDir()
+    val out = java.nio.file.Files.createTempDirectory("topology")
+    val busRoot = s"$out/bus"
+    val dlDir = s"$out/dead-letter"
+    val (publish, deadLetter) = Pipeline.runVehicleTopology(
+      spark, base, busRoot, dlDir, s"$out/_ckpt")
+    try {
+      publish.processAllAvailable()
+      deadLetter.processAllAvailable()
+    } finally { publish.stop(); deadLetter.stop() }
+    val dl = spark.read.parquet(dlDir)
+    // the geotab poison record lands tagged by its translator...
+    assert(dl.filter(col("source") === "geotab-translator").count() === 1)
+    // ...and reference parity for the §0.2 quirk: the reference's OWN
+    // translators omit meta.tenantId, so the Filterer drops every
+    // translated CMF message as unroutable (integration tests inject
+    // routable payloads at the CMF topic directly — FiltererTest.kt:72)
+    assert(dl.filter(col("source") === "filterer").count() === 3)
+    val busDirs = Option(new java.io.File(busRoot).listFiles())
+      .map(_.count(_.isDirectory)).getOrElse(0)
+    assert(busDirs === 0, "nothing routable must mean an empty bus")
+  }
+
   test("graft-spool sink: rejects values the line framing cannot carry") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("spool_bad").toString

@@ -532,4 +532,38 @@ class StreamingSpec extends SparkSpec {
       .head().getString(0)
     assert(one === cmfMsg(3))
   }
+
+  test("streaming topic publish: route -> graft-spool sink, epochs append per topic") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("spool_stream_sink")
+    val root = s"$base/bus"
+    val stream = MemoryStream[String](spark)
+    val routed = Filterer.route(stream.toDF()).routed.select("topic", "value")
+    val q = routed.writeStream.format("graft-spool")
+      .option("topics", "true").option("path", root)
+      .option("checkpointLocation", s"$base/_ckpt")
+      .outputMode("append").start()
+    try {
+      stream.addData((0 to 3).map(cmfMsg): _*)
+      q.processAllAvailable()
+      stream.addData(cmfMsg(4), cmfMsg(5)) // second epoch appends
+      q.processAllAvailable()
+    } finally q.stop()
+    val bus = spark.read.format("graft-spool").option("topics", "true").load(root)
+    assert(bus.count() === 6)
+    val perTopic = bus.groupBy("topic").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perTopic === Map(
+      "persistent://tenant-0/integration/telemetry" -> 3L,
+      "persistent://tenant-1/integration/telemetry" -> 3L))
+    // original bytes preserved through route + publish + read-back
+    val one = bus.filter(col("value").contains("\"veh-3\"")).select("value")
+      .head().getString(0)
+    assert(one === cmfMsg(3))
+    // epoch temp files are gone; only committed sequence names remain
+    val leftovers = new java.io.File(root).listFiles().filter(_.isDirectory)
+      .flatMap(_.listFiles()).map(_.getName)
+      .filterNot(_.startsWith(".")).filterNot(_.matches("part-\\d{8}"))
+    assert(leftovers.isEmpty, leftovers.mkString(","))
+  }
 }
