@@ -507,6 +507,20 @@ object SparkEntry {
       .select("doc_id", "lang", "split")
       .orderBy("doc_id")
 
+  /** DSIR distribution-matching weights: target = the English slice,
+    * raw = the whole corpus (the paper's formal-domain-vs-web setup with
+    * the lang column standing in for the target domain). */
+  private def dsirWeightsQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = RawGen.table(s, dir, "documents")
+    Sampling.dsirWeights(docs, docs.filter(col("lang") === "en"))
+      .orderBy("doc_id")
+  }
+
+  private def dsirSampleQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = RawGen.table(s, dir, "documents")
+    Sampling.dsirSample(docs, docs.filter(col("lang") === "en"), 100)
+  }
+
   /** The full curation pipeline as ONE composed query — the shape a
     * training-data build actually ships: quality gate → exact content
     * dedup (keep the lowest-id representative) → stratified language mix →
@@ -1140,6 +1154,8 @@ object SparkEntry {
     "dedup_clusters_star" -> (dedupClustersStarQ _),
     "pii_scrub" -> (piiScrubQ _),
     "sample_stratified" -> (sampleStratifiedQ _),
+    "dsir_weights" -> (dsirWeightsQ _),
+    "dsir_sample" -> (dsirSampleQ _),
     "q_cube" -> (qCube _),
     "q_percentiles" -> (qPercentiles _),
     "q_monthly_lag" -> (qMonthlyLag _),
@@ -1797,6 +1813,55 @@ object SparkEntry {
        |       WHEN $h2 < '${Sampling.hexThreshold(0.9)}' THEN 'val'
        |       ELSE 'test' END AS split
        |FROM k ORDER BY doc_id""".stripMargin
+  }
+
+  // DSIR replay: hashed unigram+bigram features, add-one-smoothed bucket
+  // models over the 1024-bucket spine, per-doc c-weighted log-ratio sum.
+  // The md5 prefix is parsed digit-by-digit (shardAssignSql's idiom).
+  private val dsirCtes = {
+    def hv(i: Int) = s"(strpos('0123456789abcdef', substr(h,$i,1))-1)"
+    s"""w AS (SELECT doc_id, $duckWords AS ws FROM documents
+       |  WHERE len(trim(text)) > 0),
+       |g AS (
+       |  SELECT doc_id, unnest(ws) AS g FROM w
+       |  UNION ALL
+       |  SELECT doc_id, unnest(list_transform(generate_series(0, len(ws)-2),
+       |    i -> array_to_string(ws[i+1:i+2], ' '))) AS g
+       |  FROM w WHERE len(ws) >= 2),
+       |f AS (SELECT doc_id,
+       |    (${hv(1)}*4096 + ${hv(2)}*256 + ${hv(3)}*16 + ${hv(4)}) % 1024 AS bucket,
+       |    count(*) AS c
+       |  FROM (SELECT doc_id, md5(g) AS h FROM g) GROUP BY 1, 2),
+       |q AS (SELECT bucket, sum(c) AS cq FROM f GROUP BY 1),
+       |p AS (SELECT f.bucket, sum(f.c) AS cp FROM f
+       |  JOIN documents d USING (doc_id) WHERE d.lang = 'en' GROUP BY 1),
+       |tot AS (SELECT (SELECT COALESCE(sum(cq), 0) FROM q) AS nq,
+       |               (SELECT COALESCE(sum(cp), 0) FROM p) AS np),
+       |spine AS (SELECT unnest(range(0, 1024)) AS bucket),
+       |m AS (SELECT spine.bucket,
+       |    ln((COALESCE(cp, 0) + 1.0) / (np + 1024.0))
+       |      - ln((COALESCE(cq, 0) + 1.0) / (nq + 1024.0)) AS logratio
+       |  FROM spine LEFT JOIN q USING (bucket) LEFT JOIN p USING (bucket)
+       |  CROSS JOIN tot),
+       |dw AS (SELECT f.doc_id, CAST(sum(c) AS BIGINT) AS n_feats,
+       |    sum(c * logratio) AS logw
+       |  FROM f JOIN m USING (bucket) GROUP BY 1)""".stripMargin
+  }
+
+  private val dsirWeightsSql =
+    s"""WITH $dsirCtes
+       |SELECT doc_id, n_feats, logw FROM dw ORDER BY doc_id""".stripMargin
+
+  private val dsirSampleSql = {
+    def uv(i: Int) = s"(strpos('0123456789abcdef', substr(u,$i,1))-1)"
+    val uval = (1 to 8).map(i => s"${uv(i)}*${math.pow(16, 8 - i).toLong}")
+      .mkString(" + ")
+    s"""WITH $dsirCtes,
+       |s AS (SELECT doc_id, n_feats, logw,
+       |    logw - ln(-ln((($uval) + 1.0) / 4294967298.0)) AS skey
+       |  FROM (SELECT dw.*, md5(doc_id::VARCHAR) AS u FROM dw))
+       |SELECT doc_id, n_feats, logw, skey
+       |FROM s ORDER BY skey DESC, doc_id LIMIT 100""".stripMargin
   }
 
   private val qCubeSql =
@@ -2862,6 +2927,8 @@ object SparkEntry {
     "dedup_clusters_star" -> dedupClustersSql,
     "pii_scrub" -> piiScrubSql,
     "sample_stratified" -> sampleStratifiedSql,
+    "dsir_weights" -> dsirWeightsSql,
+    "dsir_sample" -> dsirSampleSql,
     "q_cube" -> qCubeSql,
     "q_percentiles" -> qPercentilesSql,
     "q_monthly_lag" -> qMonthlyLagSql,

@@ -192,4 +192,94 @@ object Sampling {
           .orderBy(md5(col(idCol).cast("string")), col(idCol))).cast("long"))
       .filter(col("rank") <= quota)
   }
+
+  // ---- DSIR: Data Selection via Importance Resampling (Xie et al. 2023) ----
+  //
+  // Distribution-MATCHING selection, a different axis from the quality
+  // gates in TextAnalysis: score each raw document by how much more likely
+  // its hashed n-gram bag is under a TARGET corpus' feature distribution
+  // than under the raw corpus' own, then resample ∝ exp(weight) via Gumbel
+  // top-k. Everything is hash-agg / broadcast-join shaped:
+  //  - the feature pass is one explode + pre-aggregated (doc, bucket) count
+  //    (map-side combine absorbs in-doc repetition);
+  //  - both bag-of-hashed-ngrams models are B-row frames (B = 1024 buckets)
+  //    — broadcast for the scoring join no matter how big the corpus is;
+  //  - Gumbel keys are pure functions of doc_id (md5-uniform), so the
+  //    "sample" is deterministic, engine-portable, and re-runnable — the
+  //    same properties every other Sampling op here guarantees.
+  // At 100 TB: two corpus passes (features for the models could reuse the
+  // same pre-aggregated frame if persisted; here each query is
+  // self-contained), one TakeOrdered(k) — no global sort materializes.
+
+  private val dsirBuckets = 1024
+
+  /** Hashed unigram+bigram features: (doc_id, bucket, c). The bucket is the
+    * first 4 md5 hex digits mod B — the same hex-prefix idiom as
+    * [[keepPredicate]], so the DuckDB oracle replays it digit-by-digit. */
+  def dsirFeatures(docs: DataFrame): DataFrame = {
+    val ws = Dedup.words(col("text"))
+    val bigrams = transform(sequence(lit(1), size(ws) - 1),
+      i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1)))
+    val grams = when(size(ws) >= 2, concat(ws, bigrams)).otherwise(ws)
+    docs.filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), explode(grams).as("g"))
+      .select(col("doc_id"),
+        (conv(substring(md5(col("g")), 1, 4), 16, 10).cast("long")
+          % dsirBuckets).as("bucket"))
+      .groupBy("doc_id", "bucket").agg(count(lit(1)).as("c"))
+  }
+
+  /** Smoothed per-bucket log ratio from two (bucket, count) model frames
+    * over the full B-bucket spine (a bucket unseen in either corpus still
+    * gets a finite ratio). B rows — broadcast it. */
+  private def smoothedLogRatio(qModel: DataFrame, pModel: DataFrame): DataFrame = {
+    val spine = qModel.sparkSession.range(dsirBuckets)
+      .select(col("id").as("bucket"))
+    val b = lit(dsirBuckets.toDouble)
+    spine
+      .join(qModel, Seq("bucket"), "left")
+      .join(pModel, Seq("bucket"), "left")
+      .select(col("bucket"),
+        (log((coalesce(col("cp"), lit(0L)) + lit(1.0)) /
+             (sum(coalesce(col("cp"), lit(0L))).over(Window.partitionBy()) + b)) -
+         log((coalesce(col("cq"), lit(0L)) + lit(1.0)) /
+             (sum(coalesce(col("cq"), lit(0L))).over(Window.partitionBy()) + b)))
+          .as("logratio"))
+  }
+
+  private def dsirModel(feats: DataFrame, name: String): DataFrame =
+    feats.groupBy("bucket").agg(sum(col("c")).cast("long").as(name))
+
+  /** Per-bucket log importance ratio log p̂_target(b) − log p̂_raw(b). */
+  def dsirLogRatio(rawDocs: DataFrame, targetDocs: DataFrame): DataFrame =
+    smoothedLogRatio(dsirModel(dsirFeatures(rawDocs), "cq"),
+      dsirModel(dsirFeatures(targetDocs), "cp"))
+
+  /** Per-document log importance weight: Σ_features c · logratio(bucket).
+    * The raw corpus' feature frame is computed ONCE (localCheckpoint) and
+    * shared between the q model and the scoring join — the raw explode is
+    * the only corpus-sized work, so it must not run twice (the
+    * bigramLogProb lesson). One broadcast join + one hash-agg after. */
+  def dsirWeights(rawDocs: DataFrame, targetDocs: DataFrame): DataFrame = {
+    val featRaw = dsirFeatures(rawDocs).localCheckpoint()
+    val ratio = smoothedLogRatio(dsirModel(featRaw, "cq"),
+      dsirModel(dsirFeatures(targetDocs), "cp"))
+    featRaw.join(broadcast(ratio), Seq("bucket"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).cast("long").as("n_feats"),
+        sum(col("c") * col("logratio")).as("logw"))
+  }
+
+  /** Gumbel top-k resampling: key = logw + Gumbel(doc_id) samples k docs
+    * without replacement ∝ exp(logw) — the paper's resampling step with the
+    * noise derived from md5(doc_id) (8 hex digits → uniform in (0,1)), so
+    * the draw is deterministic. TakeOrdered(k): no global sort. */
+  def dsirSample(rawDocs: DataFrame, targetDocs: DataFrame, k: Int): DataFrame = {
+    val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("double") + lit(1.0)) / lit(4294967298.0) // 2^32 + 2
+    dsirWeights(rawDocs, targetDocs)
+      .withColumn("skey", col("logw") - log(-log(u)))
+      .orderBy(col("skey").desc, col("doc_id"))
+      .limit(k)
+  }
 }

@@ -878,4 +878,29 @@ class OpsSpec extends SparkSpec {
     assert(got.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq ===
       Seq((1L, 3L, 0.0), (2L, 1L, 0.0)))
   }
+
+  test("dsirWeights: target == raw gives zero weights; target vocab scores above off-target") {
+    import spark.implicits._
+    import graft.ops.Sampling
+    val docs = Seq(
+      (1L, "alpha beta alpha", "en"), (2L, "alpha beta gamma", "en"),
+      (3L, "delta epsilon zeta", "fr"), (4L, "delta zeta delta", "fr"))
+      .toDF("doc_id", "text", "lang")
+    // identical distributions -> every bucket log-ratio is exactly 0
+    val self = Sampling.dsirWeights(docs, docs).collect()
+    assert(self.length === 4)
+    assert(self.forall(r => math.abs(r.getDouble(2)) < 1e-12))
+    // English-targeted weights must rank the English-vocabulary docs
+    // above the French-vocabulary ones (distribution matching, not
+    // quality: the words themselves carry the signal)
+    val w = Sampling.dsirWeights(docs, docs.filter($"lang" === "en"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(Seq(1L, 2L).map(w).min > Seq(3L, 4L).map(w).max)
+    // resampling is deterministic and ranks by noisy weight
+    val s1 = Sampling.dsirSample(docs, docs.filter($"lang" === "en"), 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    val s2 = Sampling.dsirSample(docs, docs.filter($"lang" === "en"), 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(s1 === s2)
+  }
 }

@@ -111,6 +111,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"corpus side shuffled for the join:\n$p")
   }
 
+  test("dsirWeights: the B-row log-ratio table broadcasts for the scoring join") {
+    import spark.implicits._
+    val docs = (0L to 20L).map(i => (i, s"alpha beta gamma token$i end",
+      if (i % 2 == 0) "en" else "fr")).toDF("doc_id", "text", "lang")
+    val p = plan(graft.ops.Sampling.dsirWeights(docs,
+      docs.filter(col("lang") === "en")))
+    assert(p.contains("BroadcastHashJoin"), s"log-ratio table not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus features sort-merged against a 1024-row table:\n$p")
+  }
+
   test("incrementalDedup verify join stays a shuffle join (catalog never broadcasts)") {
     import spark.implicits._
     val base = (1L to 50L).map(i => (i, s"catalog $i")).toDF("doc_id", "text")
