@@ -129,7 +129,18 @@ object SparkEntry {
     * topology-scale (one entry per tenant), not data-scale. */
   private def routeTopicSink(s: SparkSession, dir: String): DataFrame = {
     val routed = Filterer.route(RawGen.wire(s, dir, "routing")).routed
-    val root = java.nio.file.Files.createTempDirectory("graft_topic_sink").toString
+    // deterministic per-sfDir scratch root, wiped before each publish:
+    // createTempDirectory would leak one routed-corpus copy per invocation
+    // (Verify + every bench repetition) into the tmpdir
+    val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_topic_sink_${Integer.toHexString(dir.hashCode)}").toString
+    val rootFile = new java.io.File(root)
+    if (rootFile.exists()) {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(rootFile)
+    }
     Filterer.fanOutTopics(routed, root)
     s.read.format("graft-spool").option("topics", "true").load(root)
       .groupBy("topic")

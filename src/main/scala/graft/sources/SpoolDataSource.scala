@@ -118,10 +118,25 @@ object SpoolDataSource {
     val fs = p.getFileSystem(conf)
     if (!fs.exists(p)) Seq.empty
     else fs.listStatus(p).toSeq.filter(_.isDirectory)
+      // same hidden-name contract as the file listing: checkpoint /
+      // _spark_metadata / .snapshot dirs under the bus root are NOT topics
+      .filterNot(d => d.getPath.getName.startsWith(".") ||
+        d.getPath.getName.startsWith("_"))
       .sortBy(_.getPath.getName)
       .flatMap { d =>
-        val topic = topicFromDir(d.getPath.getName)
-        listFiles(d.getPath.toString, conf).map { case (_, fp) => (topic, fp) }
+        // a directory that does not decode as a topic (someone else's
+        // data dropped under the bus root) is skipped loudly, not fatal
+        // to every read of the whole bus
+        try {
+          val topic = topicFromDir(d.getPath.getName)
+          listFiles(d.getPath.toString, conf).map { case (_, fp) => (topic, fp) }
+        } catch {
+          case _: NumberFormatException | _: StringIndexOutOfBoundsException =>
+            org.slf4j.LoggerFactory.getLogger(getClass).warn(
+              s"$NAME: ignoring non-topic directory ${d.getPath} " +
+                "(name is not a percent-encoded topic)")
+            Seq.empty
+        }
       }
   }
 }
@@ -197,6 +212,11 @@ class SpoolTable(path: String, topics: Boolean = false)
       s"${SpoolDataSource.NAME} sink `topic` column must be STRING; got $s")
     require(s.fieldNames.forall(f => f == "value" || f == "topic"),
       s"${SpoolDataSource.NAME} sink accepts only (topic?, value); got $s")
+    // a topics=true bus read lists only SUB-directories — rows written to
+    // the root itself would be committed yet invisible to every reader
+    require(!topics || topicIdx >= 0,
+      s"${SpoolDataSource.NAME} sink: topics=true requires a `topic` column " +
+        "(rows without one would land in the bus root, unreadable in topics mode)")
     new WriteBuilder {
       override def build(): Write = new Write {
         override def toBatch: BatchWrite =
@@ -338,12 +358,25 @@ private object SpoolCommit {
       var seq = existing
         .map(n => n.stripPrefix("part-").takeWhile(_.isDigit))
         .filter(_.nonEmpty).map(_.toLong).foldLeft(-1L)(math.max) + 1
+      // Final names carry a commit-unique suffix (md5 of this commit's
+      // temp-file set): two writers that race into one topic directory
+      // (batch publish while a streaming epoch commits) can compute the
+      // same next-sequence from the same point-in-time listing, and a
+      // POSIX rename would silently REPLACE the other commit's file.
+      // Distinct suffixes make the destinations disjoint; names still
+      // sort after every earlier sequence, so the streaming watermark
+      // contract holds, and the digit prefix still drives the next
+      // commit's numbering.
+      val tag = java.security.MessageDigest.getInstance("MD5")
+        .digest(es.map(_.tmpName).sorted.mkString(",")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .take(4).map(b => f"${b & 0xff}%02x").mkString
       // deterministic final order: by writing partition, then temp name
       es.sortBy(e => (e.partitionId, e.tmpName)).foreach { e =>
-        val to = new Path(dir, f"part-$seq%08d")
+        val to = new Path(dir, f"part-$seq%08d-$tag")
         // rename reports failure as `false`, not an exception — a silent
         // miss here would drop a committed task's messages
-        require(fs.rename(new Path(dir, e.tmpName), to),
+        require(!fs.exists(to) && fs.rename(new Path(dir, e.tmpName), to),
           s"${SpoolDataSource.NAME} commit: rename ${e.tmpName} -> $to failed in $dir")
         seq += 1
       }
@@ -432,9 +465,11 @@ class SpoolDataWriter(root: String, valueIdx: Int, topicIdx: Int,
     require(!row.isNullAt(valueIdx),
       s"${SpoolDataSource.NAME} sink: null `value` (row ${n} of partition $partitionId)")
     val value = row.getUTF8String(valueIdx).toString
-    require(!value.contains('\n'),
-      s"${SpoolDataSource.NAME} sink: `value` contains a newline — the spool " +
-        "frames one message per line (escape or re-encode the payload)")
+    // BufferedReader.readLine() on the consume side terminates on \n, \r,
+    // AND \r\n — a bare carriage return would silently split the message
+    require(!value.exists(c => c == '\n' || c == '\r'),
+      s"${SpoolDataSource.NAME} sink: `value` contains a line terminator — " +
+        "the spool frames one message per line (escape or re-encode the payload)")
     val dir =
       if (topicIdx < 0) root
       else {

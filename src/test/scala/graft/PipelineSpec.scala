@@ -196,7 +196,7 @@ class PipelineSpec extends SparkSpec {
     // (dot-prefixed checksum/temp files are hidden from spool listings)
     val aDir = new java.io.File(root).listFiles().filter(_.isDirectory).head
     val names = aDir.listFiles().map(_.getName).filterNot(_.startsWith(".")).sorted
-    assert(names.forall(_.matches("part-\\d{8}")), names.mkString(","))
+    assert(names.forall(_.matches("part-\\d{8}-[0-9a-f]{8}")), names.mkString(","))
     // and the whole bus reads back in ONE topic-tagged scan
     val bus = spark.read.format("graft-spool").option("topics", "true").load(root)
     assert(bus.columns === Array("topic", "value"))
@@ -215,7 +215,8 @@ class PipelineSpec extends SparkSpec {
     val dir = s"$root/${graft.sources.SpoolDataSource.topicDir("persistent://a/n/t")}"
     val names = new java.io.File(dir).listFiles().map(_.getName)
       .filterNot(_.startsWith(".")).sorted
-    assert(names === Array("part-00000000", "part-00000001"))
+    assert(names.map(_.take(13)) === Array("part-00000000", "part-00000001"))
+    assert(names.forall(_.matches("part-\\d{8}-[0-9a-f]{8}")), names.mkString(","))
     // a batch-published spool TAILS correctly: both files visible, in order
     val rows = spark.read.format("graft-spool").load(dir)
       .collect().map(_.getString(0))
@@ -248,15 +249,20 @@ class PipelineSpec extends SparkSpec {
 
   test("graft-spool sink: rejects values the line framing cannot carry") {
     import spark.implicits._
-    val root = java.nio.file.Files.createTempDirectory("spool_bad").toString
-    val e = intercept[Exception] {
-      Seq(("persistent://a/n/t", "line1\nline2")).toDF("topic", "value")
-        .write.format("graft-spool").mode("append")
-        .option("topics", "true").option("path", root).save()
-    }
     def causes(t: Throwable): Seq[Throwable] =
       if (t == null) Nil else t +: causes(t.getCause)
-    assert(causes(e).exists(c =>
-      c.getMessage != null && c.getMessage.contains("newline")))
+    // \n splits a message; a bare \r does too (readLine terminates on
+    // both), and a trailing \r would be silently dropped — all rejected
+    for (bad <- Seq("line1\nline2", "line1\rline2", "trailing\r")) {
+      val root = java.nio.file.Files.createTempDirectory("spool_bad").toString
+      val e = intercept[Exception] {
+        Seq(("persistent://a/n/t", bad)).toDF("topic", "value")
+          .write.format("graft-spool").mode("append")
+          .option("topics", "true").option("path", root).save()
+      }
+      assert(causes(e).exists(c =>
+        c.getMessage != null && c.getMessage.contains("line terminator")),
+        s"value ${bad.replace("\n", "\\n").replace("\r", "\\r")} not rejected")
+    }
   }
 }

@@ -560,10 +560,14 @@ class StreamingSpec extends SparkSpec {
     val one = bus.filter(col("value").contains("\"veh-3\"")).select("value")
       .head().getString(0)
     assert(one === cmfMsg(3))
-    // epoch temp files are gone; only committed sequence names remain
-    val leftovers = new java.io.File(root).listFiles().filter(_.isDirectory)
+    // epoch temp files are gone (list HIDDEN names too — the temps are
+    // dot-prefixed, so a visibility filter here would make this vacuous)
+    // and only committed sequence names + local-FS checksum shadows remain
+    val all = new java.io.File(root).listFiles().filter(_.isDirectory)
       .flatMap(_.listFiles()).map(_.getName)
-      .filterNot(_.startsWith(".")).filterNot(_.matches("part-\\d{8}"))
+    assert(!all.exists(_.contains(".tmp-")), all.mkString(","))
+    val leftovers = all.filterNot(_.startsWith("."))
+      .filterNot(_.matches("part-\\d{8}-[0-9a-f]{8}"))
     assert(leftovers.isEmpty, leftovers.mkString(","))
   }
 }
