@@ -213,21 +213,25 @@ object Sampling {
 
   private val dsirBuckets = 1024
 
-  /** Hashed unigram+bigram features: (doc_id, bucket, c). The bucket is the
-    * first 4 md5 hex digits mod B — the same hex-prefix idiom as
-    * [[keepPredicate]], so the DuckDB oracle replays it digit-by-digit. */
-  def dsirFeatures(docs: DataFrame): DataFrame = {
+  /** Unigram + space-joined-bigram feature grams of the text column. */
+  private def dsirGrams: Column = {
     val ws = Dedup.words(col("text"))
     val bigrams = transform(sequence(lit(1), size(ws) - 1),
       i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1)))
-    val grams = when(size(ws) >= 2, concat(ws, bigrams)).otherwise(ws)
-    docs.filter(length(trim(col("text"))) > 0)
-      .select(col("doc_id"), explode(grams).as("g"))
-      .select(col("doc_id"),
-        (conv(substring(md5(col("g")), 1, 4), 16, 10).cast("long")
-          % dsirBuckets).as("bucket"))
-      .groupBy("doc_id", "bucket").agg(count(lit(1)).as("c"))
+    when(size(ws) >= 2, concat(ws, bigrams)).otherwise(ws)
   }
+
+  private def dsirBucket(g: Column): Column =
+    conv(substring(md5(g), 1, 4), 16, 10).cast("long") % dsirBuckets
+
+  /** Hashed unigram+bigram features: (doc_id, bucket, c). The bucket is the
+    * first 4 md5 hex digits mod B — the same hex-prefix idiom as
+    * [[keepPredicate]], so the DuckDB oracle replays it digit-by-digit. */
+  def dsirFeatures(docs: DataFrame): DataFrame =
+    docs.filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), explode(dsirGrams).as("g"))
+      .select(col("doc_id"), dsirBucket(col("g")).as("bucket"))
+      .groupBy("doc_id", "bucket").agg(count(lit(1)).as("c"))
 
   /** Smoothed per-bucket log ratio from two (bucket, count) model frames
     * over the full B-bucket spine (a bucket unseen in either corpus still
@@ -268,6 +272,26 @@ object Sampling {
       .groupBy("doc_id")
       .agg(sum(col("c")).cast("long").as("n_feats"),
         sum(col("c") * col("logratio")).as("logw"))
+  }
+
+  /** Row-local scoring against a FIXED log-ratio table — the ingest-time
+    * form: models are trained offline on a snapshot, arriving documents
+    * are scored as they land. The B-row table is pulled to the driver (a
+    * k-row pull, same family as the k-means centroid loop) and inlined as
+    * a literal array, so the score is a pure scan-fused projection: zero
+    * shuffles, no per-doc aggregation state — append-mode streaming safe
+    * (the join+agg form of [[dsirWeights]] would need stateful streaming
+    * aggregation). Same logw as dsirWeights up to summation order. */
+  def dsirScore(docs: DataFrame, logRatio: DataFrame): DataFrame = {
+    val ratio = logRatio.orderBy("bucket").collect()
+    require(ratio.length == dsirBuckets,
+      s"expected $dsirBuckets log-ratio rows, got ${ratio.length}")
+    val ratioLit = array(ratio.toIndexedSeq.map(r => lit(r.getDouble(1))): _*)
+    val grams = dsirGrams
+    docs.filter(length(trim(col("text"))) > 0)
+      .withColumn("n_feats", size(grams).cast("long"))
+      .withColumn("logw", aggregate(grams, lit(0.0),
+        (acc, g) => acc + element_at(ratioLit, (dsirBucket(g) + 1).cast("int"))))
   }
 
   /** Gumbel top-k resampling: key = logw + Gumbel(doc_id) samples k docs
