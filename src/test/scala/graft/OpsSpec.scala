@@ -879,6 +879,39 @@ class OpsSpec extends SparkSpec {
       Seq((1L, 3L, 0.0), (2L, 1L, 0.0)))
   }
 
+  test("RawGen.events: tz-aware and NTZ parquet encodings normalize to identical epochs") {
+    import spark.implicits._
+    // one post-1970 instant with sub-second precision, one pre-1970 (the
+    // floor-division boundary where truncation toward zero would be off
+    // by one), one exact second
+    val isos = Seq("2023-10-26T10:00:00.123456Z", "1969-12-31T23:59:59.750Z",
+      "2000-01-01T00:00:00Z")
+    val base = isos.zipWithIndex.map { case (iso, i) => (i.toLong, iso) }
+      .toDF("event_id", "iso")
+    def write(dir: java.nio.file.Path, tsType: String): String = {
+      base.select(col("event_id"),
+        col("iso").cast("timestamp").cast(tsType).as("ts"))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$dir/events.parquet")
+      dir.toString
+    }
+    val tzDir = write(java.nio.file.Files.createTempDirectory("enc_tz"), "timestamp")
+    val ntzDir = write(java.nio.file.Files.createTempDirectory("enc_ntz"), "timestamp_ntz")
+    def epochs(d: String): Seq[(Long, Long, Long, Long)] =
+      graft.gen.RawGen.events(spark, d)
+        .select("event_id", "epoch_us", "epoch_ms", "epoch_s")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq.sortBy(_._1)
+    val tz = epochs(tzDir)
+    assert(epochs(ntzDir) === tz, "NTZ encoding diverged from tz-aware")
+    // and the values themselves are the UTC epochs, floored (not
+    // truncated toward zero) for the pre-1970 row
+    assert(tz === Seq(
+      (0L, 1698314400123456L, 1698314400123L, 1698314400L),
+      (1L, -250000L, -250L, -1L),
+      (2L, 946684800000000L, 946684800000L, 946684800L)))
+  }
+
   test("dsirWeights: target == raw gives zero weights; target vocab scores above off-target") {
     import spark.implicits._
     import graft.ops.Sampling

@@ -402,6 +402,48 @@ class PropSpec extends SparkSpec {
     assert(got === ref(docs, 5).sorted)
   }
 
+  test("dsirWeights matches a plain-Scala reference on random corpora") {
+    import spark.implicits._
+    import graft.ops.Sampling
+    val wordGen = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps",
+      "zeta", "eta", "theta")
+    val docGen = Gen.chooseNum(1, 10).flatMap(n => Gen.listOfN(n, wordGen))
+    val docs = (0 until 60).flatMap(i => docGen.sample.map(ws =>
+      (i.toLong, ws.mkString(" "), if (i % 3 == 0) "en" else "fr")))
+    // reference: same 2-byte md5 bucket, unigram+bigram bag, add-one
+    // smoothing over 1024 buckets — independent Scala, no Spark
+    def bucket(g: String): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(g.getBytes("UTF-8"))
+      (((md(0) & 0xff) << 8) | (md(1) & 0xff)) % 1024
+    }
+    def feats(ds: Seq[(Long, String, String)]): Map[Long, Map[Int, Long]] =
+      ds.map { case (id, t, _) =>
+        val ws = t.trim.split("\\s+").toSeq
+        val grams = ws ++
+          (if (ws.length >= 2) ws.sliding(2).map(_.mkString(" ")).toSeq else Nil)
+        id -> grams.groupBy(bucket).view.mapValues(_.size.toLong).toMap
+      }.toMap
+    val raw = feats(docs)
+    val tgt = feats(docs.filter(_._3 == "en"))
+    def tot(m: Map[Long, Map[Int, Long]]) = m.values.flatMap(_.values).sum
+    val (nq, np) = (tot(raw), tot(tgt))
+    def cnt(m: Map[Long, Map[Int, Long]], b: Int) =
+      m.values.map(_.getOrElse(b, 0L)).sum
+    val ref = raw.map { case (id, bs) =>
+      id -> bs.map { case (b, c) =>
+        c * (math.log((cnt(tgt, b) + 1.0) / (np + 1024.0)) -
+             math.log((cnt(raw, b) + 1.0) / (nq + 1024.0)))
+      }.sum
+    }
+    val got = Sampling.dsirWeights(docs.toDF("doc_id", "text", "lang"),
+        docs.filter(_._3 == "en").toDF("doc_id", "text", "lang"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got.keySet === ref.keySet)
+    got.foreach { case (id, w) =>
+      assert(math.abs(w - ref(id)) < 1e-9, s"doc $id: $w vs ${ref(id)}") }
+  }
+
   test("mixtureSample quotas are monotone in budget (prefix property)") {
     import spark.implicits._
     import graft.ops.Sampling
