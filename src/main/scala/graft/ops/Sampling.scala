@@ -213,24 +213,20 @@ object Sampling {
 
   private val dsirBuckets = 1024
 
-  /** Unigram + space-joined-bigram feature grams of the text column. */
-  private def dsirGrams: Column = {
-    val ws = Dedup.words(col("text"))
-    val bigrams = transform(sequence(lit(1), size(ws) - 1),
-      i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1)))
-    when(size(ws) >= 2, concat(ws, bigrams)).otherwise(ws)
-  }
-
-  private def dsirBucket(g: Column): Column =
-    conv(substring(md5(g), 1, 4), 16, 10).cast("long") % dsirBuckets
+  /** All unigram+bigram feature buckets of the text column, one fused
+    * native pass ([[graft.functions.DsirBuckets]] — md5 fed the gram
+    * BYTES, no per-gram string/hex materialization; bucket-exact parity
+    * with the composable `conv(substring(md5(gram),1,4),16,10) % B`
+    * spelling and with the DuckDB oracle, FunctionsSpec). */
+  private def dsirBucketsCol: Column =
+    graft.functions.DsirBuckets.dsirBuckets(Dedup.words(col("text")), dsirBuckets)
 
   /** Hashed unigram+bigram features: (doc_id, bucket, c). The bucket is the
     * first 4 md5 hex digits mod B — the same hex-prefix idiom as
     * [[keepPredicate]], so the DuckDB oracle replays it digit-by-digit. */
   def dsirFeatures(docs: DataFrame): DataFrame =
     docs.filter(length(trim(col("text"))) > 0)
-      .select(col("doc_id"), explode(dsirGrams).as("g"))
-      .select(col("doc_id"), dsirBucket(col("g")).as("bucket"))
+      .select(col("doc_id"), explode(dsirBucketsCol).as("bucket"))
       .groupBy("doc_id", "bucket").agg(count(lit(1)).as("c"))
 
   /** Smoothed per-bucket log ratio from two (bucket, count) model frames
@@ -287,11 +283,11 @@ object Sampling {
     require(ratio.length == dsirBuckets,
       s"expected $dsirBuckets log-ratio rows, got ${ratio.length}")
     val ratioLit = array(ratio.toIndexedSeq.map(r => lit(r.getDouble(1))): _*)
-    val grams = dsirGrams
+    val bs = dsirBucketsCol
     docs.filter(length(trim(col("text"))) > 0)
-      .withColumn("n_feats", size(grams).cast("long"))
-      .withColumn("logw", aggregate(grams, lit(0.0),
-        (acc, g) => acc + element_at(ratioLit, (dsirBucket(g) + 1).cast("int"))))
+      .withColumn("n_feats", size(bs).cast("long"))
+      .withColumn("logw", aggregate(bs, lit(0.0),
+        (acc, b) => acc + element_at(ratioLit, (b + 1).cast("int"))))
   }
 
   /** Gumbel top-k resampling: key = logw + Gumbel(doc_id) samples k docs

@@ -175,4 +175,32 @@ class FunctionsSpec extends SparkSpec {
       .head().getSeq[Long](0)
     assert(sqlR === r.getSeq[Long](0))
   }
+
+  test("graft_dsir_buckets: bucket-exact parity with the composable md5/conv spelling") {
+    import graft.functions.DsirBuckets
+    import graft.ops.Dedup
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("alpha", "beta", "Gamma", "δελτα", "e_ps", "z")
+    val docs = (0L until 40L).map { id =>
+      (id, Vector.fill(1 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" "))
+    }.toDF("doc_id", "text")
+    val ws = Dedup.words(col("text"))
+    // composable reference: unigrams ++ space-joined bigrams, md5 hex
+    // prefix parsed with conv — exactly what the DuckDB oracle replays
+    val bigrams = transform(sequence(lit(1), size(ws) - 1),
+      i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1)))
+    val grams = when(size(ws) >= 2, concat(ws, bigrams)).otherwise(ws)
+    val composable = docs.select(col("doc_id"),
+      transform(grams, g =>
+        conv(substring(md5(g), 1, 4), 16, 10).cast("long") % 1024).as("bs"))
+    val native = docs.select(col("doc_id"),
+      DsirBuckets.dsirBuckets(ws, 1024).as("bs"))
+    val c = composable.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1)))
+    val n = native.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1)))
+    assert(n === c)
+  }
 }
