@@ -49,7 +49,14 @@ object ScaleProbe {
     // e = log10(ratio); linear work ~ 1.0, n log n ~ 1.1, quadratic ~ 2.0.
     // Sub-linear readings mean the 1x run is overhead-dominated (fixed
     // per-query planning/launch costs hide the data term).
-    def pair(name: String, at1x: => DataFrame, at10x: => DataFrame): Unit = {
+    // optional comma-separated pair-name allowlist for targeted reruns
+    val only = sys.env.get("SPARK_GRAFT_PROBE_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+
+    def pair(name: String, at1x: => DataFrame, at10x: => DataFrame): Unit =
+      if (only.forall(_.contains(name))) pairImpl(name, at1x, at10x)
+
+    def pairImpl(name: String, at1x: => DataFrame, at10x: => DataFrame): Unit = {
       // leak fence (same rationale as Bench's): each by-name evaluation of
       // a managed frame leaves its eagerly-checkpointed result blocks until
       // GC — 4 evaluations per pair at 10x scale would contaminate later
@@ -99,6 +106,15 @@ object ScaleProbe {
         m = 4, k = 16, topK = 5))
     pair("lm_unigram", TextAnalysis.unigramLogProb(d1),
       TextAnalysis.unigramLogProb(d10))
+    // round-11 rewrite: single checkpointed explode + composite-key join;
+    // corpus 10x but bigram VOCAB grows slower (Heaps) — expect ~linear
+    pair("lm_bigram", TextAnalysis.bigramLogProb(d1),
+      TextAnalysis.bigramLogProb(d10))
+    // feature pass is the fused native expression; models stay B=1024
+    // rows at any corpus size, scoring join is broadcast — expect linear
+    pair("dsir_weights",
+      Sampling.dsirWeights(docs1, docs1.filter(col("lang") === "en")),
+      Sampling.dsirWeights(docs10, docs10.filter(col("lang") === "en")))
     // same 32 query docs on both sides (their 10x ids are originalId*10,
     // replica r=0): the exponent isolates postings-build + candidate-scan
     // growth at a FIXED query budget — the operator's real serving shape

@@ -517,42 +517,45 @@ object TextAnalysis {
     * where the unigram model cannot tell. Docs with fewer than two
     * tokens have no bigram and drop out (mirrored by the oracle).
     *
-    * Scale shape (reworked after the r10 plan audit): the corpus-sized
-    * bigram explode runs ONCE — immediately pre-aggregated to per-doc
-    * bigram-TYPE counts `(doc_id, w1, w2, c)` (map-side partial combine
-    * shrinks the shuffle by the in-doc repetition factor) and
-    * localCheckpointed so the three consumers share the materialization
-    * instead of re-running the Generate. The corpus counts `c12`/`cnt1`
-    * are vocabulary-sized rollups OF that frame. The two conditionals
-    * are joined vocab×vocab FIRST (c12 ⋈ c1 on w1 — dictionary-sized
-    * both sides, Zipf skew on w1 bounded by the continuation fan-out of
-    * the hottest head word, ≤ |vocab|), so the corpus-sized frame joins
-    * exactly once, on the (w1, w2) COMPOSITE key — which splinters the
-    * stopword hot keys ("the", "of") across their continuations instead
-    * of funneling each into one reducer, the 100 TB skew killer the old
-    * w1-only instance join had. shuffle_hash pinned: bigram vocabulary
-    * is far beyond broadcast at scale. Per-doc mean over instances is
-    * recovered exactly as the c-weighted mean over types. */
+    * Scale shape (reworked twice — r10 plan audit, then the r11
+    * ScaleProbe): the corpus-sized explode runs twice as a cheap
+    * scan-fused Generate — once into the `c12` hash-agg, once into the
+    * scoring join — and CORPUS-sized data is never materialized (the
+    * checkpoint-the-instance-frame variant probed at exponent 1.31 on
+    * 10× corpus: natural text has little in-doc bigram repetition, so
+    * the per-doc pre-agg barely shrank what it wrote). What IS cached is
+    * only the VOCAB-sized `c12` model — needed twice (its own `cnt1`
+    * rollup: cnt1(w1) = Σ_w2 c12, exact, no third corpus pass; and the
+    * logp join build) — spillable and released once the result is
+    * materialized (the Dedup managed-lifecycle pattern, so bench
+    * repeat-sampling cannot stack blocks). The count frames join
+    * vocab×vocab on w1 (skew bounded by the hottest head's continuation
+    * fan-out ≤ |vocab|), and the instance stream joins exactly once, on
+    * the (w1, w2) COMPOSITE key — which splinters the stopword hot keys
+    * ("the", "of") across their continuations instead of funneling each
+    * into one reducer, the 100 TB skew killer the original w1-only
+    * instance join had. shuffle_hash pinned: bigram vocabulary is far
+    * beyond broadcast at scale. */
   def bigramLogProb(docs: DataFrame): DataFrame = {
     val ws = split(trim(col("text")), wsPlus)
-    val perDoc = docs.filter(size(ws) >= 2).select(col("doc_id"),
+    def bi = docs.filter(size(ws) >= 2).select(col("doc_id"),
       explode(transform(sequence(lit(1), size(ws) - 1),
         i => struct(element_at(ws, i).as("w1"),
           element_at(ws, i + 1).as("w2")))).as("bg"))
-      .groupBy(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-      .agg(count(lit(1)).as("c"))
-      .localCheckpoint()
-    val c12 = perDoc.groupBy("w1", "w2")
-      .agg(sum(col("c")).cast("long").as("c12"))
-    val c1 = perDoc.groupBy("w1").agg(sum(col("c")).cast("long").as("cnt1"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val c12 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val c1 = c12.groupBy("w1").agg(sum(col("c12")).cast("long").as("cnt1"))
     val logp = c12.join(c1.hint("shuffle_hash"), Seq("w1"))
       .select(col("w1"), col("w2"),
         log(col("c12").cast("double") / col("cnt1")).as("lp"))
-    perDoc.join(logp.hint("shuffle_hash"), Seq("w1", "w2"))
+    val res = bi.join(logp.hint("shuffle_hash"), Seq("w1", "w2"))
       .groupBy("doc_id")
-      .agg(sum(col("c")).cast("long").as("n_bigrams"),
-        (sum(col("lp") * col("c")) / sum(col("c")).cast("double"))
-          .as("avg_logprob"))
+      .agg(count(lit(1)).cast("long").as("n_bigrams"),
+        avg(col("lp")).as("avg_logprob"))
+      .localCheckpoint()
+    c12.unpersist(blocking = false)
+    res
   }
 
   // ---- BPE tokenizer: training rounds + corpus encode ----
