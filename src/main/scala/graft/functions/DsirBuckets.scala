@@ -21,7 +21,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * the composable form — and with the DuckDB oracle, which replays
   * `md5(gram)` digit-by-digit (FunctionsSpec asserts the parity on
   * random words; the dsir PropSpec reference recomputes it in plain
-  * Scala).
+  * Scala). The parity claim holds for arrays WITHOUT null slots — which
+  * is everything the `words()` splitter can produce. A null-bearing
+  * array from the raw SQL surface diverges: the composable spelling
+  * nulls the unigram bucket and has concat_ws SKIP the null inside
+  * bigrams, while this expression hashes a null slot as the empty
+  * string (policy at compute()); don't feed it null-bearing arrays
+  * where oracle parity matters.
   *
   * Output: unigram buckets in word order, then bigram buckets in word
   * order (a doc with L ≥ 2 words yields 2L−1 entries; L = 1 yields 1).

@@ -49,12 +49,17 @@ object ScaleProbe {
     // e = log10(ratio); linear work ~ 1.0, n log n ~ 1.1, quadratic ~ 2.0.
     // Sub-linear readings mean the 1x run is overhead-dominated (fixed
     // per-query planning/launch costs hide the data term).
-    // optional comma-separated pair-name allowlist for targeted reruns
+    // optional comma-separated pair-name allowlist for targeted reruns;
+    // an empty/typo'd list must fail loudly, not silently probe nothing
+    // (same rationale as Bench's SPARK_GRAFT_ONLY guard)
     val only = sys.env.get("SPARK_GRAFT_PROBE_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach(keep => require(keep.nonEmpty,
+      "SPARK_GRAFT_PROBE_ONLY is set but names no pairs"))
+    var probed = 0
 
     def pair(name: String, at1x: => DataFrame, at10x: => DataFrame): Unit =
-      if (only.forall(_.contains(name))) pairImpl(name, at1x, at10x)
+      if (only.forall(_.contains(name))) { probed += 1; pairImpl(name, at1x, at10x) }
 
     def pairImpl(name: String, at1x: => DataFrame, at10x: => DataFrame): Unit = {
       // leak fence (same rationale as Bench's): each by-name evaluation of
@@ -138,6 +143,10 @@ object ScaleProbe {
         m = 4, k = 16, topK = 5),
       Similarity.ivfPqRerankTopK(emb10, emb10.filter(col("vec_id") < 8),
         m = 4, k = 16, topK = 5))
+    only.foreach { keep =>
+      if (probed == 0) System.err.println(
+        s"[probe] SPARK_GRAFT_PROBE_ONLY matched no pair: ${keep.mkString(", ")}")
+    }
     spark.stop()
   }
 }

@@ -283,10 +283,15 @@ object Sampling {
     require(ratio.length == dsirBuckets,
       s"expected $dsirBuckets log-ratio rows, got ${ratio.length}")
     val ratioLit = array(ratio.toIndexedSeq.map(r => lit(r.getDouble(1))): _*)
-    val bs = dsirBucketsCol
+    // n_feats from the WORD count (L words → 2L−1 grams, L=1 → 1), not
+    // size(buckets): ArrayAggregate is a CodegenFallback HOF, so the
+    // codegen'd size() could not share the md5 pass with the fold and the
+    // whole bucket computation would run twice per row
+    val nWords = size(Dedup.words(col("text")))
     docs.filter(length(trim(col("text"))) > 0)
-      .withColumn("n_feats", size(bs).cast("long"))
-      .withColumn("logw", aggregate(bs, lit(0.0),
+      .withColumn("n_feats",
+        when(nWords >= 2, nWords * 2 - 1).otherwise(nWords).cast("long"))
+      .withColumn("logw", aggregate(dsirBucketsCol, lit(0.0),
         (acc, b) => acc + element_at(ratioLit, (b + 1).cast("int"))))
   }
 

@@ -535,7 +535,13 @@ object TextAnalysis {
     * ("the", "of") across their continuations instead of funneling each
     * into one reducer, the 100 TB skew killer the original w1-only
     * instance join had. shuffle_hash pinned: bigram vocabulary is far
-    * beyond broadcast at scale. */
+    * beyond broadcast at scale.
+    *
+    * Precondition of the two-scan shape: `docs` must be stable across
+    * scans (any deterministic lineage over immutable storage is — the
+    * normal case). A frame that changes between jobs (rand()-filtered,
+    * unpinned sample, source being appended to) would build the model
+    * from one snapshot and score another; snapshot such inputs first. */
   def bigramLogProb(docs: DataFrame): DataFrame = {
     val ws = split(trim(col("text")), wsPlus)
     def bi = docs.filter(size(ws) >= 2).select(col("doc_id"),
