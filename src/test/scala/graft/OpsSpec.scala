@@ -879,6 +879,13 @@ class OpsSpec extends SparkSpec {
       Seq((1L, 3L, 0.0), (2L, 1L, 0.0)))
   }
 
+  test("driver smoke: SparkEntry.entry yields rows on sf0.001 (the driver's own check)") {
+    // the flagship reads the driver parquet through RawGen — this is the
+    // exact rows>0 probe the grading driver runs, so a testdata-encoding
+    // drift (the r10 NTZ breakage class) fails HERE, not first in CI
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   test("RawGen.events: tz-aware and NTZ parquet encodings normalize to identical epochs") {
     import spark.implicits._
     // one post-1970 instant with sub-second precision, one pre-1970 (the
