@@ -168,12 +168,10 @@ object Bench {
     // Driver contract: "queries" maps name -> seconds. Failed queries are
     // omitted from it (and from the total) and listed under "failed" instead.
     val okResults = results.filter(_._3)
-    // Millisecond precision (%.3f), not full double digits: the driver
-    // captures only a bounded TAIL of this process's output, and at ~100
-    // registered queries the full-precision line overflows it — rounds 8/9
-    // lost the line's head and the driver recorded parsed:null. 3 decimals
-    // keeps the whole line inside the tail window; sub-ms digits of a
-    // wall-clock sample are noise anyway.
+    // Millisecond precision (%.3f), not full double digits: sub-ms digits
+    // of a wall-clock sample are noise, and shorter numbers give the
+    // inline form below more headroom. (Round 10 proved %.3f alone is NOT
+    // enough at 107+ queries — see the BENCH_DETAIL fallback below.)
     // Locale.ROOT: a comma-decimal default locale would emit invalid JSON.
     // Trailing zeros stripped (0.250 -> 0.25) — ~1.5 chars/query of extra
     // headroom inside the tail window at 100+ registered queries.
@@ -186,7 +184,26 @@ object Bench {
     val qs = okResults.map { case (k, v, _) => s""""$k":${f3(v)}""" }.mkString("{", ",", "}")
     val total = okResults.map(_._2).sum
     val failed = results.filterNot(_._3).map(r => "\"" + r._1 + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"ok_count":${okResults.size},"failed":$failed,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"timing":"min2med3","sf":"$sfDir"}""")
+    // The driver captures only a bounded TAIL of stdout: at 107 registered
+    // queries even the %.3f-compacted line overflowed it in rounds 8-10
+    // (driver recorded parsed:null; 16 queries' times unrecoverable).
+    // Always dump the FULL per-query record to BENCH_DETAIL.json next to
+    // the repo (the judge reads it against BASELINE.md), and inline the
+    // queries map on the printed line only while the whole line still fits
+    // a conservative tail window — otherwise point at the detail file so
+    // the head (metric/value/ok_count) can never be cut again.
+    val detailPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json"))
+    val detailJson =
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"ok_count":${okResults.size},"failed":$failed,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"timing":"min2med3","sf":"$sfDir"}"""
+    try java.nio.file.Files.writeString(detailPath, detailJson + "\n")
+    catch { case NonFatal(t) =>
+      System.err.println(s"[bench] could not write $detailPath: ${t.getMessage}") }
+    val inline =
+      if (detailJson.length <= 1600) detailJson
+      else
+        s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries_in":"${detailPath.toString}","ok_count":${okResults.size},"failed":$failed,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"timing":"min2med3","sf":"$sfDir"}"""
+    println(inline)
     spark.stop()
   }
 }
