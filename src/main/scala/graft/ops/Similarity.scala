@@ -474,12 +474,21 @@ object Similarity {
     * hot cluster is the operator's known failure mode (the paper
     * re-clusters oversized clusters; [[Partitioning.saltedJoin]]-style
     * salting does NOT apply — the pair predicate needs all members
-    * co-located).
+    * co-located). The pairwise stage therefore hash-splits every
+    * cluster into ≤[[SemanticChunk]]-row sub-chunks and shards the join
+    * across chunk PAIRS (see [[semanticVerdicts]]) — identical verdicts,
+    * bounded per-task pair counts.
     */
   def semanticDedup(embs: DataFrame, k: Int = 8,
-                    tau: Double = 0.35): DataFrame = {
+                    tau: Double = 0.35,
+                    chunk: Int = SemanticChunk): DataFrame = {
+    // checkpoint: the verdict stage reads this frame four times (cluster
+    // sizes, both join sides, the keep-verdict spine) — materialize the
+    // quantize+assign pipeline once instead of per-consumer. Released by
+    // the caller's scope (bench leak fence / test session teardown).
     val withVec = semanticWithVec(embs, semanticCentroids(embs, k))
-    semanticVerdicts(withVec, withVec, semanticMinDot(tau))
+      .localCheckpoint()
+    semanticVerdicts(withVec, withVec, semanticMinDot(tau), chunk)
   }
 
   // 127²·tau, ceil'd: an integer bar in the normalized-int8 dot domain
@@ -504,16 +513,49 @@ object Similarity {
       .join(normalizedQuantVecs(embs), "vec_id")
       .select(col("cid"), col("vec_id"), col("qv").cast("array<double>").as("nv"))
 
+  /** Rows per pairwise-stage chunk: a hot cluster's within-cluster join
+    * is sharded into chunk×chunk-bounded tasks (≤64M dot products each),
+    * so one oversized cluster can no longer pin the whole stage on a
+    * single reducer. At bench scale every cluster fits one chunk and the
+    * plan degenerates to the plain cid equi-join (plus a k-row size agg). */
+  private val SemanticChunk = 8192
+
   // verdicts for every hiSide vector: dropped iff ANY loSide vector with
   // a lower id in the same cluster clears minDot. loSide ⊇ hiSide gives
   // the batch form; loSide = catalog ∪ batch, hiSide = batch gives the
   // incremental form.
+  //
+  // Hot-cluster guard: the known failure mode of SemDeDup at scale is one
+  // skewed cluster whose Σn² pairwise work lands on a single cid reducer
+  // (salting does not apply — the pair predicate needs cluster members
+  // co-located). Instead each cluster is hash-split into m = ceil(n/chunk)
+  // deterministic sub-chunks and each side is replicated across the OTHER
+  // side's chunk axis, so task key (cid, lc, hc) holds exactly lo-chunk
+  // lc × hi-chunk hc: every unordered pair lands in exactly one task,
+  // every task is bounded by chunk² pairs, and the m-way replication
+  // shuffles O(n·m) = O(pairs/chunk) rows — strictly dominated by the
+  // O(pairs) dot-product work the stage does anyway. Verdicts are
+  // bit-identical to the unchunked join (SimilaritySpec parity at chunk=4).
   private def semanticVerdicts(loSide: DataFrame, hiSide: DataFrame,
-                               minDot: Long): DataFrame = {
-    val lo = loSide.select(col("cid"), col("vec_id").as("lo_id"), col("nv").as("lo_nv"))
-    val hi = hiSide.select(col("cid"), col("vec_id").as("hi_id"), col("nv").as("hi_nv"))
-    // equi-join on cid + id-order predicate: each unordered pair scored once
-    val dots = lo.join(hi, Seq("cid"))
+                               minDot: Long,
+                               chunk: Int = SemanticChunk): DataFrame = {
+    // k rows (cid → m); sized from the LO side, the superset in both the
+    // batch (lo == hi) and incremental (lo = catalog ∪ batch) forms.
+    // Catalyst prunes nv out of this count-only subtree.
+    val sizes = loSide.groupBy("cid")
+      .agg(ceil(count(lit(1)) / lit(chunk.toDouble)).cast("int").as("m"))
+    val chunkOf = pmod(xxhash64(col("vec_id")), col("m")).cast("int")
+    val lo = loSide.join(broadcast(sizes), "cid")
+      .select(col("cid"), chunkOf.as("lc"),
+        explode(sequence(lit(0), col("m") - 1)).as("hc"),
+        col("vec_id").as("lo_id"), col("nv").as("lo_nv"))
+    val hi = hiSide.join(broadcast(sizes), "cid")
+      .select(col("cid"), chunkOf.as("hc"),
+        explode(sequence(lit(0), col("m") - 1)).as("lc"),
+        col("vec_id").as("hi_id"), col("nv").as("hi_nv"))
+    // equi-join on (cid, chunk pair) + id-order predicate: each unordered
+    // pair scored once
+    val dots = lo.join(hi, Seq("cid", "lc", "hc"))
       .filter(col("lo_id") < col("hi_id"))
       .select(col("hi_id"),
         dot(col("lo_nv"), col("hi_nv")).cast("long").as("dt"))
@@ -585,6 +627,7 @@ object Similarity {
     val withVec = asg.select(col("vec_id"), col("cid"))
       .join(normalizedQuantVecs(embs), "vec_id")
       .select(col("cid"), col("vec_id"), col("qv").cast("array<double>").as("nv"))
+      .localCheckpoint() // four verdict-stage consumers — see semanticDedup
     (semanticVerdicts(withVec, withVec, semanticMinDot(tau)),
       outliersFromAssign(asg, zThresh))
   }

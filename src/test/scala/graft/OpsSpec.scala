@@ -810,6 +810,28 @@ class OpsSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"cartesian in plan:\n$plan")
   }
 
+  test("semanticDedup: hot-cluster chunked pairwise == plain join, chunk keys in plan") {
+    import spark.implicits._
+    import graft.ops.Similarity
+    // worst case the chunk guard exists for: EVERY vector lands in one
+    // cluster (k=1), so the unchunked pairwise stage is a single-reducer
+    // n² join. 25 rows at chunk=4 → m=7 sub-chunks, 49 chunk-pair tasks.
+    val corpus = (1L to 25L).map { i =>
+      val a = Array.fill(8)(0f); a(0) = 10f; a((i % 7 + 1).toInt) = i / 5f
+      (i, a)
+    }.toDF("vec_id", "embedding")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.head.toString).toSeq
+    val chunked = Similarity.semanticDedup(corpus, k = 1, chunk = 4)
+    // verdict parity: hash-sharding the cluster must not change results
+    assert(rows(chunked) === rows(Similarity.semanticDedup(corpus, k = 1)))
+    // the pairwise join really carries the chunk keys (bounded tasks),
+    // and sharding introduces no cartesian
+    val plan = chunked.queryExecution.executedPlan.toString
+    assert(plan.contains("lc#") && plan.contains("hc#"), s"no chunk keys:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in plan:\n$plan")
+  }
+
   test("semanticCurate: shared-assignment composition == standalone operators") {
     import spark.implicits._
     import graft.ops.Similarity

@@ -363,6 +363,13 @@ class PropSpec extends SparkSpec {
         .toMap
       // the operator's integer bar: ceil(0.35 * 127^2)
       assert(got === refVerdicts(vs, 5646), s"round $round")
+      // chunked pairwise (hot-cluster guard at chunk=4 → every ~10-row
+      // cluster spans 2-3 sub-chunks) must be verdict-identical
+      val chunked = Similarity.semanticDedup(vs.toDF("vec_id", "embedding"),
+          k = k, tau = 0.35, chunk = 4)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))))
+        .toMap
+      assert(chunked === got, s"chunked round $round")
     }
   }
 
