@@ -698,6 +698,34 @@ object SparkEntry {
       graft.ops.Graph.coPurchaseEdges(RawGen.table(s, dir, "lineitem")))
       .orderBy("node")
 
+  /** CCNet head/middle/tail quality strata per language — see
+    * TextAnalysis.perplexityBuckets for the sample-threshold scale shape. */
+  private def ccnetBucketsQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.perplexityBuckets(RawGen.table(s, dir, "documents"))
+      .orderBy("doc_id")
+
+  /** CDC snapshot compaction (latest-wins merge): collapse the event
+    * change-stream to one current row per (user_id, event_type), keeping
+    * the full version count. Deliberately an AGGREGATE, not a window:
+    * max(struct(epoch_us, event_id, value)) gets a map-side partial
+    * combine and never sorts a partition, so the shuffle carries one row
+    * per (group × map task) instead of every version — the shape that
+    * survives a 100 TB change log with hot keys. Tie-free: event_id is
+    * unique, so the struct comparison never reaches `value`. */
+  private def qMergeUpsert(s: SparkSession, dir: String): DataFrame =
+    RawGen.events(s, dir)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+        col("event_id").isNotNull && col("event_type").isNotNull)
+      .groupBy("user_id", "event_type")
+      .agg(count(lit(1)).cast("long").as("n_versions"),
+        max(struct(col("epoch_us"), col("event_id"), col("value"))).as("m"))
+      .select(col("user_id"), col("event_type"),
+        col("m.event_id").as("last_event_id"),
+        col("m.epoch_us").as("last_epoch_us"),
+        col("m.value").as("last_value"),
+        col("n_versions"))
+      .orderBy("user_id", "event_type")
+
   /** Explicit ROWS frame: 3-month moving average over the aggregated
     * monthly series (window input is #months rows — see [[qMonthlyLag]]). */
   private def qMovingAvg(s: SparkSession, dir: String): DataFrame =
@@ -1225,7 +1253,9 @@ object SparkEntry {
     "lm_bigram_score" -> (lmBigramQ _),
     "bpe_train" -> (bpeTrainQ _),
     "bpe_encode" -> (bpeEncodeQ _),
-    "graph_pagerank" -> (pageRankQ _)
+    "graph_pagerank" -> (pageRankQ _),
+    "ccnet_buckets" -> (ccnetBucketsQ _),
+    "q_merge_upsert" -> (qMergeUpsert _)
   )
 
   // ---------- DuckDB oracles ----------
@@ -1993,6 +2023,50 @@ object SparkEntry {
        |  avg(ln(CAST(c12 AS DOUBLE) / cnt1)) AS avg_logprob
        |FROM b JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** The bigram-LM CTE chain (same as lmBigramSql) extended with CCNet
+    * bucketing: fixed-point the score to a 1e-4 grid (integer compares
+    * from here on), md5-nibble sample, per-language tercile thresholds
+    * as order statistics, threshold-compare buckets. `//` is DuckDB
+    * integer division — floor, matching Spark's `div` on positives. */
+  private val ccnetBucketsSql =
+    s"""WITH w AS (SELECT doc_id, $duckWords AS ws FROM documents),
+       |b AS (SELECT doc_id, unnest(ws[1:len(ws)-1]) AS w1,
+       |    unnest(ws[2:len(ws)]) AS w2 FROM w WHERE len(ws) >= 2),
+       |c2 AS (SELECT w1, w2, count(*) AS c12 FROM b GROUP BY 1, 2),
+       |c1 AS (SELECT w1, count(*) AS cnt1 FROM b GROUP BY 1),
+       |s AS (SELECT doc_id, avg(ln(CAST(c12 AS DOUBLE) / cnt1)) AS avg_logprob
+       |  FROM b JOIN c2 USING (w1, w2) JOIN c1 USING (w1) GROUP BY doc_id),
+       |sc AS (SELECT s.doc_id, d.lang,
+       |    CAST(round(avg_logprob * 1e4) AS BIGINT) AS score_fp
+       |  FROM s JOIN documents d USING (doc_id)),
+       |sm AS (SELECT lang, score_fp, doc_id FROM sc
+       |  WHERE substr(md5(doc_id::VARCHAR),1,1) = '0'),
+       |r AS (SELECT lang, score_fp,
+       |    row_number() OVER (PARTITION BY lang ORDER BY score_fp DESC, doc_id) AS rn,
+       |    count(*) OVER (PARTITION BY lang) AS m FROM sm),
+       |th AS (SELECT lang, max(CASE WHEN rn = (m+2)//3 THEN score_fp END) AS t1,
+       |    max(CASE WHEN rn = (m*2+2)//3 THEN score_fp END) AS t2
+       |  FROM r GROUP BY lang)
+       |SELECT sc.doc_id, sc.lang,
+       |  CASE WHEN t1 IS NULL OR score_fp >= t1 THEN 'head'
+       |    WHEN t2 IS NULL OR score_fp >= t2 THEN 'middle'
+       |    ELSE 'tail' END AS bucket
+       |FROM sc LEFT JOIN th USING (lang) ORDER BY sc.doc_id""".stripMargin
+
+  private val qMergeUpsertSql =
+    s"""WITH e AS (SELECT user_id, event_type, event_id, value,
+       |    $sqlEpochUs AS epoch_us FROM events
+       |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+       |    AND event_id IS NOT NULL AND event_type IS NOT NULL),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+       |      ORDER BY epoch_us DESC, event_id DESC) AS rn,
+       |    count(*) OVER (PARTITION BY user_id, event_type) AS n_versions
+       |  FROM e)
+       |SELECT user_id, event_type, event_id AS last_event_id,
+       |  epoch_us AS last_epoch_us, value AS last_value,
+       |  CAST(n_versions AS BIGINT) AS n_versions
+       |FROM r WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin
 
   /** BPE replay: the same double-separator symbol-stream encoding as
     * TextAnalysis.bpeFit (chr(31) boundaries, plain replace = greedy
@@ -2999,6 +3073,8 @@ object SparkEntry {
     "lm_bigram_score" -> lmBigramSql,
     "bpe_train" -> bpeTrainSql,
     "bpe_encode" -> bpeEncodeSql,
-    "graph_pagerank" -> pageRankSql
+    "graph_pagerank" -> pageRankSql,
+    "ccnet_buckets" -> ccnetBucketsSql,
+    "q_merge_upsert" -> qMergeUpsertSql
   )
 }

@@ -564,6 +564,59 @@ object TextAnalysis {
     res
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): split each
+    * language's documents into head/middle/tail thirds by LM score, the
+    * canonical quality-stratification step before mixing training data.
+    *
+    * Scale shape — thresholds from a SAMPLE, bucketing row-local, which
+    * is exactly how CCNet itself works (its percentiles come from a
+    * fraction of Common Crawl, not the full corpus):
+    *  1. score every doc with [[bigramLogProb]] (already checkpointed),
+    *     fixed-point the score to a LONG (0.1-millinat units) so every
+    *     downstream comparison is integer-exact across engines — ln()
+    *     and the distributed avg() are the only float ops, and their
+    *     cross-engine divergence (~1e-13: libm ULPs plus summation
+    *     order) is ~1e-9 of the 1e-4 grid, so a doc landing exactly on
+    *     a rounding boundary is a non-event;
+    *  2. take the deterministic md5-prefix sample (first hex nibble '0',
+    *     ~1/16 — row-local filter, no sort, same device as
+    *     Sampling.stratifiedSample so the oracle recomputes it exactly);
+    *  3. per-language tercile thresholds as ORDER STATISTICS of the
+    *     sample (row_number at positions ceil(m/3), ceil(2m/3) in
+    *     score-DESC order): element selection, not interpolation, so no
+    *     cross-engine quantile arithmetic. The only sort in the plan is
+    *     sample-sized and per-language;
+    *  4. broadcast the (|langs|-row) threshold frame and bucket every
+    *     scored doc with integer compares — head: score ≥ t1, middle:
+    *     score ≥ t2, tail: below. Ties at a threshold land in the upper
+    *     bucket (deterministic; documented contract). A language absent
+    *     from the sample (tiny SF) degrades to all-head, never a crash.
+    * Docs with <2 words carry no bigram score and are excluded, matching
+    * [[bigramLogProb]]'s contract. At 100 TB every corpus-sized stage is
+    * a scan-fused filter or the LM scoring join itself — the bucketing
+    * adds one broadcast join and zero wide shuffles. */
+  def perplexityBuckets(docs: DataFrame): DataFrame = {
+    val scored = bigramLogProb(docs)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .withColumn("score_fp", round(col("avg_logprob") * 1e4, 0).cast("long"))
+    val sample = scored.filter(
+      substring(md5(col("doc_id").cast("string")), 1, 1) === "0")
+    val byScore = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("score_fp").desc, col("doc_id"))
+    val whole = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+    val ranked = sample.select(col("lang"), col("score_fp"),
+      row_number().over(byScore).as("rn"),
+      count(lit(1)).over(whole).as("m"))
+    val th = ranked.groupBy("lang").agg(
+      max(when(col("rn") === expr("(m + 2) div 3"), col("score_fp"))).as("t1"),
+      max(when(col("rn") === expr("(m * 2 + 2) div 3"), col("score_fp"))).as("t2"))
+    scored.join(broadcast(th), Seq("lang"), "left")
+      .select(col("doc_id"), col("lang"),
+        when(col("t1").isNull || col("score_fp") >= col("t1"), "head")
+          .when(col("t2").isNull || col("score_fp") >= col("t2"), "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
   // ---- BPE tokenizer: training rounds + corpus encode ----
   //
   // Symbol-stream representation: each dictionary word's current

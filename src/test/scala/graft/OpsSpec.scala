@@ -901,6 +901,65 @@ class OpsSpec extends SparkSpec {
       Seq((1L, 3L, 0.0), (2L, 1L, 0.0)))
   }
 
+  test("perplexityBuckets: matches an independent Scala recomputation on sf0.001") {
+    import graft.ops.TextAnalysis
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.gen.RawGen.table(spark, dir, "documents")
+    val got = TextAnalysis.perplexityBuckets(docs).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    // independent reference: scores from bigramLogProb (tested above),
+    // then plain-Scala md5 sample + order-statistic thresholds + compares
+    val lang = docs.select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // HALF_UP (away from zero, like Spark round), not math.round (which
+    // rounds .5 toward +inf — differs on the negative scores here)
+    val fp = TextAnalysis.bigramLogProb(docs).collect()
+      .map(r => r.getLong(0) -> BigDecimal(r.getDouble(2) * 1e4)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong).toMap
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val th = fp.keys.groupBy(lang).map { case (lg, ids) =>
+      val sample = ids.filter(id => md5hex(id.toString).startsWith("0"))
+        .toSeq.map(id => (fp(id), id)).sortBy { case (s, id) => (-s, id) }
+      val m = sample.size
+      val t = (p: Int) => if (p >= 1 && p <= m) Some(sample(p - 1)._1) else None
+      lg -> (t((m + 2) / 3), t((m * 2 + 2) / 3))
+    }
+    val want = fp.map { case (id, s) =>
+      val (t1, t2) = th(lang(id))
+      id -> (lang(id),
+        if (t1.forall(s >= _)) "head"
+        else if (t2.forall(s >= _)) "middle" else "tail")
+    }
+    assert(got === want)
+    // sanity: the sf0.001 corpus is big enough that at least one language
+    // actually splits into three strata (guards against an all-head bug)
+    assert(got.values.map(_._2).toSet === Set("head", "middle", "tail"))
+  }
+
+  test("q_merge_upsert: aggregate latest-wins equals the window row_number form") {
+    val dir = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("q_merge_upsert")(spark, dir).collect().toSeq
+    val e = graft.gen.RawGen.events(spark, dir)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+        col("event_id").isNotNull && col("event_type").isNotNull)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id", "event_type")
+      .orderBy(col("epoch_us").desc, col("event_id").desc)
+    val cnt = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id", "event_type")
+    val want = e.select(col("user_id"), col("event_type"),
+        col("event_id").as("last_event_id"),
+        col("epoch_us").as("last_epoch_us"), col("value").as("last_value"),
+        count(lit(1)).over(cnt).as("n_versions"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") === 1).drop("rn")
+      .orderBy("user_id", "event_type").collect().toSeq
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
   test("driver smoke: SparkEntry.entry yields rows on sf0.001 (the driver's own check)") {
     // the flagship reads the driver parquet through RawGen — this is the
     // exact rows>0 probe the grading driver runs, so a testdata-encoding
