@@ -708,10 +708,14 @@ object SparkEntry {
     * change-stream to one current row per (user_id, event_type), keeping
     * the full version count. Deliberately an AGGREGATE, not a window:
     * max(struct(epoch_us, event_id, value)) gets a map-side partial
-    * combine and never sorts a partition, so the shuffle carries one row
-    * per (group × map task) instead of every version — the shape that
-    * survives a 100 TB change log with hot keys. Tie-free: event_id is
-    * unique, so the struct comparison never reaches `value`. */
+    * combine, so the shuffle carries one row per (group × map task)
+    * instead of every version — the shape that survives a 100 TB change
+    * log with hot keys. (The struct buffer isn't hash-mutable, so this
+    * plans as SortAggregate — each map partition sorts by the group key
+    * before combining, spillable — but the wire volume is identical to a
+    * HashAggregate and far below the window form, which must shuffle and
+    * sort EVERY version.) Tie-free: event_id is unique, so the struct
+    * comparison never reaches `value`. */
   private def qMergeUpsert(s: SparkSession, dir: String): DataFrame =
     RawGen.events(s, dir)
       .filter(col("user_id").isNotNull && col("ts").isNotNull &&
