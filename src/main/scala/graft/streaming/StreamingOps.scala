@@ -163,6 +163,66 @@ object StreamingOps {
       }
   }
 
+  /** One key's current snapshot state / emitted row for
+    * [[latestSnapshotStream]]. */
+  case class LatestState(epochUs: Long, eventId: Long, value: Double, n: Long)
+  case class SnapshotRow(user_id: Long, event_type: String,
+                         last_event_id: Long, last_epoch_us: Long,
+                         last_value: Double, n_versions: Long)
+
+  /** Streaming CDC compaction — the standing-stream form of
+    * SparkEntry's `q_merge_upsert` batch aggregate: maintain the
+    * latest-wins row per (user_id, event_type) and re-emit a key's
+    * snapshot row whenever a micro-batch touches it (Update-mode
+    * upsert semantics, the Kafka-compacted-topic / materialized-view
+    * contract). Ordering is (epoch_us, event_id) — identical to the
+    * batch max(struct), and tie-free because event_id is unique — so
+    * an out-of-order LATE version arriving after a newer one updates
+    * n_versions but never displaces the newer payload, regardless of
+    * arrival order.
+    *
+    * State is one O(1) record per live key. Unlike the windowed ops
+    * there is no watermark eviction: a snapshot view is inherently
+    * keyed state (every key's current row must stay addressable), so
+    * state size is O(distinct keys) — the same footprint any
+    * compacted changelog carries. Callers with expirable keys can
+    * bolt a TTL on via GroupStateTimeout without changing the merge
+    * rule. */
+  def latestSnapshotStream(events: DataFrame): Dataset[SnapshotRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events
+      .filter(col("user_id").isNotNull && col("event_id").isNotNull &&
+        col("epoch_us").isNotNull && col("event_type").isNotNull)
+      .select(col("user_id").cast("long"), col("event_type").cast("string"),
+        col("event_id").cast("long"), col("epoch_us").cast("long"),
+        col("value").cast("double"))
+      .as[(Long, String, Long, Long, Double)]
+    typed.groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState[LatestState, SnapshotRow](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: (Long, String), rows: Iterator[(Long, String, Long, Long, Double)],
+         state: GroupState[LatestState]) =>
+          var cur = state.getOption
+          rows.foreach { case (_, _, eventId, epochUs, value) =>
+            val n = cur.map(_.n).getOrElse(0L) + 1
+            cur = cur match {
+              case Some(s) if s.epochUs > epochUs ||
+                  (s.epochUs == epochUs && s.eventId >= eventId) =>
+                Some(s.copy(n = n))
+              case _ => Some(LatestState(epochUs, eventId, value, n))
+            }
+          }
+          cur match {
+            case Some(s) =>
+              state.update(s)
+              Iterator(SnapshotRow(key._1, key._2, s.eventId, s.epochUs,
+                s.value, s.n))
+            case None => Iterator.empty
+          }
+      }
+  }
+
   /** Per-tenant physical isolation as a streaming sink: each micro-batch is
     * one distributed `partitionBy(tenantId)` write — no driver-side loop
     * over tenants, dynamic tenants appear as new directories

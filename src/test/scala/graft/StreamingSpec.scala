@@ -602,4 +602,57 @@ class StreamingSpec extends SparkSpec {
       .filterNot(_.matches("part-\\d{8}-[0-9a-f]{8}"))
     assert(leftovers.isEmpty, leftovers.mkString(","))
   }
+
+  test("streaming CDC compaction: latest-wins snapshot, late versions never displace") {
+    import spark.implicits._
+    // (event_id, epoch_us, user_id, event_type, value)
+    val stream = MemoryStream[(Long, Long, Long, String, Double)](spark)
+    val events = stream.toDF()
+      .toDF("event_id", "epoch_us", "user_id", "event_type", "value")
+    val q = StreamingOps.latestSnapshotStream(events)
+      .writeStream.format("memory").queryName("cdc_snap")
+      .outputMode("update").start()
+    def snap(): Map[(Long, String), (Long, Long, Double, Long)] = {
+      // memory sink in update mode APPENDS each re-emission — the live
+      // snapshot is each key's latest emitted row (max n_versions)
+      val rows = spark.table("cdc_snap").collect()
+      rows.groupBy(r => (r.getLong(0), r.getString(1)))
+        .map { case (k, rs) =>
+          val last = rs.maxBy(_.getLong(5))
+          k -> (last.getLong(2), last.getLong(3), last.getDouble(4),
+            last.getLong(5))
+        }
+    }
+    try {
+      stream.addData((1L, 100L, 7L, "click", 1.0), (2L, 200L, 7L, "click", 2.0),
+        (3L, 50L, 8L, "view", 3.0))
+      q.processAllAvailable()
+      assert(snap() === Map(
+        (7L, "click") -> (2L, 200L, 2.0, 2L),
+        (8L, "view") -> (3L, 50L, 3.0, 1L)))
+      // batch 2: a LATE out-of-order version for (7,click) older than the
+      // current snapshot — counted, but must not displace event 2 — plus
+      // a genuinely newer version for (8,view)
+      stream.addData((4L, 150L, 7L, "click", 9.9), (5L, 300L, 8L, "view", 4.0))
+      q.processAllAvailable()
+      assert(snap() === Map(
+        (7L, "click") -> (2L, 200L, 2.0, 3L),
+        (8L, "view") -> (5L, 300L, 4.0, 2L)))
+    } finally q.stop()
+    // parity with the batch aggregate shape: same merge rule over the
+    // union of both batches gives the same snapshot
+    val all = Seq((1L, 100L, 7L, "click", 1.0), (2L, 200L, 7L, "click", 2.0),
+      (3L, 50L, 8L, "view", 3.0), (4L, 150L, 7L, "click", 9.9),
+      (5L, 300L, 8L, "view", 4.0))
+      .toDF("event_id", "epoch_us", "user_id", "event_type", "value")
+    val batch = all.groupBy("user_id", "event_type")
+      .agg(count(lit(1)).cast("long").as("n_versions"),
+        max(struct(col("epoch_us"), col("event_id"), col("value"))).as("m"))
+      .select(col("user_id"), col("event_type"), col("m.event_id"),
+        col("m.epoch_us"), col("m.value"), col("n_versions"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4), r.getLong(5))).toMap
+    assert(snap() === batch)
+  }
 }
