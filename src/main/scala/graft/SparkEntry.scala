@@ -716,6 +716,28 @@ object SparkEntry {
     * HashAggregate and far below the window form, which must shuffle and
     * sort EVERY version.) Tie-free: event_id is unique, so the struct
     * comparison never reaches `value`. */
+  /** SCD2 historization — the warehouse companion of [[qMergeUpsert]]:
+    * instead of compacting to the latest row, keep EVERY version with a
+    * validity interval [valid_from_us, valid_to_us) chained by lead()
+    * over the same tie-free (epoch_us, event_id) version order; the
+    * open-ended current row carries a null valid_to and is_current=true.
+    * One window over a HIGH-cardinality key (user × type), so partitions
+    * parallelize and no reducer sees more than one key's history — the
+    * shape that scales, unlike low-cardinality exact-rank windows
+    * (DESIGN.md §4). */
+  private def qScd2(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy("epoch_us", "event_id")
+    RawGen.events(s, dir)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+        col("event_id").isNotNull && col("event_type").isNotNull)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("value"), col("epoch_us").as("valid_from_us"),
+        lead(col("epoch_us"), 1).over(w).as("valid_to_us"))
+      .withColumn("is_current", col("valid_to_us").isNull)
+      .orderBy("user_id", "event_type", "valid_from_us", "event_id")
+  }
+
   private def qMergeUpsert(s: SparkSession, dir: String): DataFrame =
     RawGen.events(s, dir)
       .filter(col("user_id").isNotNull && col("ts").isNotNull &&
@@ -1259,7 +1281,8 @@ object SparkEntry {
     "bpe_encode" -> (bpeEncodeQ _),
     "graph_pagerank" -> (pageRankQ _),
     "ccnet_buckets" -> (ccnetBucketsQ _),
-    "q_merge_upsert" -> (qMergeUpsert _)
+    "q_merge_upsert" -> (qMergeUpsert _),
+    "q_scd2" -> (qScd2 _)
   )
 
   // ---------- DuckDB oracles ----------
@@ -2071,6 +2094,19 @@ object SparkEntry {
        |  epoch_us AS last_epoch_us, value AS last_value,
        |  CAST(n_versions AS BIGINT) AS n_versions
        |FROM r WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin
+
+  private val qScd2Sql =
+    s"""WITH e AS (SELECT user_id, event_type, event_id, value,
+       |    $sqlEpochUs AS epoch_us FROM events
+       |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+       |    AND event_id IS NOT NULL AND event_type IS NOT NULL)
+       |SELECT user_id, event_type, event_id, value,
+       |  epoch_us AS valid_from_us,
+       |  lead(epoch_us) OVER (PARTITION BY user_id, event_type
+       |    ORDER BY epoch_us, event_id) AS valid_to_us,
+       |  lead(epoch_us) OVER (PARTITION BY user_id, event_type
+       |    ORDER BY epoch_us, event_id) IS NULL AS is_current
+       |FROM e ORDER BY user_id, event_type, valid_from_us, event_id""".stripMargin
 
   /** BPE replay: the same double-separator symbol-stream encoding as
     * TextAnalysis.bpeFit (chr(31) boundaries, plain replace = greedy
@@ -3079,6 +3115,7 @@ object SparkEntry {
     "bpe_encode" -> bpeEncodeSql,
     "graph_pagerank" -> pageRankSql,
     "ccnet_buckets" -> ccnetBucketsSql,
-    "q_merge_upsert" -> qMergeUpsertSql
+    "q_merge_upsert" -> qMergeUpsertSql,
+    "q_scd2" -> qScd2Sql
   )
 }

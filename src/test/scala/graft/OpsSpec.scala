@@ -960,6 +960,33 @@ class OpsSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("q_scd2: validity intervals chain exactly and one current row per key") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("q_scd2")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val byKey = rows.groupBy(r => (r.getLong(0), r.getString(1)))
+    for ((_, vs) <- byKey) {
+      // output order is (valid_from_us, event_id) within the key
+      val sorted = vs.sortBy(r => (r.getLong(4), r.getLong(2)))
+      assert(vs.toSeq === sorted.toSeq)
+      // intervals chain: each version's valid_to is the next valid_from
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(!a.isNullAt(5) && a.getLong(5) === b.getLong(4))
+          assert(!a.getBoolean(6))
+        case _ =>
+      }
+      // exactly one open-ended current row per key, and it's the last
+      assert(vs.count(_.getBoolean(6)) === 1)
+      assert(sorted.last.isNullAt(5) && sorted.last.getBoolean(6))
+    }
+    // historization loses no versions: same row count as the filtered input
+    val n = graft.gen.RawGen.events(spark, dir)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+        col("event_id").isNotNull && col("event_type").isNotNull).count()
+    assert(rows.length.toLong === n)
+  }
+
   test("driver smoke: SparkEntry.entry yields rows on sf0.001 (the driver's own check)") {
     // the flagship reads the driver parquet through RawGen — this is the
     // exact rows>0 probe the grading driver runs, so a testdata-encoding
