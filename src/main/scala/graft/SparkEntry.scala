@@ -1075,6 +1075,13 @@ object SparkEntry {
     TextAnalysis.bm25Search(RawGen.table(s, dir, "documents"))
       .orderBy("query_id", "rank")
 
+  /** Hybrid BM25 + dense-cosine retrieval fused with RRF — see
+    * [[graft.ops.Retrieval.hybridRrf]] for the legs-bounded scale shape. */
+  private def hybridRrfQ(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Retrieval.hybridRrf(RawGen.table(s, dir, "documents"),
+      RawGen.table(s, dir, "embeddings"))
+      .orderBy("query_id", "rank")
+
   private def bpePairsQ(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.bpePairCounts(RawGen.table(s, dir, "documents"))
       .orderBy("rank")
@@ -1282,7 +1289,8 @@ object SparkEntry {
     "graph_pagerank" -> (pageRankQ _),
     "ccnet_buckets" -> (ccnetBucketsQ _),
     "q_merge_upsert" -> (qMergeUpsert _),
-    "q_scd2" -> (qScd2 _)
+    "q_scd2" -> (qScd2 _),
+    "hybrid_rrf" -> (hybridRrfQ _)
   )
 
   // ---------- DuckDB oracles ----------
@@ -2272,6 +2280,54 @@ object SparkEntry {
        |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, CAST(sd AS DOUBLE) AS score
        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  // Hybrid retrieval: the bm25Sql pipeline (leg depth 20) full-outer-joined
+  // with a dense cosine leg over embeddings (same eval ids), fused as
+  // 1/(60+rank) RRF. The rrf double is a fixed two-term sum of exact
+  // 1/(60+int) divisions — bit-identical across engines; ties break on
+  // doc_id in both.
+  private val hybridRrfSql =
+    s"""WITH w AS (SELECT doc_id, $duckWords AS ws FROM documents),
+       |base AS (SELECT doc_id, ws FROM w WHERE len(ws) >= 1),
+       |qd AS (SELECT doc_id AS query_id, unnest(list_distinct(ws[1:8])) AS term
+       |  FROM base WHERE doc_id % 17 = 3 AND doc_id < 544),
+       |corp AS (SELECT doc_id, ws, len(ws) AS dl FROM base WHERE NOT (doc_id % 17 = 3 AND doc_id < 544)),
+       |post AS (SELECT doc_id, dl, unnest(ws) AS term FROM corp),
+       |tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM post GROUP BY 1, 2, 3),
+       |qt AS (SELECT DISTINCT term FROM qd),
+       |rp AS (SELECT tf.* FROM tf JOIN qt USING (term)),
+       |dfq AS (SELECT term, count(*) AS df FROM rp GROUP BY 1),
+       |stats AS (SELECT count(*) AS n_docs, CAST(SUM(dl) AS DOUBLE)/count(*) AS avgdl FROM corp),
+       |sc AS (SELECT qd.query_id, rp.doc_id,
+       |    CAST(ln(1 + (n_docs - df + 0.5)/(df + 0.5)) *
+       |      rp.tf*(1.2+1)/(rp.tf + 1.2*(1 - 0.75 + 0.75*rp.dl/avgdl)) AS DECIMAL(28,12)) AS s
+       |  FROM rp JOIN qd USING (term) JOIN dfq USING (term) CROSS JOIN stats),
+       |agg AS (SELECT query_id, doc_id, SUM(s) AS sd FROM sc GROUP BY 1, 2),
+       |lex0 AS (SELECT query_id, doc_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY sd DESC, doc_id) AS lex_rank FROM agg),
+       |lr AS (SELECT * FROM lex0 WHERE lex_rank <= 20),
+       |e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |n AS (SELECT * FROM (SELECT vec_id, emb,
+       |  sqrt(list_dot_product(emb, emb)) AS nrm FROM e) WHERE nrm > 0),
+       |dq AS (SELECT vec_id AS qid, emb AS qemb, nrm AS qnrm FROM n
+       |  WHERE vec_id % 17 = 3 AND vec_id < 544),
+       |dcand AS (SELECT * FROM n WHERE NOT (vec_id % 17 = 3 AND vec_id < 544)),
+       |ds AS (SELECT qid AS query_id, dcand.vec_id AS doc_id,
+       |    list_dot_product(qemb, emb)/(qnrm*nrm) AS sim FROM dq JOIN dcand ON true),
+       |dr0 AS (SELECT query_id, doc_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, doc_id) AS dense_rank FROM ds),
+       |dr AS (SELECT * FROM dr0 WHERE dense_rank <= 20),
+       |f AS (SELECT COALESCE(lr.query_id, dr.query_id) AS query_id,
+       |    COALESCE(lr.doc_id, dr.doc_id) AS doc_id, lr.lex_rank, dr.dense_rank,
+       |    COALESCE(CAST(1.0 AS DOUBLE)/(CAST(60.0 AS DOUBLE) + CAST(lr.lex_rank AS DOUBLE)), CAST(0.0 AS DOUBLE))
+       |      + COALESCE(CAST(1.0 AS DOUBLE)/(CAST(60.0 AS DOUBLE) + CAST(dr.dense_rank AS DOUBLE)), CAST(0.0 AS DOUBLE)) AS rrf
+       |  FROM lr FULL OUTER JOIN dr ON lr.query_id = dr.query_id AND lr.doc_id = dr.doc_id),
+       |r AS (SELECT query_id, doc_id, rrf, lex_rank, dense_rank,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rank FROM f)
+       |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, CAST(rrf AS DOUBLE) AS rrf_score,
+       |  CAST(COALESCE(lex_rank, 0) AS INT) AS lex_rank,
+       |  CAST(COALESCE(dense_rank, 0) AS INT) AS dense_rank
+       |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   // BPE round replay: word-frequency dict → per-word character-pair
   // explode (dictionary-sized, not corpus-sized) → freq-weighted counts,
   // rank ties broken by pair text (ASCII, so both engines byte-order).
@@ -3116,6 +3172,7 @@ object SparkEntry {
     "graph_pagerank" -> pageRankSql,
     "ccnet_buckets" -> ccnetBucketsSql,
     "q_merge_upsert" -> qMergeUpsertSql,
-    "q_scd2" -> qScd2Sql
+    "q_scd2" -> qScd2Sql,
+    "hybrid_rrf" -> hybridRrfSql
   )
 }

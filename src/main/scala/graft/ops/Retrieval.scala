@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Hybrid retrieval: fuse a lexical (BM25) ranking and a dense (embedding
+  * cosine) ranking of the same corpus into one result list per query via
+  * Reciprocal Rank Fusion (Cormack, Clarke & Buettcher, SIGIR 2009) — the
+  * standard serving shape for RAG retrieval, where neither leg alone is
+  * robust (BM25 misses paraphrase, dense misses rare exact terms).
+  *
+  * Scale shape: each leg is ALREADY top-k bounded before fusion — BM25 by
+  * its per-query ranking window over Σ df(query terms) candidates,
+  * cosine by the broadcast-query + per-partition-heap pass
+  * ([[Similarity.cosineTopK]]) — so the fusion join touches
+  * #queries × legK rows per side regardless of corpus size. At 100 TB the
+  * legs run against persisted indexes ([[graft.ops.Similarity]] IVF lists,
+  * [[TextAnalysis.bm25WriteIndex]] bucketed postings) and the fusion stays
+  * the same #queries-bounded join. Legs abstain independently: a document
+  * ranked by only one leg simply gets that leg's contribution (the other
+  * term of the sum is 0 via the outer join), which is RRF's own contract.
+  */
+object Retrieval {
+
+  /** The shared evaluation query set: same id predicate as the BM25 eval
+    * ([[TextAnalysis.bm25Search]]'s default) so the two legs answer the
+    * same queries. */
+  private def evalPred(id: Column): Column = id % 17 === 3 && id < 544
+
+  /** RRF contribution of one leg's rank: 1/(k0 + rank), 0 when the leg
+    * did not rank the document. k0=60 per the original paper. */
+  private def rrfTerm(rank: Column, k0: Int): Column =
+    coalesce(lit(1.0) / (lit(k0.toDouble) + rank.cast("double")), lit(0.0))
+
+  /** Fused top-k: (query_id, rank, doc_id, rrf_score, lex_rank,
+    * dense_rank); absent leg ranks are reported as 0. The RRF sum is a
+    * fixed two-term expression (lexical term + dense term, in that
+    * order), so the double is bit-identical across engines given equal
+    * leg ranks — ties (e.g. rank r in one leg only vs r in the other
+    * only) break on doc_id. */
+  def hybridRrf(docs: DataFrame, embeddings: DataFrame,
+                topK: Int = 5, legK: Int = 20, k0: Int = 60): DataFrame = {
+    val lex = TextAnalysis.bm25Search(docs, topK = legK)
+      .select(col("query_id"), col("doc_id"), col("rank").as("lex_rank"))
+    val dq = embeddings.filter(evalPred(col("vec_id")))
+    val dc = embeddings.filter(!evalPred(col("vec_id")))
+    val dense = Similarity.cosineTopK(dc, dq, legK)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rank").as("dense_rank"))
+    val fused = lex.join(dense, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf",
+        rrfTerm(col("lex_rank"), k0) + rrfTerm(col("dense_rank"), k0))
+    fused
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("rrf").desc, col("doc_id"))))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("rrf").cast("double").as("rrf_score"),
+        coalesce(col("lex_rank"), lit(0)).cast("int").as("lex_rank"),
+        coalesce(col("dense_rank"), lit(0)).cast("int").as("dense_rank"))
+  }
+}
