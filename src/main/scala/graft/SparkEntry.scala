@@ -1075,6 +1075,27 @@ object SparkEntry {
     TextAnalysis.bm25Search(RawGen.table(s, dir, "documents"))
       .orderBy("query_id", "rank")
 
+  /** Global event sequence numbers in (epoch_us, event_id) order WITHOUT
+    * a single-reducer global window — see [[graft.ops.Layout.globalSequence]]
+    * for the two-pass range-bucket shape. */
+  private def qGlobalSeq(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Layout.globalSequence(
+      RawGen.events(s, dir)
+        .filter(col("ts").isNotNull && col("event_id").isNotNull)
+        .select("event_id", "epoch_us"),
+      "epoch_us", "event_id")
+      .orderBy("seq")
+
+  /** Z-order layout zone map over (user_id, epoch_s) — the per-bucket
+    * extents a scan planner prunes against; see [[graft.ops.Layout.zorder]]. */
+  private def layoutZorderQ(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Layout.zorderZoneMap(
+      RawGen.events(s, dir)
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .select("user_id", "epoch_s"),
+      "user_id", "epoch_s")
+      .orderBy("zbucket")
+
   /** Hybrid BM25 + dense-cosine retrieval fused with RRF — see
     * [[graft.ops.Retrieval.hybridRrf]] for the legs-bounded scale shape. */
   private def hybridRrfQ(s: SparkSession, dir: String): DataFrame =
@@ -1290,7 +1311,9 @@ object SparkEntry {
     "ccnet_buckets" -> (ccnetBucketsQ _),
     "q_merge_upsert" -> (qMergeUpsert _),
     "q_scd2" -> (qScd2 _),
-    "hybrid_rrf" -> (hybridRrfQ _)
+    "hybrid_rrf" -> (hybridRrfQ _),
+    "q_global_seq" -> (qGlobalSeq _),
+    "layout_zorder" -> (layoutZorderQ _)
   )
 
   // ---------- DuckDB oracles ----------
@@ -2328,6 +2351,38 @@ object SparkEntry {
        |  CAST(COALESCE(dense_rank, 0) AS INT) AS dense_rank
        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  // Global sequence: the two-pass bucket algorithm's output is exactly
+  // row_number over the global (epoch_us, event_id) order — the oracle
+  // states the semantics directly.
+  private val qGlobalSeqSql =
+    s"""WITH ev AS (SELECT event_id, $sqlEpochUs AS epoch_us FROM events
+       |  WHERE ts IS NOT NULL AND event_id IS NOT NULL)
+       |SELECT event_id, epoch_us,
+       |  CAST(row_number() OVER (ORDER BY epoch_us, event_id) AS BIGINT) AS seq
+       |FROM ev ORDER BY seq""".stripMargin
+
+  // Z-order zone map: min-max scale both dims to a 16-bit grid with exact
+  // integer floor division, bit-interleave (the 16-term Morton sum below),
+  // top-6-bit bucket, then per-bucket extents.
+  private val layoutZorderSql = {
+    val zsum = (0 until 16).map(i =>
+      s"(((xs >> $i) & 1) << ${2 * i}) + (((ys >> $i) & 1) << ${2 * i + 1})")
+      .mkString(" + ")
+    s"""WITH ev AS (SELECT user_id, $sqlEpochS AS es FROM events
+       |  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+       |st AS (SELECT min(user_id) AS minx, max(user_id) AS maxx,
+       |  min(es) AS miny, max(es) AS maxy FROM ev),
+       |g AS (SELECT user_id, es,
+       |    ((user_id - minx) * 65535) // greatest(maxx - minx, 1) AS xs,
+       |    ((es - miny) * 65535) // greatest(maxy - miny, 1) AS ys
+       |  FROM ev CROSS JOIN st),
+       |z AS (SELECT user_id, es, ($zsum) >> 26 AS zbucket FROM g)
+       |SELECT zbucket, CAST(count(*) AS BIGINT) AS n,
+       |  min(user_id) AS x_min, max(user_id) AS x_max,
+       |  min(es) AS y_min, max(es) AS y_max
+       |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   // BPE round replay: word-frequency dict → per-word character-pair
   // explode (dictionary-sized, not corpus-sized) → freq-weighted counts,
   // rank ties broken by pair text (ASCII, so both engines byte-order).
@@ -3173,6 +3228,8 @@ object SparkEntry {
     "ccnet_buckets" -> ccnetBucketsSql,
     "q_merge_upsert" -> qMergeUpsertSql,
     "q_scd2" -> qScd2Sql,
-    "hybrid_rrf" -> hybridRrfSql
+    "hybrid_rrf" -> hybridRrfSql,
+    "q_global_seq" -> qGlobalSeqSql,
+    "layout_zorder" -> layoutZorderSql
   )
 }
