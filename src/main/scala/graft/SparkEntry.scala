@@ -1096,6 +1096,15 @@ object SparkEntry {
       "user_id", "epoch_s")
       .orderBy("zbucket")
 
+  /** Typo-class near-duplicate names via sorted-neighborhood blocking on
+    * the identifier's numeric run — see
+    * [[graft.ops.Joins.sortedNeighborhoodEditDist]]. */
+  private def snmEditDistQ(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Joins.sortedNeighborhoodEditDist(
+      RawGen.table(s, dir, "customer"), "c_name", "c_custkey",
+      expr("try_cast(substr(c_name, 10, 9) AS BIGINT)"))
+      .orderBy("l_id", "r_id")
+
   /** Hybrid BM25 + dense-cosine retrieval fused with RRF — see
     * [[graft.ops.Retrieval.hybridRrf]] for the legs-bounded scale shape. */
   private def hybridRrfQ(s: SparkSession, dir: String): DataFrame =
@@ -1313,7 +1322,8 @@ object SparkEntry {
     "q_scd2" -> (qScd2 _),
     "hybrid_rrf" -> (hybridRrfQ _),
     "q_global_seq" -> (qGlobalSeq _),
-    "layout_zorder" -> (layoutZorderQ _)
+    "layout_zorder" -> (layoutZorderQ _),
+    "snm_editdist" -> (snmEditDistQ _)
   )
 
   // ---------- DuckDB oracles ----------
@@ -2351,6 +2361,23 @@ object SparkEntry {
        |  CAST(COALESCE(dense_rank, 0) AS INT) AS dense_rank
        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  // Sorted-neighborhood edit-distance join: the oracle states the
+  // semantics with a plain global window + bounded-offset join; the Spark
+  // side reaches the identical pair set through range-bucketed sequence
+  // numbers and an equi-join.
+  private val snmEditDistSql =
+    """WITH c AS (SELECT c_custkey, c_name,
+      |    try_cast(substr(c_name, 10, 9) AS BIGINT) AS sk FROM customer
+      |  WHERE try_cast(substr(c_name, 10, 9) AS BIGINT) IS NOT NULL),
+      |s AS (SELECT c_custkey, c_name,
+      |    row_number() OVER (ORDER BY sk, c_custkey) AS seq FROM c),
+      |p AS (SELECT a.c_custkey AS l_id, a.c_name AS l_str,
+      |    b.c_custkey AS r_id, b.c_name AS r_str,
+      |    levenshtein(a.c_name, b.c_name) AS dist
+      |  FROM s a JOIN s b ON b.seq >= a.seq + 1 AND b.seq <= a.seq + 3)
+      |SELECT l_id, l_str, r_id, r_str, CAST(dist AS INT) AS dist
+      |FROM p WHERE dist <= 2 ORDER BY l_id, r_id""".stripMargin
+
   // Global sequence: the two-pass bucket algorithm's output is exactly
   // row_number over the global (epoch_us, event_id) order — the oracle
   // states the semantics directly.
@@ -3230,6 +3257,7 @@ object SparkEntry {
     "q_scd2" -> qScd2Sql,
     "hybrid_rrf" -> hybridRrfSql,
     "q_global_seq" -> qGlobalSeqSql,
-    "layout_zorder" -> layoutZorderSql
+    "layout_zorder" -> layoutZorderSql,
+    "snm_editdist" -> snmEditDistSql
   )
 }

@@ -81,4 +81,44 @@ object Joins {
       .filter(col(pCol) >= col(loCol) && col(pCol) < col(hiCol))
       .drop("_b")
   }
+
+  /** Sorted-neighborhood similarity join (Hernández & Stolfo, SIGMOD 1995):
+    * sort by a blocking key, compare each row only with its next `window`
+    * neighbors in that order, verify candidates with Levenshtein ≤
+    * `maxDist`. The entity-resolution workhorse for typo-class duplicates
+    * (near-identical identifiers), where token-set methods (MinHash /
+    * n-gram Jaccard — [[Dedup]]) are blind because a one-character edit
+    * isn't a token-level signal.
+    *
+    * Scale shape: O(N·window) comparisons total — no candidate blowup, no
+    * cross join. The global order comes from [[Layout.globalSequence]]
+    * (range-bucketed, no single-reducer window), and neighbor pairing is
+    * an EQUI-join on (seq + i = seq), i ∈ 1..window — shuffle-partitioned
+    * by sequence number, so partition boundaries need no special casing
+    * (the classic windowing implementation must overlap partition edges;
+    * the join formulation gets that for free). `sortKeyCol` must be a
+    * non-null numeric blocking key, order-preserving for the comparison
+    * you care about (e.g. the numeric run of an identifier string);
+    * `idCol` breaks ties. Output: one row per ordered candidate pair
+    * within distance — (l_id, l_str, r_id, r_str, dist). */
+  def sortedNeighborhoodEditDist(df: DataFrame, strCol: String, idCol: String,
+                                 sortKeyCol: Column, window: Int = 3,
+                                 maxDist: Int = 2,
+                                 buckets: Int = 64): DataFrame = {
+    val seq = Layout.globalSequence(
+      df.select(col(idCol), col(strCol), sortKeyCol.as("_sk"))
+        .filter(col("_sk").isNotNull),
+      "_sk", idCol, buckets)
+      .select(col(idCol), col(strCol), col("seq"))
+    val left = seq.select(col(idCol).as("l_id"), col(strCol).as("l_str"),
+      col("seq").as("_ls"))
+      .withColumn("_i", explode(array((1 to window).map(lit): _*)))
+      .withColumn("_rs", col("_ls") + col("_i"))
+    val right = seq.select(col(idCol).as("r_id"), col(strCol).as("r_str"),
+      col("seq").as("_rs"))
+    left.join(right, "_rs")
+      .withColumn("dist", levenshtein(col("l_str"), col("r_str")))
+      .filter(col("dist") <= maxDist)
+      .select("l_id", "l_str", "r_id", "r_str", "dist")
+  }
 }

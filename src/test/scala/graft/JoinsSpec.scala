@@ -111,4 +111,25 @@ class JoinsSpec extends SparkSpec {
     // inner remains exact
     assert(Partitioning.saltedJoin(big, small, "k").count() === 1)
   }
+
+  test("sortedNeighborhoodEditDist: neighbor pairs within distance, " +
+    "blocking bound respected") {
+    import spark.implicits._
+    // sort key = the numeric run; id 5's string is far from everything
+    val df = Seq(
+      (1L, "user-001"), (2L, "user-002"), (3L, "user-003"),
+      (4L, "user-104"), (5L, "zzzz-105"), (6L, "user-106")
+    ).toDF("id", "name")
+    val sk = expr("try_cast(substr(name, 6, 3) AS BIGINT)")
+    val got = Joins.sortedNeighborhoodEditDist(df, "name", "id", sk,
+      window = 2, maxDist = 2, buckets = 2)
+      .orderBy("l_id", "r_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getInt(4)))
+    // order by numeric run: 001,002,003,104,105,106. window=2 pairs each
+    // row with the next two; dist<=2 keeps (l,r,dist): (1,2,1) (1,3,1)
+    // (2,3,1) (2,4,2) (3,4,2) (4,6,1); 5's name is >2 edits from both
+    // its neighbors
+    assert(got.toSeq === Seq((1L, 2L, 1), (1L, 3L, 1), (2L, 3L, 1),
+      (2L, 4L, 2), (3L, 4L, 2), (4L, 6L, 1)))
+  }
 }
