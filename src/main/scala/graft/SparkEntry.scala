@@ -1096,6 +1096,26 @@ object SparkEntry {
       "user_id", "epoch_s")
       .orderBy("zbucket")
 
+  /** Conversion-funnel summary: users reaching each ordered step of
+    * view → click → purchase — see [[graft.ops.Windows.funnel]] for the
+    * one-shuffle chained-window shape. */
+  private def qFunnel(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Windows.funnel(RawGen.events(s, dir))
+      .agg(count(col("t1")).as("users_s1"),
+        count(col("t2")).as("users_s2"),
+        count(col("t3")).as("users_s3"))
+
+  /** Exact per-column table profile (ANALYZE surface) over orders —
+    * [[graft.ops.Profile.columnProfile]]; o_totalprice pre-cast to
+    * DECIMAL(18,2) so its canonical string form is engine-independent. */
+  private def profileTableQ(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Profile.columnProfile(
+      RawGen.table(s, dir, "orders")
+        .withColumn("o_totalprice", col("o_totalprice").cast("decimal(18,2)")),
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority"))
+      .orderBy("col_name")
+
   /** Typo-class near-duplicate names via sorted-neighborhood blocking on
     * the identifier's numeric run — see
     * [[graft.ops.Joins.sortedNeighborhoodEditDist]]. */
@@ -1323,7 +1343,9 @@ object SparkEntry {
     "hybrid_rrf" -> (hybridRrfQ _),
     "q_global_seq" -> (qGlobalSeq _),
     "layout_zorder" -> (layoutZorderQ _),
-    "snm_editdist" -> (snmEditDistQ _)
+    "snm_editdist" -> (snmEditDistQ _),
+    "q_funnel" -> (qFunnel _),
+    "profile_table" -> (profileTableQ _)
   )
 
   // ---------- DuckDB oracles ----------
@@ -2361,6 +2383,46 @@ object SparkEntry {
        |  CAST(COALESCE(dense_rank, 0) AS INT) AS dense_rank
        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  // Ordered funnel: each step's earliest time strictly after the previous
+  // step's earliest time, stated as chained per-user aggregations.
+  private val qFunnelSql =
+    s"""WITH ev AS (SELECT user_id, event_type, $sqlEpochUs AS e FROM events
+       |  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+       |s1 AS (SELECT user_id,
+       |    min(CASE WHEN event_type='view' THEN e END) AS t1 FROM ev GROUP BY 1),
+       |s2 AS (SELECT ev.user_id,
+       |    min(CASE WHEN ev.event_type='click' AND ev.e > s1.t1 THEN ev.e END) AS t2
+       |  FROM ev JOIN s1 ON ev.user_id = s1.user_id GROUP BY 1),
+       |s3 AS (SELECT ev.user_id,
+       |    min(CASE WHEN ev.event_type='purchase' AND ev.e > s2.t2 THEN ev.e END) AS t3
+       |  FROM ev JOIN s2 ON ev.user_id = s2.user_id GROUP BY 1)
+       |SELECT CAST(count(s1.t1) AS BIGINT) AS users_s1,
+       |  CAST(count(s2.t2) AS BIGINT) AS users_s2,
+       |  CAST(count(s3.t3) AS BIGINT) AS users_s3
+       |FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+       |  LEFT JOIN s3 ON s1.user_id = s3.user_id""".stripMargin
+
+  // Exact column profile: one UNION ALL branch per column over the same
+  // canonical-string projection the Spark melt uses; mode tie-break is
+  // (count DESC, value ASC) in both engines.
+  private val profileTableSql = {
+    val cols = Seq(
+      "o_orderkey" -> "CAST(o_orderkey AS VARCHAR)",
+      "o_custkey" -> "CAST(o_custkey AS VARCHAR)",
+      "o_orderstatus" -> "CAST(o_orderstatus AS VARCHAR)",
+      "o_totalprice" -> "CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)",
+      "o_orderdate" -> "CAST(o_orderdate AS VARCHAR)",
+      "o_orderpriority" -> "CAST(o_orderpriority AS VARCHAR)")
+    cols.map { case (name, ex) =>
+      s"""SELECT '$name' AS col_name, n, n_nonnull, ndv, top_val, top_n FROM
+         | (SELECT CAST(count(*) AS BIGINT) AS n, CAST(count(v) AS BIGINT) AS n_nonnull,
+         |    CAST(count(DISTINCT v) AS BIGINT) AS ndv FROM (SELECT $ex AS v FROM orders))
+         | CROSS JOIN (SELECT v AS top_val, CAST(cn AS BIGINT) AS top_n FROM
+         |   (SELECT v, count(*) AS cn FROM (SELECT $ex AS v FROM orders)
+         |    WHERE v IS NOT NULL GROUP BY 1 ORDER BY cn DESC, v LIMIT 1))""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+  }
+
   // Sorted-neighborhood edit-distance join: the oracle states the
   // semantics with a plain global window + bounded-offset join; the Spark
   // side reaches the identical pair set through range-bucketed sequence
@@ -3258,6 +3320,8 @@ object SparkEntry {
     "hybrid_rrf" -> hybridRrfSql,
     "q_global_seq" -> qGlobalSeqSql,
     "layout_zorder" -> layoutZorderSql,
-    "snm_editdist" -> snmEditDistSql
+    "snm_editdist" -> snmEditDistSql,
+    "q_funnel" -> qFunnelSql,
+    "profile_table" -> profileTableSql
   )
 }

@@ -105,6 +105,40 @@ object Windows {
       .withColumn("bucket", bucket).drop("_cuts", "_pc")
   }
 
+  /** Ordered-funnel analysis: for each user, the earliest time each step
+    * of `steps` was reached IN ORDER — step i+1 must occur strictly after
+    * the user's earliest completion of step i (the product-analytics
+    * "view → click → purchase" conversion funnel). Returns one row per
+    * user with nullable `t1..tN` epoch columns; a null `tK` means the
+    * funnel stalled before step K (and all later t's are null too, by
+    * construction of the strictly-after chain).
+    *
+    * Scale shape: ONE shuffle on user_id — the N chained step minima are
+    * N Window aggregates over the SAME partitioning (Catalyst plans one
+    * exchange; no per-step join, no ordering sort — unbounded-partition
+    * min needs no sort key), and the final per-user collapse reuses the
+    * partitioning again. Cost is N scans of each user partition in
+    * memory, not N shuffles of the corpus. */
+  def funnel(events: DataFrame,
+             steps: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val w = Window.partitionBy("user_id")
+    var df = events
+      .filter(col("user_id").isNotNull && col("epoch_us").isNotNull)
+      .select("user_id", "event_type", "epoch_us")
+    steps.zipWithIndex.foreach { case (s, i) =>
+      // strictly after the previous step's earliest time; a stalled
+      // previous step (null) nulls the comparison, so the chain stays null
+      val afterPrev =
+        if (i == 0) lit(true) else col("epoch_us") > col(s"t$i")
+      df = df.withColumn(s"t${i + 1}",
+        min(when(col("event_type") === s && afterPrev, col("epoch_us"))).over(w))
+    }
+    df.groupBy("user_id")
+      .agg(max(col("t1")).as("t1"),
+        (2 to steps.size).map(i => max(col(s"t$i")).as(s"t$i")): _*)
+  }
+
   /** Gap-based sessionization per user: a new session starts when the gap
     * from the previous event exceeds `gapSeconds`. Single shuffle on
     * user_id; two window passes over the same partitioning (Catalyst reuses

@@ -1051,4 +1051,44 @@ class OpsSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSeq
     assert(s1 === s2)
   }
+
+  test("funnel: strictly-ordered step chain per user") {
+    import spark.implicits._
+    val ev = Seq(
+      // complete funnel
+      (1L, "view", 10L), (1L, "click", 20L), (1L, "purchase", 30L),
+      // click only BEFORE the first view -> stalls at step 1
+      (2L, "click", 5L), (2L, "view", 10L), (2L, "click", 9L),
+      // purchase before the click -> stalls at step 2
+      (3L, "view", 10L), (3L, "click", 15L), (3L, "purchase", 12L),
+      // never views
+      (4L, "purchase", 1L),
+      // same-timestamp click is NOT strictly after the view
+      (5L, "view", 10L), (5L, "click", 10L)
+    ).toDF("user_id", "event_type", "epoch_us")
+    val got = Windows.funnel(ev).orderBy("user_id").collect().map(r =>
+      (r.getLong(0), Option(r.get(1)), Option(r.get(2)), Option(r.get(3))))
+    assert(got.toSeq === Seq(
+      (1L, Some(10L), Some(20L), Some(30L)),
+      (2L, Some(10L), None, None),
+      (3L, Some(10L), Some(15L), None),
+      (4L, None, None, None),
+      (5L, Some(10L), None, None)))
+  }
+
+  test("columnProfile: counts, exact ndv, deterministic mode") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(1), Some("x")), (Some(2), Some("y")), (Some(2), None),
+      (Some(3), Some("x")), (None, Some("y"))
+    ).toDF("a", "b")
+    val got = graft.ops.Profile.columnProfile(df, Seq("a", "b"))
+      .orderBy("col_name").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getLong(5)))
+    assert(got.toSeq === Seq(
+      ("a", 5L, 4L, 3L, "2", 2L),
+      // x and y tie at 2 -> smallest value wins
+      ("b", 5L, 4L, 2L, "x", 2L)))
+  }
 }
