@@ -27,6 +27,13 @@ object SparkEntry {
   private val sqlEpochUs = "epoch_us(ts)"
   private val sqlEpochMs = s"($sqlEpochUs//1000)"
   private val sqlEpochS  = s"($sqlEpochUs//1000000)"
+
+  // 16-bit Morton interleave over grid coords (xs, ys) — shared by the
+  // layout_zorder and zonemap_prune oracles; every shift term is fully
+  // parenthesized so engine precedence cannot bite.
+  private val zMortonSumSql = (0 until 16).map(i =>
+    s"(((xs >> $i) & 1) << ${2 * i}) + (((ys >> $i) & 1) << ${2 * i + 1})")
+    .mkString(" + ")
   private def sqlIsoFromS(s: String) =
     s"strftime(make_timestamp(($s)*1000000), '%Y-%m-%dT%H:%M:%SZ')"
   // floor-div + pmod, NOT DuckDB's truncating // and sign-preserving %:
@@ -1096,6 +1103,53 @@ object SparkEntry {
       "user_id", "epoch_s")
       .orderBy("zbucket")
 
+  /** Pruning-effectiveness comparison: for one fixed 2-D box predicate on
+    * the (user_id, epoch_s) grid, how many of 64 buckets must be read
+    * under a Z-ORDER layout vs a SINGLE-COLUMN (x-sorted) layout. The
+    * x-sorted layout leaves every bucket's y-extent at full range, so any
+    * y-selective predicate reads every x-matching bucket; z-order keeps
+    * both extents tight. Grid coordinates are recovered from the Morton
+    * code by compacting even/odd bits — exact integer arithmetic
+    * end-to-end. Output: one row per layout with bucket/row read counts. */
+  private def zonemapPruneQ(s: SparkSession, dir: String): DataFrame = {
+    // fixed box in 16-bit grid units: middle ~25% of each dimension
+    val (xLo, xHi, yLo, yHi) = (16384L, 32767L, 16384L, 32767L)
+    val zg = graft.ops.Layout.zorder(
+      RawGen.events(s, dir)
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .select("user_id", "epoch_s"),
+      "user_id", "epoch_s")
+    // compact the Morton code back to grid coords (even bits = x, odd = y)
+    val xs = (0 until 16).map(i =>
+      shiftleft(shiftright(col("zval"), 2 * i).bitwiseAND(lit(1L)), i))
+      .reduce(_ + _)
+    val ys = (0 until 16).map(i =>
+      shiftleft(shiftright(col("zval"), 2 * i + 1).bitwiseAND(lit(1L)), i))
+      .reduce(_ + _)
+    val g = zg.select(col("zbucket"), xs.as("xs"), ys.as("ys"))
+      .withColumn("xbucket", shiftright(col("xs"), 10))
+      .withColumn("inbox",
+        col("xs").between(xLo, xHi) && col("ys").between(yLo, yHi))
+    def layoutStats(name: String, bucketCol: String): DataFrame =
+      g.groupBy(col(bucketCol).as("b"))
+        .agg(min("xs").as("x0"), max("xs").as("x1"),
+          min("ys").as("y0"), max("ys").as("y1"),
+          count(lit(1)).as("rows_all"),
+          sum(when(col("inbox"), 1L).otherwise(0L)).as("rows_match"))
+        .agg(lit(name).as("layout"),
+          count(lit(1)).as("n_buckets"),
+          sum(when(col("x0") <= xHi && col("x1") >= xLo &&
+            col("y0") <= yHi && col("y1") >= yLo, 1L).otherwise(0L))
+            .as("buckets_read"),
+          sum(when(col("x0") <= xHi && col("x1") >= xLo &&
+            col("y0") <= yHi && col("y1") >= yLo, col("rows_all"))
+            .otherwise(0L)).as("rows_read"),
+          sum(col("rows_match")).as("rows_match"))
+    layoutStats("zorder", "zbucket")
+      .unionAll(layoutStats("xsort", "xbucket"))
+      .orderBy("layout")
+  }
+
   /** Conversion-funnel summary: users reaching each ordered step of
     * view → click → purchase — see [[graft.ops.Windows.funnel]] for the
     * one-shuffle chained-window shape. */
@@ -1345,6 +1399,7 @@ object SparkEntry {
     "layout_zorder" -> (layoutZorderQ _),
     "snm_editdist" -> (snmEditDistQ _),
     "q_funnel" -> (qFunnel _),
+    "zonemap_prune" -> (zonemapPruneQ _),
     "profile_table" -> (profileTableQ _)
   )
 
@@ -2383,6 +2438,38 @@ object SparkEntry {
        |  CAST(COALESCE(dense_rank, 0) AS INT) AS dense_rank
        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  // Zone-map pruning comparison: same grid/interleave arithmetic as
+  // layout_zorder, plus the x-only bucketing; a bucket is "read" when its
+  // (x, y) extent intersects the fixed box.
+  private val zonemapPruneSql = {
+    val read = "x0 <= 32767 AND x1 >= 16384 AND y0 <= 32767 AND y1 >= 16384"
+    def leg(name: String, bcol: String) =
+      s"""SELECT '$name' AS layout, CAST(count(*) AS BIGINT) AS n_buckets,
+         |  CAST(sum(CASE WHEN $read THEN 1 ELSE 0 END) AS BIGINT) AS buckets_read,
+         |  CAST(sum(CASE WHEN $read THEN rows_all ELSE 0 END) AS BIGINT) AS rows_read,
+         |  CAST(sum(rows_match) AS BIGINT) AS rows_match
+         |FROM (SELECT $bcol AS b, min(xs) AS x0, max(xs) AS x1,
+         |    min(ys) AS y0, max(ys) AS y1, count(*) AS rows_all,
+         |    sum(CASE WHEN inbox THEN 1 ELSE 0 END) AS rows_match
+         |  FROM zx GROUP BY 1)""".stripMargin
+    s"""WITH ev AS (SELECT user_id, $sqlEpochS AS es FROM events
+       |  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+       |st AS (SELECT min(user_id) AS minx, max(user_id) AS maxx,
+       |  min(es) AS miny, max(es) AS maxy FROM ev),
+       |g AS (SELECT
+       |    ((user_id - minx) * 65535) // greatest(maxx - minx, 1) AS xs,
+       |    ((es - miny) * 65535) // greatest(maxy - miny, 1) AS ys
+       |  FROM ev CROSS JOIN st),
+       |zx AS (SELECT xs, ys, ($zMortonSumSql) >> 26 AS zbucket,
+       |    xs >> 10 AS xbucket,
+       |    (xs BETWEEN 16384 AND 32767 AND ys BETWEEN 16384 AND 32767) AS inbox
+       |  FROM g)
+       |${leg("zorder", "zbucket")}
+       |UNION ALL
+       |${leg("xsort", "xbucket")}
+       |ORDER BY layout""".stripMargin
+  }
+
   // Ordered funnel: each step's earliest time strictly after the previous
   // step's earliest time, stated as chained per-user aggregations.
   private val qFunnelSql =
@@ -2454,9 +2541,7 @@ object SparkEntry {
   // integer floor division, bit-interleave (the 16-term Morton sum below),
   // top-6-bit bucket, then per-bucket extents.
   private val layoutZorderSql = {
-    val zsum = (0 until 16).map(i =>
-      s"(((xs >> $i) & 1) << ${2 * i}) + (((ys >> $i) & 1) << ${2 * i + 1})")
-      .mkString(" + ")
+    val zsum = zMortonSumSql
     s"""WITH ev AS (SELECT user_id, $sqlEpochS AS es FROM events
        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
        |st AS (SELECT min(user_id) AS minx, max(user_id) AS maxx,
@@ -3322,6 +3407,7 @@ object SparkEntry {
     "layout_zorder" -> layoutZorderSql,
     "snm_editdist" -> snmEditDistSql,
     "q_funnel" -> qFunnelSql,
+    "zonemap_prune" -> zonemapPruneSql,
     "profile_table" -> profileTableSql
   )
 }

@@ -91,6 +91,11 @@ class PlanSpec extends SparkSpec {
       "embed_outliers", // same broadcast-centroid assignment shape
       "curate_semantic", // composes the two ops above
       "bm25_search", // 1-row (n_docs, avgdl) stats frame, broadcast cross join
+      "hybrid_rrf", // embeds bm25_search's 1-row stats cross join
+      "q_global_seq", // 1-row percentile-cuts frame, broadcast cross join
+      "snm_editdist", // embeds globalSequence's cuts frame
+      "layout_zorder", // 1-row global min/max frame, broadcast cross join
+      "zonemap_prune", // same min/max frame via Layout.zorder
       "q_zero_fill")
     val dir = "/root/testdata/sf0.001"
     SparkEntry.queries.foreach { case (name, fn) =>
