@@ -143,6 +143,44 @@ object ScaleProbe {
         m = 4, k = 16, topK = 5),
       Similarity.ivfPqRerankTopK(emb10, emb10.filter(col("vec_id") < 8),
         m = 4, k = 16, topK = 5))
+    // round-11 layout/fusion family. globalSequence: two aggs + one
+    // bucket-partitioned window — expect ~linear with per-job overhead
+    import graft.ops.{Joins, Layout, Profile, Retrieval}
+    pair("global_seq",
+      Layout.globalSequence(docs1.select(col("doc_id"), col("n_chars")),
+        "n_chars", "doc_id"),
+      Layout.globalSequence(docs10.select(col("doc_id"), col("n_chars")),
+        "n_chars", "doc_id"))
+    pair("zorder_zonemap",
+      Layout.zorderZoneMap(docs1.select(col("doc_id"), col("n_chars")),
+        "doc_id", "n_chars"),
+      Layout.zorderZoneMap(docs10.select(col("doc_id"), col("n_chars")),
+        "doc_id", "n_chars"))
+    // fixed-width neighborhood: O(N·w) verify pairs by construction; the
+    // 24-char prefix keeps the per-pair Levenshtein cost bounded
+    def snmIn(d: DataFrame) = d.select(col("doc_id"),
+      substring(col("text"), 1, 24).as("prefix"), col("n_chars"))
+    pair("snm_editdist",
+      Joins.sortedNeighborhoodEditDist(snmIn(docs1), "prefix", "doc_id",
+        col("n_chars"), maxDist = 20),
+      Joins.sortedNeighborhoodEditDist(snmIn(docs10), "prefix", "doc_id",
+        col("n_chars"), maxDist = 20))
+    // both legs' eval predicates are id-capped (< 544), so the query set
+    // is FIXED at any corpus size — the exponent isolates index/scan growth
+    pair("hybrid_rrf", Retrieval.hybridRrf(docs1, emb1),
+      Retrieval.hybridRrf(docs10, emb10))
+    pair("column_profile",
+      Profile.columnProfile(docs1, Seq("lang", "source", "n_chars")),
+      Profile.columnProfile(docs10, Seq("lang", "source", "n_chars")))
+    // funnel over a synthetic event stream derived from the doc corpus:
+    // one user per ~997 docs, three step types, doc_id as event time
+    def funnelIn(d: DataFrame) = d.select(
+      (col("doc_id") % 997).as("user_id"),
+      element_at(array(lit("view"), lit("click"), lit("purchase")),
+        (col("doc_id") % 3 + 1).cast("int")).as("event_type"),
+      col("doc_id").as("epoch_us"))
+    pair("funnel", graft.ops.Windows.funnel(funnelIn(docs1)),
+      graft.ops.Windows.funnel(funnelIn(docs10)))
     only.foreach { keep =>
       if (probed == 0) System.err.println(
         s"[probe] SPARK_GRAFT_PROBE_ONLY matched no pair: ${keep.mkString(", ")}")
