@@ -223,6 +223,66 @@ object StreamingOps {
       }
   }
 
+  /** One user's funnel progress for [[funnelStream]]: earliest completion
+    * time per step, strictly increasing by construction (step k only sets
+    * with a time > step k−1's, and times only ever decrease). */
+  case class FunnelProgress(t1: Option[Long], t2: Option[Long],
+                            t3: Option[Long])
+  case class FunnelRow(user_id: Long, t1: Option[Long], t2: Option[Long],
+                       t3: Option[Long])
+
+  /** Streaming conversion funnel — the standing-stream form of
+    * [[graft.ops.Windows.funnel]]: O(1) state per user (three step
+    * times), Update-mode re-emission when a micro-batch improves a
+    * user's progress. Events inside a batch are processed in
+    * (epoch_us, event_id) order, so any in-event-time-order arrival —
+    * including any batch split of an ordered stream — reproduces the
+    * batch operator exactly (StreamingSpec parity). A LATE event can
+    * still improve the step it belongs to (and earlier times only widen
+    * later steps' eligibility, never invalidate them, because times
+    * only decrease), with one documented divergence: a step-k candidate
+    * that was REJECTED in an earlier batch (it preceded the then-known
+    * step-k−1 time) is not buffered, so a late step-k−1 improvement
+    * cannot resurrect it — the batch operator, seeing all events at
+    * once, would. Exact recovery of that case requires buffering all
+    * below-threshold candidates (watermark-bounded event retention),
+    * which is the standard CEP trade; this op keeps the O(1)-per-user
+    * snapshot contract instead. */
+  def funnelStream(events: DataFrame,
+                   steps: Seq[String] = Seq("view", "click", "purchase")): Dataset[FunnelRow] = {
+    require(steps.length == 3, "funnelStream emits a fixed 3-step row")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val stepIdx = steps.zipWithIndex.toMap
+    val typed = events
+      .filter(col("user_id").isNotNull && col("epoch_us").isNotNull &&
+        col("event_type").isNotNull && col("event_id").isNotNull)
+      .select(col("user_id").cast("long"), col("event_type").cast("string"),
+        col("epoch_us").cast("long"), col("event_id").cast("long"))
+      .as[(Long, String, Long, Long)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelProgress, FunnelRow](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, String, Long, Long)],
+         state: GroupState[FunnelProgress]) =>
+          val st = state.getOption.getOrElse(FunnelProgress(None, None, None))
+          val t = Array(st.t1, st.t2, st.t3)
+          val before = t.toSeq
+          rows.toSeq
+            .flatMap { case (_, typ, e, id) =>
+              stepIdx.get(typ).map(i => (e, id, i)) }
+            .sortBy { case (e, id, _) => (e, id) }
+            .foreach { case (e, _, i) =>
+              val prevOk = i == 0 || t(i - 1).exists(e > _)
+              if (prevOk && t(i).forall(e < _)) t(i) = Some(e)
+            }
+          if (t.toSeq != before) {
+            state.update(FunnelProgress(t(0), t(1), t(2)))
+            Iterator(FunnelRow(user, t(0), t(1), t(2)))
+          } else Iterator.empty
+      }
+  }
+
   /** Per-tenant physical isolation as a streaming sink: each micro-batch is
     * one distributed `partitionBy(tenantId)` write — no driver-side loop
     * over tenants, dynamic tenants appear as new directories

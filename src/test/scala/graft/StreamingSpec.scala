@@ -655,4 +655,59 @@ class StreamingSpec extends SparkSpec {
         (r.getLong(2), r.getLong(3), r.getDouble(4), r.getLong(5))).toMap
     assert(snap() === batch)
   }
+
+  test("streaming funnel: ordered-arrival batch parity, late improvements, " +
+    "documented rejected-candidate divergence") {
+    import spark.implicits._
+    // (event_id, epoch_us, user_id, event_type)
+    val stream = MemoryStream[(Long, Long, Long, String)](spark)
+    val events = stream.toDF()
+      .toDF("event_id", "epoch_us", "user_id", "event_type")
+    val q = StreamingOps.funnelStream(events)
+      .writeStream.format("memory").queryName("funnel_state")
+      .outputMode("update").start()
+    def prog(): Map[Long, (Option[Long], Option[Long], Option[Long])] = {
+      val rows = spark.table("funnel_state").collect()
+      // update-mode memory sink appends re-emissions; times only ever
+      // improve (decrease), so a user's live row minimizes each column
+      rows.groupBy(_.getLong(0)).map { case (u, rs) =>
+        def m(i: Int): Option[Long] = {
+          val vs = rs.flatMap(r => if (r.isNullAt(i)) None else Some(r.getLong(i)))
+          if (vs.isEmpty) None else Some(vs.min)
+        }
+        u -> (m(1), m(2), m(3))
+      }
+    }
+    try {
+      // user 1 completes in event-time order across two batches; user 2's
+      // click arrives before any view (rejected, not buffered)
+      stream.addData((1L, 10L, 1L, "view"), (2L, 20L, 1L, "click"),
+        (3L, 7L, 2L, "click"), (4L, 10L, 2L, "view"))
+      q.processAllAvailable()
+      assert(prog() === Map(
+        1L -> (Some(10L), Some(20L), None),
+        2L -> (Some(10L), None, None)))
+      // in-order continuation: purchase completes user 1's funnel
+      stream.addData((5L, 30L, 1L, "purchase"))
+      q.processAllAvailable()
+      assert(prog()(1L) === ((Some(10L), Some(20L), Some(30L))))
+      // LATE improvements for user 1: earlier view and an earlier click
+      // that is still after the improved view — both take effect, and the
+      // strictly-increasing chain survives
+      stream.addData((6L, 5L, 1L, "view"), (7L, 8L, 1L, "click"))
+      q.processAllAvailable()
+      assert(prog()(1L) === ((Some(5L), Some(8L), Some(30L))))
+      // divergence contract: user 2's late view@5 improves t1, but the
+      // click@7 rejected in batch 1 was not buffered — streaming stays
+      // stalled at step 2 where the batch operator would emit t2=7
+      stream.addData((8L, 5L, 2L, "view"))
+      q.processAllAvailable()
+      assert(prog()(2L) === ((Some(5L), None, None)))
+      val batchAnswer = graft.ops.Windows.funnel(
+        Seq((2L, "click", 7L), (2L, "view", 10L), (2L, "view", 5L))
+          .toDF("user_id", "event_type", "epoch_us"))
+        .collect().map(r => (Option(r.get(1)), Option(r.get(2)))).head
+      assert(batchAnswer === ((Some(5L), Some(7L))))
+    } finally q.stop()
+  }
 }
