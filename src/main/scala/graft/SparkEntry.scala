@@ -745,6 +745,34 @@ object SparkEntry {
       .orderBy("user_id", "event_type", "valid_from_us", "event_id")
   }
 
+  /** Tombstone-aware CDC compaction — the delete half of the
+    * Kafka-compacted-topic contract [[qMergeUpsert]] implements for
+    * upserts: a version whose `value < 10` is a DELETE MARKER for its
+    * (user_id, event_type) key; if the latest version (same tie-free
+    * (epoch_us, event_id) order) is a delete, the key is emitted
+    * tombstoned (`is_deleted`) rather than silently dropped, so
+    * downstream sees both the live snapshot (filter) and the audit
+    * counts. Same single partial-combine aggregate as the upsert form —
+    * the delete flag rides inside the max-struct, adding nothing to the
+    * shuffle shape. */
+  private def qMergeTombstone(s: SparkSession, dir: String): DataFrame =
+    RawGen.events(s, dir)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+        col("event_id").isNotNull && col("event_type").isNotNull)
+      .withColumn("is_del", col("value") < 10.0)
+      .groupBy("user_id", "event_type")
+      .agg(count(lit(1)).cast("long").as("n_versions"),
+        sum(when(col("is_del"), 1L).otherwise(0L)).as("n_deletes"),
+        max(struct(col("epoch_us"), col("event_id"), col("is_del"),
+          col("value"))).as("m"))
+      .select(col("user_id"), col("event_type"),
+        col("m.event_id").as("last_event_id"),
+        col("m.epoch_us").as("last_epoch_us"),
+        col("m.value").as("last_value"),
+        col("m.is_del").as("is_deleted"),
+        col("n_versions"), col("n_deletes"))
+      .orderBy("user_id", "event_type")
+
   private def qMergeUpsert(s: SparkSession, dir: String): DataFrame =
     RawGen.events(s, dir)
       .filter(col("user_id").isNotNull && col("ts").isNotNull &&
@@ -1393,6 +1421,7 @@ object SparkEntry {
     "graph_pagerank" -> (pageRankQ _),
     "ccnet_buckets" -> (ccnetBucketsQ _),
     "q_merge_upsert" -> (qMergeUpsert _),
+    "q_merge_tombstone" -> (qMergeTombstone _),
     "q_scd2" -> (qScd2 _),
     "hybrid_rrf" -> (hybridRrfQ _),
     "q_global_seq" -> (qGlobalSeq _),
@@ -2211,6 +2240,23 @@ object SparkEntry {
        |SELECT user_id, event_type, event_id AS last_event_id,
        |  epoch_us AS last_epoch_us, value AS last_value,
        |  CAST(n_versions AS BIGINT) AS n_versions
+       |FROM r WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin
+
+  private val qMergeTombstoneSql =
+    s"""WITH e AS (SELECT user_id, event_type, event_id, value,
+       |    (value < 10.0) AS is_del, $sqlEpochUs AS epoch_us FROM events
+       |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+       |    AND event_id IS NOT NULL AND event_type IS NOT NULL),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+       |      ORDER BY epoch_us DESC, event_id DESC) AS rn,
+       |    count(*) OVER (PARTITION BY user_id, event_type) AS n_versions,
+       |    sum(CASE WHEN is_del THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY user_id, event_type) AS n_deletes
+       |  FROM e)
+       |SELECT user_id, event_type, event_id AS last_event_id,
+       |  epoch_us AS last_epoch_us, value AS last_value,
+       |  is_del AS is_deleted, CAST(n_versions AS BIGINT) AS n_versions,
+       |  CAST(n_deletes AS BIGINT) AS n_deletes
        |FROM r WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin
 
   private val qScd2Sql =
@@ -3401,6 +3447,7 @@ object SparkEntry {
     "graph_pagerank" -> pageRankSql,
     "ccnet_buckets" -> ccnetBucketsSql,
     "q_merge_upsert" -> qMergeUpsertSql,
+    "q_merge_tombstone" -> qMergeTombstoneSql,
     "q_scd2" -> qScd2Sql,
     "hybrid_rrf" -> hybridRrfSql,
     "q_global_seq" -> qGlobalSeqSql,

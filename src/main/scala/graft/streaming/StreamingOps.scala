@@ -223,6 +223,62 @@ object StreamingOps {
       }
   }
 
+  case class TombState(epochUs: Long, eventId: Long, value: Double,
+                       deleted: Boolean, n: Long, nDel: Long)
+  case class TombRow(user_id: Long, event_type: String, last_event_id: Long,
+                     last_epoch_us: Long, last_value: Double,
+                     is_deleted: Boolean, n_versions: Long, n_deletes: Long)
+
+  /** Tombstone-aware streaming CDC compaction — the delete half of the
+    * compacted-topic contract, pairing [[latestSnapshotStream]] the way
+    * batch `q_merge_tombstone` pairs `q_merge_upsert`: a version with
+    * `value < tombstoneBelow` is a delete marker; when it is the LATEST
+    * version of its key (same tie-free (epoch_us, event_id) order) the
+    * key's emitted row carries `is_deleted = true`. State is RETAINED on
+    * tombstone, not removed: dropping it would let a late pre-tombstone
+    * version resurrect the key as live, diverging from the batch
+    * aggregate (StreamingSpec pins no-resurrect). Keys whose retention
+    * genuinely ends belong to a GroupStateTimeout TTL, orthogonal to the
+    * merge rule — exactly as a compacted topic separates compaction from
+    * retention. */
+  def latestSnapshotStreamTombstone(events: DataFrame,
+                                    tombstoneBelow: Double = 10.0): Dataset[TombRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events
+      .filter(col("user_id").isNotNull && col("event_id").isNotNull &&
+        col("epoch_us").isNotNull && col("event_type").isNotNull)
+      .select(col("user_id").cast("long"), col("event_type").cast("string"),
+        col("event_id").cast("long"), col("epoch_us").cast("long"),
+        col("value").cast("double"))
+      .as[(Long, String, Long, Long, Double)]
+    typed.groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState[TombState, TombRow](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: (Long, String), rows: Iterator[(Long, String, Long, Long, Double)],
+         state: GroupState[TombState]) =>
+          var cur = state.getOption
+          rows.foreach { case (_, _, eventId, epochUs, value) =>
+            val del = value < tombstoneBelow
+            val n = cur.map(_.n).getOrElse(0L) + 1
+            val nDel = cur.map(_.nDel).getOrElse(0L) + (if (del) 1L else 0L)
+            cur = cur match {
+              case Some(s) if s.epochUs > epochUs ||
+                  (s.epochUs == epochUs && s.eventId >= eventId) =>
+                Some(s.copy(n = n, nDel = nDel))
+              case _ => Some(TombState(epochUs, eventId, value, del, n, nDel))
+            }
+          }
+          cur match {
+            case Some(s) =>
+              state.update(s)
+              Iterator(TombRow(key._1, key._2, s.eventId, s.epochUs,
+                s.value, s.deleted, s.n, s.nDel))
+            case None => Iterator.empty
+          }
+      }
+  }
+
   /** One user's funnel progress for [[funnelStream]]: earliest completion
     * time per step, strictly increasing by construction (step k only sets
     * with a time > step k−1's, and times only ever decrease). */

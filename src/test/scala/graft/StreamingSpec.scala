@@ -656,6 +656,54 @@ class StreamingSpec extends SparkSpec {
     assert(snap() === batch)
   }
 
+  test("streaming tombstone compaction: delete wins, no late resurrection, " +
+    "batch parity") {
+    import spark.implicits._
+    // (event_id, epoch_us, user_id, event_type, value); value < 10 = delete
+    val stream = MemoryStream[(Long, Long, Long, String, Double)](spark)
+    val events = stream.toDF()
+      .toDF("event_id", "epoch_us", "user_id", "event_type", "value")
+    val q = StreamingOps.latestSnapshotStreamTombstone(events)
+      .writeStream.format("memory").queryName("tomb_snap")
+      .outputMode("update").start()
+    def snap(): Map[(Long, String), (Long, Boolean, Long, Long)] = {
+      val rows = spark.table("tomb_snap").collect()
+      rows.groupBy(r => (r.getLong(0), r.getString(1))).map { case (k, rs) =>
+        val last = rs.maxBy(_.getLong(6)) // n_versions identifies latest emission
+        k -> (last.getLong(2), last.getBoolean(5), last.getLong(6), last.getLong(7))
+      }
+    }
+    try {
+      stream.addData((1L, 100L, 7L, "click", 50.0))
+      q.processAllAvailable()
+      assert(snap()((7L, "click")) === ((1L, false, 1L, 0L)))
+      // a newer delete marker tombstones the key
+      stream.addData((2L, 200L, 7L, "click", 5.0))
+      q.processAllAvailable()
+      assert(snap()((7L, "click")) === ((2L, true, 2L, 1L)))
+      // LATE pre-tombstone live version: counted, but must NOT resurrect
+      stream.addData((3L, 150L, 7L, "click", 60.0))
+      q.processAllAvailable()
+      assert(snap()((7L, "click")) === ((2L, true, 3L, 1L)))
+      // a genuinely newer live version revives the key
+      stream.addData((4L, 300L, 7L, "click", 70.0))
+      q.processAllAvailable()
+      assert(snap()((7L, "click")) === ((4L, false, 4L, 1L)))
+    } finally q.stop()
+    // parity with the batch tombstone aggregate over the full history
+    val all = Seq((1L, 100L, 50.0), (2L, 200L, 5.0), (3L, 150L, 60.0),
+      (4L, 300L, 70.0)).toDF("event_id", "epoch_us", "value")
+    val batch = all
+      .withColumn("is_del", col("value") < 10.0)
+      .agg(max(struct(col("epoch_us"), col("event_id"), col("is_del"))).as("m"),
+        sum(when(col("is_del"), 1L).otherwise(0L)).as("n_del"),
+        count(lit(1)).as("n"))
+      .select(col("m.event_id"), col("m.is_del"), col("n"), col("n_del"))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2),
+        r.getLong(3))).head
+    assert(snap()((7L, "click")) === batch)
+  }
+
   test("streaming funnel: ordered-arrival batch parity, late improvements, " +
     "documented rejected-candidate divergence") {
     import spark.implicits._
