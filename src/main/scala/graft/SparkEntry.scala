@@ -745,6 +745,51 @@ object SparkEntry {
       .orderBy("user_id", "event_type", "valid_from_us", "event_id")
   }
 
+  /** TPC-H Q8-shaped market share: seven-table join (lineitem, orders,
+    * part, supplier, customer, nation ×2, region) computing one supplier
+    * nation's share of ECONOMY-part volume sold into ASIA per order
+    * year. The flagship Catalyst join-ordering exercise. Only the
+    * forever-tiny dimensions (nation, region) carry explicit broadcast
+    * hints; part/supplier/orders/customer are left to AQE, which
+    * broadcasts them at bench scale and correctly switches to shuffle
+    * joins when they grow fact-sized at 100 TB — the plan adapts, the
+    * query doesn't change. Volume stays DECIMAL until the end; the share
+    * is one double division of two exact sums — engine independent. */
+  private def qMarketShare(s: SparkSession, dir: String): DataFrame = {
+    val li = RawGen.table(s, dir, "lineitem")
+    val vol = expr(
+      "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,4)))")
+    val n1 = RawGen.table(s, dir, "nation")
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val n2 = RawGen.table(s, dir, "nation")
+      .select(col("n_nationkey").as("c_nk"), col("n_regionkey"))
+    li.join(RawGen.table(s, dir, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(RawGen.table(s, dir, "part").filter(col("p_type") === "ECONOMY"),
+        col("l_partkey") === col("p_partkey"))
+      .join(RawGen.table(s, dir, "supplier"),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+      .join(RawGen.table(s, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+      .join(broadcast(RawGen.table(s, dir, "region")
+        .filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(year(col("o_orderdate")).as("o_year"),
+        vol.as("volume"), col("supp_nation"))
+      .groupBy("o_year")
+      .agg(sum(col("volume")).as("total"),
+        sum(when(col("supp_nation") === "NATION_7", col("volume"))
+          .otherwise(lit(0))).as("nation_vol"))
+      .select(col("o_year"),
+        (col("nation_vol").cast("double") / col("total").cast("double"))
+          .as("mkt_share"),
+        col("total").cast("double").as("total_volume"),
+        col("nation_vol").cast("double").as("nation_volume"))
+      .orderBy("o_year")
+  }
+
   /** Tombstone-aware CDC compaction — the delete half of the
     * Kafka-compacted-topic contract [[qMergeUpsert]] implements for
     * upserts: a version whose `value < 10` is a DELETE MARKER for its
@@ -1422,6 +1467,7 @@ object SparkEntry {
     "ccnet_buckets" -> (ccnetBucketsQ _),
     "q_merge_upsert" -> (qMergeUpsert _),
     "q_merge_tombstone" -> (qMergeTombstone _),
+    "q_market_share" -> (qMarketShare _),
     "q_scd2" -> (qScd2 _),
     "hybrid_rrf" -> (hybridRrfQ _),
     "q_global_seq" -> (qGlobalSeq _),
@@ -2241,6 +2287,29 @@ object SparkEntry {
        |  epoch_us AS last_epoch_us, value AS last_value,
        |  CAST(n_versions AS BIGINT) AS n_versions
        |FROM r WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin
+
+  // Q8-shaped market share: same join graph and decimal-until-the-end
+  // volume; the share is one double division on both engines.
+  private val qMarketShareSql =
+    """WITH j AS (
+      |  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+      |    CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |      (1 - CAST(l_discount AS DECIMAL(18,4))) AS volume,
+      |    n1.n_name AS supp_nation
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |  JOIN region ON n2.n_regionkey = r_regionkey AND r_name = 'ASIA'),
+      |a AS (SELECT o_year, sum(volume) AS t,
+      |    sum(CASE WHEN supp_nation = 'NATION_7' THEN volume ELSE 0 END) AS nv
+      |  FROM j GROUP BY 1)
+      |SELECT o_year, CAST(nv AS DOUBLE)/CAST(t AS DOUBLE) AS mkt_share,
+      |  CAST(t AS DOUBLE) AS total_volume, CAST(nv AS DOUBLE) AS nation_volume
+      |FROM a ORDER BY o_year""".stripMargin
 
   private val qMergeTombstoneSql =
     s"""WITH e AS (SELECT user_id, event_type, event_id, value,
@@ -3448,6 +3517,7 @@ object SparkEntry {
     "ccnet_buckets" -> ccnetBucketsSql,
     "q_merge_upsert" -> qMergeUpsertSql,
     "q_merge_tombstone" -> qMergeTombstoneSql,
+    "q_market_share" -> qMarketShareSql,
     "q_scd2" -> qScd2Sql,
     "hybrid_rrf" -> hybridRrfSql,
     "q_global_seq" -> qGlobalSeqSql,
