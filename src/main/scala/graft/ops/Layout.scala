@@ -35,12 +35,19 @@ object Layout {
     * nondeterministic. Null values/ties must be filtered by the caller. */
   def globalSequence(df: DataFrame, valueCol: String, tieCol: String,
                      buckets: Int = 64, accuracy: Int = 10000): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
     val fracs = (1 until buckets).map(_.toDouble / buckets)
-    val cuts = df.agg(percentile_approx(col(valueCol),
-      array(fracs.map(lit): _*), lit(accuracy)).as("_cuts"))
-    val bucketed = df.crossJoin(broadcast(cuts))
-      .withColumn("_b", size(filter(col("_cuts"), c => c < col(valueCol))))
-      .drop("_cuts")
+    // buckets=1 degenerates to the single-partition window (no cuts to
+    // take — percentile_approx rejects an empty percentage array)
+    val bucketed =
+      if (fracs.isEmpty) df.withColumn("_b", lit(0))
+      else {
+        val cuts = df.agg(percentile_approx(col(valueCol),
+          array(fracs.map(lit): _*), lit(accuracy)).as("_cuts"))
+        df.crossJoin(broadcast(cuts))
+          .withColumn("_b", size(filter(col("_cuts"), c => c < col(valueCol))))
+          .drop("_cuts")
+      }
     val offsets = bucketed.groupBy("_b").agg(count(lit(1)).as("_n"))
       // buckets-row frame: the unpartitioned window is over ≤ `buckets`
       // rows, never data

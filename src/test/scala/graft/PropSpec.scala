@@ -548,4 +548,78 @@ class PropSpec extends SparkSpec {
       assert(got === reference(edges, 3))
     }
   }
+
+  test("globalSequence == sorted-index reference on random multisets, " +
+    "any bucket count") {
+    import spark.implicits._
+    import graft.ops.Layout
+    val valGen = Gen.chooseNum(-50L, 50L) // heavy ties, negatives included
+    (0 until 3).foreach { round =>
+      val rows = (1 to 80).flatMap(i => valGen.sample.map(v => (i.toLong, v)))
+      val expected = rows.sortBy { case (id, v) => (v, id) }.zipWithIndex
+        .map { case ((id, v), i) => (id, v, (i + 1).toLong) }.toSet
+      Seq(1, 3, 16).foreach { buckets =>
+        val got = Layout.globalSequence(rows.toDF("id", "v"), "v", "id",
+          buckets = buckets)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        assert(got === expected, s"round=$round buckets=$buckets")
+      }
+    }
+  }
+
+  test("funnel == brute-force per-user chain reference on random event soup") {
+    import spark.implicits._
+    import graft.ops.Windows
+    val steps = Seq("view", "click", "purchase")
+    val evGen = for {
+      u <- Gen.chooseNum(1L, 6L)
+      s <- Gen.oneOf(steps :+ "noise")
+      t <- Gen.chooseNum(0L, 40L)
+    } yield (u, s, t)
+    def reference(evs: Seq[(Long, String, Long)]): Map[Long, Seq[Option[Long]]] =
+      evs.map(_._1).distinct.map { u =>
+        val mine = evs.filter(_._1 == u)
+        val times = steps.scanLeft(Option(Long.MinValue)) { (prev, s) =>
+          prev.flatMap { p =>
+            val cand = mine.filter(e => e._2 == s && e._3 > p).map(_._3)
+            if (cand.isEmpty) None else Some(cand.min)
+          }
+        }.tail
+        u -> times
+      }.toMap
+    (0 until 3).foreach { _ =>
+      val evs = (1 to 60).flatMap(_ => evGen.sample)
+      val got = Windows.funnel(evs.toDF("user_id", "event_type", "epoch_us"))
+        .collect().map(r => r.getLong(0) ->
+          (1 to 3).map(i => if (r.isNullAt(i)) None else Some(r.getLong(i))))
+        .toMap
+      assert(got === reference(evs))
+    }
+  }
+
+  test("columnProfile == groupBy reference: counts, ndv, tie-broken mode") {
+    import spark.implicits._
+    import graft.ops.Profile
+    val vGen = Gen.option(Gen.chooseNum(0, 5))
+    (0 until 3).foreach { _ =>
+      val rows = (1 to 50).map(_ => (vGen.sample.flatten, vGen.sample.flatten))
+      val df = rows.toDF("a", "b")
+      val got = Profile.columnProfile(df, Seq("a", "b")).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) null else r.getString(4), r.getLong(5))).toMap
+      Seq("a" -> rows.map(_._1), "b" -> rows.map(_._2)).foreach {
+        case (name, vs) =>
+          val nn = vs.flatten
+          val mode =
+            if (nn.isEmpty) (null, 0L)
+            else {
+              val counts = nn.groupBy(v => v.toString).view.mapValues(_.size.toLong)
+              val top = counts.toSeq.sortBy { case (v, c) => (-c, v) }.head
+              (top._1, top._2)
+            }
+          assert(got(name) === ((vs.size.toLong, nn.size.toLong,
+            nn.map(_.toString).distinct.size.toLong, mode._1, mode._2)), name)
+      }
+    }
+  }
 }
