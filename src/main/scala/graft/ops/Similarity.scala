@@ -187,18 +187,58 @@ object Similarity {
     * are pure expressions, the list lookup is an equi-join on centroid id. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               numCentroids: Int = 16, dim: Int = 64,
-              nprobe: Int = 2): DataFrame = {
+              nprobe: Int = 2): DataFrame =
+    ivfScore(ivfAssignCorpus(corpus, numCentroids, dim),
+      ivfProbes(queries, numCentroids, dim, nprobe), k)
+
+  /** The corpus half of the IVF index: every vector assigned to its
+    * nearest deterministic coarse centroid — (neighbor_id, c_emb, c_norm,
+    * cid). This is the expensive corpus-sized pass; the serving pair
+    * below amortizes it into one bucketed write. */
+  def ivfAssignCorpus(corpus: DataFrame, numCentroids: Int = 16,
+                      dim: Int = 64): DataFrame = {
     val cents = ivfCentroids(numCentroids, dim)
     def scores(emb: Column): Column =
       array(cents.map(cv => dot(emb, array(cv.map(lit): _*))): _*)
-
-    val c = corpus.select(col("vec_id").as("neighbor_id"),
+    corpus.select(col("vec_id").as("neighbor_id"),
       asDouble(col("embedding")).as("c_emb"))
       .withColumn("c_norm", norm(col("c_emb")))
       .filter(col("c_norm") > 0.0)
       .withColumn("_s", scores(col("c_emb")))
       .withColumn("cid", array_position(col("_s"), array_max(col("_s"))))
       .drop("_s")
+  }
+
+  /** Build-once half of the IVF serving pair (the vector sibling of
+    * [[TextAnalysis.bm25WriteIndex]]): persist the assigned corpus as
+    * inverted lists bucketed BY CENTROID — at query time the probed-list
+    * equi-join on cid finds the corpus pre-clustered on disk, no
+    * assignment scan and (against a co-bucketed frame) no shuffle. At
+    * 100 TB the assignment pass over the corpus dominates every query
+    * batch; one write amortizes it across all of them. */
+  def ivfWriteIndex(corpus: DataFrame, prefix: String = "ivf",
+                    numCentroids: Int = 16, dim: Int = 64,
+                    buckets: Int = 16): Unit =
+    ivfAssignCorpus(corpus, numCentroids, dim)
+      .write.mode("overwrite")
+      .bucketBy(buckets, "cid").sortBy("cid")
+      .saveAsTable(s"${prefix}_lists")
+
+  /** Query-many half: identical semantics to [[ivfTopK]] (same probe and
+    * scoring core), but the inverted lists come from the persisted index
+    * — zero corpus work at query time. */
+  def ivfSearchIndexed(spark: org.apache.spark.sql.SparkSession,
+                       queries: DataFrame, prefix: String = "ivf",
+                       k: Int = 5, numCentroids: Int = 16, dim: Int = 64,
+                       nprobe: Int = 2): DataFrame =
+    ivfScore(spark.table(s"${prefix}_lists"),
+      ivfProbes(queries, numCentroids, dim, nprobe), k)
+
+  private def ivfProbes(queries: DataFrame, numCentroids: Int, dim: Int,
+                        nprobe: Int): DataFrame = {
+    val cents = ivfCentroids(numCentroids, dim)
+    def scores(emb: Column): Column =
+      array(cents.map(cv => dot(emb, array(cv.map(lit): _*))): _*)
 
     // probe set = rank-<=nprobe filter over the exploded (centroid, score)
     // pairs, ties broken by centroid index — every query gets exactly
@@ -206,7 +246,7 @@ object Similarity {
     // spelling silently degenerated to ONE probe when all centroid scores
     // tied.) The ranking window partitions the tiny exploded QUERY side
     // only (|queries| x numCentroids rows), never the corpus.
-    val q = queries.select(col("vec_id").as("query_id"),
+    queries.select(col("vec_id").as("query_id"),
       asDouble(col("embedding")).as("q_emb"))
       .withColumn("q_norm", norm(col("q_emb")))
       .filter(col("q_norm") > 0.0)
@@ -217,7 +257,10 @@ object Similarity {
       .filter(col("_pr") <= nprobe)
       .select(col("query_id"), col("q_emb"), col("q_norm"),
         (col("_pos") + 1).cast("long").as("cid"))
+  }
 
+  // the probed-lists scoring core shared by the live and indexed forms
+  private def ivfScore(c: DataFrame, q: DataFrame, k: Int): DataFrame = {
     val sim = dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm"))
     val scored = c.join(broadcast(q), Seq("cid"))
       .filter(col("query_id") =!= col("neighbor_id"))

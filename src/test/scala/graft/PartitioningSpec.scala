@@ -64,6 +64,36 @@ class PartitioningSpec extends SparkSpec {
     assert(gens < liveGens, s"indexed plan still explodes the corpus ($gens vs $liveGens)")
   }
 
+  test("ivfWriteIndex + ivfSearchIndexed == live ivfTopK; query plan is " +
+    "table-backed with no corpus assignment") {
+    import spark.implicits._
+    import graft.ops.Similarity
+    // deterministic non-trivial vectors: 40 corpus + 4 query, 8-dim
+    def vec(seed: Int): Array[Float] =
+      (0 until 8).map(d => ((seed * 31 + d * 17) % 13 - 6).toFloat).toArray
+    val corpus = (10L to 49L).map(i => (i, vec(i.toInt))).toDF("vec_id", "embedding")
+    val queries = (1L to 4L).map(i => (i, vec(i.toInt))).toDF("vec_id", "embedding")
+    Similarity.ivfWriteIndex(corpus, "ivft", numCentroids = 4, dim = 8,
+      buckets = 4)
+    val indexed = Similarity.ivfSearchIndexed(spark, queries, "ivft",
+      k = 5, numCentroids = 4, dim = 8, nprobe = 2)
+    val live = Similarity.ivfTopK(corpus, queries, k = 5,
+      numCentroids = 4, dim = 8, nprobe = 2)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    assert(rows(indexed) === rows(live) && rows(live).nonEmpty)
+    // query-time plan reads the persisted inverted lists, and the corpus
+    // assignment (array_position over the centroid score array) happens
+    // only in the live plan
+    val p = indexed.queryExecution.executedPlan.toString
+    assert(p.contains("ivft_lists"), s"indexed search not table-backed:\n$p")
+    // (no array_position in the indexed plan = no centroid assignment at
+    // query time; the live plan's own assignment constant-folds into its
+    // LocalTableScan here, so it can't serve as the counter-assert)
+    assert(!p.contains("array_position"),
+      s"indexed plan still assigns the corpus to centroids:\n$p")
+  }
+
   test("saltedJoin tolerates map-typed columns on the big side") {
     import spark.implicits._
     // hash() rejects MapType — the salt must exclude map columns (at any
