@@ -72,7 +72,27 @@ object StreamingOps {
     * grows forever (Spark rejects such joins in append mode). */
   def intervalJoin(clicks: DataFrame, views: DataFrame,
                    maxDelaySeconds: Long = 3600,
-                   watermarkDelay: String = "1 hour"): DataFrame = {
+                   watermarkDelay: String = "1 hour"): DataFrame =
+    intervalJoinCore(clicks, views, maxDelaySeconds, watermarkDelay, "inner")
+
+  /** LEFT OUTER stream-stream interval join: same attribution window as
+    * [[intervalJoin]], but a click with NO view in its window is still
+    * emitted (null view columns) — the "unattributed conversion" row an
+    * inner join silently drops. Spark can only emit an unmatched left row
+    * once the watermark proves no matching view can still arrive, so
+    * null-padded rows trail the event by the watermark delay plus the join
+    * window — the price of exactly-once outer semantics on unbounded
+    * streams, and the reason the watermark is load-bearing here rather
+    * than merely state-bounding. */
+  def intervalJoinLeftOuter(clicks: DataFrame, views: DataFrame,
+                            maxDelaySeconds: Long = 3600,
+                            watermarkDelay: String = "1 hour"): DataFrame =
+    intervalJoinCore(clicks, views, maxDelaySeconds, watermarkDelay,
+      "left_outer")
+
+  private def intervalJoinCore(clicks: DataFrame, views: DataFrame,
+                               maxDelaySeconds: Long, watermarkDelay: String,
+                               joinType: String): DataFrame = {
     val c = clicks
       .withColumn("c_ts", timestamp_micros(col("epoch_us")))
       .withWatermark("c_ts", watermarkDelay)
@@ -86,7 +106,8 @@ object StreamingOps {
     c.join(v,
       col("c_user") === col("v_user") &&
         col("v_ts") <= col("c_ts") &&
-        col("v_ts") >= col("c_ts") - expr(s"INTERVAL $maxDelaySeconds SECONDS"))
+        col("v_ts") >= col("c_ts") - expr(s"INTERVAL $maxDelaySeconds SECONDS"),
+      joinType)
       .select(col("c_user").as("user_id"), col("click_id"), col("view_id"),
         col("c_ts"), col("v_ts"))
   }

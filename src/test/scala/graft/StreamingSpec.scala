@@ -192,6 +192,41 @@ class StreamingSpec extends SparkSpec {
     assert(rows.toSet === Set((200L, 100L)))
   }
 
+  test("stream-stream LEFT OUTER interval join: unattributed clicks emit " +
+    "null-padded after the watermark closes their window") {
+    import spark.implicits._
+    val clicks = MemoryStream[(Long, Long, Long)](spark)
+    val views = MemoryStream[(Long, Long, Long)](spark)
+    val toEv = (s: MemoryStream[(Long, Long, Long)]) =>
+      s.toDF().toDF("user_id", "event_id", "epoch_us")
+    val joined = StreamingOps.intervalJoinLeftOuter(toEv(clicks), toEv(views),
+      maxDelaySeconds = 60, watermarkDelay = "1 minute")
+    val q = joined.writeStream.format("memory").queryName("ij_left")
+      .outputMode("append").start()
+    val us = (s: Long) => s * 1000000L
+    // click 200 has an in-window view; click 201 has none (view 101 is
+    // 200s stale, outside the 60s window)
+    views.addData((1L, 100L, us(10)), (1L, 101L, us(300)))
+    clicks.addData((1L, 200L, us(40)), (1L, 201L, us(500)))
+    q.processAllAvailable()
+    // advance both watermarks far past 500s so 201's window provably
+    // closed; a second tick gives the outer-null emission its own batch
+    views.addData((8L, 999L, us(5000)))
+    clicks.addData((9L, 998L, us(5000)))
+    q.processAllAvailable()
+    views.addData((8L, 997L, us(6000)))
+    clicks.addData((9L, 996L, us(6000)))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("ij_left").select("click_id", "view_id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+    val byClick = rows.groupBy(_._1)
+    // the matched click appears exactly once, WITH its view; the
+    // unmatched click surfaces null-padded instead of vanishing
+    assert(byClick(200L).toSeq === Seq((200L, Some(100L))))
+    assert(byClick(201L).toSeq === Seq((201L, None)))
+  }
+
   test("streaming dedup within watermark drops repeated keys") {
     import spark.implicits._
     val stream = MemoryStream[(Long, Long, Long)](spark)
