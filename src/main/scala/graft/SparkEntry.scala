@@ -1203,12 +1203,21 @@ object SparkEntry {
       .withColumn("xbucket", shiftright(col("xs"), 10))
       .withColumn("inbox",
         col("xs").between(xLo, xHi) && col("ys").between(yLo, yHi))
+    // ONE corpus pass: pre-aggregate to (zbucket, xbucket) cells (≤ 64×64
+    // rows, eagerly checkpointed so the two layout legs read the tiny
+    // frame, not the events scan twice); per-layout extents then fold the
+    // cells — min-of-mins/max-of-maxes is exact
+    val cells = g.groupBy("zbucket", "xbucket")
+      .agg(min("xs").as("x0"), max("xs").as("x1"),
+        min("ys").as("y0"), max("ys").as("y1"),
+        count(lit(1)).as("rows_all"),
+        sum(when(col("inbox"), 1L).otherwise(0L)).as("rows_match"))
+      .localCheckpoint()
     def layoutStats(name: String, bucketCol: String): DataFrame =
-      g.groupBy(col(bucketCol).as("b"))
-        .agg(min("xs").as("x0"), max("xs").as("x1"),
-          min("ys").as("y0"), max("ys").as("y1"),
-          count(lit(1)).as("rows_all"),
-          sum(when(col("inbox"), 1L).otherwise(0L)).as("rows_match"))
+      cells.groupBy(col(bucketCol).as("b"))
+        .agg(min("x0").as("x0"), max("x1").as("x1"),
+          min("y0").as("y0"), max("y1").as("y1"),
+          sum("rows_all").as("rows_all"), sum("rows_match").as("rows_match"))
         .agg(lit(name).as("layout"),
           count(lit(1)).as("n_buckets"),
           sum(when(col("x0") <= xHi && col("x1") >= xLo &&
@@ -2615,13 +2624,17 @@ object SparkEntry {
       "o_totalprice" -> "CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)",
       "o_orderdate" -> "CAST(o_orderdate AS VARCHAR)",
       "o_orderpriority" -> "CAST(o_orderpriority AS VARCHAR)")
+    // LEFT JOIN (not CROSS): an all-NULL column's mode subquery is empty,
+    // and a cross join would erase that column's entire stats row where
+    // the Spark side emits (n, n_nonnull=0, ndv=0, null, 0)
     cols.map { case (name, ex) =>
-      s"""SELECT '$name' AS col_name, n, n_nonnull, ndv, top_val, top_n FROM
+      s"""SELECT '$name' AS col_name, n, n_nonnull, ndv, top_val,
+         |   COALESCE(top_n, 0) AS top_n FROM
          | (SELECT CAST(count(*) AS BIGINT) AS n, CAST(count(v) AS BIGINT) AS n_nonnull,
          |    CAST(count(DISTINCT v) AS BIGINT) AS ndv FROM (SELECT $ex AS v FROM orders))
-         | CROSS JOIN (SELECT v AS top_val, CAST(cn AS BIGINT) AS top_n FROM
+         | LEFT JOIN (SELECT v AS top_val, CAST(cn AS BIGINT) AS top_n FROM
          |   (SELECT v, count(*) AS cn FROM (SELECT $ex AS v FROM orders)
-         |    WHERE v IS NOT NULL GROUP BY 1 ORDER BY cn DESC, v LIMIT 1))""".stripMargin
+         |    WHERE v IS NOT NULL GROUP BY 1 ORDER BY cn DESC, v LIMIT 1)) ON TRUE""".stripMargin
     }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
   }
 

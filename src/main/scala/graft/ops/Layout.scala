@@ -27,8 +27,11 @@ object Layout {
     * The output is EXACT regardless of sketch error — cut accuracy only
     * affects bucket balance, never the ordinal, because bucketing is by
     * `valueCol` comparison (equal values land in one bucket) and the
-    * within-bucket sort completes the order. No driver collect: cuts and
-    * offsets travel as broadcast one-row/`buckets`-row frames.
+    * within-bucket sort completes the order. The cut array is pulled to
+    * the driver once (`buckets-1` values — a k-row action, like
+    * kmeansIter's centroids) and inlined as literals so the two passes
+    * that bucket rows can never observe different sketch results; the
+    * offsets stay a broadcast `buckets`-row frame.
     *
     * `tieCol` must be unique per `valueCol` value (e.g. a primary key) or
     * the order — like any SQL row_number over a non-unique key — is
@@ -37,16 +40,25 @@ object Layout {
                      buckets: Int = 64, accuracy: Int = 10000): DataFrame = {
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
     val fracs = (1 until buckets).map(_.toDouble / buckets)
-    // buckets=1 degenerates to the single-partition window (no cuts to
-    // take — percentile_approx rejects an empty percentage array)
+    // The cuts are MATERIALIZED ONCE (one tiny driver pull, `buckets-1`
+    // doubles — the kmeansIter k-row precedent) and inlined as literals:
+    // `bucketed` feeds two separate plans (the offsets aggregate and the
+    // final ranked join), and a lazily recomputed percentile sketch is
+    // not guaranteed bit-identical across recomputations (QuantileSummaries
+    // merges are fetch-order sensitive past the exact threshold) — two
+    // passes seeing different cuts would double-assign/skip ordinals
+    // silently. A literal array makes both passes share constants by
+    // construction. buckets=1 degenerates to the single-partition window
+    // (no cuts to take — percentile_approx rejects an empty array).
     val bucketed =
       if (fracs.isEmpty) df.withColumn("_b", lit(0))
       else {
-        val cuts = df.agg(percentile_approx(col(valueCol),
+        val cutVals = df.agg(percentile_approx(col(valueCol),
           array(fracs.map(lit): _*), lit(accuracy)).as("_cuts"))
-        df.crossJoin(broadcast(cuts))
-          .withColumn("_b", size(filter(col("_cuts"), c => c < col(valueCol))))
-          .drop("_cuts")
+          .head().getSeq[Any](0)
+        if (cutVals == null) df.withColumn("_b", lit(0)) // empty input
+        else df.withColumn("_b",
+          size(filter(array(cutVals.map(lit): _*), c => c < col(valueCol))))
       }
     val offsets = bucketed.groupBy("_b").agg(count(lit(1)).as("_n"))
       // buckets-row frame: the unpartitioned window is over ≤ `buckets`
@@ -80,6 +92,10 @@ object Layout {
              bits: Int = 16, buckets: Int = 64): DataFrame = {
     require(buckets > 0 && (buckets & (buckets - 1)) == 0,
       s"buckets must be a power of two, got $buckets")
+    // an oversized bucket count would make the shift negative, which
+    // Java's >> masks mod 64 — silently wrong buckets instead of an error
+    require(buckets.toLong <= (1L << (2 * bits)),
+      s"buckets ($buckets) exceeds the 4^bits = ${1L << (2 * bits)} z-cells")
     val shift = 2 * bits - (31 - Integer.numberOfLeadingZeros(buckets))
     val stats = df.agg(
       min(col(xCol).cast("long")).as("_minx"),

@@ -42,6 +42,9 @@ object Profile {
       min(when(col("val").isNotNull,
         struct((-col("cnt")).as("_neg"), col("val").as("_v")))).as("_m"))
       .select(col("col_name"), col("n"), col("n_nonnull"), col("ndv"),
-        col("_m._v").as("top_val"), (-col("_m._neg")).as("top_n"))
+        col("_m._v").as("top_val"),
+        // an all-NULL column has no mode: top_val null, top_n 0 (never a
+        // null count — the contract the oracle mirrors with a LEFT JOIN)
+        coalesce(-col("_m._neg"), lit(0L)).as("top_n"))
   }
 }

@@ -23,10 +23,10 @@ import org.apache.spark.sql.functions._
   */
 object Retrieval {
 
-  /** The shared evaluation query set: same id predicate as the BM25 eval
-    * ([[TextAnalysis.bm25Search]]'s default) so the two legs answer the
-    * same queries. */
-  private def evalPred(id: Column): Column = id % 17 === 3 && id < 544
+  /** The shared evaluation query set — [[TextAnalysis.evalQueryPred]]
+    * applied to each leg's own id column, so both legs answer the same
+    * queries BY CONSTRUCTION (a single source for the constant). */
+  private def evalPred(id: Column): Column = TextAnalysis.evalQueryPred(id)
 
   /** RRF contribution of one leg's rank: 1/(k0 + rank), 0 when the leg
     * did not rank the document. k0=60 per the original paper. */
@@ -41,7 +41,8 @@ object Retrieval {
     * only) break on doc_id. */
   def hybridRrf(docs: DataFrame, embeddings: DataFrame,
                 topK: Int = 5, legK: Int = 20, k0: Int = 60): DataFrame = {
-    val lex = TextAnalysis.bm25Search(docs, topK = legK)
+    val lex = TextAnalysis.bm25Search(docs, topK = legK,
+      evalPred = evalPred(col("doc_id")))
       .select(col("query_id"), col("doc_id"), col("rank").as("lex_rank"))
     val dq = embeddings.filter(evalPred(col("vec_id")))
     val dc = embeddings.filter(!evalPred(col("vec_id")))

@@ -218,11 +218,19 @@ object Similarity {
     * batch; one write amortizes it across all of them. */
   def ivfWriteIndex(corpus: DataFrame, prefix: String = "ivf",
                     numCentroids: Int = 16, dim: Int = 64,
-                    buckets: Int = 16): Unit =
+                    buckets: Int = 16): Unit = {
     ivfAssignCorpus(corpus, numCentroids, dim)
       .write.mode("overwrite")
       .bucketBy(buckets, "cid").sortBy("cid")
       .saveAsTable(s"${prefix}_lists")
+    // the quantizer geometry IS part of the index: a query probing with a
+    // different centroid set would still cid-equi-join plausibly and
+    // return silently wrong neighbors — persist it and assert at read
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    Seq((numCentroids, dim)).toDF("num_centroids", "dim")
+      .write.mode("overwrite").saveAsTable(s"${prefix}_meta")
+  }
 
   /** Query-many half: identical semantics to [[ivfTopK]] (same probe and
     * scoring core), but the inverted lists come from the persisted index
@@ -230,9 +238,15 @@ object Similarity {
   def ivfSearchIndexed(spark: org.apache.spark.sql.SparkSession,
                        queries: DataFrame, prefix: String = "ivf",
                        k: Int = 5, numCentroids: Int = 16, dim: Int = 64,
-                       nprobe: Int = 2): DataFrame =
+                       nprobe: Int = 2): DataFrame = {
+    val meta = spark.table(s"${prefix}_meta").head()
+    require(meta.getInt(0) == numCentroids && meta.getInt(1) == dim,
+      s"index '$prefix' was built with numCentroids=${meta.getInt(0)}, " +
+        s"dim=${meta.getInt(1)} but queried with numCentroids=$numCentroids, " +
+        s"dim=$dim — probes would use a different quantizer than the lists")
     ivfScore(spark.table(s"${prefix}_lists"),
       ivfProbes(queries, numCentroids, dim, nprobe), k)
+  }
 
   private def ivfProbes(queries: DataFrame, numCentroids: Int, dim: Int,
                         nprobe: Int): DataFrame = {

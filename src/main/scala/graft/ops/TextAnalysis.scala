@@ -318,8 +318,14 @@ object TextAnalysis {
       bm25Queries(docs, queryTerms, evalPred), topK, k1, b)
   }
 
-  private val bm25DefaultPred: Column =
-    col("doc_id") % 17 === 3 && col("doc_id") < 544
+  /** The fixed-size eval query-set predicate, exposed as a function of
+    * the id column so multi-leg retrievers ([[graft.ops.Retrieval]]) can
+    * apply the SAME set to differently-keyed frames (doc_id vs vec_id) —
+    * two private copies of the constant would let the legs drift apart
+    * silently if one were ever tuned. */
+  def evalQueryPred(id: Column): Column = id % 17 === 3 && id < 544
+
+  private val bm25DefaultPred: Column = evalQueryPred(col("doc_id"))
 
   private def bm25Base(docs: DataFrame, evalPred: Column): DataFrame = {
     val w = Dedup.words(col("text"))

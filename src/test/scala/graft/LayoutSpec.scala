@@ -48,6 +48,16 @@ class LayoutSpec extends SparkSpec {
     assert(got((3L, 5L))._1 === 39L)
   }
 
+  test("zorder rejects bucket counts beyond the z-cell grid") {
+    import spark.implicits._
+    val df = Seq((0L, 0L)).toDF("x", "y")
+    // 2*bits=16 z-bits -> 65536 cells; 131072 buckets would shift by -1,
+    // which Java masks mod 64 — must throw, not silently bucket everything
+    intercept[IllegalArgumentException] {
+      Layout.zorder(df, "x", "y", bits = 8, buckets = 131072)
+    }
+  }
+
   test("zorderZoneMap: z-bucketing keeps both dims' extents tight") {
     import spark.implicits._
     // a 64x64 grid scaled to the 16-bit range: each of the 64 z-buckets

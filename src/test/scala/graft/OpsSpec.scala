@@ -1090,5 +1090,15 @@ class OpsSpec extends SparkSpec {
       ("a", 5L, 4L, 3L, "2", 2L),
       // x and y tie at 2 -> smallest value wins
       ("b", 5L, 4L, 2L, "x", 2L)))
+    // all-NULL column: stats row survives with (n, 0, 0, null, 0) — the
+    // contract the oracle's LEFT JOIN mirrors
+    val allNull = Seq((Some(1), Option.empty[String]),
+      (Some(2), Option.empty[String])).toDF("a", "b")
+    val gn = graft.ops.Profile.columnProfile(allNull, Seq("a", "b"))
+      .orderBy("col_name").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) null else r.getString(4), r.getLong(5)))
+    assert(gn.toSeq === Seq(("a", 2L, 2L, 2L, "1", 1L),
+      ("b", 2L, 0L, 0L, null, 0L)))
   }
 }

@@ -92,6 +92,13 @@ class PartitioningSpec extends SparkSpec {
     // LocalTableScan here, so it can't serve as the counter-assert)
     assert(!p.contains("array_position"),
       s"indexed plan still assigns the corpus to centroids:\n$p")
+    // quantizer-geometry mismatch must fail loudly, not return plausible
+    // neighbors probed against the wrong centroid set
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ivfSearchIndexed(spark, queries, "ivft",
+        k = 5, numCentroids = 8, dim = 8, nprobe = 2)
+    }
+    assert(e.getMessage.contains("different quantizer"))
   }
 
   test("saltedJoin tolerates map-typed columns on the big side") {
