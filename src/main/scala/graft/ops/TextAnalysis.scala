@@ -348,10 +348,14 @@ object TextAnalysis {
         explode(col("ws")).as("term"))
       .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
 
+  // carries the raw (n_docs, dl_sum) moments alongside the derived avgdl:
+  // two stats frames then COMBINE exactly (long adds, then ONE division —
+  // the same double a full recompute produces), which is what lets
+  // [[bm25AppendIndex]] maintain the persisted stats incrementally
   private def bm25Stats(corpus: DataFrame): DataFrame =
     corpus.agg(count(lit(1)).as("n_docs"),
-      (sum(size(col("ws")).cast("long")).cast("double") /
-        count(lit(1))).as("avgdl"))
+      sum(size(col("ws")).cast("long")).as("dl_sum"))
+      .withColumn("avgdl", col("dl_sum").cast("double") / col("n_docs"))
 
   // the serving-path core, shared by the live and indexed forms
   private def bm25Score(postings: DataFrame, stats: DataFrame,
@@ -397,6 +401,44 @@ object TextAnalysis {
       .bucketBy(buckets, "term").sortBy("term")
       .saveAsTable(s"${prefix}_postings")
     bm25Stats(corpus).write.mode("overwrite").saveAsTable(s"${prefix}_stats")
+  }
+
+  /** Incremental maintenance for the persisted BM25 index: append a DELTA
+    * of new documents without touching the existing postings. The delta's
+    * postings rows append into the bucketed table under the SAME bucket
+    * spec (per-term clustering is preserved — new files per bucket, no
+    * rewrite of old ones), and the 1-row stats combine exactly: the
+    * persisted (n_docs, dl_sum) moments are longs, so old+delta then one
+    * division produces the identical double a full rebuild would — which
+    * is what makes append-then-search bit-identical to
+    * reindex-everything-then-search (PartitioningSpec pins it). Document
+    * FREQUENCIES need no maintenance at all: df is derived from the
+    * postings at query time, so it sees appended rows automatically. At
+    * 100 TB this turns the corpus-sized index build into a one-time cost
+    * plus delta-sized increments — the ingest-pipeline contract every
+    * other incremental op in this library follows. Deletes are out of
+    * scope (same as the underlying table format; a tombstone column +
+    * query-time anti-join is the standard bolt-on). */
+  def bm25AppendIndex(delta: DataFrame, prefix: String = "bm25",
+                      buckets: Int = 32,
+                      evalPred: Column = bm25DefaultPred): Unit = {
+    val spark = delta.sparkSession
+    val corpus = bm25Base(delta, evalPred).filter(!col("_q"))
+    bm25Postings(corpus).write.mode("append")
+      .bucketBy(buckets, "term").sortBy("term")
+      .saveAsTable(s"${prefix}_postings")
+    val old = spark.table(s"${prefix}_stats")
+      .select(col("n_docs"), col("dl_sum")).head()
+    val combined = bm25Stats(corpus)
+      .select((col("n_docs") + lit(old.getLong(0))).as("n_docs"),
+        (col("dl_sum") + lit(old.getLong(1))).as("dl_sum"))
+      .withColumn("avgdl", col("dl_sum").cast("double") / col("n_docs"))
+    // materialize BEFORE overwriting: the combined row reads the table it
+    // is about to replace, and a lazy overwrite would truncate its input
+    val rows = combined.collect().toSeq
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), combined.schema)
+      .write.mode("overwrite").saveAsTable(s"${prefix}_stats")
   }
 
   /** Query-many half: identical semantics to [[bm25Search]] (same scoring

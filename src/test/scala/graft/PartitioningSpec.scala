@@ -64,6 +64,37 @@ class PartitioningSpec extends SparkSpec {
     assert(gens < liveGens, s"indexed plan still explodes the corpus ($gens vs $liveGens)")
   }
 
+  test("bm25AppendIndex: build-half-then-append == full rebuild == live " +
+    "search, bit-identical") {
+    import spark.implicits._
+    import graft.ops.TextAnalysis
+    // 24 docs from a small shared vocabulary; doc 3 is the eval query
+    val words = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+    def text(i: Long) = (0 until 6).map(j =>
+      words(((i * 7 + j * 3) % words.size).toInt)).mkString(" ")
+    val docs = (0L until 24L).map(i => (i, text(i))).toDF("doc_id", "text")
+    val (half1, half2) =
+      (docs.filter(col("doc_id") < 12), docs.filter(col("doc_id") >= 12))
+    TextAnalysis.bm25WriteIndex(half1, "bm25inc", buckets = 4)
+    TextAnalysis.bm25AppendIndex(half2, "bm25inc", buckets = 4)
+    TextAnalysis.bm25WriteIndex(docs, "bm25full", buckets = 4)
+    val queries = TextAnalysis.bm25Queries(docs)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val appended = rows(TextAnalysis.bm25SearchIndexed(spark, queries, "bm25inc"))
+    val rebuilt = rows(TextAnalysis.bm25SearchIndexed(spark, queries, "bm25full"))
+    val live = rows(TextAnalysis.bm25Search(docs))
+    assert(appended.nonEmpty)
+    assert(appended === rebuilt)
+    assert(appended === live)
+    // the combined stats row is exactly the full-corpus moments
+    val st = spark.table("bm25inc_stats").head()
+    val stFull = spark.table("bm25full_stats").head()
+    assert(st.getLong(0) === stFull.getLong(0) &&
+      st.getLong(1) === stFull.getLong(1) &&
+      st.getDouble(2) === stFull.getDouble(2))
+  }
+
   test("ivfWriteIndex + ivfSearchIndexed == live ivfTopK; query plan is " +
     "table-backed with no corpus assignment") {
     import spark.implicits._
