@@ -351,11 +351,16 @@ object TextAnalysis {
   // carries the raw (n_docs, dl_sum) moments alongside the derived avgdl:
   // two stats frames then COMBINE exactly (long adds, then ONE division —
   // the same double a full recompute produces), which is what lets
-  // [[bm25AppendIndex]] maintain the persisted stats incrementally
+  // [[bm25AppendIndex]] maintain the persisted stats incrementally.
+  // dl_sum coalesces to 0 (sum over an empty frame is NULL) and avgdl
+  // null-guards n_docs=0: an all-filtered corpus must produce the (0, 0,
+  // null) identity row, not a NULL dl_sum that would poison the long adds
+  // of every later incremental combine.
   private def bm25Stats(corpus: DataFrame): DataFrame =
     corpus.agg(count(lit(1)).as("n_docs"),
-      sum(size(col("ws")).cast("long")).as("dl_sum"))
-      .withColumn("avgdl", col("dl_sum").cast("double") / col("n_docs"))
+      coalesce(sum(size(col("ws")).cast("long")), lit(0L)).as("dl_sum"))
+      .withColumn("avgdl", when(col("n_docs") > 0,
+        col("dl_sum").cast("double") / col("n_docs")))
 
   // the serving-path core, shared by the live and indexed forms
   private def bm25Score(postings: DataFrame, stats: DataFrame,
@@ -424,21 +429,27 @@ object TextAnalysis {
                       evalPred: Column = bm25DefaultPred): Unit = {
     val spark = delta.sparkSession
     val corpus = bm25Base(delta, evalPred).filter(!col("_q"))
-    bm25Postings(corpus).write.mode("append")
-      .bucketBy(buckets, "term").sortBy("term")
-      .saveAsTable(s"${prefix}_postings")
-    val old = spark.table(s"${prefix}_stats")
-      .select(col("n_docs"), col("dl_sum")).head()
-    val combined = bm25Stats(corpus)
-      .select((col("n_docs") + lit(old.getLong(0))).as("n_docs"),
-        (col("dl_sum") + lit(old.getLong(1))).as("dl_sum"))
-      .withColumn("avgdl", col("dl_sum").cast("double") / col("n_docs"))
-    // materialize BEFORE overwriting: the combined row reads the table it
-    // is about to replace, and a lazy overwrite would truncate its input
-    val rows = combined.collect().toSeq
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(rows), combined.schema)
-      .write.mode("overwrite").saveAsTable(s"${prefix}_stats")
+    // delta moments FIRST: an empty effective delta (all rows eval-query-
+    // filtered, or empty text) must be a no-op — appending zero postings
+    // rows is harmless, but rewriting the stats row with an empty frame's
+    // moments would have overwritten good stats with the identity (and,
+    // pre-coalesce, with NULL dl_sum, silently NULLing every later score)
+    val fresh = bm25Stats(corpus).select("n_docs", "dl_sum").head()
+    if (fresh.getLong(0) > 0L) {
+      bm25Postings(corpus).write.mode("append")
+        .bucketBy(buckets, "term").sortBy("term")
+        .saveAsTable(s"${prefix}_postings")
+      val old = spark.table(s"${prefix}_stats")
+        .select(col("n_docs"), col("dl_sum")).head()
+      // both moment rows are already driver-side literals, so the single
+      // combined row can be written directly — the overwrite never reads
+      // the table it replaces
+      import spark.implicits._
+      val nd = fresh.getLong(0) + old.getLong(0)
+      val dl = fresh.getLong(1) + old.getLong(1)
+      Seq((nd, dl, dl.toDouble / nd)).toDF("n_docs", "dl_sum", "avgdl")
+        .write.mode("overwrite").saveAsTable(s"${prefix}_stats")
+    }
   }
 
   /** Query-many half: identical semantics to [[bm25Search]] (same scoring

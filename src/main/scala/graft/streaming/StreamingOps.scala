@@ -186,10 +186,15 @@ object StreamingOps {
 
   /** One key's current snapshot state / emitted row for
     * [[latestSnapshotStream]]. */
-  case class LatestState(epochUs: Long, eventId: Long, value: Double, n: Long)
+  // value is Option[Double], NOT Double: generated events carry null
+  // values (the batch counterparts keep them — q_merge_upsert's
+  // last_value is nullable), and a primitive tuple/field encoding would
+  // kill the streaming query at runtime on the first null-value row.
+  case class LatestState(epochUs: Long, eventId: Long,
+                         value: Option[Double], n: Long)
   case class SnapshotRow(user_id: Long, event_type: String,
                          last_event_id: Long, last_epoch_us: Long,
-                         last_value: Double, n_versions: Long)
+                         last_value: Option[Double], n_versions: Long)
 
   /** Streaming CDC compaction — the standing-stream form of
     * SparkEntry's `q_merge_upsert` batch aggregate: maintain the
@@ -218,11 +223,12 @@ object StreamingOps {
       .select(col("user_id").cast("long"), col("event_type").cast("string"),
         col("event_id").cast("long"), col("epoch_us").cast("long"),
         col("value").cast("double"))
-      .as[(Long, String, Long, Long, Double)]
+      .as[(Long, String, Long, Long, Option[Double])]
     typed.groupByKey(r => (r._1, r._2))
       .flatMapGroupsWithState[LatestState, SnapshotRow](
         OutputMode.Update, GroupStateTimeout.NoTimeout) {
-        (key: (Long, String), rows: Iterator[(Long, String, Long, Long, Double)],
+        (key: (Long, String),
+         rows: Iterator[(Long, String, Long, Long, Option[Double])],
          state: GroupState[LatestState]) =>
           var cur = state.getOption
           rows.foreach { case (_, _, eventId, epochUs, value) =>
@@ -244,10 +250,14 @@ object StreamingOps {
       }
   }
 
-  case class TombState(epochUs: Long, eventId: Long, value: Double,
+  // value is Option[Double] for the same null-value reason as
+  // [[LatestState]]; a null value is NOT a delete marker (the batch
+  // aggregate's `value < 10.0` is NULL for null values, which
+  // when(...).otherwise(0) counts as live) — is_deleted stays Boolean.
+  case class TombState(epochUs: Long, eventId: Long, value: Option[Double],
                        deleted: Boolean, n: Long, nDel: Long)
   case class TombRow(user_id: Long, event_type: String, last_event_id: Long,
-                     last_epoch_us: Long, last_value: Double,
+                     last_epoch_us: Long, last_value: Option[Double],
                      is_deleted: Boolean, n_versions: Long, n_deletes: Long)
 
   /** Tombstone-aware streaming CDC compaction — the delete half of the
@@ -272,15 +282,16 @@ object StreamingOps {
       .select(col("user_id").cast("long"), col("event_type").cast("string"),
         col("event_id").cast("long"), col("epoch_us").cast("long"),
         col("value").cast("double"))
-      .as[(Long, String, Long, Long, Double)]
+      .as[(Long, String, Long, Long, Option[Double])]
     typed.groupByKey(r => (r._1, r._2))
       .flatMapGroupsWithState[TombState, TombRow](
         OutputMode.Update, GroupStateTimeout.NoTimeout) {
-        (key: (Long, String), rows: Iterator[(Long, String, Long, Long, Double)],
+        (key: (Long, String),
+         rows: Iterator[(Long, String, Long, Long, Option[Double])],
          state: GroupState[TombState]) =>
           var cur = state.getOption
           rows.foreach { case (_, _, eventId, epochUs, value) =>
-            val del = value < tombstoneBelow
+            val del = value.exists(_ < tombstoneBelow)
             val n = cur.map(_.n).getOrElse(0L) + 1
             val nDel = cur.map(_.nDel).getOrElse(0L) + (if (del) 1L else 0L)
             cur = cur match {
@@ -300,11 +311,17 @@ object StreamingOps {
       }
   }
 
-  /** One user's funnel progress for [[funnelStream]]: earliest completion
+  /** One user's funnel progress for [[funnelStreamN]]: earliest completion
     * time per step, strictly increasing by construction (step k only sets
-    * with a time > step k−1's, and times only ever decrease). */
-  case class FunnelProgress(t1: Option[Long], t2: Option[Long],
-                            t3: Option[Long])
+    * with a time > step k−1's, and times only ever decrease). Stored as a
+    * sequence so the state shape follows the caller's step list — the
+    * state is O(|steps|) per user, still the O(1)-snapshot contract. */
+  case class FunnelProgress(times: Seq[Option[Long]])
+  /** General N-step output row: step_times(i) is the earliest time step i
+    * completed, aligned with the `steps` argument. */
+  case class FunnelStepRow(user_id: Long, step_times: Seq[Option[Long]])
+  /** Fixed 3-step output row of [[funnelStream]] — the named-column view
+    * of the default view→click→purchase funnel. */
   case class FunnelRow(user_id: Long, t1: Option[Long], t2: Option[Long],
                        t3: Option[Long])
 
@@ -325,9 +342,10 @@ object StreamingOps {
     * below-threshold candidates (watermark-bounded event retention),
     * which is the standard CEP trade; this op keeps the O(1)-per-user
     * snapshot contract instead. */
-  def funnelStream(events: DataFrame,
-                   steps: Seq[String] = Seq("view", "click", "purchase")): Dataset[FunnelRow] = {
-    require(steps.length == 3, "funnelStream emits a fixed 3-step row")
+  def funnelStreamN(events: DataFrame,
+                    steps: Seq[String]): Dataset[FunnelStepRow] = {
+    require(steps.nonEmpty, "funnelStreamN needs at least one step")
+    val nSteps = steps.length
     val spark = events.sparkSession
     import spark.implicits._
     val stepIdx = steps.zipWithIndex.toMap
@@ -338,12 +356,13 @@ object StreamingOps {
         col("epoch_us").cast("long"), col("event_id").cast("long"))
       .as[(Long, String, Long, Long)]
     typed.groupByKey(_._1)
-      .flatMapGroupsWithState[FunnelProgress, FunnelRow](
+      .flatMapGroupsWithState[FunnelProgress, FunnelStepRow](
         OutputMode.Update, GroupStateTimeout.NoTimeout) {
         (user: Long, rows: Iterator[(Long, String, Long, Long)],
          state: GroupState[FunnelProgress]) =>
-          val st = state.getOption.getOrElse(FunnelProgress(None, None, None))
-          val t = Array(st.t1, st.t2, st.t3)
+          val st = state.getOption
+            .getOrElse(FunnelProgress(Seq.fill(nSteps)(None)))
+          val t = st.times.toArray
           val before = t.toSeq
           rows.toSeq
             .flatMap { case (_, typ, e, id) =>
@@ -354,10 +373,22 @@ object StreamingOps {
               if (prevOk && t(i).forall(e < _)) t(i) = Some(e)
             }
           if (t.toSeq != before) {
-            state.update(FunnelProgress(t(0), t(1), t(2)))
-            Iterator(FunnelRow(user, t(0), t(1), t(2)))
+            state.update(FunnelProgress(t.toSeq))
+            Iterator(FunnelStepRow(user, t.toSeq))
           } else Iterator.empty
       }
+  }
+
+  /** The default view→click→purchase funnel with the named t1/t2/t3 row —
+    * a fixed-shape view over [[funnelStreamN]] (which genuinely
+    * generalizes to any step list, matching
+    * [[graft.ops.Windows.funnel]]). */
+  def funnelStream(events: DataFrame): Dataset[FunnelRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    funnelStreamN(events, Seq("view", "click", "purchase"))
+      .map(r => FunnelRow(r.user_id, r.step_times(0), r.step_times(1),
+        r.step_times(2)))
   }
 
   /** Per-tenant physical isolation as a streaming sink: each micro-batch is

@@ -95,6 +95,40 @@ class PartitioningSpec extends SparkSpec {
       st.getDouble(2) === stFull.getDouble(2))
   }
 
+  test("bm25AppendIndex: an EMPTY effective delta is a no-op — stats row " +
+    "survives intact and indexed search results are unchanged") {
+    import spark.implicits._
+    import graft.ops.TextAnalysis
+    val docs = Seq(
+      (1L, "apple apple common common"),
+      (2L, "apple common banana"),
+      (4L, "banana apple common common"),
+      (5L, "common common banana")).toDF("doc_id", "text")
+    TextAnalysis.bm25WriteIndex(docs, "bm25empty", buckets = 4)
+    val before = spark.table("bm25empty_stats").head()
+    val queries = TextAnalysis.bm25Queries(docs)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val resBefore = rows(TextAnalysis.bm25SearchIndexed(spark, queries, "bm25empty"))
+    // delta 1: zero rows at all; delta 2: rows whose text is null (dropped
+    // by the size>=1 gate); delta 3: only eval-query docs (filtered by
+    // !_q). Pre-fix, each of these overwrote the good stats row with
+    // (0, NULL, NULL), silently NULLing every later score.
+    TextAnalysis.bm25AppendIndex(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "bm25empty", buckets = 4)
+    TextAnalysis.bm25AppendIndex(
+      Seq((90L, Option.empty[String]), (91L, Option.empty[String]))
+        .toDF("doc_id", "text"), "bm25empty", buckets = 4)
+    TextAnalysis.bm25AppendIndex(
+      Seq((3L, "apple banana")).toDF("doc_id", "text"), "bm25empty", buckets = 4)
+    val after = spark.table("bm25empty_stats").head()
+    assert(after.getLong(0) === before.getLong(0))
+    assert(after.getLong(1) === before.getLong(1))
+    assert(after.getDouble(2) === before.getDouble(2))
+    assert(rows(TextAnalysis.bm25SearchIndexed(spark, queries, "bm25empty"))
+      === resBefore)
+  }
+
   test("ivfWriteIndex + ivfSearchIndexed == live ivfTopK; query plan is " +
     "table-backed with no corpus assignment") {
     import spark.implicits._

@@ -739,6 +739,64 @@ class StreamingSpec extends SparkSpec {
     assert(snap()((7L, "click")) === batch)
   }
 
+  test("streaming snapshot + tombstone survive NULL values; a null value " +
+    "is not a delete marker (batch-aggregate parity)") {
+    import spark.implicits._
+    // (event_id, epoch_us, user_id, event_type, value) — Option value so
+    // the memory stream can carry genuine nulls, as generated events do
+    val stream = MemoryStream[(Long, Long, Long, String, Option[Double])](spark)
+    val events = stream.toDF()
+      .toDF("event_id", "epoch_us", "user_id", "event_type", "value")
+    val qs = StreamingOps.latestSnapshotStream(events)
+      .writeStream.format("memory").queryName("null_snap")
+      .outputMode("update").start()
+    val qt = StreamingOps.latestSnapshotStreamTombstone(events)
+      .writeStream.format("memory").queryName("null_tomb")
+      .outputMode("update").start()
+    try {
+      // a delete marker, then a NEWER null-value version: pre-fix the
+      // encoder NPE'd on the null row; post-fix the null version wins as
+      // a LIVE row (batch `value < 10` is NULL → counted as not-delete)
+      stream.addData((1L, 100L, 7L, "click", Some(5.0)),
+        (2L, 200L, 7L, "click", None))
+      qs.processAllAvailable()
+      qt.processAllAvailable()
+      val s = spark.table("null_snap").collect()
+        .maxBy(_.getLong(5)) // n_versions picks the latest emission
+      assert(s.getLong(2) === 2L && s.isNullAt(4) && s.getLong(5) === 2L)
+      val t = spark.table("null_tomb").collect().maxBy(_.getLong(6))
+      assert(t.getLong(2) === 2L && t.isNullAt(4))
+      assert(t.getBoolean(5) === false, "null value must not tombstone")
+      assert(t.getLong(6) === 2L && t.getLong(7) === 1L)
+    } finally { qs.stop(); qt.stop() }
+  }
+
+  test("funnelStreamN genuinely generalizes: a 4-step funnel tracks all " +
+    "four steps with the same ordering rules") {
+    import spark.implicits._
+    val stream = MemoryStream[(Long, Long, Long, String)](spark)
+    val events = stream.toDF()
+      .toDF("event_id", "epoch_us", "user_id", "event_type")
+    val q = StreamingOps.funnelStreamN(events,
+      Seq("land", "view", "cart", "buy"))
+      .writeStream.format("memory").queryName("funnel4")
+      .outputMode("update").start()
+    try {
+      stream.addData((1L, 10L, 1L, "land"), (2L, 20L, 1L, "view"),
+        (3L, 30L, 1L, "cart"))
+      q.processAllAvailable()
+      stream.addData((4L, 40L, 1L, "buy"), (5L, 15L, 2L, "view"))
+      q.processAllAvailable()
+      // the Option encoding round-trips through the sink as array<bigint>
+      // with nulls, so read back raw
+      val rows = spark.table("funnel4").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Any](1)).toMap
+      assert(rows(1L) === Seq(10L, 20L, 30L, 40L))
+      // user 2's view precedes any land — rejected, never emitted
+      assert(!rows.contains(2L))
+    } finally q.stop()
+  }
+
   test("streaming funnel: ordered-arrival batch parity, late improvements, " +
     "documented rejected-candidate divergence") {
     import spark.implicits._
