@@ -118,7 +118,30 @@ object Bench {
       try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
         .split("\\s+").head.toDouble
       catch { case NonFatal(_) => -1.0 }
+    // Load FENCE, enforced in code instead of operator discipline: two
+    // rounds running, the committed per-query evidence was a contended-host
+    // run (r11: loadavg 7.6→17.4, 37/122 bars breached by uniform 2-3x
+    // inflation) while the round's actual quiet runs went uncommitted. A
+    // timing run that STARTS hot now waits for the host to go quiet
+    // (1-minute loadavg < threshold, default 2.0 per the project's own
+    // fence, up to SPARK_GRAFT_LOAD_WAIT seconds, default 600); if it
+    // never does, the run still completes — the driver must always get
+    // its JSON — but is self-labeled "canonical":false so a loaded
+    // artifact can never again masquerade as the round's evidence.
+    val loadFence = sys.env.get("SPARK_GRAFT_LOAD_FENCE")
+      .flatMap(s => scala.util.Try(s.toDouble).toOption).getOrElse(2.0)
+    val loadWaitS = sys.env.get("SPARK_GRAFT_LOAD_WAIT")
+      .flatMap(s => scala.util.Try(s.toLong).toOption).getOrElse(600L)
+    val waitDeadline = System.nanoTime() + loadWaitS * 1000000000L
+    var fenceWaited = 0L
+    while (loadavg() >= loadFence && System.nanoTime() < waitDeadline) {
+      System.err.println(
+        s"[bench] loadavg ${loadavg()} >= $loadFence — waiting for quiet host")
+      Thread.sleep(15000)
+      fenceWaited += 15
+    }
     val loadBefore = loadavg()
+    val canonical = loadBefore >= 0.0 && loadBefore < loadFence
     val results = registry.map { case (name, fn) =>
       // toRdd.count(), NOT count(): a count() action lets Catalyst prune
       // every deterministic projection (and the sort), so scan-fused
@@ -202,14 +225,14 @@ object Bench {
     val detailPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", defaultDetail))
     val detailJson =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"ok_count":${okResults.size},"failed":$failed,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"timing":"min2med3","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"ok_count":${okResults.size},"failed":$failed,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"canonical":$canonical,"fence_waited_sec":$fenceWaited,"timing":"min2med3","sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(detailPath, detailJson + "\n")
     catch { case NonFatal(t) =>
       System.err.println(s"[bench] could not write $detailPath: ${t.getMessage}") }
     val inline =
       if (detailJson.length <= 1600) detailJson
       else
-        s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries_in":"${detailPath.toString}","ok_count":${okResults.size},"failed":$failed,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"timing":"min2med3","sf":"$sfDir"}"""
+        s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries_in":"${detailPath.toString}","ok_count":${okResults.size},"failed":$failed,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"canonical":$canonical,"fence_waited_sec":$fenceWaited,"timing":"min2med3","sf":"$sfDir"}"""
     println(inline)
     spark.stop()
   }
