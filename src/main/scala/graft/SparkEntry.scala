@@ -1268,6 +1268,22 @@ object SparkEntry {
       RawGen.table(s, dir, "embeddings"))
       .orderBy("query_id", "rank")
 
+  /** Indexed serving form of [[hybridRrfQ]]: build both persisted leg
+    * indexes (BM25 bucketed postings + IVF inverted lists), then serve the
+    * fusion entirely from them — the query-time plan does no postings
+    * build, corpus scan, or centroid assignment. nprobe = numCentroids
+    * keeps the dense leg exact, so the output is row-identical to the
+    * live form and shares its oracle. The in-query index build is the
+    * eval's cost (same shape as knn_ivf_pq_recall paying ground truth);
+    * a serving deployment pays it once. */
+  private def hybridRrfIndexedQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = RawGen.table(s, dir, "documents")
+    val emb = RawGen.table(s, dir, "embeddings")
+    graft.ops.Retrieval.hybridRrfWriteIndexes(docs, emb, "hybq")
+    graft.ops.Retrieval.hybridRrfIndexed(s, docs, emb, prefix = "hybq")
+      .orderBy("query_id", "rank")
+  }
+
   private def bpePairsQ(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.bpePairCounts(RawGen.table(s, dir, "documents"))
       .orderBy("rank")
@@ -1479,6 +1495,7 @@ object SparkEntry {
     "q_market_share" -> (qMarketShare _),
     "q_scd2" -> (qScd2 _),
     "hybrid_rrf" -> (hybridRrfQ _),
+    "hybrid_rrf_indexed" -> (hybridRrfIndexedQ _),
     "q_global_seq" -> (qGlobalSeq _),
     "layout_zorder" -> (layoutZorderQ _),
     "snm_editdist" -> (snmEditDistQ _),
@@ -3533,6 +3550,9 @@ object SparkEntry {
     "q_market_share" -> qMarketShareSql,
     "q_scd2" -> qScd2Sql,
     "hybrid_rrf" -> hybridRrfSql,
+    // the indexed form is row-identical to the live fusion by construction
+    // (exact dense leg at nprobe = numCentroids) — same oracle
+    "hybrid_rrf_indexed" -> hybridRrfSql,
     "q_global_seq" -> qGlobalSeqSql,
     "layout_zorder" -> layoutZorderSql,
     "snm_editdist" -> snmEditDistSql,

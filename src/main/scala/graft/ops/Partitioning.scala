@@ -16,11 +16,29 @@ object Partitioning {
     * exchange-free join). The write itself shuffles once — amortized over
     * every subsequent query. */
   def writeBucketed(df: DataFrame, table: String, key: String,
-                    numBuckets: Int = 32): Unit =
+                    numBuckets: Int = 32): Unit = {
+    dropManagedTable(df.sparkSession, table)
     df.write.mode("overwrite")
       .bucketBy(numBuckets, key)
       .sortBy(key)
       .saveAsTable(table)
+  }
+
+  /** Drop a managed table AND its warehouse directory. `saveAsTable` with
+    * mode("overwrite") replaces a table the CATALOG knows about, but a
+    * fresh JVM's in-memory catalog is empty while the warehouse directory
+    * persists on disk — the create then fails with
+    * LOCATION_ALREADY_EXISTS. Every build-once index writer calls this
+    * first so an index (re)build is idempotent across JVMs, the property
+    * a scheduled 100 TB index-refresh job needs. */
+  def dropManagedTable(spark: org.apache.spark.sql.SparkSession,
+                       table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val path = new org.apache.hadoop.fs.Path(wh, table.toLowerCase)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) fs.delete(path, true)
+  }
 
   /** Salted equi-join for skewed keys: the big side's hot keys spread over
     * `saltFactor` sub-keys; the small side replicates each row `saltFactor`

@@ -49,6 +49,14 @@ object Retrieval {
     val dense = Similarity.cosineTopK(dc, dq, legK)
       .select(col("query_id"), col("neighbor_id").as("doc_id"),
         col("rank").as("dense_rank"))
+    fuse(lex, dense, topK, k0)
+  }
+
+  // the RRF fusion core shared by the live and indexed forms: a full-outer
+  // join of the two legs' (query_id, doc_id, rank) frames, then one
+  // per-query ranking window over at most 2×legK rows per query
+  private def fuse(lex: DataFrame, dense: DataFrame, topK: Int,
+                   k0: Int): DataFrame = {
     val fused = lex.join(dense, Seq("query_id", "doc_id"), "full_outer")
       .withColumn("rrf",
         rrfTerm(col("lex_rank"), k0) + rrfTerm(col("dense_rank"), k0))
@@ -60,5 +68,46 @@ object Retrieval {
         col("rrf").cast("double").as("rrf_score"),
         coalesce(col("lex_rank"), lit(0)).cast("int").as("lex_rank"),
         coalesce(col("dense_rank"), lit(0)).cast("int").as("dense_rank"))
+  }
+
+  /** Build-once half of the hybrid serving pair: persist BOTH leg indexes
+    * — the BM25 bucketed postings + stats ([[TextAnalysis.bm25WriteIndex]])
+    * and the IVF inverted lists over the non-query embeddings
+    * ([[Similarity.ivfWriteIndex]]) — under one prefix. At 100 TB each
+    * serving call of the live form re-explodes the corpus for postings and
+    * re-scans it for cosine; one build amortizes both across every query
+    * batch. */
+  def hybridRrfWriteIndexes(docs: DataFrame, embeddings: DataFrame,
+                            prefix: String = "hybrid",
+                            numCentroids: Int = 16, dim: Int = 64): Unit = {
+    TextAnalysis.bm25WriteIndex(docs, s"${prefix}_bm25")
+    Similarity.ivfWriteIndex(embeddings.filter(!evalPred(col("vec_id"))),
+      s"${prefix}_ivf", numCentroids, dim)
+  }
+
+  /** Query-many half: identical fusion semantics to [[hybridRrf]], but
+    * both legs serve from the persisted indexes — no postings build, no
+    * corpus scan or centroid assignment at query time. With
+    * `nprobe = numCentroids` (the default here) the IVF leg degenerates to
+    * EXACT cosine ranking over the persisted lists — same scoring
+    * expression and tie-break as the live brute leg — so the fused output
+    * is row-identical to [[hybridRrf]] (RetrievalSpec pins it); smaller
+    * nprobe trades that exactness for probed-list pruning exactly as
+    * [[Similarity.ivfSearchIndexed]] documents. */
+  def hybridRrfIndexed(spark: org.apache.spark.sql.SparkSession,
+                       docs: DataFrame, embeddings: DataFrame,
+                       topK: Int = 5, legK: Int = 20, k0: Int = 60,
+                       prefix: String = "hybrid",
+                       numCentroids: Int = 16, dim: Int = 64,
+                       nprobe: Int = 16): DataFrame = {
+    val lex = TextAnalysis.bm25SearchIndexed(spark,
+      TextAnalysis.bm25Queries(docs), s"${prefix}_bm25", topK = legK)
+      .select(col("query_id"), col("doc_id"), col("rank").as("lex_rank"))
+    val dq = embeddings.filter(evalPred(col("vec_id")))
+    val dense = Similarity.ivfSearchIndexed(spark, dq, s"${prefix}_ivf",
+      k = legK, numCentroids = numCentroids, dim = dim, nprobe = nprobe)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rank").as("dense_rank"))
+    fuse(lex, dense, topK, k0)
   }
 }

@@ -219,6 +219,10 @@ object Similarity {
   def ivfWriteIndex(corpus: DataFrame, prefix: String = "ivf",
                     numCentroids: Int = 16, dim: Int = 64,
                     buckets: Int = 16): Unit = {
+    // a REBUILD must be idempotent across JVMs — see
+    // Partitioning.dropManagedTable
+    Partitioning.dropManagedTable(corpus.sparkSession, s"${prefix}_lists")
+    Partitioning.dropManagedTable(corpus.sparkSession, s"${prefix}_meta")
     ivfAssignCorpus(corpus, numCentroids, dim)
       .write.mode("overwrite")
       .bucketBy(buckets, "cid").sortBy("cid")

@@ -402,6 +402,9 @@ object TextAnalysis {
                      buckets: Int = 32,
                      evalPred: Column = bm25DefaultPred): Unit = {
     val corpus = bm25Base(docs, evalPred).filter(!col("_q"))
+    // a REBUILD must be idempotent across JVMs — see dropManagedTable
+    Partitioning.dropManagedTable(docs.sparkSession, s"${prefix}_postings")
+    Partitioning.dropManagedTable(docs.sparkSession, s"${prefix}_stats")
     bm25Postings(corpus).write.mode("overwrite")
       .bucketBy(buckets, "term").sortBy("term")
       .saveAsTable(s"${prefix}_postings")

@@ -92,6 +92,7 @@ class PlanSpec extends SparkSpec {
       "curate_semantic", // composes the two ops above
       "bm25_search", // 1-row (n_docs, avgdl) stats frame, broadcast cross join
       "hybrid_rrf", // embeds bm25_search's 1-row stats cross join
+      "hybrid_rrf_indexed", // same 1-row stats cross join, table-backed
       "q_global_seq", // 1-row percentile-cuts frame, broadcast cross join
       "snm_editdist", // embeds globalSequence's cuts frame
       "layout_zorder", // 1-row global min/max frame, broadcast cross join
