@@ -1284,6 +1284,41 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** Deterministic raw-HTML corpus derived from `documents` — the crawl
+    * the extraction front end consumes. Each document's words become
+    * three paragraphs (the first and third sentence-terminated, the
+    * middle not) wrapped in a page with script/style subtrees, a heading,
+    * a nav-bar boilerplate line, and encoded entities; both engines build
+    * the identical string from the same parquet column, so the oracle
+    * replays extraction on exactly this input. */
+  private def rawHtmlFrame(s: SparkSession, dir: String): DataFrame = {
+    val ws = split(col("text"), " ")
+    val p1 = concat(array_join(slice(ws, 1, 10), " "), lit("."))
+    val p2 = array_join(slice(ws, 11, 8), " ")
+    val p3 = concat(array_join(slice(ws, 19, 12), " "),
+      lit(" &amp; more &lt;b&gt; &quot;q&quot;!"))
+    RawGen.table(s, dir, "documents").select(col("doc_id"), concat(
+      lit("<html><head><title>Doc "), col("doc_id"),
+      lit("</title><script type=\"text/javascript\">var n = 1 && 2; " +
+        "console.log(\"<p>\");</script><style>.nav { color: red; }</style>" +
+        "</head><body><h1>Doc "), col("doc_id"),
+      lit("</h1><p>"), p1,
+      lit("</p><div class=\"nav\">Home | About | Contact</div><p>"), p2,
+      lit("</p><p>"), p3, lit("</p><br/></body></html>")).as("html"))
+  }
+
+  /** C4-recipe HTML extraction over the synthetic crawl — see
+    * [[graft.ops.Extract]] for the scan-fused, zero-exchange shape. */
+  private def htmlExtractQ(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Extract.htmlExtract(rawHtmlFrame(s, dir))
+      .orderBy("doc_id")
+
+  /** Paragraph segmentation of the same extraction — one row per
+    * boilerplate-surviving block. */
+  private def htmlParagraphsQ(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Extract.paragraphs(rawHtmlFrame(s, dir))
+      .orderBy("doc_id", "para_id")
+
   private def bpePairsQ(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.bpePairCounts(RawGen.table(s, dir, "documents"))
       .orderBy("rank")
@@ -1496,6 +1531,8 @@ object SparkEntry {
     "q_scd2" -> (qScd2 _),
     "hybrid_rrf" -> (hybridRrfQ _),
     "hybrid_rrf_indexed" -> (hybridRrfIndexedQ _),
+    "html_extract" -> (htmlExtractQ _),
+    "html_paragraphs" -> (htmlParagraphsQ _),
     "q_global_seq" -> (qGlobalSeq _),
     "layout_zorder" -> (layoutZorderQ _),
     "snm_editdist" -> (snmEditDistQ _),
@@ -2579,6 +2616,38 @@ object SparkEntry {
        |  CAST(COALESCE(dense_rank, 0) AS INT) AS dense_rank
        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  // The synthetic crawl both html_* oracles replay — identical string
+  // construction to rawHtmlFrame (DuckDB list slicing is 1-based
+  // inclusive and clamps, matching Spark's slice), then the same
+  // strip/segment/filter pipeline in RE2 regexes. Shared single-line CTE
+  // fragment (see the declaration-order gotcha).
+  private val rawHtmlDuck =
+    """raw AS (SELECT doc_id, '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || '</title><script type="text/javascript">var n = 1 && 2; console.log("<p>");</script><style>.nav { color: red; }</style></head><body><h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1><p>' || COALESCE(array_to_string(ws[1:10], ' '), '') || '.' || '</p><div class="nav">Home | About | Contact</div><p>' || COALESCE(array_to_string(ws[11:18], ' '), '') || '</p><p>' || COALESCE(array_to_string(ws[19:30], ' '), '') || ' &amp; more &lt;b&gt; &quot;q&quot;!' || '</p><br/></body></html>' AS html FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents))"""
+
+  private val htmlKeptDuck =
+    """s1 AS (SELECT doc_id, regexp_replace(html, '(?is)<script\b[^>]*>.*?</script>', '', 'g') AS h FROM raw),
+      |s2 AS (SELECT doc_id, regexp_replace(h, '(?is)<style\b[^>]*>.*?</style>', '', 'g') AS h FROM s1),
+      |s3 AS (SELECT doc_id, regexp_replace(h, '(?i)<(br|/p|/div|/h[1-6]|/li|/tr|/title)\b[^>]*>', chr(10), 'g') AS h FROM s2),
+      |s4 AS (SELECT doc_id, regexp_replace(h, '<[^>]*>', '', 'g') AS h FROM s3),
+      |ent AS (SELECT doc_id, replace(replace(replace(replace(replace(replace(h, '&amp;', '&'), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)), '&nbsp;', ' ') AS h FROM s4),
+      |ln AS (SELECT doc_id, list_filter(list_transform(string_split(h, chr(10)), l -> trim(regexp_replace(l, '\s+', ' ', 'g'))), l -> l <> '') AS lines FROM ent),
+      |kp AS (SELECT doc_id, lines, list_filter(lines, l -> regexp_matches(l, '[.!?"]$') AND len(string_split(l, ' ')) >= 3) AS kept FROM ln)""".stripMargin
+
+  private val htmlExtractSql =
+    s"""WITH $rawHtmlDuck,
+       |$htmlKeptDuck
+       |SELECT doc_id, CAST(len(lines) AS INT) AS n_lines,
+       |  CAST(len(kept) AS INT) AS n_kept,
+       |  array_to_string(kept, chr(10)) AS text_clean
+       |FROM kp ORDER BY doc_id""".stripMargin
+
+  private val htmlParagraphsSql =
+    s"""WITH $rawHtmlDuck,
+       |$htmlKeptDuck
+       |SELECT doc_id, CAST(unnest(range(1, len(kept) + 1)) AS INT) AS para_id,
+       |  unnest(kept) AS para
+       |FROM kp ORDER BY doc_id, para_id""".stripMargin
+
   // Zone-map pruning comparison: same grid/interleave arithmetic as
   // layout_zorder, plus the x-only bucketing; a bucket is "read" when its
   // (x, y) extent intersects the fixed box.
@@ -3553,6 +3622,8 @@ object SparkEntry {
     // the indexed form is row-identical to the live fusion by construction
     // (exact dense leg at nprobe = numCentroids) — same oracle
     "hybrid_rrf_indexed" -> hybridRrfSql,
+    "html_extract" -> htmlExtractSql,
+    "html_paragraphs" -> htmlParagraphsSql,
     "q_global_seq" -> qGlobalSeqSql,
     "layout_zorder" -> layoutZorderSql,
     "snm_editdist" -> snmEditDistSql,

@@ -1,0 +1,76 @@
+package graft
+
+import graft.ops.Extract
+import org.apache.spark.sql.functions._
+
+/** C4/CCNet-recipe HTML extraction front end (round 12). */
+class ExtractSpec extends SparkSpec {
+
+  test("stripHtml: script/style subtrees vanish, block closers become " +
+    "line breaks, tags strip, entities decode") {
+    import spark.implicits._
+    val html = "<html><head><title>T</title>" +
+      "<script type=\"text/javascript\">var x = 1 < 2; // <p> inside</script>" +
+      "<style>.a { color: red; }</style></head>" +
+      "<body><h1>Head Line</h1><p>First sentence here.</p>" +
+      "<div>Nav &amp; bar</div><p>A &lt;tag&gt; &quot;quoted&quot; " +
+      "&#39;apos&#39;&nbsp;end.</p><br/>tail</body></html>"
+    val out = Seq((1L, html)).toDF("doc_id", "html")
+      .select(Extract.stripHtml(col("html")).as("t")).head().getString(0)
+    assert(!out.contains("var x"), "script content leaked")
+    assert(!out.contains("color"), "style content leaked")
+    // no real markup survives ("<tag>" below is DECODED entity text, the
+    // contract: markup strips BEFORE entities decode)
+    assert(!out.contains("<p>") && !out.contains("<html>") &&
+      !out.contains("<body>"), s"tag survived: $out")
+    assert(out.contains("First sentence here."))
+    assert(out.contains("Nav & bar"))
+    assert(out.contains("A <tag> \"quoted\" 'apos' end."))
+    // block closers produced line structure
+    val lines = out.split("\n").map(_.trim).filter(_.nonEmpty).toSeq
+    assert(lines === Seq("T", "Head Line", "First sentence here.",
+      "Nav & bar", "A <tag> \"quoted\" 'apos' end.", "tail"))
+  }
+
+  test("c4KeepLine: terminal punctuation AND word-count rules") {
+    import spark.implicits._
+    val cases = Seq(
+      ("This is a sentence.", true),
+      ("Is this a question?", true),
+      ("He said \"stop\" and left!", true),
+      ("Home | About | Contact", false), // no terminal punctuation
+      ("Short.", false), // < 3 words
+      ("ends in comma, not period,", false))
+    val got = cases.map(_._1).toDF("l")
+      .select(col("l"), Extract.c4KeepLine(col("l")).as("k"))
+      .collect().map(r => (r.getString(0), r.getBoolean(1))).toMap
+    cases.foreach { case (l, want) =>
+      assert(got(l) === want, s"line: $l") }
+  }
+
+  test("htmlExtract + paragraphs: per-doc counts and exploded blocks " +
+    "agree; extraction plan is scan-fused with ZERO exchanges") {
+    import spark.implicits._
+    val raw = Seq(
+      (1L, "<p>one two three.</p><p>no punct line</p><p>four five six!</p>"),
+      (2L, "<div>Home | About</div><p>only boilerplate</p>"),
+      (3L, "plain untagged text with an ending.")
+    ).toDF("doc_id", "html")
+    val ex = Extract.htmlExtract(raw)
+    val got = ex.collect().map(r => r.getLong(0) ->
+      (r.getInt(1), r.getInt(2), r.getString(3))).toMap
+    assert(got(1L) === ((3, 2, "one two three.\nfour five six!")))
+    assert(got(2L) === ((2, 0, "")))
+    assert(got(3L) === ((1, 1, "plain untagged text with an ending.")))
+    val paras = Extract.paragraphs(raw).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq
+    assert(paras === Seq((1L, 1, "one two three."), (1L, 2, "four five six!"),
+      (3L, 1, "plain untagged text with an ending.")))
+    // the whole pipeline is row-local: no exchange anywhere (the explode
+    // in paragraphs is a Generate, not a shuffle)
+    val pEx = ex.queryExecution.executedPlan.toString
+    val pPara = Extract.paragraphs(raw).queryExecution.executedPlan.toString
+    assert(!pEx.contains("Exchange"), s"htmlExtract shuffles:\n$pEx")
+    assert(!pPara.contains("Exchange"), s"paragraphs shuffles:\n$pPara")
+  }
+}
