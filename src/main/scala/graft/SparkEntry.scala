@@ -444,6 +444,20 @@ object SparkEntry {
     Multimodal.frameSample(Multimodal.asMediaTable(RawGen.table(s, dir, "documents")))
       .orderBy("doc_id")
 
+  /** Per-image 64-bit dHash (two 32-bit halves) over the synthetic BMP
+    * corpus — see [[graft.ops.Multimodal.dHash]]. */
+  private def imagePhashQ(s: SparkSession, dir: String): DataFrame =
+    Multimodal.imagePhash(Multimodal.syntheticMedia(
+        RawGen.table(s, dir, "documents").select("doc_id", "text")))
+      .orderBy("doc_id")
+
+  /** Image near-dup pairs via banded-Hamming join on the dHash — the
+    * multimodal sibling of simhash_neardup. */
+  private def imagePhashNeardupQ(s: SparkSession, dir: String): DataFrame =
+    Multimodal.imagePhashNeardup(Multimodal.syntheticMedia(
+        RawGen.table(s, dir, "documents").select("doc_id", "text")))
+      .orderBy("a_id", "b_id")
+
   private def neardupCosine(s: SparkSession, dir: String): DataFrame =
     Similarity.cosineNeardup(RawGen.table(s, dir, "embeddings"), 0.35)
       .orderBy("vec_a", "vec_b")
@@ -1455,6 +1469,8 @@ object SparkEntry {
     "sessionize" -> (sessionizeQ _),
     "multimodal_meta" -> (multimodalMeta _),
     "media_decode" -> (mediaDecode _),
+    "image_phash" -> (imagePhashQ _),
+    "image_phash_neardup" -> (imagePhashNeardupQ _),
     "media_frames" -> (mediaFrames _),
     "neardup_cosine" -> (neardupCosine _),
     "approx_distinct" -> (approxDistinct _),
@@ -2064,6 +2080,48 @@ object SparkEntry {
        |  md5(upper(hexstr)) AS payload_hex_md5
        |FROM hx ORDER BY doc_id""".stripMargin
   }
+
+  // dHash oracle: re-derive the BMP pixel array (the md5 filler tiled to
+  // pixb bytes — headers are not needed because the Spark side's offset-54
+  // reads land inside the same pixel bytes), then replay the 9x8 grid
+  // sample + adjacent-comparison pack in portable SQL. Byte values parse
+  // from the lowercase hex via the strpos digit-product idiom; halves pack
+  // as Σ bit·2^(31−i) so no BIGINT overflow (DuckDB raises where the JVM
+  // wraps).
+  private val imagePhashCte = {
+    val hexd = "'0123456789abcdef'"
+    def pbyte(pos: String) =
+      s"((strpos($hexd, substr(px, CAST(($pos)*2+1 AS INT), 1))-1)*16 + strpos($hexd, substr(px, CAST(($pos)*2+2 AS INT), 1))-1)"
+    def bright(gx: String, gy: String) = {
+      val off = s"(CAST(floor(($gy)*ht/8) AS BIGINT)*rowb + CAST(floor(($gx)*w/9) AS BIGINT)*3)"
+      s"(${pbyte(off)} + ${pbyte(s"($off)+1")} + ${pbyte(s"($off)+2")})"
+    }
+    def half(base: Int) = {
+      val bi = s"($base + i)"
+      val gx = s"($bi % 8)"
+      val gy = s"($bi // 8)"
+      s"CAST(list_sum(list_transform(range(0, 32), i -> CASE WHEN ${bright(s"($gx)+1", gy)} > ${bright(gx, gy)} THEN CAST(pow(2, 31 - i) AS BIGINT) ELSE 0 END)) AS BIGINT)"
+    }
+    s"""m AS (SELECT doc_id, md5(text) AS h, doc_id % 31 + 1 AS w, doc_id % 17 + 1 AS ht FROM documents WHERE doc_id % 2 = 0 AND text IS NOT NULL),
+       |x AS (SELECT doc_id, w, ht, w*3 + 3 - (w*3 + 3) % 4 AS rowb, (w*3 + 3 - (w*3 + 3) % 4) * ht AS pixb, h FROM m),
+       |p AS (SELECT doc_id, w, ht, rowb, rpad('', CAST(pixb * 2 AS INT), h) AS px FROM x),
+       |ph AS (SELECT doc_id, ${half(0)} AS phash_hi, ${half(32)} AS phash_lo FROM p)""".stripMargin
+  }
+
+  private val imagePhashSql =
+    s"""WITH $imagePhashCte
+       |SELECT doc_id, phash_hi, phash_lo FROM ph ORDER BY doc_id""".stripMargin
+
+  // the all-pairs oracle form is exhaustive by construction; the Spark
+  // side's 4x16-bit banding is recall-exact for hamming <= 3 (pigeonhole),
+  // so the two enumerate the same pairs
+  private val imagePhashNeardupSql =
+    s"""WITH $imagePhashCte
+       |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |  CAST(bit_count(xor(a.phash_hi, b.phash_hi)) + bit_count(xor(a.phash_lo, b.phash_lo)) AS INT) AS hamming
+       |FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.phash_hi, b.phash_hi)) + bit_count(xor(a.phash_lo, b.phash_lo)) <= 3
+       |ORDER BY a_id, b_id""".stripMargin
 
   private val mediaFramesSql =
     """SELECT doc_id,
@@ -3543,6 +3601,8 @@ object SparkEntry {
     "sessionize" -> sessionizeSql,
     "multimodal_meta" -> multimodalMetaSql,
     "media_decode" -> mediaDecodeSql,
+    "image_phash" -> imagePhashSql,
+    "image_phash_neardup" -> imagePhashNeardupSql,
     "media_frames" -> mediaFramesSql,
     "neardup_cosine" -> neardupCosineSql,
     "approx_distinct" -> approxDistinctSql,

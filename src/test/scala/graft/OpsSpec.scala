@@ -486,6 +486,66 @@ class OpsSpec extends SparkSpec {
     assert(dec(7L).octet_len === 60L) // 44-byte header + 16 data bytes
   }
 
+  test("dHash matches an independent ImageIO-pixel reference; phash " +
+    "plan is scan-fused; banded near-dup finds exact dups, no cartesian") {
+    import spark.implicits._
+    import graft.ops.Multimodal
+    // docs 8/30 distinct texts; 42 duplicates 8's text but sits at a
+    // different (w, h) cycle position, so it is NOT a pixel-dup; 1062 =
+    // 8 + 2*31*17 shares text AND (id%2, id%31, id%17) with 8 → identical
+    // image bytes → hamming 0
+    val docs = Seq((8L, "alpha beta gamma"), (30L, "delta epsilon"),
+      (42L, "alpha beta gamma"), (1062L, "alpha beta gamma"))
+      .toDF("doc_id", "text")
+    val media = Multimodal.syntheticMedia(docs)
+    val ph = Multimodal.imagePhash(media)
+    val got = ph.collect().map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2))).toMap
+
+    // independent reference: decode via the JDK's ImageIO, replay the
+    // 9x8 grid + adjacent comparison on its pixels. ImageIO returns rows
+    // TOP-DOWN; dHash samples the STORED (bottom-up) order, so stored
+    // row y is image row h-1-y — orientation-consistent, just flipped.
+    def refHash(payload: Array[Byte]): (Long, Long) = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      val (w, h) = (img.getWidth, img.getHeight)
+      def bright(gx: Int, gy: Int): Int = {
+        val x = gx * w / 9
+        val y = gy * h / 8
+        val rgb = img.getRGB(x, h - 1 - y)
+        ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+      }
+      def half(base: Int): Long = (0 until 32).map { i =>
+        val bi = base + i
+        if (bright(bi % 8 + 1, bi / 8) > bright(bi % 8, bi / 8))
+          1L << (31 - i)
+        else 0L
+      }.sum
+      (half(0), half(32))
+    }
+    val raw = media.filter($"mime" === "image/bmp")
+      .select("doc_id", "payload").collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    raw.foreach { case (id, p) =>
+      assert(got(id) === refHash(p), s"dHash mismatch for doc $id") }
+
+    // identical text + identical (w, h) cycle position → identical image
+    assert(got(8L) === got(1062L))
+    val pairs = Multimodal.imagePhashNeardup(media).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs.contains((8L, 1062L, 0)))
+    // per-image hashing is row-local (zero exchanges); the near-dup join
+    // is band-bucketed, never a cartesian
+    val pPh = ph.queryExecution.executedPlan.toString
+    assert(!pPh.contains("Exchange"), s"imagePhash shuffles:\n$pPh")
+    val pNd = Multimodal.imagePhashNeardup(media)
+      .queryExecution.executedPlan.toString
+    assert(!pNd.contains("CartesianProduct") &&
+      !pNd.contains("BroadcastNestedLoopJoin"),
+      s"near-dup join is not band-bucketed:\n$pNd")
+  }
+
   test("tfidfTopTerms: rare terms outrank common ones, rational idf exact") {
     import spark.implicits._
     val d = Seq(
