@@ -349,7 +349,7 @@ object SparkEntry {
     * 16-byte-per-vector representation is 2.4x that baseline. */
   private def knnIvfPq(s: SparkSession, dir: String): DataFrame = {
     val emb = RawGen.table(s, dir, "embeddings")
-    Similarity.ivfPqTopK(emb, knnQueries(s, dir), m = 4, k = 16, topK = 5,
+    Similarity.ivfPqTopK(emb, knnQueries(s, dir), m = 32, k = 32, topK = 5,
         dim = 64, numCentroids = 16)
       .orderBy("query_id", "rank")
   }
@@ -361,7 +361,7 @@ object SparkEntry {
     * cross-checked. */
   private def knnIvfPqRerankQ(s: SparkSession, dir: String): DataFrame = {
     val emb = RawGen.table(s, dir, "embeddings")
-    Similarity.ivfPqRerankTopK(emb, knnQueries(s, dir), m = 4, k = 16,
+    Similarity.ivfPqRerankTopK(emb, knnQueries(s, dir), m = 32, k = 32,
         topK = 5, dim = 64, numCentroids = 16, nprobe = 2, shortlist = 20)
       .orderBy("query_id", "rank")
   }
@@ -379,15 +379,17 @@ object SparkEntry {
   /** Recall@5 of the residual IVF-PQ composition vs exact cosine, at the
     * recall-oriented nprobe=8 operating point (knn_ivf_pq itself runs the
     * throughput point nprobe=2, whose recall is coverage-capped at
-    * ~nprobe/numCentroids on isotropic embeddings). Measured 0.325 —
-    * matching plain PQ (0.325 after the self-pair fix freed one slot per
-    * query; same m, k, ground truth) while probing only half the lists,
-    * and 2.6× the
-    * multiprobe-LSH 0.125 floor (knn_recall). */
+    * ~nprobe/numCentroids on isotropic embeddings). The (m=32, k=32)
+    * production point comes from the measured sweep (gen/RecallSweep,
+    * DESIGN.md §3.3): recall@5 = 0.675 at sf0.01 / 0.55 at sf0.1 —
+    * up from 0.325 / 0.20 at the old (m=4, k=16) — at LOWER query cost
+    * (2.77 s vs 3.74 s at sf0.1), because finer subvectors (subLen 2)
+    * shrink each codebook's quantization error faster than the m-fold
+    * codes growth raises join cost at these scales. */
   private def knnIvfPqRecallQ(s: SparkSession, dir: String): DataFrame = {
     val brute = knnBrute(s, dir).select(col("query_id"), col("neighbor_id"))
     val emb = RawGen.table(s, dir, "embeddings")
-    val pq = Similarity.ivfPqTopK(emb, knnQueries(s, dir), m = 4, k = 16,
+    val pq = Similarity.ivfPqTopK(emb, knnQueries(s, dir), m = 32, k = 32,
         topK = 5, dim = 64, numCentroids = 16, nprobe = 8)
       .select(col("query_id").as("q2"), col("vec_id").as("n2"))
     brute.join(pq,
@@ -3408,7 +3410,7 @@ object SparkEntry {
   // rc/rq/gs = coarse + residual side; e/s/q (duckNormQuantBase) = int8
   // base; s$i..l$i = the per-subspace per-list PQ chain over residuals.
   private def knnIvfPqSqlFor(nprobe: Int, finish: String): String = {
-    val m = 4; val k = 16; val dim = 64; val sl = dim / m
+    val m = 32; val k = 32; val dim = 64; val sl = dim / m
     val cents = Similarity.ivfCentroids(16, dim)
     val scoreList = cents.map { cv =>
       val arr = cv.map(d => if (d > 0) "1.0" else "-1.0").mkString("[", ",", "]")

@@ -1,0 +1,56 @@
+package graft.gen
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.Similarity
+
+/** IVF-PQ parameter sweep: recall@5 vs query cost across (m, k, nprobe) —
+  * the measured curve behind the production defaults (DESIGN.md carries
+  * the table). Ground truth is brute cosine; cost is wall-clock of the
+  * ADC chain alone (ground truth excluded), median of 3.
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=... sbt "runMain graft.gen.RecallSweep"
+  */
+object RecallSweep {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val emb = RawGen.table(spark, sfDir, "embeddings").cache()
+    emb.count()
+    val queries = emb.filter(col("vec_id") < 8)
+    val brute = Similarity.cosineTopK(emb, queries, 5)
+      .select(col("query_id"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val configs = Seq(
+      (4, 16, 8), (4, 32, 8), (8, 16, 8), (8, 32, 8),
+      (8, 16, 16), (8, 32, 16), (16, 16, 8), (16, 32, 8),
+      (16, 32, 16), (32, 16, 8), (32, 32, 8))
+    println("m,k,nprobe,recall_at_5,sec_median3")
+    configs.foreach { case (m, k, np) =>
+      def run(): (Double, Double) = {
+        val t0 = System.nanoTime()
+        val got = Similarity.ivfPqTopK(emb, queries, m = m, k = k,
+            topK = 5, dim = 64, numCentroids = 16, nprobe = np)
+          .select(col("query_id"), col("vec_id")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val sec = (System.nanoTime() - t0) / 1e9
+        val recall = if (brute.isEmpty) 0.0
+          else got.intersect(brute).size.toDouble / brute.size
+        (recall, sec)
+      }
+      val rs = (1 to 3).map(_ => run())
+      val rec = rs.head._1
+      val sec = rs.map(_._2).sorted.apply(1)
+      println(f"$m,$k,$np,$rec%.4f,$sec%.2f")
+    }
+    spark.stop()
+  }
+}
