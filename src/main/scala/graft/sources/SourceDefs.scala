@@ -36,6 +36,21 @@ sealed trait SourceDef {
 
   private val valueSchema = StructType(Seq(StructField("value", StringType)))
 
+  /** The option map a jar-equipped `DataStreamReader` for [[sparkFormat]]
+    * receives — the EXECUTABLE form of the reference connector config
+    * (each subclass documents its config.sample.yml:line provenance and
+    * the public connector option key it maps to). Bridged (spool) sources
+    * return empty: their knobs configure the receiver process, and the V2
+    * seam takes only the spool path at `load()` time. */
+  def readerOptions: Map[String, String] = Map.empty
+
+  /** A fully-configured (format + options) streaming reader, NOT yet
+    * `load()`ed — the broker-less assertable seam: PipelineSpec checks the
+    * option mapping lands on a real `DataStreamReader` without needing a
+    * broker; a jar-equipped deployment just calls `.load()`. */
+  def reader(spark: SparkSession): org.apache.spark.sql.streaming.DataStreamReader =
+    spark.readStream.format(sparkFormat).options(readerOptions)
+
   /** Streaming resolution: one row per message, column `value` (the
     * reference's Schema.STRING wire contract, Filterer.kt:39). Offline the
     * topic is a spool directory of text files under `baseDir`; bridged
@@ -66,6 +81,16 @@ final case class KinesisSource(
     receiveQueueSize: Int = 1000,
     outputTopic: String) extends SourceDef {
   val sparkFormat = "kinesis"
+  /** AWS's spark-streaming-sql-kinesis-connector option keys:
+    * config.sample.yml:15 awsKinesisStreamName → `streamName`,
+    * :21 initialPositionInStream → `startingPosition` (same enum values).
+    * The KCL tuning knobs (checkpointInterval/backoffTime/numRetries/
+    * receiveQueueSize, :23–26) configure the consumer library, which the
+    * Spark connector manages internally — carried here as data for a
+    * deployment that tunes the client, not reader options. */
+  override def readerOptions: Map[String, String] = Map(
+    "streamName" -> streamName,
+    "startingPosition" -> initialPosition)
 }
 
 /** S2 — Kafka (connectors/kafka/config.sample.yml:8–16). */
@@ -77,6 +102,19 @@ final case class KafkaSource(
     autoCommitEnabled: Boolean = false,
     outputTopic: String) extends SourceDef {
   val sparkFormat = "kafka"
+  require(!autoCommitEnabled,
+    "Spark's Kafka source forbids enable.auto.commit (offsets are tracked " +
+      "by the streaming checkpoint) — the reference default `false` " +
+      "(config.sample.yml:16) is the only mappable value")
+  /** spark-sql-kafka-0-10 option keys: config.sample.yml:9
+    * bootstrapServers → `kafka.bootstrap.servers`, :13 topic →
+    * `subscribe`, :11 groupId → `kafka.group.id`. startingOffsets =
+    * earliest mirrors a fresh consumer group reading the backlog. */
+  override def readerOptions: Map[String, String] = Map(
+    "kafka.bootstrap.servers" -> bootstrapServers,
+    "subscribe" -> topic,
+    "kafka.group.id" -> groupId,
+    "startingOffsets" -> "earliest")
 }
 
 /** S3 — RabbitMQ (connectors/rabbitmq/config.sample.yml:8–21); bridged. */
@@ -99,6 +137,18 @@ final case class EventHubSource(
     groupId: String,
     outputTopic: String) extends SourceDef {
   val sparkFormat = "kafka"
+  /** Event Hubs' Kafka-protocol head (connector.yaml `connectorType:
+    * kafka`): the same spark-sql-kafka-0-10 mapping as [[KafkaSource]]
+    * plus the SASL_SSL/PLAIN handshake every Event Hubs Kafka endpoint
+    * requires (public Azure guidance; the connection string rides in the
+    * deployment's jaas config, never in source-topology data). */
+  override def readerOptions: Map[String, String] = Map(
+    "kafka.bootstrap.servers" -> bootstrapServers,
+    "subscribe" -> topic,
+    "kafka.group.id" -> groupId,
+    "kafka.security.protocol" -> "SASL_SSL",
+    "kafka.sasl.mechanism" -> "PLAIN",
+    "startingOffsets" -> "earliest")
 }
 
 /** S5 — HTTP/Netty listener (connectors/http/config.http.yml:10–12); bridged. */
@@ -127,6 +177,12 @@ final case class PulsarSource(
     inputTopic: String,
     outputTopic: String) extends SourceDef {
   val sparkFormat = "pulsar"
+  /** StreamNative pulsar-spark-connector option keys: `service.url` (the
+    * broker URL, pipeline.yaml:37) and `topic` (single-topic subscribe,
+    * :38). */
+  override def readerOptions: Map[String, String] = Map(
+    "service.url" -> serviceUrl,
+    "topic" -> inputTopic)
 }
 
 /** The pipeline.yaml:4–39 instances, verbatim configs. */

@@ -311,6 +311,77 @@ object StreamingOps {
       }
   }
 
+  /** One version in a key's SCD2 validity chain ([[scd2Stream]] state). */
+  case class Scd2Version(eventId: Long, epochUs: Long, value: Option[Double])
+  case class Scd2State(versions: Seq[Scd2Version])
+  case class Scd2Row(user_id: Long, event_type: String, event_id: Long,
+                     valid_from_us: Long, value: Option[Double],
+                     valid_to_us: Option[Long], is_current: Boolean)
+
+  /** Streaming SCD2 — the standing-stream form of the batch `q_scd2`
+    * window query: maintain each (user_id, event_type) key's FULL
+    * validity chain (every version row with its [valid_from, valid_to)
+    * interval in tie-free (epoch_us, event_id) order, the last one
+    * `is_current`), and re-emit exactly the rows whose validity changed
+    * in a micro-batch (Update-mode upsert on (key, event_id) — a
+    * downstream dimension table overwrites by that key and converges to
+    * the batch result).
+    *
+    * A LATE version inserts into the MIDDLE of the chain: it takes
+    * `valid_to = successor.valid_from`, and its PREDECESSOR's row is
+    * re-emitted with a shortened validity — the one case latest-wins
+    * compaction ([[latestSnapshotStream]]) cannot express and the reason
+    * this op keeps a chain, not a single record. Duplicate event_ids
+    * (at-least-once redelivery) are dropped on arrival, so a replayed
+    * batch emits nothing.
+    *
+    * State is O(versions per key) — inherent to SCD2, whose OUTPUT is
+    * every version; this is the same footprint as the dimension table
+    * the op materializes, not an overhead. Keys with bounded version
+    * retention belong to a GroupStateTimeout TTL (or a chain-length cap
+    * dropping the oldest CLOSED versions), orthogonal to the merge
+    * rule. */
+  def scd2Stream(events: DataFrame): Dataset[Scd2Row] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events
+      .filter(col("user_id").isNotNull && col("event_id").isNotNull &&
+        col("epoch_us").isNotNull && col("event_type").isNotNull)
+      .select(col("user_id").cast("long"), col("event_type").cast("string"),
+        col("event_id").cast("long"), col("epoch_us").cast("long"),
+        col("value").cast("double"))
+      .as[(Long, String, Long, Long, Option[Double])]
+    typed.groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState[Scd2State, Scd2Row](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: (Long, String),
+         rows: Iterator[(Long, String, Long, Long, Option[Double])],
+         state: GroupState[Scd2State]) =>
+          val old = state.getOption.map(_.versions).getOrElse(Seq.empty)
+          val seen = old.map(_.eventId).toSet
+          val fresh = rows
+            .map(r => Scd2Version(r._3, r._4, r._5))
+            .filterNot(v => seen(v.eventId)).toSeq
+            // in-batch redelivery: same event_id twice in one batch
+            .groupBy(_.eventId).map(_._2.head).toSeq
+          def chain(vs: Seq[Scd2Version]): Seq[Scd2Row] =
+            vs.zipAll(vs.drop(1).map(Option(_)), null, None).map {
+              case (v, next) => Scd2Row(key._1, key._2, v.eventId, v.epochUs,
+                v.value, next.map(_.epochUs), next.isEmpty)
+            }
+          if (fresh.isEmpty) Iterator.empty
+          else {
+            val merged = (old ++ fresh).sortBy(v => (v.epochUs, v.eventId))
+            state.update(Scd2State(merged))
+            val before = chain(old).map(r => r.event_id -> r).toMap
+            // emit new versions AND neighbors whose validity shifted
+            chain(merged)
+              .filter(r => !before.get(r.event_id).contains(r))
+              .iterator
+          }
+      }
+  }
+
   /** One user's funnel progress for [[funnelStreamN]]: earliest completion
     * time per step, strictly increasing by construction (step k only sets
     * with a time > step k−1's, and times only ever decrease). Stored as a

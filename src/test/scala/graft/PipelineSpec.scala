@@ -265,4 +265,69 @@ class PipelineSpec extends SparkSpec {
         s"value ${bad.replace("\n", "\\n").replace("\r", "\\r")} not rejected")
     }
   }
+
+  test("broker option-mapping lands on a real DataStreamReader: format + " +
+    "reference-config options, asserted without a broker") {
+    // reflect the reader's internals (source format + extraOptions) — the
+    // mapping itself is the unit under test; no connector jar needed
+    def inspect(r: org.apache.spark.sql.streaming.DataStreamReader)
+        : (String, Map[String, String]) = {
+      def field(name: String): Any = {
+        val f = r.getClass.getDeclaredFields
+          .find(_.getName.endsWith(name))
+          .getOrElse(fail(s"DataStreamReader field $name not found — " +
+            s"fields: ${r.getClass.getDeclaredFields.map(_.getName).mkString(", ")}"))
+        f.setAccessible(true)
+        f.get(r)
+      }
+      val fmt = field("source").asInstanceOf[String]
+      // the reader stores a CaseInsensitiveMap — keys come back lowercased
+      val opts = field("extraOptions").asInstanceOf[Iterable[(String, String)]]
+      (fmt, opts.toMap)
+    }
+    def lc(m: Map[String, String]) = m.map { case (k, v) => (k.toLowerCase, v) }
+
+    // S2 Kafka (connectors/kafka/config.sample.yml:8–16)
+    val (kfmt, kopts) = inspect(Sources.kafkaInput.reader(spark))
+    assert(kfmt === "kafka")
+    assert(kopts === lc(Map(
+      "kafka.bootstrap.servers" -> "kafka:9092",
+      "subscribe" -> "my-kafka-topic",
+      "kafka.group.id" -> "example-group",
+      "startingOffsets" -> "earliest")))
+
+    // S1 Kinesis (connectors/kinesis/config.sample.yml:15,21)
+    val (nfmt, nopts) = inspect(Sources.kinesisInput.reader(spark))
+    assert(nfmt === "kinesis")
+    assert(nopts === lc(Map(
+      "streamName" -> "my-kinesis-stream",
+      "startingPosition" -> "TRIM_HORIZON")))
+
+    // S4 Event Hub kafka head: Kafka mapping + the SASL_SSL/PLAIN
+    // handshake every Event Hubs Kafka endpoint requires
+    val (efmt, eopts) = inspect(Sources.eventHubInput.reader(spark))
+    assert(efmt === "kafka")
+    assert(eopts("kafka.security.protocol") === "SASL_SSL")
+    assert(eopts("kafka.sasl.mechanism") === "PLAIN")
+    assert(eopts("subscribe") === "my-kafka-topic")
+
+    // S7 Pulsar passthrough (pipeline.yaml:35–39)
+    val (pfmt, popts) = inspect(Sources.pulsarInput.reader(spark))
+    assert(pfmt === "pulsar")
+    assert(popts === lc(Map(
+      "service.url" -> "pulsar://localhost:6650",
+      "topic" -> "upstream-topic")))
+
+    // bridged sources carry no reader options (knobs configure the
+    // receiver; the V2 seam takes only the spool path at load())
+    assert(Sources.rabbitMqInput.readerOptions.isEmpty)
+    assert(Sources.httpInput.readerOptions.isEmpty)
+
+    // Spark's Kafka source forbids enable.auto.commit — a config asking
+    // for it must fail at DEFINITION time, not at stream start
+    intercept[IllegalArgumentException] {
+      graft.sources.KafkaSource("bad", "b:9092", "t", "g",
+        autoCommitEnabled = true, outputTopic = "raw")
+    }
+  }
 }

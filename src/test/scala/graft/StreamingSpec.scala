@@ -771,6 +771,75 @@ class StreamingSpec extends SparkSpec {
     } finally { qs.stop(); qt.stop() }
   }
 
+  test("scd2Stream: validity chains converge to the batch window form; a " +
+    "LATE middle version re-emits its shortened predecessor; redelivery " +
+    "is a no-op") {
+    import spark.implicits._
+    // (event_id, epoch_us, user_id, event_type, value)
+    val stream = MemoryStream[(Long, Long, Long, String, Option[Double])](spark)
+    val events = stream.toDF()
+      .toDF("event_id", "epoch_us", "user_id", "event_type", "value")
+    val q = StreamingOps.scd2Stream(events)
+      .writeStream.format("memory").queryName("scd2_chain")
+      .outputMode("update").start()
+    // latest emission per (user, type, event_id) IS the live chain row —
+    // the Update-mode upsert contract a dimension table applies
+    def chain(): Map[Long, (Long, Option[Long], Boolean)] = {
+      val rows = spark.table("scd2_chain").collect()
+      rows.zipWithIndex.groupBy(r => r._1.getLong(2)).map { case (eid, rs) =>
+        val r = rs.maxBy(_._2)._1 // arrival order = upsert order
+        eid -> (r.getLong(3),
+          if (r.isNullAt(5)) None else Some(r.getLong(5)), r.getBoolean(6))
+      }
+    }
+    try {
+      stream.addData((1L, 100L, 7L, "click", Some(1.0)),
+        (2L, 300L, 7L, "click", Some(2.0)))
+      q.processAllAvailable()
+      assert(chain() === Map(
+        1L -> ((100L, Some(300L), false)),
+        2L -> ((300L, None, true))))
+      // LATE middle version: closes v1 early, takes v2 as its successor
+      stream.addData((3L, 200L, 7L, "click", None))
+      q.processAllAvailable()
+      assert(chain() === Map(
+        1L -> ((100L, Some(200L), false)),
+        3L -> ((200L, Some(300L), false)),
+        2L -> ((300L, None, true))))
+      // at-least-once redelivery of v3: nothing re-emitted
+      val emitted = spark.table("scd2_chain").count()
+      stream.addData((3L, 200L, 7L, "click", None))
+      q.processAllAvailable()
+      assert(spark.table("scd2_chain").count() === emitted)
+      // a genuinely newer version extends the chain
+      stream.addData((4L, 400L, 7L, "click", Some(4.0)))
+      q.processAllAvailable()
+      assert(chain()(2L) === ((300L, Some(400L), false)))
+      assert(chain()(4L) === ((400L, None, true)))
+    } finally q.stop()
+    // parity with the batch q_scd2 window over the full history
+    val all = Seq((1L, 100L, Some(1.0)), (2L, 300L, Some(2.0)),
+      (3L, 200L, Option.empty[Double]), (4L, 400L, Some(4.0)))
+      .toDF("event_id", "epoch_us", "value")
+    val w = org.apache.spark.sql.expressions.Window.orderBy("epoch_us", "event_id")
+    val batch = all.select(col("event_id"), col("epoch_us"),
+        lead(col("epoch_us"), 1).over(w).as("valid_to_us"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        r.isNullAt(2))).toMap
+    assert(chainAfterStop(spark) === batch)
+  }
+
+  private def chainAfterStop(spark: org.apache.spark.sql.SparkSession):
+      Map[Long, (Long, Option[Long], Boolean)] = {
+    val rows = spark.table("scd2_chain").collect()
+    rows.zipWithIndex.groupBy(r => r._1.getLong(2)).map { case (eid, rs) =>
+      val r = rs.maxBy(_._2)._1
+      eid -> (r.getLong(3),
+        if (r.isNullAt(5)) None else Some(r.getLong(5)), r.getBoolean(6))
+    }
+  }
+
   test("funnelStreamN genuinely generalizes: a 4-step funnel tracks all " +
     "four steps with the same ordering rules") {
     import spark.implicits._
