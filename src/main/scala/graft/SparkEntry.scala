@@ -447,7 +447,7 @@ object SparkEntry {
       .orderBy("doc_id")
 
   /** Per-image 64-bit dHash (two 32-bit halves) over the synthetic BMP
-    * corpus — see [[graft.ops.Multimodal.dHash]]. */
+    * corpus — see [[graft.ops.Multimodal.imagePhash]]. */
   private def imagePhashQ(s: SparkSession, dir: String): DataFrame =
     Multimodal.imagePhash(Multimodal.syntheticMedia(
         RawGen.table(s, dir, "documents").select("doc_id", "text")))

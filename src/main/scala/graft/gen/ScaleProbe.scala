@@ -103,12 +103,13 @@ object ScaleProbe {
     pair("kmeans_assign", Similarity.kmeansAssign(emb1), Similarity.kmeansAssign(emb10))
     pair("kmeans_iter", Similarity.kmeansIter(emb1), Similarity.kmeansIter(emb10))
     // fixed 8-query set on both sides (the registered-query shape), so the
-    // exponent isolates corpus growth: index build + compressed scan
+    // exponent isolates corpus growth: index build + compressed scan.
+    // (m=32, k=32) is the round-12 production point from RecallSweep.
     pair("ivf_pq_topk",
       Similarity.ivfPqTopK(emb1, emb1.filter(col("vec_id") < 8),
-        m = 4, k = 16, topK = 5),
+        m = 32, k = 32, topK = 5),
       Similarity.ivfPqTopK(emb10, emb10.filter(col("vec_id") < 8),
-        m = 4, k = 16, topK = 5))
+        m = 32, k = 32, topK = 5))
     pair("lm_unigram", TextAnalysis.unigramLogProb(d1),
       TextAnalysis.unigramLogProb(d10))
     // round-11 rewrite: single checkpointed explode + composite-key join;
@@ -140,9 +141,9 @@ object ScaleProbe {
     // pair blowup
     pair("ivf_pq_rerank",
       Similarity.ivfPqRerankTopK(emb1, emb1.filter(col("vec_id") < 8),
-        m = 4, k = 16, topK = 5),
+        m = 32, k = 32, topK = 5),
       Similarity.ivfPqRerankTopK(emb10, emb10.filter(col("vec_id") < 8),
-        m = 4, k = 16, topK = 5))
+        m = 32, k = 32, topK = 5))
     // round-11 layout/fusion family. globalSequence: two aggs + one
     // bucket-partitioned window — expect ~linear with per-job overhead
     import graft.ops.{Joins, Layout, Profile, Retrieval}
@@ -181,6 +182,96 @@ object ScaleProbe {
       col("doc_id").as("epoch_us"))
     pair("funnel", graft.ops.Windows.funnel(funnelIn(docs1)),
       graft.ops.Windows.funnel(funnelIn(docs10)))
+    // CCNet perplexity strata: bigramLogProb dominates (its own probe row
+    // covers the rework); the bucketing adds a 1/16-md5-sample order
+    // statistic + per-lang windows over broadcast thresholds
+    pair("ccnet_buckets", TextAnalysis.perplexityBuckets(docs1),
+      TextAnalysis.perplexityBuckets(docs10))
+
+    // round-12 family. html_extract: row-local regexp chain — the
+    // synthetic crawl wrap mirrors SparkEntry's rawHtmlFrame shape
+    import graft.ops.{Extract, Multimodal, Partitioning}
+    def htmlIn(d: DataFrame) = d.select(col("doc_id"),
+      concat(lit("<html><head><script>var x=1;</script></head><body><h1>D"),
+        col("doc_id"), lit("</h1><p>"), col("text"),
+        lit(".</p><div>Home | About</div></body></html>")).as("html"))
+    pair("html_extract", Extract.htmlExtract(htmlIn(docs1)),
+      Extract.htmlExtract(htmlIn(docs10)))
+    // image near-dup: per-image dHash is row-local; the band join's pair
+    // term follows image-dup structure (replicas differ in text → md5
+    // pixels differ → few cross-replica pairs: the clean-corpus case)
+    pair("image_phash_neardup",
+      Multimodal.imagePhashNeardup(Multimodal.syntheticMedia(d1)),
+      Multimodal.imagePhashNeardup(Multimodal.syntheticMedia(d10)))
+    // indexed hybrid serving: build BOTH leg indexes + serve, vs the live
+    // form's per-call postings build + corpus scan (hybrid_rrf above)
+    def hybridIndexed(docs: DataFrame, emb: DataFrame, pfx: String) = {
+      Retrieval.hybridRrfWriteIndexes(docs, emb, pfx)
+      Retrieval.hybridRrfIndexed(docs.sparkSession, docs, emb, prefix = pfx)
+    }
+    pair("hybrid_rrf_indexed",
+      hybridIndexed(d1, emb1, "probe_h1"),
+      hybridIndexed(d10, emb10, "probe_h10"))
+
+    // q_market_share at 10x: every key column re-keyed id*10+r so join
+    // multiplicity is exactly preserved; nation/region stay (forever-tiny
+    // dims). The point is AQE's broadcast→shuffle switch on the grown
+    // sides — the probe prints the join strategies chosen at each scale.
+    def tpch10(name: String, keys: Seq[String]): DataFrame = {
+      val t = RawGen.table(spark, sfDir, name)
+      (0 until 10).map { r =>
+        keys.foldLeft(t) { (df, k) =>
+          df.withColumn(k, col(k) * 10 + r) }
+      }.reduce(_ unionByName _)
+    }
+    def marketShare(li: DataFrame, ord: DataFrame, part: DataFrame,
+                    supp: DataFrame, cust: DataFrame): DataFrame = {
+      // mirror of SparkEntry.qMarketShare (its private status keeps the
+      // registry sealed; the join shape is what the probe measures)
+      val vol = expr(
+        "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,4)))")
+      val n1 = RawGen.table(spark, sfDir, "nation")
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      val n2 = RawGen.table(spark, sfDir, "nation")
+        .select(col("n_nationkey").as("c_nk"), col("n_regionkey"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(part.filter(col("p_type") === "ECONOMY"),
+          col("l_partkey") === col("p_partkey"))
+        .join(supp, col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+        .join(broadcast(RawGen.table(spark, sfDir, "region")
+          .filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(year(col("o_orderdate")).as("o_year"), vol.as("volume"),
+          col("supp_nation"))
+        .groupBy("o_year")
+        .agg(sum(col("volume")).as("total"))
+    }
+    def ms1 = marketShare(RawGen.table(spark, sfDir, "lineitem"),
+      RawGen.table(spark, sfDir, "orders"), RawGen.table(spark, sfDir, "part"),
+      RawGen.table(spark, sfDir, "supplier"), RawGen.table(spark, sfDir, "customer"))
+    def ms10 = marketShare(
+      tpch10("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey")),
+      tpch10("orders", Seq("o_orderkey", "o_custkey")),
+      tpch10("part", Seq("p_partkey")),
+      tpch10("supplier", Seq("s_suppkey")),
+      tpch10("customer", Seq("c_custkey")))
+    def joinMix(df: DataFrame): String = {
+      // AQE finalizes strategies during execution — count them AFTER a run
+      df.queryExecution.toRdd.count()
+      val p = df.queryExecution.executedPlan.toString
+      def n(s: String) = s.r.findAllIn(p).length
+      s"bhj=${n("BroadcastHashJoin")} smj=${n("SortMergeJoin")} shj=${n("ShuffledHashJoin")}"
+    }
+    if (only.forall(_.contains("q_market_share"))) {
+      probed += 1
+      pairImpl("q_market_share", ms1, ms10)
+      println(s"[probe] q_market_share 1x  joins: ${joinMix(ms1)}")
+      println(s"[probe] q_market_share 10x joins: ${joinMix(ms10)}")
+    }
+
     only.foreach { keep =>
       if (probed == 0) System.err.println(
         s"[probe] SPARK_GRAFT_PROBE_ONLY matched no pair: ${keep.mkString(", ")}")

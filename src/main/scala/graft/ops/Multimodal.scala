@@ -197,37 +197,17 @@ object Multimodal {
     * is the raw b+g+r sum (monotone in the mean — identical comparisons,
     * no division). Pixel rows are used in STORED (bottom-up) order; since
     * every hash uses the same orientation, comparisons are consistent. */
-  def dHash(payload: Column): Column = {
-    val hx = hex(payload) // 2 uppercase hex chars per byte
-    def byteAt(off: Column): Column =
-      conv(hx.substr((off * 2 + 1).cast("int"), lit(2)), 16, 10).cast("long")
-    val w = byteAt(lit(18)) + byteAt(lit(19)) * 256
-    val h = byteAt(lit(22)) + byteAt(lit(23)) * 256
-    val rowb = w * 3 + 3 - pmod(w * 3 + 3, lit(4))
-    def bright(gx: Column, gy: Column): Column = {
-      val x = floor(gx * w / 9).cast("long")
-      val y = floor(gy * h / 8).cast("long")
-      val off = lit(54) + y * rowb + x * 3
-      byteAt(off) + byteAt(off + 1) + byteAt(off + 2)
-    }
-    def half(base: Int): Column = aggregate(
-      transform(sequence(lit(0), lit(31)), i => {
-        val bi = lit(base) + i
-        val gx = pmod(bi, lit(8))
-        val gy = floor(bi / 8).cast("long")
-        when(bright(gx + 1, gy) > bright(gx, gy),
-          pow(lit(2.0), lit(31) - i).cast("long")).otherwise(lit(0L))
-      }),
-      lit(0L), (acc, v) => acc + v)
-    struct(half(0).as("hi"), half(32).as("lo"))
-  }
-
   /** Per-image dHash over a media frame: (doc_id, phash_hi, phash_lo) for
-    * every BMP payload. Row-local, scan-fused (MultimodalSpec pins zero
-    * exchanges). */
+    * every BMP payload — the fused native
+    * [[graft.functions.BmpDHash]] expression (one JVM loop per row inside
+    * whole-stage codegen). Row-local, scan-fused (OpsSpec pins zero
+    * exchanges). The hash semantics and their rationale live on the
+    * expression's scaladoc; the DuckDB oracle replays them in portable
+    * SQL. */
   def imagePhash(media: DataFrame): DataFrame =
     media.filter(col("mime") === "image/bmp" && col("payload").isNotNull)
-      .select(col("doc_id"), dHash(col("payload")).as("ph"))
+      .select(col("doc_id"),
+        graft.functions.BmpDHash.dhash(col("payload")).as("ph"))
       .select(col("doc_id"), col("ph.hi").as("phash_hi"),
         col("ph.lo").as("phash_lo"))
 
