@@ -229,11 +229,36 @@ object Similarity {
       .saveAsTable(s"${prefix}_lists")
     // the quantizer geometry IS part of the index: a query probing with a
     // different centroid set would still cid-equi-join plausibly and
-    // return silently wrong neighbors — persist it and assert at read
+    // return silently wrong neighbors — persist it and assert at read.
+    // The bucket spec rides along so incremental appends can never
+    // mismatch the table's layout.
     val spark = corpus.sparkSession
     import spark.implicits._
-    Seq((numCentroids, dim)).toDF("num_centroids", "dim")
+    Seq((numCentroids, dim, buckets)).toDF("num_centroids", "dim", "buckets")
       .write.mode("overwrite").saveAsTable(s"${prefix}_meta")
+  }
+
+  /** Incremental maintenance for the persisted IVF index — the vector
+    * sibling of [[TextAnalysis.bm25AppendIndex]]: assign ONLY the delta
+    * against the index's own persisted quantizer geometry (read from the
+    * meta table, so a caller cannot silently append under a different
+    * centroid set) and append its inverted-list rows under the same
+    * bucket spec — new files per bucket, no rewrite of old lists. IVF
+    * keeps no global stats, so unlike BM25 there is nothing to combine:
+    * append-then-search is row-identical to rebuild-then-search by
+    * construction (PartitioningSpec pins it), and an empty delta appends
+    * zero rows. At 100 TB this is the ingest-pipeline contract: the
+    * corpus-sized assignment pass happens once per DELTA, never again
+    * for the accumulated index. */
+  def ivfAppendIndex(delta: DataFrame, prefix: String = "ivf"): Unit = {
+    val spark = delta.sparkSession
+    // quantizer AND bucket spec come from the index's own meta — a
+    // caller-supplied value could silently mismatch the table layout
+    val meta = spark.table(s"${prefix}_meta").head()
+    ivfAssignCorpus(delta, meta.getInt(0), meta.getInt(1))
+      .write.mode("append")
+      .bucketBy(meta.getInt(2), "cid").sortBy("cid")
+      .saveAsTable(s"${prefix}_lists")
   }
 
   /** Query-many half: identical semantics to [[ivfTopK]] (same probe and

@@ -166,6 +166,36 @@ class PartitioningSpec extends SparkSpec {
     assert(e.getMessage.contains("different quantizer"))
   }
 
+  test("ivfAppendIndex: build-half-then-append == full rebuild == live " +
+    "ivfTopK; empty delta is a no-op; quantizer pinned by meta") {
+    import spark.implicits._
+    import graft.ops.Similarity
+    def vec(seed: Int): Array[Float] =
+      (0 until 8).map(d => ((seed * 29 + d * 13) % 11 - 5).toFloat).toArray
+    val corpus = (10L to 49L).map(i => (i, vec(i.toInt))).toDF("vec_id", "embedding")
+    val queries = (1L to 4L).map(i => (i, vec(i.toInt))).toDF("vec_id", "embedding")
+    val (half1, half2) = (corpus.filter(col("vec_id") < 30),
+      corpus.filter(col("vec_id") >= 30))
+    Similarity.ivfWriteIndex(half1, "ivfinc", numCentroids = 4, dim = 8,
+      buckets = 4)
+    Similarity.ivfAppendIndex(half2, "ivfinc") // buckets come from meta
+    Similarity.ivfAppendIndex( // empty delta: appends zero rows
+      Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding"), "ivfinc")
+    Similarity.ivfWriteIndex(corpus, "ivffull", numCentroids = 4, dim = 8,
+      buckets = 4)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    val appended = rows(Similarity.ivfSearchIndexed(spark, queries, "ivfinc",
+      k = 5, numCentroids = 4, dim = 8, nprobe = 2))
+    val rebuilt = rows(Similarity.ivfSearchIndexed(spark, queries, "ivffull",
+      k = 5, numCentroids = 4, dim = 8, nprobe = 2))
+    val live = rows(Similarity.ivfTopK(corpus, queries, k = 5,
+      numCentroids = 4, dim = 8, nprobe = 2))
+    assert(appended.nonEmpty && appended === rebuilt && appended === live)
+    assert(spark.table("ivfinc_lists").count() ===
+      spark.table("ivffull_lists").count())
+  }
+
   test("saltedJoin tolerates map-typed columns on the big side") {
     import spark.implicits._
     // hash() rejects MapType — the salt must exclude map columns (at any

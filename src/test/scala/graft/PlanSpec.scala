@@ -91,6 +91,7 @@ class PlanSpec extends SparkSpec {
       "embed_outliers", // same broadcast-centroid assignment shape
       "curate_semantic", // composes the two ops above
       "bm25_search", // 1-row (n_docs, avgdl) stats frame, broadcast cross join
+      "bm25_search_indexed", // same 1-row stats cross join, table-backed
       "hybrid_rrf", // embeds bm25_search's 1-row stats cross join
       "hybrid_rrf_indexed", // same 1-row stats cross join, table-backed
       "q_global_seq", // 1-row percentile-cuts frame, broadcast cross join
