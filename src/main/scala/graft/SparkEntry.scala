@@ -1167,6 +1167,17 @@ object SparkEntry {
     Similarity.semanticDedup(RawGen.table(s, dir, "embeddings"))
       .orderBy("vec_id")
 
+  /** Gopher/MassiveText repetition signals per document — see
+    * [[graft.ops.Gopher.repetitionSignals]] (row-local, zero exchanges). */
+  private def gopherRepetitionQ(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Gopher.repetitionSignals(RawGen.table(s, dir, "documents"))
+      .orderBy("doc_id")
+
+  /** The full Gopher quality gate with named fail reasons. */
+  private def gopherQualityQ(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Gopher.qualityGate(RawGen.table(s, dir, "documents"))
+      .orderBy("doc_id")
+
   private def bm25Q(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.bm25Search(RawGen.table(s, dir, "documents"))
       .orderBy("query_id", "rank")
@@ -1478,6 +1489,8 @@ object SparkEntry {
     "q_supplier_nation" -> (qSupplierNation _),
     "doc_fingerprint" -> (docFingerprint _),
     "quality_filter" -> (qualityFilterQ _),
+    "gopher_repetition" -> (gopherRepetitionQ _),
+    "gopher_quality" -> (gopherQualityQ _),
     "winnow_fingerprint" -> (winnowQ _),
     "neardup_minhash" -> (neardupMinhash _),
     "simhash_buckets" -> (simhashBuckets _),
@@ -1777,6 +1790,64 @@ object SparkEntry {
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   private val duckWords = """string_split_regex(trim(text), '\s+')"""
+
+  // Gopher repetition signals — shared CTE chain: 12-word line blocks,
+  // duplicate-occurrence counts (occurrences after the first, lines and
+  // chars), and the top-n-gram character fraction with the count-then-
+  // longest tie-break. cmax must be staged into its own CTE: a DuckDB
+  // lambda cannot reference an alias defined in the same SELECT.
+  private def duckTopGram(n: Int, alias: String): Seq[String] = Seq(
+    s"g$n AS (SELECT *, CASE WHEN len(ws) >= $n THEN list_transform(range(0, len(ws) - $n + 1), i -> array_to_string(ws[CAST(i+1 AS INT):CAST(i+$n AS INT)], ' ')) ELSE [] END AS grams FROM ${if (n == 2) "rep" else s"t${n - 1}"})",
+    s"gm$n AS (SELECT *, CASE WHEN len(grams) > 0 THEN list_max(list_transform(list_distinct(grams), g -> len(list_filter(grams, x -> x = g)))) END AS cmax FROM g$n)",
+    s"t$n AS (SELECT * EXCLUDE (grams, cmax), CASE WHEN len(grams) > 0 THEN CAST(cmax AS DOUBLE) * list_max(list_transform(list_filter(list_distinct(grams), g -> len(list_filter(grams, x -> x = g)) = cmax), g -> length(g))) / greatest(length(array_to_string(ws, ' ')), 1) ELSE 0.0 END AS $alias FROM gm$n)")
+
+  private val gopherRepCtes: String = (Seq(
+    s"w AS (SELECT doc_id, $duckWords AS ws FROM documents WHERE text IS NOT NULL)",
+    "base AS (SELECT doc_id, ws FROM w WHERE len(ws) >= 1)",
+    "ln AS (SELECT doc_id, ws, list_transform(range(0, CAST(ceil(len(ws)/12.0) AS INT)), i -> array_to_string(ws[CAST(i*12+1 AS INT):CAST((i+1)*12 AS INT)], ' ')) AS lines FROM base)",
+    "rep AS (SELECT doc_id, ws, lines, CAST(len(lines) AS INT) AS n_lines, " +
+      "list_sum(list_transform(list_distinct(lines), g -> len(list_filter(lines, x -> x = g)) - 1)) AS dupn, " +
+      "list_sum(list_transform(list_distinct(lines), g -> (len(list_filter(lines, x -> x = g)) - 1) * length(g))) AS dupch FROM ln)") ++
+    duckTopGram(2, "top2") ++ duckTopGram(3, "top3") ++ duckTopGram(4, "top4"))
+    .mkString(",\n")
+
+  private val gopherRepetitionSql =
+    s"""WITH $gopherRepCtes
+       |SELECT doc_id, n_lines,
+       |  CAST(dupn AS DOUBLE) / n_lines AS dup_line_frac,
+       |  CAST(dupch AS DOUBLE) / greatest(length(array_to_string(lines, '')), 1) AS dup_line_char_frac,
+       |  top2 AS top2gram_char_frac, top3 AS top3gram_char_frac,
+       |  top4 AS top4gram_char_frac
+       |FROM t4 ORDER BY doc_id""".stripMargin
+
+  private val gopherQualitySql =
+    s"""WITH $gopherRepCtes,
+       |q AS (SELECT doc_id, ws, lines, n_lines, dupn, dupch, top2, top3, top4,
+       |  len(ws) AS nw,
+       |  CAST(length(array_to_string(ws, '')) AS DOUBLE) / len(ws) AS ml,
+       |  CAST(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(ws) AS af,
+       |  len(list_intersect(ws, ['the','be','to','of','and','that','have','with'])) AS ns,
+       |  CAST(len(list_filter(lines, l -> l LIKE '%...' OR l LIKE '%…')) AS DOUBLE) / len(lines) AS ef,
+       |  CAST(len(list_filter(lines, l -> l LIKE '-%' OR l LIKE '*%' OR l LIKE '•%')) AS DOUBLE) / len(lines) AS bf,
+       |  CAST(dupn AS DOUBLE) / n_lines AS dlf,
+       |  CAST(dupch AS DOUBLE) / greatest(length(array_to_string(lines, '')), 1) AS dlcf
+       |  FROM t4),
+       |r AS (SELECT doc_id, concat_ws(',',
+       |  CASE WHEN nw < 50 THEN 'too_few_words' END,
+       |  CASE WHEN nw > 100000 THEN 'too_many_words' END,
+       |  CASE WHEN ml < 3.0 THEN 'short_words' END,
+       |  CASE WHEN ml > 10.0 THEN 'long_words' END,
+       |  CASE WHEN af < 0.8 THEN 'non_alpha_words' END,
+       |  CASE WHEN ns < 2 THEN 'too_few_stopwords' END,
+       |  CASE WHEN ef > 0.3 THEN 'ellipsis_lines' END,
+       |  CASE WHEN bf > 0.9 THEN 'bullet_lines' END,
+       |  CASE WHEN dlf > 0.3 THEN 'dup_lines' END,
+       |  CASE WHEN dlcf > 0.2 THEN 'dup_line_chars' END,
+       |  CASE WHEN top2 > 0.20 THEN 'top2gram' END,
+       |  CASE WHEN top3 > 0.18 THEN 'top3gram' END,
+       |  CASE WHEN top4 > 0.16 THEN 'top4gram' END) AS fail_reasons FROM q)
+       |SELECT doc_id, fail_reasons = '' AS keep, fail_reasons
+       |FROM r ORDER BY doc_id""".stripMargin
 
   private val textStatsSql =
     s"""WITH w AS (SELECT doc_id, text, $duckWords AS ws FROM documents)
@@ -3612,6 +3683,8 @@ object SparkEntry {
     "q_supplier_nation" -> qSupplierNationSql,
     "doc_fingerprint" -> docFingerprintSql,
     "quality_filter" -> qualityFilterSql,
+    "gopher_repetition" -> gopherRepetitionSql,
+    "gopher_quality" -> gopherQualitySql,
     "winnow_fingerprint" -> winnowSql,
     "neardup_minhash" -> neardupMinhashSql,
     "simhash_buckets" -> simhashSql,
