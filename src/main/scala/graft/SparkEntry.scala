@@ -1370,6 +1370,15 @@ object SparkEntry {
     graft.ops.Extract.paragraphs(rawHtmlFrame(s, dir))
       .orderBy("doc_id", "para_id")
 
+  /** C4 page-level gate over the synthetic crawl. minLines=2 matches the
+    * corpus's 2-kept-line page shape (the paper's 5 assumes real prose);
+    * the blocklist exercises the containment mechanics on two corpus
+    * vocabulary words. */
+  private def c4PageFilterQ(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Extract.c4PageFilter(rawHtmlFrame(s, dir), minLines = 2,
+        blocklist = Seq("vector", "spark"))
+      .orderBy("doc_id")
+
   private def bpePairsQ(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.bpePairCounts(RawGen.table(s, dir, "documents"))
       .orderBy("rank")
@@ -1590,6 +1599,7 @@ object SparkEntry {
     "hybrid_rrf_indexed" -> (hybridRrfIndexedQ _),
     "html_extract" -> (htmlExtractQ _),
     "html_paragraphs" -> (htmlParagraphsQ _),
+    "c4_page_filter" -> (c4PageFilterQ _),
     "q_global_seq" -> (qGlobalSeq _),
     "layout_zorder" -> (layoutZorderQ _),
     "snm_editdist" -> (snmEditDistQ _),
@@ -2805,6 +2815,25 @@ object SparkEntry {
        |  unnest(kept) AS para
        |FROM kp ORDER BY doc_id, para_id""".stripMargin
 
+  // the C4 page gate over the same raw-html CTE: kept lines also exclude
+  // 'javascript' (line rule); page reasons are containment checks over the
+  // newline-joined lowercased clean text
+  private val c4PageFilterSql =
+    s"""WITH $rawHtmlDuck,
+       |$htmlKeptDuck,
+       |k2 AS (SELECT doc_id, lines,
+       |  list_filter(kept, l -> NOT contains(lower(l), 'javascript')) AS kept2,
+       |  lower(array_to_string(lines, chr(10))) AS tl FROM kp),
+       |r AS (SELECT doc_id, concat_ws(',',
+       |  CASE WHEN contains(tl, 'lorem ipsum') THEN 'lorem_ipsum' END,
+       |  CASE WHEN contains(tl, '{') THEN 'curly_brace' END,
+       |  CASE WHEN contains(tl, 'vector') OR contains(tl, 'spark') THEN 'blocklist' END,
+       |  CASE WHEN len(kept2) < 2 THEN 'too_few_sentences' END) AS fail_reasons,
+       |  CAST(len(kept2) AS INT) AS n_kept_lines FROM k2)
+       |SELECT doc_id, fail_reasons = '' AS keep, fail_reasons, n_kept_lines
+       |FROM r ORDER BY doc_id""".stripMargin
+
+
   // Zone-map pruning comparison: same grid/interleave arithmetic as
   // layout_zorder, plus the x-only bucketing; a bucket is "read" when its
   // (x, y) extent intersects the fixed box.
@@ -3789,6 +3818,7 @@ object SparkEntry {
     "hybrid_rrf_indexed" -> hybridRrfSql,
     "html_extract" -> htmlExtractSql,
     "html_paragraphs" -> htmlParagraphsSql,
+    "c4_page_filter" -> c4PageFilterSql,
     "q_global_seq" -> qGlobalSeqSql,
     "layout_zorder" -> layoutZorderSql,
     "snm_editdist" -> snmEditDistSql,

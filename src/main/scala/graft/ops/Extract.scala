@@ -76,6 +76,42 @@ object Extract {
         array_join(col("_kept"), "\n").as("text_clean"))
   }
 
+  /** C4's PAGE-level rules (§2.2), applied on top of the line filter:
+    * a page is dropped whole when its cleaned text contains "lorem
+    * ipsum" (template boilerplate) or a curly brace (code), when fewer
+    * than `minLines` lines survive the line filter (the paper's
+    * "fewer than 5 sentences" rule, parameterized), or when it contains
+    * a blocklisted term. Lines containing "javascript" are additionally
+    * dropped at LINE level before the count (the paper's one
+    * line-content rule). `blocklist` defaults empty — C4 used the public
+    * "List of Dirty, Naughty, Obscene..." word list, which a deployment
+    * passes in; the mechanics (lowercased containment over the cleaned
+    * text) are what this operator provides. Output: (idCol, keep,
+    * fail_reasons, n_kept_lines) — row-local, zero exchanges. */
+  def c4PageFilter(raw: DataFrame, htmlCol: String = "html",
+                   idCol: String = "doc_id", minLines: Int = 5,
+                   minWords: Int = 3,
+                   blocklist: Seq[String] = Seq.empty): DataFrame = {
+    // stage the extracted lines once; the rule expressions below then
+    // reference a cheap attribute instead of re-running the regexp chain
+    // per rule
+    val kept = filter(col("_lines"), l =>
+      c4KeepLine(l, minWords) && !lower(l).contains("javascript"))
+    val textLc = lower(array_join(col("_lines"), "\n"))
+    val blockHit = blocklist.foldLeft(lit(false))(
+      (acc, w) => acc || textLc.contains(w.toLowerCase))
+    val reasons = concat_ws(",",
+      when(textLc.contains("lorem ipsum"), "lorem_ipsum"),
+      when(textLc.contains("{"), "curly_brace"),
+      when(blockHit, "blocklist"),
+      when(size(kept) < minLines, "too_few_sentences"))
+    raw.select(col(idCol), textLines(stripHtml(col(htmlCol))).as("_lines"))
+      .select(col(idCol),
+        (reasons === "").as("keep"),
+        reasons.as("fail_reasons"),
+        size(kept).as("n_kept_lines"))
+  }
+
   /** Paragraph segmentation: one output row per surviving line (block ≈
     * paragraph once block closers became line breaks), with its 1-based
     * position — the chunking unit for [[Packing.chunkDocs]]-style

@@ -48,6 +48,31 @@ class ExtractSpec extends SparkSpec {
       assert(got(l) === want, s"line: $l") }
   }
 
+  test("c4PageFilter: page rules fire on lorem-ipsum/brace/blocklist/" +
+    "sentence-count; javascript lines drop before the count; zero exchanges") {
+    import spark.implicits._
+    val raw = Seq(
+      (1L, "<p>one fine sentence here.</p><p>and another good one!</p>"),
+      (2L, "<p>lorem ipsum dolor sit amet.</p><p>regular text follows on!</p>"),
+      (3L, "<p>code block { x = 1 } inline.</p><p>more words right here!</p>"),
+      (4L, "<p>enable javascript to continue now.</p><p>one surviving line here!</p>"),
+      (5L, "<p>totally banned term appears here.</p><p>second fine line too!</p>")
+    ).toDF("doc_id", "html")
+    val got = graft.ops.Extract.c4PageFilter(raw, minLines = 2,
+        blocklist = Seq("banned")).collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1), r.getString(2), r.getInt(3)))
+      .toMap
+    assert(got(1L) === ((true, "", 2)))
+    assert(got(2L) === ((false, "lorem_ipsum", 2)))
+    assert(got(3L) === ((false, "curly_brace", 2)))
+    // the javascript LINE drops, leaving 1 kept line < minLines=2
+    assert(got(4L) === ((false, "too_few_sentences", 1)))
+    assert(got(5L) === ((false, "blocklist", 2)))
+    val p = graft.ops.Extract.c4PageFilter(raw)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"c4PageFilter shuffles:\n$p")
+  }
+
   test("htmlExtract + paragraphs: per-doc counts and exploded blocks " +
     "agree; extraction plan is scan-fused with ZERO exchanges") {
     import spark.implicits._
