@@ -496,6 +496,55 @@ object SparkEntry {
           .otherwise(abs(col("at") - col("et")).cast("double") / col("et") < 0.05)
           .as("types_within_tol"))
 
+  /** Cohort retention triangle — the canonical product-analytics rollup:
+    * users grouped by first-active day, distinct actives per (cohort day,
+    * day offset). Scale shape: one (user, day) DISTINCT collapse first
+    * (the only corpus-sized shuffle, 16-byte keys — raw events never
+    * reach the join), a per-user min agg, a user-key join that reuses
+    * that partitioning, and one final hash agg. No windows, no per-user
+    * state. */
+  private def qCohortRetention(s: SparkSession, dir: String): DataFrame = {
+    val ud = RawGen.events(s, dir)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"),
+        floor(col("epoch_us") / lit(86400000000L)).as("day"))
+      .distinct()
+    val cohort = ud.groupBy("user_id").agg(min("day").as("cohort_day"))
+    ud.join(cohort, "user_id")
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
+  /** Re-aggregatable distinct-count sketches — the 100 TB rollup
+    * pattern: partial HLL sketches per (event_type, day) — the grain a
+    * daily ingest job persists — MERGED per event_type with
+    * hll_union_agg. The merged estimate must agree with the exact
+    * distinct over the raw rows (tolerance booleans, the approx_distinct
+    * contract): sketch once, roll up to any coarser grain without
+    * touching raw data again. DataSketches HLL (binary buffer), not
+    * HLL++ — see approxDistinct's planner-tax note. */
+  private def qSketchRollup(s: SparkSession, dir: String): DataFrame = {
+    val ev = RawGen.events(s, dir)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+        col("event_type").isNotNull)
+      .select(col("event_type"), col("user_id"),
+        floor(col("epoch_us") / lit(86400000000L)).as("day"))
+    val daily = ev.groupBy("event_type", "day")
+      .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
+    val merged = daily.groupBy("event_type")
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("approx"))
+    val exact = ev.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    exact.join(merged, "event_type")
+      .select(col("event_type"), col("exact_users"),
+        when(col("exact_users") === 0, col("approx") === 0)
+          .otherwise(abs(col("approx") - col("exact_users")).cast("double") /
+            col("exact_users") < 0.05)
+          .as("merged_within_tol"))
+      .orderBy("event_type")
+  }
+
   private def neardupJaccardQ(s: SparkSession, dir: String): DataFrame =
     Dedup.jaccardNeardup(RawGen.table(s, dir, "documents").select("doc_id", "text"),
         managed = true)
@@ -1523,6 +1572,8 @@ object SparkEntry {
     "media_frames" -> (mediaFrames _),
     "neardup_cosine" -> (neardupCosine _),
     "approx_distinct" -> (approxDistinct _),
+    "q_cohort_retention" -> (qCohortRetention _),
+    "q_sketch_rollup" -> (qSketchRollup _),
     "neardup_jaccard" -> (neardupJaccardQ _),
     "dedup_clusters" -> (dedupClustersQ _),
     "dedup_clusters_star" -> (dedupClustersStarQ _),
@@ -2261,6 +2312,25 @@ object SparkEntry {
       |  CAST(COUNT(DISTINCT event_type) AS BIGINT) AS exact_types,
       |  true AS users_within_tol, true AS types_within_tol
       |FROM events""".stripMargin
+
+  private val qCohortRetentionSql =
+    s"""WITH e AS (SELECT user_id, $sqlEpochUs AS us FROM events
+       |  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+       |ud AS (SELECT DISTINCT user_id, CAST(floor(us / 86400000000) AS BIGINT) AS day FROM e),
+       |c AS (SELECT user_id, min(day) AS cohort_day FROM ud GROUP BY 1)
+       |SELECT cohort_day, day - cohort_day AS day_offset,
+       |  CAST(COUNT(DISTINCT ud.user_id) AS BIGINT) AS n_users
+       |FROM ud JOIN c USING (user_id)
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // the sketch-merge estimate is implementation-specific — the oracle
+  // checks the EXACT counts and pins the tolerance booleans true, the
+  // approx_distinct convention
+  private val qSketchRollupSql =
+    """SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+      |  true AS merged_within_tol
+      |FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL
+      |GROUP BY 1 ORDER BY 1""".stripMargin
 
   private val piiScrubSql = {
     // augmented text must rebuild byte-for-byte what withSyntheticPii emits
@@ -3738,6 +3808,8 @@ object SparkEntry {
     "media_frames" -> mediaFramesSql,
     "neardup_cosine" -> neardupCosineSql,
     "approx_distinct" -> approxDistinctSql,
+    "q_cohort_retention" -> qCohortRetentionSql,
+    "q_sketch_rollup" -> qSketchRollupSql,
     "neardup_jaccard" -> neardupJaccardSql,
     "dedup_clusters" -> dedupClustersSql,
     "dedup_clusters_star" -> dedupClustersSql,
