@@ -272,6 +272,45 @@ object ScaleProbe {
       println(s"[probe] q_market_share 10x joins: ${joinMix(ms10)}")
     }
 
+    // Gopher gate: fused native counting, row-local — expect scan-linear
+    pair("gopher_quality", graft.ops.Gopher.qualityGate(docs1),
+      graft.ops.Gopher.qualityGate(docs10))
+    pair("c4_page_filter",
+      Extract.c4PageFilter(htmlIn(docs1), minLines = 2),
+      Extract.c4PageFilter(htmlIn(docs10), minLines = 2))
+
+    // events at 10x: fresh user/event ids per replica so the distinct
+    // user count and cohort structure scale with the data
+    val ev1 = RawGen.events(spark, sfDir)
+    val ev10 = (0 until 10).map { r =>
+      ev1.withColumn("event_id", col("event_id") * 10 + r)
+        .withColumn("user_id", col("user_id") * 10 + r)
+    }.reduce(_ unionByName _).repartition(32).persist()
+    ev10.count()
+    def cohort(ev: DataFrame): DataFrame = {
+      val ud = ev.filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .select(col("user_id"),
+          floor(col("epoch_us") / lit(86400000000L)).as("day"))
+        .distinct()
+      val c = ud.groupBy("user_id").agg(min("day").as("cohort_day"))
+      ud.join(c, "user_id")
+        .groupBy(col("cohort_day"),
+          (col("day") - col("cohort_day")).as("day_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+    }
+    pair("cohort_retention", cohort(ev1), cohort(ev10))
+    def sketchRollup(ev: DataFrame): DataFrame = {
+      val e = ev.filter(col("user_id").isNotNull && col("ts").isNotNull &&
+          col("event_type").isNotNull)
+        .select(col("event_type"), col("user_id"),
+          floor(col("epoch_us") / lit(86400000000L)).as("day"))
+      e.groupBy("event_type", "day")
+        .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
+        .groupBy("event_type")
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("approx"))
+    }
+    pair("sketch_rollup", sketchRollup(ev1), sketchRollup(ev10))
+
     only.foreach { keep =>
       if (probed == 0) System.err.println(
         s"[probe] SPARK_GRAFT_PROBE_ONLY matched no pair: ${keep.mkString(", ")}")

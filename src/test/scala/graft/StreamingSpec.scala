@@ -375,6 +375,36 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.head(1) === 1L) // doc 1 found one email
   }
 
+  test("round-12 row-local curation ops run unchanged on a stream: " +
+    "htmlExtract, c4PageFilter, gopher qualityGate == batch") {
+    import spark.implicits._
+    import graft.ops.{Extract, Gopher}
+    val html = Seq(
+      (1L, "<p>one fine sentence right here.</p><p>lorem ipsum line!</p>"),
+      (2L, "<p>three good words here now.</p><p>and some more again!</p>"))
+    val docs = Seq(
+      (1L, (1 to 30).map(i => s"the w${i}a of w${i}b and w${i}c that w${i}d").mkString(" ")),
+      (2L, (1 to 60).map(_ => "scan table scan").mkString(" ")))
+    val hs = MemoryStream[(Long, String)](spark)
+    val ds = MemoryStream[(Long, String)](spark)
+    val q1 = Extract.c4PageFilter(hs.toDF().toDF("doc_id", "html"), minLines = 2)
+      .writeStream.format("memory").queryName("c4_stream")
+      .outputMode("append").start()
+    val q2 = Gopher.qualityGate(ds.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("gopher_stream")
+      .outputMode("append").start()
+    hs.addData(html: _*); ds.addData(docs: _*)
+    q1.processAllAvailable(); q2.processAllAvailable()
+    q1.stop(); q2.stop()
+    def rows(t: String) = spark.table(t).collect()
+      .map(_.toSeq).sortBy(_.head.toString)
+    assert(rows("c4_stream") === Extract.c4PageFilter(
+      html.toDF("doc_id", "html"), minLines = 2)
+      .collect().map(_.toSeq).sortBy(_.head.toString))
+    assert(rows("gopher_stream") === Gopher.qualityGate(docs.toDF("doc_id", "text"))
+      .collect().map(_.toSeq).sortBy(_.head.toString))
+  }
+
   test("quantizeInt8 runs unchanged on a stream (row-local curation parity)") {
     import spark.implicits._
     import graft.ops.Similarity
