@@ -247,6 +247,46 @@ object Multimodal {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Delta-vs-catalog image near-dup — the ingest-time increment behind
+    * [[graft.streaming.StreamingOps.imagePhashStream]], mirroring
+    * [[Dedup.minhashNeardupIncrement]]: hash ONLY the delta's BMPs
+    * (the catalog already carries its hashes — payload bytes are never
+    * re-read), band-join the delta against catalog ∪ delta, and verify
+    * colliding pairs with the exact popcount distance. Pairs are
+    * canonicalized (least, greatest) and deduped, so the emitted set is
+    * arrival-order independent: a pair is found in the epoch its SECOND
+    * member arrives, whatever the id order — the union of per-epoch
+    * outputs equals the batch operator over the accumulated corpus
+    * (StreamingSpec parity).
+    *
+    * @return (near-dup pairs for this epoch, catalog rows to append —
+    *         the delta's hashes, eagerly materialized) */
+  def imagePhashIncrement(batch: DataFrame, catalog: DataFrame,
+                          maxHamming: Int = 3): (DataFrame, DataFrame) = {
+    require(maxHamming <= 3,
+      s"4x16-bit banding guarantees exact recall only for maxHamming <= 3, got $maxHamming")
+    val ph = imagePhash(batch).localCheckpoint()
+    def banded(df: DataFrame, p: String): DataFrame =
+      df.select(col("doc_id").as(s"${p}_id"),
+        col("phash_hi").as(s"${p}_hi"), col("phash_lo").as(s"${p}_lo"),
+        posexplode(array(
+          shiftright(col("phash_hi"), 16), pmod(col("phash_hi"), lit(65536)),
+          shiftright(col("phash_lo"), 16), pmod(col("phash_lo"), lit(65536))))
+          .as(Seq("band_idx", "band_val")))
+    val all = banded(catalog.unionByName(ph), "a")
+    val delta = banded(ph, "b")
+    val pairs = all.join(delta, Seq("band_idx", "band_val"))
+      .filter(col("a_id") =!= col("b_id"))
+      .select(least(col("a_id"), col("b_id")).as("a_id"),
+        greatest(col("a_id"), col("b_id")).as("b_id"),
+        (bit_count(col("a_hi").bitwiseXOR(col("b_hi"))) +
+          bit_count(col("a_lo").bitwiseXOR(col("b_lo"))))
+          .cast("int").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+    (pairs, ph)
+  }
+
   /** Frame sampling as pure expressions: fixed-size byte frames; the FIRST
     * frame and the `stride`-th frame are fingerprinted (a fixed-arity probe
     * pair — enough to pin payload identity and detect truncation; a

@@ -580,6 +580,29 @@ object StreamingOps {
         batch, catalog, numHashes, bandSize, shingleSize),
       catalogProj = identity)
 
+  /** Streaming image near-dup: micro-batches of media rows (doc_id,
+    * mime, payload) are dHashed and band-joined against the catalog of
+    * all previously-seen image hashes —
+    * [[graft.ops.Multimodal.imagePhashIncrement]] per micro-batch under
+    * the same idempotent per-batch-partition catalog layout as the
+    * segment/minhash/semantic streams. Pairs are canonicalized and
+    * epoch-deduped, so the union of per-epoch outputs equals the batch
+    * [[graft.ops.Multimodal.imagePhashNeardup]] over the accumulated
+    * corpus in ANY arrival order (a pair emits in the epoch its second
+    * member arrives). The catalog carries only (doc_id, hi, lo) — 20
+    * bytes per image; payload bytes are hashed once on arrival and never
+    * re-read. */
+  def imagePhashStream(media: DataFrame, catalogDir: String, outDir: String,
+                       checkpointDir: String,
+                       maxHamming: Int = 3): StreamingQuery =
+    catalogStream(media, catalogDir, outDir, checkpointDir,
+      emptyCatalog = s => s.range(0).select(col("id").as("doc_id"),
+        lit(null).cast("long").as("phash_hi"),
+        lit(null).cast("long").as("phash_lo")),
+      increment = (batch, catalog) =>
+        graft.ops.Multimodal.imagePhashIncrement(batch, catalog, maxHamming),
+      catalogProj = identity)
+
   /** Streaming SemDeDup: micro-batches of (vec_id, embedding) rows are
     * assigned to a FIXED centroid frame (train once via
     * [[graft.ops.Similarity.semanticCentroids]] — on the corpus for the

@@ -508,6 +508,45 @@ class StreamingSpec extends SparkSpec {
       .count(f => f.isDirectory && f.getName.startsWith("batch=")) === 3)
   }
 
+  test("incremental image phash near-dup over micro-batches == batch " +
+    "imagePhashNeardup, including OUT-OF-ORDER arrival") {
+    import spark.implicits._
+    // even doc_ids → BMPs; ids sharing (id%2, id%31, id%17) AND text are
+    // pixel-identical (hamming 0). Feed batches OUT of id order: the
+    // canonicalized pair emit must still reconstruct the batch answer.
+    val dup = 2L + 2 * 31 * 17 // 1056: same image as doc 2
+    val docs = Seq(
+      (dup, "alpha beta gamma"), (4L, "delta epsilon zeta"),
+      (2L, "alpha beta gamma"), (6L, "eta theta iota"),
+      (8L, "alpha beta gamma"), (10L, "delta epsilon zeta"))
+    val dir = java.nio.file.Files.createTempDirectory("imgdedup").toString
+    val stream = MemoryStream[(Long, String)](spark)
+    val media = graft.ops.Multimodal.syntheticMedia(
+      stream.toDF().toDF("doc_id", "text"))
+    val q = StreamingOps.imagePhashStream(media,
+      s"$dir/catalog", s"$dir/out", s"$dir/ckpt")
+    docs.grouped(2).foreach { chunk =>
+      stream.addData(chunk: _*); q.processAllAvailable()
+    }
+    q.stop()
+    def norm(rows: Array[org.apache.spark.sql.Row]) = rows
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .sortBy(identity[(Long, Long, Int)])
+    val streamed = norm(StreamingOps.readBatched(spark, s"$dir/out")
+      .select("a_id", "b_id", "hamming").collect())
+    val batch = norm(graft.ops.Multimodal.imagePhashNeardup(
+      graft.ops.Multimodal.syntheticMedia(docs.toDF("doc_id", "text")))
+      .collect())
+    assert(streamed === batch)
+    // the known pixel-identical pair was found ACROSS batches, despite
+    // the larger id arriving FIRST
+    assert(streamed.contains((2L, dup, 0)))
+    // catalog carries one hash row per image, no payload bytes
+    val cat = StreamingOps.readBatched(spark, s"$dir/catalog")
+    assert(cat.count() === docs.size)
+    assert(cat.columns.toSet === Set("doc_id", "phash_hi", "phash_lo"))
+  }
+
   test("incremental minhash near-dup over micro-batches == batch minhashNeardup") {
     import spark.implicits._
     // small word vocab + doc templates that repeat across batches, so LSH
