@@ -1428,6 +1428,39 @@ object SparkEntry {
         blocklist = Seq("vector", "spark"))
       .orderBy("doc_id")
 
+  /** The full crawl-curation recipe as ONE verdict table — the
+    * end-to-end composition a C4/Gopher pipeline runs on raw pages:
+    * page gate (c4PageFilter) → text extraction (htmlExtract) →
+    * repetition gate (Gopher top-2-gram ≤ 0.2 over the EXTRACTED text)
+    * → exact dedup (md5 first-occurrence among gate-passers only, so a
+    * spam page can never claim the canonical slot of a clean
+    * duplicate). Per-doc booleans for every stage keep the whole
+    * pipeline hash-checkable; downstream selects `final_keep`. */
+  private def crawlCurateE2eQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.{Extract, Gopher}
+    val raw = rawHtmlFrame(s, dir)
+    val pages = Extract.c4PageFilter(raw, minLines = 2,
+        blocklist = Seq("vector"))
+      .select(col("doc_id"), col("keep").as("page_keep"))
+    val text = Extract.htmlExtract(raw).select(col("doc_id"), col("text_clean"))
+    // empty extractions still flow: words("") = [""], top2 = 0 → rep_ok
+    val sig = Gopher.repetitionSignals(
+        text.withColumnRenamed("text_clean", "text"))
+      .select(col("doc_id"), (col("top2gram_char_frac") <= 0.2).as("rep_ok"))
+    val joined = pages.join(text, "doc_id").join(sig, "doc_id")
+      .withColumn("_h", md5(col("text_clean")))
+    val firsts = joined.filter(col("page_keep") && col("rep_ok"))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy("_h").orderBy("doc_id")))
+      .select(col("doc_id"), (col("_rn") === 1).as("dedup_first"))
+    joined.join(firsts, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("page_keep"), col("rep_ok"),
+        coalesce(col("dedup_first"), lit(false)).as("dedup_first"),
+        (col("page_keep") && col("rep_ok") &&
+          coalesce(col("dedup_first"), lit(false))).as("final_keep"))
+      .orderBy("doc_id")
+  }
+
   private def bpePairsQ(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.bpePairCounts(RawGen.table(s, dir, "documents"))
       .orderBy("rank")
@@ -1651,6 +1684,7 @@ object SparkEntry {
     "html_extract" -> (htmlExtractQ _),
     "html_paragraphs" -> (htmlParagraphsQ _),
     "c4_page_filter" -> (c4PageFilterQ _),
+    "crawl_curate_e2e" -> (crawlCurateE2eQ _),
     "q_global_seq" -> (qGlobalSeq _),
     "layout_zorder" -> (layoutZorderQ _),
     "snm_editdist" -> (snmEditDistQ _),
@@ -2903,6 +2937,26 @@ object SparkEntry {
        |SELECT doc_id, fail_reasons = '' AS keep, fail_reasons, n_kept_lines
        |FROM r ORDER BY doc_id""".stripMargin
 
+  // the end-to-end crawl pipeline oracle: page gate + extraction +
+  // top-2-gram repetition gate over the EXTRACTED words + md5
+  // first-occurrence among passers
+  private val crawlCurateE2eSql =
+    s"""WITH $rawHtmlDuck,
+       |$htmlKeptDuck,
+       |k2 AS (SELECT doc_id, lines, list_filter(kept, l -> NOT contains(lower(l), 'javascript')) AS kept2,
+       |  lower(array_to_string(lines, chr(10))) AS tl, array_to_string(kept, chr(10)) AS text_clean FROM kp),
+       |pg AS (SELECT doc_id, text_clean, (NOT contains(tl, 'lorem ipsum')) AND (NOT contains(tl, '{')) AND (NOT contains(tl, 'vector')) AND len(kept2) >= 2 AS page_keep FROM k2),
+       |tw AS (SELECT doc_id, text_clean, page_keep, string_split_regex(trim(text_clean), '\\s+') AS cws FROM pg),
+       |gg AS (SELECT *, CASE WHEN len(cws) >= 2 THEN list_transform(range(0, len(cws) - 1), i -> array_to_string(cws[CAST(i+1 AS INT):CAST(i+2 AS INT)], ' ')) ELSE [] END AS grams FROM tw),
+       |gm AS (SELECT *, CASE WHEN len(grams) > 0 THEN list_max(list_transform(list_distinct(grams), g -> len(list_filter(grams, x -> x = g)))) END AS cmax FROM gg),
+       |gt AS (SELECT * EXCLUDE (grams, cmax), CASE WHEN len(grams) > 0 THEN CAST(cmax AS DOUBLE) * list_max(list_transform(list_filter(list_distinct(grams), g -> len(list_filter(grams, x -> x = g)) = cmax), g -> length(g))) / greatest(length(array_to_string(cws, ' ')), 1) ELSE 0.0 END AS top2 FROM gm),
+       |j AS (SELECT doc_id, page_keep, top2 <= 0.2 AS rep_ok, md5(text_clean) AS h FROM gt),
+       |p AS (SELECT doc_id, row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn FROM j WHERE page_keep AND rep_ok)
+       |SELECT j.doc_id, j.page_keep, j.rep_ok,
+       |  COALESCE(p.rn = 1, false) AS dedup_first,
+       |  j.page_keep AND j.rep_ok AND COALESCE(p.rn = 1, false) AS final_keep
+       |FROM j LEFT JOIN p ON j.doc_id = p.doc_id ORDER BY j.doc_id""".stripMargin
+
 
   // Zone-map pruning comparison: same grid/interleave arithmetic as
   // layout_zorder, plus the x-only bucketing; a bucket is "read" when its
@@ -3891,6 +3945,7 @@ object SparkEntry {
     "html_extract" -> htmlExtractSql,
     "html_paragraphs" -> htmlParagraphsSql,
     "c4_page_filter" -> c4PageFilterSql,
+    "crawl_curate_e2e" -> crawlCurateE2eSql,
     "q_global_seq" -> qGlobalSeqSql,
     "layout_zorder" -> layoutZorderSql,
     "snm_editdist" -> snmEditDistSql,
