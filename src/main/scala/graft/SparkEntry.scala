@@ -503,18 +503,9 @@ object SparkEntry {
     * reach the join), a per-user min agg, a user-key join that reuses
     * that partitioning, and one final hash agg. No windows, no per-user
     * state. */
-  private def qCohortRetention(s: SparkSession, dir: String): DataFrame = {
-    val ud = RawGen.events(s, dir)
-      .filter(col("user_id").isNotNull && col("ts").isNotNull)
-      .select(col("user_id"),
-        floor(col("epoch_us") / lit(86400000000L)).as("day"))
-      .distinct()
-    val cohort = ud.groupBy("user_id").agg(min("day").as("cohort_day"))
-    ud.join(cohort, "user_id")
-      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
-      .agg(countDistinct(col("user_id")).as("n_users"))
+  private def qCohortRetention(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Analytics.cohortRetention(RawGen.events(s, dir))
       .orderBy("cohort_day", "day_offset")
-  }
 
   /** Re-aggregatable distinct-count sketches — the 100 TB rollup
     * pattern: partial HLL sketches per (event_type, day) — the grain a
@@ -528,12 +519,7 @@ object SparkEntry {
     val ev = RawGen.events(s, dir)
       .filter(col("user_id").isNotNull && col("ts").isNotNull &&
         col("event_type").isNotNull)
-      .select(col("event_type"), col("user_id"),
-        floor(col("epoch_us") / lit(86400000000L)).as("day"))
-    val daily = ev.groupBy("event_type", "day")
-      .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
-    val merged = daily.groupBy("event_type")
-      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("approx"))
+    val merged = graft.ops.Analytics.sketchRollup(ev)
     val exact = ev.groupBy("event_type")
       .agg(countDistinct(col("user_id")).as("exact_users"))
     exact.join(merged, "event_type")
@@ -1397,7 +1383,12 @@ object SparkEntry {
     val p2 = array_join(slice(ws, 11, 8), " ")
     val p3 = concat(array_join(slice(ws, 19, 12), " "),
       lit(" &amp; more &lt;b&gt; &quot;q&quot;!"))
-    RawGen.table(s, dir, "documents").select(col("doc_id"), concat(
+    RawGen.table(s, dir, "documents")
+      // text IS NOT NULL on BOTH sides: the oracle's COALESCEd word
+      // joins would otherwise build a full template page from a NULL
+      // text while concat() null-propagates to a NULL html here
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), concat(
       lit("<html><head><title>Doc "), col("doc_id"),
       lit("</title><script type=\"text/javascript\">var n = 1 && 2; " +
         "console.log(\"<p>\");</script><style>.nav { color: red; }</style>" +
@@ -2893,14 +2884,14 @@ object SparkEntry {
   // strip/segment/filter pipeline in RE2 regexes. Shared single-line CTE
   // fragment (see the declaration-order gotcha).
   private val rawHtmlDuck =
-    """raw AS (SELECT doc_id, '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || '</title><script type="text/javascript">var n = 1 && 2; console.log("<p>");</script><style>.nav { color: red; }</style></head><body><h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1><p>' || COALESCE(array_to_string(ws[1:10], ' '), '') || '.' || '</p><div class="nav">Home | About | Contact</div><p>' || COALESCE(array_to_string(ws[11:18], ' '), '') || '</p><p>' || COALESCE(array_to_string(ws[19:30], ' '), '') || ' &amp; more &lt;b&gt; &quot;q&quot;!' || '</p><br/></body></html>' AS html FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents))"""
+    """raw AS (SELECT doc_id, '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || '</title><script type="text/javascript">var n = 1 && 2; console.log("<p>");</script><style>.nav { color: red; }</style></head><body><h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1><p>' || COALESCE(array_to_string(ws[1:10], ' '), '') || '.' || '</p><div class="nav">Home | About | Contact</div><p>' || COALESCE(array_to_string(ws[11:18], ' '), '') || '</p><p>' || COALESCE(array_to_string(ws[19:30], ' '), '') || ' &amp; more &lt;b&gt; &quot;q&quot;!' || '</p><br/></body></html>' AS html FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents WHERE text IS NOT NULL))"""
 
   private val htmlKeptDuck =
     """s1 AS (SELECT doc_id, regexp_replace(html, '(?is)<script\b[^>]*>.*?</script>', '', 'g') AS h FROM raw),
       |s2 AS (SELECT doc_id, regexp_replace(h, '(?is)<style\b[^>]*>.*?</style>', '', 'g') AS h FROM s1),
       |s3 AS (SELECT doc_id, regexp_replace(h, '(?i)<(br|/p|/div|/h[1-6]|/li|/tr|/title)\b[^>]*>', chr(10), 'g') AS h FROM s2),
       |s4 AS (SELECT doc_id, regexp_replace(h, '<[^>]*>', '', 'g') AS h FROM s3),
-      |ent AS (SELECT doc_id, replace(replace(replace(replace(replace(replace(h, '&amp;', '&'), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)), '&nbsp;', ' ') AS h FROM s4),
+      |ent AS (SELECT doc_id, replace(replace(replace(replace(replace(replace(h, '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&') AS h FROM s4),
       |ln AS (SELECT doc_id, list_filter(list_transform(string_split(h, chr(10)), l -> trim(regexp_replace(l, '\s+', ' ', 'g'))), l -> l <> '') AS lines FROM ent),
       |kp AS (SELECT doc_id, lines, list_filter(lines, l -> regexp_matches(l, '[.!?"]$') AND len(string_split(l, ' ')) >= 3) AS kept FROM ln)""".stripMargin
 

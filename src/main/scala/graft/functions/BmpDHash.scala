@@ -74,8 +74,28 @@ object BmpDHash {
     if (b18 < 0 || b19 < 0 || b22 < 0 || b23 < 0)
       return new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
         Array[Any](0L, 0L))
-    val w = b18 + b19 * 256L
-    val h = b22 + b23 * 256L
+    // BITMAPINFOHEADER width/height are SIGNED 4-byte fields: a negative
+    // biHeight is a valid TOP-DOWN bmp (rows stored top-first). Parse all
+    // four bytes and take |h| for geometry — a 2-byte read would turn
+    // biHeight = -64 into h = 65472, sample almost every grid point out
+    // of range, and hash unrelated top-down images to near-zero (mutual
+    // hamming-0 "near-dups"). Row ORDER doesn't matter to the hash — it
+    // uses stored order consistently — only the extents do. Nonpositive
+    // width (or |h| = 0) is malformed: hash (0, 0), same as a short
+    // header. (Synthetic-corpus BMPs have bytes 20/21/24/25 = 0, so this
+    // parse is value-identical there and the DuckDB oracle — which
+    // derives w/h from the generator parameters — is unaffected.)
+    val b20 = byteAt(20); val b21 = byteAt(21)
+    val b24 = byteAt(24); val b25 = byteAt(25)
+    if (b20 < 0 || b21 < 0 || b24 < 0 || b25 < 0)
+      return new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](0L, 0L))
+    val w = (b18 | b19 << 8 | b20 << 16 | b21 << 24).toLong
+    val hRaw = (b22 | b23 << 8 | b24 << 16 | b25 << 24).toLong
+    val h = math.abs(hRaw)
+    if (w <= 0 || h <= 0)
+      return new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](0L, 0L))
     val rowb = w * 3 + 3 - (w * 3 + 3) % 4
     val grid = new Array[Long](72)
     var i = 0

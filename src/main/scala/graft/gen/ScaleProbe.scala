@@ -287,29 +287,10 @@ object ScaleProbe {
         .withColumn("user_id", col("user_id") * 10 + r)
     }.reduce(_ unionByName _).repartition(32).persist()
     ev10.count()
-    def cohort(ev: DataFrame): DataFrame = {
-      val ud = ev.filter(col("user_id").isNotNull && col("ts").isNotNull)
-        .select(col("user_id"),
-          floor(col("epoch_us") / lit(86400000000L)).as("day"))
-        .distinct()
-      val c = ud.groupBy("user_id").agg(min("day").as("cohort_day"))
-      ud.join(c, "user_id")
-        .groupBy(col("cohort_day"),
-          (col("day") - col("cohort_day")).as("day_offset"))
-        .agg(countDistinct(col("user_id")).as("n_users"))
-    }
-    pair("cohort_retention", cohort(ev1), cohort(ev10))
-    def sketchRollup(ev: DataFrame): DataFrame = {
-      val e = ev.filter(col("user_id").isNotNull && col("ts").isNotNull &&
-          col("event_type").isNotNull)
-        .select(col("event_type"), col("user_id"),
-          floor(col("epoch_us") / lit(86400000000L)).as("day"))
-      e.groupBy("event_type", "day")
-        .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
-        .groupBy("event_type")
-        .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("approx"))
-    }
-    pair("sketch_rollup", sketchRollup(ev1), sketchRollup(ev10))
+    pair("cohort_retention", graft.ops.Analytics.cohortRetention(ev1),
+      graft.ops.Analytics.cohortRetention(ev10))
+    pair("sketch_rollup", graft.ops.Analytics.sketchRollup(ev1),
+      graft.ops.Analytics.sketchRollup(ev10))
 
     only.foreach { keep =>
       if (probed == 0) System.err.println(

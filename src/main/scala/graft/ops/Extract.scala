@@ -38,8 +38,11 @@ object Extract {
     val breaks = regexp_replace(noStyle,
       "(?i)<(br|/p|/div|/h[1-6]|/li|/tr|/title)\\b[^>]*>", "\n")
     val noTags = regexp_replace(breaks, "<[^>]*>", "")
-    Seq("&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
-      "&#39;" -> "'", "&nbsp;" -> " ")
+    // &amp; decodes LAST: decoding it first double-unescapes
+    // double-escaped entities ('&amp;lt;' must yield the literal text
+    // '&lt;', not '<' — the classic unescape-order bug)
+    Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
       .foldLeft(noTags) { case (c, (e, r)) => regexp_replace(c, e, r) }
   }
 
@@ -67,13 +70,16 @@ object Extract {
   def htmlExtract(raw: DataFrame, htmlCol: String = "html",
                   idCol: String = "doc_id",
                   minWords: Int = 3): DataFrame = {
-    val lines = textLines(stripHtml(col(htmlCol)))
-    val kept = filter(lines, l => c4KeepLine(l, minWords))
-    raw.select(col(idCol), lines.as("_lines"), kept.as("_kept"))
+    // stage the stripped lines ONCE (c4PageFilter's pattern): `lines` and
+    // `kept` as sibling expressions would each embed the full
+    // 5-regexp strip chain — Catalyst Columns are trees, not DAGs, so
+    // the chain would run twice per row on the hottest scan path
+    val kept = filter(col("_lines"), l => c4KeepLine(l, minWords))
+    raw.select(col(idCol), textLines(stripHtml(col(htmlCol))).as("_lines"))
       .select(col(idCol),
         size(col("_lines")).as("n_lines"),
-        size(col("_kept")).as("n_kept"),
-        array_join(col("_kept"), "\n").as("text_clean"))
+        size(kept).as("n_kept"),
+        array_join(kept, "\n").as("text_clean"))
   }
 
   /** C4's PAGE-level rules (§2.2), applied on top of the line filter:

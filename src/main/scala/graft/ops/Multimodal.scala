@@ -243,8 +243,12 @@ object Multimodal {
         (bit_count(col("a_hi").bitwiseXOR(col("b_hi"))) +
           bit_count(col("a_lo").bitwiseXOR(col("b_lo"))))
           .cast("int").as("hamming"))
-      .distinct() // a pair may collide in several bands — emit once
+      // threshold FIRST, then dedupe: hamming is a pure function of the
+      // pair, so the orders are equivalent — but band collisions beyond
+      // the threshold vastly outnumber true near-dups, and filtering
+      // first keeps them out of the distinct()'s exchange
       .filter(col("hamming") <= maxHamming)
+      .distinct() // a pair may collide in several bands — emit once
   }
 
   /** Delta-vs-catalog image near-dup — the ingest-time increment behind
@@ -282,8 +286,8 @@ object Multimodal {
         (bit_count(col("a_hi").bitwiseXOR(col("b_hi"))) +
           bit_count(col("a_lo").bitwiseXOR(col("b_lo"))))
           .cast("int").as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxHamming)
+      .distinct() // multi-band collisions of the same pair emit once
     (pairs, ph)
   }
 

@@ -33,9 +33,26 @@ object Partitioning {
     * a scheduled 100 TB index-refresh job needs. */
   def dropManagedTable(spark: org.apache.spark.sql.SparkSession,
                        table: String): Unit = {
+    // SIMPLE default-database names only: the <warehouse>/<name> location
+    // derivation below is wrong for qualified names (<wh>/<db>.db/<name>)
+    // or a non-default current database — deleting the wrong path would
+    // either no-op (leaving the LOCATION_ALREADY_EXISTS failure this
+    // function exists to prevent) or destroy unrelated data
+    require(!table.contains("."),
+      s"dropManagedTable handles simple default-db table names only, got '$table'")
+    // prefer the catalog's own location for the registered table; the
+    // warehouse-derived path is the fallback for the cross-JVM case where
+    // the in-memory catalog has no entry but the directory persists
+    val ident = org.apache.spark.sql.catalyst.TableIdentifier(table)
+    val catalogPath =
+      if (spark.sessionState.catalog.tableExists(ident))
+        Option(spark.sessionState.catalog.getTableMetadata(ident).location)
+          .map(u => new org.apache.hadoop.fs.Path(u))
+      else None
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     val wh = spark.conf.get("spark.sql.warehouse.dir")
-    val path = new org.apache.hadoop.fs.Path(wh, table.toLowerCase)
+    val path = catalogPath.getOrElse(
+      new org.apache.hadoop.fs.Path(wh, table.toLowerCase))
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(path)) fs.delete(path, true)
   }

@@ -99,13 +99,17 @@ object Retrieval {
                        topK: Int = 5, legK: Int = 20, k0: Int = 60,
                        prefix: String = "hybrid",
                        numCentroids: Int = 16, dim: Int = 64,
-                       nprobe: Int = 16): DataFrame = {
+                       nprobe: Int = -1): DataFrame = {
+    // nprobe < 0 (the default) resolves to numCentroids so the exact-leg
+    // row-identity contract TRACKS the centroid count — a literal default
+    // would silently under-probe any index built with more centroids
+    val probes = if (nprobe < 0) numCentroids else nprobe
     val lex = TextAnalysis.bm25SearchIndexed(spark,
       TextAnalysis.bm25Queries(docs), s"${prefix}_bm25", topK = legK)
       .select(col("query_id"), col("doc_id"), col("rank").as("lex_rank"))
     val dq = embeddings.filter(evalPred(col("vec_id")))
     val dense = Similarity.ivfSearchIndexed(spark, dq, s"${prefix}_ivf",
-      k = legK, numCentroids = numCentroids, dim = dim, nprobe = nprobe)
+      k = legK, numCentroids = numCentroids, dim = dim, nprobe = probes)
       .select(col("query_id"), col("neighbor_id").as("doc_id"),
         col("rank").as("dense_rank"))
     fuse(lex, dense, topK, k0)

@@ -32,6 +32,20 @@ class ExtractSpec extends SparkSpec {
       "Nav & bar", "A <tag> \"quoted\" 'apos' end.", "tail"))
   }
 
+  test("stripHtml: double-escaped entities decode exactly ONE level " +
+    "(&amp; last — the classic unescape-order bug)") {
+    import spark.implicits._
+    val out = Seq((1L, "<p>&amp;lt;script&amp;gt; and A &amp; B</p>"))
+      .toDF("doc_id", "html")
+      .select(graft.ops.Extract.stripHtml(col("html")).as("t"))
+      .head().getString(0)
+    // '&amp;lt;' is the ESCAPED TEXT '&lt;' — it must stay literal text,
+    // never double-decode into a live '<script>'
+    assert(out.contains("&lt;script&gt;"), s"double-unescaped: $out")
+    assert(!out.contains("<script>"))
+    assert(out.contains("A & B"))
+  }
+
   test("c4KeepLine: terminal punctuation AND word-count rules") {
     import spark.implicits._
     val cases = Seq(

@@ -535,6 +535,28 @@ class OpsSpec extends SparkSpec {
     val pairs = Multimodal.imagePhashNeardup(media).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(pairs.contains((8L, 1062L, 0)))
+    // TOP-DOWN BMPs (negative 4-byte biHeight — valid per the spec) must
+    // parse |h|, not a garbage 2-byte unsigned read that samples almost
+    // every grid point out of range and hashes unrelated images to ~0
+    def topDown(p: Array[Byte]): Array[Byte] = {
+      val q = p.clone()
+      val h = java.nio.ByteBuffer.wrap(p)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt(22)
+      java.nio.ByteBuffer.wrap(q)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(22, -h)
+      q
+    }
+    val tdHashes = Seq(raw(8L), raw(30L)).map(p =>
+      graft.functions.BmpDHash.compute(topDown(p)))
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(tdHashes(0) !== tdHashes(1),
+      "distinct top-down images collapsed to one hash")
+    assert(tdHashes.forall(t => t._1 != 0L || t._2 != 0L),
+      "top-down image hashed to the degenerate (0, 0)")
+    // and |h| geometry means a top-down flip of the SAME image keeps the
+    // same grid extents (bits may differ — row order changes brights)
+    assert(tdHashes(0) !== ((0L, 0L)))
+
     // per-image hashing is row-local (zero exchanges); the near-dup join
     // is band-bucketed, never a cartesian
     val pPh = ph.queryExecution.executedPlan.toString
