@@ -141,56 +141,102 @@ object Bench {
       fenceWaited += 15
     }
     val loadBefore = loadavg()
-    val canonical = loadBefore >= 0.0 && loadBefore < loadFence
-    val results = registry.map { case (name, fn) =>
-      // toRdd.count(), NOT count(): a count() action lets Catalyst prune
-      // every deterministic projection (and the sort), so scan-fused
-      // operators — md5/regexp/transform pipelines, the very work being
-      // measured — would be timed as zero-column scans
-      def sample(): Option[Double] = {
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).queryExecution.toRdd.count()
-              Some((System.nanoTime() - t0) / 1e9) }
-        catch { case t: Throwable if benchRecoverable(t) =>
-          System.err.println(s"[bench] $name FAILED: ${t.getMessage}"); None
-        }
+    // toRdd.count(), NOT count(): a count() action lets Catalyst prune
+    // every deterministic projection (and the sort), so scan-fused
+    // operators — md5/regexp/transform pipelines, the very work being
+    // measured — would be timed as zero-column scans
+    def sampleOf(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : Option[Double] = {
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).queryExecution.toRdd.count()
+            Some((System.nanoTime() - t0) / 1e9) }
+      catch { case t: Throwable if benchRecoverable(t) =>
+        System.err.println(s"[bench] $name FAILED: ${t.getMessage}"); None
       }
-      // One sample per query is defenseless against a transient load spike
-      // landing on exactly that query. Take two; if they agree within 1.5x
-      // report the min (best estimate of uncontaminated steady state — the
-      // work is identical each run, so any delta is interference), else a
-      // tiebreaking third and report the median. Worst case 3x wall clock
-      // for noisy queries only; the reported total stays comparable to the
-      // single-sample rounds because min/median of repeats of the same
-      // steady-state work equals the old number on a quiet host.
-      // ANY failed sample fails the query — a nondeterministically-throwing
-      // query masked as ok:true would hide exactly the flakiness repeat
-      // sampling exists to expose.
-      val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
-      val timed = sample().flatMap { t1 =>
-        sample() match {
-          case Some(t2) if math.max(t1, t2) <= math.min(t1, t2) * 1.5 =>
-            Some(math.min(t1, t2))
-          case Some(t2) => sample().map(t3 => Seq(t1, t2, t3).sorted.apply(1))
-          case None     => None
-        }
-      }
+    }
+    // One sample per query is defenseless against a transient load spike
+    // landing on exactly that query. Take two; if they agree within 1.5x
+    // report the min (best estimate of uncontaminated steady state — the
+    // work is identical each run, so any delta is interference), else a
+    // tiebreaking third and report the median. Worst case 3x wall clock
+    // for noisy queries only; the reported total stays comparable to the
+    // single-sample rounds because min/median of repeats of the same
+    // steady-state work equals the old number on a quiet host.
+    // ANY failed sample fails the query — a nondeterministically-throwing
+    // query masked as ok:true would hide exactly the flakiness repeat
+    // sampling exists to expose.
+    // Returns (seconds, ok, cleanLoad): cleanLoad is the 1-minute loadavg
+    // read at the query's start AND end both under the fence — per-QUERY
+    // contamination evidence, because round 12 proved a run can pass the
+    // before-run fence at 1.88 and be contended to 17.8 mid-run.
+    def measure(name: String,
+                fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (String, Double, Boolean, Boolean) = {
+      val la0 = loadavg()
       // Leak fence between queries: release any block a sample persisted and
       // didn't unpersist (managed operators release their own; this catches
       // everything else), so stacked MEMORY_AND_DISK blocks from query k
       // can't evict cache / inflate GC for queries k+1..n — the round-7
       // simhash_neardup 2.1x "regression" mechanism. The pre-warmed RawGen
       // corpus caches are in persistedBefore and survive.
+      val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
+      val timed = sampleOf(name, fn).flatMap { t1 =>
+        sampleOf(name, fn) match {
+          case Some(t2) if math.max(t1, t2) <= math.min(t1, t2) * 1.5 =>
+            Some(math.min(t1, t2))
+          case Some(t2) => sampleOf(name, fn).map(t3 => Seq(t1, t2, t3).sorted.apply(1))
+          case None     => None
+        }
+      }
       val persistedNow = spark.sparkContext.getPersistentRDDs
       (persistedNow.keySet -- persistedBefore).foreach { id =>
         persistedNow.get(id).foreach(_.unpersist(blocking = false))
       }
-      (name, timed.getOrElse(0.0), timed.isDefined)
+      val la1 = loadavg()
+      val clean = la0 >= 0.0 && la0 < loadFence && la1 < loadFence
+      (name, timed.getOrElse(0.0), timed.isDefined, clean)
+    }
+    val firstPass = registry.map { case (name, fn) => measure(name, fn) }
+    // Auto-rerun, the round-12 directive: queries whose samples ran while
+    // the host was contended (per-query loadavg evidence above) are
+    // re-measured in isolation after the host goes quiet again — their
+    // first-pass numbers measure co-tenant CPU steal, not the code. If the
+    // host never quiets within the wait budget, the original numbers stand
+    // and the run self-labels canonical:false.
+    val dirtyNames = firstPass.filter(r => r._3 && !r._4).map(_._1).toSet
+    val retried = if (dirtyNames.isEmpty) Map.empty[String, (String, Double, Boolean, Boolean)]
+    else {
+      val retryDeadline = System.nanoTime() + loadWaitS * 1000000000L
+      while (loadavg() >= loadFence && System.nanoTime() < retryDeadline) {
+        System.err.println(
+          s"[bench] loadavg ${loadavg()} >= $loadFence — waiting to re-run " +
+            s"${dirtyNames.size} contended queries")
+        Thread.sleep(15000)
+        fenceWaited += 15
+      }
+      if (loadavg() >= loadFence) Map.empty[String, (String, Double, Boolean, Boolean)]
+      else registry.filter { case (n, _) => dirtyNames(n) }
+        .map { case (name, fn) => name -> measure(name, fn) }.toMap
+    }
+    // a retry only replaces its first-pass row when the retry itself ran
+    // clean — a contended retry of a contended query is no evidence at all
+    val results = firstPass.map { r =>
+      retried.get(r._1).filter(rr => rr._3 && rr._4).getOrElse(r)
     }
     val loadAfter = loadavg()
+    // canonical now demands the WHOLE run's evidence be quiet-host: the
+    // before fence, the after reading, and every per-query window (round
+    // 11/12 both shipped artifacts whose before-load passed while the run
+    // itself was contended — this labeling closes that gap for good)
+    val canonical = loadBefore >= 0.0 && loadBefore < loadFence &&
+      loadAfter >= 0.0 && loadAfter < loadFence && results.forall(r => !r._3 || r._4)
     // Driver contract: "queries" maps name -> seconds. Failed queries are
     // omitted from it (and from the total) and listed under "failed" instead.
-    val okResults = results.filter(_._3)
+    val okResults = results.filter(_._3).map(r => (r._1, r._2, r._3))
+    val retriedJson = retried.keys.toSeq.sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
+    val contendedJson = results.filter(r => r._3 && !r._4).map(_._1).toSeq.sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     // Millisecond precision (%.3f), not full double digits: sub-ms digits
     // of a wall-clock sample are noise, and shorter numbers give the
     // inline form below more headroom. (Round 10 proved %.3f alone is NOT
@@ -225,14 +271,14 @@ object Bench {
     val detailPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", defaultDetail))
     val detailJson =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"ok_count":${okResults.size},"failed":$failed,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"canonical":$canonical,"fence_waited_sec":$fenceWaited,"timing":"min2med3","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"ok_count":${okResults.size},"failed":$failed,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"canonical":$canonical,"retried":$retriedJson,"contended":$contendedJson,"fence_waited_sec":$fenceWaited,"timing":"min2med3","sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(detailPath, detailJson + "\n")
     catch { case NonFatal(t) =>
       System.err.println(s"[bench] could not write $detailPath: ${t.getMessage}") }
     val inline =
       if (detailJson.length <= 1600) detailJson
       else
-        s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries_in":"${detailPath.toString}","ok_count":${okResults.size},"failed":$failed,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"canonical":$canonical,"fence_waited_sec":$fenceWaited,"timing":"min2med3","sf":"$sfDir"}"""
+        s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries_in":"${detailPath.toString}","ok_count":${okResults.size},"failed":$failed,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"canonical":$canonical,"retried":$retriedJson,"contended":$contendedJson,"fence_waited_sec":$fenceWaited,"timing":"min2med3","sf":"$sfDir"}"""
     println(inline)
     spark.stop()
   }

@@ -44,17 +44,27 @@ object Partitioning {
     // warehouse-derived path is the fallback for the cross-JVM case where
     // the in-memory catalog has no entry but the directory persists
     val ident = org.apache.spark.sql.catalyst.TableIdentifier(table)
-    val catalogPath =
+    val meta =
       if (spark.sessionState.catalog.tableExists(ident))
-        Option(spark.sessionState.catalog.getTableMetadata(ident).location)
-          .map(u => new org.apache.hadoop.fs.Path(u))
+        Some(spark.sessionState.catalog.getTableMetadata(ident))
       else None
+    // EXTERNAL tables: DROP TABLE preserves the data by contract, and this
+    // function must honor that — deleting the location would destroy data
+    // the catalog only POINTS at (user-owned parquet, a shared lakehouse
+    // path). Only a MANAGED table's location is the catalog's to reclaim;
+    // for anything else, drop the catalog entry and leave the files.
+    val managed = meta.forall(_.tableType ==
+      org.apache.spark.sql.catalyst.catalog.CatalogTableType.MANAGED)
+    val catalogPath = meta.filter(_ => managed)
+      .flatMap(m => Option(m.location).map(u => new org.apache.hadoop.fs.Path(u)))
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    val wh = spark.conf.get("spark.sql.warehouse.dir")
-    val path = catalogPath.getOrElse(
-      new org.apache.hadoop.fs.Path(wh, table.toLowerCase))
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(path)) fs.delete(path, true)
+    if (managed) {
+      val wh = spark.conf.get("spark.sql.warehouse.dir")
+      val path = catalogPath.getOrElse(
+        new org.apache.hadoop.fs.Path(wh, table.toLowerCase))
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(path)) fs.delete(path, true)
+    }
   }
 
   /** Salted equi-join for skewed keys: the big side's hot keys spread over

@@ -254,7 +254,16 @@ object Similarity {
     val spark = delta.sparkSession
     // quantizer AND bucket spec come from the index's own meta — a
     // caller-supplied value could silently mismatch the table layout
-    val meta = spark.table(s"${prefix}_meta").head()
+    val metaDf = spark.table(s"${prefix}_meta")
+    // indexes persisted before the bucket spec rode in meta have a 2-column
+    // (num_centroids, dim) table; appending under a GUESSED bucket count
+    // would silently mismatch the lists' physical layout, so refuse with
+    // the remedy instead of an opaque out-of-bounds read
+    require(metaDf.columns.length >= 3 && metaDf.columns(2) == "buckets",
+      s"index '$prefix' meta predates bucket-spec persistence " +
+        s"(columns: ${metaDf.columns.mkString(", ")}) — rebuild the index " +
+        "with ivfWriteIndex before appending")
+    val meta = metaDf.head()
     ivfAssignCorpus(delta, meta.getInt(0), meta.getInt(1))
       .write.mode("append")
       .bucketBy(meta.getInt(2), "cid").sortBy("cid")

@@ -75,6 +75,8 @@ final case class KinesisSource(
     name: String,
     streamName: String,
     initialPosition: String = "TRIM_HORIZON",
+    awsRegion: String = "us-east-1",
+    awsEndpoint: Option[String] = None,
     checkpointIntervalMs: Long = 60000,
     backoffTimeMs: Long = 3000,
     numRetries: Int = 3,
@@ -83,14 +85,20 @@ final case class KinesisSource(
   val sparkFormat = "kinesis"
   /** AWS's spark-streaming-sql-kinesis-connector option keys:
     * config.sample.yml:15 awsKinesisStreamName → `streamName`,
-    * :21 initialPositionInStream → `startingPosition` (same enum values).
-    * The KCL tuning knobs (checkpointInterval/backoffTime/numRetries/
-    * receiveQueueSize, :23–26) configure the consumer library, which the
-    * Spark connector manages internally — carried here as data for a
-    * deployment that tunes the client, not reader options. */
+    * :21 initialPositionInStream → `startingPosition` (same enum values),
+    * :14 awsRegion → `region` (required by the connector to build its
+    * client), :10 awsEndpoint → `endpointUrl` (only set when the
+    * deployment overrides the regional default — LocalStack in the
+    * reference's compose file). The KCL tuning knobs (checkpointInterval/
+    * backoffTime/numRetries/receiveQueueSize, :23–26) configure the
+    * consumer library, which the Spark connector manages internally —
+    * carried here as data for a deployment that tunes the client, not
+    * reader options. */
   override def readerOptions: Map[String, String] = Map(
     "streamName" -> streamName,
-    "startingPosition" -> initialPosition)
+    "startingPosition" -> initialPosition,
+    "region" -> awsRegion) ++
+    awsEndpoint.map("endpointUrl" -> _)
 }
 
 /** S2 — Kafka (connectors/kafka/config.sample.yml:8–16). */
@@ -188,7 +196,9 @@ final case class PulsarSource(
 /** The pipeline.yaml:4–39 instances, verbatim configs. */
 object Sources {
   val kinesisInput: KinesisSource = KinesisSource("kinesis-input",
-    streamName = "my-kinesis-stream", outputTopic = "raw-kinesis-events")
+    streamName = "my-kinesis-stream", awsRegion = "us-east-1",
+    awsEndpoint = Some("http://localstack:4566"),
+    outputTopic = "raw-kinesis-events")
   val kafkaInput: KafkaSource = KafkaSource("kafka-input",
     bootstrapServers = "kafka:9092", topic = "my-kafka-topic",
     groupId = "example-group", outputTopic = "raw-kafka-events")

@@ -15,6 +15,20 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * byte-for-byte by StreamingSpec). This module adds the pieces that only
   * exist in streaming: watermarks, event-time windows, session windows,
   * streaming dedup, and the per-tenant fan-out sink.
+  *
+  * ==State-schema compatibility==
+  * The stateful ops' state encodings are case classes ([[Scd2State]],
+  * [[FunnelProgress]], LatestState/TombState) serialized into the
+  * checkpoint's state store. They are NOT versioned: a build that changes
+  * a state shape (as the round-12 build did — FunnelProgress moved from 3
+  * fixed Options to `Seq[Option[Long]]`; Latest/Tomb values widened to
+  * `Option[Double]`) cannot restore a checkpoint written by a previous
+  * shape — Spark fails on state deserialization or, worse, misreads
+  * field-compatible layouts. Upgrading across a state-shape change
+  * requires a FRESH checkpoint directory (replay the source, or drain the
+  * old query first). A production deployment that needs rolling upgrades
+  * should version the state explicitly (an envelope case class with a
+  * schema tag, migrating old shapes on read).
   */
 object StreamingOps {
 

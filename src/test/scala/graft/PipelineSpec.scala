@@ -296,12 +296,16 @@ class PipelineSpec extends SparkSpec {
       "kafka.group.id" -> "example-group",
       "startingOffsets" -> "earliest")))
 
-    // S1 Kinesis (connectors/kinesis/config.sample.yml:15,21)
+    // S1 Kinesis (connectors/kinesis/config.sample.yml:10,14,15,21) —
+    // region + endpoint ride along so a jar-equipped deployment can
+    // actually connect (the reference config carries both)
     val (nfmt, nopts) = inspect(Sources.kinesisInput.reader(spark))
     assert(nfmt === "kinesis")
     assert(nopts === lc(Map(
       "streamName" -> "my-kinesis-stream",
-      "startingPosition" -> "TRIM_HORIZON")))
+      "startingPosition" -> "TRIM_HORIZON",
+      "region" -> "us-east-1",
+      "endpointUrl" -> "http://localstack:4566")))
 
     // S4 Event Hub kafka head: Kafka mapping + the SASL_SSL/PLAIN
     // handshake every Event Hubs Kafka endpoint requires
