@@ -1452,6 +1452,21 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  // URL-level curation (round 13): canonical-URL dedup + per-domain stats
+  // with sqrt-proportional quotas + the quota-capped sample — all over the
+  // deterministic synthetic URL corpus (Url.syntheticUrls fixture contract)
+  private def urlFrame(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Url.syntheticUrls(RawGen.table(s, dir, "documents"))
+
+  private def urlDedupQ(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Url.urlDedup(urlFrame(s, dir)).orderBy("url_canon")
+
+  private def domainStatsQ(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Url.domainStats(urlFrame(s, dir)).orderBy("domain")
+
+  private def domainQuotaSampleQ(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Url.domainQuotaSample(urlFrame(s, dir)).orderBy("doc_id")
+
   private def bpePairsQ(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.bpePairCounts(RawGen.table(s, dir, "documents"))
       .orderBy("rank")
@@ -1676,6 +1691,9 @@ object SparkEntry {
     "html_paragraphs" -> (htmlParagraphsQ _),
     "c4_page_filter" -> (c4PageFilterQ _),
     "crawl_curate_e2e" -> (crawlCurateE2eQ _),
+    "url_dedup" -> (urlDedupQ _),
+    "domain_stats" -> (domainStatsQ _),
+    "domain_quota_sample" -> (domainQuotaSampleQ _),
     "q_global_seq" -> (qGlobalSeq _),
     "layout_zorder" -> (layoutZorderQ _),
     "snm_editdist" -> (snmEditDistQ _),
@@ -3802,6 +3820,76 @@ object SparkEntry {
       |  true AS p50_within_tol, true AS p90_within_tol
       |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- URL curation oracles: rebuild the synthetic URL corpus
+  // (Url.syntheticUrls' per-doc_id contract), replay the canonicalizer
+  // (strip fragment/www/default port/tracking params, sort params, fold
+  // case and trailing slash), then dedup / per-domain stats / quota sample
+  private val urlCanonCte =
+    """WITH u AS (SELECT doc_id, n_chars,
+      |    (CASE doc_id%4 WHEN 0 THEN 'https' WHEN 1 THEN 'HTTP' WHEN 2 THEN 'http' ELSE 'HTTPS' END)
+      |    || '://' || (CASE doc_id%3 WHEN 0 THEN 'WWW.' WHEN 1 THEN 'www.' ELSE '' END)
+      |    || 'Sub' || (doc_id%7) || '.' || source || '-site.'
+      |    || (CASE doc_id%3 WHEN 0 THEN 'com' WHEN 1 THEN 'Org' ELSE 'net' END)
+      |    || (CASE WHEN doc_id%5=0 THEN (CASE WHEN doc_id%4 IN (0,3) THEN ':443' ELSE ':80' END)
+      |             WHEN doc_id%11=0 THEN ':8080' ELSE '' END)
+      |    || '/p/' || (doc_id%13) || (CASE WHEN doc_id%6=0 THEN '/' ELSE '' END)
+      |    || (CASE doc_id%8 WHEN 0 THEN '?utm_source=feed&b=2&a=1'
+      |         WHEN 1 THEN '?id=' || (doc_id%17) || '&utm_campaign=x'
+      |         WHEN 2 THEN '?a=1&b=2' WHEN 3 THEN '?b=2&a=1' ELSE '' END)
+      |    || (CASE WHEN doc_id%9=0 THEN '#sec' ELSE '' END) AS url
+      |  FROM documents),
+      | s1 AS (SELECT doc_id, n_chars, split_part(url, '#', 1) AS base FROM u),
+      | s2 AS (SELECT doc_id, n_chars,
+      |    lower(split_part(base, '://', 1)) AS scheme,
+      |    substr(base, length(split_part(base, '://', 1)) + 4) AS aftersch FROM s1),
+      | s3 AS (SELECT doc_id, n_chars, scheme,
+      |    split_part(aftersch, '?', 1) AS beforeq,
+      |    CASE WHEN contains(aftersch, '?') THEN split_part(aftersch, '?', 2) ELSE '' END AS rawq FROM s2),
+      | s4 AS (SELECT doc_id, n_chars, scheme, rawq,
+      |    split_part(beforeq, '/', 1) AS hostport,
+      |    substr(beforeq, length(split_part(beforeq, '/', 1)) + 1) AS rawpath FROM s3),
+      | s5 AS (SELECT doc_id, n_chars, scheme, rawq, rawpath,
+      |    regexp_replace(lower(split_part(hostport, ':', 1)), '^www\.', '') AS host,
+      |    CASE WHEN contains(hostport, ':') THEN split_part(hostport, ':', 2) ELSE '' END AS port FROM s4),
+      | s6 AS (SELECT doc_id, n_chars, scheme, host,
+      |    CASE WHEN port='' OR (scheme='http' AND port='80') OR (scheme='https' AND port='443')
+      |      THEN '' ELSE ':' || port END AS keptport,
+      |    CASE WHEN rawpath='' THEN '/'
+      |      WHEN rawpath<>'/' AND ends_with(rawpath, '/') THEN substr(rawpath, 1, length(rawpath)-1)
+      |      ELSE rawpath END AS canonpath,
+      |    list_filter(string_split(rawq, '&'), x -> x <> ''
+      |      AND NOT starts_with(split_part(x, '=', 1), 'utm_')
+      |      AND split_part(x, '=', 1) NOT IN ('fbclid','gclid')) AS ps FROM s5),
+      | cc AS (SELECT doc_id, n_chars,
+      |    scheme || '://' || host || keptport || canonpath ||
+      |    (CASE WHEN len(ps) > 0 THEN '?' || array_to_string(list_sort(ps), '&') ELSE '' END) AS url_canon
+      |  FROM s6),
+      | d AS (SELECT doc_id, n_chars, url_canon,
+      |    regexp_extract(split_part(split_part(split_part(url_canon, '://', 2), '/', 1), ':', 1),
+      |      '([^.]+\.[^.]+)$', 1) AS domain FROM cc),
+      | st AS (SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(count(DISTINCT url_canon) AS BIGINT) AS n_urls,
+      |    CAST(sum(CAST(n_chars AS DECIMAL(18,0))) AS BIGINT) AS total_chars,
+      |    CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS isqrt
+      |  FROM d GROUP BY domain),
+      | qt AS (SELECT domain, n_docs, n_urls, total_chars,
+      |    greatest(1, CAST(floor(100 * isqrt / (SELECT sum(isqrt) FROM st)) AS BIGINT)) AS quota
+      |  FROM st)""".stripMargin
+
+  private val urlDedupSql = urlCanonCte +
+    "\nSELECT url_canon, CAST(min(doc_id) AS BIGINT) AS keep_doc_id, " +
+    "CAST(count(*) AS BIGINT) AS n_dups FROM cc GROUP BY url_canon ORDER BY url_canon"
+
+  private val domainStatsSql = urlCanonCte +
+    "\nSELECT domain, n_docs, n_urls, total_chars, quota FROM qt ORDER BY domain"
+
+  private val domainQuotaSampleSql = urlCanonCte + """,
+      | r AS (SELECT doc_id, domain, row_number() OVER (PARTITION BY domain
+      |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rank FROM d)
+      |SELECT r.doc_id, r.domain, CAST(r.rank AS BIGINT) AS rank
+      |FROM r JOIN qt USING (domain) WHERE r.rank <= qt.quota
+      |ORDER BY r.doc_id""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "cmf_geotab" -> cmfGeotabSql,
     "cmf_calamp" -> cmfCalampSql,
@@ -3937,6 +4025,9 @@ object SparkEntry {
     "html_paragraphs" -> htmlParagraphsSql,
     "c4_page_filter" -> c4PageFilterSql,
     "crawl_curate_e2e" -> crawlCurateE2eSql,
+    "url_dedup" -> urlDedupSql,
+    "domain_stats" -> domainStatsSql,
+    "domain_quota_sample" -> domainQuotaSampleSql,
     "q_global_seq" -> qGlobalSeqSql,
     "layout_zorder" -> layoutZorderSql,
     "snm_editdist" -> snmEditDistSql,

@@ -1,0 +1,173 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** URL-level curation (round-13 addition to SURVEY.md §2.5's crawl front
+  * end): canonicalized-URL exact dedup and per-domain aggregation feeding
+  * sampling quotas. In a real crawl pipeline these run BEFORE any content
+  * op — the cheapest dedup there is (a string key per page, no shingles,
+  * no vectors) and the mix-control lever every large corpus uses (per
+  * C4/CCNet practice: cap the share any single domain contributes).
+  *
+  * Everything here is row-local expression work plus one hash aggregation
+  * on the canonical key — the 100 TB shape: the canonicalizer runs fused
+  * into the scan; the dedup/stats shuffles carry only (key, count)-sized
+  * rows. The DuckDB oracle replays the same string pipeline, so the
+  * canonicalization contract is pinned cross-engine.
+  */
+object Url {
+
+  /** Deterministic synthetic URL corpus over `documents` — the
+    * [[Multimodal.syntheticMedia]] fixture pattern: every doc gets a raw
+    * URL whose messiness (scheme/host case, www prefix, default and
+    * explicit ports, trailing slash, shuffled + tracking query params,
+    * fragments) is a pure function of doc_id, so the oracle rebuilds the
+    * identical corpus and the canonicalizer's collapses are verifiable.
+    * Collision structure: the canonical key folds case/port/slash/param
+    * variants together, so distinct doc_ids genuinely collide (the dedup
+    * has real work to do). */
+  def syntheticUrls(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    val scheme = element_at(
+      array(lit("https"), lit("HTTP"), lit("http"), lit("HTTPS")),
+      (pmod(id, lit(4)) + 1).cast("int"))
+    val www = element_at(array(lit("WWW."), lit("www."), lit("")),
+      (pmod(id, lit(3)) + 1).cast("int"))
+    // registrable domain = source ×  TLD (so the per-domain stats have a
+    // real distribution to aggregate); subdomain + case variance on top
+    val host = concat(lit("Sub"), pmod(id, lit(7)), lit("."), col("source"),
+      lit("-site."), element_at(array(lit("com"), lit("Org"), lit("net")),
+        (pmod(id, lit(3)) + 1).cast("int")))
+    val isHttps = lower(scheme) === "https"
+    val port = when(pmod(id, lit(5)) === 0,
+        when(isHttps, lit(":443")).otherwise(lit(":80")))
+      .when(pmod(id, lit(11)) === 0, lit(":8080"))
+      .otherwise(lit(""))
+    val path = concat(lit("/p/"), pmod(id, lit(13)),
+      when(pmod(id, lit(6)) === 0, lit("/")).otherwise(lit("")))
+    val query = when(pmod(id, lit(8)) === 0, lit("?utm_source=feed&b=2&a=1"))
+      .when(pmod(id, lit(8)) === 1,
+        concat(lit("?id="), pmod(id, lit(17)), lit("&utm_campaign=x")))
+      .when(pmod(id, lit(8)) === 2, lit("?a=1&b=2"))
+      .when(pmod(id, lit(8)) === 3, lit("?b=2&a=1"))
+      .otherwise(lit(""))
+    val frag = when(pmod(id, lit(9)) === 0, lit("#sec")).otherwise(lit(""))
+    docs.select(col("doc_id"), col("source"), col("n_chars"),
+      concat(scheme, lit("://"), www, host, port, path, query, frag).as("url"))
+  }
+
+  /** Canonical form of an absolute http(s) URL, as one fused expression
+    * chain (no UDF — this runs per-page at crawl scale):
+    *  1. scheme and host lowercased; a leading `www.` stripped
+    *  2. the scheme's default port (`:80` http / `:443` https) stripped,
+    *     any other explicit port kept
+    *  3. the fragment dropped (never sent to the server)
+    *  4. tracking params removed (`utm_*`, `fbclid`, `gclid`), the
+    *     remaining query params sorted byte-lexicographically (param
+    *     ORDER is not semantic; sorting makes the key order-insensitive)
+    *  5. a trailing slash stripped from non-root paths; an empty path
+    *     becomes `/`
+    * Assumes well-formed absolute URLs with a scheme (the crawl-record
+    * shape — a WARC `WARC-Target-URI` is always absolute). Parsing is
+    * substring/split arithmetic rather than `parse_url` so the DuckDB
+    * oracle can replay byte-identical semantics. */
+  def canonicalizeUrl(url: Column): Column = {
+    val base = substring_index(url, "#", 1)            // drop fragment
+    val scheme = lower(substring_index(base, "://", 1))
+    val afterScheme = base.substr(length(scheme) + 4, lit(1 << 20))
+    val beforeQuery = substring_index(afterScheme, "?", 1)
+    val rawQuery = when(afterScheme.contains("?"),
+      substring_index(afterScheme, "?", -1)).otherwise(lit(""))
+    val hostport = substring_index(beforeQuery, "/", 1)
+    val rawPath = beforeQuery.substr(length(hostport) + 1, lit(1 << 20))
+    val host = regexp_replace(lower(substring_index(hostport, ":", 1)),
+      "^www\\.", "")
+    val port = when(hostport.contains(":"),
+      substring_index(hostport, ":", -1)).otherwise(lit(""))
+    val keptPort = when(port === "" ||
+        (scheme === "http" && port === "80") ||
+        (scheme === "https" && port === "443"), lit(""))
+      .otherwise(concat(lit(":"), port))
+    val params = filter(split(rawQuery, "&"), p =>
+      p =!= "" && !substring_index(p, "=", 1).startsWith("utm_") &&
+        !substring_index(p, "=", 1).isin("fbclid", "gclid"))
+    val canonQuery = when(size(params) > 0,
+      concat(lit("?"), array_join(array_sort(params), "&"))).otherwise(lit(""))
+    val canonPath = when(rawPath === "", lit("/"))
+      .when(rawPath =!= "/" && rawPath.endsWith("/"),
+        rawPath.substr(lit(1), length(rawPath) - 1))
+      .otherwise(rawPath)
+    concat(scheme, lit("://"), host, keptPort, canonPath, canonQuery)
+  }
+
+  /** Registrable domain of a canonical URL — the last two host labels
+    * (`sub.news.example.com` → `example.com`). A production deployment
+    * swaps in the Public Suffix List (so `foo.co.uk` keeps three labels);
+    * the two-label rule is the PSL-free approximation and is the
+    * documented contract here. */
+  def registrableDomain(urlCanon: Column): Column = {
+    val host = substring_index(substring_index(urlCanon, "://", -1), "/", 1)
+    val bare = substring_index(host, ":", 1)
+    regexp_extract(bare, "([^.]+\\.[^.]+)$", 1)
+  }
+
+  /** Canonicalized-URL exact dedup, first-occurrence-wins (the library-wide
+    * dedup convention): one row per distinct canonical URL with the
+    * lowest-doc_id keeper and the collapse count. One hash aggregation on
+    * the canonical string key — map-side partial min/count collapse before
+    * the shuffle, so the exchange carries one row per DISTINCT url. */
+  def urlDedup(urls: DataFrame): DataFrame =
+    urls.select(col("doc_id"), canonicalizeUrl(col("url")).as("url_canon"))
+      .groupBy("url_canon")
+      .agg(min(col("doc_id")).as("keep_doc_id"),
+        count(lit(1)).cast("long").as("n_dups"))
+
+  /** Per-domain corpus statistics plus a deterministic sampling quota —
+    * the mix-control table a curation pipeline joins against before
+    * sampling. Quotas are sqrt-proportional (the standard flattening
+    * between proportional — which lets a megadomain dominate — and
+    * uniform — which overweights one-page domains), computed in INTEGER
+    * arithmetic: floor(sqrt(n)) per domain, exact long sum, then
+    * floor(budget·isqrt/total) with a 1-doc floor — bit-identical in any
+    * engine and under any partitioning, unlike a double sqrt-share sum.
+    * Scale shape: one hash agg on domain, then a 1-row total broadcast
+    * back; |domains| rows total. */
+  def domainStats(urls: DataFrame, budget: Long = 100L): DataFrame = {
+    val canon = urls.select(col("doc_id"), col("n_chars"),
+      canonicalizeUrl(col("url")).as("url_canon"))
+    val stats = canon
+      .withColumn("domain", registrableDomain(col("url_canon")))
+      .groupBy("domain")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        count_distinct(col("url_canon")).cast("long").as("n_urls"),
+        sum(col("n_chars").cast("decimal(18,0)")).cast("long").as("total_chars"))
+      .withColumn("isqrt", floor(sqrt(col("n_docs").cast("double"))).cast("long"))
+    val total = stats.agg(sum(col("isqrt")).as("isqrt_total"))
+    stats.crossJoin(broadcast(total))
+      .select(col("domain"), col("n_docs"), col("n_urls"), col("total_chars"),
+        greatest(lit(1L),
+          floor(lit(budget) * col("isqrt") / col("isqrt_total")).cast("long"))
+          .as("quota"))
+  }
+
+  /** Apply [[domainStats]] quotas as a sample: per domain, keep the
+    * `quota` docs with the lowest (md5(doc_id), doc_id) rank — the same
+    * deterministic hash-order rank rule as [[Sampling.mixtureSample]],
+    * but with DATA-DERIVED quotas joined in (broadcast — the quota table
+    * is |domains| rows) instead of a static weight map. The rank window
+    * partitions by domain; at 100 TB a pathological megadomain is exactly
+    * what the sqrt quota caps, and its window partition carries only that
+    * domain's rows. */
+  def domainQuotaSample(urls: DataFrame, budget: Long = 100L): DataFrame = {
+    val quotas = domainStats(urls, budget).select("domain", "quota")
+    val ranked = urls
+      .withColumn("domain", registrableDomain(canonicalizeUrl(col("url"))))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("domain")
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))).cast("long"))
+    ranked.join(broadcast(quotas), "domain")
+      .filter(col("rank") <= col("quota"))
+      .select("doc_id", "domain", "rank")
+  }
+}

@@ -1,0 +1,98 @@
+package graft
+
+import graft.ops.Url
+import org.apache.spark.sql.functions._
+
+/** URL-level curation (round 13): canonicalizer semantics, dedup
+  * first-occurrence contract, sqrt-quota stats, and plan shape. */
+class UrlSpec extends SparkSpec {
+
+  test("canonicalizeUrl: case folds, www/default-port/fragment strip, " +
+    "tracking params drop, params sort, trailing slash strips") {
+    import spark.implicits._
+    val cases = Seq(
+      // case + www + default port + fragment + param order
+      ("HTTPS://WWW.Sub1.src0-site.Org:443/p/3?b=2&a=1#sec",
+       "https://sub1.src0-site.org/p/3?a=1&b=2"),
+      // tracking params vanish; surviving params sorted
+      ("http://h.example.com/p/1?utm_source=feed&b=2&a=1",
+       "http://h.example.com/p/1?a=1&b=2"),
+      ("https://h.example.com/x?utm_campaign=x&gclid=z&fbclid=y",
+       "https://h.example.com/x"),
+      // non-default port survives; trailing slash strips
+      ("http://h.example.com:8080/p/5/", "http://h.example.com:8080/p/5"),
+      // root path: empty -> '/', bare '/' kept
+      ("http://h.example.com", "http://h.example.com/"),
+      ("http://h.example.com/", "http://h.example.com/"),
+      // http :80 strips, https :80 kept (not that scheme's default)
+      ("http://h.example.com:80/a", "http://h.example.com/a"),
+      ("https://h.example.com:80/a", "https://h.example.com:80/a"))
+    val got = cases.map(_._1).toDF("url")
+      .select(Url.canonicalizeUrl(col("url")).as("c"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got === cases.map(_._2))
+  }
+
+  test("registrableDomain: last two labels off the canonical host, " +
+    "port-blind") {
+    import spark.implicits._
+    val got = Seq("https://sub1.src0-site.org/p/3?a=1",
+        "http://h.example.com:8080/p",
+        "http://example.com/")
+      .toDF("u").select(Url.registrableDomain(col("u")).as("d"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got === Seq("src0-site.org", "example.com", "example.com"))
+  }
+
+  test("urlDedup folds scheme-case/www/port/slash/param-order variants to " +
+    "one key, keeps the lowest doc_id; plan has ONE aggregate exchange " +
+    "and no join") {
+    import spark.implicits._
+    val urls = Seq(
+      (10L, 7L, "HTTP://WWW.a.example.com:80/p/1/?b=2&a=1"),
+      (3L, 5L, "http://a.example.com/p/1?a=1&b=2&utm_source=x"),
+      (8L, 2L, "http://a.example.com/p/2"),
+      (5L, 1L, "https://a.example.com/p/1?a=1&b=2")) // scheme differs: distinct
+      .toDF("doc_id", "n_chars", "url")
+    val out = Url.urlDedup(urls).orderBy("url_canon").collect()
+    assert(out.length === 3)
+    val byUrl = out.map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(byUrl("http://a.example.com/p/1?a=1&b=2") === (3L, 2L))
+    assert(byUrl("http://a.example.com/p/2") === (8L, 1L))
+    assert(byUrl("https://a.example.com/p/1?a=1&b=2") === (5L, 1L))
+    val p = Url.urlDedup(urls).queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"urlDedup joins:\n$p")
+  }
+
+  test("domainStats: sqrt-proportional integer quotas sum sanely and " +
+    "every domain gets >= 1; quota sample honors quotas exactly") {
+    import spark.implicits._
+    // 3 domains with 16 / 4 / 1 docs -> isqrt 4 / 2 / 1, total 7:
+    // quotas floor(14*4/7)=8, floor(14*2/7)=4, floor(14*1/7)=2
+    val docs = ((0 until 16).map(i => (i.toLong, 10L, s"http://a.dom-a.com/p/$i")) ++
+      (0 until 4).map(i => (100L + i, 10L, s"http://a.dom-b.com/p/$i")) ++
+      Seq((200L, 10L, "http://a.dom-c.com/p/0")))
+      .toDF("doc_id", "n_chars", "url")
+    val st = Url.domainStats(docs, budget = 14L).orderBy("domain").collect()
+    assert(st.map(r => (r.getString(0), r.getLong(1), r.getLong(4))).toSeq ===
+      Seq(("dom-a.com", 16L, 8L), ("dom-b.com", 4L, 4L), ("dom-c.com", 1L, 2L)))
+    val sample = Url.domainQuotaSample(docs, budget = 14L)
+    val byDom = sample.groupBy("domain").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // quota caps bind where n_docs > quota; small domains keep all docs
+    assert(byDom === Map("dom-a.com" -> 8L, "dom-b.com" -> 4L, "dom-c.com" -> 1L))
+  }
+
+  test("syntheticUrls is deterministic and collision-bearing: re-generation " +
+    "is identical, and canonical keys genuinely collapse variants") {
+    import spark.implicits._
+    val docs = (0L until 500L).map(i => (i, s"src${i % 3}", 64L))
+      .toDF("doc_id", "source", "n_chars")
+    val u1 = Url.syntheticUrls(docs).orderBy("doc_id").collect()
+    val u2 = Url.syntheticUrls(docs).orderBy("doc_id").collect()
+    assert(u1 === u2)
+    val n = Url.urlDedup(Url.syntheticUrls(docs)).count()
+    assert(n < 500, s"no canonical collisions in 500 docs ($n keys)")
+    assert(n > 50, s"suspiciously few canonical keys ($n)")
+  }
+}
