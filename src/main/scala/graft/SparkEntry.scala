@@ -1467,6 +1467,33 @@ object SparkEntry {
   private def domainQuotaSampleQ(s: SparkSession, dir: String): DataFrame =
     graft.ops.Url.domainQuotaSample(urlFrame(s, dir)).orderBy("doc_id")
 
+  // fastText-shaped hashed-ngram linear classifier (round 13): Gopher gate
+  // as teacher, fixed-point multinomial weights, integer argmax
+  private def qualityClassifierQ(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Classifier.qualityClassifier(RawGen.table(s, dir, "documents"))
+      .orderBy("doc_id")
+
+  /** Curation composition: classifier verdict as the gate, then exact
+    * first-occurrence dedup among the kept — the student-model form of
+    * crawl_curate_e2e's rule-gate front end. */
+  private def classifierCurateQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = RawGen.table(s, dir, "documents")
+    val clf = graft.ops.Classifier.qualityClassifier(docs)
+      .select(col("doc_id"), (col("pred_label") === "keep").as("clf_keep"))
+    val joined = docs.select(col("doc_id"), md5(col("text")).as("_h"))
+      .join(clf, "doc_id")
+    val firsts = joined.filter(col("clf_keep"))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy("_h").orderBy("doc_id")))
+      .select(col("doc_id"), (col("_rn") === 1).as("dedup_first"))
+    joined.join(firsts, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("clf_keep"),
+        coalesce(col("dedup_first"), lit(false)).as("dedup_first"),
+        (col("clf_keep") && coalesce(col("dedup_first"), lit(false)))
+          .as("final_keep"))
+      .orderBy("doc_id")
+  }
+
   private def bpePairsQ(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.bpePairCounts(RawGen.table(s, dir, "documents"))
       .orderBy("rank")
@@ -1694,6 +1721,8 @@ object SparkEntry {
     "url_dedup" -> (urlDedupQ _),
     "domain_stats" -> (domainStatsQ _),
     "domain_quota_sample" -> (domainQuotaSampleQ _),
+    "quality_classifier" -> (qualityClassifierQ _),
+    "classifier_curate" -> (classifierCurateQ _),
     "q_global_seq" -> (qGlobalSeq _),
     "layout_zorder" -> (layoutZorderQ _),
     "snm_editdist" -> (snmEditDistQ _),
@@ -3890,6 +3919,79 @@ object SparkEntry {
       |FROM r JOIN qt USING (domain) WHERE r.rank <= qt.quota
       |ORDER BY r.doc_id""".stripMargin
 
+  // ---- hashed-ngram linear classifier oracles: quality_filter teacher
+  // labels (reuses duckQualityCtes verbatim), dsirFeatures' md5-prefix
+  // bucket spelling, closed-form fixed-point multinomial weights,
+  // integer scoring — Classifier.scala's full pipeline in SQL
+  private val classifierCtes = {
+    def hv(i: Int) = s"(strpos('0123456789abcdef', substr(h,$i,1))-1)"
+    s"""$duckQualityCtes,
+       |lbl AS (SELECT doc_id,
+       |  CASE WHEN fail_reasons = '' THEN 'keep' ELSE 'drop' END AS label
+       |  FROM r),
+       |fw AS (SELECT doc_id, $duckWords AS ws FROM documents
+       |  WHERE len(trim(text)) > 0),
+       |fg AS (
+       |  SELECT doc_id, unnest(ws) AS g FROM fw
+       |  UNION ALL
+       |  SELECT doc_id, unnest(list_transform(generate_series(0, len(ws)-2),
+       |    i -> array_to_string(ws[i+1:i+2], ' '))) AS g
+       |  FROM fw WHERE len(ws) >= 2),
+       |ff AS (SELECT doc_id,
+       |    (${hv(1)}*4096 + ${hv(2)}*256 + ${hv(3)}*16 + ${hv(4)}) % 1024 AS bucket,
+       |    count(*) AS c
+       |  FROM (SELECT doc_id, md5(g) AS h FROM fg) GROUP BY 1, 2),
+       |lf AS (SELECT ff.doc_id, ff.bucket, ff.c, lbl.label
+       |  FROM ff JOIN lbl USING (doc_id)),
+       |cnt2 AS (SELECT label, bucket, CAST(sum(c) AS BIGINT) AS cnt
+       |  FROM lf GROUP BY 1, 2),
+       |tt AS (SELECT label, CAST(sum(cnt) AS BIGINT) AS tot FROM cnt2 GROUP BY 1),
+       |sp AS (SELECT label, tot, unnest(range(0, 1024)) AS bucket FROM tt),
+       |wt AS (SELECT sp.label, sp.bucket,
+       |    CAST(floor(ln((COALESCE(cnt, 0) + 1.0) / (tot + 1024.0)) * 1000000 + 0.5) AS BIGINT) AS w
+       |  FROM sp LEFT JOIN cnt2 ON sp.label = cnt2.label AND sp.bucket = cnt2.bucket),
+       |ncl AS (SELECT label, CAST(count(*) AS BIGINT) AS nc
+       |  FROM lbl JOIN fw USING (doc_id) GROUP BY 1),
+       |pt AS (SELECT CAST(sum(nc) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS ncls FROM ncl),
+       |pw AS (SELECT label,
+       |    CAST(floor(ln((nc + 1.0) / (n + ncls)) * 1000000 + 0.5) AS BIGINT) AS prior
+       |  FROM ncl CROSS JOIN pt),
+       |sc AS (SELECT ff.doc_id, wt.label, CAST(sum(ff.c * wt.w) AS BIGINT) AS s
+       |  FROM ff JOIN wt USING (bucket) GROUP BY 1, 2),
+       |sc2 AS (SELECT sc.doc_id, sc.label, sc.s + pw.prior AS score
+       |  FROM sc JOIN pw USING (label)),
+       |pv AS (SELECT doc_id,
+       |    CAST(sum(CASE WHEN label = 'drop' THEN score END) AS BIGINT) AS score_drop,
+       |    CAST(sum(CASE WHEN label = 'keep' THEN score END) AS BIGINT) AS score_keep
+       |  FROM sc2 GROUP BY 1)""".stripMargin
+  }
+
+  private val qualityClassifierSql =
+    s"""WITH $classifierCtes
+       |SELECT pv.doc_id, pv.score_drop, pv.score_keep,
+       |  CASE WHEN pv.score_keep > pv.score_drop THEN 'keep' ELSE 'drop' END AS pred_label,
+       |  (lbl.label = 'keep') AS teacher_keep,
+       |  ((CASE WHEN pv.score_keep > pv.score_drop THEN 'keep' ELSE 'drop' END) = 'keep')
+       |    = (lbl.label = 'keep') AS agree
+       |FROM pv JOIN lbl USING (doc_id) ORDER BY pv.doc_id""".stripMargin
+
+  private val classifierCurateSql =
+    s"""WITH $classifierCtes,
+       |cf AS (SELECT pv.doc_id,
+       |    -- CASE, not a bare comparison: a NULL score (single-class
+       |    -- degenerate corpus) must read as drop, like the Spark side
+       |    (CASE WHEN pv.score_keep > pv.score_drop THEN TRUE ELSE FALSE END) AS clf_keep
+       |  FROM pv JOIN lbl USING (doc_id)),
+       |ddj AS (SELECT d2.doc_id, md5(d2.text) AS hh, cf.clf_keep
+       |  FROM documents d2 JOIN cf USING (doc_id)),
+       |fr AS (SELECT doc_id,
+       |    row_number() OVER (PARTITION BY hh ORDER BY doc_id) = 1 AS dedup_first
+       |  FROM ddj WHERE clf_keep)
+       |SELECT ddj.doc_id, ddj.clf_keep,
+       |  COALESCE(fr.dedup_first, FALSE) AS dedup_first,
+       |  (ddj.clf_keep AND COALESCE(fr.dedup_first, FALSE)) AS final_keep
+       |FROM ddj LEFT JOIN fr USING (doc_id) ORDER BY ddj.doc_id""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "cmf_geotab" -> cmfGeotabSql,
     "cmf_calamp" -> cmfCalampSql,
@@ -4028,6 +4130,8 @@ object SparkEntry {
     "url_dedup" -> urlDedupSql,
     "domain_stats" -> domainStatsSql,
     "domain_quota_sample" -> domainQuotaSampleSql,
+    "quality_classifier" -> qualityClassifierSql,
+    "classifier_curate" -> classifierCurateSql,
     "q_global_seq" -> qGlobalSeqSql,
     "layout_zorder" -> layoutZorderSql,
     "snm_editdist" -> snmEditDistSql,

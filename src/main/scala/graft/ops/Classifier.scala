@@ -1,0 +1,156 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** fastText-style linear classification over hashed n-gram features
+  * (Joulin et al., "Bag of Tricks for Efficient Text Classification",
+  * 2016) — the model family CCNet uses for language-ID and FineWeb-Edu
+  * for quality scoring: hash the text's n-grams into B buckets, score
+  * each class as a linear function of the bucket counts, argmax.
+  *
+  * Training here is the closed-form multinomial estimate (per-class
+  * Laplace-smoothed bucket log-likelihoods + class log-prior) rather than
+  * SGD — a linear model of exactly the fastText shape whose weights are
+  * reproducible anywhere, which is what makes the oracle replay possible.
+  * Weights and scores are FIXED-POINT LONGS (`floor(1e6·ln(…)+0.5)`):
+  * per-document scores are integer sums, so ranking/argmax can never
+  * drift with partitioning or summation order — the same bit-exactness
+  * contract as the kmeans/PQ family (Similarity.scala).
+  *
+  * Features reuse the fused native hashing pass
+  * ([[graft.functions.DsirBuckets]] — md5 fed gram bytes, no per-gram
+  * string materialization) via [[Sampling.dsirFeatures]], so feature
+  * extraction runs inside whole-stage codegen in ONE corpus scan.
+  *
+  * Scale shape: training = one feature pass + a (C·B)-row model agg;
+  * inference = one feature pass + a BROADCAST model join + two hash aggs
+  * (per-(doc,class) sum, then per-doc argmax). Nothing corpus-sized
+  * shuffles except (doc_id, bucket, c) feature rows collapsing map-side.
+  * Score-overflow envelope: |score| ≤ n_grams_per_doc · ~20·10⁶; the
+  * ·64 argmax encoding stays inside a long for docs up to ~10⁹ grams.
+  */
+object Classifier {
+
+  /** Fixed-point scale for weights/scores (micro-nats). */
+  val Scale = 1000000L
+  /** Feature-bucket count — MUST match [[Sampling.dsirFeatures]]' space
+    * (the oracle replays that spelling). */
+  private val B = 1024
+
+  /** Train the linear model from `(doc_id, text, label)` rows:
+    * one row per (label, bucket) with fixed-point weight
+    * w = floor(Scale·ln((cnt+1)/(tot_c+B)) + 0.5), plus one `bucket = -1`
+    * row per class carrying the prior floor(Scale·ln((n_c+1)/(N+C)) + 0.5).
+    * The model is C·(B+1) rows — broadcast-tiny at any corpus size. */
+  def trainLinear(labeled: DataFrame): DataFrame = {
+    val spark = labeled.sparkSession
+    val nonEmpty = labeled.filter(length(trim(col("text"))) > 0)
+    val feats = Sampling.dsirFeatures(nonEmpty.select("doc_id", "text"))
+      .join(nonEmpty.select("doc_id", "label"), "doc_id")
+    val counts = feats.groupBy("label", "bucket")
+      .agg(sum(col("c")).cast("long").as("cnt"))
+    val totals = counts.groupBy("label")
+      .agg(sum(col("cnt")).cast("long").as("tot"))
+    // full B-bucket spine per class: a bucket unseen in one class still
+    // gets that class's smoothed floor (otherwise its weight would be
+    // NULL and every doc touching it would drop out of that class's sum)
+    val spine = totals.crossJoin(
+      spark.range(B).select(col("id").as("bucket")))
+    val fp = (x: org.apache.spark.sql.Column) =>
+      floor(x * Scale + lit(0.5)).cast("long")
+    val weights = spine.join(counts, Seq("label", "bucket"), "left")
+      .select(col("label"), col("bucket"),
+        fp(log((coalesce(col("cnt"), lit(0L)) + lit(1.0)) /
+          (col("tot") + lit(B.toDouble)))).as("w"))
+    val perClass = nonEmpty.groupBy("label")
+      .agg(count(lit(1)).cast("long").as("nc"))
+    val priors = perClass.crossJoin(broadcast(
+        perClass.agg(sum(col("nc")).as("n"), count(lit(1)).as("ncls"))))
+      .select(col("label"), lit(-1L).as("bucket"),
+        fp(log((col("nc") + lit(1.0)) / (col("n") + col("ncls")))).as("w"))
+    weights.unionByName(priors)
+  }
+
+  /** Per-(doc, class) fixed-point scores: prior + Σ_buckets c·w. One
+    * feature pass, one broadcast model join, one hash agg. Empty-text
+    * docs carry no features and emit no rows (they cannot be scored). */
+  def classifyScores(docs: DataFrame, model: DataFrame): DataFrame = {
+    val weights = model.filter(col("bucket") >= 0)
+    val priors = model.filter(col("bucket") === -1L)
+      .select(col("label"), col("w").as("prior"))
+    Sampling.dsirFeatures(docs)
+      .join(broadcast(weights), "bucket")
+      .groupBy("doc_id", "label")
+      .agg(sum(col("c") * col("w")).as("sc"))
+      .join(broadcast(priors), "label")
+      .select(col("doc_id"), col("label"),
+        (col("sc") + col("prior")).cast("long").as("score"))
+  }
+
+  /** Argmax classification: `(doc_id, pred_label, score)` — the winning
+    * class per doc, ties broken by ascending label name (deterministic
+    * under any partitioning: the (score, class-index) pair is encoded
+    * into ONE long so the argmax is a plain max() HashAggregate — the
+    * assignToCentroids trick; min(struct) would SortAggregate). */
+  def classify(docs: DataFrame, model: DataFrame): DataFrame = {
+    val scores = classifyScores(docs, model)
+    // dense class index by ascending label over the tiny class frame
+    // ≤ C rows: the single-partition ordering window is over the tiny
+    // class frame only, never the corpus (the centsIdx pattern)
+    val classIdx = model.select("label").distinct()
+      .withColumn("cidx",
+        row_number().over(Window.orderBy("label")).cast("long") - 1)
+    val enc = col("score") * 64 + (lit(63L) - col("cidx"))
+    scores.join(broadcast(classIdx), "label")
+      .select(col("doc_id"), enc.as("enc"))
+      .groupBy("doc_id")
+      .agg(max(col("enc")).as("enc"))
+      .select(col("doc_id"), (lit(63L) - pmod(col("enc"), lit(64))).as("cidx"),
+        // decode score: strip the index part, then exact /64 (both
+        // engines floor-divide via the same subtraction, sign-safe)
+        ((col("enc") - pmod(col("enc"), lit(64))) / 64).cast("long").as("score"))
+      .join(broadcast(classIdx), "cidx")
+      .select(col("doc_id"), col("label").as("pred_label"), col("score"))
+  }
+
+  /** The self-distilled quality classifier — the FineWeb-Edu recipe shape
+    * with a rule gate as the (free, deterministic) teacher: label every
+    * doc keep/drop by [[TextAnalysis.qualityFilter]] (the corpus-tuned
+    * gate — the paper-threshold [[Gopher.qualityGate]] drops ~100% of the
+    * short synthetic docs, which would leave the student a single-class
+    * no-op), train the hashed-ngram linear model on those labels, and
+    * score the corpus with it. Output: per-doc fixed-point scores for
+    * both classes, the argmax verdict, the teacher's verdict, and
+    * agreement — the evaluation frame a curation team reads before
+    * swapping the cheap student in for the expensive teacher. The model
+    * is checkpointed once and shared between branches (released before
+    * return — the dsirWeights pattern). */
+  def qualityClassifier(docs: DataFrame): DataFrame = {
+    val teacher = TextAnalysis.qualityFilter(docs)
+      .select(col("doc_id"),
+        when(col("keep"), lit("keep")).otherwise(lit("drop")).as("label"))
+    val labeled = docs.select("doc_id", "text")
+      .join(teacher, "doc_id")
+    val model = trainLinear(labeled).localCheckpoint()
+    val scores = classifyScores(docs.select("doc_id", "text"), model)
+    val pivoted = scores.groupBy("doc_id")
+      .agg(sum(when(col("label") === "drop", col("score"))).as("score_drop"),
+        sum(when(col("label") === "keep", col("score"))).as("score_keep"))
+    val out = pivoted.join(teacher, "doc_id")
+      .select(col("doc_id"),
+        col("score_drop").cast("long").as("score_drop"),
+        col("score_keep").cast("long").as("score_keep"),
+        // strict >: a tie goes to 'drop' (ascending-label tiebreak, the
+        // classify() contract)
+        when(col("score_keep") > col("score_drop"), lit("keep"))
+          .otherwise(lit("drop")).as("pred_label"),
+        (col("label") === "keep").as("teacher_keep"))
+      .withColumn("agree",
+        (col("pred_label") === "keep") === col("teacher_keep"))
+    val mat = out.localCheckpoint()
+    Dedup.releaseCheckpoint(model)
+    mat
+  }
+}
