@@ -1427,9 +1427,15 @@ object SparkEntry {
     * spam page can never claim the canonical slot of a clean
     * duplicate). Per-doc booleans for every stage keep the whole
     * pipeline hash-checkable; downstream selects `final_keep`. */
-  private def crawlCurateE2eQ(s: SparkSession, dir: String): DataFrame = {
+  private def crawlCurateE2eQ(s: SparkSession, dir: String): DataFrame =
+    crawlCuratePipeline(rawHtmlFrame(s, dir))
+
+  /** The C4-gate → extraction → repetition-gate → exact-dedup verdict
+    * pipeline over any `(doc_id, html)` frame — shared by the direct
+    * crawl query and the WARC-sourced variant (whose parse round-trip
+    * must land on the identical verdicts: same oracle). */
+  private def crawlCuratePipeline(raw: DataFrame): DataFrame = {
     import graft.ops.{Extract, Gopher}
-    val raw = rawHtmlFrame(s, dir)
     val pages = Extract.c4PageFilter(raw, minLines = 2,
         blocklist = Seq("vector"))
       .select(col("doc_id"), col("keep").as("page_keep"))
@@ -1457,6 +1463,32 @@ object SparkEntry {
   // deterministic synthetic URL corpus (Url.syntheticUrls fixture contract)
   private def urlFrame(s: SparkSession, dir: String): DataFrame =
     graft.ops.Url.syntheticUrls(RawGen.table(s, dir, "documents"))
+
+  // WARC crawl ingestion (round 13): synthetic ISO-28500 files over the
+  // url × html fixtures, split + parsed by the real Content-Length-framed
+  // record reader (graft.sources.Warc / the graft-spool format=warc seam)
+  private def warcFiles(s: SparkSession, dir: String): DataFrame =
+    graft.sources.Warc.syntheticWarc(
+      urlFrame(s, dir).select(col("doc_id"), col("url"))
+        .join(rawHtmlFrame(s, dir), "doc_id"))
+
+  private def warcReadQ(s: SparkSession, dir: String): DataFrame =
+    graft.sources.Warc.readRecords(warcFiles(s, dir))
+      .orderBy("file_id", "rec_index")
+
+  /** The crawl-curation pipeline STARTING FROM WARC BYTES: parse records,
+    * recover (doc_id, html) from the response rows, run the identical
+    * verdict pipeline — round-trip parity means the direct query's oracle
+    * checks this one too. */
+  private def warcCurateE2eQ(s: SparkSession, dir: String): DataFrame = {
+    val parsed = graft.sources.Warc.readRecords(warcFiles(s, dir))
+      .filter(col("warc_type") === "response")
+      // record ids are <urn:uuid:00000000-0000-0000-0000-{%012d doc_id}>
+      // (34-char prefix, so the 12 digits sit at 1-based offset 35)
+      .select(substring(col("record_id"), 35, 12).cast("long").as("doc_id"),
+        col("html"))
+    crawlCuratePipeline(parsed)
+  }
 
   private def urlDedupQ(s: SparkSession, dir: String): DataFrame =
     graft.ops.Url.urlDedup(urlFrame(s, dir)).orderBy("url_canon")
@@ -1723,6 +1755,8 @@ object SparkEntry {
     "domain_quota_sample" -> (domainQuotaSampleQ _),
     "quality_classifier" -> (qualityClassifierQ _),
     "classifier_curate" -> (classifierCurateQ _),
+    "warc_read" -> (warcReadQ _),
+    "warc_curate_e2e" -> (warcCurateE2eQ _),
     "q_global_seq" -> (qGlobalSeq _),
     "layout_zorder" -> (layoutZorderQ _),
     "snm_editdist" -> (snmEditDistQ _),
@@ -3853,8 +3887,11 @@ object SparkEntry {
   // (Url.syntheticUrls' per-doc_id contract), replay the canonicalizer
   // (strip fragment/www/default port/tracking params, sort params, fold
   // case and trailing slash), then dedup / per-domain stats / quota sample
-  private val urlCanonCte =
-    """WITH u AS (SELECT doc_id, n_chars,
+  // the synthetic-URL generator CTE alone (Url.syntheticUrls' per-doc_id
+  // contract) — shared by the canonicalization chain below and the
+  // warc_read oracle, which embeds the raw URL in WARC headers
+  private val urlGenCte =
+    """u AS (SELECT doc_id, n_chars,
       |    (CASE doc_id%4 WHEN 0 THEN 'https' WHEN 1 THEN 'HTTP' WHEN 2 THEN 'http' ELSE 'HTTPS' END)
       |    || '://' || (CASE doc_id%3 WHEN 0 THEN 'WWW.' WHEN 1 THEN 'www.' ELSE '' END)
       |    || 'Sub' || (doc_id%7) || '.' || source || '-site.'
@@ -3866,8 +3903,13 @@ object SparkEntry {
       |         WHEN 1 THEN '?id=' || (doc_id%17) || '&utm_campaign=x'
       |         WHEN 2 THEN '?a=1&b=2' WHEN 3 THEN '?b=2&a=1' ELSE '' END)
       |    || (CASE WHEN doc_id%9=0 THEN '#sec' ELSE '' END) AS url
-      |  FROM documents),
-      | s1 AS (SELECT doc_id, n_chars, split_part(url, '#', 1) AS base FROM u),
+      |  FROM documents)""".stripMargin
+
+  // concatenated, NOT interpolated into the stripMargin literal: the
+  // generator fragment's `||` concat operators would be margin-stripped
+  // a second time (the single-line-splice gotcha)
+  private val urlCanonCte = "WITH " + urlGenCte + ",\n" +
+    """ s1 AS (SELECT doc_id, n_chars, split_part(url, '#', 1) AS base FROM u),
       | s2 AS (SELECT doc_id, n_chars,
       |    lower(split_part(base, '://', 1)) AS scheme,
       |    substr(base, length(split_part(base, '://', 1)) + 4) AS aftersch FROM s1),
@@ -3965,6 +4007,34 @@ object SparkEntry {
        |    CAST(sum(CASE WHEN label = 'keep' THEN score END) AS BIGINT) AS score_keep
        |  FROM sc2 GROUP BY 1)""".stripMargin
   }
+
+  // ---- warc_read oracle: derive every parsed field straight from the
+  // generator contracts (urlGenCte raw URLs × rawHtmlDuck pages), so the
+  // Spark side's build → Content-Length-split → parse round trip is
+  // checked field-for-field against an independent derivation
+  private val warcReadSql =
+    "WITH " + urlGenCte + ",\n" + rawHtmlDuck + ",\n" +
+    s"""resp AS (SELECT u.doc_id, u.doc_id % 16 AS file_id, u.url, raw.html
+      |  FROM u JOIN raw USING (doc_id)),
+      |rr AS (SELECT file_id,
+      |    CAST(row_number() OVER (PARTITION BY file_id ORDER BY doc_id) AS INT) AS rec_index,
+      |    'response' AS warc_type,
+      |    '<urn:uuid:00000000-0000-0000-0000-' || lpad(CAST(doc_id AS VARCHAR), 12, '0') || '>' AS record_id,
+      |    url AS target_uri,
+      |    ${sqlIsoFromS("1700000000 + doc_id")} AS warc_date,
+      |    CAST(59 + strlen(html) AS BIGINT) AS content_length,
+      |    CAST(200 AS INT) AS http_status, html FROM resp),
+      |wi AS (SELECT DISTINCT file_id, CAST(0 AS INT) AS rec_index,
+      |    'warcinfo' AS warc_type,
+      |    '<urn:uuid:ffffffff-0000-0000-0000-' || lpad(CAST(file_id AS VARCHAR), 12, '0') || '>' AS record_id,
+      |    CAST(NULL AS VARCHAR) AS target_uri,
+      |    ${sqlIsoFromS("1700000000 + file_id")} AS warc_date,
+      |    CAST(29 AS BIGINT) AS content_length,
+      |    CAST(NULL AS INT) AS http_status, CAST(NULL AS VARCHAR) AS html FROM resp)
+      |SELECT file_id, rec_index, warc_type, record_id, target_uri, warc_date,
+      |  content_length, http_status, html
+      |FROM (SELECT * FROM wi UNION ALL SELECT * FROM rr)
+      |ORDER BY file_id, rec_index""".stripMargin
 
   private val qualityClassifierSql =
     s"""WITH $classifierCtes
@@ -4132,6 +4202,10 @@ object SparkEntry {
     "domain_quota_sample" -> domainQuotaSampleSql,
     "quality_classifier" -> qualityClassifierSql,
     "classifier_curate" -> classifierCurateSql,
+    "warc_read" -> warcReadSql,
+    // round-trip identity: parsing the synthetic WARC recovers exactly the
+    // (doc_id, html) frame the direct pipeline starts from — same oracle
+    "warc_curate_e2e" -> crawlCurateE2eSql,
     "q_global_seq" -> qGlobalSeqSql,
     "layout_zorder" -> layoutZorderSql,
     "snm_editdist" -> snmEditDistSql,
