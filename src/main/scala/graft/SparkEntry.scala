@@ -1472,6 +1472,18 @@ object SparkEntry {
       urlFrame(s, dir).select(col("doc_id"), col("url"))
         .join(rawHtmlFrame(s, dir), "doc_id"))
 
+  // audio fingerprint near-dup (round 13): long-form synthetic WAVs →
+  // native frame-energy hash → banded Hamming join
+  private def audioFrame(s: SparkSession, dir: String): DataFrame =
+    Multimodal.syntheticAudio(RawGen.table(s, dir, "documents"))
+
+  private def audioFingerprintQ(s: SparkSession, dir: String): DataFrame =
+    Multimodal.audioFingerprint(audioFrame(s, dir)).orderBy("doc_id")
+
+  private def audioNeardupQ(s: SparkSession, dir: String): DataFrame =
+    Multimodal.audioFingerprintNeardup(audioFrame(s, dir))
+      .orderBy("a_id", "b_id")
+
   private def warcReadQ(s: SparkSession, dir: String): DataFrame =
     graft.sources.Warc.readRecords(warcFiles(s, dir))
       .orderBy("file_id", "rec_index")
@@ -1757,6 +1769,8 @@ object SparkEntry {
     "classifier_curate" -> (classifierCurateQ _),
     "warc_read" -> (warcReadQ _),
     "warc_curate_e2e" -> (warcCurateE2eQ _),
+    "audio_fingerprint" -> (audioFingerprintQ _),
+    "audio_fingerprint_neardup" -> (audioNeardupQ _),
     "q_global_seq" -> (qGlobalSeq _),
     "layout_zorder" -> (layoutZorderQ _),
     "snm_editdist" -> (snmEditDistQ _),
@@ -4008,6 +4022,47 @@ object SparkEntry {
        |  FROM sc2 GROUP BY 1)""".stripMargin
   }
 
+  // ---- audio fingerprint oracles: rebuild the synthetic PCM data
+  // (17 chained md5s, 260 bytes), replay the 65-frame integer energy
+  // signature digit-by-digit, then the exhaustive pair check (the
+  // banding's pigeonhole recall-exactness argument, as for image_phash)
+  private val audioFpCte = {
+    val chain = (0 until 17)
+      .map(i => s"md5('grp:'||(doc_id//10)||'#$i')").mkString(" || ")
+    val spike = "((doc_id % 10) * 3000)"
+    val dhex = s"substr($chain, 1, 516) || " +
+      s"lower(lpad(to_hex($spike % 256), 2, '0') || lpad(to_hex($spike // 256), 2, '0'))"
+    def hv(pos: String) = s"(strpos('0123456789abcdef', substr(dhex, $pos, 1))-1)"
+    s"""ah AS (SELECT doc_id, $dhex AS dhex
+       |  FROM documents WHERE text IS NOT NULL),
+       |sm AS (SELECT doc_id, list_transform(generate_series(0, 129), j ->
+       |    CAST(${hv("4*j+1")}*16 + ${hv("4*j+2")}
+       |      + (${hv("4*j+3")}*16 + ${hv("4*j+4")})*256 AS BIGINT)) AS uv
+       |  FROM ah),
+       |sv AS (SELECT doc_id, list_transform(uv,
+       |    v -> CASE WHEN v >= 32768 THEN v - 65536 ELSE v END) AS s FROM sm),
+       |en AS (SELECT doc_id, list_transform(generate_series(0, 64), i ->
+       |    s[2*i+1]*s[2*i+1] + s[2*i+2]*s[2*i+2]) AS e FROM sv),
+       |afp AS (SELECT doc_id,
+       |  CAST(COALESCE(list_sum(list_transform(generate_series(0, 31), i ->
+       |    CASE WHEN e[i+2] > e[i+1] THEN (CAST(1 AS BIGINT) << (31-i)) ELSE 0 END)), 0) AS BIGINT) AS afp_hi,
+       |  CAST(COALESCE(list_sum(list_transform(generate_series(0, 31), i ->
+       |    CASE WHEN e[32+i+2] > e[32+i+1] THEN (CAST(1 AS BIGINT) << (31-i)) ELSE 0 END)), 0) AS BIGINT) AS afp_lo
+       |  FROM en)""".stripMargin
+  }
+
+  private val audioFingerprintSql =
+    s"""WITH $audioFpCte
+       |SELECT doc_id, afp_hi, afp_lo FROM afp ORDER BY doc_id""".stripMargin
+
+  private val audioNeardupSql =
+    s"""WITH $audioFpCte
+       |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |  CAST(bit_count(xor(a.afp_hi, b.afp_hi)) + bit_count(xor(a.afp_lo, b.afp_lo)) AS INT) AS hamming
+       |FROM afp a JOIN afp b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.afp_hi, b.afp_hi)) + bit_count(xor(a.afp_lo, b.afp_lo)) <= 3
+       |ORDER BY a_id, b_id""".stripMargin
+
   // ---- warc_read oracle: derive every parsed field straight from the
   // generator contracts (urlGenCte raw URLs × rawHtmlDuck pages), so the
   // Spark side's build → Content-Length-split → parse round trip is
@@ -4206,6 +4261,8 @@ object SparkEntry {
     // round-trip identity: parsing the synthetic WARC recovers exactly the
     // (doc_id, html) frame the direct pipeline starts from — same oracle
     "warc_curate_e2e" -> crawlCurateE2eSql,
+    "audio_fingerprint" -> audioFingerprintSql,
+    "audio_fingerprint_neardup" -> audioNeardupSql,
     "q_global_seq" -> qGlobalSeqSql,
     "layout_zorder" -> layoutZorderSql,
     "snm_editdist" -> snmEditDistSql,

@@ -115,6 +115,53 @@ object Multimodal {
       .withColumn("octet_len", octet_length(col("payload")).cast("long"))
   }
 
+  /** Long-form synthetic WAV corpus for the AUDIO fingerprint family:
+    * every non-null-text doc gets a 16-bit PCM WAV whose data chunk is
+    * 260 bytes (130 samples — enough for the 65-frame energy signature
+    * to use 2-sample frames) from 17 chained md5s of the doc's GROUP key
+    * (`md5('grp:' || doc_id÷10 || '#i')`, i = 0..16 — chained, NOT tiled
+    * from one digest: a 16-byte tile would repeat with period 4 frames
+    * and collapse the fingerprint space to 16 patterns), with the LAST
+    * sample overridden by a per-doc spike ((doc_id mod 10)·3000, LE16).
+    * Ten clips per group therefore share 64 of 65 frame energies and
+    * differ only in the final frame — i.e. in AT MOST the last
+    * fingerprint bit — so within-group pairs are genuine hamming-≤1
+    * near-dups (the corpus the near-dup join exists to find), while
+    * cross-group fingerprints are effectively random 64-bit values.
+    * Same expression-only construction and oracle contract as
+    * [[syntheticMedia]]. */
+  def syntheticAudio(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    val dataBytes = 260
+    val grp = expr("doc_id div 10")
+    val dhex = concat(
+      substring(
+        concat((0 until 17).map(i =>
+          md5(concat(lit("grp:"), grp.cast("string"), lit(s"#$i")))): _*),
+        1, dataBytes * 2 - 4),
+      le2c(pmod(id, lit(10)) * 3000))
+    val ch = wavChannels(id).cast("int")
+    val sr = wavSampleRate(id).cast("int")
+    val byteRate = sr * ch * 2
+    val blockAlign = ch * 2
+    val wavHex = concat(
+      lit("52494646" +            // 'RIFF'
+        le4(36 + dataBytes) +     // riff payload size
+        "57415645" +              // 'WAVE'
+        "666d7420" +              // 'fmt '
+        le4(16) +                 // fmt chunk size
+        le2(1)),                  // PCM
+      le2c(ch), le4c(sr), le4c(byteRate), le2c(blockAlign),
+      lit(le2(16) +               // bits per sample
+        "64617461" +              // 'data'
+        le4(dataBytes)),          // data chunk size
+      dhex)
+    docs.filter(col("text").isNotNull).select(
+      col("doc_id"), lit("audio/wav").as("mime"),
+      unhex(wavHex).as("payload"))
+      .withColumn("octet_len", octet_length(col("payload")).cast("long"))
+  }
+
   // ---- decode -------------------------------------------------------------
 
   private val HEX_UPPER = "0123456789ABCDEF".toCharArray
@@ -222,33 +269,105 @@ object Multimodal {
     * 100 TB the band join shuffles (band_idx, band_val) keys only; the
     * 64-bit hashes ride alongside, and no payload bytes cross the
     * exchange. */
-  def imagePhashNeardup(media: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def imagePhashNeardup(media: DataFrame, maxHamming: Int = 3): DataFrame =
+    neardupPairs64(imagePhash(media)
+      .select(col("doc_id"), col("phash_hi").as("h_hi"),
+        col("phash_lo").as("h_lo")), maxHamming)
+
+  // ---- shared 4×16-bit banded-Hamming core over 64-bit signatures ----
+  // (dHash images AND energy-hash audio ride the same machinery; the
+  // pigeonhole recall-exactness argument on imagePhashNeardup's scaladoc
+  // applies to any 64-bit signature)
+
+  private def banded64(df: DataFrame, p: String): DataFrame =
+    df.select(col("doc_id").as(s"${p}_id"),
+      col("h_hi").as(s"${p}_hi"), col("h_lo").as(s"${p}_lo"),
+      posexplode(array(
+        shiftright(col("h_hi"), 16), pmod(col("h_hi"), lit(65536)),
+        shiftright(col("h_lo"), 16), pmod(col("h_lo"), lit(65536))))
+        .as(Seq("band_idx", "band_val")))
+
+  /** All near-dup pairs within one `(doc_id, h_hi, h_lo)` signature
+    * frame: band equi-join, exact popcount verify on colliding pairs
+    * only, threshold BEFORE distinct (band collisions beyond the
+    * threshold vastly outnumber true near-dups — keep them out of the
+    * distinct's exchange). */
+  private def neardupPairs64(hashes: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming <= 3,
       s"4x16-bit banding guarantees exact recall only for maxHamming <= 3, got $maxHamming")
-    val ph = imagePhash(media)
-    val banded = ph.select(col("doc_id"), col("phash_hi"), col("phash_lo"),
-      posexplode(array(
-        shiftright(col("phash_hi"), 16), pmod(col("phash_hi"), lit(65536)),
-        shiftright(col("phash_lo"), 16), pmod(col("phash_lo"), lit(65536))))
-        .as(Seq("band_idx", "band_val")))
-    val a = banded.select(col("band_idx"), col("band_val"),
-      col("doc_id").as("a_id"), col("phash_hi").as("a_hi"),
-      col("phash_lo").as("a_lo"))
-    val b = banded.select(col("band_idx"), col("band_val"),
-      col("doc_id").as("b_id"), col("phash_hi").as("b_hi"),
-      col("phash_lo").as("b_lo"))
+    val a = banded64(hashes, "a")
+    val b = banded64(hashes, "b")
     a.join(b, Seq("band_idx", "band_val"))
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
         (bit_count(col("a_hi").bitwiseXOR(col("b_hi"))) +
           bit_count(col("a_lo").bitwiseXOR(col("b_lo"))))
           .cast("int").as("hamming"))
-      // threshold FIRST, then dedupe: hamming is a pure function of the
-      // pair, so the orders are equivalent — but band collisions beyond
-      // the threshold vastly outnumber true near-dups, and filtering
-      // first keeps them out of the distinct()'s exchange
       .filter(col("hamming") <= maxHamming)
       .distinct() // a pair may collide in several bands — emit once
+  }
+
+  /** Delta-vs-catalog increment over 64-bit signature frames — the shared
+    * core of [[imagePhashIncrement]] and [[audioFingerprintIncrement]]:
+    * band-join the delta against catalog ∪ delta, verify collisions
+    * exactly, canonicalize pairs (least, greatest) so the emitted set is
+    * arrival-order independent. `delta` must already be materialized
+    * (localCheckpoint) — it feeds both the join and the catalog append. */
+  private def neardupIncrement64(delta: DataFrame, catalog: DataFrame,
+                                 maxHamming: Int): DataFrame = {
+    require(maxHamming <= 3,
+      s"4x16-bit banding guarantees exact recall only for maxHamming <= 3, got $maxHamming")
+    val all = banded64(catalog.unionByName(delta), "a")
+    val d = banded64(delta, "b")
+    all.join(d, Seq("band_idx", "band_val"))
+      .filter(col("a_id") =!= col("b_id"))
+      .select(least(col("a_id"), col("b_id")).as("a_id"),
+        greatest(col("a_id"), col("b_id")).as("b_id"),
+        (bit_count(col("a_hi").bitwiseXOR(col("b_hi"))) +
+          bit_count(col("a_lo").bitwiseXOR(col("b_lo"))))
+          .cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct() // multi-band collisions of the same pair emit once
+  }
+
+  // ---- audio fingerprint (near-dup) ----------------------------------
+
+  /** Per-clip 64-bit frame-energy fingerprint: (doc_id, afp_hi, afp_lo)
+    * for every WAV payload — the fused native
+    * [[graft.functions.WavEnergyHash]] expression (RIFF chunk walk +
+    * 65 integer-boundary frame energies + 64 transition bits, one JVM
+    * loop per row inside whole-stage codegen). Row-local, scan-fused —
+    * the audio sibling of [[imagePhash]]. */
+  def audioFingerprint(media: DataFrame): DataFrame =
+    media.filter(col("mime") === "audio/wav" && col("payload").isNotNull)
+      .select(col("doc_id"),
+        graft.functions.WavEnergyHash.wavHash(col("payload")).as("fp"))
+      .select(col("doc_id"), col("fp.hi").as("afp_hi"),
+        col("fp.lo").as("afp_lo"))
+
+  /** Audio near-duplicate pairs by banded Hamming join over the energy
+    * fingerprint — [[imagePhashNeardup]]'s machinery applied to PCM:
+    * recall-exact for `maxHamming` ≤ 3 by the same pigeonhole argument,
+    * candidate-bounded cost, 20-byte/clip catalog rows. */
+  def audioFingerprintNeardup(media: DataFrame, maxHamming: Int = 3): DataFrame =
+    neardupPairs64(audioFingerprint(media)
+      .select(col("doc_id"), col("afp_hi").as("h_hi"),
+        col("afp_lo").as("h_lo")), maxHamming)
+
+  /** Delta-vs-catalog audio near-dup — the ingest-time increment behind
+    * [[graft.streaming.StreamingOps.audioFingerprintStream]], mirroring
+    * [[imagePhashIncrement]]: fingerprint ONLY the delta's clips,
+    * band-join against catalog ∪ delta, emit canonicalized pairs.
+    * @return (near-dup pairs for this epoch, catalog rows to append —
+    *         the delta's fingerprints, eagerly materialized) */
+  def audioFingerprintIncrement(batch: DataFrame, catalog: DataFrame,
+                                maxHamming: Int = 3): (DataFrame, DataFrame) = {
+    // the checkpointed frame itself is returned (release-ownership
+    // contract of the catalog streams); the banding core reads a rename
+    val fp = audioFingerprint(batch).localCheckpoint()
+    def h(df: DataFrame) = df.select(col("doc_id"),
+      col("afp_hi").as("h_hi"), col("afp_lo").as("h_lo"))
+    (neardupIncrement64(h(fp), h(catalog), maxHamming), fp)
   }
 
   /** Delta-vs-catalog image near-dup — the ingest-time increment behind
@@ -267,28 +386,10 @@ object Multimodal {
     *         the delta's hashes, eagerly materialized) */
   def imagePhashIncrement(batch: DataFrame, catalog: DataFrame,
                           maxHamming: Int = 3): (DataFrame, DataFrame) = {
-    require(maxHamming <= 3,
-      s"4x16-bit banding guarantees exact recall only for maxHamming <= 3, got $maxHamming")
     val ph = imagePhash(batch).localCheckpoint()
-    def banded(df: DataFrame, p: String): DataFrame =
-      df.select(col("doc_id").as(s"${p}_id"),
-        col("phash_hi").as(s"${p}_hi"), col("phash_lo").as(s"${p}_lo"),
-        posexplode(array(
-          shiftright(col("phash_hi"), 16), pmod(col("phash_hi"), lit(65536)),
-          shiftright(col("phash_lo"), 16), pmod(col("phash_lo"), lit(65536))))
-          .as(Seq("band_idx", "band_val")))
-    val all = banded(catalog.unionByName(ph), "a")
-    val delta = banded(ph, "b")
-    val pairs = all.join(delta, Seq("band_idx", "band_val"))
-      .filter(col("a_id") =!= col("b_id"))
-      .select(least(col("a_id"), col("b_id")).as("a_id"),
-        greatest(col("a_id"), col("b_id")).as("b_id"),
-        (bit_count(col("a_hi").bitwiseXOR(col("b_hi"))) +
-          bit_count(col("a_lo").bitwiseXOR(col("b_lo"))))
-          .cast("int").as("hamming"))
-      .filter(col("hamming") <= maxHamming)
-      .distinct() // multi-band collisions of the same pair emit once
-    (pairs, ph)
+    def h(df: DataFrame) = df.select(col("doc_id"),
+      col("phash_hi").as("h_hi"), col("phash_lo").as("h_lo"))
+    (neardupIncrement64(h(ph), h(catalog), maxHamming), ph)
   }
 
   /** Frame sampling as pure expressions: fixed-size byte frames; the FIRST

@@ -617,6 +617,24 @@ object StreamingOps {
         graft.ops.Multimodal.imagePhashIncrement(batch, catalog, maxHamming),
       catalogProj = identity)
 
+  /** Streaming audio near-dup: micro-batches of media rows fingerprinted
+    * by [[graft.ops.Multimodal.audioFingerprintIncrement]] against the
+    * catalog of all previously-seen clip fingerprints — the audio
+    * sibling of [[imagePhashStream]], same idempotent per-batch
+    * partition layout, same arrival-order-independent pair contract.
+    * The catalog carries (doc_id, afp_hi, afp_lo) — 20 bytes per clip;
+    * PCM payloads are hashed once on arrival and never re-read. */
+  def audioFingerprintStream(media: DataFrame, catalogDir: String,
+                             outDir: String, checkpointDir: String,
+                             maxHamming: Int = 3): StreamingQuery =
+    catalogStream(media, catalogDir, outDir, checkpointDir,
+      emptyCatalog = s => s.range(0).select(col("id").as("doc_id"),
+        lit(null).cast("long").as("afp_hi"),
+        lit(null).cast("long").as("afp_lo")),
+      increment = (batch, catalog) =>
+        graft.ops.Multimodal.audioFingerprintIncrement(batch, catalog, maxHamming),
+      catalogProj = identity)
+
   /** Streaming SemDeDup: micro-batches of (vec_id, embedding) rows are
     * assigned to a FIXED centroid frame (train once via
     * [[graft.ops.Similarity.semanticCentroids]] — on the corpus for the
