@@ -292,6 +292,65 @@ object ScaleProbe {
     pair("sketch_rollup", graft.ops.Analytics.sketchRollup(ev1),
       graft.ops.Analytics.sketchRollup(ev10))
 
+    // ---- round-13: streaming-increment cost vs CATALOG size ------------
+    // Fixed micro-batch, catalog at 1x and 10x of the corpus: this is the
+    // day-1 vs day-N question for a long-running ingest stream — an
+    // increment whose per-batch cost is linear in catalog size reads as
+    // exponent ~1 here; a bounded increment reads ~0. (Round-12 VERDICT
+    // finding #2: semanticDedupIncrement against an UNCAPPED catalog is
+    // the linear regime — measured below next to its capped fix.)
+    import graft.ops.Multimodal
+    val batchDocs = docs1.filter(col("doc_id") < 500).persist()
+    val batchEmb = emb1.filter(col("vec_id") < 500).persist()
+    println(s"[probe] stream batch docs=${batchDocs.count()} emb=${batchEmb.count()}")
+    def emptySeg = spark.range(0)
+      .select(lit(null).cast("string").as("seg_md5"))
+    val segCat1 = Dedup.segmentDedupIncrement(docs1, emptySeg)._2
+      .select(col("_h").as("seg_md5")).persist()
+    val segCat10 = Dedup.segmentDedupIncrement(docs10, emptySeg)._2
+      .select(col("_h").as("seg_md5")).persist()
+    println(s"[probe] seg catalogs ${segCat1.count()} / ${segCat10.count()}")
+    pair("stream_seg_increment",
+      Dedup.segmentDedupIncrement(batchDocs, segCat1)._1,
+      Dedup.segmentDedupIncrement(batchDocs, segCat10)._1)
+    def emptyMh = spark.range(0).select(col("id").as("doc_id"),
+      lit(null).cast("string").as("text"),
+      lit(null).cast("array<string>").as("mh"),
+      lit(null).cast("array<string>").as("bands"))
+    val mhCat1 = Dedup.minhashNeardupIncrement(d1, emptyMh)._2.persist()
+    val mhCat10 = Dedup.minhashNeardupIncrement(d10, emptyMh)._2.persist()
+    println(s"[probe] minhash catalogs ${mhCat1.count()} / ${mhCat10.count()}")
+    pair("stream_minhash_increment",
+      Dedup.minhashNeardupIncrement(batchDocs, mhCat1)._1,
+      Dedup.minhashNeardupIncrement(batchDocs, mhCat10)._1)
+    val imgCat1 = Multimodal.imagePhash(Multimodal.syntheticMedia(d1)).persist()
+    val imgCat10 = Multimodal.imagePhash(Multimodal.syntheticMedia(d10)).persist()
+    println(s"[probe] image catalogs ${imgCat1.count()} / ${imgCat10.count()}")
+    val batchMedia = Multimodal.syntheticMedia(batchDocs).persist()
+    pair("stream_image_increment",
+      Multimodal.imagePhashIncrement(batchMedia, imgCat1)._1,
+      Multimodal.imagePhashIncrement(batchMedia, imgCat10)._1)
+    val semCents = Similarity.semanticCentroids(emb1, 8)
+    def emptySem = spark.range(0).select(col("id").as("cid"),
+      col("id").as("vec_id"), lit(null).cast("array<double>").as("nv"))
+    val semCat1 = Similarity.semanticDedupIncrement(emb1, emptySem, semCents)._2
+      .persist()
+    val semCat10 = Similarity.semanticDedupIncrement(emb10, emptySem, semCents)._2
+      .persist()
+    println(s"[probe] semantic catalogs ${semCat1.count()} / ${semCat10.count()}")
+    // the UNCAPPED regime round-12 flagged: expect ~linear in catalog
+    pair("stream_semantic_uncapped",
+      Similarity.semanticDedupIncrement(batchEmb, semCat1, semCents)._1,
+      Similarity.semanticDedupIncrement(batchEmb, semCat10, semCents)._1)
+    // the capped fix: both catalogs trim to <= k*cap rows, so per-batch
+    // cost is flat no matter how much history the stream has seen
+    val capCat1 = Similarity.semanticCatalogTrim(semCat1, emptySem, 512).persist()
+    val capCat10 = Similarity.semanticCatalogTrim(semCat10, emptySem, 512).persist()
+    println(s"[probe] capped semantic catalogs ${capCat1.count()} / ${capCat10.count()}")
+    pair("stream_semantic_capped",
+      Similarity.semanticDedupIncrement(batchEmb, capCat1, semCents)._1,
+      Similarity.semanticDedupIncrement(batchEmb, capCat10, semCents)._1)
+
     only.foreach { keep =>
       if (probed == 0) System.err.println(
         s"[probe] SPARK_GRAFT_PROBE_ONLY matched no pair: ${keep.mkString(", ")}")

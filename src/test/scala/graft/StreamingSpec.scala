@@ -648,6 +648,53 @@ class StreamingSpec extends SparkSpec {
     assert(cat.select("vec_id").distinct().count() === 24)
   }
 
+  test("capped semantic dedup stream: catalog bounded at perClusterCap, " +
+    "drops remain sound, cap-binding keeps are the documented recall trade") {
+    import spark.implicits._
+    import graft.ops.Similarity
+    def vec(vals: (Int, Float)*): Seq[Float] = {
+      val a = Array.fill(8)(0f); vals.foreach { case (i, v) => a(i) = v }; a.toSeq
+    }
+    // one directional cluster of near-copies + one opposite cluster
+    val docs = (1L to 20L).map {
+      case i if i % 2 == 1 => (i, vec(0 -> 10f, (i % 4).toInt -> 0.5f))
+      case i => (i, vec(0 -> -10f, (i % 4).toInt -> 0.5f))
+    }
+    val corpus = docs.toDF("vec_id", "embedding")
+    val cents = Similarity.semanticCentroids(corpus, k = 2)
+    val dir = java.nio.file.Files.createTempDirectory("semcap").toString
+    val stream = MemoryStream[(Long, Seq[Float])](spark)
+    val q = StreamingOps.semanticDedupStream(
+      stream.toDF().toDF("vec_id", "embedding"),
+      s"$dir/catalog", s"$dir/out", s"$dir/ckpt", cents,
+      perClusterCap = 3)
+    docs.grouped(5).foreach { chunk =>
+      stream.addData(chunk: _*); q.processAllAvailable()
+    }
+    q.stop()
+    // THE BOUND: no cluster ever exceeds cap rows, so batch N's pairwise
+    // join is against <= k*cap catalog rows no matter how long the
+    // stream has run
+    val cat = StreamingOps.readBatched(spark, s"$dir/catalog")
+    val perCluster = cat.groupBy("cid").count().collect()
+      .map(r => r.getLong(1))
+    assert(perCluster.forall(_ <= 3), s"cap breached: ${perCluster.toSeq}")
+    assert(cat.count() <= 2 * 3)
+    // drops remain sound: every streamed drop is also a batch-form drop
+    // (a capped catalog can only MISS partners, never invent them)
+    val streamed = StreamingOps.readBatched(spark, s"$dir/out")
+      .select("vec_id", "keep").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val batch = Similarity.semanticDedup(corpus, k = 2).select("vec_id", "keep")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    streamed.foreach { case (id, keep) =>
+      if (!keep) assert(!batch(id), s"capped stream dropped $id, batch kept it")
+    }
+    // near-copies arriving while the cap is filled still drop (the cap
+    // keeps representatives, not nothing)
+    assert(streamed.count(!_._2) > 10)
+  }
+
   test("streaming fan-out writes per-tenant directories via foreachBatch") {
     import spark.implicits._
     val out = java.nio.file.Files.createTempDirectory("fanout").toString
