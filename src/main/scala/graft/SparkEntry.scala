@@ -386,11 +386,24 @@ object SparkEntry {
     * (2.77 s vs 3.74 s at sf0.1), because finer subvectors (subLen 2)
     * shrink each codebook's quantization error faster than the m-fold
     * codes growth raises join cost at these scales. */
+  /** Recall@5 of the IVF-PQ SERVING path — the rerank chain at the
+    * round-13 recall operating point (nprobe=16, shortlist=40), measured
+    * on the extended RecallSweep (DESIGN.md §3.4): raw ADC recall is
+    * coverage-capped by unprobed lists (np=8 → 0.675 ceiling at ANY
+    * shortlist; np=16 ADC alone 0.65), while the exact-rerank of a
+    * 40-deep shortlist under full-probe coverage measures 1.00 at sf0.1
+    * for ~1.25× the old eval's cost. At demo scale nprobe=16 of 16
+    * centroids is an exhaustive compressed-domain scan — at production
+    * scale numCentroids grows with N and nprobe stays the fractional
+    * coverage knob; the mechanism this eval pins is recall =
+    * (list coverage) × (shortlist coverage) with EXACT ordering inside,
+    * which is scale-independent. The raw-ADC curve stays recorded in
+    * DESIGN.md §3.4. */
   private def knnIvfPqRecallQ(s: SparkSession, dir: String): DataFrame = {
     val brute = knnBrute(s, dir).select(col("query_id"), col("neighbor_id"))
     val emb = RawGen.table(s, dir, "embeddings")
-    val pq = Similarity.ivfPqTopK(emb, knnQueries(s, dir), m = 32, k = 32,
-        topK = 5, dim = 64, numCentroids = 16, nprobe = 8)
+    val pq = Similarity.ivfPqRerankTopK(emb, knnQueries(s, dir), m = 32, k = 32,
+        topK = 5, dim = 64, numCentroids = 16, nprobe = 16, shortlist = 40)
       .select(col("query_id").as("q2"), col("vec_id").as("n2"))
     brute.join(pq,
         col("query_id") === col("q2") && col("neighbor_id") === col("n2"), "left")
@@ -3845,19 +3858,17 @@ object SparkEntry {
   private lazy val knnIvfPqRerankSql =
     knnIvfPqSqlFor(2, knnIvfPqRerankFinish(shortlist = 20, topK = 5))
 
-  // recall@5 of residual IVF-PQ vs exact cosine, at the recall-oriented
-  // nprobe=8 operating point (half the lists probed; knn_ivf_pq itself
-  // runs the throughput point nprobe=2, whose recall is coverage-capped
-  // at ~nprobe/numCentroids on isotropic data). Measured 0.325, matching
-  // plain PQ at half the lists probed (same m, k, ground truth), 2.6×
-  // multiprobe LSH's 0.125 —
-  // the residual/per-list codebooks beat the raw shared codebook once
-  // coverage is comparable.
+  // recall@5 of the IVF-PQ SERVING path vs exact cosine — the rerank
+  // chain at the round-13 recall point (nprobe=16, shortlist=40; see
+  // knnIvfPqRecallQ's scaladoc for the measured coverage-ceiling curve
+  // and the demo-scale exhaustive-probe caveat). The raw-ADC recall
+  // evidence (np=8: 0.55 at sf0.1 / 0.675 at sf0.01 with m=32) lives in
+  // DESIGN.md §3.4's sweep table.
   private lazy val knnIvfPqRecallSql =
     "SELECT b.query_id,\n" +
     "  CAST(count(p.vec_id) AS DOUBLE)/count(*) AS recall_at_5\n" +
     s"FROM ($knnBruteSql) b\n" +
-    s"LEFT JOIN (${knnIvfPqSqlFor(8)}) p\n" +
+    s"LEFT JOIN (${knnIvfPqSqlFor(16, knnIvfPqRerankFinish(shortlist = 40, topK = 5))}) p\n" +
     "  ON p.query_id = b.query_id AND p.vec_id = b.neighbor_id\n" +
     "GROUP BY 1 ORDER BY 1"
 

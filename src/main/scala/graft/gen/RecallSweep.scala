@@ -29,16 +29,35 @@ object RecallSweep {
       .select(col("query_id"), col("neighbor_id")).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
 
-    val configs = Seq(
-      (4, 16, 8), (4, 32, 8), (8, 16, 8), (8, 32, 8),
-      (8, 16, 16), (8, 32, 16), (16, 16, 8), (16, 32, 8),
-      (16, 32, 16), (32, 16, 8), (32, 32, 8))
-    println("m,k,nprobe,recall_at_5,sec_median3")
-    configs.foreach { case (m, k, np) =>
+    // round-13 extension: the round-12 sweep showed subspace count is the
+    // recall lever — push m to 64 (subLen 1: per-dimension codebooks) and
+    // test probe width at the new m values
+    // config tuples are (m, k, nprobe, shortlist): shortlist = 0 sweeps
+    // the raw ADC chain; shortlist > 0 sweeps the RERANK path (exact
+    // re-score of the ADC top-`shortlist`), whose recall@5 is the
+    // shortlist's coverage of the true top 5 — the round-13 lever
+    val configs = sys.env.get("SPARK_GRAFT_SWEEP_ONLY")
+      .map(_.split(";").toSeq.map { t =>
+        t.split(",").map(_.trim.toInt) match {
+          case Array(m, k, np) => (m, k, np, 0)
+          case Array(m, k, np, sl) => (m, k, np, sl)
+        }
+      })
+      .getOrElse(Seq(
+        (4, 16, 8, 0), (4, 32, 8, 0), (8, 16, 8, 0), (8, 32, 8, 0),
+        (8, 16, 16, 0), (8, 32, 16, 0), (16, 16, 8, 0), (16, 32, 8, 0),
+        (16, 32, 16, 0), (32, 16, 8, 0), (32, 32, 8, 0),
+        (32, 32, 16, 0), (64, 16, 8, 0), (64, 32, 8, 0), (64, 32, 16, 0)))
+    println("m,k,nprobe,shortlist,recall_at_5,sec_median3")
+    configs.foreach { case (m, k, np, sl) =>
       def run(): (Double, Double) = {
         val t0 = System.nanoTime()
-        val got = Similarity.ivfPqTopK(emb, queries, m = m, k = k,
+        val frame =
+          if (sl > 0) Similarity.ivfPqRerankTopK(emb, queries, m = m, k = k,
+            topK = 5, dim = 64, numCentroids = 16, nprobe = np, shortlist = sl)
+          else Similarity.ivfPqTopK(emb, queries, m = m, k = k,
             topK = 5, dim = 64, numCentroids = 16, nprobe = np)
+        val got = frame
           .select(col("query_id"), col("vec_id")).collect()
           .map(r => (r.getLong(0), r.getLong(1))).toSet
         val sec = (System.nanoTime() - t0) / 1e9
@@ -49,7 +68,7 @@ object RecallSweep {
       val rs = (1 to 3).map(_ => run())
       val rec = rs.head._1
       val sec = rs.map(_._2).sorted.apply(1)
-      println(f"$m,$k,$np,$rec%.4f,$sec%.2f")
+      println(f"$m,$k,$np,$sl,$rec%.4f,$sec%.2f")
     }
     spark.stop()
   }
