@@ -292,6 +292,29 @@ object ScaleProbe {
     pair("sketch_rollup", graft.ops.Analytics.sketchRollup(ev1),
       graft.ops.Analytics.sketchRollup(ev10))
 
+    // ---- round-13 batch operators --------------------------------------
+    import graft.ops.{Classifier, Url}
+    pair("url_dedup", Url.urlDedup(Url.syntheticUrls(docs1)),
+      Url.urlDedup(Url.syntheticUrls(docs10)))
+    pair("domain_stats", Url.domainStats(Url.syntheticUrls(docs1)),
+      Url.domainStats(Url.syntheticUrls(docs10)))
+    // two feature passes (train + score) + broadcast model joins — the
+    // corpus term is the fused DsirBuckets scan, expect ~linear
+    pair("quality_classifier", Classifier.qualityClassifier(docs1),
+      Classifier.qualityClassifier(docs10))
+    // build + split + parse: sequential per file, files are the
+    // parallelism unit (docs/16 per file at both scales)
+    def warcIn(d: DataFrame) = graft.sources.Warc.syntheticWarc(
+      Url.syntheticUrls(d).select(col("doc_id"), col("url"))
+        .join(htmlIn(d), "doc_id"))
+    pair("warc_read", graft.sources.Warc.readRecords(warcIn(docs1)),
+      graft.sources.Warc.readRecords(warcIn(docs10)))
+    // replicas share their original's group key → 10-member near-dup
+    // cliques at 10x: the output-bound adversarial case, like image
+    pair("audio_neardup",
+      Multimodal.audioFingerprintNeardup(Multimodal.syntheticAudio(d1)),
+      Multimodal.audioFingerprintNeardup(Multimodal.syntheticAudio(d10)))
+
     // ---- round-13: streaming-increment cost vs CATALOG size ------------
     // Fixed micro-batch, catalog at 1x and 10x of the corpus: this is the
     // day-1 vs day-N question for a long-running ingest stream — an

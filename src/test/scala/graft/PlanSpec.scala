@@ -98,6 +98,8 @@ class PlanSpec extends SparkSpec {
       "snm_editdist", // embeds globalSequence's cuts frame
       "layout_zorder", // 1-row global min/max frame, broadcast cross join
       "zonemap_prune", // same min/max frame via Layout.zorder
+      "domain_stats", // 1-row isqrt-total frame, broadcast cross join
+      "domain_quota_sample", // embeds domainStats' 1-row total cross join
       "q_zero_fill")
     val dir = "/root/testdata/sf0.001"
     SparkEntry.queries.foreach { case (name, fn) =>
