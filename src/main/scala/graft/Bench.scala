@@ -202,7 +202,9 @@ object Bench {
         persistedNow.get(id).foreach(_.unpersist(blocking = false))
       }
       val la1 = loadavg()
-      val clean = la0 >= 0.0 && la0 < runFence && la1 < runFence
+      // BOTH reads must succeed (-1.0 = /proc read failure): missing
+      // evidence is not clean evidence
+      val clean = la0 >= 0.0 && la0 < runFence && la1 >= 0.0 && la1 < runFence
       (name, timed.getOrElse(0.0), timed.isDefined, clean)
     }
     val firstPass = registry.map { case (name, fn) => measure(name, fn) }

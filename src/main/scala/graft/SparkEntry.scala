@@ -3940,7 +3940,9 @@ object SparkEntry {
       |    substr(base, length(split_part(base, '://', 1)) + 4) AS aftersch FROM s1),
       | s3 AS (SELECT doc_id, n_chars, scheme,
       |    split_part(aftersch, '?', 1) AS beforeq,
-      |    CASE WHEN contains(aftersch, '?') THEN split_part(aftersch, '?', 2) ELSE '' END AS rawq FROM s2),
+      |    CASE WHEN contains(aftersch, '?')
+      |      THEN substr(aftersch, length(split_part(aftersch, '?', 1)) + 2)
+      |      ELSE '' END AS rawq FROM s2),
       | s4 AS (SELECT doc_id, n_chars, scheme, rawq,
       |    split_part(beforeq, '/', 1) AS hostport,
       |    substr(beforeq, length(split_part(beforeq, '/', 1)) + 1) AS rawpath FROM s3),
@@ -3969,7 +3971,7 @@ object SparkEntry {
       |    CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS isqrt
       |  FROM d GROUP BY domain),
       | qt AS (SELECT domain, n_docs, n_urls, total_chars,
-      |    greatest(1, CAST(floor(100 * isqrt / (SELECT sum(isqrt) FROM st)) AS BIGINT)) AS quota
+      |    greatest(1, CAST(100 * isqrt // (SELECT sum(isqrt) FROM st) AS BIGINT)) AS quota
       |  FROM st)""".stripMargin
 
   private val urlDedupSql = urlCanonCte +

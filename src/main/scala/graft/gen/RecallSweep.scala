@@ -37,10 +37,13 @@ object RecallSweep {
     // re-score of the ADC top-`shortlist`), whose recall@5 is the
     // shortlist's coverage of the true top 5 — the round-13 lever
     val configs = sys.env.get("SPARK_GRAFT_SWEEP_ONLY")
-      .map(_.split(";").toSeq.map { t =>
+      .map(_.split(";").toSeq.map(_.trim).filter(_.nonEmpty).map { t =>
         t.split(",").map(_.trim.toInt) match {
           case Array(m, k, np) => (m, k, np, 0)
           case Array(m, k, np, sl) => (m, k, np, sl)
+          case other => throw new IllegalArgumentException(
+            s"SPARK_GRAFT_SWEEP_ONLY tuple '$t' has ${other.length} fields; " +
+              "expected m,k,nprobe or m,k,nprobe,shortlist")
         }
       })
       .getOrElse(Seq(

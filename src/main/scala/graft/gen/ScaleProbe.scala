@@ -322,7 +322,6 @@ object ScaleProbe {
     // exponent ~1 here; a bounded increment reads ~0. (Round-12 VERDICT
     // finding #2: semanticDedupIncrement against an UNCAPPED catalog is
     // the linear regime — measured below next to its capped fix.)
-    import graft.ops.Multimodal
     val batchDocs = docs1.filter(col("doc_id") < 500).persist()
     val batchEmb = emb1.filter(col("vec_id") < 500).persist()
     println(s"[probe] stream batch docs=${batchDocs.count()} emb=${batchEmb.count()}")

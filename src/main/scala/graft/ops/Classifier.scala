@@ -102,15 +102,27 @@ object Classifier {
     val classIdx = model.select("label").distinct()
       .withColumn("cidx",
         row_number().over(Window.orderBy("label")).cast("long") - 1)
+    // the encoding reserves 6 bits for the class index — a 65th class
+    // would alias class 0 with an off-by-one score, silently. Real
+    // many-class uses (a full LID head) need a wider reservation; fail
+    // loudly instead. The count() is a C-row action on a frame the
+    // caller already materialized (or a tiny agg over the model).
+    val numClasses = classIdx.count()
+    require(numClasses <= 64,
+      s"classify()'s argmax encoding reserves 6 bits for the class " +
+        s"index (<= 64 classes); got $numClasses — widen the encoding " +
+        "or shard the label space")
     val enc = col("score") * 64 + (lit(63L) - col("cidx"))
     scores.join(broadcast(classIdx), "label")
       .select(col("doc_id"), enc.as("enc"))
       .groupBy("doc_id")
       .agg(max(col("enc")).as("enc"))
       .select(col("doc_id"), (lit(63L) - pmod(col("enc"), lit(64))).as("cidx"),
-        // decode score: strip the index part, then exact /64 (both
-        // engines floor-divide via the same subtraction, sign-safe)
-        ((col("enc") - pmod(col("enc"), lit(64))) / 64).cast("long").as("score"))
+        // decode score: strip the index part (enc is then an exact
+        // multiple of 64) and arithmetic-shift — integer-exact for any
+        // long, unlike `/ 64`, whose long/long → DOUBLE division loses
+        // mantissa bits past 2^53
+        shiftright(col("enc") - pmod(col("enc"), lit(64)), 6).as("score"))
       .join(broadcast(classIdx), "cidx")
       .select(col("doc_id"), col("label").as("pred_label"), col("score"))
   }

@@ -77,8 +77,13 @@ object Url {
     val scheme = lower(substring_index(base, "://", 1))
     val afterScheme = base.substr(length(scheme) + 4, lit(1 << 20))
     val beforeQuery = substring_index(afterScheme, "?", 1)
+    // everything after the FIRST '?' (offset arithmetic, not
+    // substring_index(…, -1): RFC 3986 allows '?' INSIDE a query, and
+    // after-the-last would drop params before the second '?' — also the
+    // DuckDB oracle's split_part(…, 2) semantics, so the engines agree)
     val rawQuery = when(afterScheme.contains("?"),
-      substring_index(afterScheme, "?", -1)).otherwise(lit(""))
+      afterScheme.substr(length(beforeQuery) + 2, lit(1 << 20)))
+      .otherwise(lit(""))
     val hostport = substring_index(beforeQuery, "/", 1)
     val rawPath = beforeQuery.substr(length(hostport) + 1, lit(1 << 20))
     val host = regexp_replace(lower(substring_index(hostport, ":", 1)),
@@ -129,7 +134,8 @@ object Url {
     * between proportional — which lets a megadomain dominate — and
     * uniform — which overweights one-page domains), computed in INTEGER
     * arithmetic: floor(sqrt(n)) per domain, exact long sum, then
-    * floor(budget·isqrt/total) with a 1-doc floor — bit-identical in any
+    * budget·isqrt div total (long integer division, exact while
+    * budget·isqrt fits a long) with a 1-doc floor — bit-identical in any
     * engine and under any partitioning, unlike a double sqrt-share sum.
     * Scale shape: one hash agg on domain, then a 1-row total broadcast
     * back; |domains| rows total. */
@@ -146,8 +152,11 @@ object Url {
     val total = stats.agg(sum(col("isqrt")).as("isqrt_total"))
     stats.crossJoin(broadcast(total))
       .select(col("domain"), col("n_docs"), col("n_urls"), col("total_chars"),
+        // long `div` long stays integral end-to-end; `/` on longs is
+        // DOUBLE division in Spark SQL, inexact past 2^53 — the exact
+        // envelope is now budget*isqrt <= Long.MAX (documented above)
         greatest(lit(1L),
-          floor(lit(budget) * col("isqrt") / col("isqrt_total")).cast("long"))
+          expr(s"${budget}L * isqrt div isqrt_total").cast("long"))
           .as("quota"))
   }
 

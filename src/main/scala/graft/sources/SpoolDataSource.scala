@@ -199,7 +199,12 @@ class SpoolTable(path: String, topics: Boolean = false,
     if (warc) SpoolDataSource.WARC_SCHEMA
     else if (topics) SpoolDataSource.TOPIC_SCHEMA else SpoolDataSource.SCHEMA
   override def capabilities(): util.Set[TableCapability] =
-    (if (topics)
+    // warc: BATCH_READ only — advertising micro-batch/write capabilities
+    // the mode cannot honor would defer the failure from a clean analysis
+    // error to a late planning require (or worse, a value/topic write
+    // against the 9-column WARC schema)
+    (if (warc) Set(TableCapability.BATCH_READ)
+     else if (topics)
       Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
         TableCapability.STREAMING_WRITE)
      else Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,

@@ -83,16 +83,26 @@ object Warc {
         if (line == null) return null
         require(line.startsWith("WARC/"),
           s"expected a WARC version line, got '${line.take(40)}'")
-        val headers = Map.newBuilder[String, String]
+        // Locale.ROOT lowercasing: header names are ASCII tokens, and a
+        // Turkish-locale JVM would fold 'I' to dotless 'ı', breaking
+        // every warc-record-id / warc-target-uri lookup
+        val headers = scala.collection.mutable.LinkedHashMap.empty[String, String]
+        var last: String = null
         var h = readLine(in)
         while (h != null && h.nonEmpty) {
-          val i = h.indexOf(':')
-          require(i > 0, s"malformed WARC header line '${h.take(40)}'")
-          headers += (h.substring(0, i).trim.toLowerCase ->
-            h.substring(i + 1).trim)
+          if ((h.charAt(0) == ' ' || h.charAt(0) == '\t') && last != null) {
+            // ISO 28500 §4: long header VALUES may fold onto continuation
+            // lines starting with space/tab — unfold with a single space
+            headers(last) = headers(last) + " " + h.trim
+          } else {
+            val i = h.indexOf(':')
+            require(i > 0, s"malformed WARC header line '${h.take(40)}'")
+            last = h.substring(0, i).trim.toLowerCase(java.util.Locale.ROOT)
+            headers(last) = h.substring(i + 1).trim
+          }
           h = readLine(in)
         }
-        val hs = headers.result()
+        val hs = headers.toMap
         val len = hs.getOrElse("content-length",
           throw new IllegalArgumentException(
             "WARC record without Content-Length — file unreadable past here"))
@@ -111,7 +121,7 @@ object Warc {
                              headers: Map[String, String],
                              body: Array[Byte]): WarcRow = {
     val isHttp = headers.get("content-type")
-      .exists(_.toLowerCase.startsWith("application/http"))
+      .exists(_.toLowerCase(java.util.Locale.ROOT).startsWith("application/http"))
     val (status, html) =
       if (!isHttp) (None, null)
       else {

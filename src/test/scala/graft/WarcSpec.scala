@@ -115,17 +115,14 @@ class WarcSpec extends SparkSpec {
         col("http_status"), col("html"))
       .orderBy("file_id", "rec_index").collect().toSeq
     assert(viaDsv2 === viaOp)
-    // streaming over a crawl archive is rejected with guidance (the
-    // check runs on the stream thread, so it surfaces at termination)
-    val q = spark.readStream.format("graft-spool")
-      .option("format", "warc").load(dir.toString)
-      .writeStream.format("noop")
-      .option("checkpointLocation",
-        java.nio.file.Files.createTempDirectory("warc-ck").toString)
-      .start()
-    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
-      q.awaitTermination(30000)
+    // streaming over a crawl archive is rejected at ANALYSIS time: the
+    // warc table advertises BATCH_READ only, so readStream fails before
+    // any query starts (not a late planning error mid-stream)
+    val ex = intercept[Exception] {
+      spark.readStream.format("graft-spool")
+        .option("format", "warc").load(dir.toString)
     }
-    assert(ex.getMessage.contains("batch-only"))
+    assert(ex.getMessage.contains("does not support streamed reading"),
+      s"expected a clean analysis-time rejection, got: ${ex.getMessage}")
   }
 }
