@@ -4104,21 +4104,27 @@ object SparkEntry {
       |FROM (SELECT * FROM wi UNION ALL SELECT * FROM rr)
       |ORDER BY file_id, rec_index""".stripMargin
 
+  // COALESCE to long-min mirrors the Spark side's single-class-degenerate
+  // handling: the absent class's NULL score must lose, not null the verdict
+  private val duckScoreKeep =
+    "COALESCE(pv.score_keep, -9223372036854775807 - 1) > " +
+      "COALESCE(pv.score_drop, -9223372036854775807 - 1)"
+
   private val qualityClassifierSql =
     s"""WITH $classifierCtes
        |SELECT pv.doc_id, pv.score_drop, pv.score_keep,
-       |  CASE WHEN pv.score_keep > pv.score_drop THEN 'keep' ELSE 'drop' END AS pred_label,
+       |  CASE WHEN $duckScoreKeep THEN 'keep' ELSE 'drop' END AS pred_label,
        |  (lbl.label = 'keep') AS teacher_keep,
-       |  ((CASE WHEN pv.score_keep > pv.score_drop THEN 'keep' ELSE 'drop' END) = 'keep')
+       |  ((CASE WHEN $duckScoreKeep THEN 'keep' ELSE 'drop' END) = 'keep')
        |    = (lbl.label = 'keep') AS agree
        |FROM pv JOIN lbl USING (doc_id) ORDER BY pv.doc_id""".stripMargin
 
   private val classifierCurateSql =
     s"""WITH $classifierCtes,
        |cf AS (SELECT pv.doc_id,
-       |    -- CASE, not a bare comparison: a NULL score (single-class
-       |    -- degenerate corpus) must read as drop, like the Spark side
-       |    (CASE WHEN pv.score_keep > pv.score_drop THEN TRUE ELSE FALSE END) AS clf_keep
+       |    -- coalesced comparison: a NULL score (single-class degenerate
+       |    -- corpus) loses to the present class, like the Spark side
+       |    (CASE WHEN $duckScoreKeep THEN TRUE ELSE FALSE END) AS clf_keep
        |  FROM pv JOIN lbl USING (doc_id)),
        |ddj AS (SELECT d2.doc_id, md5(d2.text) AS hh, cf.clf_keep
        |  FROM documents d2 JOIN cf USING (doc_id)),

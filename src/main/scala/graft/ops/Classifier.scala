@@ -13,11 +13,18 @@ import org.apache.spark.sql.functions._
   * Training here is the closed-form multinomial estimate (per-class
   * Laplace-smoothed bucket log-likelihoods + class log-prior) rather than
   * SGD — a linear model of exactly the fastText shape whose weights are
-  * reproducible anywhere, which is what makes the oracle replay possible.
-  * Weights and scores are FIXED-POINT LONGS (`floor(1e6·ln(…)+0.5)`):
-  * per-document scores are integer sums, so ranking/argmax can never
-  * drift with partitioning or summation order — the same bit-exactness
-  * contract as the kmeans/PQ family (Similarity.scala).
+  * reproducible in practice across engines, which is what makes the
+  * oracle replay possible. Weights and scores are FIXED-POINT LONGS
+  * (`floor(1e6·ln(…)+0.5)`): per-document scores are integer sums, so
+  * GIVEN the weights, ranking/argmax can never drift with partitioning
+  * or summation order — the same contract as the kmeans/PQ family
+  * (Similarity.scala). The WEIGHTS themselves are one step short of that
+  * guarantee: `ln` is libm-dependent, and two implementations differing
+  * by 1 ulp flip the floor when `1e6·ln(x)+0.5` lands within ~1e-9 of an
+  * integer — vanishingly rare per weight and never observed across
+  * Java/DuckDB on this corpus, but a deployment that needs bit-exact
+  * weights as a CONTRACT should derive them from integer counts via a
+  * fixed-point log table.
   *
   * Features reuse the fused native hashing pass
   * ([[graft.functions.DsirBuckets]] — md5 fed gram bytes, no per-gram
@@ -155,8 +162,13 @@ object Classifier {
         col("score_drop").cast("long").as("score_drop"),
         col("score_keep").cast("long").as("score_keep"),
         // strict >: a tie goes to 'drop' (ascending-label tiebreak, the
-        // classify() contract)
-        when(col("score_keep") > col("score_drop"), lit("keep"))
+        // classify() contract). Coalesce to Long.MinValue: on a degenerate
+        // single-class teacher corpus the ABSENT class's score is NULL,
+        // and a bare NULL comparison made every doc predict the INVERSE
+        // of the only class the teacher emitted (round-13 ADVICE) — the
+        // present class must win instead.
+        when(coalesce(col("score_keep"), lit(Long.MinValue)) >
+            coalesce(col("score_drop"), lit(Long.MinValue)), lit("keep"))
           .otherwise(lit("drop")).as("pred_label"),
         (col("label") === "keep").as("teacher_keep"))
       .withColumn("agree",

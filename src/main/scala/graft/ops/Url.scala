@@ -112,7 +112,15 @@ object Url {
     * the two-label rule is the PSL-free approximation and is the
     * documented contract here. */
   def registrableDomain(urlCanon: Column): Column = {
-    val host = substring_index(substring_index(urlCanon, "://", -1), "/", 1)
+    // everything after the FIRST '://' (offset arithmetic, the
+    // canonicalizeUrl spelling): substring_index(…, -1) takes the segment
+    // after the LAST occurrence, so a query-param value containing '://'
+    // would yield a different "host" than the oracle's first-occurrence
+    // split_part — and the canonical path always starts with '/', so the
+    // host ends at the first '/' regardless of later '://'s
+    val scheme = substring_index(urlCanon, "://", 1)
+    val afterScheme = urlCanon.substr(length(scheme) + 4, lit(1 << 20))
+    val host = substring_index(afterScheme, "/", 1)
     val bare = substring_index(host, ":", 1)
     regexp_extract(bare, "([^.]+\\.[^.]+)$", 1)
   }

@@ -28,9 +28,54 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * requires a FRESH checkpoint directory (replay the source, or drain the
   * old query first). A production deployment that needs rolling upgrades
   * should version the state explicitly (an envelope case class with a
-  * schema tag, migrating old shapes on read).
+  * schema tag, migrating old shapes on read). [[guardStateSchema]] turns
+  * the silent half of that failure mode into a fast, named error: call it
+  * with the query's checkpoint dir before `start()`, and a restart under
+  * a CHANGED state shape refuses up front instead of misreading state.
   */
 object StreamingOps {
+
+  /** Encoder schemas of the built-in stateful ops' state classes, keyed by
+    * op name — the fingerprint [[guardStateSchema]] stamps into checkpoint
+    * directories. */
+  lazy val stateSchemas: Map[String, org.apache.spark.sql.types.StructType] = Map(
+    "scd2" -> org.apache.spark.sql.Encoders.product[Scd2State].schema,
+    "funnel" -> org.apache.spark.sql.Encoders.product[FunnelProgress].schema,
+    "latest" -> org.apache.spark.sql.Encoders.product[LatestState].schema,
+    "tombstone" -> org.apache.spark.sql.Encoders.product[TombState].schema)
+
+  /** Checkpoint-dir state-schema guard (round-13 directive): stamps
+    * `<checkpointDir>/_graft_state_schema/<op>` with the state class's
+    * encoder schema JSON on first use, and on every later call REFUSES
+    * (IllegalStateException naming both schemas and the remedy) when the
+    * stamp differs — the failure Spark itself produces for a changed
+    * state case class ranges from a deserialization error to silently
+    * misread field-compatible layouts, neither of which names the cause.
+    * Call before `start()` with the same dir the query checkpoints to;
+    * ops not in [[stateSchemas]] pass their own state encoder schema. */
+  def guardStateSchema(spark: SparkSession, checkpointDir: String, op: String,
+                       stateSchema: org.apache.spark.sql.types.StructType): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(checkpointDir, "_graft_state_schema")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(dir, op)
+    val want = stateSchema.json
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      val have = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                 finally in.close()
+      if (have != want) throw new IllegalStateException(
+        s"checkpoint $checkpointDir was written under a DIFFERENT '$op' " +
+          s"state schema:\n  checkpointed: $have\n  this build:   $want\n" +
+          "Restoring it would fail on state deserialization or misread " +
+          "field-compatible layouts. Use a fresh checkpoint directory and " +
+          "replay the source (or drain the old query on the old build).")
+    } else {
+      fs.mkdirs(dir)
+      val out = fs.create(marker, false)
+      try out.write(want.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+  }
 
   /** Event-time tumbling window counts over the streaming events frame
     * (needs an `epoch_us` column, RawGen.events shape). Late data beyond

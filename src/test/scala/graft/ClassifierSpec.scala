@@ -83,4 +83,23 @@ class ClassifierSpec extends SparkSpec {
     val agree = out.filter(col("agree")).count()
     assert(agree >= 55, s"student recovered only $agree/60 teacher verdicts")
   }
+
+  test("qualityClassifier on a single-class teacher corpus predicts that " +
+    "class, not its inverse (round-13 ADVICE regression)") {
+    import spark.implicits._
+    // every doc passes the quality gate -> the teacher emits ONLY 'keep',
+    // so score_drop is NULL for every doc; the coalesced comparison must
+    // let the present class win (the old bare NULL comparison predicted
+    // 'drop' for the whole corpus)
+    val docs = (0L until 25L).map(i =>
+      (i, ("the deal of the day is a fine offer and " * 3) + i, "en", "s", 100L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Classifier.qualityClassifier(docs).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getAs[Boolean]("teacher_keep")),
+      "fixture must be a keep-only teacher corpus")
+    assert(out.forall(_.getAs[String]("pred_label") == "keep"),
+      "single-class corpus must predict the only class the teacher emitted")
+    assert(out.forall(_.getAs[Boolean]("agree")))
+  }
 }

@@ -196,6 +196,46 @@ class PartitioningSpec extends SparkSpec {
       spark.table("ivffull_lists").count())
   }
 
+  test("dropManagedTable on an EXTERNAL table drops the catalog entry but " +
+    "leaves the user-owned data (round-12 ADVICE regression)") {
+    import spark.implicits._
+    val dataDir = java.nio.file.Files.createTempDirectory("ext-data")
+    (1L to 10L).map(i => (i, s"v$i")).toDF("id", "v")
+      .write.mode("overwrite").parquet(dataDir.toString)
+    spark.sql(s"CREATE TABLE ext_victim (id BIGINT, v STRING) USING parquet " +
+      s"LOCATION '$dataDir'")
+    assert(spark.catalog.tableExists("ext_victim"))
+    Partitioning.dropManagedTable(spark, "ext_victim")
+    assert(!spark.catalog.tableExists("ext_victim"))
+    // the location the catalog only POINTED at must survive, readable
+    assert(spark.read.parquet(dataDir.toString).count() === 10)
+    // while a MANAGED table's location IS reclaimed (the function's job)
+    (1L to 5L).map(i => (i, s"m$i")).toDF("id", "v")
+      .write.saveAsTable("managed_victim")
+    val loc = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(
+        "managed_victim")).location.getPath
+    Partitioning.dropManagedTable(spark, "managed_victim")
+    assert(!spark.catalog.tableExists("managed_victim"))
+    assert(!new java.io.File(loc).exists(),
+      s"managed location $loc should have been reclaimed")
+  }
+
+  test("ivfAppendIndex refuses a pre-bucket-spec 2-column meta table with " +
+    "the rebuild remedy, not an opaque index error (round-12 ADVICE)") {
+    import spark.implicits._
+    import graft.ops.Similarity
+    // an index persisted by a pre-round-13 build: meta has no buckets col
+    Seq((4, 8)).toDF("num_centroids", "dim")
+      .write.mode("overwrite").saveAsTable("oldivf_meta")
+    val delta = Seq((1L, Array.fill(8)(0.5f))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ivfAppendIndex(delta, "oldivf")
+    }
+    assert(e.getMessage.contains("predates bucket-spec"))
+    assert(e.getMessage.contains("ivfWriteIndex"))
+  }
+
   test("saltedJoin tolerates map-typed columns on the big side") {
     import spark.implicits._
     // hash() rejects MapType — the salt must exclude map columns (at any

@@ -1036,4 +1036,24 @@ class StreamingSpec extends SparkSpec {
       assert(batchAnswer === ((Some(5L), Some(7L))))
     } finally q.stop()
   }
+
+  test("guardStateSchema: same-schema restarts pass, a changed state shape " +
+    "refuses with the named remedy (round-12 ADVICE regression)") {
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt-guard").toString
+    val scd2 = StreamingOps.stateSchemas("scd2")
+    StreamingOps.guardStateSchema(spark, ckpt, "scd2", scd2) // first stamp
+    StreamingOps.guardStateSchema(spark, ckpt, "scd2", scd2) // restart, same
+    // a build whose Scd2State changed shape must be refused up front
+    val changed = StreamingOps.stateSchemas("funnel")
+    val e = intercept[IllegalStateException] {
+      StreamingOps.guardStateSchema(spark, ckpt, "scd2", changed)
+    }
+    assert(e.getMessage.contains("DIFFERENT 'scd2' state schema"))
+    assert(e.getMessage.contains("fresh checkpoint directory"))
+    // ops are stamped independently: the same dir's funnel stamp is fresh
+    StreamingOps.guardStateSchema(spark, ckpt, "funnel", changed)
+    // and the schema map covers every built-in stateful op
+    assert(StreamingOps.stateSchemas.keySet ===
+      Set("scd2", "funnel", "latest", "tombstone"))
+  }
 }

@@ -44,6 +44,17 @@ class UrlSpec extends SparkSpec {
     assert(got === Seq("src0-site.org", "example.com", "example.com"))
   }
 
+  test("registrableDomain splits on the FIRST '://' — a query-param value " +
+    "containing '://' cannot shift the host (round-13 ADVICE regression)") {
+    import spark.implicits._
+    // the surviving param carries a full URL; the old last-occurrence
+    // split extracted 'evil.test' as the domain
+    val got = Seq("https://example.com/p/1?next=https://evil.test/x")
+      .toDF("u").select(Url.registrableDomain(col("u")).as("d"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got === Seq("example.com"))
+  }
+
   test("urlDedup folds scheme-case/www/port/slash/param-order variants to " +
     "one key, keeps the lowest doc_id; plan has ONE aggregate exchange " +
     "and no join") {
