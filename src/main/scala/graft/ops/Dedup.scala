@@ -85,38 +85,21 @@ object Dedup {
     * loses nothing. The deliberate trade: the split reads delta twice
     * (column-pruned scans + md5, cheap) to keep the fresh majority out of
     * the shuffle (same bytes over the network, expensive); persist the
-    * hashed frame instead when delta fits the cache. */
+    * hashed frame instead when delta fits the cache.
+    *
+    * `shards` picks the sketch topology (see [[bloomMaybe]]): 1 = one
+    * scalar sketch (right up to ~10⁸ catalog items); >1 = a hash-prefix-
+    * sharded family whose build buffers and probe lookups stay per-shard
+    * sized — the form that survives 10⁹–10¹¹-key catalogs where a single
+    * sketch is gigabytes. Output is row-identical either way (DedupSpec
+    * pins parity). */
   def incrementalDedup(delta: DataFrame, base: DataFrame,
                        textCol: String = "text",
-                       expectedCatalogSize: Long = 1000000L): DataFrame = {
+                       expectedCatalogSize: Long = 1000000L,
+                       shards: Int = 1): DataFrame = {
     val baseH = base.select(md5(col(textCol)).as("_bh"))
-    // Explicitly-sized sketch (Bloom.bloomAggSized): BloomFilterAggregate
-    // would silently clamp this sizing to the session's runtime-filter conf
-    // caps (default maxNumBits = 2^26 ≈ room for ~8.4M items at
-    // 8 bits/item) — above that it saturates and every delta row silently
-    // pays the verify join. The sized aggregator honors the request with no
-    // session-wide conf mutation.
-    val numBits = expectedCatalogSize * 8L
-    // scalar subquery, not a cross join: might_contain requires its sketch
-    // input to be a constant or scalar subquery (it folds to a literal at
-    // the scan), and the subquery form keeps the delta side join-free.
-    // This makes the operator irreducibly TWO driver-synchronized jobs
-    // (sketch build, then probe+verify) — the bloom must exist before the
-    // probe folds — so under heavy co-tenant load its wall clock carries
-    // 2× the scheduler latency of a single-job query; that is load
-    // sensitivity, not a data-volume term (driver round 9 measured 4.2×
-    // at loadavg 15 vs 1.0× quiet).
-    val bloom = baseH.agg(graft.functions.Bloom.bloomAggSized(
-      xxhash64(col("_bh")), expectedCatalogSize, numBits).as("_bf"))
-      .scalar()
-    // coalesce: defensive NULL guard (bloomAggSized finishes an empty
-    // sketch over an empty catalog, so probes are already false, but a
-    // NULL-propagating sketch source would otherwise drop all of delta)
-    val flagged = delta
-      .withColumn("_h", md5(col(textCol)))
-      .withColumn("_maybe", coalesce(
-        graft.functions.Bloom.mightContain(bloom, xxhash64(col("_h"))),
-        lit(false)))
+    val flagged = bloomMaybe(delta.withColumn("_h", md5(col(textCol))),
+      "_h", baseH, "_bh", expectedCatalogSize, shards)
     val fresh = flagged.filter(!col("_maybe"))
     // catalog side pinned off auto-broadcast (same rule as the other dedup
     // joins): slim per ROW, but catalog CARDINALITY is corpus-scale. The
@@ -125,6 +108,73 @@ object Dedup {
     val verified = flagged.filter(col("_maybe"))
       .join(baseH.hint("shuffle_hash"), col("_h") === col("_bh"), "left_anti")
     fresh.unionByName(verified).drop("_h", "_maybe")
+  }
+
+  /** Shared bloom-prefilter: adds `_maybe` to `rows` — whether
+    * `rows(hashCol)` may exist in `catalog(catalogCol)` (false negatives
+    * impossible; positives carry the sketch's FP rate and must be
+    * verified exactly downstream).
+    *
+    * `shards = 1` — ONE explicitly-sized scalar sketch
+    * (Bloom.bloomAggSized: BloomFilterAggregate would silently clamp the
+    * sizing to the session's runtime-filter conf caps, default maxNumBits
+    * = 2^26 ≈ ~8.4M items at 8 bits/item, saturating above that). The
+    * sketch attaches as a scalar subquery — might_contain requires a
+    * constant/scalar-subquery input, and the subquery form keeps the
+    * probe side join-free. This makes the operator irreducibly TWO
+    * driver-synchronized jobs (sketch build, then probe+verify), so under
+    * heavy co-tenant load its wall clock carries 2× the scheduler
+    * latency of a single-job query (driver round 9: 4.2× at loadavg 15).
+    * Ceiling: every partial-agg buffer allocates the FULL bitmap, so past
+    * ~10⁸–10⁹ catalog items the build shuffles P×GB bitmaps and the
+    * folded literal stops fitting the driver/executors.
+    *
+    * `shards > 1` — the catalog-scale form (round-13 directive): keys
+    * hash-partition into `shards` sub-sketches by `pmod(xxhash64, shards)`.
+    * Build: one narrow (hash, shard) shuffle, partial buffers sized
+    * bits/shards (the explicit repartition BY SHARD means a build task
+    * only allocates buffers for its own shards — without it every task
+    * would buffer the whole family again). Probe: rows join the |shards|-
+    * row sketch table on their own shard id (broadcast here — the family
+    * rides once per executor; a family beyond executor memory swaps the
+    * broadcast for a shuffle join on `_shard`, after which each task
+    * deserializes only its own shards — [[graft.functions.Bloom
+    * .shardedMightContain]]'s cache is built for exactly that). The probe
+    * itself is the same per-row lookup either way; a shard with no
+    * catalog keys has no sketch row and probes false via the left join +
+    * coalesce. */
+  private def bloomMaybe(rows: DataFrame, hashCol: String,
+                         catalog: DataFrame, catalogCol: String,
+                         expectedItems: Long, shards: Int): DataFrame = {
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    if (shards == 1) {
+      val bloom = catalog.agg(graft.functions.Bloom.bloomAggSized(
+        xxhash64(col(catalogCol)), expectedItems, expectedItems * 8L).as("_bf"))
+        .scalar()
+      // coalesce: defensive NULL guard (bloomAggSized finishes an empty
+      // sketch over an empty catalog, so probes are already false, but a
+      // NULL-propagating sketch source would otherwise drop every row)
+      rows.withColumn("_maybe", coalesce(
+        graft.functions.Bloom.mightContain(bloom, xxhash64(col(hashCol))),
+        lit(false)))
+    } else {
+      val perShard = math.max(64L, expectedItems / shards)
+      val sketches = catalog
+        .select(xxhash64(col(catalogCol)).as("_xh"))
+        .withColumn("_shard", pmod(col("_xh"), lit(shards)).cast("int"))
+        .repartition(col("_shard"))
+        .groupBy("_shard")
+        .agg(graft.functions.Bloom.bloomAggSized(
+          col("_xh"), perShard, perShard * 8L).as("_sketch"))
+      rows
+        .withColumn("_xh", xxhash64(col(hashCol)))
+        .withColumn("_shard", pmod(col("_xh"), lit(shards)).cast("int"))
+        .join(broadcast(sketches), Seq("_shard"), "left")
+        .withColumn("_maybe", coalesce(graft.functions.Bloom
+          .shardedMightContain(col("_shard"), col("_sketch"), col("_xh")),
+          lit(false)))
+        .drop("_xh", "_shard", "_sketch")
+    }
   }
 
   /** Segment-level exact dedup (the C4/RefinedWeb "line dedup" pass):
@@ -216,7 +266,8 @@ object Dedup {
     * arrival-order semantics as [[incrementalDedup]]. */
   def segmentDedupIncrement(batch: DataFrame, catalog: DataFrame,
                             segWords: Int = 10,
-                            expectedCatalogSize: Long = 1000000L): (DataFrame, DataFrame) = {
+                            expectedCatalogSize: Long = 1000000L,
+                            shards: Int = 1): (DataFrame, DataFrame) = {
     val withSegs = segmented(batch, segWords)
     val counts = withSegs.select(col("doc_id"),
       size(col("_segs")).cast("long").as("n_segs"))
@@ -228,15 +279,10 @@ object Dedup {
       .withColumn("_rn", row_number().over(firstWin))
       .filter(col("_rn") === 1)
       .drop("_rn")
-    // same sized-sketch + scalar-subquery + NULL-guard recipe as
-    // incrementalDedup (see the comments there for each choice's rationale)
-    val numBits = expectedCatalogSize * 8L
-    val bloom = catalog.agg(graft.functions.Bloom.bloomAggSized(
-      xxhash64(col("seg_md5")), expectedCatalogSize, numBits).as("_bf"))
-      .scalar()
-    val flagged = intraFirst.withColumn("_maybe", coalesce(
-      graft.functions.Bloom.mightContain(bloom, xxhash64(col("_h"))),
-      lit(false)))
+    // same prefilter recipe as incrementalDedup (scalar sketch at
+    // shards=1, hash-prefix-sharded family above — see bloomMaybe)
+    val flagged = bloomMaybe(intraFirst, "_h", catalog, "seg_md5",
+      expectedCatalogSize, shards)
     val fresh = flagged.filter(!col("_maybe"))
     // hint on the RIGHT (build) side, same as incrementalDedup: the catalog
     // is slim per row but corpus-scale in cardinality

@@ -312,6 +312,40 @@ class DedupSpec extends SparkSpec {
     assert(got === (100L to 140L).toSet)
   }
 
+  test("sharded bloom (shards > 1): incrementalDedup parity with the " +
+    "unsharded path, empty catalog, and empty shards all exact") {
+    import spark.implicits._
+    val base = (1L to 50L).map(i => (i, s"catalog doc number $i")).toDF("doc_id", "text")
+    val delta = ((100L to 160L).map(i => (i, s"fresh doc number $i")) ++
+      (1L to 10L).map(i => (1000L + i, s"catalog doc number $i"))) // dups
+      .toDF("doc_id", "text")
+    val unsharded = Dedup.incrementalDedup(delta, base)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // shards chosen > distinct keys per shard being uniform matters not:
+    // some shards may be EMPTY (no sketch row) — those must probe false
+    // via the left join, not NPE or drop rows
+    for (shards <- Seq(2, 7, 64)) {
+      val got = Dedup.incrementalDedup(delta, base, shards = shards)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(got === unsharded, s"shards=$shards diverged")
+      assert(got === (100L to 160L).toSet)
+    }
+    // first ingest: empty catalog -> no sketch rows at all
+    val fresh = Dedup.incrementalDedup(delta,
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), shards = 8)
+    assert(fresh.count() === delta.count())
+    // and the segment-level increment takes the same parameter
+    val docs = (1L to 20L).map(i =>
+      (i, (1 to 30).map(w => s"w${(i * 31 + w) % 97}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val catalog = Seq.empty[String].toDF("seg_md5")
+    val (out1, sig1) = Dedup.segmentDedupIncrement(docs, catalog)
+    val (out8, sig8) = Dedup.segmentDedupIncrement(docs, catalog, shards = 8)
+    assert(out1.orderBy("doc_id").collect().toSeq ===
+      out8.orderBy("doc_id").collect().toSeq)
+    Dedup.releaseCheckpoint(sig1); Dedup.releaseCheckpoint(sig8)
+  }
+
   test("incrementalDedup sizes its sketch without touching session confs") {
     import spark.implicits._
     val keys = Seq("spark.sql.optimizer.runtime.bloomFilter.maxNumBits",
