@@ -199,11 +199,13 @@ class SpoolTable(path: String, topics: Boolean = false,
     if (warc) SpoolDataSource.WARC_SCHEMA
     else if (topics) SpoolDataSource.TOPIC_SCHEMA else SpoolDataSource.SCHEMA
   override def capabilities(): util.Set[TableCapability] =
-    // warc: BATCH_READ only — advertising micro-batch/write capabilities
-    // the mode cannot honor would defer the failure from a clean analysis
-    // error to a late planning require (or worse, a value/topic write
-    // against the 9-column WARC schema)
-    (if (warc) Set(TableCapability.BATCH_READ)
+    // warc: read-only — batch (a crawl archive as a replay corpus) and
+    // micro-batch (a LIVE crawl tailing the spool: per-file batches over
+    // the same filename-watermark offsets, round-13 directive). Writes
+    // stay unadvertised: a value/topic write against the 9-column WARC
+    // schema has no meaning, and the missing capability is a clean
+    // analysis error
+    (if (warc) Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
      else if (topics)
       Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
         TableCapability.STREAMING_WRITE)
@@ -266,10 +268,11 @@ class SpoolScan(path: String, topics: Boolean, conf: SerializableConfiguration,
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
     require(!topics, s"${SpoolDataSource.NAME}: streaming reads are per-topic " +
       "— point readStream at one topic directory (topics=true is batch-only)")
-    require(!warc, s"${SpoolDataSource.NAME}: format=warc is batch-only — " +
-      "a crawl archive is a replay corpus, not a live stream; stream the " +
-      "EXTRACTED rows instead (parse in batch, feed the curation stream)")
-    new SpoolMicroBatchStream(path, conf)
+    // warc streams too (round-13 directive): a live crawl is the one
+    // genuinely streaming source in the domain — per-FILE micro-batches
+    // over the same filename-watermark offsets, each batch's files parsed
+    // by the record reader exactly as in batch mode
+    new SpoolMicroBatchStream(path, conf, warc)
   }
 }
 
@@ -280,7 +283,8 @@ case class SpoolOffset(watermark: String) extends Offset {
   override def json(): String = watermark
 }
 
-class SpoolMicroBatchStream(path: String, conf: SerializableConfiguration)
+class SpoolMicroBatchStream(path: String, conf: SerializableConfiguration,
+                            warc: Boolean = false)
     extends MicroBatchStream {
   @transient private lazy val log =
     org.slf4j.LoggerFactory.getLogger(classOf[SpoolMicroBatchStream])
@@ -345,7 +349,7 @@ class SpoolMicroBatchStream(path: String, conf: SerializableConfiguration)
     batch.map(f => SpoolFilePartition(f._2): InputPartition).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new SpoolReaderFactory(conf)
+    if (warc) new WarcReaderFactory(conf) else new SpoolReaderFactory(conf)
   override def commit(end: Offset): Unit = () // spool files are retained
   override def stop(): Unit = ()
 }

@@ -68,14 +68,37 @@ object Warc {
     out
   }
 
+  /** Gzip auto-detection: real crawls ship `.warc.gz` — a BINARY file of
+    * concatenated gzip members, canonically one member per record (that
+    * member framing is what makes the format seekable/splittable at
+    * archive scale; reading, we only need the decompressed byte stream,
+    * and `GZIPInputStream` walks concatenated members transparently).
+    * Detection is the 2-byte gzip magic, pushed back if absent — never an
+    * extension check, because spools and fixtures carry arbitrary names.
+    * At file-unit parallelism (the class-doc contract) decompression
+    * streams; no file materializes whole. */
+  private[graft] def inflate(in: java.io.InputStream): java.io.InputStream = {
+    val pb = new java.io.PushbackInputStream(in, 2)
+    val b0 = pb.read()
+    if (b0 == -1) return pb
+    val b1 = pb.read()
+    if (b1 != -1) pb.unread(b1)
+    pb.unread(b0)
+    if (b0 == 0x1f && b1 == 0x8b)
+      new java.util.zip.GZIPInputStream(pb, 64 * 1024)
+    else pb
+  }
+
   /** The record splitter: (headers, body) per record, in file order.
-    * Tolerates any number of blank lines between records (the spec's
-    * two-CRLF record separator) and stops cleanly at EOF. A record
-    * missing `Content-Length` is a framing error — without it the
-    * remainder of the FILE is unreadable, so this throws rather than
-    * guessing. Header names are case-insensitive per the spec. */
-  def parseStream(in: java.io.InputStream): Iterator[(Map[String, String], Array[Byte])] =
+    * Accepts plain or gzipped input (see [[inflate]]). Tolerates any
+    * number of blank lines between records (the spec's two-CRLF record
+    * separator) and stops cleanly at EOF. A record missing
+    * `Content-Length` is a framing error — without it the remainder of
+    * the FILE is unreadable, so this throws rather than guessing. Header
+    * names are case-insensitive per the spec. */
+  def parseStream(raw: java.io.InputStream): Iterator[(Map[String, String], Array[Byte])] =
     new Iterator[(Map[String, String], Array[Byte])] {
+      private val in = inflate(raw)
       private var nextRec: (Map[String, String], Array[Byte]) = advance()
       private def advance(): (Map[String, String], Array[Byte]) = {
         var line = readLine(in)
@@ -114,9 +137,32 @@ object Warc {
       }
     }
 
+  private val Latin1 = java.nio.charset.StandardCharsets.ISO_8859_1
+
+  /** Charset of an HTTP response body, from the `charset=` parameter of
+    * the response's own Content-Type header. Default ISO-8859-1 (the
+    * RFC 2616 §3.7.1 default for text types) — decoding THROUGH an assumed
+    * UTF-8 was the round-13 ADVICE finding: any non-UTF-8 byte became
+    * U+FFFD, silently corrupting page text. An unknown/unsupported
+    * charset name also falls back to ISO-8859-1: every byte sequence is
+    * valid Latin-1, so the decode is total and reversible, never lossy
+    * like replacement characters. */
+  private[graft] def bodyCharset(httpHead: String): java.nio.charset.Charset =
+    httpHead.split("\r\n").drop(1)
+      .find(_.toLowerCase(java.util.Locale.ROOT).startsWith("content-type:"))
+      .flatMap { ct =>
+        val m = java.util.regex.Pattern.compile("(?i)charset=\"?([\\w.:-]+)")
+          .matcher(ct)
+        if (m.find()) Some(m.group(1)) else None
+      }
+      .flatMap(name => scala.util.Try(
+        java.nio.charset.Charset.forName(name)).toOption)
+      .getOrElse(Latin1)
+
   /** Parsed-row conversion shared by the operator and the DSv2 reader:
     * HTTP response bodies split at the first blank line into status line
-    * + html; other record types carry null status/html. */
+    * + html (decoded per the response's declared charset — see
+    * [[bodyCharset]]); other record types carry null status/html. */
   private[sources] def toRow(fileId: Long, recIndex: Int,
                              headers: Map[String, String],
                              body: Array[Byte]): WarcRow = {
@@ -135,10 +181,12 @@ object Warc {
         }
         if (sep < 0) (None, null)
         else {
-          val head = new String(body, 0, sep, Utf8)
+          // HTTP header block is ASCII by spec — Latin-1 decodes it
+          // totally even when a server leaks high bytes into a header
+          val head = new String(body, 0, sep, Latin1)
           val st = head.split("\r\n")(0).split(" ")
           (if (st.length >= 2) scala.util.Try(st(1).toInt).toOption else None,
-            new String(body, sep + 4, body.length - sep - 4, Utf8))
+            new String(body, sep + 4, body.length - sep - 4, bodyCharset(head)))
         }
       }
     WarcRow(fileId, recIndex,
@@ -150,16 +198,28 @@ object Warc {
   }
 
   /** Batch WARC reader over in-memory payloads: `(file_id LONG, payload
-    * STRING)` → one [[WarcRow]] per record. Parallelism unit = file (see
-    * the class doc); one parser instance per row, streaming over the
-    * payload bytes. */
+    * BINARY | STRING)` → one [[WarcRow]] per record. A BINARY payload is
+    * parsed byte-exact (and may be gzipped — [[inflate]]); a STRING
+    * payload is a TEXT-FIXTURE convenience that re-encodes through UTF-8
+    * — fine for the synthetic corpus whose bytes ARE UTF-8, but lossy for
+    * arbitrary crawls (the round-13 ADVICE case), so real files belong on
+    * the binary column or the graft-spool `format=warc` reader.
+    * Parallelism unit = file (see the class doc); one parser instance per
+    * row, streaming over the payload bytes. */
   def readRecords(files: DataFrame): DataFrame = {
     val spark = files.sparkSession
     import spark.implicits._
-    files.select(col("file_id").cast("long"), col("payload").cast("string"))
-      .as[(Long, String)]
-      .mapPartitions(_.flatMap { case (fileId, payload) =>
-        parseStream(new java.io.ByteArrayInputStream(payload.getBytes(Utf8)))
+    val payload = files.schema("payload").dataType match {
+      case org.apache.spark.sql.types.BinaryType => col("payload")
+      case org.apache.spark.sql.types.StringType => encode(col("payload"), "UTF-8")
+      case other => throw new IllegalArgumentException(
+        s"readRecords: payload must be BINARY (byte-exact) or STRING " +
+          s"(UTF-8 text fixtures), got ${other.catalogString}")
+    }
+    files.select(col("file_id").cast("long"), payload.as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (fileId, bytes) =>
+        parseStream(new java.io.ByteArrayInputStream(bytes))
           .zipWithIndex
           .map { case ((hs, body), idx) => toRow(fileId, idx, hs, body) }
       })(Encoders.product[WarcRow])
@@ -179,7 +239,50 @@ object Warc {
     * expressions + one per-file aggregation; every byte derives from
     * (doc_id, url, html), so the oracle recomputes all parsed fields
     * directly. */
-  def syntheticWarc(pages: DataFrame, numFiles: Int = 16): DataFrame = {
+  def syntheticWarc(pages: DataFrame, numFiles: Int = 16): DataFrame =
+    syntheticRecords(pages, numFiles)
+      .groupBy("file_id")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("doc_id"), col("rec")))),
+          x => x("rec")), "").as("payload"))
+
+  /** The `.warc.gz` form of [[syntheticWarc]]: the SAME records, but the
+    * payload is BINARY with each record compressed as its own gzip member
+    * (the Common Crawl convention — member framing is the format's
+    * record-level seek structure). [[parseStream]]'s auto-detection must
+    * parse this byte-parity-identical to the uncompressed fixture
+    * (WarcSpec pins it; the warc_read_gz oracle replays warc_read's).
+    * The per-file gzip step is a Dataset map — compression is inherently
+    * imperative byte work; everything up to it is the shared expression
+    * pipeline. Deterministic: GZIPOutputStream writes a fixed header
+    * (MTIME=0) and default-level deflate is a pure function of the
+    * input. */
+  def syntheticWarcGz(pages: DataFrame, numFiles: Int = 16): DataFrame = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    syntheticRecords(pages, numFiles)
+      .groupBy("file_id")
+      .agg(transform(
+        array_sort(collect_list(struct(col("doc_id"), col("rec")))),
+        x => x("rec")).as("recs"))
+      .as[(Long, Seq[String])]
+      .map { case (fid, recs) =>
+        val out = new java.io.ByteArrayOutputStream()
+        recs.foreach { r =>
+          val gz = new java.util.zip.GZIPOutputStream(out)
+          gz.write(r.getBytes(Utf8))
+          gz.finish() // one complete member per record, stream stays open
+        }
+        (fid, out.toByteArray)
+      }
+      .toDF("file_id", "payload")
+  }
+
+  /** Shared record frame of the two fixtures: (file_id, doc_id, rec) with
+    * doc_id = -1 for each file's warcinfo preamble, so an array_sort on
+    * (doc_id, rec) structs yields the fixed record order the rec_index
+    * oracle replays. */
+  private def syntheticRecords(pages: DataFrame, numFiles: Int): DataFrame = {
     val block = concat(
       lit("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=UTF-8\r\n\r\n"),
       col("html"))
@@ -205,13 +308,6 @@ object Warc {
         s"${infoBlock.getBytes(Utf8).length}\r\n\r\n$infoBlock\r\n\r\n"))
     val infos = resp.select("file_id").distinct()
       .select(col("file_id"), lit(-1L).as("doc_id"), infoRec.as("rec"))
-    // array_sort on (doc_id, rec) structs orders by doc_id: warcinfo (-1)
-    // leads, then responses ascending — the fixed record order the
-    // rec_index oracle replays
     infos.unionByName(resp)
-      .groupBy("file_id")
-      .agg(array_join(
-        transform(array_sort(collect_list(struct(col("doc_id"), col("rec")))),
-          x => x("rec")), "").as("payload"))
   }
 }

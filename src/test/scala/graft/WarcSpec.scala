@@ -115,14 +115,117 @@ class WarcSpec extends SparkSpec {
         col("http_status"), col("html"))
       .orderBy("file_id", "rec_index").collect().toSeq
     assert(viaDsv2 === viaOp)
-    // streaming over a crawl archive is rejected at ANALYSIS time: the
-    // warc table advertises BATCH_READ only, so readStream fails before
-    // any query starts (not a late planning error mid-stream)
-    val ex = intercept[Exception] {
-      spark.readStream.format("graft-spool")
+  }
+
+  test("streaming format=warc: a live crawl tails the spool per-file — " +
+    "streamed rows equal the batch parse, arrivals append in order") {
+    import spark.implicits._
+    def pages(lo: Long, hi: Long) = (lo until hi).map(i =>
+      (i, s"http://h.example.com/p/$i", s"<html><p>page $i.</p></html>"))
+      .toDF("doc_id", "url", "html")
+    val dir = java.nio.file.Files.createTempDirectory("warc-stream")
+    def writeFiles(df: org.apache.spark.sql.DataFrame, tag: String): Unit =
+      Warc.syntheticWarc(df, numFiles = 2).collect().foreach { r =>
+        java.nio.file.Files.write(
+          dir.resolve(f"crawl-$tag-${r.getLong(0)}%05d.warc"),
+          r.getString(1).getBytes("UTF-8"))
+      }
+    writeFiles(pages(0L, 20L), "a")
+    val q = spark.readStream.format("graft-spool")
+      .option("format", "warc").load(dir.toString)
+      .writeStream.format("memory").queryName("warc_stream_sink")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      def streamed() = spark.table("warc_stream_sink")
+        .select("file", "rec_index", "warc_type", "record_id", "target_uri",
+          "content_length", "http_status", "html")
+        .orderBy("file", "rec_index").collect().toSeq
+      def batch() = spark.read.format("graft-spool")
         .option("format", "warc").load(dir.toString)
+        .select("file", "rec_index", "warc_type", "record_id", "target_uri",
+          "content_length", "http_status", "html")
+        .orderBy("file", "rec_index").collect().toSeq
+      val first = streamed()
+      assert(first.nonEmpty && first === batch())
+      // a fresh crawl file lands above the watermark -> next micro-batch
+      // appends exactly its records, never re-reading earlier files
+      writeFiles(pages(100L, 110L), "b")
+      q.processAllAvailable()
+      assert(streamed() === batch())
+      assert(streamed().size > first.size)
+    } finally q.stop()
+  }
+
+  test("syntheticWarcGz: per-record gzip members parse byte-parity with " +
+    "the uncompressed fixture (gzip auto-detection, binary payload)") {
+    import spark.implicits._
+    val pages = (0L until 30L).map(i =>
+      (i, s"http://sub$i.example.com/p/$i", s"<html><p>doc $i body.</p></html>"))
+      .toDF("doc_id", "url", "html")
+    val plain = Warc.readRecords(Warc.syntheticWarc(pages, numFiles = 4))
+      .orderBy("file_id", "rec_index").collect().toSeq
+    val gz = Warc.syntheticWarcGz(pages, numFiles = 4)
+    // the fixture really is compressed: gzip magic, and one member per
+    // record (count the member headers)
+    val firstFile = gz.orderBy("file_id").collect().head.getAs[Array[Byte]]("payload")
+    assert((firstFile(0) & 0xff) === 0x1f && (firstFile(1) & 0xff) === 0x8b)
+    val viaGz = Warc.readRecords(gz)
+      .orderBy("file_id", "rec_index").collect().toSeq
+    assert(viaGz === plain)
+    // and the DSv2 seam reads .warc.gz files identically
+    val dir = java.nio.file.Files.createTempDirectory("warcgz-spool")
+    gz.collect().foreach { r =>
+      java.nio.file.Files.write(
+        dir.resolve(f"crawl-${r.getLong(0)}%05d.warc.gz"),
+        r.getAs[Array[Byte]]("payload"))
     }
-    assert(ex.getMessage.contains("does not support streamed reading"),
-      s"expected a clean analysis-time rejection, got: ${ex.getMessage}")
+    val viaDsv2 = spark.read.format("graft-spool")
+      .option("format", "warc").load(dir.toString)
+      .select(substring(col("file"), 7, 5).cast("long").as("file_id"),
+        col("rec_index"), col("html"))
+      .orderBy("file_id", "rec_index").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq
+    assert(viaDsv2 === plain.map(r =>
+      (r.getLong(0), r.getInt(1), r.getString(8))))
+  }
+
+  test("non-UTF-8 page: body decodes per its declared charset, framing " +
+    "stays byte-exact for the records after it (round-13 ADVICE)") {
+    import spark.implicits._
+    // 'café résumé' in ISO-8859-1: é = 0xE9, a byte sequence that is
+    // INVALID UTF-8 — the old string round-trip turned it into U+FFFD and
+    // shifted every later record's Content-Length frame
+    val latinBody = "<p>café résumé</p>"
+    val latinBytes = latinBody.getBytes("ISO-8859-1")
+    val head = "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=ISO-8859-1\r\n\r\n"
+    val blockLen = head.getBytes("UTF-8").length + latinBytes.length
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Record-ID: <urn:uuid:l1>\r\nWARC-Target-URI: http://l.com/1\r\n" +
+      "WARC-Date: 2026-01-01T00:00:00Z\r\n" +
+      "Content-Type: application/http; msgtype=response\r\n" +
+      s"Content-Length: $blockLen\r\n\r\n$head").getBytes("UTF-8"))
+    out.write(latinBytes)
+    out.write("\r\n\r\n".getBytes("UTF-8"))
+    out.write(rec("response", "urn:uuid:l2", "http://l.com/2",
+      http("<p>after</p>"),
+      "Content-Type: application/http; msgtype=response\r\n").getBytes("UTF-8"))
+    val rows = Warc.readRecords(
+        Seq((1L, out.toByteArray)).toDF("file_id", "payload"))
+      .orderBy("rec_index").collect()
+    assert(rows.length === 2, "charset bytes shifted the length framing")
+    assert(rows(0).getAs[String]("html") === latinBody)
+    assert(rows(1).getAs[String]("html") === "<p>after</p>")
+    // charset resolution contract: explicit wins, absent/unknown -> the
+    // RFC default ISO-8859-1 (total, reversible), never lossy U+FFFD
+    assert(Warc.bodyCharset("HTTP/1.1 200 OK\r\nContent-Type: text/html")
+      .name() === "ISO-8859-1")
+    assert(Warc.bodyCharset(
+        "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=\"utf-8\"")
+      .name() === "UTF-8")
+    assert(Warc.bodyCharset(
+        "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=no-such-cs")
+      .name() === "ISO-8859-1")
   }
 }
