@@ -376,34 +376,18 @@ object SparkEntry {
       .orderBy("query_id")
   }
 
-  /** Recall@5 of the residual IVF-PQ composition vs exact cosine, at the
-    * recall-oriented nprobe=8 operating point (knn_ivf_pq itself runs the
-    * throughput point nprobe=2, whose recall is coverage-capped at
-    * ~nprobe/numCentroids on isotropic embeddings). The (m=32, k=32)
-    * production point comes from the measured sweep (gen/RecallSweep,
-    * DESIGN.md §3.3): recall@5 = 0.675 at sf0.01 / 0.55 at sf0.1 —
-    * up from 0.325 / 0.20 at the old (m=4, k=16) — at LOWER query cost
-    * (2.77 s vs 3.74 s at sf0.1), because finer subvectors (subLen 2)
-    * shrink each codebook's quantization error faster than the m-fold
-    * codes growth raises join cost at these scales. */
-  /** Recall@5 of the IVF-PQ SERVING path — the rerank chain at the
-    * round-13 recall operating point (nprobe=16, shortlist=40), measured
-    * on the extended RecallSweep (DESIGN.md §3.4): raw ADC recall is
-    * coverage-capped by unprobed lists (np=8 → 0.675 ceiling at ANY
-    * shortlist; np=16 ADC alone 0.65), while the exact-rerank of a
-    * 40-deep shortlist under full-probe coverage measures 1.00 at sf0.1
-    * for ~1.25× the old eval's cost. At demo scale nprobe=16 of 16
-    * centroids is an exhaustive compressed-domain scan — at production
-    * scale numCentroids grows with N and nprobe stays the fractional
-    * coverage knob; the mechanism this eval pins is recall =
-    * (list coverage) × (shortlist coverage) with EXACT ordering inside,
-    * which is scale-independent. The raw-ADC curve stays recorded in
+  /** Recall@5 of the IVF-PQ SERVING path vs exact cosine — since round 14
+    * measured on the TRAINED-quantizer chain at FRACTIONAL list coverage
+    * (numCentroids=64, nprobe=16 → 25%; assignTop=2, shortlist=40), per
+    * the round-13 directive: the previous md5-quantizer point probed 16
+    * of 16 lists, an exhaustive compressed-domain scan whose 1.00 was
+    * blind to list-coverage regressions. Now recall = (trained-list
+    * coverage) × (shortlist coverage) with both terms genuinely
+    * fractional; the coverage-vs-recall curve for both quantizers is in
     * DESIGN.md §3.4. */
   private def knnIvfPqRecallQ(s: SparkSession, dir: String): DataFrame = {
     val brute = knnBrute(s, dir).select(col("query_id"), col("neighbor_id"))
-    val emb = RawGen.table(s, dir, "embeddings")
-    val pq = Similarity.ivfPqRerankTopK(emb, knnQueries(s, dir), m = 32, k = 32,
-        topK = 5, dim = 64, numCentroids = 16, nprobe = 16, shortlist = 40)
+    val pq = knnIvfPqTrainedQ(s, dir)
       .select(col("query_id").as("q2"), col("vec_id").as("n2"))
     brute.join(pq,
         col("query_id") === col("q2") && col("neighbor_id") === col("n2"), "left")
@@ -411,6 +395,21 @@ object SparkEntry {
       .agg((count(col("n2")).cast("double") / count(lit(1))).as("recall_at_5"))
       .orderBy("query_id")
   }
+
+  /** TRAINED-quantizer IVF-PQ serving chain (round-13 directive): integer
+    * Lloyd coarse centroids (numCentroids=64, iters=4), spill assignment
+    * (assignTop=2), nprobe=16 → 25% list coverage — genuinely fractional,
+    * so a list-assignment regression moves the recall metric, unlike the
+    * md5-quantizer point whose exhaustive probe could only lose shortlist
+    * coverage. Measured list-coverage ceilings at this point: 0.925
+    * (sf0.01) / 0.975 (sf0.1) vs the md5 quantizer's 0.85 ceiling at
+    * twice the coverage (DESIGN.md §3.4). */
+  private def knnIvfPqTrainedQ(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfPqRerankTopKTrained(RawGen.table(s, dir, "embeddings"),
+        knnQueries(s, dir), m = 32, k = 32, topK = 5, dim = 64,
+        numCentroids = 64, nprobe = 16, shortlist = 40, assignTop = 2,
+        iters = 4)
+      .orderBy("query_id", "rank")
 
   private def knnLshProbe(s: SparkSession, dir: String): DataFrame = {
     val emb = RawGen.table(s, dir, "embeddings")
@@ -1081,6 +1080,18 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** The sharded-bloom form of dedup_incremental (round-13 directive):
+    * identical semantics — the oracle SQL is dedup_incremental's verbatim
+    * — through the hash-prefix-sharded sketch family instead of one
+    * scalar sketch, so the catalog-scale path has its own oracle gate. */
+  private def dedupIncrementalShardedQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = RawGen.table(s, dir, "documents")
+    Dedup.incrementalDedup(docs, docs.filter(col("doc_id") % 5 === 0),
+        shards = 16)
+      .select(col("doc_id"))
+      .orderBy("doc_id")
+  }
+
   private def docChunkQ(s: SparkSession, dir: String): DataFrame =
     graft.ops.Packing.chunkDocs(RawGen.table(s, dir, "documents"))
       .orderBy("doc_id", "chunk_idx")
@@ -1501,6 +1512,17 @@ object SparkEntry {
     graft.sources.Warc.readRecords(warcFiles(s, dir))
       .orderBy("file_id", "rec_index")
 
+  /** The `.warc.gz` round trip (round-13 directive): the SAME pages as
+    * warc_read, but compressed one gzip member per record into a BINARY
+    * payload and parsed through the auto-detecting byte-exact path — the
+    * oracle is warc_read's verbatim, because gzip must be invisible to
+    * every parsed field. */
+  private def warcReadGzQ(s: SparkSession, dir: String): DataFrame =
+    graft.sources.Warc.readRecords(graft.sources.Warc.syntheticWarcGz(
+        urlFrame(s, dir).select(col("doc_id"), col("url"))
+          .join(rawHtmlFrame(s, dir), "doc_id")))
+      .orderBy("file_id", "rec_index")
+
   /** The crawl-curation pipeline STARTING FROM WARC BYTES: parse records,
     * recover (doc_id, html) from the response rows, run the identical
     * verdict pipeline — round-trip parity means the direct query's oracle
@@ -1529,6 +1551,21 @@ object SparkEntry {
   private def qualityClassifierQ(s: SparkSession, dir: String): DataFrame =
     graft.ops.Classifier.qualityClassifier(RawGen.table(s, dir, "documents"))
       .orderBy("doc_id")
+
+  /** Multi-class LID head (round-13 directive): 5-class hashed-ngram
+    * student over the generic encoded argmax. Teacher = the corpus's
+    * `lang` METADATA column (en/fr/de/es/zh — the supervised-fastText
+    * setting); the rule-LID teacher the directive names is single-class
+    * on this synthetic corpus (its tech-vocabulary text trips the
+    * English stopword list for every doc), so it cannot exercise the
+    * multi-class head here — ClassifierSpec pins the rule-teacher form
+    * on a genuinely multilingual fixture instead. */
+  private def lidClassifierQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = RawGen.table(s, dir, "documents")
+    graft.ops.Classifier.lidClassifierWith(docs,
+        docs.select(col("doc_id"), col("lang").as("label")))
+      .orderBy("doc_id")
+  }
 
   /** Curation composition: classifier verdict as the gate, then exact
     * first-occurrence dedup among the kept — the student-model form of
@@ -1684,6 +1721,7 @@ object SparkEntry {
     "knn_pq_recall" -> (knnPqRecallQ _),
     "knn_ivf_pq" -> (knnIvfPq _),
     "knn_ivf_pq_recall" -> (knnIvfPqRecallQ _),
+    "knn_ivf_pq_trained" -> (knnIvfPqTrainedQ _),
     "knn_ivf_pq_rerank" -> (knnIvfPqRerankQ _),
     "asof_join" -> (asofJoinQ _),
     "window_tumbling" -> (windowTumbling _),
@@ -1737,6 +1775,7 @@ object SparkEntry {
     "q_range_frame" -> (qRangeFrame _),
     "q_first_last" -> (qFirstLast _),
     "dedup_incremental" -> (dedupIncrementalQ _),
+    "dedup_incremental_sharded" -> (dedupIncrementalShardedQ _),
     "doc_chunk" -> (docChunkQ _),
     "shard_assign" -> (shardAssignQ _),
     "ngram_counts" -> (ngramCountsQ _),
@@ -1780,7 +1819,9 @@ object SparkEntry {
     "domain_quota_sample" -> (domainQuotaSampleQ _),
     "quality_classifier" -> (qualityClassifierQ _),
     "classifier_curate" -> (classifierCurateQ _),
+    "lid_classifier" -> (lidClassifierQ _),
     "warc_read" -> (warcReadQ _),
+    "warc_read_gz" -> (warcReadGzQ _),
     "warc_curate_e2e" -> (warcCurateE2eQ _),
     "audio_fingerprint" -> (audioFingerprintQ _),
     "audio_fingerprint_neardup" -> (audioNeardupQ _),
@@ -3864,11 +3905,124 @@ object SparkEntry {
   // and the demo-scale exhaustive-probe caveat). The raw-ADC recall
   // evidence (np=8: 0.55 at sf0.1 / 0.675 at sf0.01 with m=32) lives in
   // DESIGN.md §3.4's sweep table.
+  // TRAINED-quantizer IVF-PQ (Similarity.ivfPqTopKWithCents): the coarse
+  // quantizer is integer-Lloyd k-means REPLAYED IN SQL (the kmeansIterSql
+  // recipe: k lowest-id seeds over the normalized-int8 domain, `iters`
+  // unrolled rounds of integer argmin + integer means), centroids then
+  // norm-corrected for integer-dot assignment scores, corpus rows SPILLED
+  // to their top-`assignTop` lists, and per-list ADC sums deduped by MIN.
+  // Everything after the centroid CTEs reuses knnIvfPqSqlFor's
+  // per-subspace chain shape against ci-as-rows instead of ci-as-literals.
+  private def knnIvfPqTrainedSqlFor(nprobe: Int, finish: String,
+                                    numCentroids: Int = 64, iters: Int = 4,
+                                    assignTop: Int = 2): String = {
+    val m = 32; val k = 32; val dim = 64; val sl = dim / m
+    def dist(a: String, b: String) =
+      s"list_sum(list_transform(range(1, len($a)+1), " +
+      s"j -> ($a[j]-$b[j])*($a[j]-$b[j])))"
+    // norm-corrected score of an int8 vector list expr vs a centroid row
+    def score(qv: String, cq: String) =
+      s"list_dot_product(list_transform($qv, x -> CAST(x AS DOUBLE)), " +
+      s"list_transform($cq, x -> CAST(x AS DOUBLE))) / " +
+      s"sqrt(CAST(list_sum(list_transform($cq, x -> x*x)) AS DOUBLE))"
+    // AS MATERIALIZED throughout: DuckDB 1.0 INLINES every CTE reference,
+    // so without it the 4-round Lloyd chain re-evaluates once per
+    // downstream reference (32 subspaces × several refs each — observed
+    // as a runaway oracle). Materialization changes evaluation strategy
+    // only, never results.
+    val parts = scala.collection.mutable.ArrayBuffer[String](
+      "raw AS MATERIALIZED (SELECT vec_id, emb FROM e)",
+      "n AS MATERIALIZED (SELECT vec_id, nrm FROM s WHERE nrm > 0)",
+      // training corpus: rows whose int8 vector has any nonzero component
+      "t0 AS MATERIALIZED (SELECT vec_id, qv FROM q " +
+        "WHERE len(list_filter(qv, x -> x <> 0)) > 0)",
+      s"k0 AS MATERIALIZED (SELECT vec_id AS cid, qv AS cq FROM t0 ORDER BY vec_id LIMIT $numCentroids)")
+    for (r <- 0 until iters) {
+      parts += s"a$r AS MATERIALIZED (SELECT vec_id, cid FROM (SELECT t0.vec_id, c.cid, " +
+        s"row_number() OVER (PARTITION BY t0.vec_id " +
+        s"ORDER BY ${dist("t0.qv", "c.cq")}, c.cid) AS rn " +
+        s"FROM t0 CROSS JOIN k$r c) WHERE rn = 1)"
+      parts += s"x$r AS MATERIALIZED (SELECT a$r.cid, t0.qv, unnest(range(1, ${dim + 1})) AS ii " +
+        s"FROM a$r JOIN t0 USING (vec_id))"
+      parts += s"k${r + 1} AS MATERIALIZED (SELECT cid, list(rv ORDER BY ii) AS cq FROM " +
+        s"(SELECT cid, ii, CAST(floor(CAST(SUM(qv[ii]) AS DOUBLE)/count(*) + 0.5) " +
+        s"AS BIGINT) AS rv FROM x$r GROUP BY cid, ii) GROUP BY cid)"
+    }
+    parts += s"ci AS MATERIALIZED (SELECT CAST(row_number() OVER (ORDER BY cid) AS BIGINT) AS ccid, " +
+      s"cq AS cv FROM k$iters WHERE len(list_filter(cq, x -> x <> 0)) > 0)"
+    // corpus spill assignment + query probes, both by the same score
+    parts += "csc AS MATERIALIZED (SELECT q.vec_id, ci.ccid, " +
+      s"${score("q.qv", "ci.cv")} AS sc " +
+      "FROM q JOIN n USING (vec_id) CROSS JOIN ci)"
+    parts += "cc AS MATERIALIZED (SELECT vec_id, ccid FROM (SELECT vec_id, ccid, " +
+      "row_number() OVER (PARTITION BY vec_id ORDER BY sc DESC, ccid) AS rn " +
+      s"FROM csc) WHERE rn <= $assignTop)"
+    parts += "qp AS MATERIALIZED (SELECT vec_id AS query_id, ccid FROM (SELECT vec_id, ccid, " +
+      "row_number() OVER (PARTITION BY vec_id ORDER BY sc DESC, ccid) AS rn " +
+      s"FROM csc WHERE vec_id < 8) WHERE rn <= $nprobe)"
+    parts += s"rc AS MATERIALIZED (SELECT cc.vec_id, cc.ccid, list_transform(range(1, ${dim + 1}), " +
+      "i -> q.qv[i] - ci.cv[i]) AS qv FROM cc JOIN q USING (vec_id) " +
+      "JOIN ci ON ci.ccid = cc.ccid)"
+    parts += s"rq AS MATERIALIZED (SELECT qp.query_id, qp.ccid, list_transform(range(1, ${dim + 1}), " +
+      "i -> q.qv[i] - ci.cv[i]) AS qv FROM qp JOIN q ON q.vec_id = qp.query_id " +
+      "JOIN ci ON ci.ccid = qp.ccid)"
+    parts += s"gs AS MATERIALIZED (SELECT q.vec_id AS cid, q.qv FROM q JOIN n USING (vec_id) " +
+      s"ORDER BY q.vec_id LIMIT $k)"
+    for (i <- 0 until m) {
+      parts += s"s$i AS MATERIALIZED (SELECT vec_id, ccid, qv[${i * sl + 1}:${(i + 1) * sl}] AS sv FROM rc)"
+      parts += s"c$i AS MATERIALIZED (SELECT ci.ccid, gs.cid, list_transform(" +
+        s"range(${i * sl + 1}, ${(i + 1) * sl + 1}), j -> gs.qv[j] - ci.cv[j]) AS cq " +
+        s"FROM gs CROSS JOIN ci)"
+      parts += s"a_$i AS MATERIALIZED (SELECT vec_id, ccid, cid FROM (SELECT s$i.vec_id, s$i.ccid, c.cid, " +
+        s"row_number() OVER (PARTITION BY s$i.vec_id, s$i.ccid " +
+        s"ORDER BY ${dist(s"s$i.sv", "c.cq")}, c.cid) AS rn " +
+        s"FROM s$i JOIN c$i c ON c.ccid = s$i.ccid) WHERE rn = 1)"
+      parts += s"x_$i AS MATERIALIZED (SELECT a_$i.ccid, a_$i.cid, s$i.sv, unnest(range(1, len(s$i.sv)+1)) AS ii " +
+        s"FROM a_$i JOIN s$i ON s$i.vec_id = a_$i.vec_id AND s$i.ccid = a_$i.ccid)"
+      parts += s"m$i AS MATERIALIZED (SELECT ccid, cid, ii, CAST(floor(CAST(SUM(sv[ii]) AS DOUBLE)" +
+        s"/count(*) + 0.5) AS BIGINT) AS rv FROM x_$i GROUP BY ccid, cid, ii)"
+      parts += s"cb$i AS MATERIALIZED (SELECT ccid, cid, list(rv ORDER BY ii) AS cq FROM m$i GROUP BY ccid, cid)"
+      parts += s"e$i AS MATERIALIZED (SELECT vec_id, ccid, $i AS sub, cid FROM (SELECT s$i.vec_id, " +
+        s"s$i.ccid, c.cid, row_number() OVER (PARTITION BY s$i.vec_id, s$i.ccid " +
+        s"ORDER BY ${dist(s"s$i.sv", "c.cq")}, c.cid) AS rn " +
+        s"FROM s$i JOIN cb$i c ON c.ccid = s$i.ccid) WHERE rn = 1)"
+      parts += s"r$i AS MATERIALIZED (SELECT query_id, ccid, qv[${i * sl + 1}:${(i + 1) * sl}] AS sv FROM rq)"
+      parts += s"l$i AS MATERIALIZED (SELECT r$i.query_id, r$i.ccid, $i AS sub, c.cid, " +
+        s"${dist(s"r$i.sv", "c.cq")} AS d2 FROM r$i JOIN cb$i c ON c.ccid = r$i.ccid)"
+    }
+    parts += (0 until m).map(i => s"SELECT * FROM e$i")
+      .mkString("codes AS MATERIALIZED (", " UNION ALL ", ")")
+    parts += (0 until m).map(i => s"SELECT * FROM l$i")
+      .mkString("lut AS MATERIALIZED (", " UNION ALL ", ")")
+    // spill dedup: per-list ADC sums, then MIN across the probed lists a
+    // vector is reachable through (mirrors the Spark two-stage aggregate)
+    parts += "sc0 AS MATERIALIZED (SELECT lut.query_id, codes.vec_id, codes.ccid, SUM(lut.d2) AS adc " +
+      "FROM codes JOIN lut ON lut.ccid = codes.ccid AND lut.sub = codes.sub " +
+      "AND lut.cid = codes.cid WHERE codes.vec_id <> lut.query_id GROUP BY 1, 2, 3)"
+    parts += "sc AS MATERIALIZED (SELECT query_id, vec_id, MIN(adc) AS adc FROM sc0 GROUP BY 1, 2)"
+    // the shared quantization base is inlined text — materialize its CTEs
+    // too in THIS oracle's copy (e/s/q each feed several consumers here)
+    val base = duckNormQuantBase
+      .replace("e AS (", "e AS MATERIALIZED (")
+      .replace("s AS (", "s AS MATERIALIZED (")
+      .replace("q AS (", "q AS MATERIALIZED (")
+    s"WITH $base,\n${parts.mkString(",\n")}\n" + finish
+  }
+
+  // direct trained-chain output (the strong per-row oracle for the
+  // whole train -> spill-assign -> residual-PQ -> rerank pipeline)
+  private lazy val knnIvfPqTrainedSql =
+    knnIvfPqTrainedSqlFor(16, knnIvfPqRerankFinish(shortlist = 40, topK = 5))
+
+  // recall@5 of the TRAINED serving path vs exact cosine, at FRACTIONAL
+  // list coverage (nprobe=16 of 64 trained centroids = 25% — the round-13
+  // directive: the md5-quantizer point needed an exhaustive probe for its
+  // 1.00, which made the eval blind to list-coverage regressions).
   private lazy val knnIvfPqRecallSql =
     "SELECT b.query_id,\n" +
     "  CAST(count(p.vec_id) AS DOUBLE)/count(*) AS recall_at_5\n" +
     s"FROM ($knnBruteSql) b\n" +
-    s"LEFT JOIN (${knnIvfPqSqlFor(16, knnIvfPqRerankFinish(shortlist = 40, topK = 5))}) p\n" +
+    s"LEFT JOIN ($knnIvfPqTrainedSql) p\n" +
     "  ON p.query_id = b.query_id AND p.vec_id = b.neighbor_id\n" +
     "GROUP BY 1 ORDER BY 1"
 
@@ -3992,13 +4146,14 @@ object SparkEntry {
   // labels (reuses duckQualityCtes verbatim), dsirFeatures' md5-prefix
   // bucket spelling, closed-form fixed-point multinomial weights,
   // integer scoring — Classifier.scala's full pipeline in SQL
-  private val classifierCtes = {
+  /** Teacher-agnostic core of the hashed-ngram classifier oracle
+    * (trainLinear + classifyScores in SQL): expects a `lbl (doc_id,
+    * label)` CTE in scope, ends at `sc2 (doc_id, label, score)`. Shared
+    * verbatim by the quality (keep/drop) and LID (en/fr/de/es) heads so
+    * the training/scoring replay can never drift between them. */
+  private val classifierCoreCtes = {
     def hv(i: Int) = s"(strpos('0123456789abcdef', substr(h,$i,1))-1)"
-    s"""$duckQualityCtes,
-       |lbl AS (SELECT doc_id,
-       |  CASE WHEN fail_reasons = '' THEN 'keep' ELSE 'drop' END AS label
-       |  FROM r),
-       |fw AS (SELECT doc_id, $duckWords AS ws FROM documents
+    s"""fw AS (SELECT doc_id, $duckWords AS ws FROM documents
        |  WHERE len(trim(text)) > 0),
        |fg AS (
        |  SELECT doc_id, unnest(ws) AS g FROM fw
@@ -4028,12 +4183,33 @@ object SparkEntry {
        |sc AS (SELECT ff.doc_id, wt.label, CAST(sum(ff.c * wt.w) AS BIGINT) AS s
        |  FROM ff JOIN wt USING (bucket) GROUP BY 1, 2),
        |sc2 AS (SELECT sc.doc_id, sc.label, sc.s + pw.prior AS score
-       |  FROM sc JOIN pw USING (label)),
+       |  FROM sc JOIN pw USING (label))""".stripMargin
+  }
+
+  private val classifierCtes =
+    s"""$duckQualityCtes,
+       |lbl AS (SELECT doc_id,
+       |  CASE WHEN fail_reasons = '' THEN 'keep' ELSE 'drop' END AS label
+       |  FROM r),
+       |$classifierCoreCtes,
        |pv AS (SELECT doc_id,
        |    CAST(sum(CASE WHEN label = 'drop' THEN score END) AS BIGINT) AS score_drop,
        |    CAST(sum(CASE WHEN label = 'keep' THEN score END) AS BIGINT) AS score_keep
        |  FROM sc2 GROUP BY 1)""".stripMargin
-  }
+
+  // LID head: teacher = the corpus's lang METADATA (5 classes — see
+  // lidClassifierQ's scaladoc for why the rule-LID teacher is degenerate
+  // on this corpus), then the generic argmax — score DESC, label ASC,
+  // the classify() tiebreak.
+  private val lidClassifierSql =
+    s"""WITH lbl AS (SELECT doc_id, lang AS label FROM documents),
+       |$classifierCoreCtes,
+       |rk AS (SELECT doc_id, label, score,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, label) AS rn
+       |  FROM sc2)
+       |SELECT rk.doc_id, rk.label AS pred_label, CAST(rk.score AS BIGINT) AS score,
+       |  lbl.label AS teacher_lang, (rk.label = lbl.label) AS agree
+       |FROM rk JOIN lbl USING (doc_id) WHERE rn = 1 ORDER BY rk.doc_id""".stripMargin
 
   // ---- audio fingerprint oracles: rebuild the synthetic PCM data
   // (17 chained md5s, 260 bytes), replay the 65-frame integer energy
@@ -4176,6 +4352,7 @@ object SparkEntry {
     "knn_pq_recall" -> knnPqRecallSql,
     "knn_ivf_pq" -> knnIvfPqSql,
     "knn_ivf_pq_recall" -> knnIvfPqRecallSql,
+    "knn_ivf_pq_trained" -> knnIvfPqTrainedSql,
     "knn_ivf_pq_rerank" -> knnIvfPqRerankSql,
     "asof_join" -> asofJoinSql,
     "window_tumbling" -> windowTumblingSql,
@@ -4230,6 +4407,7 @@ object SparkEntry {
     "q_range_frame" -> qRangeFrameSql,
     "q_first_last" -> qFirstLastSql,
     "dedup_incremental" -> dedupIncrementalSql,
+    "dedup_incremental_sharded" -> dedupIncrementalSql,
     "doc_chunk" -> docChunkSql,
     "shard_assign" -> shardAssignSql,
     "ngram_counts" -> ngramCountsSql,
@@ -4276,7 +4454,9 @@ object SparkEntry {
     "domain_quota_sample" -> domainQuotaSampleSql,
     "quality_classifier" -> qualityClassifierSql,
     "classifier_curate" -> classifierCurateSql,
+    "lid_classifier" -> lidClassifierSql,
     "warc_read" -> warcReadSql,
+    "warc_read_gz" -> warcReadSql,
     // round-trip identity: parsing the synthetic WARC recovers exactly the
     // (doc_id, html) frame the direct pipeline starts from — same oracle
     "warc_curate_e2e" -> crawlCurateE2eSql,

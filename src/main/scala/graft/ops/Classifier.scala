@@ -146,6 +146,38 @@ object Classifier {
     * swapping the cheap student in for the expensive teacher. The model
     * is checkpointed once and shared between branches (released before
     * return — the dsirWeights pattern). */
+  /** Multi-class language-ID head (round-13 directive): the same
+    * distillation recipe as [[qualityClassifier]] with the rule-based
+    * stopword LID ([[TextAnalysis.langId]]) as the teacher — 4 classes
+    * (en/fr/de/es), exercising [[classify]]'s generic encoded argmax
+    * beyond the binary case (4 ≪ the encoding's 64-class ceiling; a
+    * wider head shards the label space per the classify() contract).
+    * Output is the per-doc evaluation frame: the student's verdict and
+    * fixed-point score, the teacher's language, and agreement — the
+    * per-class agreement matrix is one groupBy away. */
+  def lidClassifier(docs: DataFrame): DataFrame =
+    lidClassifierWith(docs, TextAnalysis.langId(docs)
+      .select(col("doc_id"), col("lang_guess").as("label")))
+
+  /** [[lidClassifier]] with a caller-supplied `(doc_id, label)` teacher —
+    * the supervised-fastText setting: when the corpus carries language
+    * labels as METADATA (the synthetic `documents.lang` column; in a real
+    * crawl, a labeled subset), distill the text→language classifier from
+    * those. The rule-LID default above is the zero-label bootstrap; this
+    * is what a pipeline with any labeled data uses instead. */
+  def lidClassifierWith(docs: DataFrame, teacher: DataFrame): DataFrame = {
+    val labeled = docs.select("doc_id", "text").join(teacher, "doc_id")
+    val model = trainLinear(labeled).localCheckpoint()
+    val out = classify(docs.select("doc_id", "text"), model)
+      .join(teacher, "doc_id")
+      .select(col("doc_id"), col("pred_label"), col("score"),
+        col("label").as("teacher_lang"),
+        (col("pred_label") === col("label")).as("agree"))
+    val mat = out.localCheckpoint()
+    Dedup.releaseCheckpoint(model)
+    mat
+  }
+
   def qualityClassifier(docs: DataFrame): DataFrame = {
     val teacher = TextAnalysis.qualityFilter(docs)
       .select(col("doc_id"),

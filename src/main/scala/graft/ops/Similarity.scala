@@ -962,6 +962,97 @@ object Similarity {
     val short = ivfPqTopK(embs, queries, m, k, shortlist, dim,
         numCentroids, nprobe)
       .select(col("query_id"), col("vec_id"))
+    rerankExact(embs, queries, short, topK)
+  }
+
+  /** TRAINED coarse quantizer for the IVF family (round-13 directive):
+    * integer Lloyd k-means over the normalized-int8 domain
+    * ([[normalizedQuantVecs]], zero-norm rows excluded), k lowest-id
+    * seeds, `iters` fixed rounds, final integer centroids COLLECTED to
+    * the driver (k×dim longs — tiny at any corpus size, the kmeansIter
+    * loop shape). The md5 ±1 quantizer ([[ivfCentroids]]) ignores the
+    * data, so on weakly-clustered embeddings its list-coverage recall
+    * ceiling at 50% probe coverage measured only ~0.85; trained
+    * centroids concentrate each query's true neighbors into its top
+    * lists (measured ceilings ≥ 0.93 at 25% coverage — DESIGN.md §3.4).
+    * Zero centroids (a cluster whose integer mean rounds to all-0) are
+    * dropped: they cannot be cosine-scored. Deterministic end to end —
+    * integer distances, integer means, fixed rounds — so the DuckDB
+    * oracle replays training bit-exact. */
+  def ivfTrainCentroidsInt(corpus: DataFrame, numCentroids: Int = 64,
+                           iters: Int = 4): Seq[Seq[Long]] = {
+    val q = normalizedQuantVecs(corpus)
+      .filter(exists(col("qv"), _ =!= 0L))
+      .localCheckpoint()
+    var cents = q.orderBy("vec_id").limit(numCentroids)
+      .select(col("vec_id").as("cid"), col("qv").as("cq"))
+    var i = 0
+    while (i < iters) {
+      // the kmeansIter round: integer argmin assignment, integer mean
+      // rounded back to longs, centroids re-injected as a LocalRelation
+      val rounded = floor(col("s").cast("double") / col("n") + lit(0.5)).cast("long")
+      val updated = assignToCentroids(q, cents).select("vec_id", "cid")
+        .join(q, "vec_id")
+        .select(col("cid"), posexplode(col("qv")).as(Seq("dim", "v")))
+        .groupBy("cid", "dim")
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+        .select(col("cid"), col("dim"), rounded.as("rv"))
+        .groupBy("cid")
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("rv")))),
+          x => x("rv")).as("cq"))
+      val rows = java.util.Arrays.asList(updated.collect(): _*)
+      cents = q.sparkSession.createDataFrame(rows, updated.schema)
+      i += 1
+    }
+    val out = cents.orderBy("cid").collect()
+      .map(_.getSeq[Long](1).toSeq).toSeq
+      .filter(_.exists(_ != 0L))
+    releaseCheckpoint(q)
+    out
+  }
+
+  /** IVF-PQ over the TRAINED quantizer, with SPILL ASSIGNMENT: each
+    * corpus vector joins its top-`assignTop` lists (not just the argmax
+    * one — the IVF replication trade: `assignTop`× index size buys back
+    * the boundary-vector recall single assignment loses; FAISS calls
+    * this multiple-assignment). Scoring/probing use the norm-corrected
+    * integer dot — dot(qv, c)/‖c‖ over exact integers, so the argmax is
+    * engine-deterministic — and the residual-PQ chain is the
+    * [[ivfPqTopK]] machinery against the trained integer centroids. A
+    * vector reachable through two probed lists is scored per list and
+    * keeps its MIN ADC distance (each list has its own codebooks, so the
+    * sums aren't poolable). `numCentroids` here is the TRAINING k; at
+    * 100 TB it grows ~√N and the centroid-literal expressions give way
+    * to the persisted-index path (ivfWriteIndex), same as the md5
+    * family. */
+  def ivfPqTopKTrained(embs: DataFrame, queries: DataFrame, m: Int = 32,
+                       k: Int = 32, topK: Int = 5, dim: Int = 64,
+                       numCentroids: Int = 64, nprobe: Int = 16,
+                       assignTop: Int = 2, iters: Int = 4): DataFrame =
+    ivfPqTopKWithCents(embs, queries,
+      ivfTrainCentroidsInt(embs, numCentroids, iters), m, k, topK, dim,
+      nprobe, assignTop)
+
+  /** [[ivfPqRerankTopK]]'s exact-rerank refine over the trained spill
+    * chain — the round-13 recall serving point (numCentroids=64,
+    * nprobe=16 → 25% list coverage, assignTop=2, shortlist=40): recall@5
+    * ≥ 0.9 at FRACTIONAL coverage, where the md5 quantizer needed an
+    * exhaustive probe (nprobe=16 of 16) for its 1.00. */
+  def ivfPqRerankTopKTrained(embs: DataFrame, queries: DataFrame,
+                             m: Int = 32, k: Int = 32, topK: Int = 5,
+                             dim: Int = 64, numCentroids: Int = 64,
+                             nprobe: Int = 16, shortlist: Int = 40,
+                             assignTop: Int = 2, iters: Int = 4): DataFrame = {
+    val short = ivfPqTopKTrained(embs, queries, m, k, shortlist, dim,
+        numCentroids, nprobe, assignTop, iters)
+      .select(col("query_id"), col("vec_id"))
+    rerankExact(embs, queries, short, topK)
+  }
+
+  /** The exact-cosine re-rank shared by the md5 and trained refine paths:
+    * one corpus scan restricted by the broadcast shortlist. */
+  private def rerankExact(embs: DataFrame, queries: DataFrame,
+                          short: DataFrame, topK: Int): DataFrame = {
     def withNorm(df: DataFrame, id: String, v: String, n: String) = df
       .select(col("vec_id").as(id), asDouble(col("embedding")).as(v))
       .withColumn(n, norm(col(v)))
@@ -976,6 +1067,117 @@ object Similarity {
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))
     rescored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= topK)
+  }
+
+  /** The trained-quantizer IVF-PQ core: [[ivfPqTopK]]'s residual chain
+    * re-based onto caller-supplied integer centroids, with spill
+    * assignment and per-list min-ADC dedup. Kept separate from the md5
+    * path so that path's oracle-pinned expressions stay byte-identical. */
+  private def ivfPqTopKWithCents(embs: DataFrame, queries: DataFrame,
+                                 centInts: Seq[Seq[Long]], m: Int, k: Int,
+                                 topK: Int, dim: Int, nprobe: Int,
+                                 assignTop: Int): DataFrame = {
+    require(dim % m == 0, "dim must divide into m equal subvectors")
+    require(centInts.nonEmpty, "trained quantizer produced no usable centroids")
+    require(assignTop >= 1 && assignTop <= centInts.size,
+      s"assignTop must be in [1, ${centInts.size}], got $assignTop")
+    val subLen = dim / m
+    // norm-corrected integer-dot scores: numerator sums exact integers in
+    // doubles (|qv·c| ≤ 127²·dim ≪ 2⁵³ — no rounding at all), denominator
+    // is a driver-computed constant; both engines produce bit-identical
+    // doubles, so the argmax (ties by centroid index) is deterministic
+    val centNorms = centInts.map(cv =>
+      math.sqrt(cv.map(x => (x * x).toDouble).sum))
+    def scores(qvd: Column): Column =
+      array(centInts.zip(centNorms).map { case (cv, nn) =>
+        dot(qvd, array(cv.map(x => lit(x.toDouble)): _*)) / lit(nn)
+      }: _*)
+    val centArrs = array(centInts.map(cv => array(cv.map(lit): _*)): _*)
+    def residual(qv: Column, ccid: Column): Column =
+      zip_with(qv, element_at(centArrs, ccid.cast("int")), (a, b) => a - b)
+    def normQuant(emb: Column, nrm: Column): Column =
+      transform(emb, x => greatest(lit(-127L), least(lit(127L),
+        floor(x * 127.0 / nrm + lit(0.5)).cast("long"))))
+
+    // corpus: one pass computes the normalized int8 vector and its top-
+    // `assignTop` lists by ITERATIVE ARGMAX-AND-MASK — row-local
+    // expressions, never a corpus-sized ranking window (posexplode + rank
+    // would shuffle N×numCentroids rows)
+    var r = embs
+      .select(col("vec_id"), asDouble(col("embedding")).as("_emb"))
+      .withColumn("_nrm", norm(col("_emb")))
+      .filter(col("_nrm") > 0.0)
+      .withColumn("_qv", normQuant(col("_emb"), col("_nrm")))
+      .withColumn("_qvd", transform(col("_qv"), x => x.cast("double")))
+      .withColumn("_s", scores(col("_qvd")))
+    (1 to assignTop).foreach { i =>
+      r = r.withColumn(s"_p$i",
+          array_position(col("_s"), array_max(col("_s"))))
+        .withColumn("_s", zip_with(col("_s"),
+          sequence(lit(1L), lit(centInts.size.toLong)),
+          (v, idx) => when(idx === col(s"_p$i"),
+            lit(Double.NegativeInfinity)).otherwise(v)))
+    }
+    val rcorpus = r
+      .select(col("vec_id"), col("_qv"),
+        explode(array((1 to assignTop).map(i => col(s"_p$i")): _*)).as("ccid"))
+      .select(col("vec_id"), col("ccid"),
+        residual(col("_qv"), col("ccid")).as("qv"))
+      .localCheckpoint()
+
+    // query probes: rank-<=nprobe by the SAME score (tiny query frame)
+    val qprobe = queries
+      .select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("_emb"))
+      .withColumn("_nrm", norm(col("_emb")))
+      .filter(col("_nrm") > 0.0)
+      .withColumn("_qv", normQuant(col("_emb"), col("_nrm")))
+      .withColumn("_qvd", transform(col("_qv"), x => x.cast("double")))
+      .select(col("query_id"), col("_qv"),
+        posexplode(scores(col("_qvd"))).as(Seq("_pos", "_sc")))
+      .withColumn("_pr", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("_sc").desc, col("_pos"))))
+      .filter(col("_pr") <= nprobe)
+      .select(col("query_id"), (col("_pos") + 1).cast("long").as("ccid"),
+        residual(col("_qv"), col("_pos") + 1).as("qv"))
+
+    val subs = subspacesOf(rcorpus, Seq(col("vec_id"), col("ccid")), m, subLen)
+    val centDf = rcorpus.sparkSession.range(1)
+      .select(posexplode(centArrs).as(Seq("_p", "carr")))
+      .select((col("_p") + 1).cast("long").as("bccid"), col("carr"))
+    // seeds: the k lowest-id vectors' normalized qv. Reconstruction
+    // qv + cent(ccid) = nqv is EXACT and list-independent, so a vector's
+    // spill rows all agree — the min() aggregation is a dedup over
+    // identical values (never a corpus-sized ranking window)
+    val seedBase = rcorpus
+      .select(col("vec_id"),
+        zip_with(col("qv"), element_at(centArrs, col("ccid").cast("int")),
+          (a, b) => a + b).as("nqv"))
+      .groupBy("vec_id").agg(min(col("nqv")).as("nqv"))
+      .orderBy("vec_id").limit(k)
+      .select(col("vec_id").as("cid"), col("nqv"))
+    val seeds = subspacesOf(
+      seedBase.crossJoin(centDf)
+        .select(col("cid"), col("bccid").as("ccid"),
+          zip_with(col("nqv"), col("carr"), (a, b) => a - b).as("qv")),
+      Seq(col("ccid"), col("cid")), m, subLen)
+      .select(col("ccid"), col("sub"), col("cid"), col("sv").as("cq"))
+    val books = pqTrainBooks(subs, seeds,
+      Seq("vec_id", "ccid"), Seq("ccid", "sub"))
+    val codes = pqEncode(subs, books, Seq("vec_id", "ccid"), Seq("ccid", "sub"))
+    val lut = subspacesOf(qprobe, Seq(col("query_id"), col("ccid")), m, subLen)
+      .join(broadcast(books), Seq("ccid", "sub"))
+      .select(col("query_id"), col("ccid"), col("sub"), col("cid"),
+        graft.functions.L2Squared.l2sq(col("sv"), col("cq")).as("d2"))
+    // spill dedup: a vector reachable through two probed lists is scored
+    // once per list; keep the MIN full-m ADC sum (per-list codebooks make
+    // the per-list sums incomparable to pool any other way)
+    val scored = codes.join(broadcast(lut), Seq("ccid", "sub", "cid"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .groupBy("query_id", "vec_id", "ccid")
+      .agg(sum(col("d2")).as("_adc1"))
+      .groupBy("query_id", "vec_id")
+      .agg(min(col("_adc1")).as("adc_dist2"))
+    finishPq(scored, topK, () => Seq(rcorpus, books).foreach(releaseCheckpoint))
   }
 
   private def finishPq(scored: DataFrame, topK: Int,

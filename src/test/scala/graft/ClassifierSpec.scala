@@ -69,6 +69,38 @@ class ClassifierSpec extends SparkSpec {
     graft.ops.Dedup.releaseCheckpoint(model)
   }
 
+  test("lidClassifier: 4-class rule-LID distillation — per-class agreement " +
+    "is strong on a separable multilingual corpus, plan stays hash-agg") {
+    import spark.implicits._
+    // each language's docs are built FROM its rule-LID stopwords plus a
+    // disjoint content vocabulary, so the teacher labels are clean and
+    // the student has separable features
+    def mk(lo: Long, stop: String, filler: String) =
+      (lo until lo + 30L).map(i =>
+        (i, s"$stop $filler$i $stop $filler ${filler}x $stop"))
+    val docs = (mk(0L, "the a of and is", "cat") ++
+      mk(100L, "le la les et est", "chien") ++
+      mk(200L, "der die das und ist", "hund") ++
+      mk(300L, "el los las y es", "perro")).toDF("doc_id", "text")
+    val out = graft.ops.Classifier.lidClassifier(docs)
+    assert(out.count() === 120)
+    // ≥ 3 distinct classes actually predicted (the multi-class point)
+    assert(out.select("pred_label").distinct().count() >= 3)
+    val perClass = out.groupBy("teacher_lang")
+      .agg(avg(col("agree").cast("double")).as("rate"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(perClass.keySet === Set("en", "fr", "de", "es"))
+    perClass.foreach { case (lang, rate) =>
+      assert(rate >= 0.8, s"per-class agreement for $lang only $rate") }
+    // the generic argmax must stay a HashAggregate on the wider head too
+    val model = Classifier.trainLinear(docs.join(
+      graft.ops.TextAnalysis.langId(docs)
+        .select(col("doc_id"), col("lang_guess").as("label")), "doc_id"))
+    val p = Classifier.classify(docs, model)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("SortAggregate"), s"4-class argmax degraded:\n$p")
+  }
+
   test("qualityClassifier: verdict frame covers the scorable corpus, " +
     "teacher recovery is strong on a separable corpus") {
     import spark.implicits._

@@ -343,6 +343,49 @@ class OpsSpec extends SparkSpec {
     assert(cands(1).subsetOf(cands(4)))
   }
 
+  test("trained IVF-PQ: integer-Lloyd quantizer is deterministic, spill " +
+    "assignment only adds reachable candidates, clusters separate") {
+    import spark.implicits._
+    import graft.ops.Similarity
+    def vec(base: Float, j: Int): Array[Float] =
+      Array.tabulate(8)(d => base + (if (d == j % 4) 0.5f else 0f))
+    val corpus = ((1L to 6L).map(i => (i, vec(10f, i.toInt))) ++
+      (7L to 12L).map(i => (i, vec(-10f, i.toInt)))).toDF("vec_id", "embedding")
+    val queries = Seq((1L, vec(10f, 1)), (7L, vec(-10f, 7)))
+      .toDF("vec_id", "embedding")
+    // training: deterministic across runs, ≤ numCentroids usable centroids
+    val c1 = Similarity.ivfTrainCentroidsInt(corpus, numCentroids = 4, iters = 3)
+    val c2 = Similarity.ivfTrainCentroidsInt(corpus, numCentroids = 4, iters = 3)
+    assert(c1 === c2)
+    assert(c1.nonEmpty && c1.size <= 4 && c1.forall(_.size == 8))
+    assert(c1.forall(_.exists(_ != 0L)), "zero centroids must be dropped")
+    def run(at: Int, np: Int, topK: Int = 5) =
+      Similarity.ivfPqTopKTrained(corpus, queries, m = 2, k = 2, topK = topK,
+          dim = 8, numCentroids = 4, nprobe = np, assignTop = at, iters = 3)
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    val r = run(at = 1, np = 2)
+    assert(r.nonEmpty)
+    // the two opposite-sign clusters must separate under a TRAINED
+    // quantizer at partial coverage
+    assert(r.filter(_._1 == 1L).forall(n => n._2 <= 6L && n._2 != 1L), r.mkString(","))
+    assert(r.filter(_._1 == 7L).forall(n => n._2 >= 7L && n._2 != 7L), r.mkString(","))
+    assert(r.sorted.toSeq === run(at = 1, np = 2).sorted.toSeq) // bit-exact
+    // spill monotonicity: reachability = assignment ∩ probes, so top-2
+    // assignment can only ADD candidates at the same probe set
+    def cands(at: Int) = run(at, np = 2, topK = 12).map(x => (x._1, x._2)).toSet
+    assert(cands(1).subsetOf(cands(2)))
+    // rerank of the trained chain: sims are exact cosines, ranks 1..k
+    val rr = Similarity.ivfPqRerankTopKTrained(corpus, queries, m = 2, k = 2,
+        topK = 3, dim = 8, numCentroids = 4, nprobe = 2, shortlist = 8,
+        assignTop = 2, iters = 3)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2), x.getLong(3)))
+    for (qid <- Seq(1L, 7L)) {
+      val mine = rr.filter(_._1 == qid).sortBy(_._4)
+      assert(mine.map(_._4).toSeq === (1L to 3L))
+      assert(mine.map(_._3).toSeq === mine.map(_._3).sorted.reverse.toSeq)
+    }
+  }
+
   test("ivfPqRerankTopK: exact rescoring of the ADC shortlist, order by true cosine") {
     import spark.implicits._
     import graft.ops.Similarity
