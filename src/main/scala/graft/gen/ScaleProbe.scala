@@ -335,6 +335,16 @@ object ScaleProbe {
     pair("stream_seg_increment",
       Dedup.segmentDedupIncrement(batchDocs, segCat1)._1,
       Dedup.segmentDedupIncrement(batchDocs, segCat10)._1)
+    // round-14 directive: the sharded bloom family must keep the per-batch
+    // increment flat as the catalog grows (vs the same fixed batch), and
+    // its cost shape should track the scalar sketch's at sizes where both
+    // apply — the catalog term in BOTH is the narrow sketch-build scan
+    pair("incr_dedup_scalar_catalog",
+      Dedup.incrementalDedup(batchDocs, docs1),
+      Dedup.incrementalDedup(batchDocs, docs10))
+    pair("incr_dedup_sharded_catalog",
+      Dedup.incrementalDedup(batchDocs, docs1, shards = 16),
+      Dedup.incrementalDedup(batchDocs, docs10, shards = 16))
     def emptyMh = spark.range(0).select(col("id").as("doc_id"),
       lit(null).cast("string").as("text"),
       lit(null).cast("array<string>").as("mh"),
