@@ -1265,6 +1265,20 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** Persisted TRAINED-quantizer index build + serve (round 14): train →
+    * spill-assign → bucketed inverted lists + persisted centroids, then
+    * a probe-only search — the amortized form of the trained family's
+    * per-query training. Oracle = the live trained search in SQL
+    * (persistence must be result-invisible). */
+  private def knnIvfTrainedIndexedQ(s: SparkSession, dir: String): DataFrame = {
+    val emb = RawGen.table(s, dir, "embeddings")
+    Similarity.ivfWriteIndexTrained(emb, "ivftsrv", numCentroids = 64,
+      dim = 64, iters = 4, assignTop = 2)
+    Similarity.ivfSearchIndexedTrained(s, knnQueries(s, dir), "ivftsrv",
+        k = 5, nprobe = 16)
+      .orderBy("query_id", "rank")
+  }
+
   /** Global event sequence numbers in (epoch_us, event_id) order WITHOUT
     * a single-reducer global window — see [[graft.ops.Layout.globalSequence]]
     * for the two-pass range-bucket shape. */
@@ -1717,6 +1731,7 @@ object SparkEntry {
     "knn_lsh_probe" -> (knnLshProbe _),
     "knn_ivf" -> (knnIvf _),
     "knn_ivf_indexed" -> (knnIvfIndexedQ _),
+    "knn_ivf_trained_indexed" -> (knnIvfTrainedIndexedQ _),
     "knn_pq" -> (knnPq _),
     "knn_pq_recall" -> (knnPqRecallQ _),
     "knn_ivf_pq" -> (knnIvfPq _),
@@ -3913,13 +3928,18 @@ object SparkEntry {
   // to their top-`assignTop` lists, and per-list ADC sums deduped by MIN.
   // Everything after the centroid CTEs reuses knnIvfPqSqlFor's
   // per-subspace chain shape against ci-as-rows instead of ci-as-literals.
-  private def knnIvfPqTrainedSqlFor(nprobe: Int, finish: String,
-                                    numCentroids: Int = 64, iters: Int = 4,
-                                    assignTop: Int = 2): String = {
-    val m = 32; val k = 32; val dim = 64; val sl = dim / m
-    def dist(a: String, b: String) =
-      s"list_sum(list_transform(range(1, len($a)+1), " +
-      s"j -> ($a[j]-$b[j])*($a[j]-$b[j])))"
+  private def duckDist(a: String, b: String) =
+    s"list_sum(list_transform(range(1, len($a)+1), " +
+    s"j -> ($a[j]-$b[j])*($a[j]-$b[j])))"
+
+  /** Shared prefix of the trained-quantizer oracles: normalized-int8 base
+    * aliases, the `iters`-round integer-Lloyd centroid CTEs, and the
+    * spill-assignment (`cc`) / query-probe (`qp`) CTEs, all derived in
+    * SQL so the oracle trains independently of the Spark side. */
+  private def trainedQuantCtes(nprobe: Int, numCentroids: Int, iters: Int,
+                               assignTop: Int): scala.collection.mutable.ArrayBuffer[String] = {
+    val dim = 64
+    val dist = duckDist _
     // norm-corrected score of an int8 vector list expr vs a centroid row
     def score(qv: String, cq: String) =
       s"list_dot_product(list_transform($qv, x -> CAST(x AS DOUBLE)), " +
@@ -3960,6 +3980,15 @@ object SparkEntry {
     parts += "qp AS MATERIALIZED (SELECT vec_id AS query_id, ccid FROM (SELECT vec_id, ccid, " +
       "row_number() OVER (PARTITION BY vec_id ORDER BY sc DESC, ccid) AS rn " +
       s"FROM csc WHERE vec_id < 8) WHERE rn <= $nprobe)"
+    parts
+  }
+
+  private def knnIvfPqTrainedSqlFor(nprobe: Int, finish: String,
+                                    numCentroids: Int = 64, iters: Int = 4,
+                                    assignTop: Int = 2): String = {
+    val m = 32; val k = 32; val dim = 64; val sl = dim / m
+    val dist = duckDist _
+    val parts = trainedQuantCtes(nprobe, numCentroids, iters, assignTop)
     parts += s"rc AS MATERIALIZED (SELECT cc.vec_id, cc.ccid, list_transform(range(1, ${dim + 1}), " +
       "i -> q.qv[i] - ci.cv[i]) AS qv FROM cc JOIN q USING (vec_id) " +
       "JOIN ci ON ci.ccid = cc.ccid)"
@@ -4025,6 +4054,33 @@ object SparkEntry {
     s"LEFT JOIN ($knnIvfPqTrainedSql) p\n" +
     "  ON p.query_id = b.query_id AND p.vec_id = b.neighbor_id\n" +
     "GROUP BY 1 ORDER BY 1"
+
+  // persisted trained-index serving (raw-vector lists): the oracle is the
+  // LIVE trained search — index persistence must be result-invisible,
+  // the same contract as knn_ivf_indexed vs knnIvfSql
+  private lazy val knnIvfTrainedIndexedSql = {
+    val parts = trainedQuantCtes(nprobe = 16, numCentroids = 64, iters = 4,
+      assignTop = 2)
+    parts += "xx AS MATERIALIZED (SELECT qp.query_id, cc.vec_id AS neighbor_id, " +
+      "list_dot_product(rq.emb, rv.emb)/(nq.nrm*nv.nrm) AS sim " +
+      "FROM qp JOIN cc ON cc.ccid = qp.ccid " +
+      "JOIN raw rq ON rq.vec_id = qp.query_id " +
+      "JOIN n nq ON nq.vec_id = qp.query_id " +
+      "JOIN raw rv ON rv.vec_id = cc.vec_id " +
+      "JOIN n nv ON nv.vec_id = cc.vec_id " +
+      "WHERE cc.vec_id <> qp.query_id)"
+    // spill dedup over equal sims, then the rank cut
+    parts += "dd AS (SELECT query_id, neighbor_id, MAX(sim) AS sim FROM xx GROUP BY 1, 2)"
+    val base = duckNormQuantBase
+      .replace("e AS (", "e AS MATERIALIZED (")
+      .replace("s AS (", "s AS MATERIALIZED (")
+      .replace("q AS (", "q AS MATERIALIZED (")
+    s"WITH $base,\n${parts.mkString(",\n")}\n" +
+      "SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rank, sim FROM " +
+      "(SELECT query_id, neighbor_id, sim, row_number() OVER " +
+      "(PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn FROM dd) " +
+      "WHERE rn <= 5 ORDER BY query_id, rank"
+  }
 
   private val qUnionSql =
     """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
@@ -4348,6 +4404,7 @@ object SparkEntry {
     "knn_ivf" -> knnIvfSql,
     // indexed serving is row-identical to the live probe by construction
     "knn_ivf_indexed" -> knnIvfSql,
+    "knn_ivf_trained_indexed" -> knnIvfTrainedIndexedSql,
     "knn_pq" -> knnPqSql,
     "knn_pq_recall" -> knnPqRecallSql,
     "knn_ivf_pq" -> knnIvfPqSql,

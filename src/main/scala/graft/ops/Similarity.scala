@@ -286,6 +286,142 @@ object Similarity {
       ivfProbes(queries, numCentroids, dim, nprobe), k)
   }
 
+  /** Persisted TRAINED-quantizer IVF index (round-14 completion of the
+    * trained family's scale story: per-query training in
+    * [[ivfPqRerankTopKTrained]] is the demo shape — at 100 TB training
+    * and the corpus assignment pass amortize into ONE index build, and
+    * queries only probe). Persists three tables:
+    * `{prefix}_cents` (the integer Lloyd centroids — the quantizer IS
+    * part of the index, same argument as the md5 family's meta),
+    * `{prefix}_lists` (raw-vector inverted lists bucketed by cid, each
+    * vector SPILLED to its top-`assignTop` lists), and a 4-column
+    * `{prefix}_meta` carrying (num_centroids, dim, buckets, assign_top).
+    */
+  def ivfWriteIndexTrained(corpus: DataFrame, prefix: String = "ivft",
+                           numCentroids: Int = 64, dim: Int = 64,
+                           buckets: Int = 16, iters: Int = 4,
+                           assignTop: Int = 2): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    Seq(s"${prefix}_lists", s"${prefix}_meta", s"${prefix}_cents")
+      .foreach(Partitioning.dropManagedTable(spark, _))
+    val centInts = ivfTrainCentroidsInt(corpus, numCentroids, iters)
+    centInts.zipWithIndex
+      .map { case (cv, i) => ((i + 1).toLong, cv) }
+      .toDF("ccid", "cq")
+      .write.mode("overwrite").saveAsTable(s"${prefix}_cents")
+    trainedAssign(corpus, centInts, assignTop)
+      .write.mode("overwrite")
+      .bucketBy(buckets, "cid").sortBy("cid")
+      .saveAsTable(s"${prefix}_lists")
+    Seq((centInts.size, dim, buckets, assignTop))
+      .toDF("num_centroids", "dim", "buckets", "assign_top")
+      .write.mode("overwrite").saveAsTable(s"${prefix}_meta")
+  }
+
+  /** Incremental maintenance of the trained index — the delta is assigned
+    * under the index's own PERSISTED centroids (never retrained: a drifted
+    * quantizer would silently mis-list the delta) and appended under the
+    * same bucket spec. Append-then-search == rebuild-then-search for the
+    * same centroid set (PartitioningSpec pins it). */
+  def ivfAppendIndexTrained(delta: DataFrame, prefix: String = "ivft"): Unit = {
+    val spark = delta.sparkSession
+    val meta = spark.table(s"${prefix}_meta").head()
+    val centInts = persistedCents(spark, prefix)
+    trainedAssign(delta, centInts, meta.getInt(3))
+      .write.mode("append")
+      .bucketBy(meta.getInt(2), "cid").sortBy("cid")
+      .saveAsTable(s"${prefix}_lists")
+  }
+
+  /** Query half: probe the top-`nprobe` persisted centroids by the same
+    * norm-corrected score as assignment, exact-cosine the probed lists
+    * ([[ivfScore]]'s core), and collapse spill duplicates (a neighbor
+    * reachable through two probed lists scores identically in both — the
+    * dedup is over equal values). Zero corpus work at query time. */
+  def ivfSearchIndexedTrained(spark: org.apache.spark.sql.SparkSession,
+                              queries: DataFrame, prefix: String = "ivft",
+                              k: Int = 5, nprobe: Int = 16): DataFrame = {
+    val centInts = persistedCents(spark, prefix)
+    val centNorms = centInts.map(cv =>
+      math.sqrt(cv.map(x => (x * x).toDouble).sum))
+    def scores(qvd: Column): Column =
+      array(centInts.zip(centNorms).map { case (cv, nn) =>
+        dot(qvd, array(cv.map(x => lit(x.toDouble)): _*)) / lit(nn)
+      }: _*)
+    def normQuant(emb: Column, nrm: Column): Column =
+      transform(emb, x => greatest(lit(-127L), least(lit(127L),
+        floor(x * 127.0 / nrm + lit(0.5)).cast("long"))))
+    val probes = queries
+      .select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("q_emb"))
+      .withColumn("q_norm", norm(col("q_emb")))
+      .filter(col("q_norm") > 0.0)
+      .withColumn("_qvd", transform(
+        normQuant(col("q_emb"), col("q_norm")), x => x.cast("double")))
+      .select(col("query_id"), col("q_emb"), col("q_norm"),
+        posexplode(scores(col("_qvd"))).as(Seq("_pos", "_sc")))
+      .withColumn("_pr", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("_sc").desc, col("_pos"))))
+      .filter(col("_pr") <= nprobe)
+      .select(col("query_id"), col("q_emb"), col("q_norm"),
+        (col("_pos") + 1).cast("long").as("cid"))
+    val sim = dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm"))
+    val scored = spark.table(s"${prefix}_lists").join(broadcast(probes), Seq("cid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), sim.cast("double").as("sim"))
+      // spill dedup over provably-equal sims (same raw vectors both times)
+      .groupBy("query_id", "neighbor_id")
+      .agg(max(col("sim")).as("sim"))
+    val rn = row_number().over(
+      Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id")))
+    scored.withColumn("rank", rn).filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "sim")
+  }
+
+  /** The persisted quantizer, read back as driver-side integer centroids
+    * (k×dim longs — tiny) in ccid order. */
+  private def persistedCents(spark: org.apache.spark.sql.SparkSession,
+                             prefix: String): Seq[Seq[Long]] =
+    spark.table(s"${prefix}_cents").orderBy("ccid").collect()
+      .map(_.getSeq[Long](1).toSeq).toSeq
+
+  /** Shared corpus-assignment pass of the trained index build/append:
+    * top-`assignTop` lists by norm-corrected integer-dot score (the
+    * iterative argmax-and-mask of [[ivfPqTopKWithCents]]), emitting
+    * [[ivfScore]]'s corpus shape — (neighbor_id, c_emb, c_norm, cid). */
+  private def trainedAssign(embs: DataFrame, centInts: Seq[Seq[Long]],
+                            assignTop: Int): DataFrame = {
+    require(centInts.nonEmpty, "no usable centroids")
+    require(assignTop >= 1 && assignTop <= centInts.size,
+      s"assignTop must be in [1, ${centInts.size}], got $assignTop")
+    val centNorms = centInts.map(cv =>
+      math.sqrt(cv.map(x => (x * x).toDouble).sum))
+    def scores(qvd: Column): Column =
+      array(centInts.zip(centNorms).map { case (cv, nn) =>
+        dot(qvd, array(cv.map(x => lit(x.toDouble)): _*)) / lit(nn)
+      }: _*)
+    def normQuant(emb: Column, nrm: Column): Column =
+      transform(emb, x => greatest(lit(-127L), least(lit(127L),
+        floor(x * 127.0 / nrm + lit(0.5)).cast("long"))))
+    var r = embs
+      .select(col("vec_id").as("neighbor_id"), asDouble(col("embedding")).as("c_emb"))
+      .withColumn("c_norm", norm(col("c_emb")))
+      .filter(col("c_norm") > 0.0)
+      .withColumn("_qvd", transform(
+        normQuant(col("c_emb"), col("c_norm")), x => x.cast("double")))
+      .withColumn("_s", scores(col("_qvd")))
+    (1 to assignTop).foreach { i =>
+      r = r.withColumn(s"_p$i",
+          array_position(col("_s"), array_max(col("_s"))))
+        .withColumn("_s", zip_with(col("_s"),
+          sequence(lit(1L), lit(centInts.size.toLong)),
+          (v, idx) => when(idx === col(s"_p$i"),
+            lit(Double.NegativeInfinity)).otherwise(v)))
+    }
+    r.select(col("neighbor_id"), col("c_emb"), col("c_norm"),
+      explode(array((1 to assignTop).map(i => col(s"_p$i")): _*)).as("cid"))
+  }
+
   private def ivfProbes(queries: DataFrame, numCentroids: Int, dim: Int,
                         nprobe: Int): DataFrame = {
     val cents = ivfCentroids(numCentroids, dim)

