@@ -1457,23 +1457,36 @@ object SparkEntry {
         blocklist = Seq("vector", "spark"))
       .orderBy("doc_id")
 
+  /** The blocked registrable domains of the crawl gate — the synthetic
+    * stand-in for C4's host blocklist (two of the corpus's twenty
+    * source domains, every TLD variant of one of them). */
+  private val crawlBlockedDomains =
+    Seq("src3-site.com", "src7-site.net", "src7-site.org")
+
   /** The full crawl-curation recipe as ONE verdict table — the
     * end-to-end composition a C4/Gopher pipeline runs on raw pages:
-    * page gate (c4PageFilter) → text extraction (htmlExtract) →
-    * repetition gate (Gopher top-2-gram ≤ 0.2 over the EXTRACTED text)
-    * → exact dedup (md5 first-occurrence among gate-passers only, so a
-    * spam page can never claim the canonical slot of a clean
+    * URL gate (scheme + domain blocklist, BEFORE any content work —
+    * the C4 ordering, and the cheapest drop there is) → page gate
+    * (c4PageFilter) → text extraction (htmlExtract) → repetition gate
+    * (Gopher top-2-gram ≤ 0.2 over the EXTRACTED text) → exact dedup
+    * (md5 first-occurrence among full-gate-passers only, so a spam or
+    * blocklisted page can never claim the canonical slot of a clean
     * duplicate). Per-doc booleans for every stage keep the whole
     * pipeline hash-checkable; downstream selects `final_keep`. */
   private def crawlCurateE2eQ(s: SparkSession, dir: String): DataFrame =
-    crawlCuratePipeline(rawHtmlFrame(s, dir))
+    crawlCuratePipeline(rawHtmlFrame(s, dir),
+      urlFrame(s, dir).select(col("doc_id"), col("url")))
 
-  /** The C4-gate → extraction → repetition-gate → exact-dedup verdict
-    * pipeline over any `(doc_id, html)` frame — shared by the direct
-    * crawl query and the WARC-sourced variant (whose parse round-trip
-    * must land on the identical verdicts: same oracle). */
-  private def crawlCuratePipeline(raw: DataFrame): DataFrame = {
+  /** The URL-gate → C4-gate → extraction → repetition-gate →
+    * exact-dedup verdict pipeline over `(doc_id, html)` + `(doc_id,
+    * url)` frames — shared by the direct crawl query and the
+    * WARC-sourced variant (whose parse round-trip must land on the
+    * identical verdicts: same oracle; its URLs come from the parsed
+    * `WARC-Target-URI`, so the gate exercises the round-tripped URL). */
+  private def crawlCuratePipeline(raw: DataFrame, urls: DataFrame): DataFrame = {
     import graft.ops.{Extract, Gopher}
+    val urlOk = graft.ops.Url.urlGate(urls, crawlBlockedDomains)
+      .select(col("doc_id"), col("url_keep").as("url_ok"))
     val pages = Extract.c4PageFilter(raw, minLines = 2,
         blocklist = Seq("vector"))
       .select(col("doc_id"), col("keep").as("page_keep"))
@@ -1482,16 +1495,18 @@ object SparkEntry {
     val sig = Gopher.repetitionSignals(
         text.withColumnRenamed("text_clean", "text"))
       .select(col("doc_id"), (col("top2gram_char_frac") <= 0.2).as("rep_ok"))
-    val joined = pages.join(text, "doc_id").join(sig, "doc_id")
+    val joined = urlOk.join(pages, "doc_id").join(text, "doc_id")
+      .join(sig, "doc_id")
       .withColumn("_h", md5(col("text_clean")))
-    val firsts = joined.filter(col("page_keep") && col("rep_ok"))
+    val firsts = joined
+      .filter(col("url_ok") && col("page_keep") && col("rep_ok"))
       .withColumn("_rn", row_number().over(
         Window.partitionBy("_h").orderBy("doc_id")))
       .select(col("doc_id"), (col("_rn") === 1).as("dedup_first"))
     joined.join(firsts, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("page_keep"), col("rep_ok"),
+      .select(col("doc_id"), col("url_ok"), col("page_keep"), col("rep_ok"),
         coalesce(col("dedup_first"), lit(false)).as("dedup_first"),
-        (col("page_keep") && col("rep_ok") &&
+        (col("url_ok") && col("page_keep") && col("rep_ok") &&
           coalesce(col("dedup_first"), lit(false))).as("final_keep"))
       .orderBy("doc_id")
   }
@@ -1547,12 +1562,25 @@ object SparkEntry {
       // record ids are <urn:uuid:00000000-0000-0000-0000-{%012d doc_id}>
       // (34-char prefix, so the 12 digits sit at 1-based offset 35)
       .select(substring(col("record_id"), 35, 12).cast("long").as("doc_id"),
-        col("html"))
-    crawlCuratePipeline(parsed)
+        col("target_uri"), col("html"))
+    crawlCuratePipeline(parsed.select(col("doc_id"), col("html")),
+      // the URL gate runs on the ROUND-TRIPPED WARC-Target-URI, not the
+      // generator frame — parse fidelity is part of this query's parity
+      parsed.select(col("doc_id"), col("target_uri").as("url")))
   }
 
   private def urlDedupQ(s: SparkSession, dir: String): DataFrame =
     graft.ops.Url.urlDedup(urlFrame(s, dir)).orderBy("url_canon")
+
+  // URL admission gate (round 14): non-http(s) drop + registrable-domain
+  // blocklist broadcast probe, fused into the canonicalize scan
+  private def urlGateQ(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Url.urlGate(
+        urlFrame(s, dir).select(col("doc_id"), col("url")),
+        crawlBlockedDomains)
+      .select("doc_id", "url_canon", "domain", "scheme_ok", "domain_ok",
+        "url_keep")
+      .orderBy("doc_id")
 
   private def domainStatsQ(s: SparkSession, dir: String): DataFrame =
     graft.ops.Url.domainStats(urlFrame(s, dir)).orderBy("domain")
@@ -1830,6 +1858,7 @@ object SparkEntry {
     "c4_page_filter" -> (c4PageFilterQ _),
     "crawl_curate_e2e" -> (crawlCurateE2eQ _),
     "url_dedup" -> (urlDedupQ _),
+    "url_gate" -> (urlGateQ _),
     "domain_stats" -> (domainStatsQ _),
     "domain_quota_sample" -> (domainQuotaSampleQ _),
     "quality_classifier" -> (qualityClassifierQ _),
@@ -3092,10 +3121,12 @@ object SparkEntry {
        |SELECT doc_id, fail_reasons = '' AS keep, fail_reasons, n_kept_lines
        |FROM r ORDER BY doc_id""".stripMargin
 
-  // the end-to-end crawl pipeline oracle: page gate + extraction +
+  // the end-to-end crawl pipeline oracle: URL gate (scheme + domain
+  // blocklist, the round-14 front end) + page gate + extraction +
   // top-2-gram repetition gate over the EXTRACTED words + md5
-  // first-occurrence among passers
-  private val crawlCurateE2eSql =
+  // first-occurrence among full-gate passers. LAZY: splices the URL CTE
+  // chain declared later in the file (the val-init-order gotcha).
+  private lazy val crawlCurateE2eSql =
     s"""WITH $rawHtmlDuck,
        |$htmlKeptDuck,
        |k2 AS (SELECT doc_id, lines, list_filter(kept, l -> NOT contains(lower(l), 'javascript')) AS kept2,
@@ -3105,12 +3136,17 @@ object SparkEntry {
        |gg AS (SELECT *, CASE WHEN len(cws) >= 2 THEN list_transform(range(0, len(cws) - 1), i -> array_to_string(cws[CAST(i+1 AS INT):CAST(i+2 AS INT)], ' ')) ELSE [] END AS grams FROM tw),
        |gm AS (SELECT *, CASE WHEN len(grams) > 0 THEN list_max(list_transform(list_distinct(grams), g -> len(list_filter(grams, x -> x = g)))) END AS cmax FROM gg),
        |gt AS (SELECT * EXCLUDE (grams, cmax), CASE WHEN len(grams) > 0 THEN CAST(cmax AS DOUBLE) * list_max(list_transform(list_filter(list_distinct(grams), g -> len(list_filter(grams, x -> x = g)) = cmax), g -> length(g))) / greatest(length(array_to_string(cws, ' ')), 1) ELSE 0.0 END AS top2 FROM gm),
-       |j AS (SELECT doc_id, page_keep, top2 <= 0.2 AS rep_ok, md5(text_clean) AS h FROM gt),
-       |p AS (SELECT doc_id, row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn FROM j WHERE page_keep AND rep_ok)
-       |SELECT j.doc_id, j.page_keep, j.rep_ok,
-       |  COALESCE(p.rn = 1, false) AS dedup_first,
-       |  j.page_keep AND j.rep_ok AND COALESCE(p.rn = 1, false) AS final_keep
-       |FROM j LEFT JOIN p ON j.doc_id = p.doc_id ORDER BY j.doc_id""".stripMargin
+       |""".stripMargin +
+    // the html chain owns s1..s4; prefix the URL chain's s1..s6 (CTE
+    // names only — no other bare s<digit> token exists in the chain)
+    urlChainCtes.replaceAll("\\bs([1-6])\\b", "us$1") + ",\n" +
+    urlGateCte + ",\n" +
+    """j AS (SELECT gt.doc_id, ug.scheme_ok AND ug.domain_ok AS url_ok, gt.page_keep, top2 <= 0.2 AS rep_ok, md5(text_clean) AS h FROM gt JOIN ug ON gt.doc_id = ug.doc_id),
+      |p AS (SELECT doc_id, row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn FROM j WHERE url_ok AND page_keep AND rep_ok)
+      |SELECT j.doc_id, j.url_ok, j.page_keep, j.rep_ok,
+      |  COALESCE(p.rn = 1, false) AS dedup_first,
+      |  j.url_ok AND j.page_keep AND j.rep_ok AND COALESCE(p.rn = 1, false) AS final_keep
+      |FROM j LEFT JOIN p ON j.doc_id = p.doc_id ORDER BY j.doc_id""".stripMargin
 
 
   // Zone-map pruning comparison: same grid/interleave arithmetic as
@@ -4127,7 +4163,7 @@ object SparkEntry {
   // warc_read oracle, which embeds the raw URL in WARC headers
   private val urlGenCte =
     """u AS (SELECT doc_id, n_chars,
-      |    (CASE doc_id%4 WHEN 0 THEN 'https' WHEN 1 THEN 'HTTP' WHEN 2 THEN 'http' ELSE 'HTTPS' END)
+      |    (CASE WHEN doc_id%23=0 THEN 'ftp' ELSE (CASE doc_id%4 WHEN 0 THEN 'https' WHEN 1 THEN 'HTTP' WHEN 2 THEN 'http' ELSE 'HTTPS' END) END)
       |    || '://' || (CASE doc_id%3 WHEN 0 THEN 'WWW.' WHEN 1 THEN 'www.' ELSE '' END)
       |    || 'Sub' || (doc_id%7) || '.' || source || '-site.'
       |    || (CASE doc_id%3 WHEN 0 THEN 'com' WHEN 1 THEN 'Org' ELSE 'net' END)
@@ -4142,8 +4178,9 @@ object SparkEntry {
 
   // concatenated, NOT interpolated into the stripMargin literal: the
   // generator fragment's `||` concat operators would be margin-stripped
-  // a second time (the single-line-splice gotcha)
-  private val urlCanonCte = "WITH " + urlGenCte + ",\n" +
+  // a second time (the single-line-splice gotcha). The WITH-less chain is
+  // shared with crawlCurateE2eSql (declared LAZY — it precedes this val).
+  private val urlChainCtes = urlGenCte + ",\n" +
     """ s1 AS (SELECT doc_id, n_chars, split_part(url, '#', 1) AS base FROM u),
       | s2 AS (SELECT doc_id, n_chars,
       |    lower(split_part(base, '://', 1)) AS scheme,
@@ -4183,6 +4220,22 @@ object SparkEntry {
       | qt AS (SELECT domain, n_docs, n_urls, total_chars,
       |    greatest(1, CAST(100 * isqrt // (SELECT sum(isqrt) FROM st) AS BIGINT)) AS quota
       |  FROM st)""".stripMargin
+
+  private val urlCanonCte = "WITH " + urlChainCtes
+
+  // the URL admission gate: scheme from the canonical key (always
+  // lowercased there), domain from the d CTE, blocklist as a NOT IN over
+  // the same three registrable domains the Spark side broadcasts
+  private val urlBlockedSqlList = "('src3-site.com','src7-site.net','src7-site.org')"
+
+  private val urlGateCte =
+    "ug AS (SELECT doc_id, url_canon, domain, " +
+    "split_part(url_canon, '://', 1) IN ('http','https') AS scheme_ok, " +
+    s"domain NOT IN $urlBlockedSqlList AS domain_ok FROM d)"
+
+  private val urlGateSql = urlCanonCte + ",\n" + urlGateCte +
+    "\nSELECT doc_id, url_canon, domain, scheme_ok, domain_ok, " +
+    "scheme_ok AND domain_ok AS url_keep FROM ug ORDER BY doc_id"
 
   private val urlDedupSql = urlCanonCte +
     "\nSELECT url_canon, CAST(min(doc_id) AS BIGINT) AS keep_doc_id, " +
@@ -4507,6 +4560,7 @@ object SparkEntry {
     "c4_page_filter" -> c4PageFilterSql,
     "crawl_curate_e2e" -> crawlCurateE2eSql,
     "url_dedup" -> urlDedupSql,
+    "url_gate" -> urlGateSql,
     "domain_stats" -> domainStatsSql,
     "domain_quota_sample" -> domainQuotaSampleSql,
     "quality_classifier" -> qualityClassifierSql,

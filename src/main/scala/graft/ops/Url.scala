@@ -29,9 +29,13 @@ object Url {
     * has real work to do). */
   def syntheticUrls(docs: DataFrame): DataFrame = {
     val id = col("doc_id")
-    val scheme = element_at(
+    val scheme0 = element_at(
       array(lit("https"), lit("HTTP"), lit("http"), lit("HTTPS")),
       (pmod(id, lit(4)) + 1).cast("int"))
+    // every 23rd doc is a non-http(s) link (ftp) so the scheme gate
+    // ([[urlGate]]) has real work; the port rule below stays keyed on the
+    // PRE-override scheme (doc_id%4) so the oracle's CASE replays it
+    val scheme = when(pmod(id, lit(23)) === 0, lit("ftp")).otherwise(scheme0)
     val www = element_at(array(lit("WWW."), lit("www."), lit("")),
       (pmod(id, lit(3)) + 1).cast("int"))
     // registrable domain = source ×  TLD (so the per-domain stats have a
@@ -39,7 +43,7 @@ object Url {
     val host = concat(lit("Sub"), pmod(id, lit(7)), lit("."), col("source"),
       lit("-site."), element_at(array(lit("com"), lit("Org"), lit("net")),
         (pmod(id, lit(3)) + 1).cast("int")))
-    val isHttps = lower(scheme) === "https"
+    val isHttps = lower(scheme0) === "https"
     val port = when(pmod(id, lit(5)) === 0,
         when(isHttps, lit(":443")).otherwise(lit(":80")))
       .when(pmod(id, lit(11)) === 0, lit(":8080"))
@@ -123,6 +127,41 @@ object Url {
     val host = substring_index(afterScheme, "/", 1)
     val bare = substring_index(host, ":", 1)
     regexp_extract(bare, "([^.]+\\.[^.]+)$", 1)
+  }
+
+  /** The URL-level admission gate a crawl pipeline runs before ANY
+    * content work (C4 drops non-http(s) links and pages from a host
+    * blocklist at exactly this point): per row,
+    *  - `scheme_ok` — the canonical scheme is http or https (a crawl
+    *    frontier emits ftp/mailto/javascript links too; none fetch a page
+    *    worth curating), and
+    *  - `domain_ok` — the registrable domain has no blocklist entry.
+    * The blocklist arrives as a DataFrame of registrable domains and is
+    * BROADCAST into a left join on the derived domain key: a production
+    * blocklist is 10³–10⁶ domains (kilobytes to a few MB — always
+    * executor-memory-sized), so at 100 TB this is a map-side probe fused
+    * into the same scan as the canonicalizer — zero shuffle exchanges
+    * (UrlSpec pins the plan). Matching on the REGISTRABLE domain means a
+    * blocklisted `example.com` also drops `sub.example.com`, the
+    * containment C4's list intends. */
+  def urlGate(urls: DataFrame, blocked: DataFrame): DataFrame = {
+    val canon = urls.select(col("doc_id"),
+        canonicalizeUrl(col("url")).as("url_canon"))
+      .withColumn("domain", registrableDomain(col("url_canon")))
+      .withColumn("scheme_ok",
+        substring_index(col("url_canon"), "://", 1).isin("http", "https"))
+    canon.join(broadcast(blocked.select(col("domain"),
+        lit(true).as("_blocked"))), Seq("domain"), "left")
+      .select(col("doc_id"), col("url_canon"), col("domain"),
+        col("scheme_ok"), col("_blocked").isNull.as("domain_ok"),
+        (col("scheme_ok") && col("_blocked").isNull).as("url_keep"))
+  }
+
+  /** [[urlGate]] over an in-code blocklist (the static-config shape). */
+  def urlGate(urls: DataFrame, blocked: Seq[String]): DataFrame = {
+    val spark = urls.sparkSession
+    import spark.implicits._
+    urlGate(urls, blocked.toDF("domain"))
   }
 
   /** Canonicalized-URL exact dedup, first-occurrence-wins (the library-wide

@@ -105,5 +105,46 @@ class UrlSpec extends SparkSpec {
     val n = Url.urlDedup(Url.syntheticUrls(docs)).count()
     assert(n < 500, s"no canonical collisions in 500 docs ($n keys)")
     assert(n > 50, s"suspiciously few canonical keys ($n)")
+    // the round-14 scheme-gate fixture: every 23rd doc is ftp
+    val ftp = Url.syntheticUrls(docs)
+      .filter(col("url").startsWith("ftp://")).count()
+    assert(ftp === 22L, s"expected 22 ftp rows in 500 docs, got $ftp")
+  }
+
+  test("urlGate: non-http(s) schemes drop, blocklisted registrable domains " +
+    "drop INCLUDING their subdomains, everything else keeps") {
+    import spark.implicits._
+    val urls = Seq(
+      (1L, "https://www.good.example.com/p/1"),       // keep
+      (2L, "FTP://files.example.com/p/2"),            // scheme drop
+      (3L, "https://bad.test/p/3"),                   // domain drop (exact)
+      (4L, "http://Deep.Sub.bad.test:8080/p/4"),      // domain drop (subdomain)
+      (5L, "mailto://bad.test/p/5"),                  // both gates drop
+      (6L, "http://good.test/p/6"))                   // keep
+      .toDF("doc_id", "url")
+    val got = Url.urlGate(urls, Seq("bad.test"))
+      .select("doc_id", "scheme_ok", "domain_ok", "url_keep")
+      .collect().map(r => (r.getLong(0),
+        (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3)))).toMap
+    assert(got(1L) === ((true, true, true)))
+    assert(got(2L) === ((false, true, false)))
+    assert(got(3L) === ((true, false, false)))
+    assert(got(4L) === ((true, false, false)))
+    assert(got(5L) === ((false, false, false)))
+    assert(got(6L) === ((true, true, true)))
+  }
+
+  test("urlGate plan: the blocklist probe is a broadcast join fused into " +
+    "the canonicalize scan — zero shuffle exchanges") {
+    import spark.implicits._
+    val urls = (0L until 64L).map(i => (i, s"https://h$i.example.com/p"))
+      .toDF("doc_id", "url")
+    val gated = Url.urlGate(urls, Seq("blocked.example"))
+    val plan = gated.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"),
+      s"blocklist probe is not a broadcast join:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"urlGate must not shuffle:\n$plan")
   }
 }
