@@ -1103,6 +1103,11 @@ object SparkEntry {
 
   private def ngramCountsQ(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.ngramCounts(RawGen.table(s, dir, "documents"))
+
+  // CMS-prefiltered exact heavy hitters (round 14): every bigram above
+  // ⌈N/1000⌉ corpus occurrences — scale-invariant fraction threshold
+  private def heavyHittersQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.frequentNgrams(RawGen.table(s, dir, "documents"))
       .orderBy(col("occurrences").desc, col("gram"))
 
   /** Training-mix recipe: 30/20/10 docs from three named domains out of a
@@ -1582,6 +1587,19 @@ object SparkEntry {
         "url_keep")
       .orderBy("doc_id")
 
+  // Crawl-frontier dedup (round 14): batch form of the streaming frontier —
+  // catalog = canonical URLs of docs 0..249, delta = the rest; emit only
+  // novel canonical forms, intra-delta first-occurrence-wins
+  private def urlFrontierQ(s: SparkSession, dir: String): DataFrame = {
+    val urls = urlFrame(s, dir).select(col("doc_id"), col("url"))
+    val catalog = urls.filter(col("doc_id") < 250)
+      .select(graft.ops.Url.canonicalizeUrl(col("url")).as("url_canon"))
+      .distinct()
+    graft.ops.Url.urlFrontierIncrement(urls.filter(col("doc_id") >= 250), catalog)
+      .select("doc_id", "url_canon")
+      .orderBy("doc_id")
+  }
+
   private def domainStatsQ(s: SparkSession, dir: String): DataFrame =
     graft.ops.Url.domainStats(urlFrame(s, dir)).orderBy("domain")
 
@@ -1859,6 +1877,8 @@ object SparkEntry {
     "crawl_curate_e2e" -> (crawlCurateE2eQ _),
     "url_dedup" -> (urlDedupQ _),
     "url_gate" -> (urlGateQ _),
+    "url_frontier" -> (urlFrontierQ _),
+    "heavy_hitters" -> (heavyHittersQ _),
     "domain_stats" -> (domainStatsQ _),
     "domain_quota_sample" -> (domainQuotaSampleQ _),
     "quality_classifier" -> (qualityClassifierQ _),
@@ -3544,6 +3564,20 @@ object SparkEntry {
        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
        |FROM g GROUP BY gram ORDER BY occurrences DESC, gram LIMIT 100""".stripMargin
 
+  // exact heavy hitters above ⌈N/1000⌉ of total bigram occurrences —
+  // the CMS prefilter is output-invisible (candidates are a superset,
+  // the exact HAVING verifies), so the oracle is plain GROUP BY/HAVING
+  private val heavyHittersSql =
+    s"""WITH w AS (SELECT doc_id, $duckWords AS ws FROM documents),
+       |f AS (SELECT doc_id, ws FROM w WHERE len(ws) >= 2),
+       |g AS (SELECT doc_id, unnest(list_transform(generate_series(0, len(ws)-2),
+       |    i -> array_to_string(ws[i+1:i+2], ' '))) AS gram FROM f),
+       |t AS (SELECT CAST((count(*) + 999) // 1000 AS BIGINT) AS th FROM g)
+       |SELECT gram, CAST(count(*) AS BIGINT) AS occurrences,
+       |  CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
+       |FROM g GROUP BY gram HAVING count(*) >= (SELECT th FROM t)
+       |ORDER BY gram""".stripMargin
+
   private val domainMixSql =
     """WITH r AS (SELECT doc_id, source,
       |    row_number() OVER (PARTITION BY source
@@ -4237,6 +4271,18 @@ object SparkEntry {
     "\nSELECT doc_id, url_canon, domain, scheme_ok, domain_ok, " +
     "scheme_ok AND domain_ok AS url_keep FROM ug ORDER BY doc_id"
 
+  // crawl-frontier dedup: catalog = distinct canonical forms of docs
+  // 0..249; delta keeps its per-canonical first (lowest doc_id) minus
+  // catalog members. NOT IN is safe: url_canon is never NULL
+  private val urlFrontierSql = urlCanonCte + ",\n" +
+    """fcat AS (SELECT DISTINCT url_canon FROM cc WHERE doc_id < 250),
+      |fdelta AS (SELECT doc_id, url_canon FROM cc WHERE doc_id >= 250),
+      |fintra AS (SELECT doc_id, url_canon,
+      |  row_number() OVER (PARTITION BY url_canon ORDER BY doc_id) AS rn FROM fdelta)
+      |SELECT doc_id, url_canon FROM fintra
+      |WHERE rn = 1 AND url_canon NOT IN (SELECT url_canon FROM fcat)
+      |ORDER BY doc_id""".stripMargin
+
   private val urlDedupSql = urlCanonCte +
     "\nSELECT url_canon, CAST(min(doc_id) AS BIGINT) AS keep_doc_id, " +
     "CAST(count(*) AS BIGINT) AS n_dups FROM cc GROUP BY url_canon ORDER BY url_canon"
@@ -4561,6 +4607,8 @@ object SparkEntry {
     "crawl_curate_e2e" -> crawlCurateE2eSql,
     "url_dedup" -> urlDedupSql,
     "url_gate" -> urlGateSql,
+    "url_frontier" -> urlFrontierSql,
+    "heavy_hitters" -> heavyHittersSql,
     "domain_stats" -> domainStatsSql,
     "domain_quota_sample" -> domainQuotaSampleSql,
     "quality_classifier" -> qualityClassifierSql,

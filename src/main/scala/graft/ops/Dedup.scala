@@ -143,7 +143,7 @@ object Dedup {
     * itself is the same per-row lookup either way; a shard with no
     * catalog keys has no sketch row and probes false via the left join +
     * coalesce. */
-  private def bloomMaybe(rows: DataFrame, hashCol: String,
+  private[graft] def bloomMaybe(rows: DataFrame, hashCol: String,
                          catalog: DataFrame, catalogCol: String,
                          expectedItems: Long, shards: Int): DataFrame = {
     require(shards >= 1, s"shards must be >= 1, got $shards")

@@ -550,6 +550,55 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** Exact frequent n-grams above a FRACTION-of-corpus threshold, with a
+    * count-min-sketch prefilter ([[graft.functions.Cms]]) so only
+    * candidate keys ever reach the exact aggregation — the heavy-hitters
+    * pattern for 100 TB frequency mining. [[ngramCounts]] answers "the
+    * top k"; this answers "every gram above φ·N occurrences" — the form
+    * boilerplate detection and stop-list induction actually need, and the
+    * one a fixed-k census silently truncates.
+    *
+    * Three passes over the scan-fused gram Generate, no corpus-sized
+    * state: (1) total gram count N → integer threshold
+    * T = ⌈N·num/den⌉ (exact `div` arithmetic — replayable in any
+    * engine); (2) a CMS build (fixed depth×width table regardless of
+    * corpus size — the property that lets the FRACTION threshold scale:
+    * width ≈ 3·den/num bounds spurious candidates at any N, where a
+    * bloom would grow with the key count); (3) a scan-side
+    * estimate-≥-T filter. CMS never underestimates, so candidates are a
+    * SUPERSET of the true heavy hitters and the exact group-by +
+    * HAVING verify emits EXACTLY the true set — seed-independent output,
+    * sketch-dependent shuffle volume. At 100 TB with a zipfian gram
+    * tail, the tail (the overwhelming majority of distinct keys, each
+    * seen a handful of times) fails the probe scan-side and never
+    * shuffles; the exact agg's exchange carries only near-threshold
+    * keys. */
+  def frequentNgrams(docs: DataFrame, n: Int = 2, fracNum: Long = 1L,
+                     fracDen: Long = 1000L, depth: Int = 5,
+                     width: Int = 1 << 16): DataFrame = {
+    require(fracNum > 0 && fracDen > 0, "threshold fraction must be positive")
+    val w = Dedup.words(col("text"))
+    val grams = transform(sequence(lit(0), size(col("_ws")) - n),
+      i => array_join(slice(col("_ws"), i + lit(1), lit(n)), " "))
+    val g = docs.filter(size(w) >= n)
+      .withColumn("_ws", w)
+      .select(col("doc_id"), explode(grams).as("gram"))
+    // ⌈N·num/den⌉ in pure integer arithmetic: (N·num + den−1) div den
+    // (SQL's integral DIV — the Column `/` is floating division)
+    val thresh = g.agg(expr(
+      s"CAST((count(1) * $fracNum + ${fracDen - 1L}) DIV $fracDen AS BIGINT)")
+      .as("_t")).scalar()
+    val sketch = g.agg(graft.functions.Cms.cmsAggSized(
+      xxhash64(col("gram")), depth, width).as("_cms")).scalar()
+    g.filter(coalesce(graft.functions.Cms.estimate(
+        sketch, xxhash64(col("gram"))) >= thresh, lit(false)))
+      .groupBy("gram")
+      .agg(count(lit(1)).as("occurrences"),
+        countDistinct(col("doc_id")).as("doc_freq"))
+      .filter(col("occurrences") >= thresh)
+      .orderBy("gram")
+  }
+
   /** Per-stratum corpus profile: doc count, token totals, mean and exact
     * quartile token counts — the report a mixture designer reads before
     * writing weights. Quartiles of INTEGRAL token counts at quarter

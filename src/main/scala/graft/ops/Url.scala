@@ -175,6 +175,46 @@ object Url {
       .agg(min(col("doc_id")).as("keep_doc_id"),
         count(lit(1)).cast("long").as("n_dups"))
 
+  /** One micro-batch of CRAWL-FRONTIER dedup — the ingest-time form of
+    * [[urlDedup]], and the one genuinely streaming URL workload (a crawler
+    * discovers links continuously; only NOVEL canonical URLs should reach
+    * the fetch queue). `delta` is this batch's discovered `(doc_id, url)`
+    * rows; `catalog` is one `url_canon` column of every canonical URL any
+    * earlier batch admitted. A delta row survives iff it is the batch's
+    * own first occurrence of its canonical form (lowest doc_id — the
+    * library-wide convention) AND the form is absent from the catalog.
+    *
+    * Scale shape per batch ([[graft.ops.Dedup.incrementalDedup]]'s
+    * pattern on the cheapest possible key): a sized bloom sketch over the
+    * catalog prefilters scan-side, so only sketch-positives (true
+    * re-discoveries + ~1% false positives) reach the exact anti-join —
+    * and re-discoveries are the COMMON case in a crawl frontier (most
+    * links point to already-seen pages), which is exactly when the
+    * prefilter's join-side savings matter most. `shards` > 1 selects the
+    * hash-prefix-sharded sketch family for catalogs past the scalar
+    * ceiling (a frontier catalog is one row per unique URL ever seen —
+    * 10¹⁰⁺ at web scale). False negatives impossible; output is
+    * byte-identical at any shard count (UrlSpec pins parity). */
+  def urlFrontierIncrement(delta: DataFrame, catalog: DataFrame,
+                           expectedCatalogSize: Long = 1000000L,
+                           shards: Int = 1): DataFrame = {
+    val canon = delta.select(col("doc_id"),
+      canonicalizeUrl(col("url")).as("url_canon"))
+    val intraFirst = canon
+      .withColumn("_rn", row_number().over(org.apache.spark.sql.expressions
+        .Window.partitionBy("url_canon").orderBy("doc_id")))
+      .filter(col("_rn") === 1).drop("_rn")
+    val flagged = Dedup.bloomMaybe(intraFirst, "url_canon",
+      catalog, "url_canon", expectedCatalogSize, shards)
+    val fresh = flagged.filter(!col("_maybe"))
+    // catalog side pinned off auto-broadcast: slim per row, corpus-scale
+    // cardinality (the incrementalDedup rule; LeftAnti builds RIGHT)
+    val verified = flagged.filter(col("_maybe"))
+      .join(catalog.select(col("url_canon").as("_cat")).hint("shuffle_hash"),
+        col("url_canon") === col("_cat"), "left_anti")
+    fresh.unionByName(verified).drop("_maybe")
+  }
+
   /** Per-domain corpus statistics plus a deterministic sampling quota —
     * the mix-control table a curation pipeline joins against before
     * sampling. Quotas are sqrt-proportional (the standard flattening

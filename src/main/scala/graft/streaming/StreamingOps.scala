@@ -721,4 +721,30 @@ object StreamingOps {
       catalogProj = (sig, catalog) =>
         graft.ops.Similarity.semanticCatalogTrim(sig, catalog, perClusterCap))
   }
+
+  /** Streaming crawl-frontier dedup: each micro-batch of discovered
+    * `(doc_id, url)` rows emits only the NOVEL canonical URLs
+    * ([[graft.ops.Url.urlFrontierIncrement]] per epoch — bloom-prefiltered
+    * against the catalog of every canonical URL any earlier batch
+    * admitted), under the same idempotent per-batch-partition catalog
+    * layout as the other five catalog streams. The catalog carries ONE
+    * string column per unique URL ever admitted — the slimmest catalog in
+    * the family. Parity contract (UrlSpec): processing in ascending
+    * doc_id order across ANY micro-batch split admits exactly
+    * [[graft.ops.Url.urlDedup]]'s keeper set; out-of-order arrival stays
+    * exact on novelty but crowns the earlier-ARRIVING copy (the
+    * incrementalDedup arrival-order semantics). */
+  def urlFrontierStream(urls: DataFrame, catalogDir: String, outDir: String,
+                        checkpointDir: String,
+                        expectedCatalogSize: Long = 1000000L,
+                        shards: Int = 1): StreamingQuery =
+    catalogStream(urls, catalogDir, outDir, checkpointDir,
+      emptyCatalog = s => s.range(0)
+        .select(lit(null).cast("string").as("url_canon")),
+      increment = (batch, catalog) => {
+        val novel = graft.ops.Url.urlFrontierIncrement(
+          batch, catalog, expectedCatalogSize, shards).localCheckpoint()
+        (novel, novel)
+      },
+      catalogProj = (sig, _) => sig.select(col("url_canon")))
 }

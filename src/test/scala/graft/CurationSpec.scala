@@ -94,6 +94,33 @@ class CurationSpec extends SparkSpec {
     assert(top.getString(0) === "to be")
   }
 
+  test("frequentNgrams: exactly the grams at/above the ceil-fraction " +
+    "threshold — the CMS prefilter is output-invisible") {
+    import spark.implicits._
+    // 40 total bigrams; frac 1/10 → T = 4: "a b" (12×) and "b a" (9×)
+    // qualify, every tail gram (≤3×) must be absent
+    val docs = Seq(
+      (1L, ("a b " * 10).trim),                  // 9× "b a", 10× "a b"
+      (2L, "a b c d e f g h i j k l"),           // tail grams, 1 "a b"
+      (3L, "a b c a c e b d")                     // 1 "a b" + tail
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.frequentNgrams(docs, n = 2,
+        fracNum = 1L, fracDen = 10L)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // exact counts computed by hand: doc1 "a b"×10 + docs 2,3 ×1 each
+    assert(got === Map("a b" -> ((12L, 3L)), "b a" -> ((9L, 1L))))
+  }
+
+  test("frequentNgrams plan: candidate filter probes the CMS scan-side " +
+    "(graft_cms_estimate below the exact aggregation)") {
+    import spark.implicits._
+    val docs = Seq((1L, "x y x y x y")).toDF("doc_id", "text")
+    val plan = TextAnalysis.frequentNgrams(docs)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("graft_cms_estimate"),
+      s"no CMS probe in the plan:\n$plan")
+  }
+
   test("corpusStats: exact quartiles and decimal-exact mean per stratum") {
     import spark.implicits._
     // token counts 1..5 in lang a -> p25=2, p50=3, p75=4, mean=3
