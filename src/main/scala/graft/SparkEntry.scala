@@ -1105,10 +1105,13 @@ object SparkEntry {
     TextAnalysis.ngramCounts(RawGen.table(s, dir, "documents"))
 
   // CMS-prefiltered exact heavy hitters (round 14): every bigram above
-  // ⌈N/1000⌉ corpus occurrences — scale-invariant fraction threshold
+  // ⌈N/1000⌉ corpus occurrences — scale-invariant fraction threshold.
+  // No extra orderBy: frequentNgrams already orders by gram, which is
+  // the oracle's ORDER BY — keeping them byte-identical like every
+  // other query (round-14 ADVICE: the old occurrences-desc sort
+  // silently diverged from the oracle's order)
   private def heavyHittersQ(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.frequentNgrams(RawGen.table(s, dir, "documents"))
-      .orderBy(col("occurrences").desc, col("gram"))
 
   /** Training-mix recipe: 30/20/10 docs from three named domains out of a
     * 100-doc budget, deterministic hash order. */

