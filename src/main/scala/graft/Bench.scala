@@ -94,6 +94,15 @@ object Bench {
       try graft.gen.RawGen.wire(spark, sfDir, k).count()
       catch { case NonFatal(_) => () }
     }
+    // ...and so are the registered derived archives (WARC fixtures —
+    // registration happens in SparkEntry's init, which the registry
+    // lookup above already forced). Materializing here, BEFORE the warm
+    // pass, puts their blocks in every query's persistedBefore set so
+    // the per-query leak fence never evicts them.
+    graft.gen.RawGen.derivedKinds.foreach { k =>
+      try graft.gen.RawGen.derived(spark, sfDir, k).count()
+      catch { case NonFatal(_) => () }
+    }
     // Warm pass AT THE BENCH SF (round-13 directive): rounds 11–13 warmed
     // the registry at the smallest sibling SF, which populates the
     // codegen cache (SF-independent) but NOT the bench dir's page cache,

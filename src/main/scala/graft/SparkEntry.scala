@@ -1467,9 +1467,11 @@ object SparkEntry {
 
   /** The blocked registrable domains of the crawl gate — the synthetic
     * stand-in for C4's host blocklist (two of the corpus's twenty
-    * source domains, every TLD variant of one of them). */
+    * source domains, TLD variants of one of them, plus one
+    * ccTLD-registered name so the gate exercises the PSL-aware
+    * registrable-domain match end-to-end). */
   private val crawlBlockedDomains =
-    Seq("src3-site.com", "src7-site.net", "src7-site.org")
+    Seq("src3-site.com", "src7-site.net", "src7-site.org", "src3-site.co.uk")
 
   /** The full crawl-curation recipe as ONE verdict table — the
     * end-to-end composition a C4/Gopher pipeline runs on raw pages:
@@ -1527,11 +1529,24 @@ object SparkEntry {
 
   // WARC crawl ingestion (round 13): synthetic ISO-28500 files over the
   // url × html fixtures, split + parsed by the real Content-Length-framed
-  // record reader (graft.sources.Warc / the graft-spool format=warc seam)
-  private def warcFiles(s: SparkSession, dir: String): DataFrame =
+  // record reader (graft.sources.Warc / the graft-spool format=warc seam).
+  // Both archive forms are INPUT DATA (a crawl reads files that already
+  // exist), so they persist through RawGen.derived — benchmarks time the
+  // PARSE, not the per-run fixture synthesis (round-14 VERDICT: the
+  // per-record gzip deflate dominated warc_read_gz's bench sample; the
+  // round-9 RawGen.wire precedent applies verbatim)
+  RawGen.registerDerived("warc") { (s, dir) =>
     graft.sources.Warc.syntheticWarc(
       urlFrame(s, dir).select(col("doc_id"), col("url"))
         .join(rawHtmlFrame(s, dir), "doc_id"))
+  }
+  RawGen.registerDerived("warc_gz") { (s, dir) =>
+    graft.sources.Warc.syntheticWarcGz(
+      urlFrame(s, dir).select(col("doc_id"), col("url"))
+        .join(rawHtmlFrame(s, dir), "doc_id"))
+  }
+  private def warcFiles(s: SparkSession, dir: String): DataFrame =
+    RawGen.derived(s, dir, "warc")
 
   // audio fingerprint near-dup (round 13): long-form synthetic WAVs →
   // native frame-energy hash → banded Hamming join
@@ -1553,11 +1568,11 @@ object SparkEntry {
     * warc_read, but compressed one gzip member per record into a BINARY
     * payload and parsed through the auto-detecting byte-exact path — the
     * oracle is warc_read's verbatim, because gzip must be invisible to
-    * every parsed field. */
+    * every parsed field. The compressed archive comes from the
+    * RawGen.derived cache (input data, built+deflated once per session —
+    * see the registration above). */
   private def warcReadGzQ(s: SparkSession, dir: String): DataFrame =
-    graft.sources.Warc.readRecords(graft.sources.Warc.syntheticWarcGz(
-        urlFrame(s, dir).select(col("doc_id"), col("url"))
-          .join(rawHtmlFrame(s, dir), "doc_id")))
+    graft.sources.Warc.readRecords(RawGen.derived(s, dir, "warc_gz"))
       .orderBy("file_id", "rec_index")
 
   /** The crawl-curation pipeline STARTING FROM WARC BYTES: parse records,
@@ -4203,7 +4218,7 @@ object SparkEntry {
       |    (CASE WHEN doc_id%23=0 THEN 'ftp' ELSE (CASE doc_id%4 WHEN 0 THEN 'https' WHEN 1 THEN 'HTTP' WHEN 2 THEN 'http' ELSE 'HTTPS' END) END)
       |    || '://' || (CASE doc_id%3 WHEN 0 THEN 'WWW.' WHEN 1 THEN 'www.' ELSE '' END)
       |    || 'Sub' || (doc_id%7) || '.' || source || '-site.'
-      |    || (CASE doc_id%3 WHEN 0 THEN 'com' WHEN 1 THEN 'Org' ELSE 'net' END)
+      |    || (CASE (doc_id%13)%6 WHEN 0 THEN 'com' WHEN 1 THEN 'Org' WHEN 2 THEN 'net' WHEN 3 THEN 'co.uk' WHEN 4 THEN 'com.au' ELSE 'org.uk' END)
       |    || (CASE WHEN doc_id%5=0 THEN (CASE WHEN doc_id%4 IN (0,3) THEN ':443' ELSE ':80' END)
       |             WHEN doc_id%11=0 THEN ':8080' ELSE '' END)
       |    || '/p/' || (doc_id%13) || (CASE WHEN doc_id%6=0 THEN '/' ELSE '' END)
@@ -4212,6 +4227,13 @@ object SparkEntry {
       |         WHEN 2 THEN '?a=1&b=2' WHEN 3 THEN '?b=2&a=1' ELSE '' END)
       |    || (CASE WHEN doc_id%9=0 THEN '#sec' ELSE '' END) AS url
       |  FROM documents)""".stripMargin
+
+  // the PSL snapshot IN-list, generated from the SAME Seq the Spark
+  // expression probes (graft.ops.Url.publicSuffix2) so the two engines
+  // can never drift; spliced via replace AFTER stripMargin (single-line,
+  // no margin chars) — declared BEFORE its user (object-val init order)
+  private val pslSqlList =
+    graft.ops.Url.publicSuffix2.map(s => s"'$s'").mkString("(", ",", ")")
 
   // concatenated, NOT interpolated into the stripMargin literal: the
   // generator fragment's `||` concat operators would be margin-stripped
@@ -4246,9 +4268,13 @@ object SparkEntry {
       |    scheme || '://' || host || keptport || canonpath ||
       |    (CASE WHEN len(ps) > 0 THEN '?' || array_to_string(list_sort(ps), '&') ELSE '' END) AS url_canon
       |  FROM s6),
+      | dh AS (SELECT doc_id, n_chars, url_canon,
+      |    split_part(split_part(split_part(url_canon, '://', 2), '/', 1), ':', 1) AS bare FROM cc),
       | d AS (SELECT doc_id, n_chars, url_canon,
-      |    regexp_extract(split_part(split_part(split_part(url_canon, '://', 2), '/', 1), ':', 1),
-      |      '([^.]+\.[^.]+)$', 1) AS domain FROM cc),
+      |    CASE WHEN regexp_extract(bare, '([^.]+\.[^.]+)$', 1) IN PSL_SNAPSHOT_LIST
+      |      THEN (CASE WHEN regexp_extract(bare, '([^.]+\.[^.]+\.[^.]+)$', 1) = ''
+      |        THEN bare ELSE regexp_extract(bare, '([^.]+\.[^.]+\.[^.]+)$', 1) END)
+      |      ELSE regexp_extract(bare, '([^.]+\.[^.]+)$', 1) END AS domain FROM dh),
       | st AS (SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
       |    CAST(count(DISTINCT url_canon) AS BIGINT) AS n_urls,
       |    CAST(sum(CAST(n_chars AS DECIMAL(18,0))) AS BIGINT) AS total_chars,
@@ -4257,13 +4283,16 @@ object SparkEntry {
       | qt AS (SELECT domain, n_docs, n_urls, total_chars,
       |    greatest(1, CAST(100 * isqrt // (SELECT sum(isqrt) FROM st) AS BIGINT)) AS quota
       |  FROM st)""".stripMargin
+      .replace("PSL_SNAPSHOT_LIST", pslSqlList)
 
   private val urlCanonCte = "WITH " + urlChainCtes
 
   // the URL admission gate: scheme from the canonical key (always
   // lowercased there), domain from the d CTE, blocklist as a NOT IN over
-  // the same three registrable domains the Spark side broadcasts
-  private val urlBlockedSqlList = "('src3-site.com','src7-site.net','src7-site.org')"
+  // the same registrable domains the Spark side broadcasts (one of them
+  // a ccTLD-registered name, so the gate's PSL containment is oracled)
+  private val urlBlockedSqlList =
+    "('src3-site.com','src7-site.net','src7-site.org','src3-site.co.uk')"
 
   private val urlGateCte =
     "ug AS (SELECT doc_id, url_canon, domain, " +

@@ -281,4 +281,39 @@ object RawGen {
       df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     df
   }
+
+  /** Cached derived INPUT-DATA corpora beyond the wire payloads — the
+    * [[wire]] treatment generalized (round 15): a builder registered per
+    * kind, built once per (sfDir, kind), persisted MEMORY_AND_DISK with
+    * the same context-liveness/re-persist rules. Used for the WARC
+    * archive fixtures: a crawl reads `.warc`/`.warc.gz` files that
+    * already exist on storage, so synthesizing them (expression pipeline
+    * + per-record gzip deflate) is harness work, not operator work —
+    * round 14's driver artifact showed the per-run deflate dominating
+    * `warc_read_gz` (17.1 s sample vs ~3 s of actual parse). Builders
+    * register from SparkEntry (they compose SparkEntry's page fixtures);
+    * Bench materializes every registered kind untimed. */
+  private val derivedBuilders = scala.collection.concurrent.TrieMap
+    .empty[String, (SparkSession, String) => DataFrame]
+  def registerDerived(kind: String)(build: (SparkSession, String) => DataFrame): Unit =
+    derivedBuilders.putIfAbsent(kind, build)
+  def derivedKinds: Seq[String] = derivedBuilders.keys.toSeq.sorted
+  private val derivedCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+  def derived(spark: SparkSession, sfDir: String, kind: String): DataFrame = {
+    val key = (sfDir, kind)
+    val live = derivedCache.get(key).filter { df =>
+      val sc = df.sparkSession.sparkContext
+      !sc.isStopped && (sc eq spark.sparkContext)
+    }
+    val df = live.getOrElse {
+      val built = derivedBuilders(kind)(spark, sfDir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      derivedCache.put(key, built)
+      built
+    }
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    df
+  }
 }

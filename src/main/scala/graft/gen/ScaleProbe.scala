@@ -383,6 +383,48 @@ object ScaleProbe {
       Similarity.semanticDedupIncrement(batchEmb, capCat1, semCents)._1,
       Similarity.semanticDedupIncrement(batchEmb, capCat10, semCents)._1)
 
+    // round-15 directive: domainQuotaSample's rank window was a megadomain
+    // straggler (ONE task sorted the head domain's whole row set). Probe
+    // the shipped bounded-top-k form against the window reference on a
+    // zipfian corpus whose 10x run grows ONLY the head domain: the top-k
+    // form's extra rows collapse map-side (k-capped partial buffers),
+    // while the window form funnels them into a single task's sort.
+    def zipfUrls(headCopies: Int): DataFrame = {
+      // explode-per-doc so the head domain reaches straggler-visible row
+      // counts (the window's failure mode needs millions of rows in ONE
+      // partition, not a bigger corpus)
+      val head = docs1
+        .select(col("doc_id"),
+          explode(sequence(lit(0L), lit(headCopies - 1L))).as("r"))
+        .select((col("doc_id") * headCopies + col("r")).as("doc_id"),
+          lit(64L).as("n_chars"),
+          concat(lit("http://s.head-zipf.com/p/"),
+            col("doc_id") * headCopies + col("r")).as("url"))
+      val tail = docs1.select((col("doc_id") + 900000000L).as("doc_id"),
+        lit(64L).as("n_chars"),
+        concat(lit("http://t"), pmod(col("doc_id"), lit(997)),
+          lit(".tail-zipf.net/p/"), col("doc_id")).as("url"))
+      head.unionByName(tail).repartition(32)
+    }
+    val zipf1 = zipfUrls(40).persist()
+    val zipf10 = zipfUrls(400).persist()
+    println(s"[probe] zipf urls ${zipf1.count()} / ${zipf10.count()}")
+    def windowQuota(urls: DataFrame): DataFrame = {
+      val quotas = graft.ops.Url.domainStats(urls).select("domain", "quota")
+      urls.withColumn("domain", graft.ops.Url.registrableDomain(
+          graft.ops.Url.canonicalizeUrl(col("url"))))
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("domain")
+            .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))).cast("long"))
+        .join(broadcast(quotas), "domain")
+        .filter(col("rank") <= col("quota"))
+        .select("doc_id", "domain", "rank")
+    }
+    pair("domain_quota_topk_zipf",
+      graft.ops.Url.domainQuotaSample(zipf1),
+      graft.ops.Url.domainQuotaSample(zipf10))
+    pair("domain_quota_window_zipf", windowQuota(zipf1), windowQuota(zipf10))
+
     only.foreach { keep =>
       if (probed == 0) System.err.println(
         s"[probe] SPARK_GRAFT_PROBE_ONLY matched no pair: ${keep.mkString(", ")}")

@@ -135,17 +135,30 @@ object Dedup {
     * bits/shards (the explicit repartition BY SHARD means a build task
     * only allocates buffers for its own shards — without it every task
     * would buffer the whole family again). Probe: rows join the |shards|-
-    * row sketch table on their own shard id (broadcast here — the family
-    * rides once per executor; a family beyond executor memory swaps the
-    * broadcast for a shuffle join on `_shard`, after which each task
-    * deserializes only its own shards — [[graft.functions.Bloom
-    * .shardedMightContain]]'s cache is built for exactly that). The probe
+    * row sketch table on their own shard id — BROADCAST while the family
+    * fits ([[broadcastFamilyMaxBytes]], ≈ 1 byte per expected item), a
+    * SHUFFLE JOIN on `_shard` above it, after which each task
+    * deserializes only its own shards ([[graft.functions.Bloom
+    * .shardedMightContain]]'s cache is built for exactly that; the
+    * strategy pick is automatic from `expectedItems`, DedupSpec pins
+    * both paths' parity and plans). The probe
     * itself is the same per-row lookup either way; a shard with no
     * catalog keys has no sketch row and probes false via the left join +
     * coalesce. */
+  /** Broadcast ceiling for the sharded sketch FAMILY (sum of all shards,
+    * ≈ 1 byte per expected catalog item at 8 bits/item): families at or
+    * under it ride one broadcast per executor; above it the probe becomes
+    * a shuffle join on `_shard`, where each task deserializes ONLY its
+    * own shards — the whole point of sharding at 10⁹⁺-key catalogs, and
+    * the code path the round-14 ADVICE found missing (the scaladoc
+    * promised it; only the broadcast existed, which OOMs at exactly the
+    * scale the sharded family exists for). */
+  private[graft] val broadcastFamilyMaxBytes: Long = 256L << 20
+
   private[graft] def bloomMaybe(rows: DataFrame, hashCol: String,
                          catalog: DataFrame, catalogCol: String,
-                         expectedItems: Long, shards: Int): DataFrame = {
+                         expectedItems: Long, shards: Int,
+                         familyBroadcastMax: Long = broadcastFamilyMaxBytes): DataFrame = {
     require(shards >= 1, s"shards must be >= 1, got $shards")
     if (shards == 1) {
       val bloom = catalog.agg(graft.functions.Bloom.bloomAggSized(
@@ -166,10 +179,20 @@ object Dedup {
         .groupBy("_shard")
         .agg(graft.functions.Bloom.bloomAggSized(
           col("_xh"), perShard, perShard * 8L).as("_sketch"))
+      // join strategy from the family's own size estimate (8 bits/item ≈
+      // expectedItems bytes): broadcast while the whole family fits an
+      // executor comfortably; beyond that, a shuffle join on `_shard`
+      // (hint on the BUILD side — LeftOuter builds right) repartitions
+      // rows by shard id so each task pulls exactly its own shards'
+      // sketch rows, never the family (ShardedBloomMightContain's
+      // task-local per-shard cache deserializes once per task)
+      val sk =
+        if (expectedItems <= familyBroadcastMax) broadcast(sketches)
+        else sketches.hint("shuffle_hash")
       rows
         .withColumn("_xh", xxhash64(col(hashCol)))
         .withColumn("_shard", pmod(col("_xh"), lit(shards)).cast("int"))
-        .join(broadcast(sketches), Seq("_shard"), "left")
+        .join(sk, Seq("_shard"), "left")
         .withColumn("_maybe", coalesce(graft.functions.Bloom
           .shardedMightContain(col("_shard"), col("_sketch"), col("_xh")),
           lit(false)))

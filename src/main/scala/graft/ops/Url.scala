@@ -1,7 +1,12 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoders}
 import org.apache.spark.sql.functions._
+
+/** One candidate row of [[Url.domainQuotaSample]]'s per-domain bounded
+  * top-k: `rank_key` is the deterministic md5 sampling key, the
+  * aggregator orders ascending by (rank_key, doc_id). */
+final case class DomainDoc(domain: String, rank_key: String, doc_id: Long)
 
 /** URL-level curation (round-13 addition to SURVEY.md §2.5's crawl front
   * end): canonicalized-URL exact dedup and per-domain aggregation feeding
@@ -38,11 +43,19 @@ object Url {
     val scheme = when(pmod(id, lit(23)) === 0, lit("ftp")).otherwise(scheme0)
     val www = element_at(array(lit("WWW."), lit("www."), lit("")),
       (pmod(id, lit(3)) + 1).cast("int"))
-    // registrable domain = source ×  TLD (so the per-domain stats have a
-    // real distribution to aggregate); subdomain + case variance on top
+    // registrable domain = source × TLD (so the per-domain stats have a
+    // real distribution to aggregate); subdomain + case variance on top.
+    // Half the TLDs are ccTLD public suffixes (co.uk / com.au / org.uk —
+    // round-15: the PSL-aware registrableDomain must be exercised by the
+    // oracle data, not just unit fixtures). The selector is a function
+    // of the SAME doc_id%13 the path uses, so the TLD adds zero fresh
+    // entropy to the canonical key and the fixture's collision structure
+    // (distinct doc_ids genuinely folding) survives the wider TLD set.
     val host = concat(lit("Sub"), pmod(id, lit(7)), lit("."), col("source"),
-      lit("-site."), element_at(array(lit("com"), lit("Org"), lit("net")),
-        (pmod(id, lit(3)) + 1).cast("int")))
+      lit("-site."), element_at(
+        array(lit("com"), lit("Org"), lit("net"),
+          lit("co.uk"), lit("com.au"), lit("org.uk")),
+        (pmod(pmod(id, lit(13)), lit(6)) + 1).cast("int")))
     val isHttps = lower(scheme0) === "https"
     val port = when(pmod(id, lit(5)) === 0,
         when(isHttps, lit(":443")).otherwise(lit(":80")))
@@ -110,11 +123,45 @@ object Url {
     concat(scheme, lit("://"), host, keptPort, canonPath, canonQuery)
   }
 
-  /** Registrable domain of a canonical URL — the last two host labels
-    * (`sub.news.example.com` → `example.com`). A production deployment
-    * swaps in the Public Suffix List (so `foo.co.uk` keeps three labels);
-    * the two-label rule is the PSL-free approximation and is the
-    * documented contract here. */
+  /** Bundled snapshot of MULTI-LABEL public suffixes — the entries of the
+    * Mozilla Public Suffix List (public knowledge) under which a
+    * registrable name keeps THREE host labels instead of two
+    * (`shop.example.co.uk` → `example.co.uk`, not the meaningless
+    * `co.uk`). The snapshot covers the highest-traffic ccTLD
+    * second-level registries; a production deployment swaps in the full
+    * PSL file — the lookup below is suffix-set membership either way,
+    * and at 10⁴ entries the set is still a broadcast-trivial literal.
+    * Suffixes here are all 2-label (the dominant PSL shape); matching is
+    * on the host's last two labels, lowercased by canonicalization. */
+  private[graft] val publicSuffix2: Seq[String] = Seq(
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk", "ltd.uk",
+    "plc.uk", "sch.uk", "nhs.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au", "asn.au", "id.au",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp", "ad.jp", "ed.jp",
+    "com.br", "net.br", "org.br", "gov.br", "edu.br",
+    "co.in", "net.in", "org.in", "gen.in", "firm.in", "ind.in", "ac.in",
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn", "ac.cn",
+    "co.nz", "net.nz", "org.nz", "ac.nz", "govt.nz", "school.nz",
+    "co.za", "net.za", "org.za", "web.za", "ac.za", "gov.za",
+    "com.mx", "org.mx", "net.mx", "gob.mx", "edu.mx",
+    "com.ar", "com.tr", "com.tw", "com.hk", "com.sg", "com.my",
+    "co.kr", "or.kr", "ac.kr", "go.kr",
+    "co.th", "or.th", "ac.th", "go.th",
+    "co.id", "or.id", "ac.id", "web.id",
+    "com.vn", "com.eg", "com.sa", "com.pk", "com.ng", "com.bd",
+    "co.il", "org.il", "ac.il", "gov.il",
+    "com.co", "com.pe", "com.ve", "com.ph", "com.ua", "com.pl")
+
+  /** Registrable domain of a canonical URL, Public-Suffix-List-aware:
+    * the last two host labels (`sub.news.example.com` → `example.com`),
+    * EXCEPT when those two labels are themselves a public suffix
+    * ([[publicSuffix2]]) — then the last THREE
+    * (`shop.example.co.uk` → `example.co.uk`). A host that IS a bare
+    * public suffix (exactly `co.uk`) has no registrable label and
+    * returns itself — the containment-safe direction for blocklists.
+    * Pure expression work (a string-set probe compiles to an InSet), so
+    * the lookup fuses into the same scan as the canonicalizer, and the
+    * DuckDB oracle replays it from the same suffix snapshot. */
   def registrableDomain(urlCanon: Column): Column = {
     // everything after the FIRST '://' (offset arithmetic, the
     // canonicalizeUrl spelling): substring_index(…, -1) takes the segment
@@ -126,7 +173,11 @@ object Url {
     val afterScheme = urlCanon.substr(length(scheme) + 4, lit(1 << 20))
     val host = substring_index(afterScheme, "/", 1)
     val bare = substring_index(host, ":", 1)
-    regexp_extract(bare, "([^.]+\\.[^.]+)$", 1)
+    val last2 = regexp_extract(bare, "([^.]+\\.[^.]+)$", 1)
+    val last3 = regexp_extract(bare, "([^.]+\\.[^.]+\\.[^.]+)$", 1)
+    when(last2.isin(publicSuffix2: _*),
+        when(last3 === "", bare).otherwise(last3))
+      .otherwise(last2)
   }
 
   /** The URL-level admission gate a crawl pipeline runs before ANY
@@ -256,17 +307,38 @@ object Url {
     * `quota` docs with the lowest (md5(doc_id), doc_id) rank — the same
     * deterministic hash-order rank rule as [[Sampling.mixtureSample]],
     * but with DATA-DERIVED quotas joined in (broadcast — the quota table
-    * is |domains| rows) instead of a static weight map. The rank window
-    * partitions by domain; at 100 TB a pathological megadomain is exactly
-    * what the sqrt quota caps, and its window partition carries only that
-    * domain's rows. */
+    * is |domains| rows) instead of a static weight map.
+    *
+    * Ranking is a BOUNDED per-domain top-k
+    * ([[graft.functions.RankTopKAggregator]], k = budget — every quota
+    * is ≤ budget by construction: budget·isqrt div total ≤ budget), NOT
+    * a per-domain rank window: the window form put a megadomain's entire
+    * 10⁸–10⁹-page row set through ONE task's sort just to keep its
+    * sqrt-capped handful (the round-14 VERDICT straggler), while the
+    * aggregator's map-side partial buffers cap at k rows, so the head
+    * domain's shuffle contribution is k·tasks rows and no single task
+    * ever sees more than the merge tree hands it. Output is byte-equal
+    * to the window form for every surviving row (rank = position in the
+    * same (md5, doc_id) ascending order — UrlSpec pins parity and the
+    * window-free plan; the DuckDB oracle still states it as a window,
+    * which at |oracle| scale is fine). */
   def domainQuotaSample(urls: DataFrame, budget: Long = 100L): DataFrame = {
     val quotas = domainStats(urls, budget).select("domain", "quota")
-    val ranked = urls
+    val k = math.min(math.max(budget, 1L), Int.MaxValue.toLong).toInt
+    val rows = urls
       .withColumn("domain", registrableDomain(canonicalizeUrl(col("url"))))
-      .withColumn("rank", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy("domain")
-          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))).cast("long"))
+      .select(col("domain"), md5(col("doc_id").cast("string")).as("rank_key"),
+        col("doc_id").cast("long").as("doc_id"))
+      .as(Encoders.product[DomainDoc])
+    val topk = new graft.functions.RankTopKAggregator(k).toColumn
+    val ranked = rows.groupByKey(_.domain)(Encoders.STRING)
+      .agg(topk)
+      .flatMap { case (dom, tops) =>
+        tops.iterator.zipWithIndex.map { case (e, i) =>
+          (e.doc_id, dom, (i + 1).toLong)
+        }
+      }(Encoders.tuple(Encoders.scalaLong, Encoders.STRING, Encoders.scalaLong))
+      .toDF("doc_id", "domain", "rank")
     ranked.join(broadcast(quotas), "domain")
       .filter(col("rank") <= col("quota"))
       .select("doc_id", "domain", "rank")

@@ -729,7 +729,7 @@ object StreamingOps {
     * admitted), under the same idempotent per-batch-partition catalog
     * layout as the other five catalog streams. The catalog carries ONE
     * string column per unique URL ever admitted — the slimmest catalog in
-    * the family. Parity contract (UrlSpec): processing in ascending
+    * the family. Parity contract (StreamingSpec pins both): processing in ascending
     * doc_id order across ANY micro-batch split admits exactly
     * [[graft.ops.Url.urlDedup]]'s keeper set; out-of-order arrival stays
     * exact on novelty but crowns the earlier-ARRIVING copy (the

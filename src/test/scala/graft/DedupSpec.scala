@@ -312,6 +312,35 @@ class DedupSpec extends SparkSpec {
     assert(got === (100L to 140L).toSet)
   }
 
+  test("sharded bloom family past the broadcast ceiling: the probe becomes " +
+    "a SHUFFLE join on _shard with byte-identical output (round-14 ADVICE " +
+    "— the fallback the scaladoc promised now exists)") {
+    import spark.implicits._
+    val catalog = (1L to 60L).map(i => (i, s"catalog doc $i")).toDF("doc_id", "text")
+      .select(md5(col("text")).as("h"))
+    val rows = ((1L to 20L).map(i => (i, s"catalog doc $i")) ++
+      (100L to 130L).map(i => (i, s"fresh doc $i"))).toDF("doc_id", "text")
+      .withColumn("h", md5(col("text")))
+    def flags(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "_maybe").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val viaBroadcast = Dedup.bloomMaybe(rows, "h", catalog, "h",
+      expectedItems = 1024L, shards = 8)
+    val viaShuffle = Dedup.bloomMaybe(rows, "h", catalog, "h",
+      expectedItems = 1024L, shards = 8, familyBroadcastMax = 1L)
+    assert(flags(viaShuffle) === flags(viaBroadcast))
+    // every true catalog member flagged (no false negatives either path)
+    assert((1L to 20L).forall(flags(viaShuffle)(_)))
+    val bPlan = viaBroadcast.queryExecution.executedPlan.toString
+    val sPlan = viaShuffle.queryExecution.executedPlan.toString
+    assert(bPlan.contains("BroadcastHashJoin"),
+      s"small family should broadcast:\n$bPlan")
+    assert(sPlan.contains("ShuffledHashJoin"),
+      s"oversized family must shuffle-join on _shard:\n$sPlan")
+    assert(!sPlan.contains("BroadcastHashJoin"),
+      s"oversized family still broadcasts:\n$sPlan")
+  }
+
   test("sharded bloom (shards > 1): incrementalDedup parity with the " +
     "unsharded path, empty catalog, and empty shards all exact") {
     import spark.implicits._

@@ -601,6 +601,79 @@ class StreamingSpec extends SparkSpec {
     assert(StreamingOps.readBatched(spark, s"$dir/catalog").count() === 24)
   }
 
+  test("streaming URL frontier over micro-batches: ascending arrival " +
+    "admits exactly urlDedup's keeper set; idempotent epoch retry leaves " +
+    "output and catalog byte-identical (round-14 VERDICT: the one " +
+    "streaming op with no batch-parity test)") {
+    import spark.implicits._
+    // (i%7, i%5) collide across i and i+35 — cross-batch re-discoveries,
+    // the common case in a crawl frontier; messy raw forms canonical-fold
+    val raw = (0L until 60L).map { i =>
+      val mess = if (i % 3 == 0) s"HTTP://WWW.h${i % 7}.ex.com:80/p/${i % 5}"
+      else s"http://h${i % 7}.ex.com/p/${i % 5}"
+      (i, mess)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("urlfrontier").toString
+    val stream = MemoryStream[(Long, String)](spark)
+    val q = StreamingOps.urlFrontierStream(stream.toDF().toDF("doc_id", "url"),
+      s"$dir/catalog", s"$dir/out", s"$dir/ckpt")
+    raw.grouped(20).foreach { chunk =>
+      stream.addData(chunk: _*); q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = StreamingOps.readBatched(spark, s"$dir/out")
+      .select("doc_id", "url_canon").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    // ascending-arrival parity contract: the batch dedup's keeper set
+    val expected = graft.ops.Url.urlDedup(raw.toDF("doc_id", "url"))
+      .select(col("keep_doc_id").as("doc_id"), col("url_canon")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(streamed === expected)
+    assert(streamed.size === 35) // 7 hosts x 5 paths
+    // the catalog carries ONE canonical string per admitted URL
+    val cat = StreamingOps.readBatched(spark, s"$dir/catalog")
+    assert(cat.count() === 35)
+    assert(cat.select("url_canon").distinct().count() === 35)
+    // retry semantics (foreachBatch is at-least-once): re-run the LAST
+    // epoch against its pre-batch catalog view, overwrite its partitions —
+    // a crashed-then-restarted epoch — output/catalog must not change
+    val lastChunk = raw.grouped(20).toSeq.last.toDF("doc_id", "url")
+    val preCat = StreamingOps.readBatched(spark, s"$dir/catalog", Some(2L))
+      .select("url_canon")
+    val novel = graft.ops.Url.urlFrontierIncrement(lastChunk, preCat)
+    novel.write.mode("overwrite").parquet(s"$dir/out/batch=2")
+    novel.select("url_canon").write.mode("overwrite")
+      .parquet(s"$dir/catalog/batch=2")
+    val retried = StreamingOps.readBatched(spark, s"$dir/out")
+      .select("doc_id", "url_canon").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(retried === expected)
+    assert(StreamingOps.readBatched(spark, s"$dir/catalog").count() === 35)
+  }
+
+  test("streaming URL frontier under OUT-OF-ORDER arrival: novelty stays " +
+    "exact (one admission per canonical key), the earlier-ARRIVING copy " +
+    "is crowned — the incrementalDedup arrival-order semantics") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("urlfrontier2").toString
+    val stream = MemoryStream[(Long, String)](spark)
+    val q = StreamingOps.urlFrontierStream(stream.toDF().toDF("doc_id", "url"),
+      s"$dir/catalog", s"$dir/out", s"$dir/ckpt")
+    // the HIGH doc_id copy of /dup arrives in epoch 0, the low one later
+    stream.addData((50L, "http://x.ex.com/dup"), (51L, "http://x.ex.com/a"))
+    q.processAllAvailable()
+    stream.addData((1L, "http://x.ex.com/dup"), (2L, "http://x.ex.com/b"))
+    q.processAllAvailable()
+    q.stop()
+    val got = StreamingOps.readBatched(spark, s"$dir/out")
+      .select("doc_id", "url_canon").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._2).toSeq
+    assert(got === Seq(
+      (51L, "http://x.ex.com/a"),
+      (2L, "http://x.ex.com/b"),
+      (50L, "http://x.ex.com/dup"))) // 50 arrived first: crowned; 1 dropped
+  }
+
   test("incremental semantic dedup over micro-batches == batch semanticDedup") {
     import spark.implicits._
     import graft.ops.Similarity

@@ -44,6 +44,37 @@ class UrlSpec extends SparkSpec {
     assert(got === Seq("src0-site.org", "example.com", "example.com"))
   }
 
+  test("registrableDomain is PSL-aware: a public-suffix TLD keeps THREE " +
+    "labels, a bare public suffix returns itself (round-14 VERDICT — the " +
+    "two-label rule mis-bucketed every ccTLD-registered domain)") {
+    import spark.implicits._
+    val got = Seq(
+        "https://shop.example.co.uk/p",      // PSL: 3 labels
+        "http://www2.news.example.com.au:8080/x", // PSL + port-blind
+        "https://example.org.uk/p",          // exactly registrable
+        "https://co.uk/",                    // bare public suffix: itself
+        "https://deep.sub.example.com/p")    // non-PSL: 2 labels as before
+      .toDF("u").select(Url.registrableDomain(col("u")).as("d"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got === Seq("example.co.uk", "example.com.au", "example.org.uk",
+      "co.uk", "example.com"))
+  }
+
+  test("urlGate PSL containment: blocking a co.uk-registered domain drops " +
+    "its subdomains but NOT sibling registrations under the same suffix") {
+    import spark.implicits._
+    val urls = Seq(
+      (1L, "https://a.bad.co.uk/p"),     // subdomain of blocked: drop
+      (2L, "https://bad.co.uk/p"),       // blocked exactly: drop
+      (3L, "https://good.co.uk/p"),      // sibling under co.uk: keep
+      (4L, "https://bad.com/p"))         // different registration: keep
+      .toDF("doc_id", "url")
+    val got = Url.urlGate(urls, Seq("bad.co.uk"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Boolean]("url_keep")).toMap
+    assert(got === Map(1L -> false, 2L -> false, 3L -> true, 4L -> true))
+  }
+
   test("registrableDomain splits on the FIRST '://' — a query-param value " +
     "containing '://' cannot shift the host (round-13 ADVICE regression)") {
     import spark.implicits._
@@ -75,6 +106,37 @@ class UrlSpec extends SparkSpec {
     assert(!p.contains("Join"), s"urlDedup joins:\n$p")
   }
 
+  test("urlFrontierIncrement: intra-delta first occurrence wins, catalog " +
+    "members drop (through canonicalization), and output is byte-identical " +
+    "at shards 1/2/16 — the scaladoc's parity claim, pinned") {
+    import spark.implicits._
+    val catalog = Seq("http://a.site.com/p/1", "https://b.site.com/x?b=2&a=1")
+      .toDF("url")
+      .select(Url.canonicalizeUrl(col("url")).as("url_canon")).distinct()
+    val delta = Seq(
+      (10L, "HTTP://WWW.a.site.com:80/p/1/"), // catalog dup via canon: drop
+      (11L, "https://b.site.com/x?a=1&b=2"),  // catalog dup (param order): drop
+      (12L, "http://new.site.com/n"),          // novel: keep
+      (13L, "http://New.SITE.com/n"),          // intra-delta dup of 12: drop
+      (14L, "http://other.site.com/o"))        // novel: keep
+      .toDF("doc_id", "url")
+    def run(shards: Int) = Url.urlFrontierIncrement(delta, catalog,
+        expectedCatalogSize = 64L, shards = shards)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val base = run(1)
+    assert(base === Seq(
+      (12L, "http://new.site.com/n"),
+      (14L, "http://other.site.com/o")))
+    for (shards <- Seq(2, 16))
+      assert(run(shards) === base, s"shards=$shards diverged")
+    // empty catalog: everything novel modulo intra-delta firsts
+    val fresh = Url.urlFrontierIncrement(delta,
+        spark.range(0).select(lit(null).cast("string").as("url_canon")))
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(fresh === Seq(10L, 11L, 12L, 14L))
+  }
+
   test("domainStats: sqrt-proportional integer quotas sum sanely and " +
     "every domain gets >= 1; quota sample honors quotas exactly") {
     import spark.implicits._
@@ -92,6 +154,42 @@ class UrlSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     // quota caps bind where n_docs > quota; small domains keep all docs
     assert(byDom === Map("dom-a.com" -> 8L, "dom-b.com" -> 4L, "dom-c.com" -> 1L))
+  }
+
+  test("domainQuotaSample == the per-domain rank-window form row-for-row, " +
+    "with a window-free bounded top-k plan (round-14 VERDICT: the window " +
+    "put a megadomain's whole row set through one task)") {
+    import spark.implicits._
+    // zipf-ish: one head domain with 60 docs, a torso, two singletons
+    val docs = ((0 until 60).map(i => (i.toLong, 10L, s"http://s$i.head.com/p/$i")) ++
+      (100 until 112).map(i => (i.toLong, 10L, s"http://a.torso.net/p/$i")) ++
+      Seq((200L, 10L, "http://one.org/x"), (201L, 10L, "http://two.org/y")))
+      .toDF("doc_id", "n_chars", "url")
+    val got = Url.domainQuotaSample(docs, budget = 9L)
+      .orderBy("doc_id").collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    // the reference semantics, stated as the window it replaced
+    val expected = Url.domainStats(docs, budget = 9L).select("domain", "quota")
+      .join(docs.withColumn("domain",
+          Url.registrableDomain(Url.canonicalizeUrl(col("url"))))
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("domain")
+            .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))).cast("long")),
+        "domain")
+      .filter(col("rank") <= col("quota"))
+      .select("doc_id", "domain", "rank")
+      .orderBy("doc_id").collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got === expected)
+    assert(got.nonEmpty && got.count(_._2 == "head.com") < 60,
+      "quota did not cap the head domain")
+    // plan shape: NO rank window anywhere; the k-capped typed aggregation
+    // (ObjectHashAggregate) does the ranking
+    val plan = Url.domainQuotaSample(docs, budget = 9L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"rank window survived:\n$plan")
+    assert(plan.contains("ObjectHashAggregate"),
+      s"no bounded top-k aggregation in the plan:\n$plan")
   }
 
   test("syntheticUrls is deterministic and collision-bearing: re-generation " +
