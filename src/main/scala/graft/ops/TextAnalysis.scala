@@ -588,18 +588,23 @@ object TextAnalysis {
       .select(col("doc_id"), explode(grams).as("gram"))
     // ⌈N·num/den⌉ in pure integer arithmetic: (N·num + den−1) div den
     // (SQL's integral DIV — the Column `/` is floating division).
-    // Threshold and sketch in ONE action: localCheckpoint materializes
-    // the 1-row (T, cms) result eagerly, so the two scalar subqueries
-    // below each read a checkpointed row instead of re-running the
-    // corpus-sized gram explode (one explode saved per call at 100 TB).
-    val stats = g.agg(
+    // Threshold and sketch in ONE action (`head()` on the combined agg —
+    // a bounded 1-row model-sized pull, the kmeans-centroid allowance),
+    // then embedded as LITERALS: this is exactly the byte image a scalar
+    // subquery substitutes before execution, minus one corpus explode
+    // per extra subquery. (First tried as scalar subqueries over a
+    // localCheckpoint'd stats frame — a LogicalRDD-backed subquery
+    // defeats literal substitution and re-evaluated per probe: 58 s vs
+    // 1.0 s on the sf0.1 gram corpus. Literal embedding measured
+    // fastest of all three formulations.)
+    val statsRow = g.agg(
         expr(s"CAST((count(1) * $fracNum + ${fracDen - 1L}) DIV $fracDen AS BIGINT)")
           .as("_t"),
         graft.functions.Cms.cmsAggSized(
           xxhash64(col("gram")), depth, width).as("_cms"))
-      .localCheckpoint()
-    val thresh = stats.select(col("_t")).scalar()
-    val sketch = stats.select(col("_cms")).scalar()
+      .head()
+    val thresh = lit(statsRow.getLong(0))
+    val sketch = lit(statsRow.getAs[Array[Byte]](1))
     g.filter(coalesce(graft.functions.Cms.estimate(
         sketch, xxhash64(col("gram"))) >= thresh, lit(false)))
       .groupBy("gram")

@@ -323,24 +323,32 @@ object Url {
     * window-free plan; the DuckDB oracle still states it as a window,
     * which at |oracle| scale is fine). */
   def domainQuotaSample(urls: DataFrame, budget: Long = 100L): DataFrame = {
-    val quotas = domainStats(urls, budget).select("domain", "quota")
     val k = math.min(math.max(budget, 1L), Int.MaxValue.toLong).toInt
-    val rows = urls
+    // quota needs only n_docs, so the stats agg and the top-k ranking
+    // share ONE groupBy(domain) — a single corpus pass (canonicalize +
+    // PSL domain once), where the [[domainStats]]-then-rank composition
+    // paid two. The udaf spelling (not groupByKey) keeps the scan,
+    // explode and post-agg arithmetic in codegen; only the k-capped
+    // buffer itself is object work.
+    val topk = org.apache.spark.sql.functions.udaf(
+      new graft.functions.RankTopKAggregator(k), Encoders.product[DomainDoc])
+    val agged = urls
       .withColumn("domain", registrableDomain(canonicalizeUrl(col("url"))))
       .select(col("domain"), md5(col("doc_id").cast("string")).as("rank_key"),
         col("doc_id").cast("long").as("doc_id"))
-      .as(Encoders.product[DomainDoc])
-    val topk = new graft.functions.RankTopKAggregator(k).toColumn
-    val ranked = rows.groupByKey(_.domain)(Encoders.STRING)
-      .agg(topk)
-      .flatMap { case (dom, tops) =>
-        tops.iterator.zipWithIndex.map { case (e, i) =>
-          (e.doc_id, dom, (i + 1).toLong)
-        }
-      }(Encoders.tuple(Encoders.scalaLong, Encoders.STRING, Encoders.scalaLong))
-      .toDF("doc_id", "domain", "rank")
-    ranked.join(broadcast(quotas), "domain")
-      .filter(col("rank") <= col("quota"))
-      .select("doc_id", "domain", "rank")
+      .groupBy("domain")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        topk(col("domain"), col("rank_key"), col("doc_id")).as("top"))
+      .withColumn("isqrt",
+        floor(sqrt(col("n_docs").cast("double"))).cast("long"))
+    val total = agged.agg(sum(col("isqrt")).as("isqrt_total"))
+    agged.crossJoin(broadcast(total))
+      .select(col("domain"),
+        greatest(lit(1L),
+          expr(s"${budget}L * isqrt div isqrt_total").cast("long")).as("quota"),
+        posexplode(col("top")).as(Seq("pos", "rd")))
+      .filter(col("pos") < col("quota"))
+      .select(col("rd.doc_id").as("doc_id"), col("domain"),
+        (col("pos") + 1).cast("long").as("rank"))
   }
 }
