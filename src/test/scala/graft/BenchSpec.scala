@@ -45,24 +45,27 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.parseBars("/no/such/file.md", "32").isEmpty)
   }
 
-  test("parseBars covers the live BASELINE.md tables for both conventions") {
+  test("parseBars covers the live BASELINE.md tables for both conventions, " +
+    "and the tables cover the FULL registry — a query can never register " +
+    "without a bar in BOTH tables (round-14 VERDICT: table-vs-table " +
+    "equality alone let two queries ship with no bars at all)") {
     // tests run with cwd = repo root (sbt), same as the driver's bench run
     val b4 = Bench.parseBars("BASELINE.md", "4")
     val b32 = Bench.parseBars("BASELINE.md", "32")
-    // every registered query that predates this round must have a bar in
-    // BOTH convention tables; queries added THIS round gain bars when the
-    // round's canonical runs land in BASELINE.md, so only assert the
-    // overlap is total, not that the registry is covered
-    assert(b4.size >= 144, s"local[4] table parsed only ${b4.size} rows")
-    assert(b32.size >= 144, s"local[32] table parsed only ${b32.size} rows")
-    assert(b4.keySet === b32.keySet)
-    // spot-pin two entries against the committed round-14 tables so a
-    // section-selection bug (right rows, wrong table) is caught —
-    // recalibrating the tables updates these pins deliberately
-    assert(b32("cmf_ford") === 0.69)
-    assert(b4("cmf_ford") === 1.70)
-    // bars are for registered queries (names drift only via the registry)
+    assert(b4.keySet === b32.keySet,
+      s"convention tables diverge: only-in-4=${b4.keySet -- b32.keySet} " +
+        s"only-in-32=${b32.keySet -- b4.keySet}")
+    // FULL registry coverage, both directions: every registered query has
+    // a bar (new queries get quiet-host entries in the same change that
+    // registers them), and bars only exist for registered queries
+    val unbarred = SparkEntry.queries.keySet -- b32.keySet
+    assert(unbarred.isEmpty, s"registered queries with no bars: $unbarred")
     val unknown = b32.keySet -- SparkEntry.queries.keySet
     assert(unknown.isEmpty, s"bars for unregistered queries: $unknown")
+    // spot-pin two entries against the committed round-15 tables so a
+    // section-selection bug (right rows, wrong table) is caught —
+    // recalibrating the tables updates these pins deliberately
+    assert(b32("q1_agg") === 0.31)
+    assert(b4("q1_agg") === 0.55)
   }
 }
