@@ -1628,6 +1628,24 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  // robots.txt admission gate (round 15): RFC 9309 longest-match over the
+  // per-domain synthetic robots corpus — the oracle regenerates the RULES
+  // directly from the domain string, so the query checks parse∘generate
+  // equivalence end-to-end (the Spark side parses the actual text). The
+  // robots corpus is FETCHED input in production (one robots.txt per
+  // domain, from the crawl itself), so it persists via RawGen.derived
+  // like the WARC archives; the PARSE stays in the timed query.
+  RawGen.registerDerived("robots") { (s, dir) =>
+    graft.ops.Url.syntheticRobots(
+      urlFrame(s, dir).select(col("doc_id"), col("url")))
+  }
+  private def robotsGateQ(s: SparkSession, dir: String): DataFrame = {
+    val urls = urlFrame(s, dir).select(col("doc_id"), col("url"))
+    graft.ops.Url.robotsGate(urls, RawGen.derived(s, dir, "robots"))
+      .select("doc_id", "url_canon", "domain", "path", "robots_ok")
+      .orderBy("doc_id")
+  }
+
   private def domainStatsQ(s: SparkSession, dir: String): DataFrame =
     graft.ops.Url.domainStats(urlFrame(s, dir)).orderBy("domain")
 
@@ -1906,6 +1924,7 @@ object SparkEntry {
     "url_dedup" -> (urlDedupQ _),
     "url_gate" -> (urlGateQ _),
     "url_frontier" -> (urlFrontierQ _),
+    "robots_gate" -> (robotsGateQ _),
     "heavy_hitters" -> (heavyHittersQ _),
     "domain_stats" -> (domainStatsQ _),
     "domain_quota_sample" -> (domainQuotaSampleQ _),
@@ -4329,6 +4348,32 @@ object SparkEntry {
     "\nSELECT url_canon, CAST(min(doc_id) AS BIGINT) AS keep_doc_id, " +
     "CAST(count(*) AS BIGINT) AS n_dups FROM cc GROUP BY url_canon ORDER BY url_canon"
 
+  // robots gate: the oracle rebuilds each domain's RULES directly from
+  // the domain string (the fixture contract), then replays RFC 9309
+  // longest-match precedence as an argmax over length*2+allow — the
+  // Spark side parses the generated robots TEXT, so a hash match proves
+  // parse(generate(rules)) == rules end-to-end
+  private val robotsGateSql = urlCanonCte + """,
+      | rp AS (SELECT doc_id, url_canon, domain,
+      |    substr(split_part(url_canon, '://', 2),
+      |      length(split_part(split_part(url_canon, '://', 2), '/', 1)) + 1) AS path FROM d),
+      | rdom AS (SELECT DISTINCT domain FROM d),
+      | rrules AS (
+      |  SELECT domain, FALSE AS allow,
+      |    '/p/' || CAST(length(domain)%13 AS VARCHAR) AS prefix FROM rdom
+      |  UNION ALL SELECT domain, TRUE,
+      |    '/p/' || CAST(length(domain)%13 AS VARCHAR) || '2' FROM rdom
+      |  UNION ALL SELECT domain, FALSE, '/admin' FROM rdom),
+      | rm AS (SELECT p.doc_id,
+      |    max(length(r.prefix)*2 + CASE WHEN r.allow THEN 1 ELSE 0 END) AS enc
+      |  FROM rp p JOIN rrules r
+      |    ON p.domain = r.domain AND starts_with(p.path, r.prefix)
+      |  GROUP BY p.doc_id)
+      |SELECT p.doc_id, p.url_canon, p.domain, p.path,
+      |  COALESCE(rm.enc % 2 = 1, TRUE) AS robots_ok
+      |FROM rp p LEFT JOIN rm ON p.doc_id = rm.doc_id
+      |ORDER BY p.doc_id""".stripMargin
+
   private val domainStatsSql = urlCanonCte +
     "\nSELECT domain, n_docs, n_urls, total_chars, quota FROM qt ORDER BY domain"
 
@@ -4650,6 +4695,7 @@ object SparkEntry {
     "url_dedup" -> urlDedupSql,
     "url_gate" -> urlGateSql,
     "url_frontier" -> urlFrontierSql,
+    "robots_gate" -> robotsGateSql,
     "heavy_hitters" -> heavyHittersSql,
     "domain_stats" -> domainStatsSql,
     "domain_quota_sample" -> domainQuotaSampleSql,

@@ -220,6 +220,131 @@ object Url {
     urlGate(urls, blocked.toDF("domain"))
   }
 
+  // ---- robots.txt admission (round 15) ------------------------------------
+
+  /** Parse a robots.txt TEXT into its `User-agent: *` group's rules —
+    * `array<struct<allow boolean, prefix string>>` — as ONE fused
+    * `aggregate` fold over the lines (no UDF: the parse runs per-domain
+    * inside the same scan that read the file). Semantics per RFC 9309
+    * (public):
+    *  - comments (`#…`) stripped, lines trimmed, field names
+    *    case-insensitive;
+    *  - a RUN of consecutive `User-agent:` lines forms ONE group that
+    *    applies to all the named agents — the group is kept if ANY of
+    *    them is `*` (the fold carries a prev-line-was-user-agent flag to
+    *    OR membership across the run);
+    *  - only `Allow:` / `Disallow:` lines inside a kept group collect;
+    *  - an EMPTY `Disallow:` value means "no restriction" — no rule.
+    * Wildcard extensions (`*`, `$` inside the path) are NOT interpreted
+    * — prefixes match literally, the original-1994-spec subset — and a
+    * deployment needing them swaps [[robotsGate]]'s match lambda. */
+  def robotsRules(txt: Column): Column = {
+    val emptyRules =
+      array().cast("array<struct<allow:boolean,prefix:string>>")
+    // strip comments AND carriage returns (CRLF files; Spark trim only
+    // removes spaces) before trimming
+    val lines = transform(split(txt, "\n"),
+      l => trim(regexp_replace(l, "#.*$|\\r", "")))
+    val folded = aggregate(
+      lines,
+      struct(lit(false).as("inStar"), lit(false).as("prevUa"),
+        emptyRules.as("rules")),
+      (acc, l) => {
+        val low = lower(l)
+        val isUa = low.startsWith("user-agent:")
+        val isAllow = low.startsWith("allow:")
+        val isDis = low.startsWith("disallow:")
+        // value = text after the first ':', trimmed (field names have no
+        // ':', so the first colon always ends the field name)
+        val value = trim(expr_after_colon(l))
+        // group membership: a UA line continues the current UA RUN when
+        // the previous line was also a UA line (RFC: consecutive
+        // user-agent lines share one group), else starts a fresh group
+        val inStar = when(isUa,
+            (acc("prevUa") && acc("inStar")) || value === "*")
+          .otherwise(acc("inStar"))
+        val rule = struct(isAllow.as("allow"), value.as("prefix"))
+        struct(inStar.as("inStar"), isUa.as("prevUa"),
+          when(acc("inStar") && (isAllow || isDis) && value =!= "",
+            array_append(acc("rules"), rule))
+            .otherwise(acc("rules")).as("rules"))
+      })
+    folded("rules")
+  }
+
+  /** Everything after the first `:` of a line (the robots field value). */
+  private def expr_after_colon(l: Column): Column =
+    when(l.contains(":"),
+      l.substr(length(substring_index(l, ":", 1)) + 2, lit(1 << 20)))
+      .otherwise(lit(""))
+
+  /** The path-and-query of a canonical URL — the string robots rules
+    * match against (RFC 9309 matches the path plus optional query).
+    * Never empty: [[canonicalizeUrl]] guarantees a leading `/`. */
+  private[graft] def canonPathQuery(urlCanon: Column): Column = {
+    val scheme = substring_index(urlCanon, "://", 1)
+    val afterScheme = urlCanon.substr(length(scheme) + 4, lit(1 << 20))
+    val hostport = substring_index(afterScheme, "/", 1)
+    afterScheme.substr(length(hostport) + 1, lit(1 << 20))
+  }
+
+  /** robots.txt admission — the third gate of the crawl front end (after
+    * [[urlGate]]'s scheme + blocklist): per URL, apply its REGISTRABLE
+    * domain's robots rules with RFC 9309 precedence — the LONGEST
+    * matching prefix wins; on a length tie `Allow` wins; no matching
+    * rule (or no robots.txt at all) means allowed. `robots` is one
+    * `(domain, robots_txt)` row per domain.
+    *
+    * Scale shape: rule extraction runs once per DOMAIN on the tiny
+    * robots frame; the per-domain rule arrays broadcast (a crawl's
+    * robots corpus is |domains| rows of a few short rules — KBs–MBs);
+    * the match itself is a ROW-LOCAL higher-order fold over that
+    * domain's rules (longest-match argmax encoded as length·2+allow, a
+    * plain integer `array_max`), fused into the same scan as the
+    * canonicalizer — zero exchanges on the corpus side, the urlGate
+    * shape exactly. */
+  def robotsGate(urls: DataFrame, robots: DataFrame): DataFrame = {
+    val rules = robots.select(col("domain"),
+      robotsRules(col("robots_txt")).as("_rules"))
+    val canon = urls.select(col("doc_id"),
+        canonicalizeUrl(col("url")).as("url_canon"))
+      .withColumn("domain", registrableDomain(col("url_canon")))
+      .withColumn("path", canonPathQuery(col("url_canon")))
+    val matched = filter(col("_rules"),
+      r => col("path").startsWith(r("prefix")))
+    val best = array_max(transform(matched,
+      r => length(r("prefix")) * 2 + when(r("allow"), 1).otherwise(0)))
+    canon.join(broadcast(rules), Seq("domain"), "left")
+      .withColumn("_best", best)
+      .select(col("doc_id"), col("url_canon"), col("domain"), col("path"),
+        // no robots row OR no matching rule -> allowed (RFC default)
+        coalesce(pmod(col("_best"), lit(2)) === 1, lit(true)).as("robots_ok"))
+  }
+
+  /** Deterministic synthetic robots.txt corpus — one text per registrable
+    * domain of `urls`, derived purely from the domain string so the
+    * DuckDB oracle regenerates the same RULES directly (parse(generate)
+    * equivalence is exactly what the oracle then checks). Each file
+    * carries the hostile shapes the parser must survive: a non-`*` group
+    * that must NOT apply, comments, blank lines, an empty Disallow, and
+    * an Allow that overrides a shorter Disallow on the same subtree
+    * (longest-match). With L = length(domain):
+    *   Disallow: /p/{L mod 13}     — also prefix-matches /p/{L}x 2-digit
+    *   Allow:    /p/{L mod 13}2    — longest-match carve-out
+    */
+  def syntheticRobots(urls: DataFrame): DataFrame = {
+    val domains = urls
+      .select(registrableDomain(canonicalizeUrl(col("url"))).as("domain"))
+      .distinct()
+    val d13 = pmod(length(col("domain")), lit(13))
+    domains.select(col("domain"), concat(
+      lit("# crawl policy\nUser-agent: badbot\nDisallow: /\n\n"),
+      lit("User-agent: *\nDisallow: /p/"), d13,
+      lit("\nAllow: /p/"), d13, lit("2\n"),
+      lit("Disallow:\n"), // empty value: no restriction, parser must skip
+      lit("Disallow: /admin\n")).as("robots_txt"))
+  }
+
   /** Canonicalized-URL exact dedup, first-occurrence-wins (the library-wide
     * dedup convention): one row per distinct canonical URL with the
     * lowest-doc_id keeper and the collapse count. One hash aggregation on

@@ -1,6 +1,7 @@
 package graft
 
 import graft.ops.Url
+import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 
 /** URL-level curation (round 13): canonicalizer semantics, dedup
@@ -104,6 +105,93 @@ class UrlSpec extends SparkSpec {
     assert(byUrl("https://a.example.com/p/1?a=1&b=2") === (5L, 1L))
     val p = Url.urlDedup(urls).queryExecution.executedPlan.toString
     assert(!p.contains("Join"), s"urlDedup joins:\n$p")
+  }
+
+  test("robotsRules: only the User-agent:* group's rules collect; a UA " +
+    "run shares one group; comments/CRLF/empty-Disallow handled " +
+    "(RFC 9309 grouping)") {
+    import spark.implicits._
+    val txt =
+      "# policy\r\nUser-agent: badbot\r\nDisallow: /\r\n\r\n" +
+        "User-agent: goodbot\nUser-agent: *\n" + // UA run incl. *
+        "Disallow: /private # inline comment\n" +
+        "ALLOW: /private/ok\n" + // field names case-insensitive
+        "Disallow:\n" + // empty value: no rule
+        "\nUser-agent: otherbot\nDisallow: /other\n"
+    val rules = Seq(txt).toDF("t")
+      .select(Url.robotsRules(col("t")).as("r")).head().getSeq[Row](0)
+      .map(r => (r.getBoolean(0), r.getString(1)))
+    assert(rules === Seq((false, "/private"), (true, "/private/ok")))
+    // the star group FIRST in a run that also names others still applies
+    val txt2 = "User-agent: *\nUser-agent: extra\nDisallow: /x\n"
+    val rules2 = Seq(txt2).toDF("t")
+      .select(Url.robotsRules(col("t")).as("r")).head().getSeq[Row](0)
+      .map(r => (r.getBoolean(0), r.getString(1)))
+    assert(rules2 === Seq((false, "/x")))
+  }
+
+  test("robotsGate: longest matching prefix wins, Allow wins length ties, " +
+    "no rule / no robots row allows (RFC 9309 precedence)") {
+    import spark.implicits._
+    val robots = Seq(
+      ("ruled.com",
+        "User-agent: *\nDisallow: /p\nAllow: /p/ok\nDisallow: /p/okx\n" +
+          "Allow: /tie\nDisallow: /tie\n"))
+      .toDF("domain", "robots_txt")
+    val urls = Seq(
+      (1L, "http://a.ruled.com/p/1"),      // /p disallow: drop
+      (2L, "http://a.ruled.com/p/ok"),     // longer allow: keep
+      (3L, "http://a.ruled.com/p/okx"),    // longest disallow beats /p/ok
+      (4L, "http://a.ruled.com/free"),     // no matching rule: keep
+      (5L, "http://a.ruled.com/tie"),      // equal length: Allow wins
+      (6L, "http://norobots.com/p/1"))     // no robots row: keep
+      .toDF("doc_id", "url")
+    val got = Url.robotsGate(urls, robots)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Boolean]("robots_ok")).toMap
+    assert(got === Map(1L -> false, 2L -> true, 3L -> false,
+      4L -> true, 5L -> true, 6L -> true))
+    // query string is part of the matched string (RFC: path + query)
+    val q = Url.robotsGate(
+        Seq((7L, "http://a.ruled.com/p/1?a=1")).toDF("doc_id", "url"), robots)
+      .head().getAs[Boolean]("robots_ok")
+    assert(!q)
+  }
+
+  test("robotsGate plan: rules broadcast per domain, the match is a " +
+    "row-local fold — no corpus-side exchange (the urlGate shape)") {
+    import spark.implicits._
+    val urls = (0L until 64L).map(i => (i, s"https://h$i.example.com/p"))
+      .toDF("doc_id", "url")
+    val robots = Seq(("example.com", "User-agent: *\nDisallow: /p\n"))
+      .toDF("domain", "robots_txt")
+    val plan = Url.robotsGate(urls, robots)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"not a broadcast probe:\n$plan")
+    val bcastIdx = plan.indexOf("BroadcastExchange")
+    val exIdx = plan.indexOf("Exchange hashpartitioning")
+    assert(exIdx === -1 || (bcastIdx >= 0 && exIdx > bcastIdx),
+      s"corpus side shuffles:\n$plan")
+  }
+
+  test("syntheticRobots: one row per registrable domain; the generated " +
+    "text parses back to exactly the generator's rule set") {
+    import spark.implicits._
+    val docs = (0L until 200L).map(i => (i, s"src${i % 3}", 64L))
+      .toDF("doc_id", "source", "n_chars")
+    val urls = Url.syntheticUrls(docs).select("doc_id", "url")
+    val robots = Url.syntheticRobots(urls)
+    val doms = robots.select("domain").collect().map(_.getString(0))
+    assert(doms.length === doms.distinct.length && doms.nonEmpty)
+    val parsed = robots
+      .select(col("domain"), Url.robotsRules(col("robots_txt")).as("r"))
+      .collect().map(r => r.getString(0) ->
+        r.getSeq[Row](1).map(x => (x.getBoolean(0), x.getString(1))))
+    parsed.foreach { case (dom, rules) =>
+      val d13 = dom.length % 13
+      assert(rules === Seq((false, s"/p/$d13"), (true, s"/p/${d13}2"),
+        (false, "/admin")), s"domain $dom parsed $rules")
+    }
   }
 
   test("urlFrontierIncrement: intra-delta first occurrence wins, catalog " +
