@@ -1646,6 +1646,24 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  // Unicode text normalization (round 15): every 3rd doc gains a MESSY
+  // deterministic suffix (decomposed accent, curly quotes, em dash,
+  // double spaces) so NFC + folding have real work and `changed` has
+  // both values; the other docs must pass through byte-identical
+  private def textNormalizeQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = RawGen.table(s, dir, "documents")
+    val messy = when(pmod(col("doc_id"), lit(3)) === 0,
+        // the accent is DECOMPOSED (e + combining U+0301) so NFC genuinely
+        // composes it; escapes keep the fixture source-encoding-proof
+        concat(col("text"),
+          lit(" cafe\u0301  \u201Cok\u201D \u2014 fin ")))
+      .otherwise(col("text"))
+    TextAnalysis.normalizeText(
+        docs.filter(col("text").isNotNull)
+          .select(col("doc_id"), messy.as("text")))
+      .orderBy("doc_id")
+  }
+
   private def domainStatsQ(s: SparkSession, dir: String): DataFrame =
     graft.ops.Url.domainStats(urlFrame(s, dir)).orderBy("domain")
 
@@ -1925,6 +1943,7 @@ object SparkEntry {
     "url_gate" -> (urlGateQ _),
     "url_frontier" -> (urlFrontierQ _),
     "robots_gate" -> (robotsGateQ _),
+    "text_normalize" -> (textNormalizeQ _),
     "heavy_hitters" -> (heavyHittersQ _),
     "domain_stats" -> (domainStatsQ _),
     "domain_quota_sample" -> (domainQuotaSampleQ _),
@@ -4348,6 +4367,25 @@ object SparkEntry {
     "\nSELECT url_canon, CAST(min(doc_id) AS BIGINT) AS keep_doc_id, " +
     "CAST(count(*) AS BIGINT) AS n_dups FROM cc GROUP BY url_canon ORDER BY url_canon"
 
+  // text normalization: DuckDB's nfc_normalize implements the same
+  // UAX #15 canonical composition as java.text.Normalizer; quote/dash
+  // folding is a character-for-character translate; whitespace collapse
+  // is '\s+' in both engines (RE2 and Java agree on the fixture's
+  // whitespace — no \x0B, the duckWords coexistence precedent)
+  private val textNormalizeSql =
+    """WITH m AS (SELECT doc_id,
+      |  CASE WHEN doc_id%3=0 THEN text || ' cafe' || chr(769) || '  ' ||
+      |    chr(8220) || 'ok' || chr(8221) || ' ' || chr(8212) || ' fin '
+      |  ELSE text END AS raw
+      |  FROM documents WHERE text IS NOT NULL),
+      |n AS (SELECT doc_id, raw,
+      |  trim(regexp_replace(translate(nfc_normalize(raw),
+      |    chr(8216)||chr(8217)||chr(8220)||chr(8221)||chr(8211)||chr(8212),
+      |    chr(39)||chr(39)||chr(34)||chr(34)||chr(45)||chr(45)),
+      |    '\s+', ' ', 'g')) AS text_norm FROM m)
+      |SELECT doc_id, text_norm, text_norm <> raw AS changed
+      |FROM n ORDER BY doc_id""".stripMargin
+
   // robots gate: the oracle rebuilds each domain's RULES directly from
   // the domain string (the fixture contract), then replays RFC 9309
   // longest-match precedence as an argmax over length*2+allow — the
@@ -4696,6 +4734,7 @@ object SparkEntry {
     "url_gate" -> urlGateSql,
     "url_frontier" -> urlFrontierSql,
     "robots_gate" -> robotsGateSql,
+    "text_normalize" -> textNormalizeSql,
     "heavy_hitters" -> heavyHittersSql,
     "domain_stats" -> domainStatsSql,
     "domain_quota_sample" -> domainQuotaSampleSql,

@@ -614,6 +614,28 @@ object TextAnalysis {
       .orderBy("gram")
   }
 
+  /** CCNet-style text normalization — the pass that runs BEFORE any
+    * hash-keyed dedup, because the same visible string arrives from real
+    * crawls in multiple byte forms that hash apart:
+    *  1. Unicode NFC ([[graft.functions.NfcNormalize]], native — Spark
+    *     has no normalizer builtin): composed (U+00E9) and decomposed
+    *     (e + U+0301) sequences unify;
+    *  2. typographic fold: curly quotes → ASCII quotes, en/em dashes →
+    *     '-' (one `translate`, character-for-character);
+    *  3. whitespace-run collapse to a single space, plus trim.
+    * Row-local, scan-fused, codegen'd end to end — zero shuffles; the
+    * DuckDB oracle replays the identical chain (`nfc_normalize` +
+    * translate + regexp). `changed` reports whether normalization
+    * touched the row — the audit column a curation run logs. */
+  def normalizeText(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val nfc = graft.functions.NfcNormalize(col(textCol))
+    val folded = translate(nfc,
+      "\u2018\u2019\u201C\u201D\u2013\u2014", "''\"\"--")
+    val collapsed = trim(regexp_replace(folded, "\\s+", " "))
+    docs.select(col("doc_id"), collapsed.as("text_norm"),
+      (collapsed =!= col(textCol)).as("changed"))
+  }
+
   /** Per-stratum corpus profile: doc count, token totals, mean and exact
     * quartile token counts — the report a mixture designer reads before
     * writing weights. Quartiles of INTEGRAL token counts at quarter

@@ -142,6 +142,33 @@ class CurationSpec extends SparkSpec {
       s"expected 2 corpus passes (6 row reads), saw ${scans.value}")
   }
 
+  test("normalizeText: NFC composes, curly quotes/dashes fold to ASCII, " +
+    "whitespace runs collapse, `changed` reports exactly the touched rows") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "already clean text"),
+      (2L, "café du “monde” — fine"),
+      (3L, "  spaced\tout\n\nrun  "),
+      (4L, "It’s a test – ok")).toDF("doc_id", "text")
+    val got = TextAnalysis.normalizeText(docs).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
+    assert(got(0) === ((1L, "already clean text", false)))
+    assert(got(1) === ((2L, "café du \"monde\" - fine", true)))
+    assert(got(2) === ((3L, "spaced out run", true)))
+    assert(got(3) === ((4L, "It's a test - ok", true)))
+    // plan shape: row-local, scan-fused — no exchange of any kind. A
+    // range-backed input, NOT the local Seq: ConvertToLocalRelation
+    // constant-folds a LocalRelation projection away entirely (which is
+    // itself proof the expression evaluates interpreted), hiding the plan
+    val ranged = spark.range(16).select(col("id").as("doc_id"),
+      concat(lit("text “q” of "), col("id")).as("text"))
+    val plan = TextAnalysis.normalizeText(ranged)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"normalizeText shuffles:\n$plan")
+    assert(plan.contains("graft_nfc_normalize"),
+      s"native NFC missing from the plan:\n$plan")
+  }
+
   test("corpusStats: exact quartiles and decimal-exact mean per stratum") {
     import spark.implicits._
     // token counts 1..5 in lang a -> p25=2, p50=3, p75=4, mean=3

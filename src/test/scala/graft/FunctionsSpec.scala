@@ -203,4 +203,27 @@ class FunctionsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getSeq[Long](1)))
     assert(n === c)
   }
+
+  test("graft_nfc_normalize: decomposed sequences compose (UAX #15), " +
+    "already-NFC input passes through, NULL propagates") {
+    import spark.implicits._
+    // "cafe" + combining acute (U+0301) must compose to the single
+    // codepoint U+00E9; Korean jamo runs compose to a precomposed
+    // syllable; ASCII is identity
+    val got = Seq(
+        "cafe\u0301 time",
+        "\u1100\u1161",          // jamo run -> U+AC00
+        "plain ascii",
+        null)
+      .toDF("t")
+      .select(graft.functions.NfcNormalize(col("t")).as("n"))
+      .collect().map(r => Option(r.getString(0)))
+    assert(got(0) === Some("caf\u00e9 time"))
+    assert(got(1) === Some("\uac00"))
+    assert(got(2) === Some("plain ascii"))
+    assert(got(3) === None)
+    // java.text.Normalizer agrees (the expression is a thin fused wrapper)
+    assert(java.text.Normalizer.normalize("cafe\u0301", java.text.Normalizer.Form.NFC)
+      === "caf\u00e9")
+  }
 }

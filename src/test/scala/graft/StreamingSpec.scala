@@ -405,6 +405,38 @@ class StreamingSpec extends SparkSpec {
       .collect().map(_.toSeq).sortBy(_.head.toString))
   }
 
+  test("round-15 row-local curation ops run unchanged on a stream: " +
+    "normalizeText and robotsGate (broadcast rules) == batch") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "plain text stays"),
+      (2L, "café  “x” — y"))
+    val urls = Seq(
+      (1L, "http://a.ruled.com/p/1"),
+      (2L, "http://a.ruled.com/free"))
+    val robots = Seq(("ruled.com", "User-agent: *\nDisallow: /p\n"))
+      .toDF("domain", "robots_txt")
+    val ts = MemoryStream[(Long, String)](spark)
+    val us = MemoryStream[(Long, String)](spark)
+    val q1 = graft.ops.TextAnalysis.normalizeText(
+        ts.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("norm_stream")
+      .outputMode("append").start()
+    val q2 = graft.ops.Url.robotsGate(us.toDF().toDF("doc_id", "url"), robots)
+      .writeStream.format("memory").queryName("robots_stream")
+      .outputMode("append").start()
+    ts.addData(docs: _*); us.addData(urls: _*)
+    q1.processAllAvailable(); q2.processAllAvailable()
+    q1.stop(); q2.stop()
+    def rows(t: String) = spark.table(t).collect()
+      .map(_.toSeq).sortBy(_.head.toString)
+    assert(rows("norm_stream") === graft.ops.TextAnalysis.normalizeText(
+      docs.toDF("doc_id", "text")).collect().map(_.toSeq).sortBy(_.head.toString))
+    assert(rows("robots_stream") === graft.ops.Url.robotsGate(
+      urls.toDF("doc_id", "url"), robots)
+      .collect().map(_.toSeq).sortBy(_.head.toString))
+  }
+
   test("quantizeInt8 runs unchanged on a stream (row-local curation parity)") {
     import spark.implicits._
     import graft.ops.Similarity
