@@ -1485,7 +1485,8 @@ object SparkEntry {
     * pipeline hash-checkable; downstream selects `final_keep`. */
   private def crawlCurateE2eQ(s: SparkSession, dir: String): DataFrame =
     crawlCuratePipeline(rawHtmlFrame(s, dir),
-      urlFrame(s, dir).select(col("doc_id"), col("url")))
+      urlFrame(s, dir).select(col("doc_id"), col("url")),
+      RawGen.derived(s, dir, "robots"))
 
   /** The URL-gate → C4-gate → extraction → repetition-gate →
     * exact-dedup verdict pipeline over `(doc_id, html)` + `(doc_id,
@@ -1493,10 +1494,16 @@ object SparkEntry {
     * WARC-sourced variant (whose parse round-trip must land on the
     * identical verdicts: same oracle; its URLs come from the parsed
     * `WARC-Target-URI`, so the gate exercises the round-tripped URL). */
-  private def crawlCuratePipeline(raw: DataFrame, urls: DataFrame): DataFrame = {
+  private def crawlCuratePipeline(raw: DataFrame, urls: DataFrame,
+                                  robots: DataFrame): DataFrame = {
     import graft.ops.{Extract, Gopher}
     val urlOk = graft.ops.Url.urlGate(urls, crawlBlockedDomains)
       .select(col("doc_id"), col("url_keep").as("url_ok"))
+    // robots admission (round 15): composed right after the URL gate —
+    // both are broadcast probes fused into the canonicalize scan, and
+    // together they are the complete pre-fetch admission story
+    val robotsOk = graft.ops.Url.robotsGate(urls, robots)
+      .select(col("doc_id"), col("robots_ok"))
     val pages = Extract.c4PageFilter(raw, minLines = 2,
         blocklist = Seq("vector"))
       .select(col("doc_id"), col("keep").as("page_keep"))
@@ -1505,18 +1512,21 @@ object SparkEntry {
     val sig = Gopher.repetitionSignals(
         text.withColumnRenamed("text_clean", "text"))
       .select(col("doc_id"), (col("top2gram_char_frac") <= 0.2).as("rep_ok"))
-    val joined = urlOk.join(pages, "doc_id").join(text, "doc_id")
-      .join(sig, "doc_id")
+    val joined = urlOk.join(robotsOk, "doc_id").join(pages, "doc_id")
+      .join(text, "doc_id").join(sig, "doc_id")
       .withColumn("_h", md5(col("text_clean")))
     val firsts = joined
-      .filter(col("url_ok") && col("page_keep") && col("rep_ok"))
+      .filter(col("url_ok") && col("robots_ok") && col("page_keep") &&
+        col("rep_ok"))
       .withColumn("_rn", row_number().over(
         Window.partitionBy("_h").orderBy("doc_id")))
       .select(col("doc_id"), (col("_rn") === 1).as("dedup_first"))
     joined.join(firsts, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("url_ok"), col("page_keep"), col("rep_ok"),
+      .select(col("doc_id"), col("url_ok"), col("robots_ok"),
+        col("page_keep"), col("rep_ok"),
         coalesce(col("dedup_first"), lit(false)).as("dedup_first"),
-        (col("url_ok") && col("page_keep") && col("rep_ok") &&
+        (col("url_ok") && col("robots_ok") && col("page_keep") &&
+          col("rep_ok") &&
           coalesce(col("dedup_first"), lit(false))).as("final_keep"))
       .orderBy("doc_id")
   }
@@ -1589,7 +1599,8 @@ object SparkEntry {
     crawlCuratePipeline(parsed.select(col("doc_id"), col("html")),
       // the URL gate runs on the ROUND-TRIPPED WARC-Target-URI, not the
       // generator frame — parse fidelity is part of this query's parity
-      parsed.select(col("doc_id"), col("target_uri").as("url")))
+      parsed.select(col("doc_id"), col("target_uri").as("url")),
+      RawGen.derived(s, dir, "robots"))
   }
 
   private def urlDedupQ(s: SparkSession, dir: String): DataFrame =
@@ -3226,12 +3237,12 @@ object SparkEntry {
     // the html chain owns s1..s4; prefix the URL chain's s1..s6 (CTE
     // names only — no other bare s<digit> token exists in the chain)
     urlChainCtes.replaceAll("\\bs([1-6])\\b", "us$1") + ",\n" +
-    urlGateCte + ",\n" +
-    """j AS (SELECT gt.doc_id, ug.scheme_ok AND ug.domain_ok AS url_ok, gt.page_keep, top2 <= 0.2 AS rep_ok, md5(text_clean) AS h FROM gt JOIN ug ON gt.doc_id = ug.doc_id),
-      |p AS (SELECT doc_id, row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn FROM j WHERE url_ok AND page_keep AND rep_ok)
-      |SELECT j.doc_id, j.url_ok, j.page_keep, j.rep_ok,
+    urlGateCte + ",\n" + robotsCtes + ",\n" +
+    """j AS (SELECT gt.doc_id, ug.scheme_ok AND ug.domain_ok AS url_ok, rg.robots_ok, gt.page_keep, top2 <= 0.2 AS rep_ok, md5(text_clean) AS h FROM gt JOIN ug ON gt.doc_id = ug.doc_id JOIN rg ON gt.doc_id = rg.doc_id),
+      |p AS (SELECT doc_id, row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn FROM j WHERE url_ok AND robots_ok AND page_keep AND rep_ok)
+      |SELECT j.doc_id, j.url_ok, j.robots_ok, j.page_keep, j.rep_ok,
       |  COALESCE(p.rn = 1, false) AS dedup_first,
-      |  j.url_ok AND j.page_keep AND j.rep_ok AND COALESCE(p.rn = 1, false) AS final_keep
+      |  j.url_ok AND j.robots_ok AND j.page_keep AND j.rep_ok AND COALESCE(p.rn = 1, false) AS final_keep
       |FROM j LEFT JOIN p ON j.doc_id = p.doc_id ORDER BY j.doc_id""".stripMargin
 
 
@@ -4390,9 +4401,11 @@ object SparkEntry {
   // the domain string (the fixture contract), then replays RFC 9309
   // longest-match precedence as an argmax over length*2+allow — the
   // Spark side parses the generated robots TEXT, so a hash match proves
-  // parse(generate(rules)) == rules end-to-end
-  private val robotsGateSql = urlCanonCte + """,
-      | rp AS (SELECT doc_id, url_canon, domain,
+  // parse(generate(rules)) == rules end-to-end. The CTE chain (expects
+  // `d` in scope, ends at `rg`) is shared verbatim by the standalone
+  // gate query and both curate-e2e compositions.
+  private val robotsCtes =
+    """ rp AS (SELECT doc_id, url_canon, domain,
       |    substr(split_part(url_canon, '://', 2),
       |      length(split_part(split_part(url_canon, '://', 2), '/', 1)) + 1) AS path FROM d),
       | rdom AS (SELECT DISTINCT domain FROM d),
@@ -4406,11 +4419,13 @@ object SparkEntry {
       |    max(length(r.prefix)*2 + CASE WHEN r.allow THEN 1 ELSE 0 END) AS enc
       |  FROM rp p JOIN rrules r
       |    ON p.domain = r.domain AND starts_with(p.path, r.prefix)
-      |  GROUP BY p.doc_id)
-      |SELECT p.doc_id, p.url_canon, p.domain, p.path,
-      |  COALESCE(rm.enc % 2 = 1, TRUE) AS robots_ok
-      |FROM rp p LEFT JOIN rm ON p.doc_id = rm.doc_id
-      |ORDER BY p.doc_id""".stripMargin
+      |  GROUP BY p.doc_id),
+      | rg AS (SELECT rp.doc_id, rp.url_canon, rp.domain, rp.path,
+      |    COALESCE(rm.enc % 2 = 1, TRUE) AS robots_ok
+      |  FROM rp LEFT JOIN rm ON rp.doc_id = rm.doc_id)""".stripMargin
+
+  private val robotsGateSql = urlCanonCte + ",\n" + robotsCtes +
+    "\nSELECT doc_id, url_canon, domain, path, robots_ok FROM rg ORDER BY doc_id"
 
   private val domainStatsSql = urlCanonCte +
     "\nSELECT domain, n_docs, n_urls, total_chars, quota FROM qt ORDER BY domain"
