@@ -191,8 +191,10 @@ object Url {
     * BROADCAST into a left join on the derived domain key: a production
     * blocklist is 10³–10⁶ domains (kilobytes to a few MB — always
     * executor-memory-sized), so at 100 TB this is a map-side probe fused
-    * into the same scan as the canonicalizer — zero shuffle exchanges
-    * (UrlSpec pins the plan). Matching on the REGISTRABLE domain means a
+    * into the same scan as the canonicalizer — the CORPUS side never
+    * shuffles; the one exchange is the |blocklist|-row dedup on the
+    * broadcast build side (UrlSpec pins both). Matching on the
+    * REGISTRABLE domain means a
     * blocklisted `example.com` also drops `sub.example.com`, the
     * containment C4's list intends. */
   def urlGate(urls: DataFrame, blocked: DataFrame): DataFrame = {
