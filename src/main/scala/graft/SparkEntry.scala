@@ -4399,11 +4399,16 @@ object SparkEntry {
 
   // robots gate: the oracle rebuilds each domain's RULES directly from
   // the domain string (the fixture contract), then replays RFC 9309
-  // longest-match precedence as an argmax over length*2+allow — the
-  // Spark side parses the generated robots TEXT, so a hash match proves
-  // parse(generate(rules)) == rules end-to-end. The CTE chain (expects
-  // `d` in scope, ends at `rg`) is shared verbatim by the standalone
-  // gate query and both curate-e2e compositions.
+  // longest-match precedence as an argmax over length*2+allow, where
+  // length is the RULE PATH AS WRITTEN (wildcard octets included — the
+  // round-16 §2.2.3 contract) — the Spark side parses the generated
+  // robots TEXT and translates wildcard rules to regexes, so a hash
+  // match proves parse∘generate∘translate end-to-end. Wildcard rules
+  // carry a hand-written RE2 pattern here (`pat`; literal rules NULL →
+  // starts_with), equivalent to the Spark side's \Q…\E translation.
+  // The CTE chain (expects `d` in scope, ends at `rg`) is shared
+  // verbatim by the standalone gate query and both curate-e2e
+  // compositions.
   private val robotsCtes =
     """ rp AS (SELECT doc_id, url_canon, domain,
       |    substr(split_part(url_canon, '://', 2),
@@ -4411,14 +4416,21 @@ object SparkEntry {
       | rdom AS (SELECT DISTINCT domain FROM d),
       | rrules AS (
       |  SELECT domain, FALSE AS allow,
-      |    '/p/' || CAST(length(domain)%13 AS VARCHAR) AS prefix FROM rdom
+      |    '/p/' || CAST(length(domain)%13 AS VARCHAR) AS prefix,
+      |    CAST(NULL AS VARCHAR) AS pat FROM rdom
       |  UNION ALL SELECT domain, TRUE,
-      |    '/p/' || CAST(length(domain)%13 AS VARCHAR) || '2' FROM rdom
-      |  UNION ALL SELECT domain, FALSE, '/admin' FROM rdom),
+      |    '/p/' || CAST(length(domain)%13 AS VARCHAR) || '2', NULL FROM rdom
+      |  UNION ALL SELECT domain, FALSE, '/*?id=', '^/.*\?id=' FROM rdom
+      |  UNION ALL SELECT domain, FALSE,
+      |    '/p/' || CAST((length(domain)%13+1)%13 AS VARCHAR) || '$',
+      |    '^/p/' || CAST((length(domain)%13+1)%13 AS VARCHAR) || '$' FROM rdom
+      |  UNION ALL SELECT domain, FALSE, '/admin', NULL FROM rdom),
       | rm AS (SELECT p.doc_id,
       |    max(length(r.prefix)*2 + CASE WHEN r.allow THEN 1 ELSE 0 END) AS enc
       |  FROM rp p JOIN rrules r
-      |    ON p.domain = r.domain AND starts_with(p.path, r.prefix)
+      |    ON p.domain = r.domain AND (CASE WHEN r.pat IS NULL
+      |      THEN starts_with(p.path, r.prefix)
+      |      ELSE regexp_matches(p.path, r.pat) END)
       |  GROUP BY p.doc_id),
       | rg AS (SELECT rp.doc_id, rp.url_canon, rp.domain, rp.path,
       |    COALESCE(rm.enc % 2 = 1, TRUE) AS robots_ok

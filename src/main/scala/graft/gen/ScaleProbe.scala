@@ -400,10 +400,15 @@ object ScaleProbe {
           lit(64L).as("n_chars"),
           concat(lit("http://s.head-zipf.com/p/"),
             col("doc_id") * headCopies + col("r")).as("url"))
+      // the REGISTRABLE label varies (tail{N}-zipf.net), not a subdomain
+      // of one shared tail domain — registrableDomain strips subdomains,
+      // so t{N}.tail-zipf.net would collapse the whole tail to ONE domain
+      // (round-15 ADVICE: the probe's stated 1-head + ~997-small-domains
+      // distribution was silently 2 domains)
       val tail = docs1.select((col("doc_id") + 900000000L).as("doc_id"),
         lit(64L).as("n_chars"),
-        concat(lit("http://t"), pmod(col("doc_id"), lit(997)),
-          lit(".tail-zipf.net/p/"), col("doc_id")).as("url"))
+        concat(lit("http://t.tail"), pmod(col("doc_id"), lit(997)),
+          lit("-zipf.net/p/"), col("doc_id")).as("url"))
       head.unionByName(tail).repartition(32)
     }
     val zipf1 = zipfUrls(40).persist()
@@ -424,6 +429,26 @@ object ScaleProbe {
       graft.ops.Url.domainQuotaSample(zipf1),
       graft.ops.Url.domainQuotaSample(zipf10))
     pair("domain_quota_window_zipf", windowQuota(zipf1), windowQuota(zipf10))
+
+    // round-16 directive: robotsGate's shuffle fallback on a GROWN
+    // domains corpus — the 10x run multiplies the number of registrable
+    // domains (and so the rules frame the broadcast form would have to
+    // ship whole), while per-domain work stays constant. The fallback's
+    // shuffle is (slim corpus rows + slim rule rows) on the domain key,
+    // so the expected exponent is the flat all-scan shape, not the
+    // broadcast form's build-side blowup.
+    def domainsUrls(nDomains: Int): DataFrame =
+      docs1.select(col("doc_id"), lit(64L).as("n_chars"),
+        concat(lit("http://h.dom"), pmod(col("doc_id"), lit(nDomains)),
+          lit("-site.org/p/"), pmod(col("doc_id"), lit(29))).as("url"))
+    val dom1 = domainsUrls(1000).persist()
+    val dom10 = domainsUrls(10000).persist()
+    println(s"[probe] robots domains urls ${dom1.count()} / ${dom10.count()}")
+    pair("robots_gate_shuffle",
+      graft.ops.Url.robotsGate(dom1, graft.ops.Url.syntheticRobots(dom1),
+        expectedDomains = 1L << 40),
+      graft.ops.Url.robotsGate(dom10, graft.ops.Url.syntheticRobots(dom10),
+        expectedDomains = 1L << 40))
 
     only.foreach { keep =>
       if (probed == 0) System.err.println(

@@ -189,9 +189,94 @@ class UrlSpec extends SparkSpec {
         r.getSeq[Row](1).map(x => (x.getBoolean(0), x.getString(1))))
     parsed.foreach { case (dom, rules) =>
       val d13 = dom.length % 13
+      val j13 = (d13 + 1) % 13
       assert(rules === Seq((false, s"/p/$d13"), (true, s"/p/${d13}2"),
+        (false, "/*?id="), (false, s"/p/$j13$$"),
         (false, "/admin")), s"domain $dom parsed $rules")
     }
+  }
+
+  test("robotsGate wildcards (RFC 9309 §2.2.3, MUST-level): '*' matches " +
+    "any char run incl. into the query, trailing '$' anchors end-of-match, " +
+    "precedence counts the rule path's raw octets") {
+    import spark.implicits._
+    val robots = Seq(
+      ("wild.com",
+        "User-agent: *\n" +
+          "Disallow: /*?sid=\n" +       // any path whose query starts sid=
+          "Disallow: /*.pdf$\n" +       // any path ending .pdf
+          "Allow: /docs/manual.pdf$\n" + // longer: carve-out beats /*.pdf$
+          "Disallow: /exact$\n"))        // exact path only
+      .toDF("domain", "robots_txt")
+    val urls = Seq(
+      (1L, "http://a.wild.com/page?sid=9"),        // /*?sid= : drop
+      (2L, "http://a.wild.com/page?other=1"),      // no match: keep
+      (3L, "http://a.wild.com/files/x.pdf"),       // /*.pdf$ : drop
+      (4L, "http://a.wild.com/files/x.pdf?a=1"),   // $ blocks query form: keep
+      (5L, "http://a.wild.com/docs/manual.pdf"),   // longer Allow wins: keep
+      (6L, "http://a.wild.com/exact"),             // /exact$ : drop
+      (7L, "http://a.wild.com/exactly"),           // $ anchored, no match: keep
+      (8L, "http://a.wild.com/exact?q=1"))         // query breaks anchor: keep
+      .toDF("doc_id", "url")
+    val got = Url.robotsGate(urls, robots)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Boolean]("robots_ok")).toMap
+    assert(got === Map(1L -> false, 2L -> true, 3L -> false, 4L -> true,
+      5L -> true, 6L -> false, 7L -> true, 8L -> true))
+  }
+
+  test("robotsGate: duplicate (domain, robots_txt) rows do NOT fan out " +
+    "matching URL rows (round-15 ADVICE — the urlGate blocklist defect " +
+    "class); collapse is deterministic") {
+    import spark.implicits._
+    val txt = "User-agent: *\nDisallow: /p\n"
+    val robots = Seq(("dup.com", txt), ("dup.com", txt), ("dup.com", txt))
+      .toDF("domain", "robots_txt")
+    val urls = Seq((1L, "http://a.dup.com/p/1"), (2L, "http://a.dup.com/ok"))
+      .toDF("doc_id", "url")
+    val out = Url.robotsGate(urls, robots).collect()
+    assert(out.length === 2, "duplicated robots rows fanned out the join")
+    val got = out.map(r => r.getAs[Long]("doc_id") ->
+      r.getAs[Boolean]("robots_ok")).toMap
+    assert(got === Map(1L -> false, 2L -> true))
+  }
+
+  test("robotsGate shuffle mode: past the broadcast ceiling the rules " +
+    "probe becomes a shuffle-hash equi-join on domain (no broadcast of " +
+    "the |domains|-sized frame), row-identical to the broadcast form") {
+    import spark.implicits._
+    val urls = (0L until 64L).map(i => (i, s"https://h$i.dom$i.example.com/p"))
+      .toDF("doc_id", "url")
+    val robots = (0L until 64L)
+      .map(i => ("example.com", "User-agent: *\nDisallow: /p\n"))
+      .toDF("domain", "robots_txt")
+    val bcast = Url.robotsGate(urls, robots)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getBoolean(4)))
+    val shuffled = Url.robotsGate(urls, robots, expectedDomains = 1L << 40)
+    val plan = shuffled.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastHashJoin"),
+      s"rules frame still broadcast past the ceiling:\n$plan")
+    assert(plan.contains("ShuffledHashJoin"),
+      s"fallback is not a shuffle-hash join:\n$plan")
+    val got = shuffled.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getBoolean(4)))
+    assert(got === bcast, "shuffle mode diverged from broadcast mode")
+  }
+
+  test("robotsRules caps input at RFC 9309's 500 KiB and parses a " +
+    "many-line file in one O(lines) pass (round-15 VERDICT: the fold " +
+    "spelling was O(lines^2))") {
+    import spark.implicits._
+    // ~40k rule lines ≈ 680 KiB: rules materially past 500 KiB must drop
+    val sb = new StringBuilder("User-agent: *\n")
+    (0 until 40000).foreach(i => sb.append(f"Disallow: /r$i%07d\n"))
+    val t0 = System.nanoTime()
+    val rules = Seq(sb.toString).toDF("t")
+      .select(Url.robotsRules(col("t")).as("r")).head().getSeq[Row](0)
+    val elapsedMs = (System.nanoTime() - t0) / 1e6
+    assert(rules.length < 40000, "rules past the 500 KiB cap were kept")
+    assert(rules.length > 25000, s"cap cut far too early (${rules.length})")
+    assert(elapsedMs < 30000, f"hostile-size parse took $elapsedMs%.0f ms")
   }
 
   test("urlFrontierIncrement: intra-delta first occurrence wins, catalog " +
