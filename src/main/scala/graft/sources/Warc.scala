@@ -178,19 +178,31 @@ object Warc {
       // the prescan's own spec trick)
       .orElse {
         val win = new String(body, bodyOff, math.min(bodyLen, 1024), Latin1)
-        charsetParam(win)
+        metaCharset(win)
       }
     declared.flatMap(name => scala.util.Try(
         java.nio.charset.Charset.forName(name)).toOption)
       .getOrElse(Latin1)
   }
 
-  /** `charset=NAME` (optionally quoted) out of a header value or meta-tag
-    * window — the shared spelling of the header parameter and the HTML5
-    * prescan forms (`<meta charset="x">` and the http-equiv content
-    * attribute both contain the literal `charset=`). */
+  /** `charset=NAME` (optionally quoted) out of an HTTP header value —
+    * the Content-Type parameter form. */
   private def charsetParam(s: String): Option[String] = {
     val m = java.util.regex.Pattern.compile("(?i)charset\\s*=\\s*[\"']?([\\w.:-]+)")
+      .matcher(s)
+    if (m.find()) Some(m.group(1)) else None
+  }
+
+  /** `charset=NAME` INSIDE a `<meta …>` element — the HTML5 prescan
+    * forms (`<meta charset="x">` and the http-equiv content attribute).
+    * Anchoring the match to a meta-tag context (round-15 ADVICE) stops a
+    * literal `charset=` elsewhere in the window — a link query string
+    * (`<a href="?charset=x">`), inline script text, or visible prose —
+    * from hijacking the body decode of a headerless response; `[^>]*`
+    * keeps the scan inside the one tag. */
+  private def metaCharset(s: String): Option[String] = {
+    val m = java.util.regex.Pattern
+      .compile("(?i)<meta[^>]*charset\\s*=\\s*[\"']?([\\w.:-]+)")
       .matcher(s)
     if (m.find()) Some(m.group(1)) else None
   }

@@ -61,6 +61,36 @@ class UrlSpec extends SparkSpec {
       "co.uk", "example.com"))
   }
 
+  test("registrableDomain handles the FULL PSL rule grammar (round-15 " +
+    "VERDICT #8): 3-label suffixes keep FOUR labels, *.tld wildcards make " +
+    "every 2-label child a suffix, exceptions beat their wildcard") {
+    import spark.implicits._
+    val cases = Seq(
+      // 3-label suffix rule k12.ma.us: registrable keeps 4 labels
+      ("https://www.lincoln.k12.ma.us/p", "lincoln.k12.ma.us"),
+      ("https://lincoln.k12.ma.us/p", "lincoln.k12.ma.us"),
+      ("https://k12.ma.us/", "k12.ma.us"),            // bare suffix: itself
+      // plain 2-label suffix aichi.jp (the pref.aichi.jp shape)
+      ("http://www.pref.aichi.jp/x", "pref.aichi.jp"),
+      // *.ck wildcard: any 2-label child is a suffix -> keep 3 labels
+      ("https://www.shop.example.ck/p", "shop.example.ck"),
+      ("https://shop.example.ck/p", "shop.example.ck"),
+      ("https://example.ck/p", "example.ck"),         // child suffix: itself
+      // !www.ck exception: registrable despite *.ck
+      ("https://www.ck/p", "www.ck"),
+      ("https://a.www.ck/p", "www.ck"),
+      // *.kawasaki.jp (2-label wildcard base): 3-label child is a suffix
+      ("https://site.example.kawasaki.jp/p", "site.example.kawasaki.jp"),
+      // !city.kawasaki.jp exception beats the wildcard
+      ("https://www.city.kawasaki.jp/p", "city.kawasaki.jp"),
+      ("https://city.kawasaki.jp/p", "city.kawasaki.jp"))
+    val got = cases.map(_._1)
+      .toDF("u").select(Url.registrableDomain(col("u")).as("d"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got === cases.map(_._2),
+      cases.map(_._1).zip(got).mkString("\n"))
+  }
+
   test("urlGate PSL containment: blocking a co.uk-registered domain drops " +
     "its subdomains but NOT sibling registrations under the same suffix") {
     import spark.implicits._

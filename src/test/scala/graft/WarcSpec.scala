@@ -264,6 +264,18 @@ class WarcSpec extends SparkSpec {
     val late = (" " * 1100 + "<meta charset=\"utf-8\">").getBytes("UTF-8")
     assert(Warc.bodyCharset("HTTP/1.1 200 OK\r\nContent-Type: text/html",
       late, 0, late.length).name() === "ISO-8859-1")
+    // the prescan is ANCHORED to a <meta …> element (round-15 ADVICE): a
+    // literal charset= in a link query string or visible text inside the
+    // window must NOT hijack the decode…
+    val decoy = ("<html><body><a href=\"/conv?charset=KOI8-R\">x</a>" +
+      "<p>set charset=EUC-JP in settings</p></body></html>").getBytes("UTF-8")
+    assert(Warc.bodyCharset("HTTP/1.1 200 OK\r\nContent-Type: text/html",
+      decoy, 0, decoy.length).name() === "ISO-8859-1")
+    // …while a real meta declaration AFTER such a decoy still resolves
+    val decoyThenMeta = ("<html><head><a href=\"/conv?charset=KOI8-R\">x</a>" +
+      "<meta charset=\"utf-8\"></head></html>").getBytes("UTF-8")
+    assert(Warc.bodyCharset("HTTP/1.1 200 OK\r\nContent-Type: text/html",
+      decoyThenMeta, 0, decoyThenMeta.length).name() === "UTF-8")
   }
 
   test("multi-member .warc.gz over a stream whose available() is always 0 " +
