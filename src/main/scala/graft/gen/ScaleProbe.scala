@@ -433,17 +433,20 @@ object ScaleProbe {
     // round-16 directive: robotsGate's shuffle fallback on a GROWN
     // domains corpus — the 10x run multiplies the number of registrable
     // domains (and so the rules frame the broadcast form would have to
-    // ship whole), while per-domain work stays constant. The fallback's
-    // shuffle is (slim corpus rows + slim rule rows) on the domain key,
-    // so the expected exponent is the flat all-scan shape, not the
-    // broadcast form's build-side blowup.
+    // ship whole to every executor) at a FIXED corpus row count, so the
+    // reading isolates the |domains| term: the fallback's shuffle is
+    // (slim corpus rows + slim rule rows) on the domain key and should
+    // stay flat, where a broadcast would grow its build/ship cost 10x.
     def domainsUrls(nDomains: Int): DataFrame =
-      docs1.select(col("doc_id"), lit(64L).as("n_chars"),
-        concat(lit("http://h.dom"), pmod(col("doc_id"), lit(nDomains)),
-          lit("-site.org/p/"), pmod(col("doc_id"), lit(29))).as("url"))
+      spark.range(200000L).select(col("id").as("doc_id"),
+        lit(64L).as("n_chars"),
+        concat(lit("http://h.dom"), pmod(col("id"), lit(nDomains)),
+          lit("-site.org/p/"), pmod(col("id"), lit(29))).as("url"))
+        .repartition(32)
     val dom1 = domainsUrls(1000).persist()
     val dom10 = domainsUrls(10000).persist()
-    println(s"[probe] robots domains urls ${dom1.count()} / ${dom10.count()}")
+    println(s"[probe] robots corpus rows ${dom1.count()} / ${dom10.count()}" +
+      " (domains 1k / 10k)")
     pair("robots_gate_shuffle",
       graft.ops.Url.robotsGate(dom1, graft.ops.Url.syntheticRobots(dom1),
         expectedDomains = 1L << 40),
