@@ -1702,6 +1702,29 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Per-domain robots METADATA (round 16): the `*` group's fractional
+    * Crawl-delay (the badbot group's decoy 99 must NOT apply) + every
+    * group-independent Sitemap URL, parsed from the derived robots
+    * corpus; sitemaps emit as CSV + count (scalar columns hash-compare
+    * cleanly). Oracle regenerates both directly from the domain string
+    * — the fixture contract. */
+  private def robotsMetaQ(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Url.robotsMeta(RawGen.derived(s, dir, "robots"))
+      .select(col("domain"), col("crawl_delay"),
+        array_join(col("sitemaps"), ",").as("sitemaps_csv"),
+        size(col("sitemaps")).cast("long").as("n_sitemaps"))
+      .orderBy("domain")
+
+  /** Politeness-bound crawl budget (round 16): the complete admission
+    * front end (scheme + blocklist + robots) collapsed to per-domain
+    * admitted counts,×crawl-delay feasibility — ONE corpus pass (see
+    * [[graft.ops.Url.crawlBudget]]). */
+  private def crawlBudgetQ(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Url.crawlBudget(
+        urlFrame(s, dir).select(col("doc_id"), col("url")),
+        crawlBlockedDomains, RawGen.derived(s, dir, "robots"))
+      .orderBy("domain")
+
   // Unicode text normalization (round 15): every 3rd doc gains a MESSY
   // deterministic suffix (decomposed accent, curly quotes, em dash,
   // double spaces) so NFC + folding have real work and `changed` has
@@ -2000,6 +2023,8 @@ object SparkEntry {
     "url_gate" -> (urlGateQ _),
     "url_frontier" -> (urlFrontierQ _),
     "robots_gate" -> (robotsGateQ _),
+    "robots_meta" -> (robotsMetaQ _),
+    "crawl_budget" -> (crawlBudgetQ _),
     "text_normalize" -> (textNormalizeQ _),
     "heavy_hitters" -> (heavyHittersQ _),
     "domain_stats" -> (domainStatsQ _),
@@ -4528,6 +4553,38 @@ object SparkEntry {
   private val robotsGateSql = urlCanonCte + ",\n" + robotsCtes +
     "\nSELECT doc_id, url_canon, domain, path, robots_ok FROM rg ORDER BY doc_id"
 
+  // robots metadata: crawl_delay and both sitemap URLs regenerate
+  // directly from the domain string (the syntheticRobots contract), so
+  // a hash match proves the parser recovered the *-group's fractional
+  // delay (not the badbot group's decoy 99) and collected sitemaps
+  // group-independently in file order
+  private val robotsMetaSql = urlCanonCte + """,
+      | rdom AS (SELECT DISTINCT domain FROM d)
+      |SELECT domain, length(domain)%3 + 0.5 AS crawl_delay,
+      |  'https://' || domain || '/s2.xml,https://' || domain ||
+      |    '/sitemap.xml' AS sitemaps_csv,
+      |  CAST(2 AS BIGINT) AS n_sitemaps
+      |FROM rdom ORDER BY domain""".stripMargin
+
+  // crawl budget: the full admission front end (scheme + blocklist +
+  // robots verdicts — the ug/rg CTE chains) collapsed per domain, then
+  // politeness arithmetic: est = n·delay, cap = floor(target/delay).
+  // delay regenerates from the domain; all values exact in double
+  // (n × (k+0.5), 3600/(k+0.5) for k in 0..2)
+  private val crawlBudgetSql = urlCanonCte + ",\n" + urlGateCte + ",\n" +
+    robotsCtes + """,
+      | bb AS (SELECT ug.domain, CAST(count(*) AS BIGINT) AS n_admitted
+      |  FROM ug JOIN rg ON ug.doc_id = rg.doc_id
+      |  WHERE ug.scheme_ok AND ug.domain_ok AND rg.robots_ok GROUP BY 1)
+      |SELECT domain, n_admitted,
+      |  length(domain)%3 + 0.5 AS crawl_delay_s,
+      |  n_admitted * (length(domain)%3 + 0.5) AS est_crawl_s,
+      |  CAST(floor(3600.0 / (length(domain)%3 + 0.5)) AS BIGINT) AS cap_pages,
+      |  least(n_admitted,
+      |    CAST(floor(3600.0 / (length(domain)%3 + 0.5)) AS BIGINT))
+      |    AS n_fetchable
+      |FROM bb ORDER BY domain""".stripMargin
+
   private val domainStatsSql = urlCanonCte +
     "\nSELECT domain, n_docs, n_urls, total_chars, quota FROM qt ORDER BY domain"
 
@@ -4851,6 +4908,8 @@ object SparkEntry {
     "url_gate" -> urlGateSql,
     "url_frontier" -> urlFrontierSql,
     "robots_gate" -> robotsGateSql,
+    "robots_meta" -> robotsMetaSql,
+    "crawl_budget" -> crawlBudgetSql,
     "text_normalize" -> textNormalizeSql,
     "heavy_hitters" -> heavyHittersSql,
     "domain_stats" -> domainStatsSql,

@@ -354,6 +354,91 @@ object Url {
         coalesce(pmod(col("_best"), lit(2)) === 1, lit(true)).as("robots_ok"))
   }
 
+  /** Per-domain robots.txt METADATA (round 16): the `User-agent: *`
+    * group's `Crawl-delay` (the de-facto politeness extension Bing and
+    * Yandex honor — seconds, fractional allowed, null when absent) and
+    * every `Sitemap:` URL (group-independent per the sitemaps protocol,
+    * file order). One O(lines) native pass per domain
+    * ([[graft.functions.RobotsMeta]], the [[robotsRules]] shape and
+    * 500 KiB cap); duplicate domain rows collapse exactly as in
+    * [[robotsGate]]. |domains|-sized in and out — no corpus work. */
+  def robotsMeta(robots: DataFrame): DataFrame =
+    robots.groupBy("domain")
+      .agg(max(col("robots_txt")).as("_txt"))
+      .select(col("domain"),
+        graft.functions.RobotsMeta(col("_txt")).as("_m"))
+      .select(col("domain"),
+        col("_m.crawl_delay").as("crawl_delay"),
+        col("_m.sitemaps").as("sitemaps"))
+
+  /** Per-domain CRAWL BUDGET — the feasibility table a polite fetch
+    * scheduler reads before allocating fetchers: politeness (one request
+    * per `crawl_delay` seconds per domain — the delay is a PER-DOMAIN
+    * serialization constraint, more fetchers cannot shorten it) makes a
+    * domain's minimum wall time `n_admitted × delay`, so the pages
+    * actually fetchable inside a wall-clock target is
+    * `floor(target / delay)` — the politeness-bound admission cap that
+    * big-domain crawl curation must apply BEFORE content work (or the
+    * fetch queue silently starves on megadomains).
+    * Per admitted-by-all-gates URL (scheme + blocklist + robots — the
+    * complete front end), grouped by registrable domain:
+    * `(domain, n_admitted, crawl_delay_s, est_crawl_s, cap_pages,
+    * n_fetchable)`; domains with a blocklisted or fully-disallowed page
+    * set simply have no admitted rows and drop out.
+    *
+    * Scale shape: ONE corpus pass — canonicalize + blocklist broadcast
+    * probe + rules probe fused into the same scan (NOT a composition of
+    * [[urlGate]] and [[robotsGate]], which would canonicalize twice and
+    * join two corpus-sized verdict frames on doc_id); the only
+    * corpus-keyed exchange is the |domains|-row count aggregation
+    * (map-side combine), and `crawl_delay` rides the rules frame so no
+    * second metadata join touches the corpus. `expectedDomains` picks
+    * the rules-side strategy exactly as in [[robotsGate]]. */
+  def crawlBudget(urls: DataFrame, blocked: Seq[String], robots: DataFrame,
+                  defaultDelayS: Double = 1.0, wallTargetS: Long = 3600L,
+                  expectedDomains: Long = 0L): DataFrame = {
+    val spark = urls.sparkSession
+    import spark.implicits._
+    // rules + metadata parsed in ONE pass over the per-domain frame
+    val rules = robots.groupBy("domain")
+      .agg(max(col("robots_txt")).as("_txt"))
+      .select(col("domain"), robotsRules(col("_txt")).as("_rules"),
+        coalesce(graft.functions.RobotsMeta(col("_txt"))("crawl_delay"),
+          lit(defaultDelayS)).as("_delay"))
+    val rulesSide =
+      if (expectedDomains * rulesBytesPerDomain <= rulesBroadcastMaxBytes)
+        broadcast(rules)
+      else rules.hint("shuffle_hash")
+    val canon = urls.select(col("doc_id"),
+        canonicalizeUrl(col("url")).as("url_canon"))
+      .withColumn("domain", registrableDomain(col("url_canon")))
+      .withColumn("path", canonPathQuery(col("url_canon")))
+      .withColumn("scheme_ok",
+        substring_index(col("url_canon"), "://", 1).isin("http", "https"))
+    val matched = filter(col("_rules"), r =>
+      when(r("wild"), regexp_like(col("path"), r("pattern")))
+        .otherwise(col("path").startsWith(r("prefix"))))
+    val best = array_max(transform(matched,
+      r => length(r("prefix")) * 2 + when(r("allow"), 1).otherwise(0)))
+    canon
+      .join(broadcast(blocked.toDF("domain").distinct()
+        .withColumn("_blocked", lit(true))), Seq("domain"), "left")
+      .join(rulesSide, Seq("domain"), "left")
+      .withColumn("_best", best)
+      .filter(col("scheme_ok") && col("_blocked").isNull &&
+        coalesce(pmod(col("_best"), lit(2)) === 1, lit(true)))
+      .groupBy("domain")
+      .agg(count(lit(1)).cast("long").as("n_admitted"),
+        // functionally dependent on the group key (one rules row per
+        // domain); max() just satisfies the aggregation
+        max(coalesce(col("_delay"), lit(defaultDelayS))).as("crawl_delay_s"))
+      .select(col("domain"), col("n_admitted"), col("crawl_delay_s"),
+        (col("n_admitted") * col("crawl_delay_s")).as("est_crawl_s"),
+        floor(lit(wallTargetS.toDouble) / col("crawl_delay_s")).cast("long")
+          .as("cap_pages"))
+      .withColumn("n_fetchable", least(col("n_admitted"), col("cap_pages")))
+  }
+
   /** Deterministic synthetic robots.txt corpus — one text per registrable
     * domain of `urls`, derived purely from the domain string so the
     * DuckDB oracle regenerates the same RULES directly (parse(generate)
@@ -369,7 +454,11 @@ object Url {
     *   Allow:    /p/{d}2        — longest-match carve-out
     *   Disallow: (slash)*?id=   — wildcard: any path whose query is id=…
     *   Disallow: /p/{(d+1)%13}$ — anchored: that exact path, query-free
-    */
+    * Round-16 metadata lines ([[robotsMeta]]'s fixture contract): a
+    * `Crawl-delay: 99` inside the badbot group that must NOT apply, the
+    * `*` group's fractional `Crawl-delay: {len(domain)%3}.5`, and two
+    * `Sitemap:` URLs — one inside the badbot group, one at the tail —
+    * both of which must collect (sitemaps are group-independent). */
   def syntheticRobots(urls: DataFrame): DataFrame = {
     val domains = urls
       .select(canonicalizeUrl(col("url")).as("_uc"))
@@ -377,14 +466,19 @@ object Url {
       .distinct()
     val d13 = pmod(length(col("domain")), lit(13))
     val j13 = pmod(d13 + 1, lit(13))
+    val d3 = pmod(length(col("domain")), lit(3))
     domains.select(col("domain"), concat(
-      lit("# crawl policy\nUser-agent: badbot\nDisallow: /\n\n"),
+      lit("# crawl policy\nUser-agent: badbot\nDisallow: /\nCrawl-delay: 99\n"),
+      lit("Sitemap: https://"), col("domain"), lit("/s2.xml\n\n"),
       lit("User-agent: *\nDisallow: /p/"), d13,
       lit("\nAllow: /p/"), d13, lit("2\n"),
+      lit("Crawl-delay: "), d3, lit(".5\n"),
       lit("Disallow: /*?id=\n"),
       lit("Disallow: /p/"), j13, lit("$\n"),
       lit("Disallow:\n"), // empty value: no restriction, parser must skip
-      lit("Disallow: /admin\n")).as("robots_txt"))
+      lit("Disallow: /admin\n"),
+      lit("Sitemap: https://"), col("domain"), lit("/sitemap.xml\n"))
+      .as("robots_txt"))
   }
 
   /** Canonicalized-URL exact dedup, first-occurrence-wins (the library-wide

@@ -293,6 +293,56 @@ class UrlSpec extends SparkSpec {
     assert(got === bcast, "shuffle mode diverged from broadcast mode")
   }
 
+  test("robotsMeta: the * group's fractional Crawl-delay wins (a non-* " +
+    "group's decoy does NOT apply; unparseable/absent -> null), Sitemap " +
+    "lines collect group-independently in file order, dup rows collapse") {
+    import spark.implicits._
+    val robots = Seq(
+      ("a.com", "User-agent: badbot\nCrawl-delay: 99\n" +
+        "Sitemap: https://a.com/s1.xml\n\n" +
+        "User-agent: *\nCrawl-delay: 2.5\nDisallow: /x\n" +
+        "Sitemap: https://a.com/s2.xml\n"),
+      ("a.com", "User-agent: badbot\nCrawl-delay: 99\n" +
+        "Sitemap: https://a.com/s1.xml\n\n" +
+        "User-agent: *\nCrawl-delay: 2.5\nDisallow: /x\n" +
+        "Sitemap: https://a.com/s2.xml\n"),               // dup row
+      ("b.com", "User-agent: *\nCrawl-delay: nonsense\n"), // unparseable
+      ("c.com", "User-agent: *\nDisallow: /\n"))           // absent
+      .toDF("domain", "robots_txt")
+    val got = Url.robotsMeta(robots).orderBy("domain").collect()
+      .map(r => (r.getString(0),
+        Option(r.get(1)).map(_.asInstanceOf[Double]),
+        r.getSeq[String](2)))
+    assert(got.length === 3, "duplicate domain rows did not collapse")
+    assert(got(0) === (("a.com", Some(2.5),
+      Seq("https://a.com/s1.xml", "https://a.com/s2.xml"))))
+    assert(got(1) === (("b.com", None, Seq())))
+    assert(got(2) === (("c.com", None, Seq())))
+  }
+
+  test("crawlBudget: one-pass admission counts x politeness arithmetic — " +
+    "the cap binds on a big domain, blocked domains drop, a domain with " +
+    "no robots row gets the default delay") {
+    import spark.implicits._
+    // big.com: 5 pages, delay 2s, wall target 6s -> cap_pages 3 binds;
+    // small.com: 2 pages, no robots row -> default delay 1s, cap 6;
+    // blocked.com: blocklisted, must not appear; ftp row: scheme drop
+    val urls = ((1L to 5L).map(i => (i, s"http://a.big.com/p/$i")) ++
+      Seq((10L, "http://small.com/x"), (11L, "http://small.com/y"),
+        (20L, "http://a.blocked.com/z"), (21L, "ftp://small.com/f")))
+      .toDF("doc_id", "url")
+    val robots = Seq(("big.com", "User-agent: *\nCrawl-delay: 2\n"))
+      .toDF("domain", "robots_txt")
+    val got = Url.crawlBudget(urls, Seq("blocked.com"), robots,
+        defaultDelayS = 1.0, wallTargetS = 6L)
+      .orderBy("domain").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4), r.getLong(5)))
+    assert(got === Array(
+      ("big.com", 5L, 2.0, 10.0, 3L, 3L),
+      ("small.com", 2L, 1.0, 2.0, 6L, 2L)))
+  }
+
   test("robotsRules caps input at RFC 9309's 500 KiB and parses a " +
     "many-line file in one O(lines) pass (round-15 VERDICT: the fold " +
     "spelling was O(lines^2))") {
