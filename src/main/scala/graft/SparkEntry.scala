@@ -1695,6 +1695,10 @@ object SparkEntry {
     graft.ops.Url.syntheticRobots(
       urlFrame(s, dir).select(col("doc_id"), col("url")))
   }
+  RawGen.registerDerived("sitemaps") { (s, dir) =>
+    graft.ops.Url.syntheticSitemaps(
+      urlFrame(s, dir).select(col("doc_id"), col("url")))
+  }
   private def robotsGateQ(s: SparkSession, dir: String): DataFrame = {
     val urls = urlFrame(s, dir).select(col("doc_id"), col("url"))
     graft.ops.Url.robotsGate(urls, RawGen.derived(s, dir, "robots"))
@@ -1714,6 +1718,17 @@ object SparkEntry {
         array_join(col("sitemaps"), ",").as("sitemaps_csv"),
         size(col("sitemaps")).cast("long").as("n_sitemaps"))
       .orderBy("domain")
+
+  /** Sitemap seed extraction (round 16): per-domain sitemap.xml parsed
+    * into `<loc>` seed URLs (trimmed, comment-stripped, canonicalized)
+    * — the discovery half of the crawl loop robots_meta's Sitemap URLs
+    * point into. The sitemap corpus is FETCHED input in production, so
+    * it persists via RawGen.derived (the robots/WARC precedent). Oracle
+    * regenerates each domain's expected locs directly from the domain
+    * string — the fixture contract. */
+  private def sitemapSeedsQ(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Url.sitemapSeeds(RawGen.derived(s, dir, "sitemaps"))
+      .orderBy("domain", "seed_idx")
 
   /** Politeness-bound crawl budget (round 16): the complete admission
     * front end (scheme + blocklist + robots) collapsed to per-domain
@@ -2025,6 +2040,7 @@ object SparkEntry {
     "robots_gate" -> (robotsGateQ _),
     "robots_meta" -> (robotsMetaQ _),
     "crawl_budget" -> (crawlBudgetQ _),
+    "sitemap_seeds" -> (sitemapSeedsQ _),
     "text_normalize" -> (textNormalizeQ _),
     "heavy_hitters" -> (heavyHittersQ _),
     "domain_stats" -> (domainStatsQ _),
@@ -4566,6 +4582,20 @@ object SparkEntry {
       |  CAST(2 AS BIGINT) AS n_sitemaps
       |FROM rdom ORDER BY domain""".stripMargin
 
+  // sitemap seeds: each domain's expected <loc> set regenerates directly
+  // from the domain string (1 + len%3 entries, whitespace-padded and
+  // comment-decoyed in the XML the Spark side parses), so a hash match
+  // proves extract∘generate — including that the commented-out loc did
+  // NOT extract and the whitespace trim landed
+  private val sitemapSeedsSql = urlCanonCte + """,
+      | rdom AS (SELECT DISTINCT domain FROM d),
+      | sg AS (SELECT domain,
+      |    unnest(range(1, length(domain)%3 + 2)) AS i FROM rdom)
+      |SELECT domain, CAST(i AS BIGINT) AS seed_idx,
+      |  'https://' || domain || '/page/' || CAST(i AS VARCHAR) AS seed_url,
+      |  'https://' || domain || '/page/' || CAST(i AS VARCHAR) AS seed_canon
+      |FROM sg ORDER BY domain, seed_idx""".stripMargin
+
   // crawl budget: the full admission front end (scheme + blocklist +
   // robots verdicts — the ug/rg CTE chains) collapsed per domain, then
   // politeness arithmetic: est = n·delay, cap = floor(target/delay).
@@ -4910,6 +4940,7 @@ object SparkEntry {
     "robots_gate" -> robotsGateSql,
     "robots_meta" -> robotsMetaSql,
     "crawl_budget" -> crawlBudgetSql,
+    "sitemap_seeds" -> sitemapSeedsSql,
     "text_normalize" -> textNormalizeSql,
     "heavy_hitters" -> heavyHittersSql,
     "domain_stats" -> domainStatsSql,

@@ -481,6 +481,60 @@ object Url {
       .as("robots_txt"))
   }
 
+  /** Deterministic synthetic sitemap.xml corpus — one document per
+    * registrable domain (the sitemaps.org urlset shape: `<urlset>` of
+    * `<url><loc>…</loc><lastmod>…</lastmod></url>` entries), derived
+    * purely from the domain string so the DuckDB oracle regenerates the
+    * expected LOCs directly. Each sitemap carries 1 + len(domain)%3
+    * entries plus the hostile shapes the extractor must survive: XML
+    * declaration, whitespace/newlines around tags, a `<loc>` inside an
+    * XML comment that must NOT extract, and a lastmod sibling. */
+  def syntheticSitemaps(urls: DataFrame): DataFrame = {
+    val domains = urls
+      .select(canonicalizeUrl(col("url")).as("_uc"))
+      .select(registrableDomain(col("_uc")).as("domain"))
+      .distinct()
+    val n = pmod(length(col("domain")), lit(3)) + 1
+    val entries = array_join(transform(sequence(lit(1), n.cast("int")), i =>
+      concat(lit("  <url>\n    <loc> https://"), col("domain"),
+        lit("/page/"), i,
+        lit(" </loc>\n    <lastmod>2026-01-0"), i,
+        lit("</lastmod>\n  </url>\n"))), "")
+    domains.select(col("domain"), concat(
+      lit("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n"),
+      lit("<!-- <loc>https://decoy.invalid/x</loc> -->\n"),
+      lit("<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n"),
+      entries, lit("</urlset>\n")).as("sitemap_xml"))
+  }
+
+  /** Sitemap seed extraction — the discovery half of the crawl loop the
+    * robots family completes ([[robotsMeta]] surfaces each domain's
+    * sitemap URLs; this extracts the page URLs a fetched sitemap
+    * declares, feeding the frontier): per `(domain, sitemap_xml)` row,
+    * every `<loc>` value (sitemaps.org protocol, public), trimmed
+    * (the spec requires whitespace-tolerant parsers), XML comments
+    * stripped FIRST (a commented-out loc is not a seed), emitted one
+    * row per seed with its position and the canonical form — ready for
+    * [[urlGate]]/[[urlFrontierIncrement]] downstream.
+    *
+    * Scale shape: row-local regexp extraction + one explode, fused into
+    * the sitemap scan — no joins, no shuffles; a crawl's sitemap corpus
+    * is |domains|-to-|sitemaps| sized, far below page scale. The
+    * pattern is anchored to the tag (`<loc>…</loc>`, no regex dot-all
+    * tricks RE2 and Java disagree on), so the DuckDB oracle replays
+    * byte-identically. */
+  def sitemapSeeds(sitemaps: DataFrame): DataFrame = {
+    val noComments = regexp_replace(col("sitemap_xml"), "<!--.*?-->", "")
+    val locs = regexp_extract_all(col("_nc"),
+      lit("<loc>([^<]*)</loc>"), lit(1))
+    sitemaps
+      .withColumn("_nc", noComments)
+      .select(col("domain"), posexplode(locs).as(Seq("seed_idx", "_raw")))
+      .select(col("domain"), (col("seed_idx") + 1).cast("long").as("seed_idx"),
+        trim(col("_raw")).as("seed_url"),
+        canonicalizeUrl(trim(col("_raw"))).as("seed_canon"))
+  }
+
   /** Canonicalized-URL exact dedup, first-occurrence-wins (the library-wide
     * dedup convention): one row per distinct canonical URL with the
     * lowest-doc_id keeper and the collapse count. One hash aggregation on
