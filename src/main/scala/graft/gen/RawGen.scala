@@ -51,11 +51,37 @@ object RawGen {
       p.getFileSystem(spark.sparkContext.hadoopConfiguration)
         .getContentSummary(p).getLength
     } catch { case _: Exception => Long.MaxValue }
-  private def spread(spark: SparkSession, df: DataFrame, path: String): DataFrame =
-    if (inputBytes(spark, path) < smallFileBytes)
-      df.repartition(spark.sparkContext.defaultParallelism)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    else df
+  /** Memoized per (session, path) — the [[derived]] cache pattern: every
+    * `table()` call used to build a FRESH repartitioned frame and
+    * persist it, so each of a bench query's repeat samples re-registered
+    * the same plan with the CacheManager (a WARN "Asked to cache already
+    * cached data" per call — the round-15 VERDICT's driver-log noise —
+    * plus a per-call FileSystem size probe and re-analysis). Returning
+    * the SAME frame object makes the persist a one-time event; the
+    * storageLevel re-check below restores the cache if a caller (test
+    * teardown, the bench leak fence on a first-touch path) unpersisted
+    * it. */
+  private val spreadCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private def spread(spark: SparkSession, df: DataFrame, path: String): DataFrame = {
+    val live = spreadCache.get(path).filter { c =>
+      val sc = c.sparkSession.sparkContext
+      !sc.isStopped && (sc eq spark.sparkContext)
+    }
+    val out = live.getOrElse {
+      val built =
+        if (inputBytes(spark, path) < smallFileBytes)
+          df.repartition(spark.sparkContext.defaultParallelism)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        else df
+      spreadCache.put(path, built)
+      built
+    }
+    if (out.storageLevel == org.apache.spark.storage.StorageLevel.NONE &&
+        inputBytes(spark, path) < smallFileBytes)
+      out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out
+  }
 
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     // Defensive: events.parquet stores ts as TIMESTAMP(NANOS), which Spark 4
