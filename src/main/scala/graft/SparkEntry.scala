@@ -1699,9 +1699,31 @@ object SparkEntry {
     graft.ops.Url.syntheticSitemaps(
       urlFrame(s, dir).select(col("doc_id"), col("url")))
   }
+  // a PRIOR discovery batch's admitted seeds (even-length domains'
+  // /page/1) — accumulated frontier state, like url_catalog; gives
+  // crawl_discover_e2e's catalog anti-join genuine seed-side hits
+  RawGen.registerDerived("seed_catalog") { (s, dir) =>
+    RawGen.derived(s, dir, "robots")
+      .filter(pmod(length(col("domain")), lit(2)) === 0)
+      .select(concat(lit("https://"), col("domain"), lit("/page/1"))
+        .as("url_canon"))
+  }
   private def robotsGateQ(s: SparkSession, dir: String): DataFrame = {
     val urls = urlFrame(s, dir).select(col("doc_id"), col("url"))
     graft.ops.Url.robotsGate(urls, RawGen.derived(s, dir, "robots"))
+      .select("doc_id", "url_canon", "domain", "path", "robots_ok")
+      .orderBy("doc_id")
+  }
+
+  /** [[robotsGateQ]] for the `graftbot` product token (round 17, RFC
+    * 9309 §2.2.1): the fixture's graftbot group INVERTS the `*` group's
+    * /p/{d} verdict, so a hash match proves most-specific group
+    * selection end-to-end (the oracle regenerates the graftbot rules —
+    * the `*` and badbot groups must NOT leak in). */
+  private def robotsGateAgentQ(s: SparkSession, dir: String): DataFrame = {
+    val urls = urlFrame(s, dir).select(col("doc_id"), col("url"))
+    graft.ops.Url.robotsGate(urls, RawGen.derived(s, dir, "robots"),
+        agent = "GraftBot") // mixed case: token match is case-insensitive
       .select("doc_id", "url_canon", "domain", "path", "robots_ok")
       .orderBy("doc_id")
   }
@@ -1719,6 +1741,18 @@ object SparkEntry {
         size(col("sitemaps")).cast("long").as("n_sitemaps"))
       .orderBy("domain")
 
+  /** [[robotsMetaQ]] for the `graftbot` token: the graftbot group's
+    * `{len%2}.25` Crawl-delay must win over both the `*` group's and
+    * the badbot decoy; sitemaps stay group-independent (identical to
+    * the `*` run — the protocol contract, oracled per-agent). */
+  private def robotsMetaAgentQ(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Url.robotsMeta(RawGen.derived(s, dir, "robots"),
+        agent = "graftbot")
+      .select(col("domain"), col("crawl_delay"),
+        array_join(col("sitemaps"), ",").as("sitemaps_csv"),
+        size(col("sitemaps")).cast("long").as("n_sitemaps"))
+      .orderBy("domain")
+
   /** Sitemap seed extraction (round 16): per-domain sitemap.xml parsed
     * into `<loc>` seed URLs (trimmed, comment-stripped, canonicalized)
     * — the discovery half of the crawl loop robots_meta's Sitemap URLs
@@ -1728,7 +1762,31 @@ object SparkEntry {
     * string — the fixture contract. */
   private def sitemapSeedsQ(s: SparkSession, dir: String): DataFrame =
     graft.ops.Url.sitemapSeeds(RawGen.derived(s, dir, "sitemaps"))
-      .orderBy("domain", "seed_idx")
+      .orderBy("domain", "sitemap", "seed_idx")
+
+  /** Sitemap index resolution (round 17): each domain's
+    * `<sitemapindex>` children with their fetched/unfetched status —
+    * the fixture's /sm-404.xml child has no row, so `fetched` has both
+    * values; the gzipped /sm-2.xml.gz child joins through its
+    * canonical URL. Oracle regenerates the child table directly from
+    * the domain string. */
+  private def sitemapIndexQ(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Url.sitemapIndex(RawGen.derived(s, dir, "sitemaps"))
+      .orderBy("domain", "child_idx")
+
+  /** Crawl discovery loop end-to-end (round-17 directive): robots
+    * metadata → declared sitemaps → index recursion → urlset seeds →
+    * scheme/blocklist gate → frontier novelty vs the admitted catalog
+    * (docs < 250 plus the even-length domains' /page/1 — a prior
+    * discovery batch, so the anti-join has real hits). The gz shard's
+    * duplicate /page/1 exercises the first-occurrence collapse. */
+  private def crawlDiscoverE2eQ(s: SparkSession, dir: String): DataFrame = {
+    val catalog = RawGen.derived(s, dir, "url_catalog")
+      .unionByName(RawGen.derived(s, dir, "seed_catalog"))
+    graft.ops.Url.crawlDiscover(RawGen.derived(s, dir, "robots"),
+        RawGen.derived(s, dir, "sitemaps"), crawlBlockedDomains, catalog)
+      .orderBy("domain", "sitemap", "seed_idx")
+  }
 
   /** Politeness-bound crawl budget (round 16): the complete admission
     * front end (scheme + blocklist + robots) collapsed to per-domain
@@ -1738,6 +1796,17 @@ object SparkEntry {
     graft.ops.Url.crawlBudget(
         urlFrame(s, dir).select(col("doc_id"), col("url")),
         crawlBlockedDomains, RawGen.derived(s, dir, "robots"))
+      .orderBy("domain")
+
+  /** [[crawlBudgetQ]] for the `graftbot` token: admitted counts follow
+    * the graftbot group's inverted /p/ rules and the politeness
+    * arithmetic follows its `{len%2}.25` delay — the full front end
+    * re-oracled per-agent (round 17). */
+  private def crawlBudgetAgentQ(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Url.crawlBudget(
+        urlFrame(s, dir).select(col("doc_id"), col("url")),
+        crawlBlockedDomains, RawGen.derived(s, dir, "robots"),
+        agent = "graftbot")
       .orderBy("domain")
 
   // Unicode text normalization (round 15): every 3rd doc gains a MESSY
@@ -2038,9 +2107,14 @@ object SparkEntry {
     "url_gate" -> (urlGateQ _),
     "url_frontier" -> (urlFrontierQ _),
     "robots_gate" -> (robotsGateQ _),
+    "robots_gate_agent" -> (robotsGateAgentQ _),
     "robots_meta" -> (robotsMetaQ _),
+    "robots_meta_agent" -> (robotsMetaAgentQ _),
     "crawl_budget" -> (crawlBudgetQ _),
+    "crawl_budget_agent" -> (crawlBudgetAgentQ _),
     "sitemap_seeds" -> (sitemapSeedsQ _),
+    "sitemap_index" -> (sitemapIndexQ _),
+    "crawl_discover_e2e" -> (crawlDiscoverE2eQ _),
     "text_normalize" -> (textNormalizeQ _),
     "heavy_hitters" -> (heavyHittersQ _),
     "domain_stats" -> (domainStatsQ _),
@@ -4538,23 +4612,16 @@ object SparkEntry {
   // starts_with), equivalent to the Spark side's \Q…\E translation.
   // The CTE chain (expects `d` in scope, ends at `rg`) is shared
   // verbatim by the standalone gate query and both curate-e2e
-  // compositions.
-  private val robotsCtes =
-    """ rp AS (SELECT doc_id, url_canon, domain,
+  // compositions; the TEMPLATE (round 17) swaps only the regenerated
+  // rule set, so the per-agent variant replays the identical
+  // match/precedence SQL against the graftbot group's rules.
+  private def robotsCtesWith(rules: String) =
+    s""" rp AS (SELECT doc_id, url_canon, domain,
       |    substr(split_part(url_canon, '://', 2),
       |      length(split_part(split_part(url_canon, '://', 2), '/', 1)) + 1) AS path FROM d),
       | rdom AS (SELECT DISTINCT domain FROM d),
       | rrules AS (
-      |  SELECT domain, FALSE AS allow,
-      |    '/p/' || CAST(length(domain)%13 AS VARCHAR) AS prefix,
-      |    CAST(NULL AS VARCHAR) AS pat FROM rdom
-      |  UNION ALL SELECT domain, TRUE,
-      |    '/p/' || CAST(length(domain)%13 AS VARCHAR) || '2', NULL FROM rdom
-      |  UNION ALL SELECT domain, FALSE, '/*?id=', '^/.*\?id=' FROM rdom
-      |  UNION ALL SELECT domain, FALSE,
-      |    '/p/' || CAST((length(domain)%13+1)%13 AS VARCHAR) || '$',
-      |    '^/p/' || CAST((length(domain)%13+1)%13 AS VARCHAR) || '$' FROM rdom
-      |  UNION ALL SELECT domain, FALSE, '/admin', NULL FROM rdom),
+      |$rules),
       | rm AS (SELECT p.doc_id,
       |    max(length(r.prefix)*2 + CASE WHEN r.allow THEN 1 ELSE 0 END) AS enc
       |  FROM rp p JOIN rrules r
@@ -4566,54 +4633,158 @@ object SparkEntry {
       |    COALESCE(rm.enc % 2 = 1, TRUE) AS robots_ok
       |  FROM rp LEFT JOIN rm ON rp.doc_id = rm.doc_id)""".stripMargin
 
+  private val robotsCtes = robotsCtesWith(
+    """  SELECT domain, FALSE AS allow,
+      |    '/p/' || CAST(length(domain)%13 AS VARCHAR) AS prefix,
+      |    CAST(NULL AS VARCHAR) AS pat FROM rdom
+      |  UNION ALL SELECT domain, TRUE,
+      |    '/p/' || CAST(length(domain)%13 AS VARCHAR) || '2', NULL FROM rdom
+      |  UNION ALL SELECT domain, FALSE, '/*?id=', '^/.*\?id=' FROM rdom
+      |  UNION ALL SELECT domain, FALSE,
+      |    '/p/' || CAST((length(domain)%13+1)%13 AS VARCHAR) || '$',
+      |    '^/p/' || CAST((length(domain)%13+1)%13 AS VARCHAR) || '$' FROM rdom
+      |  UNION ALL SELECT domain, FALSE, '/admin', NULL FROM rdom""".stripMargin)
+
+  // the graftbot group (syntheticRobots' round-17 contract): Disallow
+  // /p/ inverted by Allow /p/{d} — badbot and * rules must NOT appear
+  private val robotsAgentCtes = robotsCtesWith(
+    """  SELECT domain, FALSE AS allow, '/p/' AS prefix,
+      |    CAST(NULL AS VARCHAR) AS pat FROM rdom
+      |  UNION ALL SELECT domain, TRUE,
+      |    '/p/' || CAST(length(domain)%13 AS VARCHAR), NULL FROM rdom""".stripMargin)
+
   private val robotsGateSql = urlCanonCte + ",\n" + robotsCtes +
+    "\nSELECT doc_id, url_canon, domain, path, robots_ok FROM rg ORDER BY doc_id"
+
+  // per-agent gate (round 17): same match/precedence replay over the
+  // graftbot group's regenerated rules — a hash match proves RFC 9309
+  // §2.2.1 most-specific group selection (neither the * group's nor
+  // badbot's rules may leak into the verdict)
+  private val robotsGateAgentSql = urlCanonCte + ",\n" + robotsAgentCtes +
     "\nSELECT doc_id, url_canon, domain, path, robots_ok FROM rg ORDER BY doc_id"
 
   // robots metadata: crawl_delay and both sitemap URLs regenerate
   // directly from the domain string (the syntheticRobots contract), so
-  // a hash match proves the parser recovered the *-group's fractional
-  // delay (not the badbot group's decoy 99) and collected sitemaps
-  // group-independently in file order
-  private val robotsMetaSql = urlCanonCte + """,
+  // a hash match proves the parser recovered the *-group's delay — the
+  // literal 0 on len%5 domains (round 17's pinned "no delay" edge),
+  // else the fractional {len%3}.5, never the badbot decoy 99 — and
+  // collected sitemaps group-independently in file order
+  private val starDelaySql =
+    "CASE WHEN length(domain)%5 = 0 THEN 0.0 ELSE length(domain)%3 + 0.5 END"
+
+  private val robotsMetaSql = urlCanonCte + s""",
       | rdom AS (SELECT DISTINCT domain FROM d)
-      |SELECT domain, length(domain)%3 + 0.5 AS crawl_delay,
+      |SELECT domain, $starDelaySql AS crawl_delay,
       |  'https://' || domain || '/s2.xml,https://' || domain ||
       |    '/sitemap.xml' AS sitemaps_csv,
       |  CAST(2 AS BIGINT) AS n_sitemaps
       |FROM rdom ORDER BY domain""".stripMargin
 
-  // sitemap seeds: each domain's expected <loc> set regenerates directly
-  // from the domain string (1 + len%3 entries, whitespace-padded and
-  // comment-decoyed in the XML the Spark side parses), so a hash match
-  // proves extract∘generate — including that the commented-out loc did
-  // NOT extract and the whitespace trim landed
-  private val sitemapSeedsSql = urlCanonCte + """,
-      | rdom AS (SELECT DISTINCT domain FROM d),
+  // per-agent metadata: the graftbot group's {len%2}.25 delay wins;
+  // sitemaps stay group-independent (identical to the * run)
+  private val robotsMetaAgentSql = urlCanonCte + """,
+      | rdom AS (SELECT DISTINCT domain FROM d)
+      |SELECT domain, length(domain)%2 + 0.25 AS crawl_delay,
+      |  'https://' || domain || '/s2.xml,https://' || domain ||
+      |    '/sitemap.xml' AS sitemaps_csv,
+      |  CAST(2 AS BIGINT) AS n_sitemaps
+      |FROM rdom ORDER BY domain""".stripMargin
+
+  // sitemap seeds, v2 (round 17): each domain's expected <loc> set per
+  // URLSET file regenerates directly from the domain string — sm-1's
+  // 1+len%3 whitespace-padded entries plus the entity-escaped one (the
+  // extractor must emit the DECODED '&'), the gzipped sm-2's two (the
+  // extractor must gunzip), and NOTHING from the index file (its locs
+  // are child sitemaps, not seeds) or either comment decoy (one
+  // multi-line — the strip must be DOTALL)
+  // rdom is MATERIALIZED: without it DuckDB 1.0 inlines the deep url
+  // canonicalize chain into every union branch × the window × the
+  // anti-join of crawl_discover_e2e and the plan explodes (OOM on a
+  // 500-row input); materializing the 178-domain frame once is the
+  // obviously-right shape in any engine
+  private val sitemapSeedEntriesCtes =
+    """ rdom AS MATERIALIZED (SELECT DISTINCT domain FROM d),
       | sg AS (SELECT domain,
-      |    unnest(range(1, length(domain)%3 + 2)) AS i FROM rdom)
-      |SELECT domain, CAST(i AS BIGINT) AS seed_idx,
-      |  'https://' || domain || '/page/' || CAST(i AS VARCHAR) AS seed_url,
-      |  'https://' || domain || '/page/' || CAST(i AS VARCHAR) AS seed_canon
-      |FROM sg ORDER BY domain, seed_idx""".stripMargin
+      |    unnest(range(1, length(domain)%3 + 2)) AS i FROM rdom),
+      | ss AS (
+      |  SELECT domain, 'https://' || domain || '/sm-1.xml' AS sitemap,
+      |    CAST(i AS BIGINT) AS seed_idx,
+      |    'https://' || domain || '/page/' || CAST(i AS VARCHAR) AS seed_url
+      |  FROM sg
+      |  UNION ALL SELECT domain, 'https://' || domain || '/sm-1.xml',
+      |    CAST(length(domain)%3 + 2 AS BIGINT),
+      |    'https://' || domain || '/page/esc?a=1&b=2' FROM rdom
+      |  UNION ALL SELECT domain, 'https://' || domain || '/sm-2.xml.gz',
+      |    CAST(1 AS BIGINT), 'https://' || domain || '/gz/1' FROM rdom
+      |  UNION ALL SELECT domain, 'https://' || domain || '/sm-2.xml.gz',
+      |    CAST(2 AS BIGINT), 'https://' || domain || '/page/1' FROM rdom)""".stripMargin
+
+  private val sitemapSeedsSql = urlCanonCte + ",\n" + sitemapSeedEntriesCtes +
+    """
+      |SELECT domain, sitemap, seed_idx, seed_url, seed_url AS seed_canon
+      |FROM ss ORDER BY domain, sitemap, seed_idx""".stripMargin
+
+  // sitemap index children: three per domain from the index file, the
+  // third (sm-404.xml) unfetched — regenerated straight from the
+  // domain string; the multi-line-commented child must NOT appear
+  private val sitemapIndexSql = urlCanonCte + """,
+      | rdom AS (SELECT DISTINCT domain FROM d),
+      | ch AS (SELECT domain, unnest(range(1, 4)) AS i FROM rdom)
+      |SELECT domain, 'https://' || domain || '/sitemap.xml' AS index_url,
+      |  CAST(i AS BIGINT) AS child_idx,
+      |  'https://' || domain || CASE i WHEN 1 THEN '/sm-1.xml'
+      |    WHEN 2 THEN '/sm-2.xml.gz' ELSE '/sm-404.xml' END AS child_url,
+      |  'https://' || domain || CASE i WHEN 1 THEN '/sm-1.xml'
+      |    WHEN 2 THEN '/sm-2.xml.gz' ELSE '/sm-404.xml' END AS child_canon,
+      |  i < 3 AS fetched
+      |FROM ch ORDER BY domain, child_idx""".stripMargin
+
+  // crawl discovery e2e: regenerated urlset seeds (both reachable via
+  // the index), blocklist-gated on their registrable domain (= the
+  // fixture domain), first-occurrence per canonical seed (the gz
+  // shard's duplicate /page/1 collapses to sm-1's), then novelty vs
+  // the admitted catalog — doc canons < 250 plus the prior-batch seed
+  // catalog (even-length domains' /page/1)
+  private val crawlDiscoverE2eSql = urlCanonCte + ",\n" +
+    sitemapSeedEntriesCtes + s""",
+      | sgate AS (SELECT * FROM ss WHERE domain NOT IN $urlBlockedSqlList),
+      | sfirst AS (SELECT domain, sitemap, seed_idx, seed_url FROM (
+      |    SELECT g.*, row_number() OVER (PARTITION BY seed_url
+      |      ORDER BY sitemap, seed_idx) AS rn FROM sgate g) WHERE rn = 1),
+      | fcat AS (SELECT DISTINCT url_canon FROM cc WHERE doc_id < 250),
+      | scat AS (SELECT 'https://' || domain || '/page/1' AS url_canon
+      |    FROM rdom WHERE length(domain)%2 = 0)
+      |SELECT domain, sitemap, seed_idx, seed_url, seed_url AS seed_canon
+      |FROM sfirst
+      |WHERE seed_url NOT IN (SELECT url_canon FROM fcat
+      |  UNION ALL SELECT url_canon FROM scat)
+      |ORDER BY domain, sitemap, seed_idx""".stripMargin
 
   // crawl budget: the full admission front end (scheme + blocklist +
   // robots verdicts — the ug/rg CTE chains) collapsed per domain, then
-  // politeness arithmetic: est = n·delay, cap = floor(target/delay).
-  // delay regenerates from the domain; all values exact in double
-  // (n × (k+0.5), 3600/(k+0.5) for k in 0..2)
-  private val crawlBudgetSql = urlCanonCte + ",\n" + urlGateCte + ",\n" +
-    robotsCtes + """,
+  // politeness arithmetic: est = n·delay, cap = floor(target/delay),
+  // except delay = 0 ("no delay", the round-17 pinned edge) where the
+  // no-cap semantics are Long.MaxValue in both engines. All values
+  // exact in double (n × (k+0.5), 3600/(k+0.5) for k in 0..2)
+  private def crawlBudgetSqlWith(robots: String, delay: String) =
+    urlCanonCte + ",\n" + urlGateCte + ",\n" + robots + s""",
       | bb AS (SELECT ug.domain, CAST(count(*) AS BIGINT) AS n_admitted
       |  FROM ug JOIN rg ON ug.doc_id = rg.doc_id
-      |  WHERE ug.scheme_ok AND ug.domain_ok AND rg.robots_ok GROUP BY 1)
-      |SELECT domain, n_admitted,
-      |  length(domain)%3 + 0.5 AS crawl_delay_s,
-      |  n_admitted * (length(domain)%3 + 0.5) AS est_crawl_s,
-      |  CAST(floor(3600.0 / (length(domain)%3 + 0.5)) AS BIGINT) AS cap_pages,
-      |  least(n_admitted,
-      |    CAST(floor(3600.0 / (length(domain)%3 + 0.5)) AS BIGINT))
-      |    AS n_fetchable
-      |FROM bb ORDER BY domain""".stripMargin
+      |  WHERE ug.scheme_ok AND ug.domain_ok AND rg.robots_ok GROUP BY 1),
+      | bd AS (SELECT domain, n_admitted, $delay AS crawl_delay_s FROM bb),
+      | bc AS (SELECT domain, n_admitted, crawl_delay_s,
+      |    CASE WHEN crawl_delay_s = 0 THEN 9223372036854775807
+      |      ELSE CAST(floor(3600.0 / crawl_delay_s) AS BIGINT)
+      |      END AS cap_pages FROM bd)
+      |SELECT domain, n_admitted, crawl_delay_s,
+      |  n_admitted * crawl_delay_s AS est_crawl_s,
+      |  cap_pages, least(n_admitted, cap_pages) AS n_fetchable
+      |FROM bc ORDER BY domain""".stripMargin
+
+  private val crawlBudgetSql = crawlBudgetSqlWith(robotsCtes, starDelaySql)
+
+  private val crawlBudgetAgentSql =
+    crawlBudgetSqlWith(robotsAgentCtes, "length(domain)%2 + 0.25")
 
   private val domainStatsSql = urlCanonCte +
     "\nSELECT domain, n_docs, n_urls, total_chars, quota FROM qt ORDER BY domain"
@@ -4938,9 +5109,14 @@ object SparkEntry {
     "url_gate" -> urlGateSql,
     "url_frontier" -> urlFrontierSql,
     "robots_gate" -> robotsGateSql,
+    "robots_gate_agent" -> robotsGateAgentSql,
     "robots_meta" -> robotsMetaSql,
+    "robots_meta_agent" -> robotsMetaAgentSql,
     "crawl_budget" -> crawlBudgetSql,
+    "crawl_budget_agent" -> crawlBudgetAgentSql,
     "sitemap_seeds" -> sitemapSeedsSql,
+    "sitemap_index" -> sitemapIndexSql,
+    "crawl_discover_e2e" -> crawlDiscoverE2eSql,
     "text_normalize" -> textNormalizeSql,
     "heavy_hitters" -> heavyHittersSql,
     "domain_stats" -> domainStatsSql,

@@ -4,30 +4,39 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-/** robots.txt parser for the `User-agent: *` group, as a native expression
-  * — ONE O(lines) pass per robots.txt (the round-15 `aggregate`-fold
-  * spelling rebuilt its accumulator struct per line, copying the
-  * rules-so-far array each time: O(lines·rules) per file, hostile against
-  * RFC 9309 §2.4's requirement to handle >= 500 KiB files — ~25k lines).
-  * This runs once per DOMAIN on the slim robots frame, never per URL row,
-  * so an interpreted-eval inner loop with codegen'd dispatch (the
-  * [[BmpDHash]] static-helper shape) is the right cost point.
+/** robots.txt rule parser, as a native expression — ONE O(lines) pass per
+  * robots.txt plus a first O(lines) group-selection pass (the round-15
+  * `aggregate`-fold spelling rebuilt its accumulator struct per line,
+  * copying the rules-so-far array each time: O(lines·rules) per file,
+  * hostile against RFC 9309 §2.4's requirement to handle >= 500 KiB
+  * files — ~25k lines). This runs once per DOMAIN on the slim robots
+  * frame, never per URL row, so an interpreted-eval inner loop with
+  * codegen'd dispatch (the [[BmpDHash]] static-helper shape) is the
+  * right cost point.
   *
   * Semantics per RFC 9309 (public):
-  *  - input capped at 500 KiB ([[RobotsRules.MaxBytes]] — the RFC's own
-  *    minimum-processing bound; rules past it are ignored);
+  *  - input capped at 500 KiB in BYTES ([[RobotsText.MaxBytes]] — the
+  *    RFC's own minimum-processing bound; rules past it are ignored,
+  *    and a hostile multi-MB file is never copied past the cap);
   *  - comments (`#…`) stripped, lines trimmed, CRLF tolerated, field
   *    names case-insensitive;
   *  - a RUN of consecutive `User-agent:` lines forms ONE group applying
-  *    to all named agents; the group is kept if ANY of them is `*`;
-  *  - only `Allow:` / `Disallow:` lines inside kept groups collect; an
-  *    empty `Disallow:` value means "no restriction" — no rule;
+  *    to all named agents;
+  *  - §2.2.1 group SELECTION (round 17): the crawler's product token
+  *    (`agent`, case-insensitive) binds to the MOST SPECIFIC matching
+  *    user-agent value — exact match, extended to longest-prefix per
+  *    the de-facto matcher ([[RobotsText.specOf]]) — falling back to
+  *    the `*` group when no specific group matches; groups tied at the
+  *    winning value all collect (the RFC's combine rule). `agent = "*"`
+  *    selects exactly the `*` group (the pre-round-17 behavior);
+  *  - only `Allow:` / `Disallow:` lines inside selected groups collect;
+  *    an empty `Disallow:` value means "no restriction" — no rule;
   *  - RFC 9309 §2.2.3 wildcards: `*` in a rule path matches any char
   *    sequence, a TRAILING `$` anchors end-of-match (a non-trailing `$`
   *    is literal path text). Each wildcard rule is translated ONCE here
@@ -41,33 +50,37 @@ import org.apache.spark.unsafe.types.UTF8String
   * path, so downstream ranks on `length(prefix)` raw); `pattern` is the
   * translated regex for wildcard rules, null for literal ones (which
   * match by plain `startsWith`). */
-case class RobotsRules(child: Expression) extends UnaryExpression {
+case class RobotsRules(left: Expression, right: Expression)
+  extends BinaryExpression {
 
   override def dataType: DataType = RobotsRules.outType
   override def nullable: Boolean = true
   override def prettyName: String = "graft_robots_rules"
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    if (left.dataType == StringType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires a string input, got ${child.dataType.catalogString}")
+      s"$prettyName requires (string, string) inputs, got " +
+        s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
 
-  override def nullSafeEval(input: Any): Any =
-    RobotsRules.compute(input.asInstanceOf[UTF8String])
+  override def nullSafeEval(txt: Any, agent: Any): Any =
+    RobotsRules.compute(txt.asInstanceOf[UTF8String],
+      agent.asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.RobotsRules.compute($c);")
+    nullSafeCodeGen(ctx, ev, (t, a) =>
+      s"${ev.value} = graft.functions.RobotsRules.compute($t, $a);")
 
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
 
 object RobotsRules {
 
-  /** RFC 9309 §2.4: crawlers MUST process at least 500 KiB of robots.txt
-    * and MAY ignore the rest — this parser caps exactly there. */
-  val MaxBytes: Int = 500 * 1024
+  /** Kept as the public cap constant (UrlSpec and scaladocs reference it). */
+  val MaxBytes: Int = RobotsText.MaxBytes
 
   private[graft] val ruleType: StructType = StructType(Seq(
     StructField("allow", BooleanType, nullable = false),
@@ -93,58 +106,41 @@ object RobotsRules {
     "^" + segs.mkString(".*") + (if (endAnchor) "$" else "")
   }
 
-  def compute(txt: UTF8String): ArrayData = {
-    val full = txt.toString
-    // cap on BYTES per the RFC; find a char boundary <= MaxBytes cheaply
-    // by capping chars at MaxBytes (a char is >= 1 byte, so the char cap
-    // never keeps more than MaxBytes bytes' worth of rule lines beyond
-    // the last multi-byte run — and any truncation point is RFC-legal)
-    val s = if (full.length > MaxBytes) full.substring(0, MaxBytes) else full
+  def compute(txt: UTF8String, agent: UTF8String): ArrayData = {
+    val s = RobotsText.cap(txt)
+    val agentLower = agent.toString.toLowerCase(java.util.Locale.ROOT)
+    // pass 1: which UA value wins for this token (0 = the * fallback)
+    val best = RobotsText.bestSpec(s, agentLower)
     val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
-    var inStar = false
+    var inSel = false
     var prevUa = false
-    var i = 0
-    val n = s.length
-    while (i <= n) {
-      val nl = s.indexOf('\n', i)
-      val end = if (nl < 0) n else nl
-      // strip comment + CR, then trim
-      var hash = s.indexOf('#', i)
-      if (hash < 0 || hash > end) hash = end
-      var a = i
-      var b = hash
-      while (a < b && (s.charAt(a) <= ' ')) a += 1
-      while (b > a && (s.charAt(b - 1) <= ' ')) b -= 1
-      val line = s.substring(a, b)
-      if (line.nonEmpty) {
-        val colon = line.indexOf(':')
-        val field = if (colon < 0) line else line.substring(0, colon)
-        val value = if (colon < 0) "" else line.substring(colon + 1).trim
-        val low = field.toLowerCase(java.util.Locale.ROOT)
-        if (low == "user-agent") {
-          inStar = (prevUa && inStar) || value == "*"
-          prevUa = true
-        } else {
-          if (inStar && (low == "allow" || low == "disallow") && value.nonEmpty) {
-            val wild = value.contains('*') || value.endsWith("$")
-            out += InternalRow(
-              low == "allow",
-              UTF8String.fromString(value),
-              wild,
-              if (wild) UTF8String.fromString(toPattern(value)) else null)
-          }
-          prevUa = false
-        }
+    RobotsText.eachLine(s) { (low, value) =>
+      if (low == "") {
+        // blank line: ends a UA run but NOT the group (RFC: groups end
+        // at the next User-agent line)
+        prevUa = false
+      } else if (low == "user-agent") {
+        val sp = RobotsText.specOf(
+          value.toLowerCase(java.util.Locale.ROOT), agentLower)
+        inSel = (prevUa && inSel) || sp == best
+        prevUa = true
       } else {
-        // blank line: ends a UA run but NOT the group (RFC: groups end at
-        // the next User-agent line, matching the round-15 fold's behavior)
+        if (inSel && (low == "allow" || low == "disallow") && value.nonEmpty) {
+          val wild = value.contains('*') || value.endsWith("$")
+          out += InternalRow(
+            low == "allow",
+            UTF8String.fromString(value),
+            wild,
+            if (wild) UTF8String.fromString(toPattern(value)) else null)
+        }
         prevUa = false
       }
-      i = end + 1
     }
     new GenericArrayData(out.toArray[Any])
   }
 
-  def apply(c: Column): Column =
-    Bridge.column(RobotsRules(Bridge.expression(c)))
+  def apply(c: Column): Column = apply(c, org.apache.spark.sql.functions.lit("*"))
+
+  def apply(c: Column, agent: Column): Column =
+    Bridge.column(RobotsRules(Bridge.expression(c), Bridge.expression(agent)))
 }

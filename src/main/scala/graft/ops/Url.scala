@@ -257,11 +257,14 @@ object Url {
 
   // ---- robots.txt admission (round 15) ------------------------------------
 
-  /** Parse a robots.txt TEXT into its `User-agent: *` group's rules —
+  /** Parse a robots.txt TEXT into the rules of the group SELECTED for a
+    * crawler product token (RFC 9309 §2.2.1, round 17: most specific
+    * matching `User-agent:` value wins, `*` is the fallback; `agent =
+    * "*"` reads exactly the `*` group — the pre-round-17 behavior) —
     * `array<struct<allow boolean, prefix string, wild boolean, pattern
     * string>>` — via the native [[graft.functions.RobotsRules]]
-    * expression: ONE O(lines) pass per file, input capped at 500 KiB
-    * (RFC 9309 §2.4's own minimum-processing bound), RFC grouping
+    * expression: O(lines) passes per file, input capped at 500 KiB in
+    * bytes (RFC 9309 §2.4's own minimum-processing bound), RFC grouping
     * (UA runs, case-insensitive fields, comments/CRLF, empty-Disallow =
     * no rule), and §2.2.3 wildcard rules (`*`, trailing `$`) translated
     * ONCE per rule into an anchored regex for the downstream match.
@@ -269,6 +272,29 @@ object Url {
     * rebuilt the accumulated rules array per line — and skipped the
     * MUST-level wildcard clause; both fixed by the native form.) */
   def robotsRules(txt: Column): Column = graft.functions.RobotsRules(txt)
+
+  /** [[robotsRules]] for a specific crawler product token. */
+  def robotsRules(txt: Column, agent: String): Column =
+    graft.functions.RobotsRules(txt, lit(agent))
+
+  /** The RFC 9309 verdict encoding shared by [[robotsGate]] and
+    * [[crawlBudget]] (hoisted round 17 — the two inline copies could
+    * silently diverge on the next wildcard-semantics change): filter
+    * the domain's rules to those MATCHING the path (`startsWith` for
+    * literal rules, one regex find for pre-translated wildcard ones),
+    * then argmax the RFC precedence — longest rule path (as written,
+    * wildcard octets included) wins, `Allow` wins length ties — encoded
+    * as `length(prefix)·2 + allow` so a plain integer `array_max`
+    * decides and `enc % 2 = 1` reads back "allowed". Null when no rule
+    * matches (the caller's coalesce supplies the RFC allow-default).
+    * Row-local, fused into the caller's scan. */
+  private[graft] def robotsBestEnc(rules: Column, path: Column): Column = {
+    val matched = filter(rules, r =>
+      when(r("wild"), regexp_like(path, r("pattern")))
+        .otherwise(path.startsWith(r("prefix"))))
+    array_max(transform(matched,
+      r => length(r("prefix")) * 2 + when(r("allow"), 1).otherwise(0)))
+  }
 
   /** The path-and-query of a canonical URL — the string robots rules
     * match against (RFC 9309 matches the path plus optional query).
@@ -326,47 +352,43 @@ object Url {
     * joins since Spark 3.2). UrlSpec pins BOTH plan modes and their row
     * parity. */
   def robotsGate(urls: DataFrame, robots: DataFrame,
-                 expectedDomains: Long = 0L): DataFrame = {
+                 expectedDomains: Long = 0L, agent: String = "*"): DataFrame = {
     // one-row-per-domain contract ENFORCED (round-15 ADVICE): max() is
     // deterministic where dropDuplicates' arbitrary winner is not; the
     // exchange is on the |domains|-sized rules side only — and in
     // shuffle mode it doubles as the join's build-side partitioning
     val rules = robots.groupBy("domain")
       .agg(max(col("robots_txt")).as("_txt"))
-      .select(col("domain"), robotsRules(col("_txt")).as("_rules"))
+      .select(col("domain"), robotsRules(col("_txt"), agent).as("_rules"))
     val canon = urls.select(col("doc_id"),
         canonicalizeUrl(col("url")).as("url_canon"))
       .withColumn("domain", registrableDomain(col("url_canon")))
       .withColumn("path", canonPathQuery(col("url_canon")))
-    val matched = filter(col("_rules"), r =>
-      when(r("wild"), regexp_like(col("path"), r("pattern")))
-        .otherwise(col("path").startsWith(r("prefix"))))
-    val best = array_max(transform(matched,
-      r => length(r("prefix")) * 2 + when(r("allow"), 1).otherwise(0)))
     val rulesSide =
       if (expectedDomains * rulesBytesPerDomain <= rulesBroadcastMaxBytes)
         broadcast(rules)
       else rules.hint("shuffle_hash")
     canon.join(rulesSide, Seq("domain"), "left")
-      .withColumn("_best", best)
+      .withColumn("_best", robotsBestEnc(col("_rules"), col("path")))
       .select(col("doc_id"), col("url_canon"), col("domain"), col("path"),
         // no robots row OR no matching rule -> allowed (RFC default)
         coalesce(pmod(col("_best"), lit(2)) === 1, lit(true)).as("robots_ok"))
   }
 
-  /** Per-domain robots.txt METADATA (round 16): the `User-agent: *`
-    * group's `Crawl-delay` (the de-facto politeness extension Bing and
-    * Yandex honor — seconds, fractional allowed, null when absent) and
+  /** Per-domain robots.txt METADATA (round 16): the selected group's
+    * `Crawl-delay` (the de-facto politeness extension Bing and Yandex
+    * honor — seconds, fractional allowed, null when absent; group
+    * selection is per-agent as in [[robotsRules]], round 17) and
     * every `Sitemap:` URL (group-independent per the sitemaps protocol,
     * file order). One O(lines) native pass per domain
     * ([[graft.functions.RobotsMeta]], the [[robotsRules]] shape and
     * 500 KiB cap); duplicate domain rows collapse exactly as in
     * [[robotsGate]]. |domains|-sized in and out — no corpus work. */
-  def robotsMeta(robots: DataFrame): DataFrame =
+  def robotsMeta(robots: DataFrame, agent: String = "*"): DataFrame =
     robots.groupBy("domain")
       .agg(max(col("robots_txt")).as("_txt"))
       .select(col("domain"),
-        graft.functions.RobotsMeta(col("_txt")).as("_m"))
+        graft.functions.RobotsMeta(col("_txt"), lit(agent)).as("_m"))
       .select(col("domain"),
         col("_m.crawl_delay").as("crawl_delay"),
         col("_m.sitemaps").as("sitemaps"))
@@ -396,14 +418,15 @@ object Url {
     * the rules-side strategy exactly as in [[robotsGate]]. */
   def crawlBudget(urls: DataFrame, blocked: Seq[String], robots: DataFrame,
                   defaultDelayS: Double = 1.0, wallTargetS: Long = 3600L,
-                  expectedDomains: Long = 0L): DataFrame = {
+                  expectedDomains: Long = 0L, agent: String = "*"): DataFrame = {
     val spark = urls.sparkSession
     import spark.implicits._
     // rules + metadata parsed in ONE pass over the per-domain frame
     val rules = robots.groupBy("domain")
       .agg(max(col("robots_txt")).as("_txt"))
-      .select(col("domain"), robotsRules(col("_txt")).as("_rules"),
-        coalesce(graft.functions.RobotsMeta(col("_txt"))("crawl_delay"),
+      .select(col("domain"), robotsRules(col("_txt"), agent).as("_rules"),
+        coalesce(
+          graft.functions.RobotsMeta(col("_txt"), lit(agent))("crawl_delay"),
           lit(defaultDelayS)).as("_delay"))
     val rulesSide =
       if (expectedDomains * rulesBytesPerDomain <= rulesBroadcastMaxBytes)
@@ -415,16 +438,11 @@ object Url {
       .withColumn("path", canonPathQuery(col("url_canon")))
       .withColumn("scheme_ok",
         substring_index(col("url_canon"), "://", 1).isin("http", "https"))
-    val matched = filter(col("_rules"), r =>
-      when(r("wild"), regexp_like(col("path"), r("pattern")))
-        .otherwise(col("path").startsWith(r("prefix"))))
-    val best = array_max(transform(matched,
-      r => length(r("prefix")) * 2 + when(r("allow"), 1).otherwise(0)))
     canon
       .join(broadcast(blocked.toDF("domain").distinct()
         .withColumn("_blocked", lit(true))), Seq("domain"), "left")
       .join(rulesSide, Seq("domain"), "left")
-      .withColumn("_best", best)
+      .withColumn("_best", robotsBestEnc(col("_rules"), col("path")))
       .filter(col("scheme_ok") && col("_blocked").isNull &&
         coalesce(pmod(col("_best"), lit(2)) === 1, lit(true)))
       .groupBy("domain")
@@ -434,7 +452,13 @@ object Url {
         max(coalesce(col("_delay"), lit(defaultDelayS))).as("crawl_delay_s"))
       .select(col("domain"), col("n_admitted"), col("crawl_delay_s"),
         (col("n_admitted") * col("crawl_delay_s")).as("est_crawl_s"),
-        floor(lit(wallTargetS.toDouble) / col("crawl_delay_s")).cast("long")
+        // `Crawl-delay: 0` is a real-world value meaning "no politeness
+        // serialization" — the division would be floor(∞), whose
+        // Long-cast differs between engines (round-16 ADVICE), so the
+        // no-cap semantics are PINNED as Long.MaxValue in both
+        when(col("crawl_delay_s") === 0, lit(Long.MaxValue))
+          .otherwise(floor(lit(wallTargetS.toDouble) / col("crawl_delay_s"))
+            .cast("long"))
           .as("cap_pages"))
       .withColumn("n_fetchable", least(col("n_admitted"), col("cap_pages")))
   }
@@ -456,9 +480,17 @@ object Url {
     *   Disallow: /p/{(d+1)%13}$ — anchored: that exact path, query-free
     * Round-16 metadata lines ([[robotsMeta]]'s fixture contract): a
     * `Crawl-delay: 99` inside the badbot group that must NOT apply, the
-    * `*` group's fractional `Crawl-delay: {len(domain)%3}.5`, and two
-    * `Sitemap:` URLs — one inside the badbot group, one at the tail —
-    * both of which must collect (sitemaps are group-independent). */
+    * `*` group's `Crawl-delay` — the literal `0` ("no delay", the
+    * round-17 pinned edge) when len(domain)%5 == 0, else the fractional
+    * `{len(domain)%3}.5` — and two `Sitemap:` URLs — one inside the
+    * badbot group, one at the tail — both of which must collect
+    * (sitemaps are group-independent).
+    * Round-17 group-selection contract: a `User-agent: graftbot` group
+    * whose rules INVERT the `*` group's verdict on the /p/{d} subtree
+    * (`Disallow: /p/` + `Allow: /p/{d}`) and whose `Crawl-delay:
+    * {len(domain)%2}.25` differs from the `*` group's — it must apply
+    * exactly when the crawler token is `graftbot` (RFC 9309 §2.2.1
+    * most-specific selection) and NEVER at agent `*`. */
   def syntheticRobots(urls: DataFrame): DataFrame = {
     val domains = urls
       .select(canonicalizeUrl(col("url")).as("_uc"))
@@ -467,12 +499,17 @@ object Url {
     val d13 = pmod(length(col("domain")), lit(13))
     val j13 = pmod(d13 + 1, lit(13))
     val d3 = pmod(length(col("domain")), lit(3))
+    val d2 = pmod(length(col("domain")), lit(2))
+    val starDelay = when(pmod(length(col("domain")), lit(5)) === 0, lit("0"))
+      .otherwise(concat(d3, lit(".5")))
     domains.select(col("domain"), concat(
       lit("# crawl policy\nUser-agent: badbot\nDisallow: /\nCrawl-delay: 99\n"),
       lit("Sitemap: https://"), col("domain"), lit("/s2.xml\n\n"),
+      lit("User-agent: graftbot\nDisallow: /p/\nAllow: /p/"), d13,
+      lit("\nCrawl-delay: "), d2, lit(".25\n\n"),
       lit("User-agent: *\nDisallow: /p/"), d13,
       lit("\nAllow: /p/"), d13, lit("2\n"),
-      lit("Crawl-delay: "), d3, lit(".5\n"),
+      lit("Crawl-delay: "), starDelay, lit("\n"),
       lit("Disallow: /*?id=\n"),
       lit("Disallow: /p/"), j13, lit("$\n"),
       lit("Disallow:\n"), // empty value: no restriction, parser must skip
@@ -481,58 +518,239 @@ object Url {
       .as("robots_txt"))
   }
 
-  /** Deterministic synthetic sitemap.xml corpus — one document per
-    * registrable domain (the sitemaps.org urlset shape: `<urlset>` of
-    * `<url><loc>…</loc><lastmod>…</lastmod></url>` entries), derived
-    * purely from the domain string so the DuckDB oracle regenerates the
-    * expected LOCs directly. Each sitemap carries 1 + len(domain)%3
-    * entries plus the hostile shapes the extractor must survive: XML
-    * declaration, whitespace/newlines around tags, a `<loc>` inside an
-    * XML comment that must NOT extract, and a lastmod sibling. */
+  /** Deterministic synthetic sitemap corpus, v2 (round 17 — the round-16
+    * fixture was one flat urlset per domain): THREE fetched files per
+    * registrable domain, `(domain, sitemap_url, content binary)`,
+    * derived purely from the domain string so the DuckDB oracle
+    * regenerates the expected structure directly:
+    *  - `/sitemap.xml` — a `<sitemapindex>` (the sitemaps.org nesting
+    *    every large site ships: the 50k-URL cap per urlset forces it)
+    *    listing `/sm-1.xml`, `/sm-2.xml.gz`, and `/sm-404.xml` (which
+    *    has NO row — an unfetched child), plus a MULTI-LINE XML comment
+    *    wrapping a decoy `<loc>` (the round-16 single-line decoy could
+    *    not catch a non-DOTALL strip);
+    *  - `/sm-1.xml` — a urlset of 1 + len(domain)%3 `/page/{i}` entries
+    *    (whitespace-padded locs, lastmod siblings, a single-line
+    *    comment decoy) plus one ENTITY-ESCAPED entry
+    *    (`…/page/esc?a=1&amp;b=2` — the sitemaps protocol requires
+    *    escaping inside `<loc>`; the extractor must decode it);
+    *  - `/sm-2.xml.gz` — a GZIPPED urlset (protocol-sanctioned
+    *    `.xml.gz`) with `/gz/1` and a DUPLICATE of `/page/1` (so the
+    *    discovery loop's first-occurrence dedup has real work). */
   def syntheticSitemaps(urls: DataFrame): DataFrame = {
     val domains = urls
       .select(canonicalizeUrl(col("url")).as("_uc"))
       .select(registrableDomain(col("_uc")).as("domain"))
       .distinct()
-    val n = pmod(length(col("domain")), lit(3)) + 1
+    val dom = col("domain")
+    val xmlHead = "<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n"
+    val n = pmod(length(dom), lit(3)) + 1
     val entries = array_join(transform(sequence(lit(1), n.cast("int")), i =>
-      concat(lit("  <url>\n    <loc> https://"), col("domain"),
+      concat(lit("  <url>\n    <loc> https://"), dom,
         lit("/page/"), i,
         lit(" </loc>\n    <lastmod>2026-01-0"), i,
         lit("</lastmod>\n  </url>\n"))), "")
-    domains.select(col("domain"), concat(
-      lit("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n"),
+    val urlset1 = concat(
+      lit(xmlHead),
       lit("<!-- <loc>https://decoy.invalid/x</loc> -->\n"),
       lit("<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n"),
-      entries, lit("</urlset>\n")).as("sitemap_xml"))
+      entries,
+      lit("  <url><loc>https://"), dom,
+      lit("/page/esc?a=1&amp;b=2</loc></url>\n"),
+      lit("</urlset>\n"))
+    val urlset2 = concat(
+      lit(xmlHead),
+      lit("<urlset>\n  <url><loc>https://"), dom, lit("/gz/1</loc></url>\n"),
+      lit("  <url><loc> https://"), dom, lit("/page/1 </loc></url>\n"),
+      lit("</urlset>\n"))
+    val index = concat(
+      lit(xmlHead),
+      lit("<!-- retired shard\n  <sitemap><loc>https://"), dom,
+      lit("/old.xml</loc></sitemap>\n-->\n"),
+      lit("<sitemapindex xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n"),
+      lit("  <sitemap>\n    <loc> https://"), dom,
+      lit("/sm-1.xml </loc>\n  </sitemap>\n"),
+      lit("  <sitemap><loc>https://"), dom, lit("/sm-2.xml.gz</loc></sitemap>\n"),
+      lit("  <sitemap><loc>https://"), dom, lit("/sm-404.xml</loc></sitemap>\n"),
+      lit("</sitemapindex>\n"))
+    domains.select(dom,
+        concat(lit("https://"), dom, lit("/sitemap.xml")).as("sitemap_url"),
+        index.cast("binary").as("content"))
+      .unionByName(domains.select(dom,
+        concat(lit("https://"), dom, lit("/sm-1.xml")).as("sitemap_url"),
+        urlset1.cast("binary").as("content")))
+      .unionByName(domains.select(dom,
+        concat(lit("https://"), dom, lit("/sm-2.xml.gz")).as("sitemap_url"),
+        graft.functions.GzipCompress(urlset2).as("content")))
   }
+
+  /** Decode the five XML character entities the sitemaps protocol
+    * requires escaping inside `<loc>` (`&amp; &lt; &gt; &quot; &apos;`
+    * — sitemaps.org, public; round-16 ADVICE: unescaped extraction
+    * emits wrong seed keys for every real-world `&`-bearing URL).
+    * `&amp;` decodes LAST so `&amp;lt;` yields the literal text `&lt;`,
+    * not `<`. Literal `replace`, no regex — row-local. */
+  private[graft] def xmlUnescape(c: Column): Column =
+    replace(replace(replace(replace(replace(
+      c, lit("&lt;"), lit("<")), lit("&gt;"), lit(">")),
+      lit("&quot;"), lit("\"")), lit("&apos;"), lit("'")),
+      lit("&amp;"), lit("&"))
+
+  /** Decoded text + canonical self-URL of a fetched sitemap frame
+    * `(domain, sitemap_url, content binary)`: gunzip when the RFC 1952
+    * magic leads ([[graft.functions.GunzipText]] — `.xml.gz` sitemaps
+    * are protocol-sanctioned), strip XML comments DOTALL (`(?s)` —
+    * a comment spanning lines must not leak its `<loc>`s; round-16
+    * ADVICE), and classify index vs urlset by the `<sitemapindex`
+    * root. All row-local. */
+  private def decodedSitemaps(sitemaps: DataFrame): DataFrame =
+    sitemaps.select(col("domain"),
+      canonicalizeUrl(col("sitemap_url")).as("sitemap"),
+      regexp_replace(graft.functions.GunzipText(col("content")),
+        "(?s)<!--.*?-->", "").as("_nc"))
+      .withColumn("_is_index", col("_nc").contains("<sitemapindex"))
+
+  private val locPattern = "<loc>([^<]*)</loc>"
 
   /** Sitemap seed extraction — the discovery half of the crawl loop the
     * robots family completes ([[robotsMeta]] surfaces each domain's
     * sitemap URLs; this extracts the page URLs a fetched sitemap
-    * declares, feeding the frontier): per `(domain, sitemap_xml)` row,
-    * every `<loc>` value (sitemaps.org protocol, public), trimmed
-    * (the spec requires whitespace-tolerant parsers), XML comments
-    * stripped FIRST (a commented-out loc is not a seed), emitted one
-    * row per seed with its position and the canonical form — ready for
-    * [[urlGate]]/[[urlFrontierIncrement]] downstream.
+    * declares, feeding the frontier): per fetched `(domain,
+    * sitemap_url, content)` row that is a URLSET (an index file's
+    * `<loc>`s are child SITEMAP URLs, not page seeds — they surface via
+    * [[sitemapIndex]] instead), every `<loc>` value (sitemaps.org
+    * protocol, public), gunzipped when needed, comment-stripped DOTALL
+    * FIRST (a commented-out loc is not a seed), entity-decoded
+    * ([[xmlUnescape]]), trimmed (the spec requires whitespace-tolerant
+    * parsers), emitted one row per seed with its source sitemap,
+    * position, and canonical form — ready for [[urlGate]] /
+    * [[urlFrontierIncrement]] downstream.
     *
-    * Scale shape: row-local regexp extraction + one explode, fused into
-    * the sitemap scan — no joins, no shuffles; a crawl's sitemap corpus
-    * is |domains|-to-|sitemaps| sized, far below page scale. The
-    * pattern is anchored to the tag (`<loc>…</loc>`, no regex dot-all
-    * tricks RE2 and Java disagree on), so the DuckDB oracle replays
-    * byte-identically. */
-  def sitemapSeeds(sitemaps: DataFrame): DataFrame = {
-    val noComments = regexp_replace(col("sitemap_xml"), "<!--.*?-->", "")
-    val locs = regexp_extract_all(col("_nc"),
-      lit("<loc>([^<]*)</loc>"), lit(1))
-    sitemaps
-      .withColumn("_nc", noComments)
-      .select(col("domain"), posexplode(locs).as(Seq("seed_idx", "_raw")))
-      .select(col("domain"), (col("seed_idx") + 1).cast("long").as("seed_idx"),
-        trim(col("_raw")).as("seed_url"),
-        canonicalizeUrl(trim(col("_raw"))).as("seed_canon"))
+    * Scale shape: row-local decode + regexp extraction + one explode,
+    * fused into the sitemap scan — no joins, no shuffles; a crawl's
+    * sitemap corpus is |sitemaps|-sized, far below page scale. The
+    * pattern is anchored to the tag (`<loc>…</loc>`), so the DuckDB
+    * oracle replays byte-identically. */
+  def sitemapSeeds(sitemaps: DataFrame): DataFrame =
+    decodedSitemaps(sitemaps)
+      .filter(!col("_is_index"))
+      .select(col("domain"), col("sitemap"),
+        posexplode(regexp_extract_all(col("_nc"), lit(locPattern), lit(1)))
+          .as(Seq("seed_idx", "_raw")))
+      .select(col("domain"), col("sitemap"),
+        (col("seed_idx") + 1).cast("long").as("seed_idx"),
+        xmlUnescape(trim(col("_raw"))).as("seed_url"))
+      .withColumn("seed_canon", canonicalizeUrl(col("seed_url")))
+
+  /** Sitemap INDEX resolution (round 17 — the sitemaps.org
+    * `<sitemapindex><sitemap><loc>` nesting is how every large site
+    * ships its URL set; the 50k-URL cap per urlset file forces it):
+    * per fetched index file, every declared child sitemap URL with its
+    * position and canonical form, plus `fetched` — whether that child
+    * is itself present in the frame (joined on the canonical sitemap
+    * URL). The unfetched rows ARE the fetch scheduler's work list; the
+    * fetched ones chain into [[sitemapSeeds]].
+    *
+    * Scale shape: row-local extraction, then one |children|×|sitemaps|
+    * equi-join on the canonical URL — both sides |sitemaps|-sized (far
+    * below page scale), so a plain shuffle equi-join is the honest
+    * strategy at any corpus size. */
+  def sitemapIndex(sitemaps: DataFrame): DataFrame = {
+    val base = decodedSitemaps(sitemaps)
+    val children = base.filter(col("_is_index"))
+      .select(col("domain"), col("sitemap").as("index_url"),
+        posexplode(regexp_extract_all(col("_nc"), lit(locPattern), lit(1)))
+          .as(Seq("child_idx", "_raw")))
+      .select(col("domain"), col("index_url"),
+        (col("child_idx") + 1).cast("long").as("child_idx"),
+        xmlUnescape(trim(col("_raw"))).as("child_url"))
+      .withColumn("child_canon", canonicalizeUrl(col("child_url")))
+    children
+      .join(base.select(col("sitemap").as("child_canon")).distinct()
+        .withColumn("_f", lit(true)), Seq("child_canon"), "left")
+      .select(col("domain"), col("index_url"), col("child_idx"),
+        col("child_url"), col("child_canon"),
+        coalesce(col("_f"), lit(false)).as("fetched"))
+  }
+
+  /** The crawl DISCOVERY loop end-to-end (round-17 directive — the
+    * composition is where double-canonicalize and plan regressions
+    * hide, the [[crawlBudget]] lesson): robots.txt metadata → declared
+    * sitemap URLs → fetched sitemap files → one level of
+    * `<sitemapindex>` recursion → urlset page seeds → admission gate
+    * (scheme + registrable-domain blocklist) → frontier novelty vs the
+    * already-admitted catalog. Output: one row per NOVEL admitted seed,
+    * `(domain, sitemap, seed_idx, seed_url, seed_canon)`, where
+    * duplicate discoveries collapse to the first occurrence (lowest
+    * `(sitemap, seed_idx)` — the library's deterministic-winner
+    * convention, as a map-side-combinable min-struct aggregation, not a
+    * window).
+    *
+    * Scale shape: every join before seed extraction is on the
+    * |sitemaps|-sized frame (reachability is a semi-join on the
+    * canonical sitemap URL; the one-level recursion re-reads the same
+    * slim frame — never page-scale data); each seed canonicalizes ONCE
+    * (gate and frontier reuse the column); the blocklist is a broadcast
+    * probe; novelty is [[graft.ops.Dedup.bloomMaybe]]'s sized-sketch
+    * prefilter + an exact anti-join on sketch-positives only, the
+    * [[urlFrontierIncrement]] pattern (`expectedCatalogSize` sizes the
+    * sketch, `shards` > 1 selects the sharded family past the scalar
+    * ceiling). */
+  def crawlDiscover(robots: DataFrame, sitemaps: DataFrame,
+                    blocked: Seq[String], catalog: DataFrame,
+                    agent: String = "*",
+                    expectedCatalogSize: Long = 1000000L,
+                    shards: Int = 1): DataFrame = {
+    val spark = robots.sparkSession
+    import spark.implicits._
+    val files = decodedSitemaps(sitemaps)
+    val declared = robotsMeta(robots, agent)
+      .select(explode(col("sitemaps")).as("_u"))
+      .select(canonicalizeUrl(col("_u")).as("sitemap"))
+      .distinct()
+    // one recursion level: children of REACHABLE index files join back
+    // into the frame (the fixture's unfetched /sm-404.xml child simply
+    // finds no row — exactly a real fetch gap)
+    val viaIndex = files.filter(col("_is_index"))
+      .join(declared, Seq("sitemap"), "left_semi")
+      .select(explode(regexp_extract_all(col("_nc"), lit(locPattern), lit(1)))
+        .as("_raw"))
+      .select(canonicalizeUrl(xmlUnescape(trim(col("_raw")))).as("sitemap"))
+      .distinct()
+    val reachable = declared.unionByName(viaIndex).distinct()
+    val seeds = files.filter(!col("_is_index"))
+      .join(reachable, Seq("sitemap"), "left_semi")
+      .select(col("domain"), col("sitemap"),
+        posexplode(regexp_extract_all(col("_nc"), lit(locPattern), lit(1)))
+          .as(Seq("seed_idx", "_raw")))
+      .select(col("domain"), col("sitemap"),
+        (col("seed_idx") + 1).cast("long").as("seed_idx"),
+        xmlUnescape(trim(col("_raw"))).as("seed_url"))
+      .withColumn("seed_canon", canonicalizeUrl(col("seed_url")))
+    // admission gate on the canonical column (computed once above)
+    val gated = seeds
+      .withColumn("_sd", registrableDomain(col("seed_canon")))
+      .filter(substring_index(col("seed_canon"), "://", 1)
+        .isin("http", "https"))
+      .join(broadcast(blocked.toDF("_sd").distinct()
+        .withColumn("_blocked", lit(true))), Seq("_sd"), "left")
+      .filter(col("_blocked").isNull)
+    // first-occurrence winner per canonical seed: min over the struct
+    // orders by (sitemap, seed_idx) lexicographically — map-side
+    // combinable, no per-key window sort
+    val firsts = gated.groupBy("seed_canon")
+      .agg(min(struct(col("sitemap"), col("seed_idx"), col("domain"),
+        col("seed_url"))).as("_w"))
+      .select(col("_w.domain").as("domain"), col("_w.sitemap").as("sitemap"),
+        col("_w.seed_idx").as("seed_idx"), col("_w.seed_url").as("seed_url"),
+        col("seed_canon"))
+    val flagged = Dedup.bloomMaybe(firsts, "seed_canon",
+      catalog, "url_canon", expectedCatalogSize, shards)
+    val fresh = flagged.filter(!col("_maybe"))
+    val verified = flagged.filter(col("_maybe"))
+      .join(catalog.select(col("url_canon").as("_cat")).hint("shuffle_hash"),
+        col("seed_canon") === col("_cat"), "left_anti")
+    fresh.unionByName(verified).drop("_maybe")
   }
 
   /** Canonicalized-URL exact dedup, first-occurrence-wins (the library-wide

@@ -343,36 +343,167 @@ class UrlSpec extends SparkSpec {
       ("small.com", 2L, 1.0, 2.0, 6L, 2L)))
   }
 
-  test("sitemapSeeds: <loc> values extract trimmed with canonical forms, " +
-    "XML comments strip FIRST (a commented-out loc is not a seed); the " +
-    "synthetic fixture parses back to its generator's entry set") {
+  test("sitemapSeeds v2: urlset <loc> values extract trimmed, entity-" +
+    "decoded, canonicalized; single- AND multi-line XML comments strip " +
+    "first (DOTALL — round-16 ADVICE); index files emit NO seeds; a " +
+    "gzipped payload inflates by magic") {
     import spark.implicits._
-    val sm = Seq(("ex.com",
+    def b(s: String): Array[Byte] = s.getBytes("UTF-8")
+    val urlset =
       "<?xml version=\"1.0\"?>\n" +
         "<!-- <loc>https://decoy.invalid/x</loc> -->\n" +
+        "<!-- retired\n  <loc>https://decoy.invalid/multiline</loc>\n-->\n" +
         "<urlset>\n  <url>\n    <loc> https://EX.com/a/ </loc>\n  </url>\n" +
-        "  <url><loc>https://ex.com/b?b=2&a=1</loc></url>\n</urlset>"))
-      .toDF("domain", "sitemap_xml")
-    val got = Url.sitemapSeeds(sm).orderBy("seed_idx").collect()
-      .map(r => (r.getLong(1), r.getString(2), r.getString(3)))
+        "  <url><loc>https://ex.com/b?b=2&amp;a=1</loc></url>\n</urlset>"
+    val index =
+      "<sitemapindex>\n" +
+        "  <sitemap><loc>https://ex.com/sm-1.xml</loc></sitemap>\n" +
+        "</sitemapindex>"
+    val gz = graft.functions.GzipCompress.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString(
+        "<urlset><url><loc>https://ex.com/z</loc></url></urlset>"))
+    val sm = Seq(
+      ("ex.com", "https://ex.com/sm-1.xml", b(urlset)),
+      ("ex.com", "https://ex.com/sitemap.xml", b(index)),
+      ("ex.com", "https://ex.com/sm-2.xml.gz", gz))
+      .toDF("domain", "sitemap_url", "content")
+    val got = Url.sitemapSeeds(sm).orderBy("sitemap", "seed_idx").collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getString(3), r.getString(4)))
     assert(got === Array(
-      (1L, "https://EX.com/a/", "https://ex.com/a"),
-      (2L, "https://ex.com/b?b=2&a=1", "https://ex.com/b?a=1&b=2")))
-    // fixture contract: per domain exactly 1 + len(domain)%3 seeds, all
-    // under https://{domain}/page/
+      ("https://ex.com/sm-1.xml", 1L,
+        "https://EX.com/a/", "https://ex.com/a"),
+      ("https://ex.com/sm-1.xml", 2L,
+        "https://ex.com/b?b=2&a=1", "https://ex.com/b?a=1&b=2"),
+      ("https://ex.com/sm-2.xml.gz", 1L,
+        "https://ex.com/z", "https://ex.com/z")))
+  }
+
+  test("sitemap fixture contract: per domain sm-1 carries 2 + len%3 " +
+    "seeds (incl. the entity-escaped one, decoded), the gzipped sm-2 " +
+    "carries 2, the index carries none; sitemapIndex resolves 3 " +
+    "children with sm-404 unfetched") {
+    import spark.implicits._
     val docs = (0L until 200L).map(i => (i, s"src${i % 3}", 64L))
       .toDF("doc_id", "source", "n_chars")
     val urls = Url.syntheticUrls(docs).select("doc_id", "url")
-    val seeds = Url.sitemapSeeds(Url.syntheticSitemaps(urls))
-    val perDom = seeds.groupBy("domain").count().collect()
-      .map(r => r.getString(0) -> r.getLong(1))
-    assert(perDom.nonEmpty)
-    perDom.foreach { case (dom, n) =>
-      assert(n === 1L + dom.length % 3, s"domain $dom seed count $n")
+    val fixture = Url.syntheticSitemaps(urls)
+    val seeds = Url.sitemapSeeds(fixture)
+    val perSm = seeds.groupBy("domain", "sitemap").count().collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(perSm.nonEmpty)
+    perSm.foreach { case (dom, sm, n) =>
+      if (sm.endsWith("/sm-1.xml"))
+        assert(n === 2L + dom.length % 3, s"$sm seed count $n")
+      else if (sm.endsWith("/sm-2.xml.gz")) assert(n === 2L, s"$sm count $n")
+      else fail(s"seeds from a non-urlset file: $sm")
     }
-    val bad = seeds.filter(!col("seed_canon")
-      .startsWith(concat(lit("https://"), col("domain"), lit("/page/"))))
-    assert(bad.count() === 0L)
+    // every decoded seed is on its own domain with no residual entities
+    assert(seeds.filter(col("seed_url").contains("&amp;")).count() === 0L)
+    assert(seeds.filter(!col("seed_canon")
+      .startsWith(concat(lit("https://"), col("domain")))).count() === 0L)
+    val idx = Url.sitemapIndex(fixture)
+    val byDom = idx.groupBy("domain")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("fetched"), 1).otherwise(0)).as("nf"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).distinct
+    assert(byDom === Array((3L, 2L)),
+      "each domain must resolve 3 index children, 2 of them fetched")
+    val unfetched = idx.filter(!col("fetched"))
+      .select("child_canon").collect().map(_.getString(0))
+    assert(unfetched.forall(_.endsWith("/sm-404.xml")))
+  }
+
+  test("robots group selection (RFC 9309 §2.2.1): the most specific " +
+    "matching UA value wins (longest prefix of the product token), * " +
+    "applies only when no specific group matches, token match is " +
+    "case-insensitive, tied groups combine; robotsMeta's crawl_delay " +
+    "follows the same selection") {
+    import spark.implicits._
+    val txt =
+      "User-agent: GraftBot\nDisallow: /g\nCrawl-delay: 3\n\n" +
+        "User-agent: graft\nDisallow: /pfx\n\n" +
+        "User-agent: graftbot\nDisallow: /g2\n\n" + // tied with GraftBot
+        "User-agent: *\nDisallow: /star\nCrawl-delay: 7\n"
+    def rulesFor(agent: String): Seq[String] =
+      Seq(txt).toDF("t")
+        .select(Url.robotsRules(col("t"), agent).as("r"))
+        .head().getSeq[Row](0).map(_.getAs[String]("prefix"))
+    assert(rulesFor("graftbot") === Seq("/g", "/g2"),
+      "exact token match must select BOTH tied groups (RFC combine)")
+    assert(rulesFor("GRAFTBOT") === Seq("/g", "/g2"), "case-insensitive")
+    assert(rulesFor("graftbot-news") === Seq("/g", "/g2"),
+      "longest matching prefix wins over the shorter 'graft'")
+    assert(rulesFor("grafter") === Seq("/pfx"),
+      "'graft' is the only matching prefix for 'grafter'")
+    assert(rulesFor("otherbot") === Seq("/star"),
+      "* is the fallback when no specific group matches")
+    assert(rulesFor("*") === Seq("/star"),
+      "agent '*' reads exactly the * group (pre-round-17 behavior)")
+    val delays = Seq(("graftbot", 3.0), ("otherbot", 7.0))
+    delays.foreach { case (agent, want) =>
+      val got = Url.robotsMeta(Seq(("a.com", txt)).toDF("domain", "robots_txt"),
+        agent).head().getDouble(1)
+      assert(got === want, s"crawl_delay for $agent")
+    }
+    // grafter: the 'graft' group has no Crawl-delay -> falls to... the
+    // SELECTED group only (no cross-group inheritance): delay is null
+    val grafter = Url.robotsMeta(
+      Seq(("a.com", txt)).toDF("domain", "robots_txt"), "grafter")
+      .head()
+    assert(grafter.isNullAt(1),
+      "a selected group without Crawl-delay must yield null, not the * group's")
+  }
+
+  test("crawlBudget: Crawl-delay 0 means NO politeness cap — cap_pages " +
+    "pins to Long.MaxValue, est 0, n_fetchable = n_admitted (round-17 " +
+    "pinned edge: floor(target/0) diverges across engines)") {
+    import spark.implicits._
+    val urls = (1L to 4L).map(i => (i, s"http://a.fast.com/p/$i"))
+      .toDF("doc_id", "url")
+    val robots = Seq(("fast.com", "User-agent: *\nCrawl-delay: 0\n"))
+      .toDF("domain", "robots_txt")
+    val got = Url.crawlBudget(urls, Seq.empty, robots).head()
+    assert(got.getString(0) === "fast.com")
+    assert(got.getLong(1) === 4L)
+    assert(got.getDouble(2) === 0.0)
+    assert(got.getDouble(3) === 0.0)
+    assert(got.getLong(4) === Long.MaxValue)
+    assert(got.getLong(5) === 4L)
+  }
+
+  test("crawlDiscover e2e: robots-declared sitemaps resolve through one " +
+    "index level (unfetched children skip), undeclared urlsets are NOT " +
+    "reachable, seeds gate on scheme + blocklist, duplicates collapse " +
+    "to first occurrence, catalog members drop") {
+    import spark.implicits._
+    def b(s: String): Array[Byte] = s.getBytes("UTF-8")
+    val robots = Seq(
+      ("ex.com", "User-agent: *\nSitemap: https://ex.com/sitemap.xml\n"),
+      ("bl.com", "User-agent: *\nSitemap: https://bl.com/s.xml\n"))
+      .toDF("domain", "robots_txt")
+    val sitemaps = Seq(
+      ("ex.com", "https://ex.com/sitemap.xml", b(
+        "<sitemapindex>" +
+          "<sitemap><loc>https://ex.com/sm-a.xml</loc></sitemap>" +
+          "<sitemap><loc>https://ex.com/sm-miss.xml</loc></sitemap>" +
+          "</sitemapindex>")),
+      ("ex.com", "https://ex.com/sm-a.xml", b(
+        "<urlset><url><loc>https://ex.com/p1</loc></url>" +
+          "<url><loc>https://ex.com/p2</loc></url>" +
+          "<url><loc>https://EX.com/p1</loc></url>" + // dup via canon
+          "<url><loc>ftp://ex.com/f</loc></url></urlset>")),
+      ("ex.com", "https://ex.com/orphan.xml", b( // declared nowhere
+        "<urlset><url><loc>https://ex.com/orphan</loc></url></urlset>")),
+      ("bl.com", "https://bl.com/s.xml", b( // blocklisted domain
+        "<urlset><url><loc>https://bl.com/x</loc></url></urlset>")))
+      .toDF("domain", "sitemap_url", "content")
+    val catalog = Seq("https://ex.com/p2").toDF("url_canon")
+    val got = Url.crawlDiscover(robots, sitemaps, Seq("bl.com"), catalog)
+      .select("domain", "sitemap", "seed_idx", "seed_canon")
+      .collect().map(r =>
+        (r.getString(0), r.getString(1), r.getLong(2), r.getString(3)))
+    assert(got === Array(
+      ("ex.com", "https://ex.com/sm-a.xml", 1L, "https://ex.com/p1")))
   }
 
   test("crawlBudget plan: ONE corpus pass — no corpus-sized doc_id join " +
