@@ -504,6 +504,20 @@ class UrlSpec extends SparkSpec {
         (r.getString(0), r.getString(1), r.getLong(2), r.getString(3)))
     assert(got === Array(
       ("ex.com", "https://ex.com/sm-a.xml", 1L, "https://ex.com/p1")))
+    // plan pin (round-17 directive): the blocklist gate rides a
+    // broadcast probe, the frontier novelty check is a shuffle-hash
+    // anti-join (the catalog is corpus-scale — it must never
+    // broadcast), and the composition introduces no sort-merge join or
+    // cartesian product anywhere
+    val plan = Url.crawlDiscover(robots, sitemaps, Seq("bl.com"), catalog)
+      .queryExecution.executedPlan.toString
+    assert("ShuffledHashJoin \\[[^\\]]*\\], \\[[^\\]]*\\], LeftAnti".r
+        .findFirstIn(plan).isDefined,
+      s"catalog anti-join is not shuffle-hash:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"blocklist probe is not a broadcast join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"sort-merge join leaked:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian leaked:\n$plan")
   }
 
   test("crawlBudget plan: ONE corpus pass — no corpus-sized doc_id join " +
