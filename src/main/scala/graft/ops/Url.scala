@@ -691,23 +691,26 @@ object Url {
     * canonical sitemap URL; the one-level recursion re-reads the same
     * slim frame — never page-scale data); each seed canonicalizes ONCE
     * (gate and frontier reuse the column); the blocklist is a broadcast
-    * probe; novelty is [[graft.ops.Dedup.bloomMaybe]]'s sized-sketch
-    * prefilter + an exact anti-join on sketch-positives only, the
-    * [[urlFrontierIncrement]] pattern (`expectedCatalogSize` sizes the
-    * sketch, `shards` > 1 selects the sharded family past the scalar
-    * ceiling). */
+    * probe; novelty is ONE exact anti-join on `seed_canon` — the
+    * first-occurrence aggregation already hash-partitioned the seeds
+    * on that exact key, so the join adds ZERO stream-side exchange
+    * (only the catalog shuffles, pinned off auto-broadcast), which is
+    * strictly cheaper than [[urlFrontierIncrement]]'s bloom-prefilter
+    * split here: the sketch's value is skipping the stream-side
+    * shuffle, and this stream side rides for free. */
   def crawlDiscover(robots: DataFrame, sitemaps: DataFrame,
                     blocked: Seq[String], catalog: DataFrame,
-                    agent: String = "*",
-                    expectedCatalogSize: Long = 1000000L,
-                    shards: Int = 1): DataFrame = {
+                    agent: String = "*"): DataFrame = {
     val spark = robots.sparkSession
     import spark.implicits._
     val files = decodedSitemaps(sitemaps)
+    // reachability frames feed LEFT SEMI joins only, so duplicates are
+    // harmless — no distinct anywhere below (each would cost an
+    // exchange + two aggregates, DOUBLED by the frontier's
+    // fresh/verified union branches)
     val declared = robotsMeta(robots, agent)
       .select(explode(col("sitemaps")).as("_u"))
       .select(canonicalizeUrl(col("_u")).as("sitemap"))
-      .distinct()
     // one recursion level: children of REACHABLE index files join back
     // into the frame (the fixture's unfetched /sm-404.xml child simply
     // finds no row — exactly a real fetch gap)
@@ -715,9 +718,13 @@ object Url {
       .join(declared, Seq("sitemap"), "left_semi")
       .select(explode(regexp_extract_all(col("_nc"), lit(locPattern), lit(1)))
         .as("_raw"))
-      .select(canonicalizeUrl(xmlUnescape(trim(col("_raw")))).as("sitemap"))
-      .distinct()
-    val reachable = declared.unionByName(viaIndex).distinct()
+      // project the decoded child URL into a COLUMN before canonicalizing:
+      // canonicalizeUrl references its input at ~15 leaves, and inlining
+      // the unescape+trim tree at each one multiplies the plan (the
+      // domain_quota_sample round-16 lesson)
+      .select(xmlUnescape(trim(col("_raw"))).as("_child"))
+      .select(canonicalizeUrl(col("_child")).as("sitemap"))
+    val reachable = declared.unionByName(viaIndex)
     val seeds = files.filter(!col("_is_index"))
       .join(reachable, Seq("sitemap"), "left_semi")
       .select(col("domain"), col("sitemap"),
@@ -744,13 +751,9 @@ object Url {
       .select(col("_w.domain").as("domain"), col("_w.sitemap").as("sitemap"),
         col("_w.seed_idx").as("seed_idx"), col("_w.seed_url").as("seed_url"),
         col("seed_canon"))
-    val flagged = Dedup.bloomMaybe(firsts, "seed_canon",
-      catalog, "url_canon", expectedCatalogSize, shards)
-    val fresh = flagged.filter(!col("_maybe"))
-    val verified = flagged.filter(col("_maybe"))
+    firsts
       .join(catalog.select(col("url_canon").as("_cat")).hint("shuffle_hash"),
         col("seed_canon") === col("_cat"), "left_anti")
-    fresh.unionByName(verified).drop("_maybe")
   }
 
   /** Canonicalized-URL exact dedup, first-occurrence-wins (the library-wide
