@@ -744,7 +744,12 @@ object Url {
       .filter(col("_blocked").isNull)
     // first-occurrence winner per canonical seed: min over the struct
     // orders by (sitemap, seed_idx) lexicographically — map-side
-    // combinable, no per-key window sort
+    // combinable, no per-key window sort. (String payload in the buffer
+    // means SortAggregate, not HashAggregate — acceptable here: the
+    // partial still collapses to one row per distinct canon per task
+    // BEFORE the exchange, which is the part that matters at scale;
+    // the assignToCentroids long-encoding trick needs a numeric-only
+    // winner and doesn't apply.)
     val firsts = gated.groupBy("seed_canon")
       .agg(min(struct(col("sitemap"), col("seed_idx"), col("domain"),
         col("seed_url"))).as("_w"))
