@@ -1764,6 +1764,15 @@ object SparkEntry {
     graft.ops.Url.sitemapSeeds(RawGen.derived(s, dir, "sitemaps"))
       .orderBy("domain", "sitemap", "seed_idx")
 
+  /** Per-seed lastmod freshness (round 17): urlset entries paired with
+    * their own optional `<lastmod>` — sm-1's dated entries parse to
+    * dates, the escaped entry and the gz shard's entries have none
+    * (null), the index file contributes nothing. Oracle regenerates
+    * both columns from the domain string. */
+  private def sitemapLastmodQ(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Url.sitemapLastmod(RawGen.derived(s, dir, "sitemaps"))
+      .orderBy("domain", "sitemap", "seed_idx")
+
   /** Sitemap index resolution (round 17): each domain's
     * `<sitemapindex>` children with their fetched/unfetched status —
     * the fixture's /sm-404.xml child has no row, so `fetched` has both
@@ -2113,6 +2122,7 @@ object SparkEntry {
     "crawl_budget" -> (crawlBudgetQ _),
     "crawl_budget_agent" -> (crawlBudgetAgentQ _),
     "sitemap_seeds" -> (sitemapSeedsQ _),
+    "sitemap_lastmod" -> (sitemapLastmodQ _),
     "sitemap_index" -> (sitemapIndexQ _),
     "crawl_discover_e2e" -> (crawlDiscoverE2eQ _),
     "text_normalize" -> (textNormalizeQ _),
@@ -4724,6 +4734,31 @@ object SparkEntry {
       |SELECT domain, sitemap, seed_idx, seed_url, seed_url AS seed_canon
       |FROM ss ORDER BY domain, sitemap, seed_idx""".stripMargin
 
+  // per-seed lastmod: sm-1's i-th entry carries lastmod 2026-01-0i,
+  // the escaped entry and both gz entries carry none — regenerated per
+  // domain, so a hash match proves the PER-BLOCK pairing (a flat
+  // parallel tag zip would mis-attach dates the moment one entry
+  // omits lastmod)
+  private val sitemapLastmodSql = urlCanonCte + """,
+      | rdom AS MATERIALIZED (SELECT DISTINCT domain FROM d),
+      | sg AS (SELECT domain,
+      |    unnest(range(1, length(domain)%3 + 2)) AS i FROM rdom),
+      | sl AS (
+      |  SELECT domain, 'https://' || domain || '/sm-1.xml' AS sitemap,
+      |    CAST(i AS BIGINT) AS seed_idx,
+      |    'https://' || domain || '/page/' || CAST(i AS VARCHAR) AS seed_canon,
+      |    CAST('2026-01-0' || CAST(i AS VARCHAR) AS DATE) AS lastmod
+      |  FROM sg
+      |  UNION ALL SELECT domain, 'https://' || domain || '/sm-1.xml',
+      |    CAST(length(domain)%3 + 2 AS BIGINT),
+      |    'https://' || domain || '/page/esc?a=1&b=2', NULL FROM rdom
+      |  UNION ALL SELECT domain, 'https://' || domain || '/sm-2.xml.gz',
+      |    CAST(1 AS BIGINT), 'https://' || domain || '/gz/1', NULL FROM rdom
+      |  UNION ALL SELECT domain, 'https://' || domain || '/sm-2.xml.gz',
+      |    CAST(2 AS BIGINT), 'https://' || domain || '/page/1', NULL FROM rdom)
+      |SELECT domain, sitemap, seed_idx, seed_canon, lastmod
+      |FROM sl ORDER BY domain, sitemap, seed_idx""".stripMargin
+
   // sitemap index children: three per domain from the index file, the
   // third (sm-404.xml) unfetched — regenerated straight from the
   // domain string; the multi-line-commented child must NOT appear
@@ -5115,6 +5150,7 @@ object SparkEntry {
     "crawl_budget" -> crawlBudgetSql,
     "crawl_budget_agent" -> crawlBudgetAgentSql,
     "sitemap_seeds" -> sitemapSeedsSql,
+    "sitemap_lastmod" -> sitemapLastmodSql,
     "sitemap_index" -> sitemapIndexSql,
     "crawl_discover_e2e" -> crawlDiscoverE2eSql,
     "text_normalize" -> textNormalizeSql,

@@ -642,6 +642,37 @@ object Url {
         xmlUnescape(trim(col("_raw"))).as("seed_url"))
       .withColumn("seed_canon", canonicalizeUrl(col("seed_url")))
 
+  /** Per-seed `<lastmod>` freshness (round 17 — the sitemaps.org
+    * recrawl signal: a fetch scheduler prioritizes by it, and a
+    * training-data pipeline uses it to bound content staleness): like
+    * [[sitemapSeeds]] but pairing each urlset `<loc>` with ITS OWN
+    * entry's optional `<lastmod>` — extraction is per `<url>` BLOCK
+    * (DOTALL — entries span lines), then per-block loc/lastmod pulls,
+    * so a lastmod can never mis-attach to a neighboring entry (flat
+    * parallel extraction of the two tag streams would zip them wrongly
+    * the moment one entry omits lastmod). `lastmod` parses as a date
+    * via try_to_date semantics (W3C allows full datetimes; the
+    * yyyy-MM-dd prefix is taken, unparseable → null — never a throw
+    * under ANSI). Row-local, no joins, |sitemaps|-sized. */
+  def sitemapLastmod(sitemaps: DataFrame): DataFrame =
+    decodedSitemaps(sitemaps)
+      .filter(!col("_is_index"))
+      .select(col("domain"), col("sitemap"),
+        posexplode(regexp_extract_all(col("_nc"),
+          lit("(?s)<url>(.*?)</url>"), lit(1)))
+          .as(Seq("seed_idx", "_entry")))
+      .select(col("domain"), col("sitemap"),
+        (col("seed_idx") + 1).cast("long").as("seed_idx"),
+        xmlUnescape(trim(regexp_extract(col("_entry"),
+          "<loc>([^<]*)</loc>", 1))).as("seed_url"),
+        regexp_extract(col("_entry"),
+          "<lastmod>([^<]*)</lastmod>", 1).as("_lm"))
+      .filter(col("seed_url") =!= "") // a <url> block without a loc is noise
+      .select(col("domain"), col("sitemap"), col("seed_idx"),
+        canonicalizeUrl(col("seed_url")).as("seed_canon"),
+        try_to_timestamp(substring(trim(col("_lm")), 1, 10),
+          lit("yyyy-MM-dd")).cast("date").as("lastmod"))
+
   /** Sitemap INDEX resolution (round 17 — the sitemaps.org
     * `<sitemapindex><sitemap><loc>` nesting is how every large site
     * ships its URL set; the 50k-URL cap per urlset file forces it):

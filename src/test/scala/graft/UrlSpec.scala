@@ -471,6 +471,56 @@ class UrlSpec extends SparkSpec {
     assert(got.getLong(5) === 4L)
   }
 
+  test("sitemapLastmod: each loc pairs with ITS OWN entry's lastmod — a " +
+    "dateless entry in the MIDDLE yields null there (a flat parallel " +
+    "tag zip would shift the later date onto it); datetime values take " +
+    "their date prefix; garbage parses to null, never throws") {
+    import spark.implicits._
+    val urlset =
+      "<urlset>\n" +
+        "  <url><loc>https://ex.com/a</loc><lastmod>2026-02-01</lastmod></url>\n" +
+        "  <url><loc>https://ex.com/b</loc></url>\n" + // no lastmod
+        "  <url>\n    <loc>https://ex.com/c</loc>\n" +
+        "    <lastmod>2026-03-05T10:11:12+00:00</lastmod>\n  </url>\n" +
+        "  <url><loc>https://ex.com/d</loc><lastmod>not-a-date</lastmod></url>\n" +
+        "</urlset>"
+    val sm = Seq(("ex.com", "https://ex.com/s.xml", urlset.getBytes("UTF-8")))
+      .toDF("domain", "sitemap_url", "content")
+    val got = Url.sitemapLastmod(sm).orderBy("seed_idx").collect()
+      .map(r => (r.getLong(2), r.getString(3),
+        Option(r.getDate(4)).map(_.toString)))
+    assert(got === Array(
+      (1L, "https://ex.com/a", Some("2026-02-01")),
+      (2L, "https://ex.com/b", None),
+      (3L, "https://ex.com/c", Some("2026-03-05")),
+      (4L, "https://ex.com/d", None)))
+  }
+
+  test("sitemapSeeds is streaming-compatible: the same rows through " +
+    "readStream produce the identical seed set (row-local decode + " +
+    "extract — no state, no watermark needed)") {
+    import spark.implicits._
+    val urlset = "<urlset><url><loc> https://ex.com/a/ </loc></url>" +
+      "<url><loc>https://ex.com/b?b=2&amp;a=1</loc></url></urlset>"
+    val batchDf = Seq(("ex.com", "https://ex.com/s.xml",
+      urlset.getBytes("UTF-8"))).toDF("domain", "sitemap_url", "content")
+    val expected = Url.sitemapSeeds(batchDf).orderBy("seed_idx").collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getString(4)))
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, String, Array[Byte])](spark)
+    mem.addData(("ex.com", "https://ex.com/s.xml", urlset.getBytes("UTF-8")))
+    val q = Url.sitemapSeeds(mem.toDF()
+        .toDF("domain", "sitemap_url", "content"))
+      .writeStream.format("memory").queryName("sm_seeds_stream")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("sm_seeds_stream").orderBy("seed_idx").collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getString(4)))
+    assert(got === expected)
+    assert(got.map(_._3).toSeq ===
+      Seq("https://ex.com/a", "https://ex.com/b?a=1&b=2"))
+  }
+
   test("crawlDiscover e2e: robots-declared sitemaps resolve through one " +
     "index level (unfetched children skip), undeclared urlsets are NOT " +
     "reachable, seeds gate on scheme + blocklist, duplicates collapse " +
