@@ -453,6 +453,32 @@ object ScaleProbe {
       graft.ops.Url.robotsGate(dom10, graft.ops.Url.syntheticRobots(dom10),
         expectedDomains = 1L << 40))
 
+    // round-17: the sitemap discovery loop on a GROWN domain corpus —
+    // the sf1 sweep scales PAGES, but the bench fixture's domain count
+    // is source×TLD bound (constant ~178), so its near-flat crawl
+    // exponents say nothing about the |sitemaps| term. This pair grows
+    // domains (and with them sitemap files, index children, and seeds)
+    // 10× with the fixture DERIVATION persisted outside the timed
+    // region (it is input generation — the Bench derived-input rule);
+    // the catalog is constant across both sides so the reading
+    // isolates |sitemaps|.
+    val robots1 = graft.ops.Url.syntheticRobots(dom1).persist()
+    val robots10 = graft.ops.Url.syntheticRobots(dom10).persist()
+    val sm1 = graft.ops.Url.syntheticSitemaps(dom1).persist()
+    val sm10 = graft.ops.Url.syntheticSitemaps(dom10).persist()
+    println(s"[probe] sitemap corpus rows ${sm1.count()} / ${sm10.count()}" +
+      s" (robots ${robots1.count()} / ${robots10.count()})")
+    val seedCat = spark.range(1000L)
+      .select(concat(lit("https://cat"), col("id"), lit(".invalid/x"))
+        .as("url_canon")).persist()
+    seedCat.count()
+    pair("sitemap_seeds_domains",
+      graft.ops.Url.sitemapSeeds(sm1),
+      graft.ops.Url.sitemapSeeds(sm10))
+    pair("crawl_discover_domains",
+      graft.ops.Url.crawlDiscover(robots1, sm1, Seq("blocked.invalid"), seedCat),
+      graft.ops.Url.crawlDiscover(robots10, sm10, Seq("blocked.invalid"), seedCat))
+
     only.foreach { keep =>
       if (probed == 0) System.err.println(
         s"[probe] SPARK_GRAFT_PROBE_ONLY matched no pair: ${keep.mkString(", ")}")

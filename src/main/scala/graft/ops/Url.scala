@@ -742,9 +742,13 @@ object Url {
     val declared = robotsMeta(robots, agent)
       .select(explode(col("sitemaps")).as("_u"))
       .select(canonicalizeUrl(col("_u")).as("sitemap"))
-    // one recursion level: children of REACHABLE index files join back
-    // into the frame (the fixture's unfetched /sm-404.xml child simply
-    // finds no row — exactly a real fetch gap)
+    // one recursion level — which is the COMPLETE semantics, not an
+    // approximation: the sitemaps protocol forbids an index file from
+    // referencing another index file (sitemaps.org: a sitemap index
+    // "can't list other sitemap index files"), so index→urlset is the
+    // deepest legal nesting. Children of REACHABLE index files join
+    // back into the frame (the fixture's unfetched /sm-404.xml child
+    // simply finds no row — exactly a real fetch gap).
     val viaIndex = files.filter(col("_is_index"))
       .join(declared, Seq("sitemap"), "left_semi")
       .select(explode(regexp_extract_all(col("_nc"), lit(locPattern), lit(1)))
