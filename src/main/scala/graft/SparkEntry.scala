@@ -4653,7 +4653,8 @@ object SparkEntry {
       |  UNION ALL SELECT domain, FALSE,
       |    '/p/' || CAST((length(domain)%13+1)%13 AS VARCHAR) || '$',
       |    '^/p/' || CAST((length(domain)%13+1)%13 AS VARCHAR) || '$' FROM rdom
-      |  UNION ALL SELECT domain, FALSE, '/admin', NULL FROM rdom""".stripMargin)
+      |  UNION ALL SELECT domain, FALSE, '/admin', NULL FROM rdom
+      |  UNION ALL SELECT domain, FALSE, '/page/2$', '^/page/2$' FROM rdom""".stripMargin)
 
   // the graftbot group (syntheticRobots' round-17 contract): Disallow
   // /p/ inverted by Allow /p/{d} — badbot and * rules must NOT appear
@@ -4775,14 +4776,21 @@ object SparkEntry {
       |FROM ch ORDER BY domain, child_idx""".stripMargin
 
   // crawl discovery e2e: regenerated urlset seeds (both reachable via
-  // the index), blocklist-gated on their registrable domain (= the
-  // fixture domain), first-occurrence per canonical seed (the gz
-  // shard's duplicate /page/1 collapses to sm-1's), then novelty vs
-  // the admitted catalog — doc canons < 250 plus the prior-batch seed
-  // catalog (even-length domains' /page/1)
+  // the index), gated on scheme + blocklist + the domain's ROBOTS
+  // rules (the complete front end), first-occurrence per canonical
+  // seed (the gz shard's duplicate /page/1 collapses to sm-1's), then
+  // novelty vs the admitted catalog — doc canons < 250 plus the
+  // prior-batch seed catalog (even-length domains' /page/1). The
+  // robots gate replays as ONE anchored regex: of the * group's six
+  // rules, only '/page/2$' can match seed space (/p/-prefix rules,
+  // '/*?id=' and '/admin' cannot match /page//gz paths — verified by
+  // enumeration), so the single-rule filter IS the full precedence
+  // verdict for these seeds; the Spark side runs the general argmax.
   private val crawlDiscoverE2eSql = urlCanonCte + ",\n" +
     sitemapSeedEntriesCtes + s""",
-      | sgate AS (SELECT * FROM ss WHERE domain NOT IN $urlBlockedSqlList),
+      | sgate AS (SELECT * FROM ss WHERE domain NOT IN $urlBlockedSqlList
+      |   AND NOT regexp_matches(substr(seed_url, 9 + length(domain)),
+      |     '^/page/2${'$'}')),
       | sfirst AS (SELECT domain, sitemap, seed_idx, seed_url FROM (
       |    SELECT g.*, row_number() OVER (PARTITION BY seed_url
       |      ORDER BY sitemap, seed_idx) AS rn FROM sgate g) WHERE rn = 1),

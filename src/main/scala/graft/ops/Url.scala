@@ -485,6 +485,10 @@ object Url {
     * `{len(domain)%3}.5` — and two `Sitemap:` URLs — one inside the
     * badbot group, one at the tail — both of which must collect
     * (sitemaps are group-independent).
+    * Round-17 seed-space rule: `Disallow: /page/2$` in the `*` group —
+    * it can never match a doc URL (those live under /p/), so every
+    * corpus verdict is unchanged, while the sitemap corpus's /page/2
+    * seed genuinely drops in [[crawlDiscover]]'s robots gate.
     * Round-17 group-selection contract: a `User-agent: graftbot` group
     * whose rules INVERT the `*` group's verdict on the /p/{d} subtree
     * (`Disallow: /p/` + `Allow: /p/{d}`) and whose `Crawl-delay:
@@ -514,6 +518,11 @@ object Url {
       lit("Disallow: /p/"), j13, lit("$\n"),
       lit("Disallow:\n"), // empty value: no restriction, parser must skip
       lit("Disallow: /admin\n"),
+      // fires only in SEED space (/page/2 from the sitemap corpus —
+      // doc URLs live under /p/), so the round-17 discovery loop's
+      // robots gate has a rule that genuinely drops a seed while every
+      // corpus-path query's verdict set is unchanged
+      lit("Disallow: /page/2$\n"),
       lit("Sitemap: https://"), col("domain"), lit("/sitemap.xml\n"))
       .as("robots_txt"))
   }
@@ -708,9 +717,12 @@ object Url {
     * composition is where double-canonicalize and plan regressions
     * hide, the [[crawlBudget]] lesson): robots.txt metadata → declared
     * sitemap URLs → fetched sitemap files → one level of
-    * `<sitemapindex>` recursion → urlset page seeds → admission gate
-    * (scheme + registrable-domain blocklist) → frontier novelty vs the
-    * already-admitted catalog. Output: one row per NOVEL admitted seed,
+    * `<sitemapindex>` recursion → urlset page seeds → the COMPLETE
+    * admission front end (scheme + registrable-domain blocklist +
+    * the domain's robots rules — a crawler must not enqueue a fetch
+    * its own robots verdict forbids; the rules parse ONCE per domain
+    * from the same robots frame the metadata came from) → frontier
+    * novelty vs the already-admitted catalog. Output: one row per NOVEL admitted seed,
     * `(domain, sitemap, seed_idx, seed_url, seed_canon)`, where
     * duplicate discoveries collapse to the first occurrence (lowest
     * `(sitemap, seed_idx)` — the library's deterministic-winner
@@ -769,7 +781,15 @@ object Url {
         (col("seed_idx") + 1).cast("long").as("seed_idx"),
         xmlUnescape(trim(col("_raw"))).as("seed_url"))
       .withColumn("seed_canon", canonicalizeUrl(col("seed_url")))
-    // admission gate on the canonical column (computed once above)
+    // admission gates on the canonical column (computed once above):
+    // scheme, blocklist broadcast probe, and the domain's robots rules
+    // (one parse per domain on the |domains|-sized frame — the
+    // robotsGate shape; a seed the crawler's own robots verdict
+    // forbids must never reach the fetch frontier)
+    val rules = robots.groupBy("domain")
+      .agg(max(col("robots_txt")).as("_txt"))
+      .select(col("domain").as("_sd"),
+        robotsRules(col("_txt"), agent).as("_rules"))
     val gated = seeds
       .withColumn("_sd", registrableDomain(col("seed_canon")))
       .filter(substring_index(col("seed_canon"), "://", 1)
@@ -777,6 +797,9 @@ object Url {
       .join(broadcast(blocked.toDF("_sd").distinct()
         .withColumn("_blocked", lit(true))), Seq("_sd"), "left")
       .filter(col("_blocked").isNull)
+      .join(broadcast(rules), Seq("_sd"), "left")
+      .filter(coalesce(pmod(robotsBestEnc(col("_rules"),
+        canonPathQuery(col("seed_canon"))), lit(2)) === 1, lit(true)))
     // first-occurrence winner per canonical seed: min over the struct
     // orders by (sitemap, seed_idx) lexicographically — map-side
     // combinable, no per-key window sort. (String payload in the buffer

@@ -222,7 +222,8 @@ class UrlSpec extends SparkSpec {
       val j13 = (d13 + 1) % 13
       assert(rules === Seq((false, s"/p/$d13"), (true, s"/p/${d13}2"),
         (false, "/*?id="), (false, s"/p/$j13$$"),
-        (false, "/admin")), s"domain $dom parsed $rules")
+        (false, "/admin"), (false, "/page/2$")),
+        s"domain $dom parsed $rules")
     }
   }
 
@@ -523,12 +524,14 @@ class UrlSpec extends SparkSpec {
 
   test("crawlDiscover e2e: robots-declared sitemaps resolve through one " +
     "index level (unfetched children skip), undeclared urlsets are NOT " +
-    "reachable, seeds gate on scheme + blocklist, duplicates collapse " +
-    "to first occurrence, catalog members drop") {
+    "reachable, seeds gate on scheme + blocklist + the domain's robots " +
+    "rules, duplicates collapse to first occurrence, catalog members " +
+    "drop") {
     import spark.implicits._
     def b(s: String): Array[Byte] = s.getBytes("UTF-8")
     val robots = Seq(
-      ("ex.com", "User-agent: *\nSitemap: https://ex.com/sitemap.xml\n"),
+      ("ex.com", "User-agent: *\nDisallow: /p3$\n" +
+        "Sitemap: https://ex.com/sitemap.xml\n"),
       ("bl.com", "User-agent: *\nSitemap: https://bl.com/s.xml\n"))
       .toDF("domain", "robots_txt")
     val sitemaps = Seq(
@@ -541,6 +544,7 @@ class UrlSpec extends SparkSpec {
         "<urlset><url><loc>https://ex.com/p1</loc></url>" +
           "<url><loc>https://ex.com/p2</loc></url>" +
           "<url><loc>https://EX.com/p1</loc></url>" + // dup via canon
+          "<url><loc>https://ex.com/p3</loc></url>" + // robots-disallowed
           "<url><loc>ftp://ex.com/f</loc></url></urlset>")),
       ("ex.com", "https://ex.com/orphan.xml", b( // declared nowhere
         "<urlset><url><loc>https://ex.com/orphan</loc></url></urlset>")),
