@@ -790,6 +790,52 @@ object SparkEntry {
       graft.ops.Graph.coPurchaseEdges(RawGen.table(s, dir, "lineitem")))
       .orderBy("node")
 
+  /** The synthetic linked-HTML crawl pages ([[graft.ops.Links]]) — the
+    * link layer's shared fixture input. */
+  private def linkedPages(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Links.syntheticLinkedHtml(RawGen.table(s, dir, "documents"))
+
+  /** Per-page outlink extraction: href + RFC 3986 resolution + anchor
+    * text + nofollow — scan-fused, zero exchanges (LinksSpec pins). */
+  private def linkExtractQ(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Links.linkExtract(linkedPages(s, dir))
+      .select("doc_id", "link_idx", "href", "href_abs", "target_canon",
+        "anchor", "nofollow")
+      .orderBy("doc_id", "link_idx")
+
+  /** Per-target anchor aggregation: in-link/follow/source counts + the
+    * first-occurrence anchor — one hash-agg on the target key. */
+  private def anchorTextQ(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Links.anchorText(
+      graft.ops.Links.linkExtract(linkedPages(s, dir)))
+      .orderBy("target_canon")
+
+  /** The weighted domain-level link graph (follow edges between
+    * different registrable domains, multiplicity = weight). */
+  private def linkGraphQ(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Links.hostGraph(
+      graft.ops.Links.linkExtract(linkedPages(s, dir)))
+      .groupBy("src", "dst")
+      .agg(count(lit(1)).cast("long").as("weight"))
+      .orderBy("src", "dst")
+
+  /** Integer fixed-point PageRank over the REAL crawl link structure
+    * (the host graph), not the co-purchase fixture — the centrality
+    * weight a source-mixing policy consumes. */
+  private def hostPageRankQ(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Graph.pageRank(
+      graft.ops.Links.hostGraph(
+        graft.ops.Links.linkExtract(linkedPages(s, dir))))
+      .orderBy("node")
+
+  /** Redirect-chain resolution by pointer doubling — ⌈log₂ 8⌉ = 3
+    * self-joins resolve any ≤8-hop chain; cycles terminate unresolved
+    * at the deterministic landing point (see Graph.resolveChains). */
+  private def redirectResolveQ(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Graph.resolveChains(
+      graft.ops.Links.syntheticRedirects(RawGen.table(s, dir, "documents")))
+      .orderBy("src")
+
   /** CCNet head/middle/tail quality strata per language — see
     * TextAnalysis.perplexityBuckets for the sample-threshold scale shape. */
   private def ccnetBucketsQ(s: SparkSession, dir: String): DataFrame =
@@ -2101,6 +2147,11 @@ object SparkEntry {
     "bpe_train" -> (bpeTrainQ _),
     "bpe_encode" -> (bpeEncodeQ _),
     "graph_pagerank" -> (pageRankQ _),
+    "link_extract" -> (linkExtractQ _),
+    "anchor_text" -> (anchorTextQ _),
+    "link_graph" -> (linkGraphQ _),
+    "host_pagerank" -> (hostPageRankQ _),
+    "redirect_resolve" -> (redirectResolveQ _),
     "ccnet_buckets" -> (ccnetBucketsQ _),
     "q_merge_upsert" -> (qMergeUpsert _),
     "q_merge_tombstone" -> (qMergeTombstone _),
@@ -3192,12 +3243,12 @@ object SparkEntry {
   /** PageRank replay: integer fixed-point (rank·10⁶, damping as the exact
     * rational 85/100, `//` floor division), unrolled one (contribution →
     * rank) CTE pair per round — Graph.pageRank's compile-time iters. */
-  private val pageRankSql = {
-    val iters = 3
+  /** The fixed-point PageRank unroll (Graph.pageRank's exact integer
+    * semantics) over whatever CTE named `e(src, dst)` the caller
+    * splices upstream — one definition for the co-purchase graph and
+    * the link-layer host graph. */
+  private def pageRankIterSql(iters: Int): String = {
     val parts = scala.collection.mutable.ArrayBuffer[String](
-      "li AS (SELECT l_orderkey AS ok, l_partkey AS pk, l_linenumber AS ln FROM lineitem)",
-      "e AS (SELECT a.pk AS src, b.pk AS dst FROM li a JOIN li b " +
-        "ON a.ok = b.ok AND a.ln < b.ln AND a.pk <> b.pk)",
       "n AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
       "od AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS odeg FROM e GROUP BY 1)",
       "r0 AS (SELECT n.node, CAST(1000000 AS BIGINT) AS pr, " +
@@ -3209,8 +3260,14 @@ object SparkEntry {
         s"CAST(150000 + (85 * COALESCE(c.insum, 0)) // 100 AS BIGINT) AS pr, " +
         s"r.odeg FROM r$i r LEFT JOIN c$i c USING (node))"
     }
-    s"WITH ${parts.mkString(",\n")}\nSELECT node, pr FROM r$iters ORDER BY node"
+    s"${parts.mkString(",\n")}\nSELECT node, pr FROM r$iters ORDER BY node"
   }
+
+  private val pageRankSql =
+    "WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk, l_linenumber AS ln FROM lineitem),\n" +
+      "e AS (SELECT a.pk AS src, b.pk AS dst FROM li a JOIN li b " +
+      "ON a.ok = b.ok AND a.ln < b.ln AND a.pk <> b.pk),\n" +
+      pageRankIterSql(3)
 
   // plain concatenation — re-stripMargin over the spliced (already-stripped)
   // SQL bodies would eat their `||` concat operators
@@ -4491,7 +4548,12 @@ object SparkEntry {
   // generator fragment's `||` concat operators would be margin-stripped
   // a second time (the single-line-splice gotcha). The WITH-less chain is
   // shared with crawlCurateE2eSql (declared LAZY — it precedes this val).
-  private val urlChainCtes = urlGenCte + ",\n" +
+  /** The canonicalize+domain steps of [[urlChainCtes]] WITHOUT the
+    * generator — reusable against any `u(doc_id, n_chars, url)` input
+    * via [[renameCtes]] (the link layer feeds extracted hrefs through
+    * the SAME canonicalization the urls take, so the SQL replay must be
+    * one definition, renamed, not a second copy that could drift). */
+  private val urlCanonSteps =
     """ s1 AS (SELECT doc_id, n_chars, split_part(url, '#', 1) AS base FROM u),
       | s2 AS (SELECT doc_id, n_chars,
       |    lower(split_part(base, '://', 1)) AS scheme,
@@ -4549,6 +4611,15 @@ object SparkEntry {
       .replace("PSL_SUF3_LIST", sqlList(graft.ops.Url.publicSuffix3))
       .replace("PSL_WILD1_LIST", sqlList(graft.ops.Url.pslWild1))
       .replace("PSL_SUF2_LIST", sqlList(graft.ops.Url.publicSuffix2))
+
+  private val urlChainCtes = urlGenCte + ",\n" + urlCanonSteps
+
+  /** Prefix every CTE name of a spliced SQL fragment — whole-word, so
+    * `d` never touches `doc_id` and `u` never touches `url`. */
+  private def renameCtes(sql: String, prefix: String): String =
+    Seq("s1", "s2", "s3", "s4", "s5", "s6", "cc", "dh0", "dh", "d",
+      "st", "qt", "u")
+      .foldLeft(sql)((acc, n) => acc.replaceAll("\\b" + n + "\\b", prefix + n))
 
   private val urlCanonCte = "WITH " + urlChainCtes
 
@@ -4828,6 +4899,108 @@ object SparkEntry {
 
   private val crawlBudgetAgentSql =
     crawlBudgetSqlWith(robotsAgentCtes, "length(domain)%2 + 0.25")
+
+  /** The LINK-LAYER oracle CTEs (round 17, [[graft.ops.Links]]): the
+    * expected `linkExtract` output REGENERATED from the same doc_id
+    * arithmetic the fixture uses (hash equality proves parse∘generate =
+    * identity — the syntheticRobots convention), with every extracted
+    * href_abs pushed through the canonical chain RENAMED (`l` prefix) so
+    * target canonicalization is the same single definition the urls
+    * take, not a second copy. Splice after [[urlChainCtes]]. */
+  private val linkLayerCtes = {
+    val tld2 = "(CASE (doc_id%13+1)%8 WHEN 0 THEN 'com' WHEN 1 THEN 'Org' " +
+      "WHEN 2 THEN 'net' WHEN 3 THEN 'co.uk' WHEN 4 THEN 'com.au' " +
+      "WHEN 5 THEN 'org.uk' WHEN 6 THEN 'ck' ELSE 'k12.ma.us' END)"
+    val root = "scheme || '://' || host || keptport"
+    s"""lb AS (SELECT s6.doc_id, d2.source, s6.scheme, s6.host, s6.keptport,
+      |    s6.doc_id%13 AS m13, s6.doc_id%7 AS m7, s6.doc_id%6 AS m6,
+      |    s6.doc_id%4 AS m4, s6.doc_id%3 AS m3, s6.doc_id%9 AS m9,
+      |    $tld2 AS tld2
+      |  FROM s6 JOIN documents d2 USING (doc_id)),
+      | lraw AS (
+      |  SELECT doc_id, CAST(1 AS BIGINT) AS link_idx,
+      |    'https://www.' || source || '-site.' || tld2 || '/p/' || m13 ||
+      |      (CASE WHEN m4=0 THEN '?b=2&amp;a=1' ELSE '' END) AS href,
+      |    'https://www.' || source || '-site.' || tld2 || '/p/' || m13 ||
+      |      (CASE WHEN m4=0 THEN '?b=2&a=1' ELSE '' END) AS href_abs,
+      |    'Read more ' || doc_id || ' &amp; extras' AS anchor,
+      |    FALSE AS nofollow FROM lb
+      |  UNION ALL
+      |  SELECT doc_id, CAST(3 AS BIGINT), '/p/' || m13 || '/child',
+      |    $root || '/p/' || m13 || '/child', 'Next page', FALSE FROM lb
+      |  UNION ALL
+      |  SELECT doc_id, CAST(5 AS BIGINT),
+      |    CASE WHEN m6=0 THEN '../up/' || m7 ELSE 'sib' || m7 || '.html' END,
+      |    $root || (CASE WHEN m6=0 THEN '/up/' || m7
+      |      ELSE '/p/sib' || m7 || '.html' END),
+      |    'Sibling ' || m7, FALSE FROM lb
+      |  UNION ALL
+      |  SELECT doc_id, CAST(6 AS BIGINT),
+      |    '//cdn' || m3 || '.example.net/r/' || m9,
+      |    scheme || '://cdn' || m3 || '.example.net/r/' || m9,
+      |    'sponsored & paid', TRUE FROM lb),
+      | lu AS (SELECT doc_id*10 + link_idx AS doc_id,
+      |    CAST(0 AS BIGINT) AS n_chars, href_abs AS url FROM lraw),
+      |""".stripMargin +
+      renameCtes(urlCanonSteps, "l") + """,
+      | lx AS (SELECT lraw.doc_id, lraw.link_idx, lraw.href, lraw.href_abs,
+      |    lcc.url_canon AS target_canon, lraw.anchor, lraw.nofollow
+      |  FROM lraw JOIN lcc ON lcc.doc_id = lraw.doc_id*10 + lraw.link_idx)""".stripMargin
+  }
+
+  private val linkExtractSql = urlCanonCte + ",\n" + linkLayerCtes +
+    "\nSELECT doc_id, link_idx, href, href_abs, target_canon, anchor, " +
+    "nofollow FROM lx ORDER BY doc_id, link_idx"
+
+  private val anchorTextSql = urlCanonCte + ",\n" + linkLayerCtes + """
+    |SELECT target_canon, CAST(count(*) AS BIGINT) AS n_links,
+    |  CAST(sum(CASE WHEN NOT nofollow THEN 1 ELSE 0 END) AS BIGINT) AS n_follow,
+    |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_src_docs,
+    |  arg_min(anchor, doc_id*100 + link_idx) AS first_anchor
+    |FROM lx GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Follow edges between DIFFERENT registrable domains: source domain
+    * from the base chain's `d`, target domain from the renamed `ld`. */
+  private val linkEdgeCte =
+    """e AS (SELECT d.domain AS src, ld.domain AS dst
+      |  FROM lx JOIN d ON d.doc_id = lx.doc_id
+      |  JOIN ld ON ld.doc_id = lx.doc_id*10 + lx.link_idx
+      |  WHERE NOT lx.nofollow AND d.domain <> ld.domain)""".stripMargin
+
+  private val linkGraphSql = urlCanonCte + ",\n" + linkLayerCtes + ",\n" +
+    linkEdgeCte + """
+    |SELECT src, dst, CAST(count(*) AS BIGINT) AS weight FROM e
+    |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  private val hostPageRankSql = urlCanonCte + ",\n" + linkLayerCtes + ",\n" +
+    linkEdgeCte + ",\n" + pageRankIterSql(3)
+
+  /** Pointer-doubling replay: the SAME ⌈log₂ 8⌉ = 3 left self-joins
+    * Graph.resolveChains plans, so chain ends, hop counts, and the
+    * deterministic cycle landing points agree to the bit. */
+  private val redirectResolveSql =
+    """WITH rg AS (SELECT doc_id, doc_id%8 AS p,
+      |    (doc_id - doc_id%8) // 8 AS c FROM documents),
+      | re AS (SELECT
+      |    'https://r' || (c%97) || '.example.com/hop/' || c || '/' || p AS src,
+      |    CASE WHEN p < c%7 + 1
+      |      THEN 'https://r' || (c%97) || '.example.com/hop/' || c || '/' || (p+1)
+      |      ELSE 'https://r' || (c%97) || '.example.com/hop/' || c || '/0' END AS dst
+      |  FROM rg WHERE p < c%7 + 1 OR (p = c%7 + 1 AND c%13 = 0)),
+      | m0 AS (SELECT src, dst, CAST(1 AS BIGINT) AS hops FROM re),
+      | m1 AS (SELECT a.src, COALESCE(b.dst, a.dst) AS dst,
+      |    a.hops + COALESCE(b.hops, 0) AS hops
+      |  FROM m0 a LEFT JOIN m0 b ON a.dst = b.src),
+      | m2 AS (SELECT a.src, COALESCE(b.dst, a.dst) AS dst,
+      |    a.hops + COALESCE(b.hops, 0) AS hops
+      |  FROM m1 a LEFT JOIN m1 b ON a.dst = b.src),
+      | m3 AS (SELECT a.src, COALESCE(b.dst, a.dst) AS dst,
+      |    a.hops + COALESCE(b.hops, 0) AS hops
+      |  FROM m2 a LEFT JOIN m2 b ON a.dst = b.src),
+      | sk AS (SELECT DISTINCT src FROM re)
+      |SELECT m3.src, m3.dst AS final_url, m3.hops,
+      |  (sk.src IS NULL) AS resolved
+      |FROM m3 LEFT JOIN sk ON m3.dst = sk.src ORDER BY m3.src""".stripMargin
 
   private val domainStatsSql = urlCanonCte +
     "\nSELECT domain, n_docs, n_urls, total_chars, quota FROM qt ORDER BY domain"
@@ -5135,6 +5308,11 @@ object SparkEntry {
     "bpe_train" -> bpeTrainSql,
     "bpe_encode" -> bpeEncodeSql,
     "graph_pagerank" -> pageRankSql,
+    "link_extract" -> linkExtractSql,
+    "anchor_text" -> anchorTextSql,
+    "link_graph" -> linkGraphSql,
+    "host_pagerank" -> hostPageRankSql,
+    "redirect_resolve" -> redirectResolveSql,
     "ccnet_buckets" -> ccnetBucketsSql,
     "q_merge_upsert" -> qMergeUpsertSql,
     "q_merge_tombstone" -> qMergeTombstoneSql,

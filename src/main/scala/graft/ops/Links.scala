@@ -1,0 +1,269 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The HTML LINK layer (round 17) — the piece of the crawl loop between
+  * content extraction ([[Extract]]) and the URL frontier ([[Url]]): a
+  * fetched page's outlinks are where the next round of frontier seeds
+  * comes from, anchor text is the classic off-page relevance/quality
+  * signal (it describes the TARGET, written by a third party), and the
+  * domain-level link graph feeds centrality weighting
+  * ([[Graph.pageRank]]) for source mixing. The reference engine stops at
+  * per-record routing (each connectors connector.yaml — no link
+  * semantics);
+  * this layer is the beyond-reference crawl surface the round-15..17
+  * robots/sitemap front end plugs into.
+  *
+  * Scale shape: extraction and resolution are row-local expression
+  * chains fused into the page scan (zero exchanges — PlanSpec-style pin
+  * in LinksSpec); the anchor aggregation is ONE hash-agg on the target
+  * key with map-side combine; the host graph is |edges|-sized, never
+  * page-scale, by the time it reaches PageRank.
+  */
+object Links {
+
+  /** One `<a …>body</a>` match: attribute blob (group 1) and body
+    * (group 2). Non-greedy body stops at the first closer; (?is) makes
+    * `.` span lines and the tag case-insensitive. */
+  private val aTagPattern = "(?is)<a\\b([^>]*)>(.*?)</a>"
+
+  /** A quoted-or-bare attribute value: `href="…"`, `href='…'`, or the
+    * HTML-legal unquoted `href=…` (terminated by whitespace or `>`). */
+  private def attrValue(attrs: Column, name: String): Column = {
+    val raw = regexp_extract(attrs,
+      s"(?i)\\b$name\\s*=\\s*(\"[^\"]*\"|'[^']*'|[^\\s>\"']+)", 1)
+    when(raw.startsWith("\"") || raw.startsWith("'"),
+      raw.substr(lit(2), length(raw) - 2)).otherwise(raw)
+  }
+
+  /** The C4-minimal entity set ([[Extract.stripHtml]]'s table, same
+    * ordering contract: `&amp;` LAST so `&amp;lt;` yields the literal
+    * text `&lt;`, never `<`). Literal replace, no regex. */
+  private def decodeEntities(c: Column): Column =
+    Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(c) { case (acc, (e, r)) => regexp_replace(acc, e, r) }
+
+  /** RFC 3986 §5.2.4 dot-segment removal over an absolute path (with an
+    * optional query, which rides through untouched): `/a/../b` → `/b`,
+    * `/a/./b` → `/a/b`, duplicate slashes collapse. A `..` at root is a
+    * no-op (the RFC's behavior). One `aggregate` fold over the split
+    * segments — row-local, replayed by the ORACLE not as a fold but as
+    * the regenerated expected path (the parse∘generate identity
+    * convention). */
+  private[graft] def removeDotSegments(pq: Column): Column = {
+    val path = substring_index(pq, "?", 1)
+    val query = pq.substr(length(path) + 1, lit(1 << 20))
+    val folded = aggregate(split(path, "/"), typedLit(Seq.empty[String]),
+      (acc, s) =>
+        when(s === "..", slice(acc, lit(1), greatest(size(acc) - 1, lit(0))))
+          .when(s === "." || s === "", acc)
+          .otherwise(concat(acc, array(s))))
+    concat(lit("/"), array_join(folded, "/"), query)
+  }
+
+  /** Resolve an (entity-decoded) href against the CANONICAL base URL —
+    * the library resolves after canonicalization so the base parts are
+    * already case/port/www-normalized and the work happens once:
+    *  - a scheme-qualified href is already absolute (kept as written);
+    *  - `//host/p` (protocol-relative) takes the base scheme;
+    *  - `/p` (root-relative) takes scheme://host[:port];
+    *  - anything else is path-relative: joined to the base path's
+    *    directory, then dot-segments removed (§5.2.4).
+    * Root/path-relative results are dot-normalized; absolute hrefs pass
+    * through (a crawl corpus's absolute links are overwhelmingly
+    * already clean, and [[Url.canonicalizeUrl]] runs downstream
+    * regardless). */
+  private[graft] def resolveHref(baseCanon: Column, href: Column): Column = {
+    val scheme = substring_index(baseCanon, "://", 1)
+    val afterScheme = baseCanon.substr(length(scheme) + 4, lit(1 << 20))
+    val root = concat(scheme, lit("://"), substring_index(afterScheme, "/", 1))
+    val basePath = substring_index(Url.canonPathQuery(baseCanon), "?", 1)
+    val dir = regexp_replace(basePath, "[^/]*$", "")
+    when(href.rlike("^[A-Za-z][A-Za-z0-9+.-]*://"), href)
+      .when(href.startsWith("//"), concat(scheme, lit(":"), href))
+      .when(href.startsWith("/"), concat(root, removeDotSegments(href)))
+      .otherwise(concat(root, removeDotSegments(concat(dir, href))))
+  }
+
+  /** Per-page outlink extraction over a frame with (`idCol`, `htmlCol`,
+    * `baseUrlCol`): one row per `<a>` tag that carries a FETCHABLE
+    * href — tags without an href, fragment-only links (`#top`), and
+    * non-fetch schemes (javascript/mailto/tel/data) are dropped AFTER
+    * the 1-based `link_idx` is assigned, so an index always names the
+    * tag's position in the page (stable across filter changes).
+    * Output per link: the raw attribute text (`href`), the
+    * entity-decoded resolved absolute form (`href_abs`), its canonical
+    * key (`target_canon` — the frontier/dedup join key), the
+    * tag-stripped whitespace-normalized anchor text, and the
+    * `rel=nofollow` flag (crawl schedulers and centrality both treat
+    * nofollow edges differently — the graph builders here exclude
+    * them).
+    *
+    * Zipping two `regexp_extract_all` calls of the SAME pattern
+    * (groups 1 and 2) is alignment-safe: identical patterns produce
+    * identical match spans, so index i of both arrays is the same tag.
+    * Everything is row-local — the explode is output-bounded (Σ links
+    * per page) and the chain fuses into the page scan, zero exchanges. */
+  def linkExtract(pages: DataFrame, htmlCol: String = "html",
+                  baseUrlCol: String = "base_url",
+                  idCol: String = "doc_id"): DataFrame = {
+    val h = col(htmlCol)
+    val zipped = arrays_zip(
+      regexp_extract_all(h, lit(aTagPattern), lit(1)),
+      regexp_extract_all(h, lit(aTagPattern), lit(2)))
+    pages
+      .select(col(idCol), Url.canonicalizeUrl(col(baseUrlCol)).as("_base"),
+        posexplode(zipped).as(Seq("_i", "_t")))
+      .select(col(idCol), col("_base"),
+        (col("_i") + 1).cast("long").as("link_idx"),
+        attrValue(col("_t")("0"), "href").as("href"),
+        attrValue(col("_t")("0"), "rel").as("_rel"),
+        col("_t")("1").as("_body"))
+      .filter(col("href") =!= "" && !col("href").startsWith("#") &&
+        !lower(col("href")).rlike("^(javascript|mailto|tel|data):"))
+      // decode + resolve into a COLUMN before canonicalizing — the
+      // canonicalizer references its input at ~15 leaves and inlining
+      // the resolution tree at each one multiplies the plan (the
+      // domain_quota_sample round-16 lesson)
+      .select(col(idCol), col("_base"), col("link_idx"), col("href"),
+        resolveHref(col("_base"), decodeEntities(col("href"))).as("href_abs"),
+        trim(regexp_replace(decodeEntities(
+          regexp_replace(col("_body"), "<[^>]*>", "")), "\\s+", " "))
+          .as("anchor"),
+        lower(col("_rel")).contains("nofollow").as("nofollow"))
+      .withColumn("target_canon", Url.canonicalizeUrl(col("href_abs")))
+  }
+
+  /** Anchor-text aggregation: the per-TARGET view of the link layer —
+    * in-link count, follow count, distinct linking pages, and the
+    * first-occurrence anchor (lowest `(doc_id, link_idx)`, the
+    * library's deterministic-winner convention, as a `min_by` on the
+    * numeric composite key — map-side combinable, no window). At crawl
+    * scale this is the one exchange the layer pays: a single hash-agg
+    * on `target_canon`, partial-combined before the shuffle. */
+  def anchorText(links: DataFrame): DataFrame =
+    links.groupBy("target_canon")
+      .agg(count(lit(1)).as("n_links"),
+        sum(when(!col("nofollow"), 1L).otherwise(0L)).as("n_follow"),
+        count_distinct(col("doc_id")).as("n_src_docs"),
+        min_by(col("anchor"), col("doc_id") * 100 + col("link_idx"))
+          .as("first_anchor"))
+
+  /** Pin a frame's already-computed expensive columns as ATTRIBUTES
+    * before further expression-heavy derivation: a one-element `explode`
+    * is a Generate node, and Catalyst's CollapseProject cannot
+    * substitute a parent projection's aliases through a Generate — so
+    * everything below stays computed ONCE. Without it, re-deriving from
+    * [[linkExtract]]'s computed columns blows up multiplicatively:
+    * [[Url.registrableDomain]] references its input at ~10 leaves, each
+    * leaf re-inlining the full canonicalize∘resolve∘decode tree, and
+    * the collapse compounds per projection level — the measured
+    * optimized plan was 300 MB (the domain_quota_sample round-16
+    * lesson, one level deeper). The Generate costs zero storage and
+    * stays one streaming codegen pass (GenerateExec participates in
+    * whole-stage codegen), unlike a cache/localCheckpoint barrier that
+    * would materialize a corpus-sized frame. */
+  private[graft] def pinColumns(df: DataFrame): DataFrame = {
+    val names = df.columns.toSeq
+    df.select(explode(array(struct(names.map(col): _*))).as("_pin"))
+      .select(names.map(n => col("_pin")(n).as(n)): _*)
+  }
+
+  /** The domain-level link graph: one edge per FOLLOW link between two
+    * DIFFERENT registrable domains (intra-site navigation and nofollow
+    * edges carry no endorsement — the standard centrality-graph
+    * hygiene). Parallel edges are KEPT: multiplicity is the edge
+    * weight, the [[Graph.coPurchaseEdges]] convention, so the frame
+    * feeds [[Graph.pageRank]] unchanged. Row-local on top of
+    * [[linkExtract]] — the canonical columns are [[pinColumns]]-pinned
+    * first so both domain extractions reference attributes, not
+    * re-inlined expression trees. */
+  def hostGraph(links: DataFrame): DataFrame =
+    pinColumns(links.filter(!col("nofollow"))
+        .select(col("_base"), col("target_canon")))
+      .select(Url.registrableDomain(col("_base")).as("src"),
+        Url.registrableDomain(col("target_canon")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+
+  /** Deterministic per-document HTML pages with a FIXED 8-slot `<a>`
+    * template — every field a pure function of `doc_id` so the DuckDB
+    * oracle REGENERATES the expected extraction (hash equality proves
+    * parse ∘ generate = identity, the syntheticRobots convention). The
+    * base URL is [[Url.syntheticUrls]]' url for the same doc (so base
+    * canonicalization, ftp schemes, and kept ports all flow through
+    * resolution). Slots (1-based tag positions):
+    *  1. absolute cross-TLD link — `www.`-prefixed host on the NEXT
+    *     tld-wheel entry (the host graph's inter-domain edge), an
+    *     entity-escaped query (`?b=2&amp;a=1`) every 4th doc, and
+    *     markup + a double-escaped entity in the anchor;
+    *  2. `<a name=…>` with NO href — dropped, index still consumed;
+    *  3. root-relative child page, uppercase tag + single quotes;
+    *  4. `javascript:` — dropped;
+    *  5. path-relative sibling, `../up/<m7>` every 6th doc (dot-segment
+    *     resolution) else `sib<m7>.html` (directory join);
+    *  6. protocol-relative CDN link, `rel=nofollow`, entity in anchor;
+    *  7. fragment-only `#top` — dropped;
+    *  8. `mailto:` — dropped.
+    * Survivors: slots 1, 3, 5, 6 — four links per document. */
+  def syntheticLinkedHtml(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    def m(k: Int): Column = pmod(id, lit(k))
+    // the NEXT entry on syntheticUrls' 8-TLD wheel: same source, shifted
+    // TLD — so absolute links connect the fixture's own domain family
+    val tld2 = element_at(
+      array(lit("com"), lit("Org"), lit("net"),
+        lit("co.uk"), lit("com.au"), lit("org.uk"),
+        lit("ck"), lit("k12.ma.us")),
+      (pmod(pmod(id, lit(13)) + 1, lit(8)) + 1).cast("int"))
+    val absHref = concat(lit("https://www."), col("source"), lit("-site."),
+      tld2, lit("/p/"), m(13),
+      when(m(4) === 0, lit("?b=2&amp;a=1")).otherwise(lit("")))
+    val relHref = when(m(6) === 0, concat(lit("../up/"), m(7)))
+      .otherwise(concat(lit("sib"), m(7), lit(".html")))
+    val html = concat(
+      lit("<html><body><p>Intro "), id, lit(".</p>\n"),
+      lit("<a href=\""), absHref, lit("\">Read <b>more</b> "), id,
+      lit(" &amp;amp; extras</a>\n"),
+      lit("<a name=\"x\">no href</a>\n"),
+      lit("<A HREF='/p/"), m(13), lit("/child'>Next page</A>\n"),
+      lit("<a href=\"javascript:void(0)\">Click</a>\n"),
+      lit("<a href=\""), relHref, lit("\">Sibling "), m(7), lit("</a>\n"),
+      lit("<a rel=\"nofollow\" href=\"//cdn"), m(3),
+      lit(".example.net/r/"), m(9), lit("\">sponsored &amp; paid</a>\n"),
+      lit("<a href=\"#top\">Top</a>\n"),
+      lit("<a href=\"mailto:a@b.example\">mail</a>\n"),
+      lit("</body></html>"))
+    Url.syntheticUrls(docs)
+      .select(col("doc_id"), col("source"), col("url").as("base_url"))
+      .withColumn("html", html)
+  }
+
+  /** Deterministic redirect edges over a synthetic canonical-URL space,
+    * pure `doc_id` arithmetic (oracle-regenerable): docs group into
+    * 8-slot chains (`g = doc_id - doc_id%8`), chain c = g/8 has length
+    * `1 + c%7` (1..7 hops — real redirect chains are short; browsers
+    * cap around 20, crawlers 5–10), slot p < len contributes the edge
+    * hop p → hop p+1, and every 13th chain closes into a CYCLE (its
+    * first past-the-end slot redirects back to hop 0 — redirect loops
+    * are a real crawl pathology the resolver must terminate on).
+    * Node keys are already-canonical URLs. */
+  def syntheticRedirects(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    val p = pmod(id, lit(8))
+    val g = id - p
+    val c = (g / 8).cast("long")
+    val len = pmod(c, lit(7)) + 1
+    def node(pos: Column): Column = concat(lit("https://r"), pmod(c, lit(97)),
+      lit(".example.com/hop/"), c, lit("/"), pos)
+    docs.select(id.as("doc_id"), p.as("_p"), len.as("_len"),
+        node(p).as("_src"), node(p + 1).as("_fwd"), node(lit(0)).as("_loop"),
+        pmod(c, lit(13)).as("_c13"))
+      .filter(col("_p") < col("_len") ||
+        (col("_p") === col("_len") && col("_c13") === 0))
+      .select(col("_src").as("src"),
+        when(col("_p") < col("_len"), col("_fwd")).otherwise(col("_loop"))
+          .as("dst"))
+  }
+}

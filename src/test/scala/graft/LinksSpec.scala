@@ -1,0 +1,153 @@
+package graft
+
+import graft.ops.{Graph, Links, Url}
+import org.apache.spark.sql.functions._
+
+/** The HTML link layer (round 17): href resolution semantics, tag
+  * extraction contract, anchor aggregation, host-graph hygiene,
+  * pointer-doubling redirect resolution, and the plan shapes that make
+  * each scale. */
+class LinksSpec extends SparkSpec {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("resolveHref: absolute passthrough, protocol/root/path-relative, " +
+    "dot segments (RFC 3986 §5.2.4), query rides through") {
+    import spark.implicits._
+    val base = "https://sub.example.com:8080/dir/page"
+    val cases = Seq(
+      ("https://other.org/x?q=1", "https://other.org/x?q=1"), // absolute
+      ("//cdn.net/r/1", "https://cdn.net/r/1"),               // proto-rel
+      ("/root/x", "https://sub.example.com:8080/root/x"),     // root-rel
+      ("sib.html", "https://sub.example.com:8080/dir/sib.html"), // dir join
+      ("../up/3", "https://sub.example.com:8080/up/3"),       // dot-dot
+      ("./here", "https://sub.example.com:8080/dir/here"),    // dot
+      ("/a/../../b", "https://sub.example.com:8080/b"),       // .. at root: no-op
+      ("/a//b/./c", "https://sub.example.com:8080/a/b/c"),    // dup slashes
+      ("x?a=1&b=2", "https://sub.example.com:8080/dir/x?a=1&b=2"))
+    val got = cases.map(_._1).toDF("href")
+      .select(Links.resolveHref(lit(base), col("href")).as("r"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got === cases.map(_._2))
+  }
+
+  test("linkExtract: stable 1-based tag indices with no-href/fragment/" +
+    "non-fetch-scheme tags dropped AFTER numbering; quote styles, " +
+    "entity-escaped hrefs, anchor markup stripped + entities decoded") {
+    import spark.implicits._
+    val html = """<html><body>
+      |<a href="https://a.example.org/x?b=2&amp;a=1">One <b>bold</b> &amp;amp; two</a>
+      |<a name="n">skip: no href</a>
+      |<A HREF='/p/7'>Upper</A>
+      |<a href="#frag">skip: fragment</a>
+      |<a href=bare.html rel=nofollow>Bare</a>
+      |<a href="javascript:void(0)">skip: js</a>
+      |<a href="mailto:x@y.z">skip: mailto</a>
+      |</body></html>""".stripMargin
+    val out = Links.linkExtract(
+        Seq((1L, html, "http://www.Site.example.com/d/p")).toDF(
+          "doc_id", "html", "base_url"))
+      .orderBy("link_idx")
+      .select("link_idx", "href", "href_abs", "target_canon", "anchor",
+        "nofollow")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getString(4), r.getBoolean(5))).toSeq
+    assert(out === Seq(
+      (1L, "https://a.example.org/x?b=2&amp;a=1",
+        "https://a.example.org/x?b=2&a=1",
+        "https://a.example.org/x?a=1&b=2", "One bold &amp; two", false),
+      (3L, "/p/7", "http://site.example.com/p/7",
+        "http://site.example.com/p/7", "Upper", false),
+      (5L, "bare.html", "http://site.example.com/d/bare.html",
+        "http://site.example.com/d/bare.html", "Bare", true)))
+  }
+
+  test("syntheticLinkedHtml fixture extracts exactly slots {1,3,5,6} per " +
+    "doc; nofollow only on slot 6; relative links resolve against the " +
+    "doc's own canonical base") {
+    import spark.implicits._
+    val docs = Seq((0L, "src0", 40L), (7L, "src1", 40L), (12L, "src2", 40L))
+      .toDF("doc_id", "source", "n_chars")
+    val links = Links.linkExtract(Links.syntheticLinkedHtml(docs))
+    val byDoc = links.groupBy("doc_id")
+      .agg(sort_array(collect_list("link_idx")).as("idxs"),
+        sum(when(col("nofollow"), 1).otherwise(0)).as("nf"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
+    assert(byDoc.forall(_._2 == Seq(1L, 3L, 5L, 6L)))
+    assert(byDoc.forall(_._3 == 1L))
+    // doc 0: m6=0 -> ../up/0 resolves one level up from /p/0's directory
+    val d0 = links.filter(col("doc_id") === 0 && col("link_idx") === 5)
+      .select("href", "href_abs").collect().head
+    assert(d0.getString(0) === "../up/0")
+    assert(d0.getString(1).endsWith("/up/0"), d0.getString(1))
+    // doc 7: m6=1 -> directory-join sibling under /p/
+    val d7 = links.filter(col("doc_id") === 7 && col("link_idx") === 5)
+      .select("href_abs").collect().head.getString(0)
+    assert(d7.endsWith("/p/sib0.html"), d7)
+  }
+
+  test("anchorText: per-target counts + first-occurrence (doc_id, " +
+    "link_idx) winner anchor") {
+    import spark.implicits._
+    val links = Seq(
+      (2L, 1L, "t1", "later", false),
+      (1L, 6L, "t1", "first", true),
+      (1L, 9L, "t1", "same doc later", false),
+      (3L, 1L, "t2", "only", false))
+      .toDF("doc_id", "link_idx", "target_canon", "anchor", "nofollow")
+    val got = Links.anchorText(links).orderBy("target_canon")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4))).toSeq
+    assert(got === Seq(("t1", 3L, 2L, 2L, "first"),
+      ("t2", 1L, 1L, 1L, "only")))
+  }
+
+  test("hostGraph drops nofollow edges and intra-domain self-loops; " +
+    "parallel edges kept as weight") {
+    import spark.implicits._
+    val docs = spark.range(0, 60).select(col("id").as("doc_id"),
+      lit("src0").as("source"), lit(40L).as("n_chars"))
+    val g = Links.hostGraph(
+      Links.linkExtract(Links.syntheticLinkedHtml(docs)))
+    val rows = g.collect().map(r => (r.getString(0), r.getString(1)))
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (s, d) => s != d })
+    // the nofollow CDN domain never appears as a destination
+    assert(rows.forall(!_._2.contains("example.net")))
+    // slot-1 links connect the fixture's own domain family: every dst is
+    // a src0-site domain on some TLD (or a wildcard-PSL subdomain of one)
+    assert(rows.forall(_._2.contains("src0-site")))
+  }
+
+  test("resolveChains: a 3-hop chain resolves with exact hop count; a " +
+    "2-cycle terminates unresolved at the maxHops landing point") {
+    import spark.implicits._
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d"), // chain
+      ("x", "y"), ("y", "x"))                           // cycle
+      .toDF("src", "dst")
+    val got = Graph.resolveChains(edges, maxHops = 8)
+      .orderBy("src")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getBoolean(3))).toSeq
+    assert(got === Seq(
+      ("a", "d", 3L, true), ("b", "d", 2L, true), ("c", "d", 1L, true),
+      ("x", "x", 8L, false), ("y", "y", 8L, false)))
+  }
+
+  test("plan shapes: linkExtract is scan-fused (zero exchanges); " +
+    "resolveChains plans equi-joins only (no cartesian, no broadcast " +
+    "nested loop)") {
+    import spark.implicits._
+    val docs = spark.range(0, 100).select(col("id").as("doc_id"),
+      lit("src0").as("source"), lit(40L).as("n_chars"))
+    val p1 = plan(Links.linkExtract(Links.syntheticLinkedHtml(docs)))
+    assert(!p1.contains("Exchange"), s"linkExtract shuffles:\n$p1")
+    val p2 = plan(Graph.resolveChains(
+      Links.hostGraph(Links.linkExtract(Links.syntheticLinkedHtml(docs)))
+        .withColumnRenamed("src", "s").withColumnRenamed("dst", "d")
+        .select(col("s").as("src"), col("d").as("dst"))))
+    assert(!p2.contains("CartesianProduct"), s"cartesian:\n$p2")
+    assert(!p2.contains("BroadcastNestedLoopJoin"), s"BNLJ:\n$p2")
+  }
+}
