@@ -4932,6 +4932,7 @@ object SparkEntry {
       |  SELECT doc_id, CAST(5 AS BIGINT),
       |    CASE WHEN m6=0 THEN '../up/' || m7 ELSE 'sib' || m7 || '.html' END,
       |    $root || (CASE WHEN m6=0 THEN '/up/' || m7
+      |      WHEN doc_id%11=0 THEN '/bdir/sib' || m7 || '.html'
       |      ELSE '/p/sib' || m7 || '.html' END),
       |    'Sibling ' || m7, FALSE FROM lb
       |  UNION ALL

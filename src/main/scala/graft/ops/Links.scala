@@ -60,7 +60,14 @@ object Links {
         when(s === "..", slice(acc, lit(1), greatest(size(acc) - 1, lit(0))))
           .when(s === "." || s === "", acc)
           .otherwise(concat(acc, array(s))))
-    concat(lit("/"), array_join(folded, "/"), query)
+    val joined = concat(lit("/"), array_join(folded, "/"))
+    // a trailing slash is SEMANTIC under §5.2.4 (it keeps the path a
+    // directory — base resolution reads the dir from it); re-append it
+    // when the input had one and the fold (which drops empty segments)
+    // ate it
+    val kept = when(path.endsWith("/") && !joined.endsWith("/"),
+      concat(joined, lit("/"))).otherwise(joined)
+    concat(kept, query)
   }
 
   /** Resolve an (entity-decoded) href against the CANONICAL base URL —
@@ -96,10 +103,21 @@ object Links {
     * Output per link: the raw attribute text (`href`), the
     * entity-decoded resolved absolute form (`href_abs`), its canonical
     * key (`target_canon` — the frontier/dedup join key), the
-    * tag-stripped whitespace-normalized anchor text, and the
+    * tag-stripped whitespace-normalized anchor text (falling back to
+    * the first `alt` attribute in the body when the text is empty —
+    * image links carry their description there), and the
     * `rel=nofollow` flag (crawl schedulers and centrality both treat
     * nofollow edges differently — the graph builders here exclude
     * them).
+    *
+    * RESOLUTION BASE (HTML5 §4.2.3): a `<base href>` element overrides
+    * the page URL as the base for relative hrefs; a RELATIVE base
+    * itself resolves against the page URL first. `_base` stays the
+    * PAGE's canonical URL (link provenance — a hostGraph edge's source
+    * is the linking page, never the base element); `_rbase` is the
+    * effective resolution base. Both are computed BELOW the explode so
+    * every per-link reference is a Generate-output attribute — the
+    * [[pinColumns]] plan-size discipline, applied structurally.
     *
     * Zipping two `regexp_extract_all` calls of the SAME pattern
     * (groups 1 and 2) is alignment-safe: identical patterns produce
@@ -113,10 +131,27 @@ object Links {
     val zipped = arrays_zip(
       regexp_extract_all(h, lit(aTagPattern), lit(1)),
       regexp_extract_all(h, lit(aTagPattern), lit(2)))
+    val baseHref = attrValue(
+      regexp_extract(h, "(?is)<base\\b([^>]*)>", 1), "href")
+    val altText = attrValue(col("_body"), "alt")
+    val bodyText = trim(regexp_replace(decodeEntities(
+      regexp_replace(col("_body"), "<[^>]*>", "")), "\\s+", " "))
     pages
-      .select(col(idCol), Url.canonicalizeUrl(col(baseUrlCol)).as("_base"),
-        posexplode(zipped).as(Seq("_i", "_t")))
+      // stage the page canon once, then derive the resolution base from
+      // the COLUMN (resolveHref references its base at ~8 leaves)
+      .select(col(idCol), col(htmlCol),
+        Url.canonicalizeUrl(col(baseUrlCol)).as("_base"))
+      // the resolution base is NOT canonicalized: canonicalization
+      // strips the trailing slash whose presence IS the directory
+      // semantics (<base href="/bdir/"> must yield dir /bdir/);
+      // resolution only needs scheme/host/path, and the target's
+      // canonical form normalizes everything downstream
       .select(col(idCol), col("_base"),
+        when(baseHref === "", col("_base"))
+          .otherwise(resolveHref(col("_base"), decodeEntities(baseHref)))
+          .as("_rbase"),
+        posexplode(zipped).as(Seq("_i", "_t")))
+      .select(col(idCol), col("_base"), col("_rbase"),
         (col("_i") + 1).cast("long").as("link_idx"),
         attrValue(col("_t")("0"), "href").as("href"),
         attrValue(col("_t")("0"), "rel").as("_rel"),
@@ -128,10 +163,11 @@ object Links {
       // the resolution tree at each one multiplies the plan (the
       // domain_quota_sample round-16 lesson)
       .select(col(idCol), col("_base"), col("link_idx"), col("href"),
-        resolveHref(col("_base"), decodeEntities(col("href"))).as("href_abs"),
-        trim(regexp_replace(decodeEntities(
-          regexp_replace(col("_body"), "<[^>]*>", "")), "\\s+", " "))
-          .as("anchor"),
+        resolveHref(col("_rbase"), decodeEntities(col("href")))
+          .as("href_abs"),
+        when(bodyText === "",
+          trim(regexp_replace(decodeEntities(altText), "\\s+", " ")))
+          .otherwise(bodyText).as("anchor"),
         lower(col("_rel")).contains("nofollow").as("nofollow"))
       .withColumn("target_canon", Url.canonicalizeUrl(col("href_abs")))
   }
@@ -199,10 +235,14 @@ object Links {
     *     entity-escaped query (`?b=2&amp;a=1`) every 4th doc, and
     *     markup + a double-escaped entity in the anchor;
     *  2. `<a name=…>` with NO href — dropped, index still consumed;
-    *  3. root-relative child page, uppercase tag + single quotes;
+    *  3. root-relative child page, uppercase tag + single quotes; the
+    *     anchor is an `<img alt>` every 5th doc (the alt-text fallback
+    *     must produce the same anchor);
     *  4. `javascript:` — dropped;
     *  5. path-relative sibling, `../up/<m7>` every 6th doc (dot-segment
-    *     resolution) else `sib<m7>.html` (directory join);
+    *     resolution) else `sib<m7>.html` (directory join — against
+    *     `/bdir/` on every 11th doc, which sets a relative
+    *     `<base href="/bdir/">`);
     *  6. protocol-relative CDN link, `rel=nofollow`, entity in anchor;
     *  7. fragment-only `#top` — dropped;
     *  8. `mailto:` — dropped.
@@ -222,12 +262,19 @@ object Links {
       when(m(4) === 0, lit("?b=2&amp;a=1")).otherwise(lit("")))
     val relHref = when(m(6) === 0, concat(lit("../up/"), m(7)))
       .otherwise(concat(lit("sib"), m(7), lit(".html")))
+    // every 11th doc sets a RELATIVE <base href> (resolves against the
+    // page, then becomes the base for the path-relative slot); every
+    // 5th doc's slot-3 anchor is an <img alt> (the text fallback)
+    val head = when(m(11) === 0,
+      lit("<head><base href=\"/bdir/\"></head>")).otherwise(lit(""))
+    val slot3Body = when(m(5) === 0,
+      lit("<img src=\"/i.png\" alt='Next page'/>")).otherwise(lit("Next page"))
     val html = concat(
-      lit("<html><body><p>Intro "), id, lit(".</p>\n"),
+      lit("<html>"), head, lit("<body><p>Intro "), id, lit(".</p>\n"),
       lit("<a href=\""), absHref, lit("\">Read <b>more</b> "), id,
       lit(" &amp;amp; extras</a>\n"),
       lit("<a name=\"x\">no href</a>\n"),
-      lit("<A HREF='/p/"), m(13), lit("/child'>Next page</A>\n"),
+      lit("<A HREF='/p/"), m(13), lit("/child'>"), slot3Body, lit("</A>\n"),
       lit("<a href=\"javascript:void(0)\">Click</a>\n"),
       lit("<a href=\""), relHref, lit("\">Sibling "), m(7), lit("</a>\n"),
       lit("<a rel=\"nofollow\" href=\"//cdn"), m(3),

@@ -63,6 +63,43 @@ class LinksSpec extends SparkSpec {
         "http://site.example.com/d/bare.html", "Bare", true)))
   }
 
+  test("<base href> overrides the resolution base (HTML5 §4.2.3): " +
+    "absolute base, relative base resolved against the page first; " +
+    "provenance _base stays the PAGE canon; <img alt> anchors an " +
+    "image-only link") {
+    import spark.implicits._
+    def page(head: String) = s"""<html><head>$head</head><body>
+      |<a href="sib.html">S</a>
+      |<a href="/root/x"><img src="i.png" alt=" Pic  here "/></a>
+      |</body></html>""".stripMargin
+    val rows = Links.linkExtract(Seq(
+        (1L, page("<base href=\"https://other.example.org/odir/\">"),
+          "http://page.example.com/d/p"),
+        (2L, page("<base href=\"/bdir/\">"), "http://page.example.com/d/p"),
+        (3L, page(""), "http://page.example.com/d/p"))
+        .toDF("doc_id", "html", "base_url"))
+      .orderBy("doc_id", "link_idx")
+      .select("doc_id", "href_abs", "anchor")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .toSeq
+    assert(rows === Seq(
+      // absolute base: dir join + root-relative both against the base
+      (1L, "https://other.example.org/odir/sib.html", "S"),
+      (1L, "https://other.example.org/root/x", "Pic here"),
+      // relative base: /bdir/ resolved against the page host first
+      (2L, "http://page.example.com/bdir/sib.html", "S"),
+      (2L, "http://page.example.com/root/x", "Pic here"),
+      // no base: the page URL is the base
+      (3L, "http://page.example.com/d/sib.html", "S"),
+      (3L, "http://page.example.com/root/x", "Pic here")))
+    // provenance: _base is the page canon even when <base> points away
+    val b = Links.linkExtract(Seq(
+        (1L, page("<base href=\"https://other.example.org/odir/\">"),
+          "http://page.example.com/d/p")).toDF("doc_id", "html", "base_url"))
+      .select("_base").distinct().collect().map(_.getString(0)).toSeq
+    assert(b === Seq("http://page.example.com/d/p"))
+  }
+
   test("syntheticLinkedHtml fixture extracts exactly slots {1,3,5,6} per " +
     "doc; nofollow only on slot 6; relative links resolve against the " +
     "doc's own canonical base") {
