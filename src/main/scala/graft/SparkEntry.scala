@@ -1754,6 +1754,28 @@ object SparkEntry {
       .select(concat(lit("https://"), col("domain"), lit("/page/1"))
         .as("url_canon"))
   }
+  // the fetch SCHEDULER's log — which canonical seeds were last fetched
+  // when (accumulated crawl state, like url_catalog): a deterministic
+  // 70% stripe of the declared seeds with a seed-keyed day offset, so
+  // recrawl_queue sees all three cases (novel, fresh-fetched, stale)
+  RawGen.registerDerived("fetch_log") { (s, dir) =>
+    graft.ops.Url.sitemapSeeds(RawGen.derived(s, dir, "sitemaps"))
+      .select(col("seed_canon")).distinct()
+      .filter(pmod(length(col("seed_canon")) * 7, lit(10)) < 7)
+      .withColumn("last_fetch", date_sub(lit("2026-02-01").cast("date"),
+        pmod(length(col("seed_canon")) * 3 +
+          ascii(expr("right(seed_canon, 1)")), lit(45)).cast("int")))
+  }
+
+  /** The recrawl queue (round 17): per domain, stale declared seeds —
+    * never fetched, or `<lastmod>` postdating the fetch log — ranked
+    * newest-change-first with the politeness wait each rank implies.
+    * See [[graft.ops.Url.recrawlQueue]] for the scale shape. */
+  private def recrawlQueueQ(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Url.recrawlQueue(RawGen.derived(s, dir, "sitemaps"),
+        RawGen.derived(s, dir, "fetch_log"),
+        RawGen.derived(s, dir, "robots"))
+      .orderBy("domain", "queue_rank")
   private def robotsGateQ(s: SparkSession, dir: String): DataFrame = {
     val urls = urlFrame(s, dir).select(col("doc_id"), col("url"))
     graft.ops.Url.robotsGate(urls, RawGen.derived(s, dir, "robots"))
@@ -2174,6 +2196,7 @@ object SparkEntry {
     "crawl_budget_agent" -> (crawlBudgetAgentQ _),
     "sitemap_seeds" -> (sitemapSeedsQ _),
     "sitemap_lastmod" -> (sitemapLastmodQ _),
+    "recrawl_queue" -> (recrawlQueueQ _),
     "sitemap_index" -> (sitemapIndexQ _),
     "crawl_discover_e2e" -> (crawlDiscoverE2eQ _),
     "text_normalize" -> (textNormalizeQ _),
@@ -5003,6 +5026,45 @@ object SparkEntry {
       |  (sk.src IS NULL) AS resolved
       |FROM m3 LEFT JOIN sk ON m3.dst = sk.src ORDER BY m3.src""".stripMargin
 
+  /** Recrawl-queue replay: seeds + lastmods + the fetch-log stripe all
+    * REGENERATED from the domain string (the sitemap-fixture
+    * convention), then the same stale filter, rank window, and
+    * politeness arithmetic. `rdom` is MATERIALIZED — DuckDB inlines
+    * CTEs, and this query references the domain through enough layers
+    * (union branches × fetch-log subquery × stale join × rank window)
+    * that filter pushdown re-inlines the PSL/canon expression tree
+    * per reference and exhausts memory (the CollapseProject disease,
+    * DuckDB edition); materializing the 10⁴-row domain set bounds it. */
+  private val recrawlQueueSql = urlCanonCte + s""",
+      | rdom AS MATERIALIZED (SELECT DISTINCT domain FROM d),
+      | rsl0 AS (SELECT domain,
+      |    unnest(range(1, length(domain)%3 + 2)) AS i FROM rdom),
+      | rsl1 AS (SELECT domain,
+      |    'https://' || domain || '/page/' || i AS seed_canon,
+      |    CAST('2026-01-0' || i AS DATE) AS lastmod FROM rsl0
+      |  UNION ALL SELECT domain,
+      |    'https://' || domain || '/page/esc?a=1&b=2', NULL FROM rdom
+      |  UNION ALL SELECT domain,
+      |    'https://' || domain || '/gz/1', NULL FROM rdom),
+      | rfl AS (SELECT seed_canon,
+      |    DATE '2026-02-01' - CAST((length(seed_canon)*3 +
+      |      ascii(right(seed_canon, 1)))%45 AS INT) AS last_fetch
+      |  FROM (SELECT DISTINCT seed_canon FROM rsl1)
+      |  WHERE (length(seed_canon)*7)%10 < 7),
+      | rst AS (SELECT rsl1.domain, rsl1.seed_canon, rsl1.lastmod,
+      |    rfl.last_fetch
+      |  FROM rsl1 LEFT JOIN rfl USING (seed_canon)
+      |  WHERE rfl.last_fetch IS NULL OR
+      |    (rsl1.lastmod IS NOT NULL AND rsl1.lastmod > rfl.last_fetch)),
+      | rrq AS (SELECT domain, seed_canon, lastmod, last_fetch,
+      |    CAST(row_number() OVER (PARTITION BY domain
+      |      ORDER BY lastmod DESC NULLS LAST, seed_canon) AS BIGINT)
+      |      AS queue_rank
+      |  FROM rst)
+      |SELECT domain, seed_canon, lastmod, last_fetch, queue_rank,
+      |  (queue_rank - 1) * ($starDelaySql) AS est_wait_s
+      |FROM rrq ORDER BY domain, queue_rank""".stripMargin
+
   private val domainStatsSql = urlCanonCte +
     "\nSELECT domain, n_docs, n_urls, total_chars, quota FROM qt ORDER BY domain"
 
@@ -5338,6 +5400,7 @@ object SparkEntry {
     "crawl_budget_agent" -> crawlBudgetAgentSql,
     "sitemap_seeds" -> sitemapSeedsSql,
     "sitemap_lastmod" -> sitemapLastmodSql,
+    "recrawl_queue" -> recrawlQueueSql,
     "sitemap_index" -> sitemapIndexSql,
     "crawl_discover_e2e" -> crawlDiscoverE2eSql,
     "text_normalize" -> textNormalizeSql,

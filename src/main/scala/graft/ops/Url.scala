@@ -713,6 +713,55 @@ object Url {
         coalesce(col("_f"), lit(false)).as("fetched"))
   }
 
+  /** The RECRAWL QUEUE (round 17 — the consumer of [[sitemapLastmod]]'s
+    * freshness signal): per domain, the politeness-ordered list of
+    * declared seeds a fetch scheduler should re-fetch this cycle.
+    * A seed is STALE when it was never fetched (`last_fetch` null after
+    * the fetch-log join — novel discovery) or its newest declared
+    * `<lastmod>` postdates the last fetch; a DATELESS already-fetched
+    * seed is not re-queued (no evidence of change — the standard
+    * conditional-recrawl economy; it re-enters via its own refresh
+    * cadence, not this queue). Ranking inside a domain is newest
+    * change first (`lastmod DESC NULLS LAST`, seed key tiebreak — novel
+    * dateless seeds queue after dated changes), and
+    * `est_wait_s = (rank−1) · crawl_delay` states WHEN the fetch can
+    * happen under the domain's politeness delay ([[robotsMeta]]) — the
+    * serialization constraint more fetchers cannot shorten.
+    *
+    * Scale shape: one hash-agg collapses cross-shard duplicate
+    * declarations to the newest lastmod (map-side combine, `max`
+    * ignores nulls so a dateless duplicate never erases a date); ONE
+    * equi-join on the canonical seed key against the fetch log (the
+    * log is corpus-sized at web scale and carries the shuffle; the
+    * seed side is |sitemaps|-bounded); the per-domain metadata joins
+    * broadcast. The rank window partitions one domain's DECLARED seed
+    * set — bounded by the sitemaps protocol (50k per urlset × declared
+    * files), the discovery frame, never the page corpus (corpus-scale
+    * per-domain ranking is [[domainQuotaSample]]'s bounded top-k job,
+    * not a window). */
+  def recrawlQueue(sitemaps: DataFrame, fetchLog: DataFrame,
+                   robots: DataFrame, agent: String = "*",
+                   defaultDelayS: Double = 1.0): DataFrame = {
+    val seeds = sitemapLastmod(sitemaps)
+      .groupBy(col("domain"), col("seed_canon"))
+      .agg(max(col("lastmod")).as("lastmod"))
+    val meta = robotsMeta(robots, agent)
+      .select(col("domain"), col("crawl_delay"))
+    val stale = seeds
+      .join(fetchLog.select(col("seed_canon"), col("last_fetch")),
+        Seq("seed_canon"), "left")
+      .filter(col("last_fetch").isNull ||
+        (col("lastmod").isNotNull && col("lastmod") > col("last_fetch")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("domain")
+      .orderBy(col("lastmod").desc_nulls_last, col("seed_canon"))
+    stale.join(broadcast(meta), Seq("domain"), "left")
+      .withColumn("queue_rank", row_number().over(w).cast("long"))
+      .select(col("domain"), col("seed_canon"), col("lastmod"),
+        col("last_fetch"), col("queue_rank"),
+        ((col("queue_rank") - 1) *
+          coalesce(col("crawl_delay"), lit(defaultDelayS))).as("est_wait_s"))
+  }
+
   /** The crawl DISCOVERY loop end-to-end (round-17 directive — the
     * composition is where double-canonicalize and plan regressions
     * hide, the [[crawlBudget]] lesson): robots.txt metadata → declared

@@ -770,4 +770,37 @@ class UrlSpec extends SparkSpec {
       r.getAs[Boolean]("url_keep")).toMap
     assert(got === Map(1L -> false, 2L -> true))
   }
+
+  test("recrawlQueue: never-fetched and lastmod-postdates-fetch seeds " +
+    "queue newest-change-first; fresh and dateless-fetched seeds are " +
+    "not re-queued; est_wait is (rank-1)*crawl_delay") {
+    import spark.implicits._
+    val urlset = ("<?xml version=\"1.0\"?><urlset>\n" +
+      "<url><loc>https://q.test/a</loc><lastmod>2026-01-05</lastmod></url>\n" +
+      "<url><loc>https://q.test/b</loc><lastmod>2026-01-02</lastmod></url>\n" +
+      "<url><loc>https://q.test/c</loc></url>\n" +
+      "<url><loc>https://q.test/d</loc><lastmod>2026-01-03</lastmod></url>\n" +
+      "<url><loc>https://q.test/e</loc></url>\n" +
+      "</urlset>").getBytes("UTF-8")
+    val sitemaps = Seq(("q.test", "https://q.test/sm.xml", urlset))
+      .toDF("domain", "sitemap_url", "content")
+    val fetchLog = Seq(
+      ("https://q.test/a", java.sql.Date.valueOf("2026-01-04")), // stale
+      ("https://q.test/b", java.sql.Date.valueOf("2026-01-03")), // fresh
+      ("https://q.test/c", java.sql.Date.valueOf("2026-01-01"))) // dateless
+      .toDF("seed_canon", "last_fetch")
+    val robots = Seq(("q.test", "User-agent: *\nCrawl-delay: 2.5\n"))
+      .toDF("domain", "robots_txt")
+    val got = Url.recrawlQueue(sitemaps, fetchLog, robots)
+      .orderBy("queue_rank")
+      .select("seed_canon", "queue_rank", "est_wait_s")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSeq
+    // a: changed since fetch; d: dated, never fetched; e: novel dateless
+    // queues LAST; b (fresh) and c (dateless but fetched) are absent
+    assert(got === Seq(
+      ("https://q.test/a", 1L, 0.0),
+      ("https://q.test/d", 2L, 2.5),
+      ("https://q.test/e", 3L, 5.0)))
+  }
 }
