@@ -828,6 +828,25 @@ object SparkEntry {
         graft.ops.Links.linkExtract(linkedPages(s, dir))))
       .orderBy("node")
 
+  // an earlier discovery batch's admitted LINK targets (every 5th doc's
+  // slot-3 child page) — accumulated frontier state for the link-layer
+  // discovery anti-join, like url_catalog/seed_catalog
+  RawGen.registerDerived("link_catalog") { (s, dir) =>
+    graft.ops.Links.linkExtract(linkedPages(s, dir))
+      .filter(col("link_idx") === 3 && pmod(col("doc_id"), lit(5)) === 0)
+      .select(col("target_canon").as("url_canon")).distinct()
+  }
+
+  /** Link-driven frontier discovery e2e (round 17): page outlinks →
+    * follow-only + scheme + blocklist + target-domain robots gate →
+    * first-occurrence per canonical target → catalog novelty.
+    * See [[graft.ops.Links.linkDiscover]] for the plan shape. */
+  private def linkDiscoverQ(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Links.linkDiscover(linkedPages(s, dir), crawlBlockedDomains,
+        RawGen.derived(s, dir, "robots"),
+        RawGen.derived(s, dir, "link_catalog"))
+      .orderBy("target_canon")
+
   /** Redirect-chain resolution by pointer doubling — ⌈log₂ 8⌉ = 3
     * self-joins resolve any ≤8-hop chain; cycles terminate unresolved
     * at the deterministic landing point (see Graph.resolveChains). */
@@ -2173,6 +2192,7 @@ object SparkEntry {
     "anchor_text" -> (anchorTextQ _),
     "link_graph" -> (linkGraphQ _),
     "host_pagerank" -> (hostPageRankQ _),
+    "link_discover_e2e" -> (linkDiscoverQ _),
     "redirect_resolve" -> (redirectResolveQ _),
     "ccnet_buckets" -> (ccnetBucketsQ _),
     "q_merge_upsert" -> (qMergeUpsert _),
@@ -4737,7 +4757,10 @@ object SparkEntry {
       |    COALESCE(rm.enc % 2 = 1, TRUE) AS robots_ok
       |  FROM rp LEFT JOIN rm ON rp.doc_id = rm.doc_id)""".stripMargin
 
-  private val robotsCtes = robotsCtesWith(
+  /** The `*` group's regenerated rule table (syntheticRobots' contract)
+    * — shared by the doc-keyed robots replay and the link-discovery
+    * replay (one definition; the rules body must not drift). */
+  private val starRulesSql =
     """  SELECT domain, FALSE AS allow,
       |    '/p/' || CAST(length(domain)%13 AS VARCHAR) AS prefix,
       |    CAST(NULL AS VARCHAR) AS pat FROM rdom
@@ -4748,7 +4771,9 @@ object SparkEntry {
       |    '/p/' || CAST((length(domain)%13+1)%13 AS VARCHAR) || '$',
       |    '^/p/' || CAST((length(domain)%13+1)%13 AS VARCHAR) || '$' FROM rdom
       |  UNION ALL SELECT domain, FALSE, '/admin', NULL FROM rdom
-      |  UNION ALL SELECT domain, FALSE, '/page/2$', '^/page/2$' FROM rdom""".stripMargin)
+      |  UNION ALL SELECT domain, FALSE, '/page/2$', '^/page/2$' FROM rdom""".stripMargin
+
+  private val robotsCtes = robotsCtesWith(starRulesSql)
 
   // the graftbot group (syntheticRobots' round-17 contract): Disallow
   // /p/ inverted by Allow /p/{d} — badbot and * rules must NOT appear
@@ -4968,8 +4993,9 @@ object SparkEntry {
       |""".stripMargin +
       renameCtes(urlCanonSteps, "l") + """,
       | lx AS (SELECT lraw.doc_id, lraw.link_idx, lraw.href, lraw.href_abs,
-      |    lcc.url_canon AS target_canon, lraw.anchor, lraw.nofollow
-      |  FROM lraw JOIN lcc ON lcc.doc_id = lraw.doc_id*10 + lraw.link_idx)""".stripMargin
+      |    ld.url_canon AS target_canon, ld.domain AS target_domain,
+      |    lraw.anchor, lraw.nofollow
+      |  FROM lraw JOIN ld ON ld.doc_id = lraw.doc_id*10 + lraw.link_idx)""".stripMargin
   }
 
   private val linkExtractSql = urlCanonCte + ",\n" + linkLayerCtes +
@@ -4984,12 +5010,13 @@ object SparkEntry {
     |FROM lx GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** Follow edges between DIFFERENT registrable domains: source domain
-    * from the base chain's `d`, target domain from the renamed `ld`. */
+    * from the base chain's `d`, target domain riding `lx` (joined once
+    * where the target canon is — a second `ld` instantiation here made
+    * DuckDB's inliner re-expand the whole chain per reference). */
   private val linkEdgeCte =
-    """e AS (SELECT d.domain AS src, ld.domain AS dst
+    """e AS (SELECT d.domain AS src, lx.target_domain AS dst
       |  FROM lx JOIN d ON d.doc_id = lx.doc_id
-      |  JOIN ld ON ld.doc_id = lx.doc_id*10 + lx.link_idx
-      |  WHERE NOT lx.nofollow AND d.domain <> ld.domain)""".stripMargin
+      |  WHERE NOT lx.nofollow AND d.domain <> lx.target_domain)""".stripMargin
 
   private val linkGraphSql = urlCanonCte + ",\n" + linkLayerCtes + ",\n" +
     linkEdgeCte + """
@@ -4998,6 +5025,45 @@ object SparkEntry {
 
   private val hostPageRankSql = urlCanonCte + ",\n" + linkLayerCtes + ",\n" +
     linkEdgeCte + ",\n" + pageRankIterSql(3)
+
+  /** Link-discovery replay: the regenerated link table gated exactly as
+    * [[graft.ops.Links.linkDiscover]] — follow-only, scheme, blocklist
+    * on the target's registrable domain (from the renamed `ld` chain),
+    * the `*` group's rules (the SHARED [[starRulesSql]] body) matched
+    * against the target path with the RFC precedence encoding, then
+    * first-occurrence argmin and the catalog NOT-IN. */
+  private val linkDiscoverSql = urlCanonCte + ",\n" +
+    linkLayerCtes.replace("lx AS (SELECT", "lx AS MATERIALIZED (SELECT") +
+    s""",
+      | ldg AS (SELECT doc_id, link_idx, href_abs, target_canon,
+      |    target_domain AS tdomain,
+      |    substr(split_part(target_canon, '://', 2),
+      |      length(split_part(split_part(target_canon, '://', 2), '/', 1)) + 1) AS tpath
+      |  FROM lx WHERE NOT nofollow
+      |    AND split_part(target_canon, '://', 1) IN ('http', 'https')
+      |    AND target_domain NOT IN $urlBlockedSqlList),
+      | rdom AS (SELECT DISTINCT domain FROM d),
+      | rrules AS (
+      |$starRulesSql),
+      | lrm AS (SELECT g.doc_id, g.link_idx,
+      |    max(length(r.prefix)*2 + CASE WHEN r.allow THEN 1 ELSE 0 END) AS enc
+      |  FROM ldg g JOIN rrules r ON g.tdomain = r.domain AND
+      |    (CASE WHEN r.pat IS NULL THEN starts_with(g.tpath, r.prefix)
+      |     ELSE regexp_matches(g.tpath, r.pat) END)
+      |  GROUP BY 1, 2),
+      | lok AS (SELECT g.* FROM ldg g LEFT JOIN lrm
+      |    ON g.doc_id = lrm.doc_id AND g.link_idx = lrm.link_idx
+      |  WHERE COALESCE(lrm.enc % 2 = 1, TRUE)),
+      | lcat AS (SELECT DISTINCT target_canon FROM lx
+      |  WHERE link_idx = 3 AND doc_id%5 = 0),
+      | lfirst AS (SELECT target_canon,
+      |    arg_min(doc_id, doc_id*100 + link_idx) AS doc_id,
+      |    arg_min(link_idx, doc_id*100 + link_idx) AS link_idx,
+      |    arg_min(href_abs, doc_id*100 + link_idx) AS target_url
+      |  FROM lok GROUP BY 1)
+      |SELECT doc_id, link_idx, target_url, target_canon FROM lfirst
+      |WHERE target_canon NOT IN (SELECT target_canon FROM lcat)
+      |ORDER BY target_canon""".stripMargin
 
   /** Pointer-doubling replay: the SAME ⌈log₂ 8⌉ = 3 left self-joins
     * Graph.resolveChains plans, so chain ends, hop counts, and the
@@ -5375,6 +5441,7 @@ object SparkEntry {
     "anchor_text" -> anchorTextSql,
     "link_graph" -> linkGraphSql,
     "host_pagerank" -> hostPageRankSql,
+    "link_discover_e2e" -> linkDiscoverSql,
     "redirect_resolve" -> redirectResolveSql,
     "ccnet_buckets" -> ccnetBucketsSql,
     "q_merge_upsert" -> qMergeUpsertSql,

@@ -223,6 +223,59 @@ object Links {
         Url.registrableDomain(col("target_canon")).as("dst"))
       .filter(col("src") =!= col("dst"))
 
+  /** LINK-driven frontier discovery end-to-end (round 17 — the link
+    * layer's composition into the crawl loop, the [[Url.crawlDiscover]]
+    * shape with page outlinks as the seed source): follow links only
+    * (a `rel=nofollow` edge carries no endorsement and a polite
+    * LLM-data crawler does not schedule fetches from it) → scheme gate
+    * → registrable-domain blocklist (broadcast probe) → the target
+    * domain's robots rules (parsed ONCE per domain, broadcast; a
+    * domain with no robots row defaults to allowed — no rules fetched
+    * yet IS the no-restriction state) → first-occurrence winner per
+    * canonical target (lowest `(doc_id, link_idx)`, min-struct, map-
+    * side combinable) → novelty anti-join against the admitted
+    * catalog. Output: one row per NOVEL admitted target.
+    *
+    * Scale shape: the extraction is scan-fused; the canon columns are
+    * [[pinColumns]]-pinned before the domain/path re-derivations (the
+    * hostGraph plan-size lesson); both gate frames broadcast; the
+    * winner aggregation hash-partitions on `target_canon` so the
+    * catalog anti-join adds ZERO stream-side exchange (the
+    * crawlDiscover argument — only the catalog shuffles). */
+  def linkDiscover(pages: DataFrame, blocked: Seq[String],
+                   robots: DataFrame, catalog: DataFrame,
+                   agent: String = "*"): DataFrame = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    val links = pinColumns(
+      linkExtract(pages).filter(!col("nofollow"))
+        .select(col("doc_id"), col("link_idx"), col("href_abs"),
+          col("target_canon")))
+    val rules = robots.groupBy("domain")
+      .agg(max(col("robots_txt")).as("_txt"))
+      .select(col("domain").as("_td"),
+        Url.robotsRules(col("_txt"), agent).as("_rules"))
+    val gated = links
+      .filter(substring_index(col("target_canon"), "://", 1)
+        .isin("http", "https"))
+      .withColumn("_td", Url.registrableDomain(col("target_canon")))
+      .join(broadcast(blocked.toDF("_td").distinct()
+        .withColumn("_blocked", lit(true))), Seq("_td"), "left")
+      .filter(col("_blocked").isNull)
+      .join(broadcast(rules), Seq("_td"), "left")
+      .filter(coalesce(pmod(Url.robotsBestEnc(col("_rules"),
+        Url.canonPathQuery(col("target_canon"))), lit(2)) === 1, lit(true)))
+    val firsts = gated.groupBy("target_canon")
+      .agg(min(struct(col("doc_id"), col("link_idx"), col("href_abs")))
+        .as("_w"))
+      .select(col("_w.doc_id").as("doc_id"),
+        col("_w.link_idx").as("link_idx"),
+        col("_w.href_abs").as("target_url"), col("target_canon"))
+    firsts.join(catalog.select(col("url_canon").as("_cat"))
+        .hint("shuffle_hash"),
+      col("target_canon") === col("_cat"), "left_anti")
+  }
+
   /** Deterministic per-document HTML pages with a FIXED 8-slot `<a>`
     * template — every field a pure function of `doc_id` so the DuckDB
     * oracle REGENERATES the expected extraction (hash equality proves

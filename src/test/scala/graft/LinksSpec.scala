@@ -187,4 +187,29 @@ class LinksSpec extends SparkSpec {
     assert(!p2.contains("CartesianProduct"), s"cartesian:\n$p2")
     assert(!p2.contains("BroadcastNestedLoopJoin"), s"BNLJ:\n$p2")
   }
+
+  test("linkDiscover plan: gates broadcast, the catalog anti-join is " +
+    "shuffle-hash with the aggregation's partitioning reused on the " +
+    "stream side, no cartesian") {
+    import spark.implicits._
+    val docs = spark.range(0, 200).select(col("id").as("doc_id"),
+      lit("src0").as("source"), lit(40L).as("n_chars"))
+    val robots = graft.ops.Url.syntheticRobots(
+      graft.ops.Url.syntheticUrls(docs).select(col("doc_id"), col("url")))
+    val catalog = Seq("https://src0-site.com/p/1/child").toDF("url_canon")
+    val q = Links.linkDiscover(Links.syntheticLinkedHtml(docs),
+      Seq("src0-site.net"), robots, catalog)
+    val p = plan(q)
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"gates not broadcast:\n$p")
+    assert(p.contains("ShuffledHashJoin") && p.contains("LeftAnti"),
+      s"catalog anti-join not shuffle-hash:\n$p")
+    // blocked domain's targets and the catalog row never surface
+    val rows = q.collect()
+    assert(rows.nonEmpty)
+    assert(!rows.exists(_.getAs[String]("target_canon")
+      .contains("src0-site.net")))
+    assert(!rows.exists(_.getAs[String]("target_canon") ==
+      "https://src0-site.com/p/1/child"))
+  }
 }
