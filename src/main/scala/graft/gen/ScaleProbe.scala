@@ -479,6 +479,44 @@ object ScaleProbe {
       graft.ops.Url.crawlDiscover(robots1, sm1, Seq("blocked.invalid"), seedCat),
       graft.ops.Url.crawlDiscover(robots10, sm10, Seq("blocked.invalid"), seedCat))
 
+    // round-17: the HTML link layer at 10× pages. The fixture's domain
+    // set is source×TLD bound (constant), so these pairs isolate the
+    // |pages|/|links| term: extraction is row-local (linear is the
+    // floor), discovery adds the winner agg + anti-join, pagerank pays
+    // the per-round edge join with a CONSTANT |domains| rank frame, and
+    // redirect resolution composes a 10×-grown chain set through the
+    // same 3 self-joins. Fixture derivation persists outside the timed
+    // region (input generation — the Bench derived-input rule).
+    val pages1 = graft.ops.Links.syntheticLinkedHtml(docs1).persist()
+    val pages10 = graft.ops.Links.syntheticLinkedHtml(docs10).persist()
+    val lrob1 = graft.ops.Url.syntheticRobots(
+      graft.ops.Url.syntheticUrls(docs1).select(col("doc_id"), col("url")))
+      .persist()
+    val lrob10 = graft.ops.Url.syntheticRobots(
+      graft.ops.Url.syntheticUrls(docs10).select(col("doc_id"), col("url")))
+      .persist()
+    val redir1 = graft.ops.Links.syntheticRedirects(docs1).persist()
+    val redir10 = graft.ops.Links.syntheticRedirects(docs10).persist()
+    println(s"[probe] link pages ${pages1.count()} / ${pages10.count()}, " +
+      s"redirect edges ${redir1.count()} / ${redir10.count()} " +
+      s"(robots ${lrob1.count()} / ${lrob10.count()})")
+    pair("link_extract_pages",
+      graft.ops.Links.linkExtract(pages1),
+      graft.ops.Links.linkExtract(pages10))
+    pair("link_discover_pages",
+      graft.ops.Links.linkDiscover(pages1, Seq("blocked.invalid"),
+        lrob1, seedCat),
+      graft.ops.Links.linkDiscover(pages10, Seq("blocked.invalid"),
+        lrob10, seedCat))
+    pair("host_pagerank_links",
+      graft.ops.Graph.pageRank(graft.ops.Links.hostGraph(
+        graft.ops.Links.linkExtract(pages1))),
+      graft.ops.Graph.pageRank(graft.ops.Links.hostGraph(
+        graft.ops.Links.linkExtract(pages10))))
+    pair("redirect_resolve_chains",
+      graft.ops.Graph.resolveChains(redir1),
+      graft.ops.Graph.resolveChains(redir10))
+
     only.foreach { keep =>
       if (probed == 0) System.err.println(
         s"[probe] SPARK_GRAFT_PROBE_ONLY matched no pair: ${keep.mkString(", ")}")
