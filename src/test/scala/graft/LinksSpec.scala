@@ -188,6 +188,34 @@ class LinksSpec extends SparkSpec {
     assert(!p2.contains("BroadcastNestedLoopJoin"), s"BNLJ:\n$p2")
   }
 
+  test("linkExtract is streaming-compatible: the same page through " +
+    "readStream produces the identical link set (row-local extract + " +
+    "resolve — no state, no watermark needed)") {
+    import spark.implicits._
+    val html = "<html><body><a href=\"/x\">A</a>" +
+      "<a href=\"sib.html\" rel=\"nofollow\">B</a></body></html>"
+    val batchDf = Seq((7L, html, "https://s.example.org/d/p"))
+      .toDF("doc_id", "html", "base_url")
+    val expected = Links.linkExtract(batchDf).orderBy("link_idx").collect()
+      .map(r => (r.getAs[Long]("link_idx"), r.getAs[String]("href_abs"),
+        r.getAs[Boolean]("nofollow")))
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, String)](spark)
+    mem.addData((7L, html, "https://s.example.org/d/p"))
+    val q = Links.linkExtract(mem.toDF()
+        .toDF("doc_id", "html", "base_url"))
+      .writeStream.format("memory").queryName("links_stream")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("links_stream").orderBy("link_idx").collect()
+      .map(r => (r.getAs[Long]("link_idx"), r.getAs[String]("href_abs"),
+        r.getAs[Boolean]("nofollow")))
+    assert(got === expected)
+    assert(got.toSeq === Seq(
+      (1L, "https://s.example.org/x", false),
+      (2L, "https://s.example.org/d/sib.html", true)))
+  }
+
   test("linkDiscover plan: gates broadcast, the catalog anti-join is " +
     "shuffle-hash with the aggregation's partitioning reused on the " +
     "stream side, no cartesian") {
