@@ -120,7 +120,12 @@ object Graph {
     * resolved-flag probe is one more equi-join against the distinct
     * source set. No iteration-count data dependence: the unroll depth
     * is compile-time, which is also what lets a DuckDB oracle replay
-    * the exact same 3-join plan. */
+    * the exact same 3-join plan.
+    *
+    * CONTRACT: `src` must be unique (a URL redirects to ONE place —
+    * the HTTP Location header's shape). A duplicate source would fan
+    * out every composition join multiplicatively; dedupe upstream
+    * (e.g. latest-fetch-wins) before calling. */
   def resolveChains(edges: DataFrame, maxHops: Int = 8): DataFrame = {
     require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
     val e = edges.select(col("src"), col("dst"))

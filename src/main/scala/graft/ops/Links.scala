@@ -24,9 +24,18 @@ import org.apache.spark.sql.functions._
 object Links {
 
   /** One `<a …>body</a>` match: attribute blob (group 1) and body
-    * (group 2). Non-greedy body stops at the first closer; (?is) makes
-    * `.` span lines and the tag case-insensitive. */
-  private val aTagPattern = "(?is)<a\\b([^>]*)>(.*?)</a>"
+    * (group 2). The attribute blob is QUOTE-AWARE — `[^>"']` segments
+    * alternate with complete quoted runs — so a literal `>` inside a
+    * quoted attribute value (legal HTML: `title="a>b"`) cannot
+    * truncate the tag early. Non-greedy body stops at the first
+    * closer; (?is) makes `.` span lines and the tag
+    * case-insensitive. */
+  private val aTagPattern =
+    "(?is)<a\\b((?:[^>\"']|\"[^\"]*\"|'[^']*')*)>(.*?)</a>"
+
+  /** The `<base …>` tag's attribute blob, same quote-aware scan. */
+  private val baseTagPattern =
+    "(?is)<base\\b((?:[^>\"']|\"[^\"]*\"|'[^']*')*)>"
 
   /** A quoted-or-bare attribute value: `href="…"`, `href='…'`, or the
     * HTML-legal unquoted `href=…` (terminated by whitespace or `>`). */
@@ -131,8 +140,12 @@ object Links {
     val zipped = arrays_zip(
       regexp_extract_all(h, lit(aTagPattern), lit(1)),
       regexp_extract_all(h, lit(aTagPattern), lit(2)))
-    val baseHref = attrValue(
-      regexp_extract(h, "(?is)<base\\b([^>]*)>", 1), "href")
+    // a fragment-only base (`<base href="#x">`) resolves to the page
+    // URL itself (the fragment plays no part in reference resolution) —
+    // treat it as absent rather than path-joining a '#…' string
+    val baseHref0 = attrValue(regexp_extract(h, baseTagPattern, 1), "href")
+    val baseHref = when(baseHref0.startsWith("#"), lit(""))
+      .otherwise(baseHref0)
     val altText = attrValue(col("_body"), "alt")
     val bodyText = trim(regexp_replace(decodeEntities(
       regexp_replace(col("_body"), "<[^>]*>", "")), "\\s+", " "))

@@ -188,6 +188,24 @@ class LinksSpec extends SparkSpec {
     assert(!p2.contains("BroadcastNestedLoopJoin"), s"BNLJ:\n$p2")
   }
 
+  test("tag scan is quote-aware: a literal '>' inside a quoted attribute " +
+    "does not truncate the tag; a fragment-only <base> is ignored") {
+    import spark.implicits._
+    val html = """<html><head><base href="#top"></head><body>
+      |<a title="a>b" href="/x">X</a>
+      |<a href='/q?cmp=1>2'>Y</a>
+      |</body></html>""".stripMargin
+    val got = Links.linkExtract(
+        Seq((1L, html, "http://h.example.com/d/p")).toDF(
+          "doc_id", "html", "base_url"))
+      .orderBy("link_idx").select("href", "href_abs", "anchor")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .toSeq
+    assert(got === Seq(
+      ("/x", "http://h.example.com/x", "X"),
+      ("/q?cmp=1>2", "http://h.example.com/q?cmp=1>2", "Y")))
+  }
+
   test("linkExtract is streaming-compatible: the same page through " +
     "readStream produces the identical link set (row-local extract + " +
     "resolve — no state, no watermark needed)") {
