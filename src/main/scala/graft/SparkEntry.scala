@@ -847,6 +847,12 @@ object SparkEntry {
         RawGen.derived(s, dir, "link_catalog"))
       .orderBy("target_canon")
 
+  /** Meta-refresh redirects (round 17): the HTML-level redirect edge —
+    * first refresh meta with a url= directive per page, delay + raw
+    * target + resolved canonical form. Row-local, zero exchanges. */
+  private def metaRefreshQ(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Links.metaRefresh(linkedPages(s, dir)).orderBy("doc_id")
+
   /** Redirect-chain resolution by pointer doubling — ⌈log₂ 8⌉ = 3
     * self-joins resolve any ≤8-hop chain; cycles terminate unresolved
     * at the deterministic landing point (see Graph.resolveChains). */
@@ -2193,6 +2199,7 @@ object SparkEntry {
     "link_graph" -> (linkGraphQ _),
     "host_pagerank" -> (hostPageRankQ _),
     "link_discover_e2e" -> (linkDiscoverQ _),
+    "meta_refresh" -> (metaRefreshQ _),
     "redirect_resolve" -> (redirectResolveQ _),
     "ccnet_buckets" -> (ccnetBucketsQ _),
     "q_merge_upsert" -> (qMergeUpsert _),
@@ -5065,6 +5072,20 @@ object SparkEntry {
       |WHERE target_canon NOT IN (SELECT target_canon FROM lcat)
       |ORDER BY target_canon""".stripMargin
 
+  /** Meta-refresh replay: the expected extraction regenerated from the
+    * fixture arithmetic (every 9th doc, minus the url-less self-reload
+    * stripe), resolved against the base chain's s6 parts. */
+  private val metaRefreshSql = urlCanonCte + """,
+      | mrb AS (SELECT s6.doc_id, s6.scheme, s6.host, s6.keptport,
+      |    s6.doc_id%7 AS m7, s6.doc_id%2 AS m2
+      |  FROM s6 WHERE s6.doc_id%9 = 0 AND s6.doc_id%5 <> 0)
+      |SELECT doc_id,
+      |  CASE WHEN m2=0 THEN 2.0 ELSE 3.0 END AS delay_s,
+      |  '/moved/' || m7 AS target,
+      |  scheme || '://' || host || keptport || '/moved/' || m7
+      |    AS target_canon
+      |FROM mrb ORDER BY doc_id""".stripMargin
+
   /** Pointer-doubling replay: the SAME ⌈log₂ 8⌉ = 3 left self-joins
     * Graph.resolveChains plans, so chain ends, hop counts, and the
     * deterministic cycle landing points agree to the bit. */
@@ -5442,6 +5463,7 @@ object SparkEntry {
     "link_graph" -> linkGraphSql,
     "host_pagerank" -> hostPageRankSql,
     "link_discover_e2e" -> linkDiscoverSql,
+    "meta_refresh" -> metaRefreshSql,
     "redirect_resolve" -> redirectResolveSql,
     "ccnet_buckets" -> ccnetBucketsSql,
     "q_merge_upsert" -> qMergeUpsertSql,

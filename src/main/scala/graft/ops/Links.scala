@@ -185,6 +185,61 @@ object Links {
       .withColumn("target_canon", Url.canonicalizeUrl(col("href_abs")))
   }
 
+  /** The `<meta …>` tag's attribute blob, quote-aware like
+    * [[aTagPattern]]. */
+  private val metaTagPattern =
+    "(?is)<meta\\b((?:[^>\"']|\"[^\"]*\"|'[^']*')*)>"
+
+  /** META-REFRESH redirects — the HTML-level redirect a crawl pipeline
+    * must treat like a 30x (pages "moved" via
+    * `<meta http-equiv="refresh" content="N;url=…">` are a real and
+    * common pattern; a pipeline that only follows HTTP Location
+    * headers silently indexes the stub page): one row per page whose
+    * FIRST refresh meta carries a url= directive, with the declared
+    * delay, the raw target, and its resolved canonical form (the
+    * [[linkExtract]] resolution rules, `<base href>` included). A
+    * url-less refresh (`content="5"` — a self-reload) is not a
+    * redirect and emits nothing. The directive grammar is parsed
+    * case-insensitively with optional whitespace (`2;url=`, `2; URL=`
+    * — both browser-accepted). Row-local, scan-fused, zero exchanges;
+    * the output edges feed [[Graph.resolveChains]] exactly like an
+    * HTTP redirect map. */
+  def metaRefresh(pages: DataFrame, htmlCol: String = "html",
+                  baseUrlCol: String = "base_url",
+                  idCol: String = "doc_id"): DataFrame = {
+    val h = col(htmlCol)
+    // try_element_at: a page with no refresh meta has an EMPTY filtered
+    // array (plain element_at throws under ANSI)
+    val refreshAttrs = try_element_at(
+      filter(regexp_extract_all(h, lit(metaTagPattern), lit(1)),
+        a => lower(a).rlike(
+          "http-equiv\\s*=\\s*[\"']?\\s*refresh")), lit(1))
+    val baseHref0 = attrValue(regexp_extract(h, baseTagPattern, 1), "href")
+    val baseHref = when(baseHref0.startsWith("#"), lit(""))
+      .otherwise(baseHref0)
+    pages
+      .select(col(idCol), h,
+        Url.canonicalizeUrl(col(baseUrlCol)).as("_base"))
+      .select(col(idCol),
+        when(baseHref === "", col("_base"))
+          .otherwise(resolveHref(col("_base"), decodeEntities(baseHref)))
+          .as("_rbase"),
+        attrValue(coalesce(refreshAttrs, lit("")), "content").as("_c"))
+      .select(col(idCol), col("_rbase"),
+        regexp_extract(col("_c"), "^\\s*([0-9]+(?:\\.[0-9]+)?)", 1)
+          .as("_d"),
+        trim(regexp_extract(col("_c"), "(?i)url\\s*=\\s*(.*)$", 1))
+          .as("target"))
+      .filter(col("target") =!= "")
+      .select(col(idCol),
+        coalesce(col("_d").cast("double"), lit(0.0)).as("delay_s"),
+        col("target"),
+        resolveHref(col("_rbase"), decodeEntities(col("target")))
+          .as("_abs"))
+      .withColumn("target_canon", Url.canonicalizeUrl(col("_abs")))
+      .drop("_abs")
+  }
+
   /** Anchor-text aggregation: the per-TARGET view of the link layer —
     * in-link count, follow count, distinct linking pages, and the
     * first-occurrence anchor (lowest `(doc_id, link_idx)`, the
@@ -312,7 +367,10 @@ object Links {
     *  6. protocol-relative CDN link, `rel=nofollow`, entity in anchor;
     *  7. fragment-only `#top` — dropped;
     *  8. `mailto:` — dropped.
-    * Survivors: slots 1, 3, 5, 6 — four links per document. */
+    * Survivors: slots 1, 3, 5, 6 — four links per document. The head
+    * additionally carries a META-REFRESH every 9th doc (url-less —
+    * i.e. NOT a redirect — when m5=0; else `/moved/<m7>` in one of two
+    * directive spellings) for [[metaRefresh]]. */
   def syntheticLinkedHtml(docs: DataFrame): DataFrame = {
     val id = col("doc_id")
     def m(k: Int): Column = pmod(id, lit(k))
@@ -330,9 +388,22 @@ object Links {
       .otherwise(concat(lit("sib"), m(7), lit(".html")))
     // every 11th doc sets a RELATIVE <base href> (resolves against the
     // page, then becomes the base for the path-relative slot); every
-    // 5th doc's slot-3 anchor is an <img alt> (the text fallback)
-    val head = when(m(11) === 0,
-      lit("<head><base href=\"/bdir/\"></head>")).otherwise(lit(""))
+    // 5th doc's slot-3 anchor is an <img alt> (the text fallback);
+    // every 9th doc carries a META-REFRESH — url-less (a self-reload,
+    // NOT a redirect) when m5==0, else a /moved/<m7> target in one of
+    // two browser-accepted directive spellings
+    val refresh = when(m(9) =!= 0, lit(""))
+      .when(m(5) === 0,
+        lit("<meta http-equiv=\"refresh\" content=\"5\">"))
+      .when(m(2) === 0, concat(
+        lit("<meta http-equiv=\"refresh\" content=\"2;url=/moved/"),
+        m(7), lit("\">")))
+      .otherwise(concat(
+        lit("<meta http-equiv='Refresh' content='3; URL=/moved/"),
+        m(7), lit("'>")))
+    val head = concat(lit("<head>"),
+      when(m(11) === 0, lit("<base href=\"/bdir/\">")).otherwise(lit("")),
+      refresh, lit("</head>"))
     val slot3Body = when(m(5) === 0,
       lit("<img src=\"/i.png\" alt='Next page'/>")).otherwise(lit("Next page"))
     val html = concat(

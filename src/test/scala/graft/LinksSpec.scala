@@ -206,6 +206,36 @@ class LinksSpec extends SparkSpec {
       ("/q?cmp=1>2", "http://h.example.com/q?cmp=1>2", "Y")))
   }
 
+  test("metaRefresh: first refresh meta with a url= directive becomes a " +
+    "redirect edge (delay parsed, target resolved incl. <base>); " +
+    "url-less refresh and pages without one emit nothing") {
+    import spark.implicits._
+    def page(head: String) =
+      s"<html><head>$head</head><body><p>x</p></body></html>"
+    val pages = Seq(
+      (1L, page("<meta http-equiv=\"refresh\" content=\"2;url=/new/1\">"),
+        "http://a.example.com/d/p"),
+      (2L, page("<meta http-equiv='Refresh' content='3.5; URL=moved.html'>" +
+        "<base href=\"/bdir/\">"), "http://a.example.com/d/p"),
+      (3L, page("<meta http-equiv=\"refresh\" content=\"5\">"),
+        "http://a.example.com/d/p"),                 // self-reload
+      (4L, page("<meta name=\"viewport\" content=\"width=1\">"),
+        "http://a.example.com/d/p"),                 // unrelated meta
+      (5L, page("<meta http-equiv=\"refresh\" " +
+        "content=\"0;url=https://other.org/abs\">"),
+        "http://a.example.com/d/p"))
+      .toDF("doc_id", "html", "base_url")
+    val got = Links.metaRefresh(pages).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2),
+        r.getString(3))).toSeq
+    assert(got === Seq(
+      (1L, 2.0, "/new/1", "http://a.example.com/new/1"),
+      (2L, 3.5, "moved.html", "http://a.example.com/bdir/moved.html"),
+      (5L, 0.0, "https://other.org/abs", "https://other.org/abs")))
+    val p = Links.metaRefresh(pages).queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"metaRefresh shuffles:\n$p")
+  }
+
   test("linkExtract is streaming-compatible: the same page through " +
     "readStream produces the identical link set (row-local extract + " +
     "resolve — no state, no watermark needed)") {
