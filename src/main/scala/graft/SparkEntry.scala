@@ -853,6 +853,11 @@ object SparkEntry {
   private def metaRefreshQ(s: SparkSession, dir: String): DataFrame =
     graft.ops.Links.metaRefresh(linkedPages(s, dir)).orderBy("doc_id")
 
+  /** rel=canonical declarations (round 17): the page-declared dedup
+    * hint — href + resolved canonical form + is_self. Row-local. */
+  private def relCanonicalQ(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Links.relCanonical(linkedPages(s, dir)).orderBy("doc_id")
+
   /** Redirect-chain resolution by pointer doubling — ⌈log₂ 8⌉ = 3
     * self-joins resolve any ≤8-hop chain; cycles terminate unresolved
     * at the deterministic landing point (see Graph.resolveChains). */
@@ -2200,6 +2205,7 @@ object SparkEntry {
     "host_pagerank" -> (hostPageRankQ _),
     "link_discover_e2e" -> (linkDiscoverQ _),
     "meta_refresh" -> (metaRefreshQ _),
+    "rel_canonical" -> (relCanonicalQ _),
     "redirect_resolve" -> (redirectResolveQ _),
     "ccnet_buckets" -> (ccnetBucketsQ _),
     "q_merge_upsert" -> (qMergeUpsert _),
@@ -5086,6 +5092,34 @@ object SparkEntry {
       |    AS target_canon
       |FROM mrb ORDER BY doc_id""".stripMargin
 
+  /** rel=canonical replay: the declared href/canon regenerated from the
+    * fixture arithmetic; `is_self` compares against the base chain's
+    * own url_canon (query-bearing pages are NOT self under a
+    * query-stripped declaration — the chain decides, not a CASE). */
+  private val relCanonicalSql = urlCanonCte + """,
+      | rcb AS (SELECT s6.doc_id, s6.scheme, s6.host, s6.keptport,
+      |    cc.url_canon, d2.source,
+      |    s6.doc_id%13 AS m13, s6.doc_id%3 AS m3,
+      |    (CASE (s6.doc_id%13)%8 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+      |      WHEN 2 THEN 'net' WHEN 3 THEN 'co.uk' WHEN 4 THEN 'com.au'
+      |      WHEN 5 THEN 'org.uk' WHEN 6 THEN 'ck'
+      |      ELSE 'k12.ma.us' END) AS tldl
+      |  FROM s6 JOIN cc ON cc.doc_id = s6.doc_id
+      |  JOIN documents d2 ON d2.doc_id = s6.doc_id
+      |  WHERE s6.doc_id%7 = 0),
+      | rcx AS (SELECT doc_id, url_canon,
+      |    CASE WHEN m3=0 THEN '/p/' || m13
+      |      ELSE 'https://' || source || '-site.' || tldl || '/p/' || m13
+      |      END AS href,
+      |    CASE WHEN m3=0
+      |      THEN scheme || '://' || host || keptport || '/p/' || m13
+      |      ELSE 'https://' || source || '-site.' || tldl || '/p/' || m13
+      |      END AS canonical_canon
+      |  FROM rcb)
+      |SELECT doc_id, href, canonical_canon,
+      |  (canonical_canon = url_canon) AS is_self
+      |FROM rcx ORDER BY doc_id""".stripMargin
+
   /** Pointer-doubling replay: the SAME ⌈log₂ 8⌉ = 3 left self-joins
     * Graph.resolveChains plans, so chain ends, hop counts, and the
     * deterministic cycle landing points agree to the bit. */
@@ -5464,6 +5498,7 @@ object SparkEntry {
     "host_pagerank" -> hostPageRankSql,
     "link_discover_e2e" -> linkDiscoverSql,
     "meta_refresh" -> metaRefreshSql,
+    "rel_canonical" -> relCanonicalSql,
     "redirect_resolve" -> redirectResolveSql,
     "ccnet_buckets" -> ccnetBucketsSql,
     "q_merge_upsert" -> qMergeUpsertSql,

@@ -99,6 +99,10 @@ object Links {
     val dir = regexp_replace(basePath, "[^/]*$", "")
     when(href.rlike("^[A-Za-z][A-Za-z0-9+.-]*://"), href)
       .when(href.startsWith("//"), concat(scheme, lit(":"), href))
+      // query-only reference (§5.3): the base PATH is kept, only the
+      // query replaces — "?page=2" against /list is /list?page=2, not
+      // a directory join
+      .when(href.startsWith("?"), concat(root, basePath, href))
       .when(href.startsWith("/"), concat(root, removeDotSegments(href)))
       .otherwise(concat(root, removeDotSegments(concat(dir, href))))
   }
@@ -238,6 +242,54 @@ object Links {
           .as("_abs"))
       .withColumn("target_canon", Url.canonicalizeUrl(col("_abs")))
       .drop("_abs")
+  }
+
+  /** The `<link …>` tag's attribute blob, quote-aware like
+    * [[aTagPattern]]. */
+  private val linkTagPattern =
+    "(?is)<link\\b((?:[^>\"']|\"[^\"]*\"|'[^']*')*)>"
+
+  /** REL=CANONICAL extraction — the page's self-declared canonical URL
+    * (`<link rel="canonical" href=…>`), the dedup hint crawl pipelines
+    * prefer over content hashing when present (it collapses
+    * parameter/subdomain/mirror variants the canonicalizer cannot know
+    * about). One row per page that declares one: the raw href, its
+    * resolved canonical form (the [[linkExtract]] rules, `<base>`
+    * included), and `is_self` — whether the declaration points at the
+    * page's own canonical URL (a non-self canonical is the "this page
+    * is a duplicate, index THAT one" signal; dedup keyed on
+    * `canonical_canon` collapses the variants). `rel` is matched as a
+    * WORD of the space-separated token list (rel="canonical alternate"
+    * counts; rel="canonicalish" does not). Row-local, zero
+    * exchanges. */
+  def relCanonical(pages: DataFrame, htmlCol: String = "html",
+                   baseUrlCol: String = "base_url",
+                   idCol: String = "doc_id"): DataFrame = {
+    val h = col(htmlCol)
+    val canonAttrs = try_element_at(
+      filter(regexp_extract_all(h, lit(linkTagPattern), lit(1)),
+        a => lower(regexp_extract(a,
+          "(?i)\\brel\\s*=\\s*(\"[^\"]*\"|'[^']*'|[^\\s>\"']+)", 1))
+          .rlike("(^|[\"'\\s])canonical([\"'\\s]|$)")), lit(1))
+    val baseHref0 = attrValue(regexp_extract(h, baseTagPattern, 1), "href")
+    val baseHref = when(baseHref0.startsWith("#"), lit(""))
+      .otherwise(baseHref0)
+    pages
+      .select(col(idCol), h,
+        Url.canonicalizeUrl(col(baseUrlCol)).as("_base"))
+      .select(col(idCol), col("_base"),
+        when(baseHref === "", col("_base"))
+          .otherwise(resolveHref(col("_base"), decodeEntities(baseHref)))
+          .as("_rbase"),
+        attrValue(coalesce(canonAttrs, lit("")), "href").as("href"))
+      .filter(col("href") =!= "")
+      .select(col(idCol), col("_base"), col("href"),
+        resolveHref(col("_rbase"), decodeEntities(col("href"))).as("_abs"))
+      .select(col(idCol), col("href"),
+        Url.canonicalizeUrl(col("_abs")).as("canonical_canon"),
+        col("_base"))
+      .withColumn("is_self", col("canonical_canon") === col("_base"))
+      .drop("_base")
   }
 
   /** Anchor-text aggregation: the per-TARGET view of the link layer —
@@ -401,9 +453,26 @@ object Links {
       .otherwise(concat(
         lit("<meta http-equiv='Refresh' content='3; URL=/moved/"),
         m(7), lit("'>")))
+    // every 7th doc declares a rel=canonical: root-relative to its own
+    // query-stripped path when m3==0 (self iff the page canon carries
+    // no query), else the SUBDOMAIN-STRIPPED https host — the classic
+    // variant-collapse declaration (never self: fixture pages always
+    // have a Sub<m7> host label)
+    val tldLow = element_at(
+      array(lit("com"), lit("org"), lit("net"),
+        lit("co.uk"), lit("com.au"), lit("org.uk"),
+        lit("ck"), lit("k12.ma.us")),
+      (pmod(pmod(id, lit(13)), lit(8)) + 1).cast("int"))
+    val canonicalLink = when(m(7) =!= 0, lit(""))
+      .when(m(3) === 0,
+        concat(lit("<link rel=\"canonical\" href=\"/p/"), m(13),
+          lit("\">")))
+      .otherwise(concat(lit("<link rel='canonical alternate' " +
+        "href='https://"), col("source"), lit("-site."), tldLow,
+        lit("/p/"), m(13), lit("'>")))
     val head = concat(lit("<head>"),
       when(m(11) === 0, lit("<base href=\"/bdir/\">")).otherwise(lit("")),
-      refresh, lit("</head>"))
+      refresh, canonicalLink, lit("</head>"))
     val slot3Body = when(m(5) === 0,
       lit("<img src=\"/i.png\" alt='Next page'/>")).otherwise(lit("Next page"))
     val html = concat(

@@ -25,7 +25,8 @@ class LinksSpec extends SparkSpec {
       ("./here", "https://sub.example.com:8080/dir/here"),    // dot
       ("/a/../../b", "https://sub.example.com:8080/b"),       // .. at root: no-op
       ("/a//b/./c", "https://sub.example.com:8080/a/b/c"),    // dup slashes
-      ("x?a=1&b=2", "https://sub.example.com:8080/dir/x?a=1&b=2"))
+      ("x?a=1&b=2", "https://sub.example.com:8080/dir/x?a=1&b=2"),
+      ("?q=9", "https://sub.example.com:8080/dir/page?q=9")) // §5.3 query-only
     val got = cases.map(_._1).toDF("href")
       .select(Links.resolveHref(lit(base), col("href")).as("r"))
       .collect().map(_.getString(0)).toSeq
@@ -234,6 +235,32 @@ class LinksSpec extends SparkSpec {
       (5L, 0.0, "https://other.org/abs", "https://other.org/abs")))
     val p = Links.metaRefresh(pages).queryExecution.executedPlan.toString
     assert(!p.contains("Exchange"), s"metaRefresh shuffles:\n$p")
+  }
+
+  test("relCanonical: rel matched as a word of the token list, href " +
+    "resolved, is_self compares canonical forms; pages without a " +
+    "canonical link emit nothing") {
+    import spark.implicits._
+    def page(head: String) =
+      s"<html><head>$head</head><body><p>x</p></body></html>"
+    val pages = Seq(
+      (1L, page("<link rel=\"canonical\" href=\"/d/p\">"),
+        "http://A.example.com/d/p/"),                 // self after canon
+      (2L, page("<link rel='canonical alternate' " +
+        "href='https://m.example.com/x'>"), "http://a.example.com/d/p"),
+      (3L, page("<link rel=\"canonicalish\" href=\"/x\">"),
+        "http://a.example.com/d/p"),                  // not a word match
+      (4L, page("<link rel=\"stylesheet\" href=\"/s.css\">" +
+        "<link rel=\"canonical\" href=\"?page=2\">"),
+        "http://a.example.com/list"))                 // second link wins
+      .toDF("doc_id", "html", "base_url")
+    val got = Links.relCanonical(pages).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getBoolean(3))).toSeq
+    assert(got === Seq(
+      (1L, "/d/p", "http://a.example.com/d/p", true),
+      (2L, "https://m.example.com/x", "https://m.example.com/x", false),
+      (4L, "?page=2", "http://a.example.com/list?page=2", false)))
   }
 
   test("linkExtract is streaming-compatible: the same page through " +
