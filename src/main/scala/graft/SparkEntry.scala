@@ -866,6 +866,38 @@ object SparkEntry {
       graft.ops.Links.syntheticRedirects(RawGen.table(s, dir, "documents")))
       .orderBy("src")
 
+  /** Redirect-aware frontier discovery (round 18): the linkDiscover
+    * gates, then every candidate target probes the CHAIN-RESOLVED
+    * redirect map — a redirect stub schedules its final URL, a cycle
+    * drops, and novelty anti-joins on the URL the scheduler would
+    * actually fetch. See [[graft.ops.Links.linkDiscoverResolved]]. */
+  private def linkDiscoverResolvedQ(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Links.linkDiscoverResolved(linkedPages(s, dir),
+        crawlBlockedDomains, RawGen.derived(s, dir, "robots"),
+        RawGen.derived(s, dir, "link_catalog"),
+        graft.ops.Links.syntheticLinkRedirects(
+          RawGen.table(s, dir, "documents")))
+      .orderBy("final_canon")
+
+  /** Anchor-endorsed frontier scheduling (round 18): novel admitted
+    * targets ranked per registrable domain by follow-link endorsement —
+    * the off-page relevance signal feeding the politeness queue.
+    * See [[graft.ops.Links.frontierRank]]. */
+  private def frontierAnchorRankQ(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Links.frontierRank(linkedPages(s, dir), crawlBlockedDomains,
+        RawGen.derived(s, dir, "robots"),
+        RawGen.derived(s, dir, "link_catalog"))
+      .orderBy("domain", "priority")
+
+  /** Canonical-declaration-aware dedup (round 18): URL gate + exact
+    * dedup keyed on coalesce(canonical_canon, url_canon) — the
+    * page-declared canonical collapses parameter/subdomain variants
+    * content hashing can't see. See [[graft.ops.Links.canonicalDedup]]. */
+  private def dedupCanonicalQ(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Links.canonicalDedup(linkedPages(s, dir),
+        crawlBlockedDomains)
+      .orderBy("doc_id")
+
   /** CCNet head/middle/tail quality strata per language — see
     * TextAnalysis.perplexityBuckets for the sample-threshold scale shape. */
   private def ccnetBucketsQ(s: SparkSession, dir: String): DataFrame =
@@ -2207,6 +2239,9 @@ object SparkEntry {
     "meta_refresh" -> (metaRefreshQ _),
     "rel_canonical" -> (relCanonicalQ _),
     "redirect_resolve" -> (redirectResolveQ _),
+    "link_discover_resolved" -> (linkDiscoverResolvedQ _),
+    "frontier_anchor_rank" -> (frontierAnchorRankQ _),
+    "dedup_canonical" -> (dedupCanonicalQ _),
     "ccnet_buckets" -> (ccnetBucketsQ _),
     "q_merge_upsert" -> (qMergeUpsert _),
     "q_merge_tombstone" -> (qMergeTombstone _),
@@ -4990,9 +5025,16 @@ object SparkEntry {
       |  SELECT doc_id, CAST(3 AS BIGINT), '/p/' || m13 || '/child',
       |    $root || '/p/' || m13 || '/child', 'Next page', FALSE FROM lb
       |  UNION ALL
+  -- slot 5 (round 18, RFC 3986 §5.2.3): a <base href="/bdir/"> (m11=0)
+  -- overrides the page as the resolution base; otherwise the base is
+  -- the page URL WITH its directory slash restored — every 6th doc's
+  -- raw path ends in '/', so '../up/<m7>' resolves from INSIDE the
+  -- /p/<m13>/ directory to /p/up/<m7> (pre-r18 the slash-stripped
+  -- canonical base wrongly yielded /up/<m7>)
       |  SELECT doc_id, CAST(5 AS BIGINT),
       |    CASE WHEN m6=0 THEN '../up/' || m7 ELSE 'sib' || m7 || '.html' END,
-      |    $root || (CASE WHEN m6=0 THEN '/up/' || m7
+      |    $root || (CASE WHEN m6=0 AND doc_id%11=0 THEN '/up/' || m7
+      |      WHEN m6=0 THEN '/p/up/' || m7
       |      WHEN doc_id%11=0 THEN '/bdir/sib' || m7 || '.html'
       |      ELSE '/p/sib' || m7 || '.html' END),
       |    'Sibling ' || m7, FALSE FROM lb
@@ -5015,11 +5057,14 @@ object SparkEntry {
     "\nSELECT doc_id, link_idx, href, href_abs, target_canon, anchor, " +
     "nofollow FROM lx ORDER BY doc_id, link_idx"
 
+  // first_anchor: lexicographic (doc_id, link_idx) winner via DuckDB's
+  // ordered aggregate — the same convention as Spark's min_by struct key
+  // (a numeric composite key breaks at >=100 tags/page; round-18 ADVICE)
   private val anchorTextSql = urlCanonCte + ",\n" + linkLayerCtes + """
     |SELECT target_canon, CAST(count(*) AS BIGINT) AS n_links,
     |  CAST(sum(CASE WHEN NOT nofollow THEN 1 ELSE 0 END) AS BIGINT) AS n_follow,
     |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_src_docs,
-    |  arg_min(anchor, doc_id*100 + link_idx) AS first_anchor
+    |  first(anchor ORDER BY doc_id, link_idx) AS first_anchor
     |FROM lx GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** Follow edges between DIFFERENT registrable domains: source domain
@@ -5045,7 +5090,7 @@ object SparkEntry {
     * the `*` group's rules (the SHARED [[starRulesSql]] body) matched
     * against the target path with the RFC precedence encoding, then
     * first-occurrence argmin and the catalog NOT-IN. */
-  private val linkDiscoverSql = urlCanonCte + ",\n" +
+  private val linkDiscoverCtes = urlCanonCte + ",\n" +
     linkLayerCtes.replace("lx AS (SELECT", "lx AS MATERIALIZED (SELECT") +
     s""",
       | ldg AS (SELECT doc_id, link_idx, href_abs, target_canon,
@@ -5070,13 +5115,73 @@ object SparkEntry {
       | lcat AS (SELECT DISTINCT target_canon FROM lx
       |  WHERE link_idx = 3 AND doc_id%5 = 0),
       | lfirst AS (SELECT target_canon,
-      |    arg_min(doc_id, doc_id*100 + link_idx) AS doc_id,
-      |    arg_min(link_idx, doc_id*100 + link_idx) AS link_idx,
-      |    arg_min(href_abs, doc_id*100 + link_idx) AS target_url
-      |  FROM lok GROUP BY 1)
-      |SELECT doc_id, link_idx, target_url, target_canon FROM lfirst
-      |WHERE target_canon NOT IN (SELECT target_canon FROM lcat)
-      |ORDER BY target_canon""".stripMargin
+      |    first(doc_id ORDER BY doc_id, link_idx) AS doc_id,
+      |    first(link_idx ORDER BY doc_id, link_idx) AS link_idx,
+      |    first(href_abs ORDER BY doc_id, link_idx) AS target_url,
+      |    min(tdomain) AS tdomain
+      |  FROM lok GROUP BY 1)""".stripMargin
+
+  private val linkDiscoverSql = linkDiscoverCtes + """
+    |SELECT doc_id, link_idx, target_url, target_canon FROM lfirst
+    |WHERE target_canon NOT IN (SELECT target_canon FROM lcat)
+    |ORDER BY target_canon""".stripMargin
+
+  /** Redirect-aware discovery replay ([[graft.ops.Links
+    * .linkDiscoverResolved]]): the same gated first-occurrence
+    * candidates, probed against the regenerated redirect map's
+    * CLOSED-FORM resolution — the fixture's chains are ≤2 hops by
+    * construction (child → /p/m, then /p/m → /final/m when m%8=0), so
+    * the oracle states the chain end directly instead of replaying the
+    * pointer doubling; the m13=12 CYCLE rows drop (unresolved). The
+    * novelty NOT-IN probes the FINAL url, not the stub. */
+  private val linkDiscoverResolvedSql = linkDiscoverCtes + """,
+    | rmap AS (SELECT DISTINCT
+    |    scheme || '://' || host || keptport || '/p/' || m13 || '/child' AS src,
+    |    CASE WHEN m13%8=0
+    |      THEN scheme || '://' || host || keptport || '/final/' || m13
+    |      ELSE scheme || '://' || host || keptport || '/p/' || m13
+    |      END AS fin,
+    |    CASE WHEN m13%8=0 THEN 2 ELSE 1 END AS rhops,
+    |    m13 <> 12 AS rok
+    |  FROM lb WHERE m13%4 = 0),
+    | lres AS (SELECT f.doc_id, f.link_idx, f.target_url, f.target_canon,
+    |    COALESCE(r.fin, f.target_canon) AS final_canon,
+    |    CAST(COALESCE(r.rhops, 0) AS BIGINT) AS hops
+    |  FROM lfirst f LEFT JOIN rmap r ON f.target_canon = r.src
+    |  WHERE r.src IS NULL OR r.rok),
+    | lwin AS (SELECT final_canon,
+    |    first(doc_id ORDER BY doc_id, link_idx) AS doc_id,
+    |    first(link_idx ORDER BY doc_id, link_idx) AS link_idx,
+    |    first(target_url ORDER BY doc_id, link_idx) AS target_url,
+    |    first(target_canon ORDER BY doc_id, link_idx) AS target_canon,
+    |    first(hops ORDER BY doc_id, link_idx) AS hops
+    |  FROM lres GROUP BY 1)
+    |SELECT doc_id, link_idx, target_url, target_canon, final_canon, hops
+    |FROM lwin WHERE final_canon NOT IN (SELECT target_canon FROM lcat)
+    |ORDER BY final_canon""".stripMargin
+
+  /** Anchor-endorsed frontier replay ([[graft.ops.Links.frontierRank]]):
+    * the novel admitted targets joined with the anchor aggregates over
+    * ALL links (nofollow rows count into n_links-side stats but not
+    * n_follow — the same frame [[anchorTextSql]] aggregates), ranked
+    * per registrable domain by (n_follow DESC, n_src_docs DESC,
+    * target_canon) — the deterministic politeness-queue order. */
+  private val frontierAnchorRankSql = linkDiscoverCtes + """,
+    | novel AS (SELECT * FROM lfirst
+    |  WHERE target_canon NOT IN (SELECT target_canon FROM lcat)),
+    | aagg AS (SELECT target_canon,
+    |    CAST(sum(CASE WHEN NOT nofollow THEN 1 ELSE 0 END) AS BIGINT)
+    |      AS n_follow,
+    |    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_src_docs,
+    |    first(anchor ORDER BY doc_id, link_idx) AS first_anchor
+    |  FROM lx GROUP BY 1)
+    |SELECT n.tdomain AS domain, n.target_canon, n.target_url,
+    |  a.n_follow, a.n_src_docs, a.first_anchor,
+    |  CAST(row_number() OVER (PARTITION BY n.tdomain
+    |    ORDER BY a.n_follow DESC, a.n_src_docs DESC, n.target_canon)
+    |    AS BIGINT) AS priority
+    |FROM novel n JOIN aagg a USING (target_canon)
+    |ORDER BY domain, priority""".stripMargin
 
   /** Meta-refresh replay: the expected extraction regenerated from the
     * fixture arithmetic (every 9th doc, minus the url-less self-reload
@@ -5096,8 +5201,8 @@ object SparkEntry {
     * fixture arithmetic; `is_self` compares against the base chain's
     * own url_canon (query-bearing pages are NOT self under a
     * query-stripped declaration — the chain decides, not a CASE). */
-  private val relCanonicalSql = urlCanonCte + """,
-      | rcb AS (SELECT s6.doc_id, s6.scheme, s6.host, s6.keptport,
+  private val relCanonicalCtes = """rcb AS (SELECT s6.doc_id, s6.scheme,
+      |    s6.host, s6.keptport,
       |    cc.url_canon, d2.source,
       |    s6.doc_id%13 AS m13, s6.doc_id%3 AS m3,
       |    (CASE (s6.doc_id%13)%8 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
@@ -5115,10 +5220,31 @@ object SparkEntry {
       |      THEN scheme || '://' || host || keptport || '/p/' || m13
       |      ELSE 'https://' || source || '-site.' || tldl || '/p/' || m13
       |      END AS canonical_canon
-      |  FROM rcb)
+      |  FROM rcb)""".stripMargin
+
+  private val relCanonicalSql = urlCanonCte + ",\n" + relCanonicalCtes + """
       |SELECT doc_id, href, canonical_canon,
       |  (canonical_canon = url_canon) AS is_self
       |FROM rcx ORDER BY doc_id""".stripMargin
+
+  /** Canonical-declaration dedup replay ([[graft.ops.Links
+    * .canonicalDedup]]): the url-gate verdicts (`ug`) left-joined with
+    * the regenerated declarations (`rcx`), keyed on
+    * `coalesce(canonical_canon, url_canon)`, winner = lowest doc_id
+    * among GATE-PASSERS of the key; gated-out pages keep=false and
+    * never claim a slot. */
+  private val dedupCanonicalSql = urlCanonCte + ",\n" + urlGateCte +
+    ",\n " + relCanonicalCtes + """,
+      | ck AS (SELECT ug.doc_id,
+      |    (ug.scheme_ok AND ug.domain_ok) AS url_ok,
+      |    rcx.canonical_canon IS NOT NULL AS declared,
+      |    COALESCE(rcx.canonical_canon, ug.url_canon) AS dedup_key
+      |  FROM ug LEFT JOIN rcx ON rcx.doc_id = ug.doc_id),
+      | cw AS (SELECT dedup_key, min(doc_id) AS w FROM ck
+      |  WHERE url_ok GROUP BY 1)
+      |SELECT ck.doc_id, ck.url_ok, ck.declared, ck.dedup_key,
+      |  (cw.w IS NOT NULL AND ck.doc_id = cw.w) AS keep
+      |FROM ck LEFT JOIN cw USING (dedup_key) ORDER BY ck.doc_id""".stripMargin
 
   /** Pointer-doubling replay: the SAME ⌈log₂ 8⌉ = 3 left self-joins
     * Graph.resolveChains plans, so chain ends, hop counts, and the
@@ -5500,6 +5626,9 @@ object SparkEntry {
     "meta_refresh" -> metaRefreshSql,
     "rel_canonical" -> relCanonicalSql,
     "redirect_resolve" -> redirectResolveSql,
+    "link_discover_resolved" -> linkDiscoverResolvedSql,
+    "frontier_anchor_rank" -> frontierAnchorRankSql,
+    "dedup_canonical" -> dedupCanonicalSql,
     "ccnet_buckets" -> ccnetBucketsSql,
     "q_merge_upsert" -> qMergeUpsertSql,
     "q_merge_tombstone" -> qMergeTombstoneSql,

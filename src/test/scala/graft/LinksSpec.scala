@@ -114,15 +114,56 @@ class LinksSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
     assert(byDoc.forall(_._2 == Seq(1L, 3L, 5L, 6L)))
     assert(byDoc.forall(_._3 == 1L))
-    // doc 0: m6=0 -> ../up/0 resolves one level up from /p/0's directory
+    // doc 0: m6=0 AND m11=0 -> <base href="/bdir/"> overrides the page,
+    // so ../up/0 resolves one level up from /bdir/ to /up/0
     val d0 = links.filter(col("doc_id") === 0 && col("link_idx") === 5)
       .select("href", "href_abs").collect().head
     assert(d0.getString(0) === "../up/0")
-    assert(d0.getString(1).endsWith("/up/0"), d0.getString(1))
+    assert(d0.getString(1).endsWith("/up/0") &&
+      !d0.getString(1).endsWith("/p/up/0"), d0.getString(1))
+    // doc 12: m6=0, no <base> -> the page URL /p/12/ is a DIRECTORY
+    // (raw trailing slash, RFC 3986 §5.2.3): ../up/5 resolves from
+    // INSIDE it to /p/up/5 — not /up/5 off the slash-stripped canon
+    val d12 = links.filter(col("doc_id") === 12 && col("link_idx") === 5)
+      .select("href_abs").collect().head.getString(0)
+    assert(d12.endsWith("/p/up/5"), d12)
     // doc 7: m6=1 -> directory-join sibling under /p/
     val d7 = links.filter(col("doc_id") === 7 && col("link_idx") === 5)
       .select("href_abs").collect().head.getString(0)
     assert(d7.endsWith("/p/sib0.html"), d7)
+  }
+
+  test("directory pages (RFC 3986 §5.2.3): a raw trailing slash IS the " +
+    "resolution directory even though the canonical key strips it; " +
+    "query/fragment don't hide it; emitted keys stay slash-stripped") {
+    import spark.implicits._
+    val html = "<html><body><a href=\"post.html\">P</a>" +
+      "<a href=\"?page=2\">Q</a></body></html>"
+    val rows = Links.linkExtract(Seq(
+        (1L, html, "https://x.example.com/blog/"),
+        (2L, html, "https://x.example.com/blog/?q=1#frag"),
+        (3L, html, "https://x.example.com/blog"))
+        .toDF("doc_id", "html", "base_url"))
+      .orderBy("doc_id", "link_idx")
+      .select("doc_id", "link_idx", "href_abs", "target_canon")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getString(3))).toSeq
+    assert(rows === Seq(
+      (1L, 1L, "https://x.example.com/blog/post.html",
+        "https://x.example.com/blog/post.html"),
+      (1L, 2L, "https://x.example.com/blog/?page=2",
+        "https://x.example.com/blog?page=2"),
+      // the query rides the canonical key but the slash still restores
+      // into the PATH for resolution
+      (2L, 1L, "https://x.example.com/blog/post.html",
+        "https://x.example.com/blog/post.html"),
+      (2L, 2L, "https://x.example.com/blog/?page=2",
+        "https://x.example.com/blog?page=2"),
+      // no slash on the raw URL: /blog is a FILE, siblings join at root
+      (3L, 1L, "https://x.example.com/post.html",
+        "https://x.example.com/post.html"),
+      (3L, 2L, "https://x.example.com/blog?page=2",
+        "https://x.example.com/blog?page=2")))
   }
 
   test("anchorText: per-target counts + first-occurrence (doc_id, " +
@@ -235,6 +276,126 @@ class LinksSpec extends SparkSpec {
       (5L, 0.0, "https://other.org/abs", "https://other.org/abs")))
     val p = Links.metaRefresh(pages).queryExecution.executedPlan.toString
     assert(!p.contains("Exchange"), s"metaRefresh shuffles:\n$p")
+  }
+
+  test("metaRefresh unquotes a quoted url= directive (browser-accepted " +
+    "content=\"0; url='/x'\"); an empty quoted url is not a redirect") {
+    import spark.implicits._
+    def page(head: String) =
+      s"<html><head>$head</head><body><p>x</p></body></html>"
+    val pages = Seq(
+      (1L, page("<meta http-equiv=\"refresh\" content=\"0; url='/x'\">"),
+        "http://a.example.com/d/p"),
+      (2L, page("<meta http-equiv='refresh' content='2;URL=\"/y/z\"'>"),
+        "http://a.example.com/d/p"),
+      (3L, page("<meta http-equiv=\"refresh\" content=\"1; url=''\">"),
+        "http://a.example.com/d/p"))
+      .toDF("doc_id", "html", "base_url")
+    val got = Links.metaRefresh(pages).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2),
+        r.getString(3))).toSeq
+    assert(got === Seq(
+      (1L, 0.0, "/x", "http://a.example.com/x"),
+      (2L, 2.0, "/y/z", "http://a.example.com/y/z")))
+  }
+
+  test("anchorText winner is the LEXICOGRAPHIC (doc_id, link_idx) " +
+    "lowest — a page with >=100 tags cannot outrank an earlier doc") {
+    import spark.implicits._
+    // doc 1 links at tag 150 (a long page), doc 2 at tag 10: the winner
+    // is doc 1 (lower doc_id) despite 1*100+150 > 2*100+10
+    val links = Seq(
+      (2L, 10L, "t", "late doc", false),
+      (1L, 150L, "t", "first doc deep tag", false))
+      .toDF("doc_id", "link_idx", "target_canon", "anchor", "nofollow")
+    val got = Links.anchorText(links).collect()
+      .map(r => (r.getString(0), r.getString(4))).toSeq
+    assert(got === Seq(("t", "first doc deep tag")))
+  }
+
+  test("canonicalDedup: a declared canonical collapses variants onto " +
+    "one key; undeclared pages key on their own canon; a gated-out " +
+    "page never claims a slot") {
+    import spark.implicits._
+    def page(head: String) =
+      s"<html><head>$head</head><body><p>x</p></body></html>"
+    val canon = "<link rel=\"canonical\" href=\"https://m.example.com/x\">"
+    val pages = Seq(
+      // doc 1 and 3 declare the same canonical from different URLs
+      (1L, page(canon), "https://a.example.com/x?v=1"),
+      (3L, page(canon), "https://b.example.com/mirror/x"),
+      // doc 2: no declaration, plain URL dedup with doc 4's variant
+      (2L, page(""), "https://c.example.com/y/"),
+      (4L, page(""), "https://c.example.com/y"),
+      // doc 0: blocked domain, declares the same canonical as 1/3 —
+      // must NOT claim the slot
+      (0L, page(canon), "https://bad.example.org/x"))
+      .toDF("doc_id", "html", "base_url")
+    val got = Links.canonicalDedup(pages, Seq("example.org"))
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2),
+        r.getString(3), r.getBoolean(4))).toSeq
+    assert(got === Seq(
+      (0L, false, true, "https://m.example.com/x", false),
+      (1L, true, true, "https://m.example.com/x", true),
+      (2L, true, false, "https://c.example.com/y", true),
+      (3L, true, true, "https://m.example.com/x", false),
+      (4L, true, false, "https://c.example.com/y", false)))
+  }
+
+  test("linkDiscoverResolved: a redirect-stub target schedules its " +
+    "chain end (hops counted), a cycle drops, novelty probes the FINAL " +
+    "url; off-map targets pass through with hops 0") {
+    import spark.implicits._
+    val docs = spark.range(0, 120).select(col("id").as("doc_id"),
+      lit("src0").as("source"), lit(40L).as("n_chars"))
+    val robots = graft.ops.Url.syntheticRobots(
+      graft.ops.Url.syntheticUrls(docs).select(col("doc_id"), col("url")))
+    val redirects = Links.syntheticLinkRedirects(docs)
+    val raw = Links.linkDiscover(Links.syntheticLinkedHtml(docs),
+      Nil, robots, spark.emptyDataset[String].toDF("url_canon"))
+    val res = Links.linkDiscoverResolved(Links.syntheticLinkedHtml(docs),
+      Nil, robots, spark.emptyDataset[String].toDF("url_canon"), redirects)
+    val rawT = raw.select("target_canon").collect().map(_.getString(0)).toSet
+    val rows = res.collect().map(r => (r.getAs[String]("target_canon"),
+      r.getAs[String]("final_canon"), r.getAs[Long]("hops")))
+    // every /p/{0,8}/child stub landed on /final/{0,8} with 2 hops
+    val twoHop = rows.filter(_._3 == 2L)
+    assert(twoHop.nonEmpty)
+    assert(twoHop.forall { case (t, f, _) =>
+      t.endsWith("/child") && f.contains("/final/") })
+    // /p/4/child stubs landed on /p/4 with 1 hop
+    val oneHop = rows.filter(_._3 == 1L)
+    assert(oneHop.nonEmpty)
+    assert(oneHop.forall { case (t, f, _) =>
+      t.endsWith("/4/child") && f.endsWith("/p/4") })
+    // the m13=12 cycle stubs were admitted raw by linkDiscover but are
+    // DROPPED here (fetch trap)
+    assert(rawT.exists(_.endsWith("/p/12/child")))
+    assert(!rows.exists(_._1.endsWith("/p/12/child")))
+    // off-map targets pass through unchanged
+    assert(rows.filter(_._3 == 0L).forall { case (t, f, _) => t == f })
+  }
+
+  test("frontierRank: novel targets ranked per domain by follow " +
+    "endorsement; priority 1 is the domain's most-linked target") {
+    import spark.implicits._
+    val docs = spark.range(0, 120).select(col("id").as("doc_id"),
+      lit("src0").as("source"), lit(40L).as("n_chars"))
+    val robots = graft.ops.Url.syntheticRobots(
+      graft.ops.Url.syntheticUrls(docs).select(col("doc_id"), col("url")))
+    val out = Links.frontierRank(Links.syntheticLinkedHtml(docs),
+      Nil, robots, spark.emptyDataset[String].toDF("url_canon"))
+    val rows = out.collect().map(r => (r.getAs[String]("domain"),
+      r.getAs[Long]("priority"), r.getAs[Long]("n_follow")))
+    assert(rows.nonEmpty)
+    // priorities are 1..k dense per domain, n_follow non-increasing
+    rows.groupBy(_._1).foreach { case (dom, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq === (1L to rs.length).toSeq, dom)
+      assert(sorted.map(_._3).sliding(2).forall(
+        s => s.length < 2 || s(0) >= s(1)), dom)
+    }
   }
 
   test("relCanonical: rel matched as a word of the token list, href " +
