@@ -516,6 +516,25 @@ object ScaleProbe {
     pair("redirect_resolve_chains",
       graft.ops.Graph.resolveChains(redir1),
       graft.ops.Graph.resolveChains(redir10))
+    // round 18: the link-layer compositions — redirect-aware discovery
+    // (stub targets resolve through the link-target-space redirect map),
+    // anchor-endorsed frontier ranking, canonical-declaration dedup
+    val lredir1 = graft.ops.Links.syntheticLinkRedirects(docs1).persist()
+    val lredir10 = graft.ops.Links.syntheticLinkRedirects(docs10).persist()
+    println(s"[probe] link redirects ${lredir1.count()} / ${lredir10.count()}")
+    pair("link_discover_resolved_pages",
+      graft.ops.Links.linkDiscoverResolved(pages1, Seq("blocked.invalid"),
+        lrob1, seedCat, lredir1),
+      graft.ops.Links.linkDiscoverResolved(pages10, Seq("blocked.invalid"),
+        lrob10, seedCat, lredir10))
+    pair("frontier_rank_pages",
+      graft.ops.Links.frontierRank(pages1, Seq("blocked.invalid"),
+        lrob1, seedCat),
+      graft.ops.Links.frontierRank(pages10, Seq("blocked.invalid"),
+        lrob10, seedCat))
+    pair("canonical_dedup_pages",
+      graft.ops.Links.canonicalDedup(pages1, Seq("blocked.invalid")),
+      graft.ops.Links.canonicalDedup(pages10, Seq("blocked.invalid")))
 
     only.foreach { keep =>
       if (probed == 0) System.err.println(
