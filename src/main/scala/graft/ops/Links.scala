@@ -569,6 +569,22 @@ object Links {
                      htmlCol: String = "html",
                      baseUrlCol: String = "base_url",
                      idCol: String = "doc_id"): DataFrame = {
+    val keyed = canonicalKeys(pages, blocked, htmlCol, baseUrlCol, idCol)
+    val winners = keyed.filter(col("url_ok"))
+      .groupBy("dedup_key").agg(min(col(idCol)).as("_w"))
+    keyed.join(winners, Seq("dedup_key"), "left")
+      .select(col(idCol), col("url_ok"), col("declared"), col("dedup_key"),
+        (col("_w").isNotNull && col(idCol) === col("_w")).as("keep"))
+  }
+
+  /** The per-page keying stage shared by [[canonicalDedup]] and its
+    * streaming increment: URL gate verdict + whether a canonical was
+    * declared + the dedup key `coalesce(canonical_canon, url_canon)`.
+    * Row-local (gate frames broadcast), scan-fused. */
+  private[graft] def canonicalKeys(pages: DataFrame, blocked: Seq[String],
+                                   htmlCol: String = "html",
+                                   baseUrlCol: String = "base_url",
+                                   idCol: String = "doc_id"): DataFrame = {
     val gate = Url.urlGate(
       pages.select(col(idCol).as("doc_id"), col(baseUrlCol).as("url")),
         blocked)
@@ -576,15 +592,37 @@ object Links {
         col("url_keep").as("url_ok"))
     val decl = relCanonical(pages, htmlCol, baseUrlCol, idCol)
       .select(col(idCol), col("canonical_canon"))
-    val keyed = gate.join(decl, Seq(idCol), "left")
+    gate.join(decl, Seq(idCol), "left")
       .select(col(idCol), col("url_ok"),
         col("canonical_canon").isNotNull.as("declared"),
         coalesce(col("canonical_canon"), col("url_canon")).as("dedup_key"))
-    val winners = keyed.filter(col("url_ok"))
-      .groupBy("dedup_key").agg(min(col(idCol)).as("_w"))
-    keyed.join(winners, Seq("dedup_key"), "left")
-      .select(col(idCol), col("url_ok"), col("declared"), col("dedup_key"),
-        (col("_w").isNotNull && col(idCol) === col("_w")).as("keep"))
+  }
+
+  /** One micro-batch of [[canonicalDedup]] against an accumulated key
+    * catalog (the [[graft.streaming.StreamingOps]] catalog-stream
+    * shape): gate-passing pages keyed as in the batch form, ONE
+    * first-occurrence winner per key WITHIN the batch (lowest doc_id,
+    * min-encoded — map-side combinable), then a novelty anti-join
+    * against every key any earlier batch admitted. Returns the novel
+    * keepers `(doc_id, declared, dedup_key)`; the stream appends their
+    * keys to the catalog. Processing batches in ascending doc_id order
+    * reproduces exactly the batch form's keeper set; out-of-order
+    * arrival stays exact on novelty and crowns the earlier-ARRIVING
+    * copy (the family's arrival-order semantics). */
+  def canonicalDedupIncrement(pages: DataFrame, catalog: DataFrame,
+                              blocked: Seq[String],
+                              htmlCol: String = "html",
+                              baseUrlCol: String = "base_url",
+                              idCol: String = "doc_id"): DataFrame = {
+    val keyed = canonicalKeys(pages, blocked, htmlCol, baseUrlCol, idCol)
+      .filter(col("url_ok"))
+    val intra = keyed.groupBy("dedup_key")
+      .agg(min(struct(col(idCol), col("declared"))).as("_w"))
+      .select(col("_w")(idCol).as(idCol),
+        col("_w")("declared").as("declared"), col("dedup_key"))
+    intra.join(catalog.select(col("dedup_key").as("_cat"))
+        .hint("shuffle_hash"),
+      col("dedup_key") === col("_cat"), "left_anti")
   }
 
   /** Deterministic per-document HTML pages with a FIXED 8-slot `<a>`

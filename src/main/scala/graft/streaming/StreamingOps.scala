@@ -747,4 +747,28 @@ object StreamingOps {
         (novel, novel)
       },
       catalogProj = (sig, _) => sig.select(col("url_canon")))
+
+  /** Streaming canonical-declaration dedup (round 18 — the streaming
+    * form of [[graft.ops.Links.canonicalDedup]]): each micro-batch of
+    * crawled `(doc_id, html, base_url)` pages emits only the pages
+    * whose dedup key — `coalesce(canonical_canon, url_canon)`, the
+    * page-declared canonical when one exists — no earlier batch
+    * admitted ([[graft.ops.Links.canonicalDedupIncrement]] per epoch),
+    * under the family's idempotent per-batch-partition catalog layout.
+    * The catalog carries ONE string key per page-identity ever
+    * admitted. Parity (StreamingSpec pins): ascending doc_id arrival
+    * reproduces the batch form's keeper set; out-of-order arrival
+    * stays exact on novelty and crowns the earlier-arriving copy. */
+  def canonicalDedupStream(pages: DataFrame, catalogDir: String,
+                           outDir: String, checkpointDir: String,
+                           blocked: Seq[String]): StreamingQuery =
+    catalogStream(pages, catalogDir, outDir, checkpointDir,
+      emptyCatalog = s => s.range(0)
+        .select(lit(null).cast("string").as("dedup_key")),
+      increment = (batch, catalog) => {
+        val novel = graft.ops.Links.canonicalDedupIncrement(
+          batch, catalog, blocked).localCheckpoint()
+        (novel, novel)
+      },
+      catalogProj = (sig, _) => sig.select(col("dedup_key")))
 }

@@ -683,6 +683,64 @@ class StreamingSpec extends SparkSpec {
     assert(StreamingOps.readBatched(spark, s"$dir/catalog").count() === 35)
   }
 
+  test("streaming canonical-declaration dedup over micro-batches: " +
+    "ascending arrival admits exactly canonicalDedup's keeper set; " +
+    "idempotent epoch retry leaves output and catalog byte-identical") {
+    import spark.implicits._
+    import graft.ops.Links
+    // every 4th page declares the canonical of its (i%6) group — pages
+    // across batches collapse onto one declared key; others dedup on
+    // their own canon (i%9 path variants collide too); every 10th page
+    // is on the blocked domain and must never claim a slot
+    def page(i: Long): (Long, String, String) = {
+      val head = if (i % 4 == 0)
+        s"""<link rel="canonical" href="https://canon.ex.com/g/${i % 6}">"""
+      else ""
+      val host = if (i % 10 == 0) "bad.blocked.org" else s"h${i % 7}.ex.com"
+      (i, s"<html><head>$head</head><body>x</body></html>",
+        s"http://$host/p/${i % 9}/")
+    }
+    val raw = (0L until 60L).map(page)
+    val dir = java.nio.file.Files.createTempDirectory("canondedup").toString
+    val stream = MemoryStream[(Long, String, String)](spark)
+    val q = StreamingOps.canonicalDedupStream(
+      stream.toDF().toDF("doc_id", "html", "base_url"),
+      s"$dir/catalog", s"$dir/out", s"$dir/ckpt", Seq("blocked.org"))
+    raw.grouped(20).foreach { chunk =>
+      stream.addData(chunk: _*); q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = StreamingOps.readBatched(spark, s"$dir/out")
+      .select("doc_id", "dedup_key").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    // ascending-arrival parity: the batch form's keeper set
+    val batchKeep = Links.canonicalDedup(
+        raw.toDF("doc_id", "html", "base_url"), Seq("blocked.org"))
+      .filter(col("keep")).select("doc_id", "dedup_key").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(streamed === batchKeep)
+    assert(streamed.nonEmpty)
+    // blocked pages never admitted
+    assert(!streamed.exists(_._2.contains("blocked.org")))
+    // the declared key collapsed cross-batch: i%4==0 declarers are all
+    // even, so i%6 covers {0,2,4} — exactly 3 g/<k> admissions
+    assert(streamed.count(_._2.startsWith("https://canon.ex.com/g/")) === 3)
+    // idempotent retry of the LAST epoch against its pre-batch view
+    val lastChunk = raw.grouped(20).toSeq.last
+      .toDF("doc_id", "html", "base_url")
+    val preCat = StreamingOps.readBatched(spark, s"$dir/catalog", Some(2L))
+      .select("dedup_key")
+    val novel = Links.canonicalDedupIncrement(lastChunk, preCat,
+      Seq("blocked.org"))
+    novel.write.mode("overwrite").parquet(s"$dir/out/batch=2")
+    novel.select("dedup_key").write.mode("overwrite")
+      .parquet(s"$dir/catalog/batch=2")
+    val retried = StreamingOps.readBatched(spark, s"$dir/out")
+      .select("doc_id", "dedup_key").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(retried === streamed)
+  }
+
   test("streaming URL frontier under OUT-OF-ORDER arrival: novelty stays " +
     "exact (one admission per canonical key), the earlier-ARRIVING copy " +
     "is crowned — the incrementalDedup arrival-order semantics") {
