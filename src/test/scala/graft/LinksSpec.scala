@@ -377,6 +377,36 @@ class LinksSpec extends SparkSpec {
     assert(rows.filter(_._3 == 0L).forall { case (t, f, _) => t == f })
   }
 
+  test("round-18 composition plans: no cartesian / nested-loop joins " +
+    "anywhere; canonicalDedup's gate broadcasts and it plans NO window " +
+    "(hash-agg + join-back); the resolved discovery keeps the LeftAnti " +
+    "novelty join") {
+    import spark.implicits._
+    val docs = spark.range(0, 150).select(col("id").as("doc_id"),
+      lit("src0").as("source"), lit(40L).as("n_chars"))
+    val pages = Links.syntheticLinkedHtml(docs)
+    val robots = graft.ops.Url.syntheticRobots(
+      graft.ops.Url.syntheticUrls(docs).select(col("doc_id"), col("url")))
+    val cat = Seq("https://x.ex.com/seen").toDF("url_canon")
+    def check(name: String, df: org.apache.spark.sql.DataFrame,
+              noWindow: Boolean = false): String = {
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct"), s"$name cartesian:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$name BNLJ:\n$p")
+      if (noWindow) assert(!p.contains("Window"), s"$name windows:\n$p")
+      p
+    }
+    val pd = check("canonicalDedup",
+      Links.canonicalDedup(pages, Seq("src0-site.net")), noWindow = true)
+    assert(pd.contains("BroadcastHashJoin"), s"gate not broadcast:\n$pd")
+    val pr = check("linkDiscoverResolved", Links.linkDiscoverResolved(
+      pages, Seq("src0-site.net"), robots, cat,
+      Links.syntheticLinkRedirects(docs)))
+    assert(pr.contains("LeftAnti"), s"novelty anti-join missing:\n$pr")
+    check("frontierRank",
+      Links.frontierRank(pages, Seq("src0-site.net"), robots, cat))
+  }
+
   test("frontierRank: novel targets ranked per domain by follow " +
     "endorsement; priority 1 is the domain's most-linked target") {
     import spark.implicits._
