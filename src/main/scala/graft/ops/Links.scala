@@ -563,18 +563,23 @@ object Links {
     * gate-passing witness).
     *
     * Scale shape: extraction and gating are scan-fused row-local work
-    * (the gate frames broadcast); the dedup is ONE hash-agg on the key
-    * plus one equi-join back — no window, no content hashing. */
+    * (the gate frames broadcast); the winner is ONE row_number window
+    * over the key, ordered gate-passers-first — a single corpus pass
+    * and a single shuffle. A window is the RIGHT shape here (unlike
+    * the megadomain-rank cases DESIGN.md §4 bans): the partition key
+    * is page identity — cardinality ~n, so no reducer sees more than
+    * a handful of variant rows. The agg+join-back alternative costs a
+    * second full pass over the HTML extraction, which dominates. */
   def canonicalDedup(pages: DataFrame, blocked: Seq[String],
                      htmlCol: String = "html",
                      baseUrlCol: String = "base_url",
                      idCol: String = "doc_id"): DataFrame = {
     val keyed = canonicalKeys(pages, blocked, htmlCol, baseUrlCol, idCol)
-    val winners = keyed.filter(col("url_ok"))
-      .groupBy("dedup_key").agg(min(col(idCol)).as("_w"))
-    keyed.join(winners, Seq("dedup_key"), "left")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("dedup_key").orderBy(col("url_ok").desc, col(idCol))
+    keyed.withColumn("_rn", row_number().over(w))
       .select(col(idCol), col("url_ok"), col("declared"), col("dedup_key"),
-        (col("_w").isNotNull && col(idCol) === col("_w")).as("keep"))
+        (col("_rn") === 1 && col("url_ok")).as("keep"))
   }
 
   /** The per-page keying stage shared by [[canonicalDedup]] and its

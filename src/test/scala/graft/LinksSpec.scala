@@ -378,9 +378,10 @@ class LinksSpec extends SparkSpec {
   }
 
   test("round-18 composition plans: no cartesian / nested-loop joins " +
-    "anywhere; canonicalDedup's gate broadcasts and it plans NO window " +
-    "(hash-agg + join-back); the resolved discovery keeps the LeftAnti " +
-    "novelty join") {
+    "anywhere; canonicalDedup's gate broadcasts and its winner is ONE " +
+    "window over the page-identity key (single corpus pass — no " +
+    "join-back recomputing the extraction); the resolved discovery " +
+    "keeps the LeftAnti novelty join") {
     import spark.implicits._
     val docs = spark.range(0, 150).select(col("id").as("doc_id"),
       lit("src0").as("source"), lit(40L).as("n_chars"))
@@ -388,17 +389,18 @@ class LinksSpec extends SparkSpec {
     val robots = graft.ops.Url.syntheticRobots(
       graft.ops.Url.syntheticUrls(docs).select(col("doc_id"), col("url")))
     val cat = Seq("https://x.ex.com/seen").toDF("url_canon")
-    def check(name: String, df: org.apache.spark.sql.DataFrame,
-              noWindow: Boolean = false): String = {
+    def check(name: String, df: org.apache.spark.sql.DataFrame): String = {
       val p = plan(df)
       assert(!p.contains("CartesianProduct"), s"$name cartesian:\n$p")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$name BNLJ:\n$p")
-      if (noWindow) assert(!p.contains("Window"), s"$name windows:\n$p")
       p
     }
     val pd = check("canonicalDedup",
-      Links.canonicalDedup(pages, Seq("src0-site.net")), noWindow = true)
+      Links.canonicalDedup(pages, Seq("src0-site.net")))
     assert(pd.contains("BroadcastHashJoin"), s"gate not broadcast:\n$pd")
+    assert("(?s)Window".r.findAllIn(pd).size == 1 &&
+      !pd.contains("SortMergeJoin") && !pd.contains("ShuffledHashJoin"),
+      s"dedup should be one window pass, no join-back:\n$pd")
     val pr = check("linkDiscoverResolved", Links.linkDiscoverResolved(
       pages, Seq("src0-site.net"), robots, cat,
       Links.syntheticLinkRedirects(docs)))
