@@ -518,31 +518,61 @@ object Links {
     * the domain's queue, and the window key is domain-cardinality —
     * high, so no reducer sees more than one domain's queue.
     *
-    * One extraction feeds both arms ([[discoverFirsts]]); the anchor
-    * aggregation shares the winner aggregation's `target_canon` hash
-    * partitioning, so the join adds no stream-side exchange. */
+    * The gates and BOTH per-target views are FUSED into one pass: the
+    * gate verdict rides each link row as a flag (`_adm`, broadcast
+    * probes only), and a SINGLE aggregation on `target_canon` computes
+    * the admitted winner (min-struct over flagged rows) alongside the
+    * anchor stats over ALL rows — one extraction pass and one shuffle
+    * where the composed `discoverFirsts + anchorText + join` form paid
+    * two of each (a second full pass over the HTML extraction
+    * dominated; the dedup_canonical lesson). A target with no admitted
+    * link aggregates a NULL winner and drops. */
   def frontierRank(pages: DataFrame, blocked: Seq[String],
                    robots: DataFrame, catalog: DataFrame,
                    agent: String = "*"): DataFrame = {
-    // pin ONCE: both arms (gates+winner, anchor agg) and the join that
-    // reunites them would otherwise each re-inline the full
-    // canonicalize∘resolve∘decode tree per reference — the plan-size
-    // failure mode pinColumns exists for
+    val spark = pages.sparkSession
+    import spark.implicits._
+    // pin ONCE: the gate flags and the aggregation below would otherwise
+    // re-inline the full canonicalize∘resolve∘decode tree per reference —
+    // the plan-size failure mode pinColumns exists for
     val links = pinColumns(linkExtract(pages)
       .select(col("doc_id"), col("link_idx"), col("href_abs"),
         col("target_canon"), col("anchor"), col("nofollow")))
-    val novel = discoverFirsts(links, blocked, robots, agent)
-      .join(catalog.select(col("url_canon").as("_cat"))
-          .hint("shuffle_hash"),
-        col("target_canon") === col("_cat"), "left_anti")
-    val anchors = anchorText(links)
+    val rules = robots.groupBy("domain")
+      .agg(max(col("robots_txt")).as("_txt"))
+      .select(col("domain").as("_td"),
+        Url.robotsRules(col("_txt"), agent).as("_rules"))
+    val flagged = links
+      .withColumn("_td", Url.registrableDomain(col("target_canon")))
+      .join(broadcast(blocked.toDF("_td").distinct()
+        .withColumn("_blocked", lit(true))), Seq("_td"), "left")
+      .join(broadcast(rules), Seq("_td"), "left")
+      .withColumn("_adm", !col("nofollow") &&
+        substring_index(col("target_canon"), "://", 1)
+          .isin("http", "https") &&
+        col("_blocked").isNull &&
+        coalesce(pmod(Url.robotsBestEnc(col("_rules"),
+          Url.canonPathQuery(col("target_canon"))), lit(2)) === 1,
+          lit(true)))
+    val agg = flagged.groupBy("target_canon")
+      .agg(min(when(col("_adm"),
+          struct(col("doc_id"), col("link_idx"), col("href_abs"))))
+          .as("_w"),
+        sum(when(!col("nofollow"), 1L).otherwise(0L)).as("n_follow"),
+        count_distinct(col("doc_id")).as("n_src_docs"),
+        min_by(col("anchor"), struct(col("doc_id"), col("link_idx")))
+          .as("first_anchor"),
+        min(col("_td")).as("domain"))
+      .filter(col("_w").isNotNull)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("domain")
       .orderBy(col("n_follow").desc, col("n_src_docs").desc,
         col("target_canon"))
-    novel.join(anchors, Seq("target_canon"))
-      .withColumn("domain", Url.registrableDomain(col("target_canon")))
-      .select(col("domain"), col("target_canon"), col("target_url"),
+    agg.join(catalog.select(col("url_canon").as("_cat"))
+          .hint("shuffle_hash"),
+        col("target_canon") === col("_cat"), "left_anti")
+      .select(col("domain"), col("target_canon"),
+        col("_w.href_abs").as("target_url"),
         col("n_follow"), col("n_src_docs"), col("first_anchor"))
       .withColumn("priority", row_number().over(w).cast("long"))
   }
