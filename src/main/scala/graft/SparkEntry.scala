@@ -1969,6 +1969,13 @@ object SparkEntry {
   private def domainStatsQ(s: SparkSession, dir: String): DataFrame =
     graft.ops.Url.domainStats(urlFrame(s, dir)).orderBy("domain")
 
+  /** Query-parameter intelligence (round 18): per (domain, param)
+    * occurrence + distinct-value counts over the RAW query strings —
+    * the corpus-derived evidence for param-strip policies (constant
+    * boilerplate vs session-id-shaped cache busters). */
+  private def urlParamStatsQ(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Url.paramStats(urlFrame(s, dir)).orderBy("domain", "param")
+
   private def domainQuotaSampleQ(s: SparkSession, dir: String): DataFrame =
     graft.ops.Url.domainQuotaSample(urlFrame(s, dir)).orderBy("doc_id")
 
@@ -2270,6 +2277,7 @@ object SparkEntry {
     "text_normalize" -> (textNormalizeQ _),
     "heavy_hitters" -> (heavyHittersQ _),
     "domain_stats" -> (domainStatsQ _),
+    "url_param_stats" -> (urlParamStatsQ _),
     "domain_quota_sample" -> (domainQuotaSampleQ _),
     "quality_classifier" -> (qualityClassifierQ _),
     "classifier_curate" -> (classifierCurateQ _),
@@ -5315,6 +5323,22 @@ object SparkEntry {
   private val domainStatsSql = urlCanonCte +
     "\nSELECT domain, n_docs, n_urls, total_chars, quota FROM qt ORDER BY domain"
 
+  /** Param-stats replay: the chain's own raw-query split (s3.rawq — the
+    * SAME slicing the canonicalizer uses, one definition) exploded to
+    * (param, value) rows, joined to the PSL domain, one group-by. */
+  private val urlParamStatsSql = urlCanonCte + """,
+      | pv AS (SELECT d.domain,
+      |    unnest(list_filter(string_split(s3.rawq, '&'), x -> x <> '')) AS kv
+      |  FROM s3 JOIN d ON d.doc_id = s3.doc_id),
+      | pp AS (SELECT domain, split_part(kv, '=', 1) AS param,
+      |    substr(kv, length(split_part(kv, '=', 1)) + 2) AS value FROM pv)
+      |SELECT domain, param, CAST(count(*) AS BIGINT) AS n_urls,
+      |  CAST(count(DISTINCT value) AS BIGINT) AS n_vals,
+      |  count(DISTINCT value) = 1 AS constant_val,
+      |  count(DISTINCT value) > 1 AND count(DISTINCT value) * 2 >= count(*)
+      |    AS high_card
+      |FROM pp GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   private val domainQuotaSampleSql = urlCanonCte + """,
       | r AS (SELECT doc_id, domain, row_number() OVER (PARTITION BY domain
       |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rank FROM d)
@@ -5659,6 +5683,7 @@ object SparkEntry {
     "text_normalize" -> textNormalizeSql,
     "heavy_hitters" -> heavyHittersSql,
     "domain_stats" -> domainStatsSql,
+    "url_param_stats" -> urlParamStatsSql,
     "domain_quota_sample" -> domainQuotaSampleSql,
     "quality_classifier" -> qualityClassifierSql,
     "classifier_curate" -> classifierCurateSql,

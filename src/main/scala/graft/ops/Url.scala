@@ -1005,4 +1005,51 @@ object Url {
       .select(col("rd.doc_id").as("doc_id"), col("domain"),
         (col("pos") + 1).cast("long").as("rank"))
   }
+
+  /** QUERY-PARAMETER intelligence (round 18): per `(domain, param)` —
+    * occurrence count and distinct-value count over the RAW query
+    * strings (pre-canonicalization: the tracking params the
+    * canonicalizer strips are exactly what this op exists to
+    * DISCOVER). The two flags are the standard param-policy signals a
+    * crawl pipeline derives from its own corpus instead of a
+    * hardcoded `utm_*` list:
+    *  - `constant_val` — one value corpus-wide on this domain
+    *    (boilerplate/tracking: stripping it cannot split real pages);
+    *  - `high_card` — MORE than one value AND distinct values ≥ half
+    *    the occurrences (session-id / cache-buster shape: the param
+    *    explodes the URL space without adding content, the classic
+    *    crawl-trap axis; the >1 guard keeps a low-support constant —
+    *    1 value over 2 rows passes the ratio — out of the flag).
+    * Downstream applies a support threshold on `n_urls` before acting
+    * (the columns carry the evidence; the op doesn't hide it behind a
+    * tuned constant).
+    *
+    * Scale shape: parse + explode are scan-fused row-local work (the
+    * explode is output-bounded by params-per-URL, a small constant);
+    * ONE aggregation on (domain, param) — cardinality |domains|·
+    * |param vocabulary|, far below corpus scale — with map-side
+    * partial combine; the exact distinct is the standard two-phase
+    * expand. The domain derivation stays below the Generate so every
+    * post-explode reference is an attribute (the pinColumns
+    * discipline, structurally). */
+  def paramStats(urls: DataFrame): DataFrame = {
+    val base = substring_index(col("url"), "#", 1)
+    val beforeQ = substring_index(base, "?", 1)
+    val rawq = when(base.contains("?"),
+      base.substr(length(beforeQ) + 2, lit(1 << 20))).otherwise(lit(""))
+    val kvKey = substring_index(col("_kv"), "=", 1)
+    urls
+      .withColumn("_uc", canonicalizeUrl(col("url")))
+      .select(registrableDomain(col("_uc")).as("domain"),
+        explode(filter(split(rawq, "&"), p => p =!= "")).as("_kv"))
+      .select(col("domain"), kvKey.as("param"),
+        col("_kv").substr(length(kvKey) + 2, lit(1 << 20)).as("_v"))
+      .groupBy("domain", "param")
+      .agg(count(lit(1)).cast("long").as("n_urls"),
+        count_distinct(col("_v")).cast("long").as("n_vals"))
+      .select(col("domain"), col("param"), col("n_urls"), col("n_vals"),
+        (col("n_vals") === 1).as("constant_val"),
+        (col("n_vals") > 1 && col("n_vals") * 2 >= col("n_urls"))
+          .as("high_card"))
+  }
 }

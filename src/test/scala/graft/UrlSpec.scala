@@ -803,4 +803,32 @@ class UrlSpec extends SparkSpec {
       ("https://q.test/d", 2L, 2.5),
       ("https://q.test/e", 3L, 5.0)))
   }
+
+  test("paramStats: per-(domain, param) counts over RAW queries — " +
+    "tracking params visible (the op discovers what the canonicalizer " +
+    "strips); constant vs session-id-shaped flags; fragments excluded; " +
+    "scan-fused up to ONE aggregation") {
+    import spark.implicits._
+    val urls = Seq(
+      // session-id shape on ex.com: sid differs per URL
+      (1L, "https://a.ex.com/p?sid=abc&utm_source=m"),
+      (2L, "https://b.ex.com/q?sid=def&utm_source=m"),
+      (3L, "https://a.ex.com/r?sid=ghi"),
+      // constant facet on other.org; fragment must not leak into value
+      (4L, "https://www.other.org/x?page=1#frag"),
+      (5L, "https://other.org/y?page=1"),
+      // no query -> contributes nothing
+      (6L, "https://other.org/z"))
+      .toDF("doc_id", "url")
+    val got = Url.paramStats(urls).orderBy("domain", "param")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4), r.getBoolean(5))).toSeq
+    assert(got === Seq(
+      ("ex.com", "sid", 3L, 3L, false, true),         // session-id shape
+      ("ex.com", "utm_source", 2L, 1L, true, false),  // tracking constant
+      ("other.org", "page", 2L, 1L, true, false)))    // facet constant
+    val p = Url.paramStats(urls).queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"paramStats should be scan + one agg:\n$p")
+  }
 }
