@@ -1976,6 +1976,14 @@ object SparkEntry {
   private def urlParamStatsQ(s: SparkSession, dir: String): DataFrame =
     graft.ops.Url.paramStats(urlFrame(s, dir)).orderBy("domain", "param")
 
+  /** Learned-policy URL dedup (round 18): paramStats' verdicts become
+    * the per-domain strip list, URLs re-canonicalize, first-occurrence
+    * dedup runs on the learned key — collapsing the session-id /
+    * boilerplate variants the hardcoded tracking list can't know. */
+  private def urlDedupLearnedQ(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Url.paramPolicyDedup(urlFrame(s, dir))
+      .orderBy("learned_canon")
+
   private def domainQuotaSampleQ(s: SparkSession, dir: String): DataFrame =
     graft.ops.Url.domainQuotaSample(urlFrame(s, dir)).orderBy("doc_id")
 
@@ -2278,6 +2286,7 @@ object SparkEntry {
     "heavy_hitters" -> (heavyHittersQ _),
     "domain_stats" -> (domainStatsQ _),
     "url_param_stats" -> (urlParamStatsQ _),
+    "url_dedup_learned" -> (urlDedupLearnedQ _),
     "domain_quota_sample" -> (domainQuotaSampleQ _),
     "quality_classifier" -> (qualityClassifierQ _),
     "classifier_curate" -> (classifierCurateQ _),
@@ -5323,21 +5332,56 @@ object SparkEntry {
   private val domainStatsSql = urlCanonCte +
     "\nSELECT domain, n_docs, n_urls, total_chars, quota FROM qt ORDER BY domain"
 
-  /** Param-stats replay: the chain's own raw-query split (s3.rawq — the
-    * SAME slicing the canonicalizer uses, one definition) exploded to
-    * (param, value) rows, joined to the PSL domain, one group-by. */
-  private val urlParamStatsSql = urlCanonCte + """,
-      | pv AS (SELECT d.domain,
+  /** Param-stats replay CTEs: the chain's own raw-query split (s3.rawq —
+    * the SAME slicing the canonicalizer uses, one definition) exploded
+    * to (param, value) rows joined to the PSL domain, then the
+    * per-(domain, param) stats — shared by `url_param_stats` and the
+    * learned-policy dedup. */
+  private val paramStatsCtes = """pv AS (SELECT d.domain,
       |    unnest(list_filter(string_split(s3.rawq, '&'), x -> x <> '')) AS kv
       |  FROM s3 JOIN d ON d.doc_id = s3.doc_id),
       | pp AS (SELECT domain, split_part(kv, '=', 1) AS param,
-      |    substr(kv, length(split_part(kv, '=', 1)) + 2) AS value FROM pv)
-      |SELECT domain, param, CAST(count(*) AS BIGINT) AS n_urls,
-      |  CAST(count(DISTINCT value) AS BIGINT) AS n_vals,
-      |  count(DISTINCT value) = 1 AS constant_val,
-      |  count(DISTINCT value) > 1 AND count(DISTINCT value) * 2 >= count(*)
-      |    AS high_card
-      |FROM pp GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+      |    substr(kv, length(split_part(kv, '=', 1)) + 2) AS value FROM pv),
+      | pstat AS (SELECT domain, param,
+      |    CAST(count(*) AS BIGINT) AS n_urls,
+      |    CAST(count(DISTINCT value) AS BIGINT) AS n_vals,
+      |    count(DISTINCT value) = 1 AS constant_val,
+      |    count(DISTINCT value) > 1 AND count(DISTINCT value) * 2 >= count(*)
+      |      AS high_card
+      |  FROM pp GROUP BY 1, 2)""".stripMargin
+
+  private val urlParamStatsSql = urlCanonCte + ",\n" + paramStatsCtes + """
+      |SELECT domain, param, n_urls, n_vals, constant_val, high_card
+      |FROM pstat ORDER BY 1, 2""".stripMargin
+
+  /** Learned-policy dedup replay: the flagged params (support ≥ 2)
+    * group into one strip list per domain; each URL's CANONICAL param
+    * list (s6.ps is the tracking-stripped, pre-sort list — sorted here
+    * exactly as `cc` sorts it) is filtered against its domain's list,
+    * the learned key rebuilt, then the standard min/count collapse. */
+  private val urlDedupLearnedSql = urlCanonCte + ",\n" + paramStatsCtes + """,
+      | pol AS (SELECT domain, list(param) AS drops FROM pstat
+      |  WHERE (constant_val OR high_card) AND n_urls >= 2 GROUP BY 1),
+      | lcb AS (SELECT d.doc_id, d.url_canon, d.domain,
+      |    split_part(d.url_canon, '?', 1) AS pathpart,
+      |    CASE WHEN contains(d.url_canon, '?')
+      |      THEN string_split(substr(d.url_canon,
+      |        length(split_part(d.url_canon, '?', 1)) + 2), '&')
+      |      ELSE [] END AS cps
+      |  FROM d),
+      | lck AS (SELECT doc_id, url_canon, pathpart,
+      |    list_filter(cps, x -> NOT list_contains(
+      |      coalesce(pol.drops, []), split_part(x, '=', 1))) AS keep_ps
+      |  FROM lcb LEFT JOIN pol ON lcb.domain = pol.domain),
+      | lcf AS (SELECT doc_id, url_canon,
+      |    pathpart || (CASE WHEN len(keep_ps) > 0
+      |      THEN '?' || array_to_string(keep_ps, '&') ELSE '' END)
+      |      AS learned_canon
+      |  FROM lck)
+      |SELECT learned_canon, min(doc_id) AS keep_doc_id,
+      |  CAST(count(*) AS BIGINT) AS n_dups,
+      |  CAST(count(DISTINCT url_canon) AS BIGINT) AS n_canon_variants
+      |FROM lcf GROUP BY 1 ORDER BY 1""".stripMargin
 
   private val domainQuotaSampleSql = urlCanonCte + """,
       | r AS (SELECT doc_id, domain, row_number() OVER (PARTITION BY domain
@@ -5684,6 +5728,7 @@ object SparkEntry {
     "heavy_hitters" -> heavyHittersSql,
     "domain_stats" -> domainStatsSql,
     "url_param_stats" -> urlParamStatsSql,
+    "url_dedup_learned" -> urlDedupLearnedSql,
     "domain_quota_sample" -> domainQuotaSampleSql,
     "quality_classifier" -> qualityClassifierSql,
     "classifier_curate" -> classifierCurateSql,

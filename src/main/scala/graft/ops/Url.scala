@@ -1038,8 +1038,15 @@ object Url {
     val rawq = when(base.contains("?"),
       base.substr(length(beforeQ) + 2, lit(1 << 20))).otherwise(lit(""))
     val kvKey = substring_index(col("_kv"), "=", 1)
-    urls
-      .withColumn("_uc", canonicalizeUrl(col("url")))
+    // pin the canonical key (and the possibly-computed raw url) as
+    // ATTRIBUTES before registrableDomain and the query split derive
+    // from them: CollapseProject would otherwise inline the
+    // canonicalize tree at every PSL leaf and the url expression at
+    // every slice — the generated projection code blows past Janino's
+    // comfortable size and the first execution pays a 20 s compile
+    // (measured on url_dedup_learned, whose plan embeds this subtree)
+    Links.pinColumns(urls.select(col("url"),
+        canonicalizeUrl(col("url")).as("_uc")))
       .select(registrableDomain(col("_uc")).as("domain"),
         explode(filter(split(rawq, "&"), p => p =!= "")).as("_kv"))
       .select(col("domain"), kvKey.as("param"),
@@ -1051,5 +1058,61 @@ object Url {
         (col("n_vals") === 1).as("constant_val"),
         (col("n_vals") > 1 && col("n_vals") * 2 >= col("n_urls"))
           .as("high_card"))
+  }
+
+  /** LEARNED-POLICY URL dedup (round 18 — [[paramStats]] CONSUMED): the
+    * corpus teaches its own canonicalization. Params flagged
+    * boilerplate (`constant_val` — carrying one value adds no page
+    * identity: pages with and without it are the same page) or
+    * session-shaped (`high_card` — a near-unique value per URL splits
+    * one page into many), at `minSupport`+ occurrences on the domain,
+    * become that domain's STRIP LIST; every URL re-canonicalizes with
+    * those params removed, and first-occurrence dedup runs on the
+    * learned key. Collapses the variants the static canonicalizer's
+    * hardcoded `utm_*` list cannot know (`?sid=abc` vs `?sid=def`;
+    * `?lang=en` vs bare). Mid-cardinality params — real content
+    * selectors like `?id=5` at corpus scale — match neither flag and
+    * are KEPT. Output: one row per learned key with the lowest-doc_id
+    * keeper, the collapse count, and `n_canon_variants` (distinct
+    * STATIC canonical forms folded — >1 is the policy's added value
+    * over [[urlDedup]]).
+    *
+    * Scale shape: two corpus passes by nature (learn, then apply) —
+    * both scan-fused; the policy table is |domains|·|flagged params|
+    * rows, grouped to one array per domain and BROADCAST; the apply
+    * pass is a per-row array filter (the canonical query is already
+    * sorted, so stripping preserves key order) + the same one-exchange
+    * hash-agg as [[urlDedup]]. */
+  def paramPolicyDedup(urls: DataFrame, minSupport: Long = 2L): DataFrame = {
+    val policy = paramStats(urls)
+      .filter((col("constant_val") || col("high_card")) &&
+        col("n_urls") >= minSupport)
+      .groupBy("domain").agg(collect_set(col("param")).as("_drop"))
+    // pin the canonical key as an ATTRIBUTE before deriving the domain
+    // and the param list from it: higher-order functions (the strip
+    // filter below) evaluate INTERPRETED, and CollapseProject would
+    // otherwise fold the whole canonicalize∘PSL tree into that
+    // interpreted projection — measured 33 s vs 1.4 s for 5k rows
+    val canon = Links.pinColumns(urls
+        .select(col("doc_id"), canonicalizeUrl(col("url")).as("url_canon")))
+      .withColumn("domain", registrableDomain(col("url_canon")))
+    val pathPart = substring_index(col("url_canon"), "?", 1)
+    val q = col("url_canon").substr(length(pathPart) + 2, lit(1 << 20))
+    val params = when(col("url_canon").contains("?"), split(q, "&"))
+      .otherwise(typedLit(Seq.empty[String]))
+    val kept = filter(col("_ps"), p =>
+      !array_contains(col("_dr"), substring_index(p, "=", 1)))
+    Links.pinColumns(canon.join(broadcast(policy), Seq("domain"), "left")
+        .select(col("doc_id"), col("url_canon"), pathPart.as("_path"),
+          params.as("_ps"),
+          coalesce(col("_drop"), typedLit(Seq.empty[String])).as("_dr")))
+      .select(col("doc_id"), col("url_canon"),
+        when(size(kept) > 0,
+          concat(col("_path"), lit("?"), array_join(kept, "&")))
+          .otherwise(col("_path")).as("learned_canon"))
+      .groupBy("learned_canon")
+      .agg(min(col("doc_id")).as("keep_doc_id"),
+        count(lit(1)).cast("long").as("n_dups"),
+        count_distinct(col("url_canon")).cast("long").as("n_canon_variants"))
   }
 }

@@ -831,4 +831,31 @@ class UrlSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
       s"paramStats should be scan + one agg:\n$p")
   }
+
+  test("paramPolicyDedup: flagged params become the domain strip list " +
+    "(session-shaped AND constant boilerplate), under-supported params " +
+    "are kept, and dedup on the learned key folds variants the static " +
+    "canonicalizer can't — n_canon_variants counts the added value") {
+    import spark.implicits._
+    val urls = Seq(
+      // sid: 2 values over 2 urls on ex.com -> high_card, stripped
+      (1L, "https://a.ex.com/p?sid=x1"),
+      (2L, "https://a.ex.com/p?sid=x2"),
+      (3L, "https://a.ex.com/p"),
+      // id: 1 value over 2 urls -> constant, stripped
+      (4L, "https://b.ex.com/q?id=1"),
+      (5L, "https://b.ex.com/q?id=1"),
+      (6L, "https://b.ex.com/q"),
+      // page: support 1 < minSupport -> KEPT
+      (7L, "https://c.ex.com/r?page=2"))
+      .toDF("doc_id", "url")
+    val got = Url.paramPolicyDedup(urls, minSupport = 2L)
+      .orderBy("learned_canon")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got === Seq(
+      ("https://a.ex.com/p", 1L, 3L, 3L),          // 3 static forms folded
+      ("https://b.ex.com/q", 4L, 3L, 2L),          // ?id=1 and bare folded
+      ("https://c.ex.com/r?page=2", 7L, 1L, 1L)))  // content param kept
+  }
 }
