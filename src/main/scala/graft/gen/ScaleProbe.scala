@@ -535,6 +535,20 @@ object ScaleProbe {
     pair("canonical_dedup_pages",
       graft.ops.Links.canonicalDedup(pages1, Seq("blocked.invalid")),
       graft.ops.Links.canonicalDedup(pages10, Seq("blocked.invalid")))
+    // round 18: param intelligence at 10x urls — the stats agg is
+    // |domains|x|param-vocab|-bounded; the learned dedup adds the
+    // second (apply) corpus pass
+    val purls1 = graft.ops.Url.syntheticUrls(docs1)
+      .select(col("doc_id"), col("url")).persist()
+    val purls10 = graft.ops.Url.syntheticUrls(docs10)
+      .select(col("doc_id"), col("url")).persist()
+    println(s"[probe] param urls ${purls1.count()} / ${purls10.count()}")
+    pair("param_stats_urls",
+      graft.ops.Url.paramStats(purls1),
+      graft.ops.Url.paramStats(purls10))
+    pair("param_policy_dedup_urls",
+      graft.ops.Url.paramPolicyDedup(purls1),
+      graft.ops.Url.paramPolicyDedup(purls10))
 
     only.foreach { keep =>
       if (probed == 0) System.err.println(
