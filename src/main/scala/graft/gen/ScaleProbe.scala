@@ -478,6 +478,14 @@ object ScaleProbe {
     pair("crawl_discover_domains",
       graft.ops.Url.crawlDiscover(robots1, sm1, Seq("blocked.invalid"), seedCat),
       graft.ops.Url.crawlDiscover(robots10, sm10, Seq("blocked.invalid"), seedCat))
+    // round 19 (r17 #8 / r19 directive #1): the SAME composed discovery
+    // with the rules frame past the broadcast ceiling — the shuffle-hash
+    // fallback plan must stay sub-linear in |domains| too
+    pair("crawl_discover_shuffle",
+      graft.ops.Url.crawlDiscover(robots1, sm1, Seq("blocked.invalid"),
+        seedCat, expectedDomains = 1L << 40),
+      graft.ops.Url.crawlDiscover(robots10, sm10, Seq("blocked.invalid"),
+        seedCat, expectedDomains = 1L << 40))
 
     // round-17: the HTML link layer at 10× pages. The fixture's domain
     // set is source×TLD bound (constant), so these pairs isolate the
@@ -549,6 +557,51 @@ object ScaleProbe {
     pair("param_policy_dedup_urls",
       graft.ops.Url.paramPolicyDedup(purls1),
       graft.ops.Url.paramPolicyDedup(purls10))
+
+    // round 19 (r18 directive #8): a PARAM-VOCAB-EXPLOSION megadomain —
+    // ONE domain whose distinct param-name vocabulary grows 10^4 -> 10^5
+    // alongside a 10x row count (the crawl-trap fixture axis): the
+    // (domain, param) stats aggregation and the policy build+apply must
+    // stay sub-linear in corpus rows even when |param vocab| explodes
+    def paramVocabUrls(n: Long, vocab: Int): DataFrame =
+      spark.range(n).select(col("id").as("doc_id"),
+        concat(lit("http://mega.example.com/p/"), pmod(col("id"), lit(97)),
+          lit("?k"), pmod(col("id"), lit(vocab)), lit("="), col("id"),
+          lit("&v=1")).as("url"))
+        .repartition(32)
+    val pv1 = paramVocabUrls(200000L, 10000).persist()
+    val pv10 = paramVocabUrls(2000000L, 100000).persist()
+    println(s"[probe] param-vocab urls ${pv1.count()} / ${pv10.count()}")
+    pair("param_vocab_stats",
+      graft.ops.Url.paramStats(pv1),
+      graft.ops.Url.paramStats(pv10))
+    pair("param_vocab_policy",
+      graft.ops.Url.paramPolicyDedup(pv1),
+      graft.ops.Url.paramPolicyDedup(pv10))
+
+    // round 19: the learned-key frontier and the anchor-endorsed curate
+    // at 10x pages (constant-size catalog / link fixture derived at each
+    // scale — input generation persists outside the timed region)
+    pair("url_frontier_learned_urls",
+      graft.ops.Url.urlFrontierLearnedIncrement(purls1, seedCat
+          .select(col("url_canon").as("learned_canon")),
+        graft.ops.Url.paramPolicy(purls1)),
+      graft.ops.Url.urlFrontierLearnedIncrement(purls10, seedCat
+          .select(col("url_canon").as("learned_canon")),
+        graft.ops.Url.paramPolicy(purls10)))
+    val adoc1 = docs1.select(col("doc_id"), col("text")).join(
+      graft.ops.Url.syntheticUrls(docs1).select(col("doc_id"), col("url")),
+      "doc_id").persist()
+    val adoc10 = docs10.select(col("doc_id"), col("text")).join(
+      graft.ops.Url.syntheticUrls(docs10).select(col("doc_id"), col("url")),
+      "doc_id").persist()
+    val alink1 = graft.ops.Links.syntheticEndorseLinks(docs1).persist()
+    val alink10 = graft.ops.Links.syntheticEndorseLinks(docs10).persist()
+    println(s"[probe] endorse docs ${adoc1.count()} / ${adoc10.count()}, " +
+      s"links ${alink1.count()} / ${alink10.count()}")
+    pair("anchor_endorsed_curate",
+      graft.ops.Links.anchorEndorsedCurate(adoc1, alink1),
+      graft.ops.Links.anchorEndorsedCurate(adoc10, alink10))
 
     only.foreach { keep =>
       if (probed == 0) System.err.println(

@@ -307,7 +307,24 @@ object Links {
     * exchanges. */
   def relCanonical(pages: DataFrame, htmlCol: String = "html",
                    baseUrlCol: String = "base_url",
-                   idCol: String = "doc_id"): DataFrame = {
+                   idCol: String = "doc_id"): DataFrame =
+    relCanonicalAll(pages, htmlCol, baseUrlCol, idCol)
+      .filter(col("canonical_canon").isNotNull)
+      .select(col(idCol), col("href"), col("canonical_canon"),
+        (col("canonical_canon") === col("_base")).as("is_self"))
+
+  /** The keep-all form of [[relCanonical]]: one row per PAGE — the
+    * page's own canonical URL (`_base`), the declared href and its
+    * resolved canonical form, both NULL when the page declares none.
+    * This is what [[canonicalKeys]] fuses its URL gate onto (round 19,
+    * r18 ADVICE: composing urlGate and relCanonical as two separate
+    * page scans joined on doc_id cost a corpus-sized join that only
+    * auto-broadcast hid at test scale — here gate and declaration are
+    * columns of ONE scan). Row-local, zero exchanges. */
+  private[graft] def relCanonicalAll(pages: DataFrame,
+                                     htmlCol: String = "html",
+                                     baseUrlCol: String = "base_url",
+                                     idCol: String = "doc_id"): DataFrame = {
     val h = col(htmlCol)
     val canonAttrs = try_element_at(
       filter(regexp_extract_all(h, lit(linkTagPattern), lit(1)),
@@ -317,25 +334,52 @@ object Links {
     val baseHref0 = attrValue(regexp_extract(h, baseTagPattern, 1), "href")
     val baseHref = when(baseHref0.startsWith("#"), lit(""))
       .otherwise(baseHref0)
-    pages
-      .select(col(idCol), h,
-        Url.canonicalizeUrl(col(baseUrlCol)).as("_base"),
-        substring_index(substring_index(col(baseUrlCol), "#", 1), "?", 1)
-          .endsWith("/").as("_dirsl"))
-      .select(col(idCol), col("_base"),
-        when(baseHref === "", dirBase(col("_base"), col("_dirsl")))
-          .otherwise(resolveHref(dirBase(col("_base"), col("_dirsl")),
-            decodeEntities(baseHref)))
-          .as("_rbase"),
-        attrValue(coalesce(canonAttrs, lit("")), "href").as("href"))
-      .filter(col("href") =!= "")
+    // CHEAP PRESCAN (round 19 — measured 2.55 s → the quote-aware
+    // link-tag regex family on every row dominated the curate e2e): a
+    // page whose html never contains the literal token "canonical"
+    // (case-folded) cannot declare rel=canonical, so the extraction —
+    // and, per row that does declare, the <base> regex and the whole
+    // resolution chain — run inside `when` branches only where the
+    // substring scan fires. Spark evaluates conditional branches
+    // lazily, so non-declaring rows pay one lower+contains pass.
+    val mayDeclare = lower(h).contains("canonical")
+    // pin the resolved-absolute column as an ATTRIBUTE before the final
+    // canonicalize: canonicalizeUrl references its input at ~15 leaves,
+    // the callers (is_self / declared / dedup_key) reference the result
+    // 2-3 more times, and CollapseProject would otherwise inline the
+    // full resolve∘decode∘extract tree at every one of those leaves —
+    // the measured round-19 first cut OOM'd the 8 GiB test heap on the
+    // 5k-row fixture
+    pinColumns(pages
+        .select(col(idCol), h,
+          Url.canonicalizeUrl(col(baseUrlCol)).as("_base"),
+          substring_index(substring_index(col(baseUrlCol), "#", 1), "?", 1)
+            .endsWith("/").as("_dirsl"))
+        .select(col(idCol), col("_base"), h, col("_dirsl"),
+          when(mayDeclare,
+            attrValue(coalesce(canonAttrs, lit("")), "href"))
+            .otherwise(lit("")).as("_href"))
+        // the resolution base in its OWN projection level, null-guarded:
+        // resolveHref references its base arg at ~8 leaves, so this
+        // alias must stay materialized (CollapseProject's
+        // multi-reference guard keeps it) — inlined, the <base> regex
+        // ran 8× per declaring row (measured 40 s on the 5k probe)
+        .select(col(idCol), col("_base"), col("_href"),
+          when(col("_href") === "", lit(null).cast("string"))
+            .otherwise(
+              when(baseHref === "", dirBase(col("_base"), col("_dirsl")))
+                .otherwise(resolveHref(dirBase(col("_base"), col("_dirsl")),
+                  decodeEntities(baseHref))))
+            .as("_rbase"))
+        .select(col(idCol), col("_base"),
+          when(col("_href") === "", lit(null).cast("string"))
+            .otherwise(col("_href")).as("href"),
+          when(col("_href") === "", lit(null).cast("string"))
+            .otherwise(resolveHref(col("_rbase"), decodeEntities(col("_href"))))
+            .as("_abs")))
       .select(col(idCol), col("_base"), col("href"),
-        resolveHref(col("_rbase"), decodeEntities(col("href"))).as("_abs"))
-      .select(col(idCol), col("href"),
-        Url.canonicalizeUrl(col("_abs")).as("canonical_canon"),
-        col("_base"))
-      .withColumn("is_self", col("canonical_canon") === col("_base"))
-      .drop("_base")
+        when(col("_abs").isNull, lit(null).cast("string"))
+          .otherwise(Url.canonicalizeUrl(col("_abs"))).as("canonical_canon"))
   }
 
   /** Anchor-text aggregation: the per-TARGET view of the link layer —
@@ -354,6 +398,68 @@ object Links {
         count_distinct(col("doc_id")).as("n_src_docs"),
         min_by(col("anchor"), struct(col("doc_id"), col("link_idx")))
           .as("first_anchor"))
+
+  /** ANCHOR-ENDORSED curation gate (round 19 — the r18 verdict's #3:
+    * [[anchorText]]'s off-page signal reached the fetch queue
+    * ([[frontierRank]]) but never the KEPT corpus): per candidate doc
+    * `(doc_id, url, text)`, the corpus-wide anchor aggregates of the
+    * doc's OWN canonical URL join in, and the gate keeps a page that
+    * passes the text-quality filter OR carries ≥ `minFollow` follow
+    * endorsements — the link-endorsed RESCUE web-scale curation
+    * applies: anchor text and in-links are written by THIRD PARTIES,
+    * so they retain borderline pages whose on-page signals alone would
+    * drop them (and `first_anchor` rides along as the off-page
+    * description). Emits per doc: the quality verdict, the endorsement
+    * stats, and the final `keep`.
+    *
+    * Scale shape: the quality signals fuse into the same scan as the
+    * canonicalizer ([[graft.ops.TextAnalysis.qualityFailReasons]] as an
+    * expression — no doc_id self-join of two corpus scans, the
+    * canonicalKeys lesson); the anchor side is [[anchorText]]'s single
+    * hash-agg; the join is ONE equi-join on the canonical URL key —
+    * corpus × |link-targets|, an honest shuffle with no broadcast
+    * assumption at any scale. */
+  def anchorEndorsedCurate(docs: DataFrame, links: DataFrame,
+                           minFollow: Long = 3L): DataFrame = {
+    val anchors = anchorText(links)
+      .select(col("target_canon"), col("n_follow").as("_nf"),
+        col("n_src_docs").as("_ns"), col("first_anchor"))
+    val base = pinColumns(docs.select(col("doc_id"),
+        Url.canonicalizeUrl(col("url")).as("url_canon"),
+        (graft.ops.TextAnalysis.qualityFailReasons(col("text")) === "")
+          .as("quality_keep")))
+    base.join(anchors, col("url_canon") === col("target_canon"), "left")
+      .select(col("doc_id"), col("url_canon"), col("quality_keep"),
+        coalesce(col("_nf"), lit(0L)).as("n_follow"),
+        coalesce(col("_ns"), lit(0L)).as("n_src_docs"),
+        col("first_anchor"),
+        (col("quality_keep") || coalesce(col("_nf"), lit(0L)) >= minFollow)
+          .as("keep"))
+  }
+
+  /** Deterministic endorsement-link fixture (round 19 — the
+    * [[anchorEndorsedCurate]] oracle corpus: [[syntheticLinkedHtml]]'s
+    * pages are never TARGETS of their own links, so no existing link
+    * frame endorses a curatable doc): every doc whose `doc_id%10 ≠ 0`
+    * emits one follow link (nofollow when `doc_id%4 = 0`) at its
+    * block HEAD — the doc `doc_id - doc_id%10` — with anchor
+    * `rec <src>`; targets are the heads' own [[Url.syntheticUrls]]
+    * canonical forms, so the gate's join key is the real canonical
+    * chain (and colliding canons merge endorsements exactly as the
+    * aggregate defines). Pure doc_id arithmetic; the join to the
+    * heads' URLs is fixture GENERATION, not operator work. */
+  def syntheticEndorseLinks(docs: DataFrame): DataFrame = {
+    val u = Url.syntheticUrls(docs).select(col("doc_id"),
+      Url.canonicalizeUrl(col("url")).as("_uc"))
+    val src = u.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+      .select(col("doc_id"),
+        (col("doc_id") - pmod(col("doc_id"), lit(10))).as("_tgt"))
+    src.join(u.select(col("doc_id").as("_tgt"), col("_uc").as("target_canon")),
+        Seq("_tgt"))
+      .select(col("doc_id"), lit(1L).as("link_idx"), col("target_canon"),
+        concat(lit("rec "), col("doc_id")).as("anchor"),
+        (pmod(col("doc_id"), lit(4)) === 0).as("nofollow"))
+  }
 
   /** Pin a frame's already-computed expensive columns as ATTRIBUTES
     * before further expression-heavy derivation: a one-element `explode`
@@ -412,8 +518,10 @@ object Links {
     * crawlDiscover argument — only the catalog shuffles). */
   def linkDiscover(pages: DataFrame, blocked: Seq[String],
                    robots: DataFrame, catalog: DataFrame,
-                   agent: String = "*"): DataFrame =
-    discoverFirsts(linkExtract(pages), blocked, robots, agent)
+                   agent: String = "*",
+                   expectedDomains: Long = 0L): DataFrame =
+    discoverFirsts(linkExtract(pages), blocked, robots, agent,
+        expectedDomains)
       .join(catalog.select(col("url_canon").as("_cat"))
           .hint("shuffle_hash"),
         col("target_canon") === col("_cat"), "left_anti")
@@ -426,7 +534,8 @@ object Links {
     * hash-partitioned on `target_canon` by the winner aggregation. */
   private[graft] def discoverFirsts(linkFrame: DataFrame,
                                     blocked: Seq[String], robots: DataFrame,
-                                    agent: String): DataFrame = {
+                                    agent: String,
+                                    expectedDomains: Long = 0L): DataFrame = {
     val spark = linkFrame.sparkSession
     import spark.implicits._
     val links = pinColumns(
@@ -444,7 +553,9 @@ object Links {
       .join(broadcast(blocked.toDF("_td").distinct()
         .withColumn("_blocked", lit(true))), Seq("_td"), "left")
       .filter(col("_blocked").isNull)
-      .join(broadcast(rules), Seq("_td"), "left")
+      // rules side follows the caller-stated domain scale (round 19 —
+      // the |domains|-sized frame must not broadcast unconditionally)
+      .join(Url.domainFrameSide(rules, expectedDomains), Seq("_td"), "left")
       .filter(coalesce(pmod(Url.robotsBestEnc(col("_rules"),
         Url.canonPathQuery(col("target_canon"))), lit(2)) === 1, lit(true)))
     gated.groupBy("target_canon")
@@ -468,21 +579,32 @@ object Links {
     *  - an UNRESOLVED target (a redirect cycle — a fetch trap) is
     *    dropped entirely;
     *  - targets off the map schedule themselves (`hops` 0).
-    * Two raw targets collapsing onto one final URL keep the lowest
-    * `(doc_id, link_idx)` witness, and the NOVELTY anti-join probes
-    * `final_canon` — the fetch the scheduler would actually issue —
-    * not the stub.
+    * The RESOLVED target is RE-GATED (round 19, r18 ADVICE):
+    * `final_canon` is the fetch the scheduler actually issues, so the
+    * scheme/blocklist/robots verdicts re-run against it — without
+    * this, a gate-passing stub that redirects onto a blocked domain
+    * or a robots-disallowed path is a gate BYPASS. Unredirected rows
+    * (`hops` 0) re-test their own already-passed target — a no-op by
+    * construction. Two raw targets collapsing onto one final URL keep
+    * the lowest `(doc_id, link_idx)` witness, and the NOVELTY
+    * anti-join probes `final_canon` — not the stub.
     *
     * Scale shape: the redirect map is |redirects|-sized (far below
     * page scale) and already resolved in ⌈log₂ maxHops⌉ self-joins;
     * the probe is one equi-join on the winner aggregation's
-    * partitioning key, the final-collapse is one more hash-agg, and
+    * partitioning key; the re-gate is the same row-local
+    * blocklist/rules probes as the pre-gate (strategy follows
+    * `expectedDomains`); the final-collapse is one more hash-agg, and
     * the catalog anti-join is unchanged. */
   def linkDiscoverResolved(pages: DataFrame, blocked: Seq[String],
                            robots: DataFrame, catalog: DataFrame,
                            redirects: DataFrame,
-                           agent: String = "*"): DataFrame = {
-    val firsts = discoverFirsts(linkExtract(pages), blocked, robots, agent)
+                           agent: String = "*",
+                           expectedDomains: Long = 0L): DataFrame = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    val firsts = discoverFirsts(linkExtract(pages), blocked, robots, agent,
+      expectedDomains)
     val resolved = Graph.resolveChains(redirects)
       .select(col("src").as("_rs"), col("final_url"),
         col("hops").as("_rh"), col("resolved").as("_rok"))
@@ -493,7 +615,25 @@ object Links {
         col("target_canon"),
         coalesce(col("final_url"), col("target_canon")).as("final_canon"),
         coalesce(col("_rh"), lit(0L)).as("hops"))
-    probed.groupBy("final_canon")
+    // re-gate the RESOLVED fetch (round 19): same rules parse as the
+    // pre-gate, probed on final_canon's registrable domain and path
+    val rules = robots.groupBy("domain")
+      .agg(max(col("robots_txt")).as("_txt"))
+      .select(col("domain").as("_fd"),
+        Url.robotsRules(col("_txt"), agent).as("_frules"))
+    val regated = pinColumns(probed)
+      .filter(substring_index(col("final_canon"), "://", 1)
+        .isin("http", "https"))
+      .withColumn("_fd", Url.registrableDomain(col("final_canon")))
+      .join(broadcast(blocked.toDF("_fd").distinct()
+        .withColumn("_fblocked", lit(true))), Seq("_fd"), "left")
+      .filter(col("_fblocked").isNull)
+      .join(Url.domainFrameSide(rules, expectedDomains), Seq("_fd"), "left")
+      .filter(coalesce(pmod(Url.robotsBestEnc(col("_frules"),
+        Url.canonPathQuery(col("final_canon"))), lit(2)) === 1, lit(true)))
+      .select(col("doc_id"), col("link_idx"), col("target_url"),
+        col("target_canon"), col("final_canon"), col("hops"))
+    regated.groupBy("final_canon")
       .agg(min(struct(col("doc_id"), col("link_idx"), col("target_url"),
         col("target_canon"), col("hops"))).as("_w"))
       .select(col("_w.doc_id").as("doc_id"),
@@ -529,7 +669,8 @@ object Links {
     * link aggregates a NULL winner and drops. */
   def frontierRank(pages: DataFrame, blocked: Seq[String],
                    robots: DataFrame, catalog: DataFrame,
-                   agent: String = "*"): DataFrame = {
+                   agent: String = "*",
+                   expectedDomains: Long = 0L): DataFrame = {
     val spark = pages.sparkSession
     import spark.implicits._
     // pin ONCE: the gate flags and the aggregation below would otherwise
@@ -546,7 +687,8 @@ object Links {
       .withColumn("_td", Url.registrableDomain(col("target_canon")))
       .join(broadcast(blocked.toDF("_td").distinct()
         .withColumn("_blocked", lit(true))), Seq("_td"), "left")
-      .join(broadcast(rules), Seq("_td"), "left")
+      // rules side follows the caller-stated domain scale (round 19)
+      .join(Url.domainFrameSide(rules, expectedDomains), Seq("_td"), "left")
       .withColumn("_adm", !col("nofollow") &&
         substring_index(col("target_canon"), "://", 1)
           .isin("http", "https") &&
@@ -615,22 +757,28 @@ object Links {
   /** The per-page keying stage shared by [[canonicalDedup]] and its
     * streaming increment: URL gate verdict + whether a canonical was
     * declared + the dedup key `coalesce(canonical_canon, url_canon)`.
-    * Row-local (gate frames broadcast), scan-fused. */
+    * ONE page scan (round 19, r18 ADVICE): the gate verdict columns
+    * (scheme + blocklist broadcast probe on the page's registrable
+    * domain) compute row-locally in the same projection that extracts
+    * the canonical declaration — no doc_id self-join of two corpus
+    * scans. The [[pinColumns]] stage keeps the PSL derivation from
+    * re-inlining the canonicalize tree. */
   private[graft] def canonicalKeys(pages: DataFrame, blocked: Seq[String],
                                    htmlCol: String = "html",
                                    baseUrlCol: String = "base_url",
                                    idCol: String = "doc_id"): DataFrame = {
-    val gate = Url.urlGate(
-      pages.select(col(idCol).as("doc_id"), col(baseUrlCol).as("url")),
-        blocked)
-      .select(col("doc_id").as(idCol), col("url_canon"),
-        col("url_keep").as("url_ok"))
-    val decl = relCanonical(pages, htmlCol, baseUrlCol, idCol)
-      .select(col(idCol), col("canonical_canon"))
-    gate.join(decl, Seq(idCol), "left")
-      .select(col(idCol), col("url_ok"),
+    val spark = pages.sparkSession
+    import spark.implicits._
+    pinColumns(relCanonicalAll(pages, htmlCol, baseUrlCol, idCol))
+      .withColumn("_dom", Url.registrableDomain(col("_base")))
+      .withColumn("_scheme_ok",
+        substring_index(col("_base"), "://", 1).isin("http", "https"))
+      .join(broadcast(blocked.toDF("_dom").distinct()
+        .withColumn("_blocked", lit(true))), Seq("_dom"), "left")
+      .select(col(idCol),
+        (col("_scheme_ok") && col("_blocked").isNull).as("url_ok"),
         col("canonical_canon").isNotNull.as("declared"),
-        coalesce(col("canonical_canon"), col("url_canon")).as("dedup_key"))
+        coalesce(col("canonical_canon"), col("_base")).as("dedup_key"))
   }
 
   /** One micro-batch of [[canonicalDedup]] against an accumulated key
@@ -793,11 +941,21 @@ object Links {
     * what [[syntheticLinkedHtml]]'s pages actually link to): for every
     * doc whose `m13 = doc_id%13` is a multiple of 4, its own slot-3
     * child target `<root>/p/<m13>/child` is a redirect stub —
-    *  - hop 1: `<root>/p/<m13>/child` → `<root>/p/<m13>`;
+    *  - hop 1: `<root>/p/<m13>/child` → `<root>/p/<m13>`, except
+    *    m13 = 4, whose stub lands on `<root>/ok/4` (round 19: a 1-hop
+    *    chain whose final passes the re-gate on EVERY domain — the
+    *    pre-r19 1-hop landing `/p/4` was robots-gated away on the
+    *    com.au domains m13=4 always maps to once the re-gate landed);
     *  - m13 ∈ {0, 8}: a second hop `<root>/p/<m13>` → `<root>/final/<m13>`
     *    (a 2-hop chain the resolver must compose);
     *  - m13 = 12: `<root>/p/12` → back to the child — a redirect CYCLE
     *    (the fetch trap [[Graph.resolveChains]] flags unresolved).
+    * Round 19 (the [[linkDiscoverResolved]] re-gate's fixture): every
+    * doc with `m7 = 5, m6 ≠ 0` makes its own slot-5 SIBLING target a
+    * 1-hop stub onto `<root>/admin/redir` — a path the fixture's
+    * robots disallow on EVERY domain (`Disallow: /admin`), so the
+    * stub passes every pre-gate and the re-gate must drop its
+    * resolution (the robots-bypass-by-redirect case, r18 ADVICE).
     * `<root>` is the doc's own canonical `scheme://host[:port]` (the
     * same base slot 3 resolves against), and the frame is `distinct()`
     * so the resolver's src-unique contract holds when doc_ids share a
@@ -809,16 +967,25 @@ object Links {
     val scheme = substring_index(col("_c"), "://", 1)
     val after = col("_c").substr(length(scheme) + 4, lit(1 << 20))
     val root = concat(scheme, lit("://"), substring_index(after, "/", 1))
-    val base = u.select(root.as("_r"), pmod(col("doc_id"), lit(13)).as("_m"))
-      .filter(pmod(col("_m"), lit(4)) === 0)
+    val base0 = u.select(col("doc_id"), root.as("_r"),
+      pmod(col("doc_id"), lit(13)).as("_m"))
+    val base = base0.filter(pmod(col("_m"), lit(4)) === 0)
     val child = concat(col("_r"), lit("/p/"), col("_m"), lit("/child"))
     val page = concat(col("_r"), lit("/p/"), col("_m"))
-    val e1 = base.select(child.as("src"), page.as("dst"))
+    val e1 = base.select(child.as("src"),
+      when(col("_m") === 4, concat(col("_r"), lit("/ok/4")))
+        .otherwise(page).as("dst"))
     val e2 = base.filter(pmod(col("_m"), lit(8)) === 0)
       .select(page.as("src"),
         concat(col("_r"), lit("/final/"), col("_m")).as("dst"))
     val e3 = base.filter(col("_m") === 12)
       .select(page.as("src"), child.as("dst"))
-    e1.unionByName(e2).unionByName(e3).distinct()
+    val e4 = base0.filter(pmod(col("doc_id"), lit(6)) =!= 0 &&
+        pmod(col("doc_id"), lit(7)) === 5)
+      .select(concat(col("_r"),
+          when(pmod(col("doc_id"), lit(11)) === 0, lit("/bdir/sib5.html"))
+            .otherwise(lit("/p/sib5.html"))).as("src"),
+        concat(col("_r"), lit("/admin/redir")).as("dst"))
+    e1.unionByName(e2).unionByName(e3).unionByName(e4).distinct()
   }
 }

@@ -100,28 +100,41 @@ object TextAnalysis {
                     minMeanWordLen: Double = 2.0, maxMeanWordLen: Double = 12.0,
                     maxSymbolRatio: Double = 0.2,
                     minStopwordRatio: Double = 0.005): DataFrame = {
-    val w = split(trim(col("text")), wsPlus)
+    val reasons = qualityFailReasons(col("text"), minWords, maxWords,
+      minMeanWordLen, maxMeanWordLen, maxSymbolRatio, minStopwordRatio)
+    docs.select(col("doc_id"),
+      (reasons === "").as("keep"),
+      reasons.as("fail_reasons"))
+  }
+
+  /** The gate's fail-reason expression, exposed so compositions fuse
+    * it into their own scan (round 19 — the canonicalKeys lesson: a
+    * gate that only exists as a DataFrame op forces a doc_id self-join
+    * of two corpus scans on every consumer). */
+  private[graft] def qualityFailReasons(text: Column,
+      minWords: Int = 10, maxWords: Int = 100000,
+      minMeanWordLen: Double = 2.0, maxMeanWordLen: Double = 12.0,
+      maxSymbolRatio: Double = 0.2,
+      minStopwordRatio: Double = 0.005): Column = {
+    val w = split(trim(text), wsPlus)
     val nWords = size(w)
-    val meanLen = length(regexp_replace(col("text"), wsOne, "")).cast("double") / nWords
+    val meanLen = length(regexp_replace(text, wsOne, "")).cast("double") / nWords
     val symbolRatio =
-      length(regexp_replace(col("text"), s"[a-zA-Z0-9$wsChars]", "")).cast("double") /
-        greatest(length(col("text")), lit(1))
+      length(regexp_replace(text, s"[a-zA-Z0-9$wsChars]", "")).cast("double") /
+        greatest(length(text), lit(1))
     val stopRatio =
       size(filter(w, x => x.isin("the", "a", "of", "and", "is"))).cast("double") / nWords
-    val reasons = concat_ws(",",
+    concat_ws(",",
       // NULL text first: every threshold comparison on null evaluates to
       // null, concat_ws skips nulls, and a contentless doc would otherwise
       // sail through the gate with empty fail_reasons
-      when(col("text").isNull, "null_text"),
+      when(text.isNull, "null_text"),
       when(nWords < minWords, "too_few_words"),
       when(nWords > maxWords, "too_many_words"),
       when(meanLen < minMeanWordLen, "short_words"),
       when(meanLen > maxMeanWordLen, "long_words"),
       when(symbolRatio > maxSymbolRatio, "symbol_heavy"),
       when(stopRatio < minStopwordRatio, "no_stopwords"))
-    docs.select(col("doc_id"),
-      (reasons === "").as("keep"),
-      reasons.as("fail_reasons"))
   }
 
   /** Corpus-self-trained unigram LM score — the cheapest member of the

@@ -771,4 +771,40 @@ object StreamingOps {
         (novel, novel)
       },
       catalogProj = (sig, _) => sig.select(col("dedup_key")))
+
+  /** Streaming LINK-driven frontier discovery (round 19 — r17 task #7,
+    * the r18 verdict's carried gap: the sitemap loop and canonical
+    * dedup had incremental forms, the link loop didn't): each
+    * micro-batch of crawled `(doc_id, html, base_url)` pages emits the
+    * NOVEL admitted link targets — [[graft.ops.Links.linkDiscover]]
+    * per epoch IS the increment (follow-only → scheme/blocklist/robots
+    * gates → first-occurrence winner per canonical target → anti-join
+    * against the catalog of every target any earlier batch admitted) —
+    * under the family's idempotent per-batch-partition catalog layout.
+    * The catalog carries ONE canonical string per admitted target (the
+    * frontier novelty key). `blocked`/`robots` are static inputs
+    * captured by the closure and re-read per epoch — |domains|-sized
+    * frames living in storage, the production shape; `expectedDomains`
+    * picks their probe strategy as in the batch op. Parity
+    * (StreamingSpec pins): ascending doc_id arrival reproduces the
+    * batch operator's admitted target set across any batch split;
+    * out-of-order arrival stays exact on novelty and crowns the
+    * earlier-ARRIVING witness (the family's arrival-order
+    * semantics). */
+  def linkDiscoverStream(pages: DataFrame, catalogDir: String,
+                         outDir: String, checkpointDir: String,
+                         blocked: Seq[String], robots: DataFrame,
+                         agent: String = "*",
+                         expectedDomains: Long = 0L): StreamingQuery =
+    catalogStream(pages, catalogDir, outDir, checkpointDir,
+      emptyCatalog = s => s.range(0)
+        .select(lit(null).cast("string").as("url_canon")),
+      increment = (batch, catalog) => {
+        val novel = graft.ops.Links.linkDiscover(
+          batch, blocked, robots, catalog, agent, expectedDomains)
+          .localCheckpoint()
+        (novel, novel)
+      },
+      catalogProj = (sig, _) =>
+        sig.select(col("target_canon").as("url_canon")))
 }

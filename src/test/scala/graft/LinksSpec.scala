@@ -344,8 +344,10 @@ class LinksSpec extends SparkSpec {
   }
 
   test("linkDiscoverResolved: a redirect-stub target schedules its " +
-    "chain end (hops counted), a cycle drops, novelty probes the FINAL " +
-    "url; off-map targets pass through with hops 0") {
+    "chain end (hops counted), a cycle drops, the RESOLVED fetch is " +
+    "re-gated (a redirect onto a robots-disallowed path is dropped — " +
+    "r18 ADVICE), novelty probes the FINAL url; off-map targets pass " +
+    "through with hops 0") {
     import spark.implicits._
     val docs = spark.range(0, 120).select(col("id").as("doc_id"),
       lit("src0").as("source"), lit(40L).as("n_chars"))
@@ -359,22 +361,75 @@ class LinksSpec extends SparkSpec {
     val rawT = raw.select("target_canon").collect().map(_.getString(0)).toSet
     val rows = res.collect().map(r => (r.getAs[String]("target_canon"),
       r.getAs[String]("final_canon"), r.getAs[Long]("hops")))
-    // every /p/{0,8}/child stub landed on /final/{0,8} with 2 hops
+    // every /p/8/child stub landed on /final/8 with 2 hops (the m13=0
+    // stubs are pre-gated: Disallow /p/0 prefixes /p/0/child on the
+    // len%13=0 .com domains)
     val twoHop = rows.filter(_._3 == 2L)
     assert(twoHop.nonEmpty)
     assert(twoHop.forall { case (t, f, _) =>
       t.endsWith("/child") && f.contains("/final/") })
-    // /p/4/child stubs landed on /p/4 with 1 hop
+    // /p/4/child stubs landed on /ok/4 with 1 hop
     val oneHop = rows.filter(_._3 == 1L)
     assert(oneHop.nonEmpty)
     assert(oneHop.forall { case (t, f, _) =>
-      t.endsWith("/4/child") && f.endsWith("/p/4") })
+      t.endsWith("/4/child") && f.endsWith("/ok/4") })
     // the m13=12 cycle stubs were admitted raw by linkDiscover but are
     // DROPPED here (fetch trap)
     assert(rawT.exists(_.endsWith("/p/12/child")))
     assert(!rows.exists(_._1.endsWith("/p/12/child")))
+    // RE-GATE (round 19): the sib5 stubs pass every pre-gate (raw
+    // admits them) but their resolution lands on /admin/redir — a path
+    // every fixture domain disallows — so the re-gate drops them; a
+    // redirect must not be a robots bypass
+    assert(rawT.exists(_.endsWith("/p/sib5.html")))
+    assert(!rows.exists(_._1.endsWith("sib5.html")))
+    assert(!rows.exists(_._2.endsWith("/admin/redir")))
     // off-map targets pass through unchanged
     assert(rows.filter(_._3 == 0L).forall { case (t, f, _) => t == f })
+  }
+
+  test("round-19 shuffle fallback: the discovery family's rules frames " +
+    "stop broadcasting past the ceiling — linkDiscover, " +
+    "linkDiscoverResolved (both gates) and frontierRank row-identical " +
+    "in both plan modes") {
+    import spark.implicits._
+    val docs = spark.range(0, 100).select(col("id").as("doc_id"),
+      lit("src0").as("source"), lit(40L).as("n_chars"))
+    // fixtures materialized — lineage truncation keeps the dual-plan
+    // builds off the test heap (the crawl_discover_e2e lesson)
+    val pages = Links.syntheticLinkedHtml(docs).localCheckpoint()
+    val robots = graft.ops.Url.syntheticRobots(
+      graft.ops.Url.syntheticUrls(docs).select(col("doc_id"), col("url")))
+      .localCheckpoint()
+    val redirects = Links.syntheticLinkRedirects(docs).localCheckpoint()
+    val cat = Seq("https://x.ex.com/seen").toDF("url_canon")
+    def modes(name: String, b: org.apache.spark.sql.DataFrame,
+              s: org.apache.spark.sql.DataFrame, sort: String): Unit = {
+      assert(countPlanNodes(s, "BroadcastHashJoin") <
+        countPlanNodes(b, "BroadcastHashJoin"),
+        s"$name: a rules frame still broadcasts past the ceiling")
+      assert(countPlanNodes(s, "ShuffledHashJoin") > 0,
+        s"$name: fallback is not a shuffle-hash join")
+      val rb = b.orderBy(sort).collect().map(_.toString).toSeq
+      val rs = s.orderBy(sort).collect().map(_.toString).toSeq
+      assert(rs === rb, s"$name diverged between plan modes")
+    }
+    modes("linkDiscover",
+      Links.linkDiscover(pages, Seq("src0-site.net"), robots, cat),
+      Links.linkDiscover(pages, Seq("src0-site.net"), robots, cat,
+        expectedDomains = 1L << 40),
+      "target_canon")
+    modes("linkDiscoverResolved",
+      Links.linkDiscoverResolved(pages, Seq("src0-site.net"), robots, cat,
+        redirects),
+      Links.linkDiscoverResolved(pages, Seq("src0-site.net"), robots, cat,
+        redirects, expectedDomains = 1L << 40),
+      "final_canon")
+    modes("frontierRank",
+      Links.frontierRank(pages, Seq("src0-site.net"), robots, cat),
+      Links.frontierRank(pages, Seq("src0-site.net"), robots, cat,
+        expectedDomains = 1L << 40),
+      "target_canon")
   }
 
   test("round-18 composition plans: no cartesian / nested-loop joins " +
@@ -428,6 +483,35 @@ class LinksSpec extends SparkSpec {
       assert(sorted.map(_._3).sliding(2).forall(
         s => s.length < 2 || s(0) >= s(1)), dom)
     }
+  }
+
+  test("anchorEndorsedCurate: the link signal MOVES the kept set — an " +
+    "endorsed junk page is rescued (n_follow >= minFollow), an " +
+    "identical unendorsed junk page stays dropped, quality pages keep " +
+    "regardless; nofollow links don't endorse") {
+    import spark.implicits._
+    val junk = "x" // < 10 words -> too_few_words
+    val good = "the a of and is the a of and is good words here"
+    val docs = Seq(
+      (1L, "https://e.ex.com/a", junk),   // junk, 3 follow in-links
+      (2L, "https://e.ex.com/b", junk),   // junk, 1 follow in-link
+      (3L, "https://e.ex.com/c", good))   // quality, no in-links
+      .toDF("doc_id", "url", "text")
+    val links = Seq(
+      (10L, 1L, "https://e.ex.com/a", "r1", false),
+      (11L, 1L, "https://e.ex.com/a", "r2", false),
+      (12L, 1L, "https://e.ex.com/a", "r3", false),
+      (13L, 2L, "https://e.ex.com/a", "r4", true),  // nofollow: no credit
+      (14L, 1L, "https://e.ex.com/b", "r5", false))
+      .toDF("doc_id", "link_idx", "target_canon", "anchor", "nofollow")
+    val got = Links.anchorEndorsedCurate(docs, links, minFollow = 3L)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getBoolean(2),
+        r.getLong(3), r.getBoolean(6))).toSeq
+    assert(got === Seq(
+      (1L, false, 3L, true),   // rescued by endorsement
+      (2L, false, 1L, false),  // same text, unendorsed -> dropped
+      (3L, true, 0L, true)))   // quality keeps without links
   }
 
   test("relCanonical: rel matched as a word of the token list, href " +

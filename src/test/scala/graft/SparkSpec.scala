@@ -24,4 +24,22 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     import spark.implicits._
     vals.toDF("value")
   }
+
+  /** Count physical nodes whose name contains `token`, WITHOUT
+    * rendering the plan to a string: `.executedPlan.toString` on the
+    * crawl-chain plans materializes a multi-hundred-MB string (every
+    * synthetic-fixture expression tree × every reference), and one
+    * round-19 dual-plan test OOM'd the shared 8 GiB test heap that
+    * way. Traversal touches only the node objects that already
+    * exist. AQE wrappers are unwrapped to their initial plan (the
+    * same tree toString would have printed). */
+  def countPlanNodes(df: DataFrame, token: String): Int = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => nodes(a.initialPlan)
+      case n => n +: (n.children ++ n.subqueries).flatMap(nodes)
+    }
+    nodes(df.queryExecution.executedPlan).count(_.nodeName.contains(token))
+  }
 }

@@ -741,6 +741,73 @@ class StreamingSpec extends SparkSpec {
     assert(retried === streamed)
   }
 
+  test("streaming link discovery over micro-batches: ascending arrival " +
+    "admits exactly linkDiscover's novel-target set (gates included); " +
+    "idempotent epoch retry leaves output and catalog byte-identical " +
+    "(round 19 — the link loop's incremental form, r17 task #7)") {
+    import spark.implicits._
+    import graft.ops.Links
+    // per page: one SHARED target (t<i%5> — cross-batch re-discoveries,
+    // the frontier's common case), one unique target, one blocked, one
+    // robots-disallowed, one nofollow — only the first two may admit
+    def page(i: Long): (Long, String, String) = {
+      (i, s"""<html><body><a href="http://t${i % 5}.ex.com/page">a</a>""" +
+        s"""<a href="http://u$i.ex.com/only">b</a>""" +
+        """<a href="http://bad.blocked.org/x">c</a>""" +
+        s"""<a href="http://t${i % 5}.ex.com/private/x">d</a>""" +
+        """<a rel="nofollow" href="http://nof.ex.com/n">n</a>""" +
+        "</body></html>",
+        s"http://src$i.ex.com/")
+    }
+    val raw = (0L until 60L).map(page)
+    val robots = Seq(("ex.com", "User-agent: *\nDisallow: /private\n"))
+      .toDF("domain", "robots_txt")
+    val dir = java.nio.file.Files.createTempDirectory("linkdisc").toString
+    val stream = MemoryStream[(Long, String, String)](spark)
+    val q = StreamingOps.linkDiscoverStream(
+      stream.toDF().toDF("doc_id", "html", "base_url"),
+      s"$dir/catalog", s"$dir/out", s"$dir/ckpt", Seq("blocked.org"), robots)
+    raw.grouped(20).foreach { chunk =>
+      stream.addData(chunk: _*); q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = StreamingOps.readBatched(spark, s"$dir/out")
+      .select("doc_id", "link_idx", "target_canon").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .sortBy(_._3).toSeq
+    // ascending-arrival parity: the batch op against an empty catalog
+    val batch = Links.linkDiscover(raw.toDF("doc_id", "html", "base_url"),
+        Seq("blocked.org"), robots,
+        spark.emptyDataset[String].toDF("url_canon"))
+      .select("doc_id", "link_idx", "target_canon").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .sortBy(_._3).toSeq
+    assert(streamed === batch)
+    assert(streamed.size === 65) // 5 shared + 60 unique targets
+    assert(!streamed.exists(_._3.contains("blocked.org")))
+    assert(!streamed.exists(_._3.contains("/private")))
+    assert(!streamed.exists(_._3.contains("nof.ex.com")))
+    // catalog: one canonical string per admitted target
+    val cat = StreamingOps.readBatched(spark, s"$dir/catalog")
+    assert(cat.count() === 65)
+    assert(cat.select("url_canon").distinct().count() === 65)
+    // idempotent retry of the LAST epoch against its pre-batch view
+    val lastChunk = raw.grouped(20).toSeq.last
+      .toDF("doc_id", "html", "base_url")
+    val preCat = StreamingOps.readBatched(spark, s"$dir/catalog", Some(2L))
+      .select("url_canon")
+    val novel = Links.linkDiscover(lastChunk, Seq("blocked.org"), robots,
+      preCat)
+    novel.write.mode("overwrite").parquet(s"$dir/out/batch=2")
+    novel.select(col("target_canon").as("url_canon")).write.mode("overwrite")
+      .parquet(s"$dir/catalog/batch=2")
+    val retried = StreamingOps.readBatched(spark, s"$dir/out")
+      .select("doc_id", "link_idx", "target_canon").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .sortBy(_._3).toSeq
+    assert(retried === streamed)
+  }
+
   test("streaming URL frontier under OUT-OF-ORDER arrival: novelty stays " +
     "exact (one admission per canonical key), the earlier-ARRIVING copy " +
     "is crowned — the incrementalDedup arrival-order semantics") {
