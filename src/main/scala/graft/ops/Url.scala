@@ -1194,14 +1194,17 @@ object Url {
     * one `(domain, _drop array<string>)` row per domain with at least
     * one flagged param at `minSupport`+ distinct-page support: the
     * per-domain STRIP LIST the apply pass (and the frontier — round 19,
-    * [[urlFrontierLearnedIncrement]]) consumes. In production this is
+    * [[urlFrontierLearnedIncrement]]) consumes. The array is SORTED
+    * ([[applyParamPolicy]]'s binary-search contract — a crawl-trap
+    * megadomain can flag 10⁵+ param names). In production this is
     * refreshed periodically from the accumulated corpus and persisted;
     * the fetch path only ever JOINS it. */
   def paramPolicy(urls: DataFrame, minSupport: Long = 2L): DataFrame =
     paramStats(urls)
       .filter((col("constant_val") || col("high_card")) &&
         col("n_urls") >= minSupport)
-      .groupBy("domain").agg(collect_set(col("param")).as("_drop"))
+      .groupBy("domain")
+      .agg(sort_array(collect_set(col("param"))).as("_drop"))
 
   /** CONTENT-CORROBORATED param policy (round 19 — the r18 verdict's
     * "what's wrong" #2: value-distribution evidence alone cannot tell
@@ -1261,7 +1264,8 @@ object Url {
       .filter(col("n_urls") >= minSupport &&
         (col("constant_val") ||
           (col("high_card") && coalesce(col("_corrob"), lit(false)))))
-      .groupBy("domain").agg(collect_set(col("param")).as("_drop"))
+      .groupBy("domain")
+      .agg(sort_array(collect_set(col("param"))).as("_drop"))
   }
 
   /** [[paramPolicyDedup]] under the corroborated policy: the strip
@@ -1280,32 +1284,32 @@ object Url {
     * the policy-stripped LEARNED canonical key alongside the static
     * one — `(doc_id, url_canon, learned_canon)`. Row-local once the
     * policy row is joined in (strategy follows `expectedDomains` like
-    * every per-domain probe); stripping filters the already-sorted
-    * canonical param list, so key order is preserved. */
+    * every per-domain probe); stripping preserves the already-sorted
+    * canonical key order. The strip itself is ONE native codegen'd
+    * expression ([[graft.functions.StripParams]], round 19 — binary
+    * search per param name over the policy's SORTED array): the
+    * `array_contains` spelling scanned O(|strip list|) per param
+    * (ScaleProbe's param-vocab megadomain, 10⁵ flagged names, measured
+    * exponent 1.79 — the crawl-trap axis turning the apply pass
+    * quadratic), and the higher-order `filter` spelling was
+    * CodegenFallback, whose per-row eval boundary re-materialized the
+    * policy array out of the join stage (~55 s for 2M rows where the
+    * string work itself is ~1 s). The DuckDB oracle keeps plain
+    * `list_contains`/`list_filter` (membership is order-insensitive
+    * and the oracle's scale is tiny). */
   private[graft] def applyParamPolicy(urls: DataFrame, policy: DataFrame,
                                       expectedDomains: Long = 0L): DataFrame = {
-    // pin the canonical key as an ATTRIBUTE before deriving the domain
-    // and the param list from it: higher-order functions (the strip
-    // filter below) evaluate INTERPRETED, and CollapseProject would
-    // otherwise fold the whole canonicalize∘PSL tree into that
-    // interpreted projection — measured 33 s vs 1.4 s for 5k rows
+    // pin the canonical key as an ATTRIBUTE before the PSL derivation
+    // (the domain_quota_sample lesson: registrableDomain references its
+    // input at ~10 leaves)
     val canon = Links.pinColumns(urls
         .select(col("doc_id"), canonicalizeUrl(col("url")).as("url_canon")))
       .withColumn("domain", registrableDomain(col("url_canon")))
-    val pathPart = substring_index(col("url_canon"), "?", 1)
-    val q = col("url_canon").substr(length(pathPart) + 2, lit(1 << 20))
-    val params = when(col("url_canon").contains("?"), split(q, "&"))
-      .otherwise(typedLit(Seq.empty[String]))
-    val kept = filter(col("_ps"), p =>
-      !array_contains(col("_dr"), substring_index(p, "=", 1)))
-    Links.pinColumns(canon
-        .join(domainFrameSide(policy, expectedDomains), Seq("domain"), "left")
-        .select(col("doc_id"), col("url_canon"), pathPart.as("_path"),
-          params.as("_ps"),
-          coalesce(col("_drop"), typedLit(Seq.empty[String])).as("_dr")))
+    canon
+      .join(domainFrameSide(policy, expectedDomains), Seq("domain"), "left")
       .select(col("doc_id"), col("url_canon"),
-        when(size(kept) > 0,
-          concat(col("_path"), lit("?"), array_join(kept, "&")))
-          .otherwise(col("_path")).as("learned_canon"))
+        when(col("_drop").isNull, col("url_canon"))
+          .otherwise(graft.functions.StripParams(col("url_canon"),
+            col("_drop"))).as("learned_canon"))
   }
 }
