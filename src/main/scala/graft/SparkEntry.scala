@@ -2045,12 +2045,19 @@ object SparkEntry {
   private def urlParamStatsQ(s: SparkSession, dir: String): DataFrame =
     graft.ops.Url.paramStats(urlFrame(s, dir)).orderBy("domain", "param")
 
-  /** Learned-policy URL dedup (round 18): paramStats' verdicts become
-    * the per-domain strip list, URLs re-canonicalize, first-occurrence
-    * dedup runs on the learned key — collapsing the session-id /
-    * boilerplate variants the hardcoded tracking list can't know. */
+  /** Learned-policy URL dedup (round 18; round 20 — the r19 verdict's
+    * #1: the CONSUMED policy is now [[graft.ops.Url
+    * .paramPolicyCorroborated]] over the production-shaped corpus
+    * fixture): the corpus' own param stats + content-fingerprint
+    * corroboration become the per-domain strip list, URLs
+    * re-canonicalize, first-occurrence dedup runs on the learned key.
+    * Session/boilerplate variants fold; the `?art=`/`?id=` content
+    * selectors SURVIVE — the content-id-collapse hazard the blind
+    * distribution-only policy carried is structurally closed on the
+    * path a user actually runs. */
   private def urlDedupLearnedQ(s: SparkSession, dir: String): DataFrame =
-    graft.ops.Url.paramPolicyDedup(urlFrame(s, dir))
+    graft.ops.Url.paramPolicyDedupCorroborated(
+        graft.ops.Url.syntheticCorpusUrls(RawGen.table(s, dir, "documents")))
       .orderBy("learned_canon")
 
   /** Corroborated-policy dedup (round 19): over the session/content
@@ -2064,26 +2071,35 @@ object SparkEntry {
       .orderBy("learned_canon")
 
   // the learned-key frontier catalog: learned canonical keys of the
-  // docs an earlier batch admitted (policy learned over the full
-  // corpus — the periodically-refreshed production input)
+  // docs an earlier batch admitted — the first 250 of EACH corpus half
+  // (base + session stripes), under the CORROBORATED policy learned
+  // over the full corpus (round 20, r19 verdict #1: the
+  // periodically-refreshed production input is the corroborated one —
+  // the fetched corpus has content fingerprints)
   RawGen.registerDerived("url_catalog_learned") { (s, dir) =>
-    val urls = urlFrame(s, dir).select(col("doc_id"), col("url"))
-    graft.ops.Url.applyParamPolicy(urls.filter(col("doc_id") < 250),
-        graft.ops.Url.paramPolicy(urls))
+    val corpus = graft.ops.Url.syntheticCorpusUrls(
+      RawGen.table(s, dir, "documents"))
+    graft.ops.Url.applyParamPolicy(
+        corpus.filter(graft.ops.Url.corpusCatalogPred)
+          .select(col("doc_id"), col("url")),
+        graft.ops.Url.paramPolicyCorroborated(corpus))
       .select(col("learned_canon")).distinct()
   }
 
-  /** Learned-key frontier increment (round 19 — the param policy wired
-    * into the fetch path): novelty keys on the POLICY-STRIPPED
-    * canonical, so session-id/boilerplate variants of a cataloged page
-    * are NOT re-admitted. See
-    * [[graft.ops.Url.urlFrontierLearnedIncrement]]. */
+  /** Learned-key frontier increment (round 19; round 20 — consuming
+    * the CORROBORATED policy over the production-shaped corpus):
+    * novelty keys on the policy-stripped canonical, so session-id/
+    * boilerplate variants of a cataloged page are NOT re-admitted —
+    * while `?art=`/`?id=` content pages each stay their own novel
+    * fetch. See [[graft.ops.Url.urlFrontierLearnedIncrement]]. */
   private def urlFrontierLearnedQ(s: SparkSession, dir: String): DataFrame = {
-    val urls = urlFrame(s, dir).select(col("doc_id"), col("url"))
+    val corpus = graft.ops.Url.syntheticCorpusUrls(
+      RawGen.table(s, dir, "documents"))
     graft.ops.Url.urlFrontierLearnedIncrement(
-        urls.filter(col("doc_id") >= 250),
+        corpus.filter(!graft.ops.Url.corpusCatalogPred)
+          .select(col("doc_id"), col("url")),
         RawGen.derived(s, dir, "url_catalog_learned"),
-        graft.ops.Url.paramPolicy(urls))
+        graft.ops.Url.paramPolicyCorroborated(corpus))
       .select("doc_id", "url_canon", "learned_canon")
       .orderBy("doc_id")
   }
@@ -5532,55 +5548,119 @@ object SparkEntry {
       |SELECT domain, param, n_urls, n_vals, constant_val, high_card
       |FROM pstat ORDER BY 1, 2""".stripMargin
 
-  /** Learned-key CTEs shared by the learned dedup and the learned
-    * frontier (round 19): the flagged params (support ≥ 2 distinct
-    * pages) group into one strip list per domain; each URL's CANONICAL
-    * param list is filtered against its domain's list and the learned
-    * key rebuilt — ends at `lcf (doc_id, url_canon, learned_canon)`. */
-  private val learnedKeyCtes = """pol AS (SELECT domain, list(param) AS drops
-      |  FROM pstat
-      |  WHERE (constant_val OR high_card) AND n_urls >= 2 GROUP BY 1),
-      | lcb AS (SELECT d.doc_id, d.url_canon, d.domain,
-      |    split_part(d.url_canon, '?', 1) AS pathpart,
-      |    CASE WHEN contains(d.url_canon, '?')
-      |      THEN string_split(substr(d.url_canon,
-      |        length(split_part(d.url_canon, '?', 1)) + 2), '&')
+  /** Corroborated learned-policy CTEs over the PRODUCTION corpus
+    * fixture ([[graft.ops.Url.syntheticCorpusUrls]]) — round 20, the
+    * r19 verdict's #1 (the consumed policy is the corroborated one).
+    * Base-half rows ride the canonical chain (`d`) with a closed-form
+    * content fp (subdomain wheel + path page + the `?id=` selector
+    * value); session-half rows regenerate closed-form at doc_id+10⁷.
+    * RAW kv stats union the base chain's `pp` with the session params;
+    * corroboration groups key the CANONICAL kv's this-param-stripped
+    * URL; policy = constant_val on distribution evidence alone,
+    * high_card only when every varying group agrees on one fp
+    * ([[graft.ops.Url.paramPolicyCorroborated]]'s exact rule); apply
+    * filters each URL's canonical params against its domain's strip
+    * list — ends at `llck (doc_id, url_canon, learned_canon)`. */
+  private val learnedCorpusCtes = """ofp AS (SELECT doc_id,
+      |    'w' || source || '-' || (doc_id%7) || '-' || (doc_id%13) ||
+      |      (CASE WHEN doc_id%8=1 THEN '-i' || (doc_id%17) ELSE '' END) AS fp
+      |  FROM documents),
+      | lsu AS (SELECT doc_id + 10000000 AS doc_id,
+      |    source || '-app.com' AS domain,
+      |    '/a/' || (doc_id%5) AS pathp,
+      |    CASE WHEN doc_id%4=0 THEN 'sess' WHEN doc_id%4=1 THEN 'art'
+      |         WHEN doc_id%4=2 THEN 'v' END AS param,
+      |    CASE WHEN doc_id%4=0 THEN 's' || (doc_id + 10000000)
+      |         WHEN doc_id%4=1 THEN 'a' || (doc_id + 10000000)
+      |         WHEN doc_id%4=2 THEN '1' END AS value,
+      |    CASE WHEN doc_id%4=1 THEN 'c' || (doc_id + 10000000)
+      |         ELSE 'p' || (doc_id%5) END AS fp
+      |  FROM documents),
+      | lsu2 AS (SELECT doc_id, domain, fp,
+      |    'https://' || domain || pathp ||
+      |      (CASE WHEN param IS NOT NULL THEN '?' || param || '=' || value
+      |       ELSE '' END) AS url_canon
+      |  FROM lsu),
+      | lcorp AS MATERIALIZED (
+      |  SELECT d.doc_id, d.url_canon, d.domain, ofp.fp
+      |  FROM d JOIN ofp USING (doc_id)
+      |  UNION ALL
+      |  SELECT doc_id, url_canon, domain, fp FROM lsu2),
+      | lkv AS (SELECT doc_id, domain, param, value FROM pp
+      |  UNION ALL
+      |  SELECT doc_id, domain, param, value FROM lsu
+      |  WHERE param IS NOT NULL),
+      | lpstat AS (SELECT domain, param,
+      |    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_urls,
+      |    CAST(count(DISTINCT value) AS BIGINT) AS n_vals
+      |  FROM lkv GROUP BY 1, 2),
+      | lcb AS MATERIALIZED (SELECT doc_id, url_canon, domain, fp,
+      |    split_part(url_canon, '?', 1) AS pathpart,
+      |    CASE WHEN contains(url_canon, '?')
+      |      THEN string_split(substr(url_canon,
+      |        length(split_part(url_canon, '?', 1)) + 2), '&')
       |      ELSE [] END AS cps
-      |  FROM d),
-      | lck AS (SELECT doc_id, url_canon, pathpart,
-      |    list_filter(cps, x -> NOT list_contains(
-      |      coalesce(pol.drops, []), split_part(x, '=', 1))) AS keep_ps
-      |  FROM lcb LEFT JOIN pol ON lcb.domain = pol.domain),
-      | lcf AS (SELECT doc_id, url_canon,
+      |  FROM lcorp),
+      | lcg AS (SELECT domain, fp, pathpart, cps,
+      |    split_part(ckv, '=', 1) AS param,
+      |    substr(ckv, length(split_part(ckv, '=', 1)) + 2) AS cval
+      |  FROM (SELECT domain, fp, pathpart, cps, unnest(cps) AS ckv
+      |        FROM lcb)),
+      | lg1 AS (SELECT domain, param,
+      |    pathpart || (CASE WHEN len(list_filter(cps,
+      |        x -> split_part(x, '=', 1) <> param)) > 0
+      |      THEN '?' || array_to_string(list_filter(cps,
+      |        x -> split_part(x, '=', 1) <> param), '&')
+      |      ELSE '' END) AS stripped,
+      |    count(DISTINCT cval) AS nv, count(DISTINCT fp) AS nfp
+      |  FROM lcg GROUP BY 1, 2, 3),
+      | lg2 AS (SELECT domain, param,
+      |    sum(CASE WHEN nv > 1 THEN 1 ELSE 0 END) > 0 AND
+      |    sum(CASE WHEN nv > 1 AND nfp > 1 THEN 1 ELSE 0 END) = 0 AS corrob
+      |  FROM lg1 GROUP BY 1, 2),
+      | lpol AS (SELECT p.domain, list(p.param) AS drops
+      |  FROM lpstat p LEFT JOIN lg2 USING (domain, param)
+      |  WHERE p.n_urls >= 2 AND (p.n_vals = 1 OR
+      |    (p.n_vals > 1 AND p.n_vals*2 >= p.n_urls
+      |     AND coalesce(corrob, FALSE)))
+      |  GROUP BY 1),
+      | llck AS (SELECT doc_id, url_canon,
       |    pathpart || (CASE WHEN len(keep_ps) > 0
       |      THEN '?' || array_to_string(keep_ps, '&') ELSE '' END)
       |      AS learned_canon
-      |  FROM lck)""".stripMargin
+      |  FROM (SELECT lcb.doc_id, lcb.url_canon, lcb.pathpart,
+      |      list_filter(lcb.cps, x -> NOT list_contains(
+      |        coalesce(lpol.drops, []), split_part(x, '=', 1))) AS keep_ps
+      |    FROM lcb LEFT JOIN lpol USING (domain)))""".stripMargin
 
-  /** Learned-policy dedup replay: the shared learned-key chain, then
-    * the standard min/count collapse. */
+  /** Corroborated learned-policy dedup replay: the shared corpus
+    * chain, then the standard min/count collapse. */
   private val urlDedupLearnedSql = urlCanonCte + ",\n" + paramStatsCtes +
-    ",\n " + learnedKeyCtes + """
+    ",\n " + learnedCorpusCtes + """
       |SELECT learned_canon, min(doc_id) AS keep_doc_id,
       |  CAST(count(*) AS BIGINT) AS n_dups,
       |  CAST(count(DISTINCT url_canon) AS BIGINT) AS n_canon_variants
-      |FROM lcf GROUP BY 1 ORDER BY 1""".stripMargin
+      |FROM llck GROUP BY 1 ORDER BY 1""".stripMargin
 
-  /** Learned-key frontier replay ([[graft.ops.Url
+  /** Corroborated learned-key frontier replay ([[graft.ops.Url
     * .urlFrontierLearnedIncrement]]): the catalog is the learned keys
-    * of docs < 250 (the accumulated-state convention), the delta the
-    * rest; intra-delta first occurrence per learned key, then novelty
-    * NOT-IN on the LEARNED key — the session/boilerplate variants of a
-    * cataloged page fold onto its key and are NOT re-admitted. */
+    * of the first 250 docs of EACH corpus half (the accumulated-state
+    * convention), the delta the rest; intra-delta first occurrence per
+    * learned key, then novelty NOT-IN on the LEARNED key — the
+    * session/boilerplate variants of a cataloged page fold onto its
+    * key and are NOT re-admitted, while content-id pages stay novel. */
   private val urlFrontierLearnedSql = urlCanonCte + ",\n" + paramStatsCtes +
-    ",\n " + learnedKeyCtes + """,
-      | flcat AS (SELECT DISTINCT learned_canon FROM lcf WHERE doc_id < 250),
-      | fwin AS (SELECT learned_canon,
+    ",\n " + learnedCorpusCtes + """,
+      | lfcat AS (SELECT DISTINCT learned_canon FROM llck
+      |  WHERE doc_id < 250 OR (doc_id >= 10000000 AND doc_id < 10000250)),
+      | lfwin AS (SELECT learned_canon,
       |    first(doc_id ORDER BY doc_id) AS doc_id,
       |    first(url_canon ORDER BY doc_id) AS url_canon
-      |  FROM lcf WHERE doc_id >= 250 GROUP BY 1)
-      |SELECT doc_id, url_canon, learned_canon FROM fwin
-      |WHERE learned_canon NOT IN (SELECT learned_canon FROM flcat)
+      |  FROM llck
+      |  WHERE NOT (doc_id < 250 OR (doc_id >= 10000000 AND doc_id < 10000250))
+      |  GROUP BY 1)
+      |SELECT doc_id, url_canon, learned_canon FROM lfwin
+      |WHERE learned_canon NOT IN (SELECT learned_canon FROM lfcat)
       |ORDER BY doc_id""".stripMargin
 
   /** Corroborated-policy dedup replay over the SESSION fixture

@@ -65,6 +65,13 @@ object StripParams {
     if (query.isEmpty) return url
     val parts = query.split("&", -1)
     val kept = new StringBuilder
+    // kept-count tracked separately from builder emptiness (round 20,
+    // r19 ADVICE): an EMPTY kept segment (trailing '&', '&&') must
+    // still count as kept — `kept.nonEmpty` conflated "nothing kept"
+    // with "kept only empty segments", so 'p?a=1&' with a dropped
+    // diverged from the filter/array_join spelling (and the oracle's
+    // list_filter replay), which keep the empty element → 'p?'
+    var nKept = 0
     var changed = false
     var i = 0
     while (i < parts.length) {
@@ -74,13 +81,14 @@ object StripParams {
       if (SortedContains.compute(drops, UTF8String.fromString(key))) {
         changed = true
       } else {
-        if (kept.nonEmpty) kept.append('&')
+        if (nKept > 0) kept.append('&')
         kept.append(p)
+        nKept += 1
       }
       i += 1
     }
     if (!changed) url
-    else if (kept.isEmpty) UTF8String.fromString(s.substring(0, qIdx))
+    else if (nKept == 0) UTF8String.fromString(s.substring(0, qIdx))
     else UTF8String.fromString(s.substring(0, qIdx + 1) + kept)
   }
 

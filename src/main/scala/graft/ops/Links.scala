@@ -303,8 +303,16 @@ object Links {
     * is a duplicate, index THAT one" signal; dedup keyed on
     * `canonical_canon` collapses the variants). `rel` is matched as a
     * WORD of the space-separated token list (rel="canonical alternate"
-    * counts; rel="canonicalish" does not). Row-local, zero
-    * exchanges. */
+    * counts; rel="canonicalish" does not). A declaration whose href
+    * carries a NON-FETCH scheme (`javascript:`/`mailto:`/`tel:`/
+    * `data:` — [[linkExtract]]'s exact guard) counts as NO declaration
+    * and emits NO row (round 20, r19 ADVICE: the resolver's grammar
+    * would otherwise treat `mailto:x@y` as a relative path segment
+    * and emit a junk resolved URL; an unfetchable canonical target is
+    * not a usable dedup key, so suppressing the declaration keeps
+    * every consumer — [[canonicalDedup]] included — on the
+    * `coalesce`-to-own-URL path; LinksSpec pins the mailto: case).
+    * Row-local, zero exchanges. */
   def relCanonical(pages: DataFrame, htmlCol: String = "html",
                    baseUrlCol: String = "base_url",
                    idCol: String = "doc_id"): DataFrame =
@@ -358,7 +366,17 @@ object Links {
         .select(col(idCol), col("_base"), h, col("_dirsl"),
           when(mayDeclare,
             attrValue(coalesce(canonAttrs, lit("")), "href"))
-            .otherwise(lit("")).as("_href"))
+            .otherwise(lit("")).as("_href0"))
+        // a NON-FETCH-scheme declared href (javascript/mailto/tel/
+        // data) is treated as NO declaration (round 20, r19 ADVICE —
+        // the same scheme guard [[linkExtract]] applies to <a> tags:
+        // the resolver's grammar would otherwise join `mailto:x@y` as
+        // a RELATIVE path segment and hand consumers a junk dedup
+        // key; an unfetchable canonical target cannot be a canonical)
+        .select(col(idCol), col("_base"), h, col("_dirsl"),
+          when(lower(col("_href0"))
+              .rlike("^(javascript|mailto|tel|data):"), lit(""))
+            .otherwise(col("_href0")).as("_href"))
         // the resolution base in its OWN projection level, null-guarded:
         // resolveHref references its base arg at ~8 leaves, so this
         // alias must stay materialized (CollapseProject's

@@ -340,10 +340,18 @@ object Url {
     * skew is AQE's skew-join case). A web crawl has 10⁷–10⁸ registrable
     * domains; with rule arrays that frame is GBs — a broadcast-only
     * plan is a driver/executor OOM at exactly the scale these ops
-    * target. */
+    * target.
+    *
+    * `expectedDomains = 0` (every call site's default) means "assume
+    * broadcastable" — the small-corpus convenience default, NOT a safe
+    * harbor: a caller at crawl scale must state its domain estimate or
+    * the frame broadcasts unconditionally. The comparison divides
+    * rather than multiplies (round 20, r19 ADVICE: `domains × bytes`
+    * can overflow Long to a negative product that silently passes the
+    * ceiling check and broadcasts a huge frame). */
   private[graft] def domainFrameSide(frame: DataFrame, expectedDomains: Long,
       bytesPerDomain: Long = rulesBytesPerDomain): DataFrame =
-    if (expectedDomains * bytesPerDomain <= rulesBroadcastMaxBytes)
+    if (expectedDomains <= rulesBroadcastMaxBytes / math.max(bytesPerDomain, 1L))
       broadcast(frame)
     else frame.hint("shuffle_hash")
 
@@ -1010,6 +1018,48 @@ object Url {
         .otherwise(concat(lit("p"), m(5))).as("fp"))
   }
 
+  /** The PRODUCTION-SHAPED learned-policy corpus (round 20 — the r19
+    * verdict's #1: the corroborated policy must be what the modeling
+    * queries CONSUME, which needs a corpus carrying BOTH the full
+    * canonicalizer/PSL variance and the session/content stripes the
+    * corroboration rule exists to tell apart): [[syntheticUrls]] plus
+    * [[syntheticSessionUrls]] on a disjoint doc_id range (offset 10⁷ —
+    * divisible by every session-stripe modulus, so the stripe
+    * arithmetic and the oracle's closed-form replay survive the
+    * shift verbatim) and disjoint registrable domains (`-site.<tld>`
+    * vs `-app.com` — per-domain policies compose without interaction).
+    * Every row carries the page's content fingerprint `fp` — a pure
+    * function of the page's TRUE identity (host subdomain wheel, path
+    * page, and the `?id=` content selector when present for the base
+    * half; the session half's own contract otherwise), which is what a
+    * fetched corpus has (md5 of the page text) and what the learn pass
+    * corroborates against. Under the corroborated policy the base
+    * half's `?id=` param can never strip — even at a tiny SF where its
+    * value distribution happens to look session-shaped, its varying
+    * groups disagree on fp — while `?sess=` folds and `?v=`/`utm_*`
+    * strip on distribution evidence alone. */
+  def syntheticCorpusUrls(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    def m(k: Int): Column = pmod(id, lit(k))
+    val base = syntheticUrls(docs).select(id.as("doc_id"), col("url"),
+      concat(lit("w"), col("source"), lit("-"), m(7), lit("-"), m(13),
+        when(m(8) === 1, concat(lit("-i"), m(17))).otherwise(lit("")))
+        .as("fp"))
+    val sess = syntheticSessionUrls(docs.select(
+      (id + lit(10000000L)).as("doc_id"), col("source")))
+    base.unionByName(sess)
+  }
+
+  /** The accumulated-catalog membership rule for the
+    * [[syntheticCorpusUrls]] frontier fixtures: the first 250 docs of
+    * EACH half (base and offset-10⁷ session) are the earlier batch —
+    * so the catalog holds learned keys from both stripes and the
+    * delta's session/boilerplate variants of cataloged pages exercise
+    * the learned-key fold on every path. */
+  def corpusCatalogPred: Column =
+    col("doc_id") < 250L ||
+      (col("doc_id") >= 10000000L && col("doc_id") < 10000250L)
+
   /** Per-domain corpus statistics plus a deterministic sampling quota —
     * the mix-control table a curation pipeline joins against before
     * sampling. Quotas are sqrt-proportional (the standard flattening
@@ -1101,7 +1151,9 @@ object Url {
     * occurrence count and distinct-value count over the RAW query
     * strings (pre-canonicalization: the tracking params the
     * canonicalizer strips are exactly what this op exists to
-    * DISCOVER). The two flags are the standard param-policy signals a
+    * DISCOVER). INPUT CONTRACT: `urls` must carry `(doc_id, url)` —
+    * `doc_id` is required (round 19: support counts distinct PAGES,
+    * not kv occurrences), a url-only frame fails analysis by design. The two flags are the standard param-policy signals a
     * crawl pipeline derives from its own corpus instead of a
     * hardcoded `utm_*` list:
     *  - `constant_val` — one value corpus-wide on this domain

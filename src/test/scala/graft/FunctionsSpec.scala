@@ -267,6 +267,11 @@ class FunctionsSpec extends SparkSpec {
       ("https://e.com/p?a=1&c=3", drops),             // untouched
       ("https://e.com/p", drops),                     // no query
       ("https://e.com/p?sid", drops),                 // bare name, no '='
+      // empty segments (trailing '&', '&&') are KEPT segments — parity
+      // with the list_filter spelling demands '?' / '?&' survive
+      // (round 20, r19 ADVICE: builder emptiness conflated these)
+      ("https://e.com/p?b=2&", drops),
+      ("https://e.com/p?b=2&&", drops),
       (null.asInstanceOf[String], drops))
       .toDF("u", "d")
     val got = rows.select(
@@ -278,6 +283,8 @@ class FunctionsSpec extends SparkSpec {
       Some("https://e.com/p?a=1&c=3"),
       Some("https://e.com/p"),
       Some("https://e.com/p"),
+      Some("https://e.com/p?"),
+      Some("https://e.com/p?&"),
       None))
     // parity with the list_filter spelling the oracle replays
     val alt = rows.filter(col("u").isNotNull).select(

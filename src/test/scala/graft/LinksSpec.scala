@@ -529,7 +529,13 @@ class LinksSpec extends SparkSpec {
         "http://a.example.com/d/p"),                  // not a word match
       (4L, page("<link rel=\"stylesheet\" href=\"/s.css\">" +
         "<link rel=\"canonical\" href=\"?page=2\">"),
-        "http://a.example.com/list"))                 // second link wins
+        "http://a.example.com/list"),                 // second link wins
+      // a declared href with a NON-FETCH scheme counts as no
+      // declaration and emits NO row (round 20, r19 ADVICE — without
+      // the guard the resolver joins it as a relative path segment):
+      // consumers stay on the coalesce-to-own-URL path
+      (5L, page("<link rel=\"canonical\" href=\"mailto:x@example.com\">"),
+        "http://a.example.com/d/p"))
       .toDF("doc_id", "html", "base_url")
     val got = Links.relCanonical(pages).orderBy("doc_id")
       .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
