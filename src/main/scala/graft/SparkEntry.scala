@@ -879,6 +879,62 @@ object SparkEntry {
           RawGen.table(s, dir, "documents")))
       .orderBy("final_canon")
 
+  // session-domain crawl metadata for the LEARNED discovery loops
+  // (round 20): robots declaring one urlset per <source>-app.com
+  // domain, and that urlset's session/content/novel-page seeds
+  RawGen.registerDerived("robots_app") { (s, dir) =>
+    graft.ops.Url.syntheticSessionRobots(RawGen.table(s, dir, "documents"))
+  }
+  RawGen.registerDerived("sitemaps_app") { (s, dir) =>
+    graft.ops.Url.syntheticSessionSitemaps(RawGen.table(s, dir, "documents"))
+  }
+
+  /** The corroborated policy frame every learned-key consumer probes
+    * (re-learned offline in production; a static input here). */
+  private def corpusPolicy(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Url.paramPolicyCorroborated(
+      graft.ops.Url.syntheticCorpusUrls(RawGen.table(s, dir, "documents")))
+
+  /** Sitemap discovery on the LEARNED novelty key (round 20 — r19
+    * verdict #2): session/boilerplate seed variants of a cataloged
+    * page fold onto its learned key and are NOT re-enqueued; content
+    * (`?art=`) seeds and genuinely novel pages are admitted once. */
+  private def crawlDiscoverLearnedQ(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Url.crawlDiscover(RawGen.derived(s, dir, "robots_app"),
+        RawGen.derived(s, dir, "sitemaps_app"), crawlBlockedDomains,
+        RawGen.derived(s, dir, "url_catalog_learned"),
+        policy = Some(corpusPolicy(s, dir)))
+      .orderBy("domain", "seed_idx")
+
+  /** Link discovery on the LEARNED novelty key (round 20 — r19 verdict
+    * #2): the intra-batch winner AND the catalog anti-join both key on
+    * the policy-stripped canonical, reusing one partitioning. */
+  private def linkDiscoverLearnedQ(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Links.linkDiscover(
+        graft.ops.Links.syntheticSessionLinkPages(
+          RawGen.table(s, dir, "documents")),
+        crawlBlockedDomains, RawGen.derived(s, dir, "robots_app"),
+        RawGen.derived(s, dir, "url_catalog_learned"),
+        policy = Some(corpusPolicy(s, dir)))
+      .orderBy("target_learned")
+
+  /** Redirect-aware discovery on the LEARNED final key (round 20 — r19
+    * verdict #2): a stub redirecting onto a session variant of a
+    * cataloged page folds onto the page's learned key and is dropped —
+    * without the learned final key the variant reads as novel and the
+    * stub re-enqueues a cataloged page. */
+  private def linkDiscoverResolvedLearnedQ(s: SparkSession,
+                                           dir: String): DataFrame =
+    graft.ops.Links.linkDiscoverResolved(
+        graft.ops.Links.syntheticSessionLinkPages(
+          RawGen.table(s, dir, "documents")),
+        crawlBlockedDomains, RawGen.derived(s, dir, "robots_app"),
+        RawGen.derived(s, dir, "url_catalog_learned"),
+        graft.ops.Links.syntheticSessionRedirects(
+          RawGen.table(s, dir, "documents")),
+        policy = Some(corpusPolicy(s, dir)))
+      .orderBy("final_learned")
+
   /** Anchor-endorsed frontier scheduling (round 18): novel admitted
     * targets ranked per registrable domain by follow-link endorsement —
     * the off-page relevance signal feeding the politeness queue.
@@ -2375,6 +2431,9 @@ object SparkEntry {
     "rel_canonical" -> (relCanonicalQ _),
     "redirect_resolve" -> (redirectResolveQ _),
     "link_discover_resolved" -> (linkDiscoverResolvedQ _),
+    "crawl_discover_learned" -> (crawlDiscoverLearnedQ _),
+    "link_discover_learned" -> (linkDiscoverLearnedQ _),
+    "link_discover_resolved_learned" -> (linkDiscoverResolvedLearnedQ _),
     "frontier_anchor_rank" -> (frontierAnchorRankQ _),
     "dedup_canonical" -> (dedupCanonicalQ _),
     "anchor_endorsed_curate" -> (anchorCurateQ _),
@@ -5567,14 +5626,15 @@ object SparkEntry {
       |  FROM documents),
       | lsu AS (SELECT doc_id + 10000000 AS doc_id,
       |    source || '-app.com' AS domain,
-      |    '/a/' || (doc_id%5) AS pathp,
-      |    CASE WHEN doc_id%4=0 THEN 'sess' WHEN doc_id%4=1 THEN 'art'
-      |         WHEN doc_id%4=2 THEN 'v' END AS param,
-      |    CASE WHEN doc_id%4=0 THEN 's' || (doc_id + 10000000)
-      |         WHEN doc_id%4=1 THEN 'a' || (doc_id + 10000000)
-      |         WHEN doc_id%4=2 THEN '1' END AS value,
-      |    CASE WHEN doc_id%4=1 THEN 'c' || (doc_id + 10000000)
-      |         ELSE 'p' || (doc_id%5) END AS fp
+      |    '/a/' || ((doc_id//20)%5) AS pathp,
+      |    CASE WHEN (doc_id//20)%4=0 THEN 'sess'
+      |         WHEN (doc_id//20)%4=1 THEN 'art'
+      |         WHEN (doc_id//20)%4=2 THEN 'v' END AS param,
+      |    CASE WHEN (doc_id//20)%4=0 THEN 's' || (doc_id + 10000000)
+      |         WHEN (doc_id//20)%4=1 THEN 'a' || (doc_id + 10000000)
+      |         WHEN (doc_id//20)%4=2 THEN '1' END AS value,
+      |    CASE WHEN (doc_id//20)%4=1 THEN 'c' || (doc_id + 10000000)
+      |         ELSE 'p' || ((doc_id//20)%5) END AS fp
       |  FROM documents),
       | lsu2 AS (SELECT doc_id, domain, fp,
       |    'https://' || domain || pathp ||
@@ -5631,7 +5691,9 @@ object SparkEntry {
       |  FROM (SELECT lcb.doc_id, lcb.url_canon, lcb.pathpart,
       |      list_filter(lcb.cps, x -> NOT list_contains(
       |        coalesce(lpol.drops, []), split_part(x, '=', 1))) AS keep_ps
-      |    FROM lcb LEFT JOIN lpol USING (domain)))""".stripMargin
+      |    FROM lcb LEFT JOIN lpol USING (domain))),
+      | lfcat AS (SELECT DISTINCT learned_canon FROM llck
+      |  WHERE doc_id < 250 OR (doc_id >= 10000000 AND doc_id < 10000250))""".stripMargin
 
   /** Corroborated learned-policy dedup replay: the shared corpus
     * chain, then the standard min/count collapse. */
@@ -5651,8 +5713,6 @@ object SparkEntry {
     * key and are NOT re-admitted, while content-id pages stay novel. */
   private val urlFrontierLearnedSql = urlCanonCte + ",\n" + paramStatsCtes +
     ",\n " + learnedCorpusCtes + """,
-      | lfcat AS (SELECT DISTINCT learned_canon FROM llck
-      |  WHERE doc_id < 250 OR (doc_id >= 10000000 AND doc_id < 10000250)),
       | lfwin AS (SELECT learned_canon,
       |    first(doc_id ORDER BY doc_id) AS doc_id,
       |    first(url_canon ORDER BY doc_id) AS url_canon
@@ -5663,6 +5723,133 @@ object SparkEntry {
       |WHERE learned_canon NOT IN (SELECT learned_canon FROM lfcat)
       |ORDER BY doc_id""".stripMargin
 
+  /** Shared prefix of the three learned-discovery oracles: the full
+    * corpus chain (for `lpol` — the corroborated strip lists — and
+    * `lfcat` — the learned-key catalog). */
+  private val learnedDiscoverPrefix = urlCanonCte + ",\n" + paramStatsCtes +
+    ",\n " + learnedCorpusCtes
+
+  /** Learned sitemap-discovery replay ([[graft.ops.Url.crawlDiscover]]
+    * with a policy): seeds regenerate closed-form from the session
+    * sitemap fixture (seed_idx = rank by doc_id within the source's
+    * one urlset); every seed is http(s), unblocked, and allowed (the
+    * fixture's single `/private` rule never matches `/a/…`), so the
+    * gate replay is the identity; the learned key strips the seed's
+    * single param when the domain's corroborated list contains it;
+    * winner = lowest (sitemap, seed_idx) per learned key; novelty =
+    * NOT IN the learned catalog. */
+  private val crawlDiscoverLearnedSql = learnedDiscoverPrefix + """,
+      | sdoc AS (SELECT doc_id, source,
+      |    CASE WHEN (doc_id//20)%4=3 THEN 'x' || (doc_id%7)
+      |      ELSE CAST((doc_id//20)%5 AS VARCHAR) ||
+      |        (CASE WHEN (doc_id//20)%4=0 THEN '?sess=s' || doc_id
+      |              WHEN (doc_id//20)%4=1 THEN '?art=a' || doc_id
+      |              ELSE '?v=1' END) END AS tail,
+      |    CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id)
+      |      AS BIGINT) AS seed_idx
+      |  FROM documents),
+      | sseed AS (SELECT source || '-app.com' AS domain,
+      |    'https://' || source || '-app.com/sm-s.xml' AS sitemap,
+      |    seed_idx,
+      |    'https://' || source || '-app.com/a/' || tail AS seed_url
+      |  FROM sdoc),
+      | slk AS (SELECT s.domain, s.sitemap, s.seed_idx, s.seed_url,
+      |    s.seed_url AS seed_canon,
+      |    CASE WHEN contains(s.seed_url, '?') AND list_contains(
+      |        coalesce(p.drops, []),
+      |        split_part(split_part(s.seed_url, '?', 2), '=', 1))
+      |      THEN split_part(s.seed_url, '?', 1) ELSE s.seed_url END
+      |      AS seed_learned
+      |  FROM sseed s LEFT JOIN lpol p ON s.domain = p.domain),
+      | sw AS (SELECT *, row_number() OVER (PARTITION BY seed_learned
+      |    ORDER BY sitemap, seed_idx) AS rn FROM slk)
+      |SELECT domain, sitemap, seed_idx, seed_url, seed_canon, seed_learned
+      |FROM sw WHERE rn = 1
+      |  AND seed_learned NOT IN (SELECT learned_canon FROM lfcat)
+      |ORDER BY domain, seed_idx""".stripMargin
+
+  /** The regenerated session link table shared by both learned link
+    * oracles: tag position IS link_idx (sess 1, art 2, novel-x 3 on
+    * the bare stripe), hrefs already canonical. */
+  private val sessionLinkCte = """lle AS (
+      |  SELECT doc_id, CAST(1 AS BIGINT) AS link_idx,
+      |    source || '-app.com' AS domain,
+      |    'https://' || source || '-app.com/a/' || ((doc_id//20)%5) ||
+      |      '?sess=s' || doc_id AS href
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT doc_id, 2, source || '-app.com',
+      |    'https://' || source || '-app.com/a/' || ((doc_id//20)%5) ||
+      |      '?art=a' || doc_id
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT doc_id, 3, source || '-app.com',
+      |    'https://' || source || '-app.com/a/x' || (doc_id%7)
+      |  FROM documents WHERE (doc_id//20)%4=3)""".stripMargin
+
+  /** Learned link-discovery replay ([[graft.ops.Links.linkDiscover]]
+    * with a policy): the regenerated link table (all follow, all
+    * http(s), unblocked, robots-allowed by the fixture), learned-key
+    * strip via `lpol`, winner = lowest (doc_id, link_idx) per learned
+    * key, novelty NOT IN the learned catalog. */
+  private val linkDiscoverLearnedSql = learnedDiscoverPrefix + ",\n " +
+    sessionLinkCte + """,
+      | llg AS (SELECT e.doc_id, e.link_idx, e.href, e.href AS target_canon,
+      |    CASE WHEN contains(e.href, '?') AND list_contains(
+      |        coalesce(p.drops, []),
+      |        split_part(split_part(e.href, '?', 2), '=', 1))
+      |      THEN split_part(e.href, '?', 1) ELSE e.href END
+      |      AS target_learned
+      |  FROM lle e LEFT JOIN lpol p ON e.domain = p.domain),
+      | llw AS (SELECT *, row_number() OVER (PARTITION BY target_learned
+      |    ORDER BY doc_id, link_idx) AS rn FROM llg)
+      |SELECT doc_id, link_idx, href AS target_url, target_canon,
+      |  target_learned
+      |FROM llw WHERE rn = 1
+      |  AND target_learned NOT IN (SELECT learned_canon FROM lfcat)
+      |ORDER BY target_learned""".stripMargin
+
+  /** Learned redirect-aware replay ([[graft.ops.Links
+    * .linkDiscoverResolved]] with a policy): stage-1 winner per STATIC
+    * target, the single-hop redirect map applied closed-form (stub
+    * `/a/x<k>` → novel `/a/y<k>` on k%3=0, else a session variant of
+    * page k%5), re-gate is the identity on this fixture, learned key
+    * on the RESOLVED url, final collapse per learned key, novelty NOT
+    * IN the learned catalog. */
+  private val linkDiscoverResolvedLearnedSql = learnedDiscoverPrefix +
+    ",\n " + sessionLinkCte + """,
+      | lr1 AS (SELECT *, row_number() OVER (PARTITION BY href
+      |    ORDER BY doc_id, link_idx) AS rn1 FROM lle),
+      | lrt AS (SELECT doc_id, link_idx, domain, href AS target_canon
+      |  FROM lr1 WHERE rn1 = 1),
+      | lrr AS (SELECT t.*,
+      |    CASE WHEN t.target_canon LIKE '%/a/x%' THEN
+      |      (CASE WHEN CAST(substr(t.target_canon,
+      |          length(t.target_canon), 1) AS INT) % 3 = 0
+      |        THEN replace(t.target_canon, '/a/x', '/a/y')
+      |        ELSE split_part(t.target_canon, '/a/x', 1) || '/a/' ||
+      |          (CAST(substr(t.target_canon, length(t.target_canon), 1)
+      |            AS INT) % 5) || '?sess=sx' ||
+      |          substr(t.target_canon, length(t.target_canon), 1) END)
+      |      ELSE t.target_canon END AS final_canon,
+      |    CASE WHEN t.target_canon LIKE '%/a/x%' THEN CAST(1 AS BIGINT)
+      |      ELSE CAST(0 AS BIGINT) END AS hops
+      |  FROM lrt t),
+      | lrk AS (SELECT r.*,
+      |    CASE WHEN contains(r.final_canon, '?') AND list_contains(
+      |        coalesce(p.drops, []),
+      |        split_part(split_part(r.final_canon, '?', 2), '=', 1))
+      |      THEN split_part(r.final_canon, '?', 1) ELSE r.final_canon END
+      |      AS final_learned
+      |  FROM lrr r LEFT JOIN lpol p ON r.domain = p.domain),
+      | lrw AS (SELECT *, row_number() OVER (PARTITION BY final_learned
+      |    ORDER BY doc_id, link_idx) AS rn2 FROM lrk)
+      |SELECT doc_id, link_idx, target_canon AS target_url, target_canon,
+      |  final_canon, hops, final_learned
+      |FROM lrw WHERE rn2 = 1
+      |  AND final_learned NOT IN (SELECT learned_canon FROM lfcat)
+      |ORDER BY final_learned""".stripMargin
+
   /** Corroborated-policy dedup replay over the SESSION fixture
     * ([[graft.ops.Url.syntheticSessionUrls]] regenerated closed-form —
     * each URL carries at most ONE param, so the this-param-stripped
@@ -5672,18 +5859,19 @@ object SparkEntry {
   private val urlDedupCorroboratedSql =
     """WITH su AS (SELECT doc_id,
       |    source || '-app.com' AS domain,
-      |    '/a/' || (doc_id%5) AS pathp,
-      |    'https://' || source || '-app.com/a/' || (doc_id%5) ||
-      |      (CASE WHEN doc_id%4=0 THEN '?sess=s' || doc_id
-      |            WHEN doc_id%4=1 THEN '?art=a' || doc_id
-      |            WHEN doc_id%4=2 THEN '?v=1' ELSE '' END) AS url_canon,
-      |    CASE WHEN doc_id%4=0 THEN 'sess' WHEN doc_id%4=1 THEN 'art'
-      |         WHEN doc_id%4=2 THEN 'v' END AS param,
-      |    CASE WHEN doc_id%4=0 THEN 's' || doc_id
-      |         WHEN doc_id%4=1 THEN 'a' || doc_id
-      |         WHEN doc_id%4=2 THEN '1' END AS value,
-      |    CASE WHEN doc_id%4=1 THEN 'c' || doc_id
-      |         ELSE 'p' || (doc_id%5) END AS fp
+      |    '/a/' || ((doc_id//20)%5) AS pathp,
+      |    'https://' || source || '-app.com/a/' || ((doc_id//20)%5) ||
+      |      (CASE WHEN (doc_id//20)%4=0 THEN '?sess=s' || doc_id
+      |            WHEN (doc_id//20)%4=1 THEN '?art=a' || doc_id
+      |            WHEN (doc_id//20)%4=2 THEN '?v=1' ELSE '' END) AS url_canon,
+      |    CASE WHEN (doc_id//20)%4=0 THEN 'sess'
+      |         WHEN (doc_id//20)%4=1 THEN 'art'
+      |         WHEN (doc_id//20)%4=2 THEN 'v' END AS param,
+      |    CASE WHEN (doc_id//20)%4=0 THEN 's' || doc_id
+      |         WHEN (doc_id//20)%4=1 THEN 'a' || doc_id
+      |         WHEN (doc_id//20)%4=2 THEN '1' END AS value,
+      |    CASE WHEN (doc_id//20)%4=1 THEN 'c' || doc_id
+      |         ELSE 'p' || ((doc_id//20)%5) END AS fp
       |  FROM documents),
       | spstat AS (SELECT domain, param,
       |    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_urls,
@@ -6024,6 +6212,9 @@ object SparkEntry {
     "rel_canonical" -> relCanonicalSql,
     "redirect_resolve" -> redirectResolveSql,
     "link_discover_resolved" -> linkDiscoverResolvedSql,
+    "crawl_discover_learned" -> crawlDiscoverLearnedSql,
+    "link_discover_learned" -> linkDiscoverLearnedSql,
+    "link_discover_resolved_learned" -> linkDiscoverResolvedLearnedSql,
     "frontier_anchor_rank" -> frontierAnchorRankSql,
     "dedup_canonical" -> dedupCanonicalSql,
     "anchor_endorsed_curate" -> anchorCurateSql,

@@ -537,12 +537,16 @@ object Links {
   def linkDiscover(pages: DataFrame, blocked: Seq[String],
                    robots: DataFrame, catalog: DataFrame,
                    agent: String = "*",
-                   expectedDomains: Long = 0L): DataFrame =
-    discoverFirsts(linkExtract(pages), blocked, robots, agent,
-        expectedDomains)
-      .join(catalog.select(col("url_canon").as("_cat"))
-          .hint("shuffle_hash"),
-        col("target_canon") === col("_cat"), "left_anti")
+                   expectedDomains: Long = 0L,
+                   policy: Option[DataFrame] = None): DataFrame = {
+    val firsts = discoverFirsts(linkExtract(pages), blocked, robots, agent,
+      expectedDomains, policy)
+    val novKey = if (policy.isDefined) "target_learned" else "target_canon"
+    val catKey = if (policy.isDefined) "learned_canon" else "url_canon"
+    firsts.join(catalog.select(col(catKey).as("_cat"))
+        .hint("shuffle_hash"),
+      col(novKey) === col("_cat"), "left_anti")
+  }
 
   /** The gate-and-dedup front half of [[linkDiscover]], over an
     * already-extracted link frame (so compositions that also need the
@@ -553,7 +557,9 @@ object Links {
   private[graft] def discoverFirsts(linkFrame: DataFrame,
                                     blocked: Seq[String], robots: DataFrame,
                                     agent: String,
-                                    expectedDomains: Long = 0L): DataFrame = {
+                                    expectedDomains: Long = 0L,
+                                    policy: Option[DataFrame] = None)
+      : DataFrame = {
     val spark = linkFrame.sparkSession
     import spark.implicits._
     val links = pinColumns(
@@ -576,12 +582,31 @@ object Links {
       .join(Url.domainFrameSide(rules, expectedDomains), Seq("_td"), "left")
       .filter(coalesce(pmod(Url.robotsBestEnc(col("_rules"),
         Url.canonPathQuery(col("target_canon"))), lit(2)) === 1, lit(true)))
-    gated.groupBy("target_canon")
-      .agg(min(struct(col("doc_id"), col("link_idx"), col("href_abs")))
-        .as("_w"))
+    // LEARNED winner key (round 20, r19 verdict #2): with a param
+    // `policy` the intra-batch first-occurrence collapses on the
+    // POLICY-STRIPPED canonical — session variants of one page are ONE
+    // candidate — and the caller's novelty anti-join reuses this exact
+    // partitioning on `target_learned`. The policy probe reuses the
+    // already-derived `_td` (strategy follows `expectedDomains`).
+    val keyed = policy match {
+      case Some(p) => gated
+        .join(Url.domainFrameSide(p.select(col("domain").as("_td"),
+          col("_drop")), expectedDomains), Seq("_td"), "left")
+        .withColumn("_nov", when(col("_drop").isNull, col("target_canon"))
+          .otherwise(graft.functions.StripParams(col("target_canon"),
+            col("_drop"))))
+      case None => gated.withColumn("_nov", col("target_canon"))
+    }
+    val firsts = keyed.groupBy("_nov")
+      .agg(min(struct(col("doc_id"), col("link_idx"), col("href_abs"),
+        col("target_canon"))).as("_w"))
       .select(col("_w.doc_id").as("doc_id"),
         col("_w.link_idx").as("link_idx"),
-        col("_w.href_abs").as("target_url"), col("target_canon"))
+        col("_w.href_abs").as("target_url"),
+        col("_w.target_canon").as("target_canon"), col("_nov"))
+    if (policy.isDefined)
+      firsts.withColumnRenamed("_nov", "target_learned")
+    else firsts.drop("_nov")
   }
 
   /** REDIRECT-AWARE frontier discovery (round 18 — the round-17
@@ -618,7 +643,8 @@ object Links {
                            robots: DataFrame, catalog: DataFrame,
                            redirects: DataFrame,
                            agent: String = "*",
-                           expectedDomains: Long = 0L): DataFrame = {
+                           expectedDomains: Long = 0L,
+                           policy: Option[DataFrame] = None): DataFrame = {
     val spark = pages.sparkSession
     import spark.implicits._
     val firsts = discoverFirsts(linkExtract(pages), blocked, robots, agent,
@@ -649,19 +675,40 @@ object Links {
       .join(Url.domainFrameSide(rules, expectedDomains), Seq("_fd"), "left")
       .filter(coalesce(pmod(Url.robotsBestEnc(col("_frules"),
         Url.canonPathQuery(col("final_canon"))), lit(2)) === 1, lit(true)))
-      .select(col("doc_id"), col("link_idx"), col("target_url"),
-        col("target_canon"), col("final_canon"), col("hops"))
-    regated.groupBy("final_canon")
+    // LEARNED novelty key on the RESOLVED fetch (round 20, r19 verdict
+    // #2): `final_canon` is the URL the scheduler actually issues, so
+    // that is where the policy strips — a stub redirecting onto a
+    // session variant of a cataloged page must fold onto the page's
+    // learned key and NOT be re-admitted. The probe reuses the
+    // re-gate's `_fd`; without a policy the key is `final_canon` and
+    // the round-19 schema/semantics are unchanged.
+    val keyed = (policy match {
+      case Some(p) => regated
+        .join(Url.domainFrameSide(p.select(col("domain").as("_fd"),
+          col("_drop")), expectedDomains), Seq("_fd"), "left")
+        .withColumn("_nov", when(col("_drop").isNull, col("final_canon"))
+          .otherwise(graft.functions.StripParams(col("final_canon"),
+            col("_drop"))))
+      case None => regated.withColumn("_nov", col("final_canon"))
+    }).select(col("doc_id"), col("link_idx"), col("target_url"),
+      col("target_canon"), col("final_canon"), col("hops"), col("_nov"))
+    val collapsed = keyed.groupBy("_nov")
       .agg(min(struct(col("doc_id"), col("link_idx"), col("target_url"),
-        col("target_canon"), col("hops"))).as("_w"))
+        col("target_canon"), col("hops"), col("final_canon"))).as("_w"))
       .select(col("_w.doc_id").as("doc_id"),
         col("_w.link_idx").as("link_idx"),
         col("_w.target_url").as("target_url"),
         col("_w.target_canon").as("target_canon"),
-        col("final_canon"), col("_w.hops").as("hops"))
-      .join(catalog.select(col("url_canon").as("_cat"))
+        col("_w.final_canon").as("final_canon"),
+        col("_w.hops").as("hops"), col("_nov"))
+    val catKey = if (policy.isDefined) "learned_canon" else "url_canon"
+    val novel = collapsed
+      .join(catalog.select(col(catKey).as("_cat"))
           .hint("shuffle_hash"),
-        col("final_canon") === col("_cat"), "left_anti")
+        col("_nov") === col("_cat"), "left_anti")
+    if (policy.isDefined)
+      novel.withColumnRenamed("_nov", "final_learned")
+    else novel.drop("_nov")
   }
 
   /** ANCHOR-ENDORSED frontier scheduling (round 18 — the round-17
@@ -1005,5 +1052,55 @@ object Links {
             .otherwise(lit("/p/sib5.html"))).as("src"),
         concat(col("_r"), lit("/admin/redir")).as("dst"))
     e1.unionByName(e2).unionByName(e3).unionByName(e4).distinct()
+  }
+
+  /** Link pages for the LEARNED discovery loop (round 20 — the r19
+    * verdict's #2 fixture, link flavor): one page per doc on a neutral
+    * hub host, linking (1) a SESSION variant of session-domain page
+    * `id%5` (`?sess=s<id>` — must fold onto the page's learned key and
+    * not be re-admitted when the page is cataloged), (2) a CONTENT
+    * selector (`?art=a<id>` — its own learned key, stays novel), and
+    * (3) on the bare stripe a NOVEL page `/a/x<id%7>` (admitted once
+    * per domain — and the redirect-aware variant's stub source,
+    * [[syntheticSessionRedirects]]). Hrefs are emitted pre-canonical
+    * so the oracle regenerates them closed-form. */
+  def syntheticSessionLinkPages(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    // param/page wheels on the WITHIN-SOURCE index (the
+    // [[graft.ops.Url.syntheticSessionUrls]] round-20 contract); the
+    // novel-page wheel keeps raw `id%7` (gcd(7,20)=1)
+    val g = floor(id / lit(20)).cast("long")
+    def m(k: Int): Column = pmod(g, lit(k))
+    val appRoot = concat(lit("https://"), col("source"), lit("-app.com/a/"))
+    val html = concat(
+      lit("<html><body>\n"),
+      lit("<a href=\""), appRoot, m(5), lit("?sess=s"), id,
+      lit("\">s</a>\n"),
+      lit("<a href=\""), appRoot, m(5), lit("?art=a"), id,
+      lit("\">a</a>\n"),
+      when(m(4) === 3, concat(lit("<a href=\""), appRoot, lit("x"),
+        pmod(id, lit(7)), lit("\">x</a>\n"))).otherwise(lit("")),
+      lit("</body></html>\n"))
+    docs.select(id.as("doc_id"), html.as("html"),
+      concat(lit("https://hub.example.org/h/"), id).as("base_url"))
+  }
+
+  /** Redirect map for the LEARNED redirect-aware loop (round 20): each
+    * novel stub `/a/x<k>` (k 0..6) redirects — on k%3=0 to a genuinely
+    * novel page `/a/y<k>` (admitted, hops 1), otherwise onto a SESSION
+    * VARIANT of cataloged page `k%5` (`?sess=sx<k>` — the case the
+    * learned final-key exists for: without it the variant is "novel"
+    * and the stub re-enqueues a cataloged page). Single-hop by
+    * construction (no dst is a src). */
+  def syntheticSessionRedirects(docs: DataFrame): DataFrame = {
+    val ks = docs.select(col("source")).distinct()
+      .select(col("source"), explode(sequence(lit(0), lit(6))).as("k"))
+    val root = concat(lit("https://"), col("source"), lit("-app.com/a/"))
+    ks.select(
+      concat(root, lit("x"), col("k")).as("src"),
+      when(pmod(col("k"), lit(3)) === 0,
+          concat(root, lit("y"), col("k")))
+        .otherwise(concat(root, pmod(col("k"), lit(5)),
+          lit("?sess=sx"), col("k"))).as("dst"))
   }
 }

@@ -620,6 +620,58 @@ object Url {
         graft.functions.GzipCompress(urlset2).as("content")))
   }
 
+  /** Robots metadata for the SESSION-domain corpus (round 20 — the
+    * learned-key discovery fixtures): one row per `<source>-app.com`
+    * registrable domain, declaring the domain's single urlset
+    * ([[syntheticSessionSitemaps]]) and carrying one `*`-group rule
+    * that NEVER matches the fixture's `/a/…` seed space (`/private`) —
+    * the rules parse has real work, the verdict is always allowed, and
+    * the oracle replays the gate as a constant. */
+  def syntheticSessionRobots(docs: DataFrame): DataFrame =
+    docs.select(col("source")).distinct()
+      .select(concat(col("source"), lit("-app.com")).as("domain"),
+        concat(lit("User-agent: *\nDisallow: /private\n\n"),
+          lit("Sitemap: https://"), col("source"),
+          lit("-app.com/sm-s.xml\n")).as("robots_txt"))
+
+  /** Sitemap corpus for the LEARNED discovery loop (round 20 — the r19
+    * verdict's #2 fixture: "a session variant of a cataloged target is
+    * NOT re-admitted"): per `<source>-app.com` domain ONE urlset
+    * (`/sm-s.xml`, declared by [[syntheticSessionRobots]]) whose
+    * seeds, ordered by doc_id, follow the session-stripe wheel —
+    * `?sess=s<id>` (session variant of page `id%5`), `?art=a<id>`
+    * (content selector), `?v=1` (boilerplate), and for the bare stripe
+    * a NOVEL page `/a/x<id%7>` (not in any catalog — the
+    * novel-learned-key-admitted-once path). Seeds are emitted
+    * pre-canonical so the oracle regenerates them closed-form; the
+    * per-domain body aggregates deterministically (sort by doc_id). */
+  def syntheticSessionSitemaps(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    // param/page wheels on the WITHIN-SOURCE index (the
+    // [[syntheticSessionUrls]] round-20 contract); the novel-page
+    // wheel keeps raw `id%7` (gcd(7,20)=1 — free within a source)
+    val g = floor(id / lit(20)).cast("long")
+    def m(k: Int): Column = pmod(g, lit(k))
+    val loc = concat(lit("  <url><loc>https://"), col("source"),
+      lit("-app.com/a/"),
+      when(m(4) === 3, concat(lit("x"), pmod(id, lit(7))))
+        .otherwise(concat(m(5),
+          when(m(4) === 0, concat(lit("?sess=s"), id))
+            .when(m(4) === 1, concat(lit("?art=a"), id))
+            .otherwise(lit("?v=1")))),
+      lit("</loc></url>\n"))
+    docs.select(col("source"),
+        struct(id.as("doc_id"), loc.as("_l")).as("_e"))
+      .groupBy("source")
+      .agg(array_join(transform(array_sort(collect_list(col("_e"))),
+        e => e("_l")), "").as("_body"))
+      .select(concat(col("source"), lit("-app.com")).as("domain"),
+        concat(lit("https://"), col("source"), lit("-app.com/sm-s.xml"))
+          .as("sitemap_url"),
+        concat(lit("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n<urlset>\n"),
+          col("_body"), lit("</urlset>\n")).cast("binary").as("content"))
+  }
+
   /** Decode the five XML character entities the sitemaps protocol
     * requires escaping inside `<loc>` (`&amp; &lt; &gt; &quot; &apos;`
     * — sitemaps.org, public; round-16 ADVICE: unescaped extraction
@@ -824,7 +876,8 @@ object Url {
   def crawlDiscover(robots: DataFrame, sitemaps: DataFrame,
                     blocked: Seq[String], catalog: DataFrame,
                     agent: String = "*",
-                    expectedDomains: Long = 0L): DataFrame = {
+                    expectedDomains: Long = 0L,
+                    policy: Option[DataFrame] = None): DataFrame = {
     val spark = robots.sparkSession
     import spark.implicits._
     val files = decodedSitemaps(sitemaps)
@@ -884,7 +937,26 @@ object Url {
       .join(domainFrameSide(rules, expectedDomains), Seq("_sd"), "left")
       .filter(coalesce(pmod(robotsBestEnc(col("_rules"),
         canonPathQuery(col("seed_canon"))), lit(2)) === 1, lit(true)))
-    // first-occurrence winner per canonical seed: min over the struct
+    // LEARNED novelty key (round 20 — the r19 verdict's #2, finishing
+    // r18 #2: with a param `policy` frame the sitemap loop keys its
+    // winner AND its novelty on the POLICY-STRIPPED canonical, so a
+    // session-id/boilerplate variant of a cataloged page is NOT
+    // re-enqueued — the crawl-trap axis bites at fetch time, and this
+    // loop IS the fetch scheduler's input. The policy probe reuses the
+    // already-derived `_sd` (strategy follows `expectedDomains`,
+    // [[domainFrameSide]]); `catalog` then carries `learned_canon`
+    // keys. Without a policy the key is the static canonical and the
+    // schema/semantics are round-17's exactly.
+    val keyed = policy match {
+      case Some(p) => gated
+        .join(domainFrameSide(p.select(col("domain").as("_sd"),
+          col("_drop")), expectedDomains), Seq("_sd"), "left")
+        .withColumn("_nov", when(col("_drop").isNull, col("seed_canon"))
+          .otherwise(graft.functions.StripParams(col("seed_canon"),
+            col("_drop"))))
+      case None => gated.withColumn("_nov", col("seed_canon"))
+    }
+    // first-occurrence winner per novelty key: min over the struct
     // orders by (sitemap, seed_idx) lexicographically — map-side
     // combinable, no per-key window sort. (String payload in the buffer
     // means SortAggregate, not HashAggregate — acceptable here: the
@@ -892,15 +964,19 @@ object Url {
     // BEFORE the exchange, which is the part that matters at scale;
     // the assignToCentroids long-encoding trick needs a numeric-only
     // winner and doesn't apply.)
-    val firsts = gated.groupBy("seed_canon")
+    val firsts = keyed.groupBy("_nov")
       .agg(min(struct(col("sitemap"), col("seed_idx"), col("domain"),
-        col("seed_url"))).as("_w"))
+        col("seed_url"), col("seed_canon"))).as("_w"))
       .select(col("_w.domain").as("domain"), col("_w.sitemap").as("sitemap"),
         col("_w.seed_idx").as("seed_idx"), col("_w.seed_url").as("seed_url"),
-        col("seed_canon"))
-    firsts
-      .join(catalog.select(col("url_canon").as("_cat")).hint("shuffle_hash"),
-        col("seed_canon") === col("_cat"), "left_anti")
+        col("_w.seed_canon").as("seed_canon"), col("_nov"))
+    val catKey = if (policy.isDefined) "learned_canon" else "url_canon"
+    val novel = firsts
+      .join(catalog.select(col(catKey).as("_cat")).hint("shuffle_hash"),
+        col("_nov") === col("_cat"), "left_anti")
+    if (policy.isDefined)
+      novel.withColumnRenamed("_nov", "seed_learned")
+    else novel.drop("_nov")
   }
 
   /** Canonicalized-URL exact dedup, first-occurrence-wins (the library-wide
@@ -990,8 +1066,10 @@ object Url {
     * [[paramPolicyCorroborated]] fixture: [[syntheticUrls]] has no
     * param whose value is unique-per-page CONTENT, so no oracle could
     * see the content-id collapse the corroboration rule prevents).
-    * One URL per doc on domain `<source>-app.com`, page identity
-    * `m5 = doc_id%5` (path `/a/<m5>`), param stripe by `m4 = doc_id%4`:
+    * One URL per doc on domain `<source>-app.com`, wheels keyed on the
+    * doc's WITHIN-SOURCE index `g = doc_id div 20` (round 20 — see the
+    * in-body comment: `doc_id%k` wheels are constant per source): page
+    * identity `m5 = g%5` (path `/a/<m5>`), param stripe by `m4 = g%4`:
     *  - m4=0: `?sess=s<doc_id>` — unique value per doc, content is the
     *    PAGE's (`fp = p<m5>`): the corroborated session shape, STRIP;
     *  - m4=1: `?art=a<doc_id>` — unique value per doc but the value
@@ -1005,7 +1083,17 @@ object Url {
     * closed-form. */
   def syntheticSessionUrls(docs: DataFrame): DataFrame = {
     val id = col("doc_id")
-    def m(k: Int): Column = pmod(id, lit(k))
+    // stripe wheel = the doc's index WITHIN its source (round 20): the
+    // documents table assigns source round-robin (`src{doc_id%20}`,
+    // the TESTDATA contract), so any `doc_id%k` wheel with gcd(k,20)>1
+    // is CONSTANT per source — the round-19 spelling's m4/m5 gave each
+    // `-app.com` domain exactly ONE param stripe and ONE page, so no
+    // domain ever saw sess AND art and the per-domain corroboration
+    // had nothing to corroborate. `id div 20` cycles freely within a
+    // source; the 10⁷ corpus offset stays transparent (500000 ≡ 0 mod
+    // 4, 5, and 2).
+    val g = floor(id / lit(20)).cast("long")
+    def m(k: Int): Column = pmod(g, lit(k))
     val scheme = when(m(2) === 0, lit("HTTPS")).otherwise(lit("https"))
     val query = when(m(4) === 0, concat(lit("?sess=s"), id))
       .when(m(4) === 1, concat(lit("?art=a"), id))

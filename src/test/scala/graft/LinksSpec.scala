@@ -598,4 +598,70 @@ class LinksSpec extends SparkSpec {
     assert(!rows.exists(_.getAs[String]("target_canon") ==
       "https://src0-site.com/p/1/child"))
   }
+
+  test("learned discovery loops: a session variant of a cataloged target " +
+    "is NOT re-admitted in linkDiscover, crawlDiscover, and " +
+    "linkDiscoverResolved; winner+anti-join share the learned key and " +
+    "the plan keeps the single shuffle-hash anti-join") {
+    import spark.implicits._
+    // ≥21 docs per source: a sess group only corroborates once TWO
+    // docs share (domain, page) — the within-source wheel repeats a
+    // (g%4, g%5) cell every 20 g's, so 25 docs/source gives every
+    // domain two sess docs on two pages (the registered corpus' scale)
+    val docs = spark.range(0, 500).select(col("id").as("doc_id"),
+      concat(lit("src"), pmod(col("id"), lit(20))).as("source"),
+      lit(40L).as("n_chars"))
+    val policy = graft.ops.Url.paramPolicyCorroborated(
+      graft.ops.Url.syntheticCorpusUrls(docs))
+    val robots = graft.ops.Url.syntheticSessionRobots(docs)
+    // catalog: every domain's page-identity keys 0..4 (what an earlier
+    // batch admitted) — the sess/v variants in this batch must fold
+    // onto these and drop
+    val catalog = docs.select(col("source")).distinct()
+      .select(explode(sequence(lit(0), lit(4))).as("_p"), col("source"))
+      .select(concat(lit("https://"), col("source"), lit("-app.com/a/"),
+        col("_p")).as("learned_canon"))
+    val pages = Links.syntheticSessionLinkPages(docs)
+
+    val ld = Links.linkDiscover(pages, Nil, robots, catalog,
+      policy = Some(policy))
+    val p = plan(ld)
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+    assert(p.contains("ShuffledHashJoin") && p.contains("LeftAnti"),
+      s"catalog anti-join not shuffle-hash:\n$p")
+    val ldRows = ld.collect()
+    assert(ldRows.nonEmpty)
+    // every sess/v link folded onto a cataloged page key -> dropped;
+    // content (?art=) links each survive as their own learned key
+    assert(!ldRows.exists(_.getAs[String]("target_learned")
+      .contains("sess=")))
+    assert(!ldRows.exists(r => (0 to 4).map(i =>
+      s"https://src1-app.com/a/$i").contains(
+        r.getAs[String]("target_learned"))))
+    assert(ldRows.exists(_.getAs[String]("target_learned").contains("art=")))
+
+    val cd = graft.ops.Url.crawlDiscover(robots,
+      graft.ops.Url.syntheticSessionSitemaps(docs), Nil, catalog,
+      policy = Some(policy))
+    val cdRows = cd.collect()
+    assert(cdRows.nonEmpty)
+    assert(!cdRows.exists(r => {
+      val k = r.getAs[String]("seed_learned")
+      k.contains("sess=") || k.contains("v=1") ||
+        (0 to 4).exists(i => k == s"https://src1-app.com/a/$i")
+    }))
+    assert(cdRows.exists(_.getAs[String]("seed_learned").contains("art=")))
+
+    val lr = Links.linkDiscoverResolved(pages, Nil, robots, catalog,
+      Links.syntheticSessionRedirects(docs), policy = Some(policy))
+    val lrRows = lr.collect()
+    assert(lrRows.nonEmpty)
+    // a stub redirecting onto a session variant of a cataloged page
+    // folds onto the page's learned key -> dropped; stubs redirecting
+    // to genuinely novel /a/y pages are admitted with hops=1
+    assert(!lrRows.exists(_.getAs[String]("final_learned")
+      .contains("sess=")))
+    assert(lrRows.exists(r => r.getAs[String]("final_learned")
+      .contains("/a/y") && r.getAs[Long]("hops") == 1L))
+  }
 }
