@@ -945,6 +945,23 @@ object SparkEntry {
         RawGen.derived(s, dir, "link_catalog"))
       .orderBy("domain", "priority")
 
+  /** Authority-weighted frontier scheduling (round 20 — r19 verdict
+    * #3: `host_pagerank` consumed): each domain's queue orders by the
+    * summed PageRank of the CROSS-DOMAIN endorsing hosts before the
+    * anchor-count tiebreaks — one hub link outranks many obscure
+    * ones. The rank is recomputed here from the same corpus (in
+    * production it is a periodically-refreshed static table); see
+    * [[graft.ops.Links.frontierRankAuthority]]. */
+  private def frontierAuthorityRankQ(s: SparkSession, dir: String): DataFrame = {
+    val pages = linkedPages(s, dir)
+    val rank = graft.ops.Graph.pageRank(
+      graft.ops.Links.hostGraph(graft.ops.Links.linkExtract(pages)))
+    graft.ops.Links.frontierRankAuthority(pages, crawlBlockedDomains,
+        RawGen.derived(s, dir, "robots"),
+        RawGen.derived(s, dir, "link_catalog"), rank)
+      .orderBy("domain", "priority")
+  }
+
   /** Canonical-declaration-aware dedup (round 18): URL gate + exact
     * dedup keyed on coalesce(canonical_canon, url_canon) — the
     * page-declared canonical collapses parameter/subdomain variants
@@ -2435,6 +2452,7 @@ object SparkEntry {
     "link_discover_learned" -> (linkDiscoverLearnedQ _),
     "link_discover_resolved_learned" -> (linkDiscoverResolvedLearnedQ _),
     "frontier_anchor_rank" -> (frontierAnchorRankQ _),
+    "frontier_authority_rank" -> (frontierAuthorityRankQ _),
     "dedup_canonical" -> (dedupCanonicalQ _),
     "anchor_endorsed_curate" -> (anchorCurateQ _),
     "ccnet_buckets" -> (ccnetBucketsQ _),
@@ -3537,7 +3555,10 @@ object SparkEntry {
     * semantics) over whatever CTE named `e(src, dst)` the caller
     * splices upstream — one definition for the co-purchase graph and
     * the link-layer host graph. */
-  private def pageRankIterSql(iters: Int): String = {
+  /** The unroll's CTE body alone (ends at `r$iters (node, pr, odeg)`)
+    * — splicable into larger chains (round 20: the authority-weighted
+    * frontier consumes the rank mid-query). */
+  private def pageRankIterCtes(iters: Int): String = {
     val parts = scala.collection.mutable.ArrayBuffer[String](
       "n AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
       "od AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS odeg FROM e GROUP BY 1)",
@@ -3550,8 +3571,11 @@ object SparkEntry {
         s"CAST(150000 + (85 * COALESCE(c.insum, 0)) // 100 AS BIGINT) AS pr, " +
         s"r.odeg FROM r$i r LEFT JOIN c$i c USING (node))"
     }
-    s"${parts.mkString(",\n")}\nSELECT node, pr FROM r$iters ORDER BY node"
+    parts.mkString(",\n")
   }
+
+  private def pageRankIterSql(iters: Int): String =
+    s"${pageRankIterCtes(iters)}\nSELECT node, pr FROM r$iters ORDER BY node"
 
   private val pageRankSql =
     "WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk, l_linenumber AS ln FROM lineitem),\n" +
@@ -5425,6 +5449,39 @@ object SparkEntry {
     |FROM novel n JOIN aagg a USING (target_canon)
     |ORDER BY domain, priority""".stripMargin
 
+  /** Authority-weighted frontier replay ([[graft.ops.Links
+    * .frontierRankAuthority]]): the anchor-rank chain plus the host
+    * graph's integer PageRank (the SHARED [[pageRankIterCtes]] body —
+    * host_pagerank's exact semantics), authority = Σ pr(src domain)
+    * over CROSS-DOMAIN follow in-links (internal links endorse
+    * nothing; a src host off the rank table contributes 0 — here the
+    * rank covers every linking host by construction), ordered
+    * authority-first within each target domain's queue. */
+  private val frontierAuthorityRankSql = linkDiscoverCtes + ",\n" +
+    linkEdgeCte + ",\n" + pageRankIterCtes(3) + """,
+    | novel AS (SELECT * FROM lfirst
+    |  WHERE target_canon NOT IN (SELECT target_canon FROM lcat)),
+    | asrc AS (SELECT lx.target_canon, lx.target_domain, lx.nofollow,
+    |    lx.doc_id, lx.link_idx, lx.anchor, d.domain AS srcd
+    |  FROM lx JOIN d ON d.doc_id = lx.doc_id),
+    | aagg AS (SELECT asrc.target_canon,
+    |    CAST(sum(CASE WHEN NOT asrc.nofollow
+    |        AND asrc.srcd <> asrc.target_domain
+    |      THEN COALESCE(r.pr, 0) ELSE 0 END) AS BIGINT) AS authority,
+    |    CAST(sum(CASE WHEN NOT asrc.nofollow THEN 1 ELSE 0 END)
+    |      AS BIGINT) AS n_follow,
+    |    CAST(count(DISTINCT asrc.doc_id) AS BIGINT) AS n_src_docs,
+    |    first(asrc.anchor ORDER BY asrc.doc_id, asrc.link_idx)
+    |      AS first_anchor
+    |  FROM asrc LEFT JOIN r3 r ON r.node = asrc.srcd GROUP BY 1)
+    |SELECT n.tdomain AS domain, n.target_canon, n.target_url,
+    |  a.authority, a.n_follow, a.n_src_docs, a.first_anchor,
+    |  CAST(row_number() OVER (PARTITION BY n.tdomain
+    |    ORDER BY a.authority DESC, a.n_follow DESC, a.n_src_docs DESC,
+    |      n.target_canon) AS BIGINT) AS priority
+    |FROM novel n JOIN aagg a USING (target_canon)
+    |ORDER BY domain, priority""".stripMargin
+
   /** Meta-refresh replay: the expected extraction regenerated from the
     * fixture arithmetic (every 9th doc, minus the url-less self-reload
     * stripe), resolved against the base chain's s6 parts. */
@@ -6218,6 +6275,7 @@ object SparkEntry {
     "frontier_anchor_rank" -> frontierAnchorRankSql,
     "dedup_canonical" -> dedupCanonicalSql,
     "anchor_endorsed_curate" -> anchorCurateSql,
+    "frontier_authority_rank" -> frontierAuthorityRankSql,
     "ccnet_buckets" -> ccnetBucketsSql,
     "q_merge_upsert" -> qMergeUpsertSql,
     "q_merge_tombstone" -> qMergeTombstoneSql,
