@@ -1733,19 +1733,35 @@ object SparkEntry {
     * first-occurrence among canonical winners — so a spam or
     * blocklisted page can never claim the canonical slot of a clean
     * duplicate. Per-doc booleans for every stage keep the whole
-    * pipeline hash-checkable; downstream selects `final_keep`. */
+    * pipeline hash-checkable; downstream selects `final_keep`.
+    * Round 20 (r19 verdict #8): the ANCHOR-ENDORSEMENT rescue is
+    * composed in — a page failing the CONTENT gates (page/repetition)
+    * but carrying ≥3 cross-page follow in-links on its own canonical
+    * URL survives as `rescued` (the [[graft.ops.Links
+    * .anchorEndorsedCurate]] rule, now exercised end-to-end: the
+    * off-page signal reaches the KEPT corpus through the full chain,
+    * and rescued pages enter the same two-stage dedup). URL and
+    * robots admission still gate absolutely — endorsement cannot
+    * resurrect a blocked or disallowed fetch. */
   private def crawlCurateE2eQ(s: SparkSession, dir: String): DataFrame =
     crawlCuratePipeline(curatePages(s, dir),
-      RawGen.derived(s, dir, "robots"))
+      RawGen.derived(s, dir, "robots"),
+      graft.ops.Links.syntheticEndorseLinks(
+        RawGen.table(s, dir, "documents")))
 
   /** The URL-gate → C4-gate → extraction → repetition-gate →
-    * two-stage-dedup verdict pipeline over ONE `(doc_id, html, url)`
-    * frame — shared by the direct crawl query and the WARC-sourced
-    * variant (whose parse round-trip must land on the identical
-    * verdicts: same oracle; its URLs come from the parsed
-    * `WARC-Target-URI`, so the gate exercises the round-tripped URL). */
+    * endorsement-rescue → two-stage-dedup verdict pipeline over ONE
+    * `(doc_id, html, url)` frame — shared by the direct crawl query
+    * and the WARC-sourced variant (whose parse round-trip must land on
+    * the identical verdicts: same oracle; its URLs come from the
+    * parsed `WARC-Target-URI`, so the gate exercises the round-tripped
+    * URL). `endorse` is a link frame `(doc_id, link_idx, target_canon,
+    * anchor, nofollow)` — the off-page endorsement source, aggregated
+    * ONCE per target canonical (map-side combinable) and joined on the
+    * page's own canonical URL (already computed by the gate scan). */
   private def crawlCuratePipeline(pagesIn: DataFrame,
-                                  robots: DataFrame): DataFrame = {
+                                  robots: DataFrame,
+                                  endorse: DataFrame): DataFrame = {
     import graft.ops.{Extract, Gopher}
     val raw = pagesIn.select(col("doc_id"), col("html"))
     val urls = pagesIn.select(col("doc_id"), col("url"))
@@ -1790,22 +1806,37 @@ object SparkEntry {
     val sig = Gopher.repetitionSignals(
         text.withColumnRenamed("text_clean", "text"))
       .select(col("doc_id"), (col("top2gram_char_frac") <= 0.2).as("rep_ok"))
+    // round 20 (r19 verdict #8): the endorsement aggregate — one
+    // hash-agg on the target canonical (map-side combinable), probed
+    // on the page's OWN canonical URL (a column the gate scan already
+    // carries — no re-canonicalization, no doc_id self-join)
+    val ea = endorse.filter(!col("nofollow"))
+      .groupBy(col("target_canon").as("url_canon"))
+      .agg(count(lit(1)).cast("long").as("_nf"))
     val joined = urlOk.join(robotsOk, "doc_id").join(pages, "doc_id")
       .join(text, "doc_id").join(sig, "doc_id")
+      .join(ea, Seq("url_canon"), "left")
       // round 16: the dedup key normalizes FIRST (NFC + typographic fold
       // + whitespace collapse) — without it, composed/decomposed byte
       // forms of the same visible page hash apart and both survive
       // "exact" dedup (the round-15 VERDICT: the normalizer shipped but
       // no dedup path ran it); oracle replays via normSqlOf
       .withColumn("_h", md5(TextAnalysis.normalizeExpr(col("text_clean"))))
+      // rescue rule (anchorEndorsedCurate's, composed): content gates
+      // pass OR ≥3 follow endorsements; URL+robots admission is
+      // absolute — endorsement cannot resurrect a forbidden fetch
+      .withColumn("_endorsed", coalesce(col("_nf"), lit(0L)) >= 3L)
+      .withColumn("_eligible", col("url_ok") && col("robots_ok") &&
+        ((col("page_keep") && col("rep_ok")) || col("_endorsed")))
     // round 19: dedup is TWO stages, cheapest collapse first — (1) the
     // canonical-declaration key (folds the variants content hashing
     // keeps apart), then (2) the content hash among canonical winners
     // (folds byte-duplicate pages with no declaration). Both windows
-    // partition page-identity-cardinality keys (~n).
+    // partition page-identity-cardinality keys (~n). Rescued pages
+    // enter the same windows: an endorsed duplicate must not survive
+    // twice.
     val firsts = joined
-      .filter(col("url_ok") && col("robots_ok") && col("page_keep") &&
-        col("rep_ok"))
+      .filter(col("_eligible"))
       .withColumn("_crn", row_number().over(
         Window.partitionBy("dedup_key").orderBy("doc_id")))
       .filter(col("_crn") === 1)
@@ -1816,10 +1847,11 @@ object SparkEntry {
     joined.join(firsts, Seq("doc_id"), "left")
       .select(col("doc_id"), col("url_ok"), col("robots_ok"),
         col("page_keep"), col("rep_ok"), col("declared"),
+        (col("_eligible") && !(col("page_keep") && col("rep_ok")))
+          .as("rescued"),
         coalesce(col("canon_first"), lit(false)).as("canon_first"),
         coalesce(col("dedup_first"), lit(false)).as("dedup_first"),
-        (col("url_ok") && col("robots_ok") && col("page_keep") &&
-          col("rep_ok") &&
+        (col("_eligible") &&
           coalesce(col("dedup_first"), lit(false))).as("final_keep"))
       .orderBy("doc_id")
   }
@@ -1895,7 +1927,9 @@ object SparkEntry {
     crawlCuratePipeline(
       parsed.select(col("doc_id"), col("html"),
         col("target_uri").as("url")),
-      RawGen.derived(s, dir, "robots"))
+      RawGen.derived(s, dir, "robots"),
+      graft.ops.Links.syntheticEndorseLinks(
+        RawGen.table(s, dir, "documents")))
   }
 
   private def urlDedupQ(s: SparkSession, dir: String): DataFrame =
@@ -3805,20 +3839,31 @@ object SparkEntry {
     // relCanonical path)
     "dcl AS (SELECT doc_id, 'https://' || domain || '/c/' || (doc_id%13) " +
     "AS canonical_canon FROM ug WHERE doc_id%7 = 0),\n" +
+    // round 20 (r19 verdict #8): the endorsement aggregate — the
+    // syntheticEndorseLinks fixture regenerated (one follow link per
+    // non-head doc at its block head, nofollow on doc%4=0), counted
+    // per the HEAD's canonical URL; probed on each page's own canon
+    "eel AS (SELECT doc_id - doc_id%10 AS tgt, doc_id%4 = 0 AS nof " +
+    "FROM documents WHERE doc_id%10 <> 0),\n" +
+    "eea AS (SELECT d2.url_canon AS ukey, CAST(count(*) AS BIGINT) AS nf " +
+    "FROM eel JOIN d d2 ON d2.doc_id = eel.tgt WHERE NOT nof GROUP BY 1),\n" +
     // round 16: the dedup hash normalizes first — normSqlOf is the
     // DuckDB replay of TextAnalysis.normalizeExpr (single-line splice)
-    s"j AS (SELECT gt.doc_id, ug.scheme_ok AND ug.domain_ok AS url_ok, rg.robots_ok, gt.page_keep, top2 <= 0.2 AS rep_ok, dcl.canonical_canon IS NOT NULL AS declared, COALESCE(dcl.canonical_canon, ug.url_canon) AS dedup_key, md5(${normSqlOf("text_clean")}) AS h FROM gt JOIN ug ON gt.doc_id = ug.doc_id JOIN rg ON gt.doc_id = rg.doc_id LEFT JOIN dcl ON gt.doc_id = dcl.doc_id),\n" +
-    // round 19: dedup is TWO stages — canonical-declaration key first
-    // (folds variants whose text differs), content hash among the
-    // canonical winners second
-    """pc AS (SELECT doc_id, h, row_number() OVER (PARTITION BY dedup_key ORDER BY doc_id) AS crn FROM j WHERE url_ok AND robots_ok AND page_keep AND rep_ok),
+    s"j AS (SELECT gt.doc_id, ug.scheme_ok AND ug.domain_ok AS url_ok, rg.robots_ok, gt.page_keep, top2 <= 0.2 AS rep_ok, dcl.canonical_canon IS NOT NULL AS declared, COALESCE(dcl.canonical_canon, ug.url_canon) AS dedup_key, md5(${normSqlOf("text_clean")}) AS h, COALESCE(eea.nf, 0) >= 3 AS endorsed FROM gt JOIN ug ON gt.doc_id = ug.doc_id JOIN rg ON gt.doc_id = rg.doc_id LEFT JOIN dcl ON gt.doc_id = dcl.doc_id LEFT JOIN eea ON eea.ukey = ug.url_canon),\n" +
+    // eligible = admission gates absolute, content gates OR the
+    // endorsement rescue (round 20); dedup stages unchanged — rescued
+    // pages enter the same two windows
+    """j2 AS (SELECT *, url_ok AND robots_ok AND
+      |  ((page_keep AND rep_ok) OR endorsed) AS eligible FROM j),
+      |pc AS (SELECT doc_id, h, row_number() OVER (PARTITION BY dedup_key ORDER BY doc_id) AS crn FROM j2 WHERE eligible),
       |p AS (SELECT doc_id, row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn FROM pc WHERE crn = 1)
-      |SELECT j.doc_id, j.url_ok, j.robots_ok, j.page_keep, j.rep_ok, j.declared,
+      |SELECT j2.doc_id, j2.url_ok, j2.robots_ok, j2.page_keep, j2.rep_ok, j2.declared,
+      |  j2.eligible AND NOT (j2.page_keep AND j2.rep_ok) AS rescued,
       |  COALESCE(pc.crn = 1, false) AS canon_first,
       |  COALESCE(p.rn = 1, false) AS dedup_first,
-      |  j.url_ok AND j.robots_ok AND j.page_keep AND j.rep_ok AND COALESCE(p.rn = 1, false) AS final_keep
-      |FROM j LEFT JOIN pc ON j.doc_id = pc.doc_id
-      |  LEFT JOIN p ON j.doc_id = p.doc_id ORDER BY j.doc_id""".stripMargin
+      |  j2.eligible AND COALESCE(p.rn = 1, false) AS final_keep
+      |FROM j2 LEFT JOIN pc ON j2.doc_id = pc.doc_id
+      |  LEFT JOIN p ON j2.doc_id = p.doc_id ORDER BY j2.doc_id""".stripMargin
 
 
   // Zone-map pruning comparison: same grid/interleave arithmetic as

@@ -901,7 +901,12 @@ object Links {
       .select(col(idCol),
         (col("_scheme_ok") && col("_blocked").isNull).as("url_ok"),
         col("canonical_canon").isNotNull.as("declared"),
-        coalesce(col("canonical_canon"), col("_base")).as("dedup_key"))
+        coalesce(col("canonical_canon"), col("_base")).as("dedup_key"),
+        // the page's OWN canonical URL rides along (round 20): the
+        // endorsement join in the curate e2e keys on it, and it is
+        // already computed here — re-deriving it downstream would
+        // re-inline the canonicalize tree
+        col("_base").as("url_canon"))
   }
 
   /** One micro-batch of [[canonicalDedup]] against an accumulated key

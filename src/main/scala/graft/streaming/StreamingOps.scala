@@ -807,4 +807,32 @@ object StreamingOps {
       },
       catalogProj = (sig, _) =>
         sig.select(col("target_canon").as("url_canon")))
+
+  /** Streaming LEARNED-KEY frontier (round 20 — the r19 verdict's #7,
+    * completing the learned family's streaming form): each micro-batch
+    * of discovered `(doc_id, url)` rows emits only the rows whose
+    * POLICY-STRIPPED canonical no earlier batch admitted
+    * ([[graft.ops.Url.urlFrontierLearnedIncrement]] per epoch — the
+    * intra-batch winner and the catalog anti-join share the learned
+    * key, zero stream-side exchange). The catalog carries ONE
+    * learned-canonical string per admitted page identity, under the
+    * family's idempotent per-batch partition layout; `policy` is the
+    * corroborated per-domain strip table — re-learned offline in
+    * production, a static input to the stream. Parity (StreamingSpec
+    * pins): ascending doc_id arrival reproduces the batch increment's
+    * keeper set — session variants of an admitted page are NOT
+    * re-admitted in any later epoch; idempotent epoch retry. */
+  def urlFrontierLearnedStream(urls: DataFrame, catalogDir: String,
+                               outDir: String, checkpointDir: String,
+                               policy: DataFrame,
+                               expectedDomains: Long = 0L): StreamingQuery =
+    catalogStream(urls, catalogDir, outDir, checkpointDir,
+      emptyCatalog = s => s.range(0)
+        .select(lit(null).cast("string").as("learned_canon")),
+      increment = (batch, catalog) => {
+        val novel = graft.ops.Url.urlFrontierLearnedIncrement(
+          batch, catalog, policy, expectedDomains).localCheckpoint()
+        (novel, novel)
+      },
+      catalogProj = (sig, _) => sig.select(col("learned_canon")))
 }

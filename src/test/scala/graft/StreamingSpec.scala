@@ -831,6 +831,64 @@ class StreamingSpec extends SparkSpec {
       (50L, "http://x.ex.com/dup"))) // 50 arrived first: crowned; 1 dropped
   }
 
+  test("streaming LEARNED-KEY frontier over micro-batches: ascending " +
+    "arrival admits exactly the batch increment's keeper set — a later " +
+    "epoch's session variant of an admitted page is NOT re-admitted; " +
+    "idempotent epoch retry leaves output and catalog byte-identical") {
+    import spark.implicits._
+    // sid is the learned strip param; (i%3, i%5) page identities recur
+    // across epochs under FRESH sid values — the crawl-trap arrival
+    // shape the learned key exists for (static canonicals never repeat)
+    val raw = (0L until 60L).map(i =>
+      (i, s"http://h${i % 3}.ex.com/p/${i % 5}?sid=s$i"))
+    val policy = Seq(("ex.com", Seq("sid"))).toDF("domain", "_drop")
+    val dir = java.nio.file.Files.createTempDirectory("urlflearn").toString
+    val stream = MemoryStream[(Long, String)](spark)
+    val q = StreamingOps.urlFrontierLearnedStream(
+      stream.toDF().toDF("doc_id", "url"),
+      s"$dir/catalog", s"$dir/out", s"$dir/ckpt", policy)
+    raw.grouped(20).foreach { chunk =>
+      stream.addData(chunk: _*); q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = StreamingOps.readBatched(spark, s"$dir/out")
+      .select("doc_id", "url_canon", "learned_canon").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .sortBy(_._1).toSeq
+    val emptyCat = spark.range(0)
+      .select(lit(null).cast("string").as("learned_canon"))
+    val expected = graft.ops.Url.urlFrontierLearnedIncrement(
+        raw.toDF("doc_id", "url"), emptyCat, policy)
+      .select("doc_id", "url_canon", "learned_canon").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .sortBy(_._1).toSeq
+    assert(streamed === expected)
+    assert(streamed.size === 15) // 3 hosts x 5 pages — every sid folded
+    // ids 0..14 already cover all 15 page identities, so every later
+    // epoch's fresh-sid variants of admitted pages must emit NOTHING
+    assert(streamed.map(_._1).max < 15L)
+    val cat = StreamingOps.readBatched(spark, s"$dir/catalog")
+    assert(cat.count() === 15)
+    assert(cat.select("learned_canon").distinct().count() === 15)
+    // retry semantics (foreachBatch is at-least-once): re-run the LAST
+    // epoch against its pre-batch catalog view, overwrite its
+    // partitions — output/catalog must not change
+    val lastChunk = raw.grouped(20).toSeq.last.toDF("doc_id", "url")
+    val preCat = StreamingOps.readBatched(spark, s"$dir/catalog", Some(2L))
+      .select("learned_canon")
+    val novel = graft.ops.Url.urlFrontierLearnedIncrement(
+      lastChunk, preCat, policy)
+    novel.write.mode("overwrite").parquet(s"$dir/out/batch=2")
+    novel.select("learned_canon").write.mode("overwrite")
+      .parquet(s"$dir/catalog/batch=2")
+    val retried = StreamingOps.readBatched(spark, s"$dir/out")
+      .select("doc_id", "url_canon", "learned_canon").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .sortBy(_._1).toSeq
+    assert(retried === expected)
+    assert(StreamingOps.readBatched(spark, s"$dir/catalog").count() === 15)
+  }
+
   test("incremental semantic dedup over micro-batches == batch semanticDedup") {
     import spark.implicits._
     import graft.ops.Similarity
