@@ -4940,7 +4940,7 @@ object SparkEntry {
       | s5 AS (SELECT doc_id, n_chars, scheme, rawq, rawpath,
       |    regexp_replace(lower(split_part(hostport, ':', 1)), '^www\.', '') AS host,
       |    CASE WHEN contains(hostport, ':') THEN split_part(hostport, ':', 2) ELSE '' END AS port FROM s4),
-      | s6 AS (SELECT doc_id, n_chars, scheme, host,
+      | s6 AS MATERIALIZED (SELECT doc_id, n_chars, scheme, host,
       |    CASE WHEN port='' OR (scheme='http' AND port='80') OR (scheme='https' AND port='443')
       |      THEN '' ELSE ':' || port END AS keptport,
       |    CASE WHEN rawpath='' THEN '/'
@@ -4949,7 +4949,7 @@ object SparkEntry {
       |    list_filter(string_split(rawq, '&'), x -> x <> ''
       |      AND NOT starts_with(split_part(x, '=', 1), 'utm_')
       |      AND split_part(x, '=', 1) NOT IN ('fbclid','gclid')) AS ps FROM s5),
-      | cc AS (SELECT doc_id, n_chars,
+      | cc AS MATERIALIZED (SELECT doc_id, n_chars,
       |    scheme || '://' || host || keptport || canonpath ||
       |    (CASE WHEN len(ps) > 0 THEN '?' || array_to_string(list_sort(ps), '&') ELSE '' END) AS url_canon
       |  FROM s6),
@@ -4960,7 +4960,7 @@ object SparkEntry {
       |    regexp_extract(bare, '([^.]+\.[^.]+)$', 1) AS psl2,
       |    regexp_extract(bare, '([^.]+\.[^.]+\.[^.]+)$', 1) AS psl3,
       |    regexp_extract(bare, '([^.]+\.[^.]+\.[^.]+\.[^.]+)$', 1) AS psl4 FROM dh0),
-      | d AS (SELECT doc_id, n_chars, url_canon,
+      | d AS MATERIALIZED (SELECT doc_id, n_chars, url_canon,
       |    CASE WHEN psl3 IN PSL_EXC3_LIST THEN psl3
       |      WHEN psl2 IN PSL_EXC2_LIST THEN psl2
       |      WHEN psl2 IN PSL_WILD2_LIST THEN (CASE WHEN psl4 = '' THEN bare ELSE psl4 END)
@@ -5780,13 +5780,13 @@ object SparkEntry {
       |    sum(CASE WHEN nv > 1 THEN 1 ELSE 0 END) > 0 AND
       |    sum(CASE WHEN nv > 1 AND nfp > 1 THEN 1 ELSE 0 END) = 0 AS corrob
       |  FROM lg1 GROUP BY 1, 2),
-      | lpol AS (SELECT p.domain, list(p.param) AS drops
+      | lpol AS MATERIALIZED (SELECT p.domain, list(p.param) AS drops
       |  FROM lpstat p LEFT JOIN lg2 USING (domain, param)
       |  WHERE p.n_urls >= 2 AND (p.n_vals = 1 OR
       |    (p.n_vals > 1 AND p.n_vals*2 >= p.n_urls
       |     AND coalesce(corrob, FALSE)))
       |  GROUP BY 1),
-      | llck AS (SELECT doc_id, url_canon,
+      | llck AS MATERIALIZED (SELECT doc_id, url_canon,
       |    pathpart || (CASE WHEN len(keep_ps) > 0
       |      THEN '?' || array_to_string(keep_ps, '&') ELSE '' END)
       |      AS learned_canon

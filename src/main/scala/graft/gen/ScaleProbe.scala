@@ -603,6 +603,51 @@ object ScaleProbe {
       graft.ops.Links.anchorEndorsedCurate(adoc1, alink1),
       graft.ops.Links.anchorEndorsedCurate(adoc10, alink10))
 
+    // round 20: the corroborated learn on the param-vocab megadomain —
+    // the extra (domain, param, stripped-key) aggregation must stay
+    // bounded by kv rows even at a 10^5 vocabulary (fp is page-keyed,
+    // so every high-card param corroborates — the worst case for the
+    // corroboration agg's group count)
+    val pvf1 = pv1.withColumn("fp",
+      concat(lit("p"), pmod(col("doc_id"), lit(97)))).persist()
+    val pvf10 = pv10.withColumn("fp",
+      concat(lit("p"), pmod(col("doc_id"), lit(97)))).persist()
+    println(s"[probe] corroborated urls ${pvf1.count()} / ${pvf10.count()}")
+    pair("param_vocab_corroborated",
+      graft.ops.Url.paramPolicyDedupCorroborated(pvf1),
+      graft.ops.Url.paramPolicyDedupCorroborated(pvf10))
+
+    // round 20: the learned discovery loops at 10x pages under a STATIC
+    // policy/rank (the production shape — both are periodically
+    // refreshed offline); catalog constant, |domains| constant
+    val slp1 = graft.ops.Links.syntheticSessionLinkPages(docs1).persist()
+    val slp10 = graft.ops.Links.syntheticSessionLinkPages(docs10).persist()
+    val srob = graft.ops.Url.syntheticSessionRobots(docs1).persist()
+    val spol = graft.ops.Url.paramPolicyCorroborated(
+      graft.ops.Url.syntheticCorpusUrls(docs1)).persist()
+    val scat = docs1.select(col("source")).distinct()
+      .select(explode(sequence(lit(0), lit(4))).as("_p"), col("source"))
+      .select(concat(lit("https://"), col("source"), lit("-app.com/a/"),
+        col("_p")).as("learned_canon")).persist()
+    println(s"[probe] learned pages ${slp1.count()} / ${slp10.count()}, " +
+      s"policy ${spol.count()}, catalog ${scat.count()}")
+    pair("link_discover_learned_pages",
+      graft.ops.Links.linkDiscover(slp1, Nil, srob, scat,
+        policy = Some(spol)),
+      graft.ops.Links.linkDiscover(slp10, Nil, srob, scat,
+        policy = Some(spol)))
+    // round 20: authority-weighted frontier at 10x pages — the rank
+    // probe is one more |domains|-frame join on the src domain; the
+    // rank table itself is static (refreshed offline)
+    val hrank = graft.ops.Graph.pageRank(graft.ops.Links.hostGraph(
+      graft.ops.Links.linkExtract(pages1))).persist()
+    println(s"[probe] host rank nodes ${hrank.count()}")
+    pair("frontier_authority_pages",
+      graft.ops.Links.frontierRankAuthority(pages1, Seq("blocked.invalid"),
+        lrob1, seedCat, hrank),
+      graft.ops.Links.frontierRankAuthority(pages10, Seq("blocked.invalid"),
+        lrob10, seedCat, hrank))
+
     only.foreach { keep =>
       if (probed == 0) System.err.println(
         s"[probe] SPARK_GRAFT_PROBE_ONLY matched no pair: ${keep.mkString(", ")}")
