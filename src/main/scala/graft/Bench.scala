@@ -45,6 +45,23 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // Round 20 (guide §1.2 step 3, measured first): the Janino
+      // generated-class cache defaults to 100 entries — a 185-query
+      // registry (and single queries with 200+ codegen units) thrash it
+      // completely, so every timed sample re-compiles and re-JITs code
+      // the warm pass already built (measured: 1822 → 754 compiles for
+      // 15 query runs at 20k entries; scale-independent — any driver
+      // running many queries benefits identically, nothing here depends
+      // on local core count). Parameterized with a production-sane
+      // default; entries are weak-ref'd class handles, not data.
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "20000"))
+      // Codegen class names embed a per-query stage id by default, which
+      // keys otherwise-identical generated sources to their query —
+      // disabling the debug aid lets structurally-identical stages from
+      // different queries share one compiled class (same knob production
+      // multi-query drivers use; execution semantics unchanged).
+      .config("spark.sql.codegen.useIdInClassName", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warmup (untimed): first Spark query in a JVM pays ~10 s of Janino /
