@@ -23,14 +23,33 @@ object Profile {
     @volatile var stages = 0
     @volatile var tasks = 0
     @volatile var taskTimeMs = 0L
+    val perStage = new java.util.concurrent.ConcurrentHashMap[Int, (String, Int, Long)]()
+    private val stageTime = new java.util.concurrent.ConcurrentHashMap[Int, java.util.concurrent.atomic.AtomicLong]()
     override def onJobStart(j: SparkListenerJobStart): Unit = jobs += 1
     override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
       stages += 1
       tasks += s.stageInfo.numTasks
+      val t = Option(stageTime.get(s.stageInfo.stageId)).map(_.get).getOrElse(0L)
+      perStage.put(s.stageInfo.stageId,
+        (s.stageInfo.name.takeWhile(_ != '\n').take(90), s.stageInfo.numTasks, t))
     }
     override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
-      if (t.taskMetrics != null) taskTimeMs += t.taskMetrics.executorRunTime
-    def reset(): Unit = { jobs = 0; stages = 0; tasks = 0; taskTimeMs = 0L }
+      if (t.taskMetrics != null) {
+        taskTimeMs += t.taskMetrics.executorRunTime
+        stageTime.computeIfAbsent(t.stageId,
+          _ => new java.util.concurrent.atomic.AtomicLong)
+          .addAndGet(t.taskMetrics.executorRunTime)
+      }
+    def reset(): Unit = {
+      jobs = 0; stages = 0; tasks = 0; taskTimeMs = 0L
+      perStage.clear(); stageTime.clear()
+    }
+    def topStages(n: Int): Seq[String] = {
+      import scala.jdk.CollectionConverters._
+      perStage.asScala.toSeq.sortBy(-_._2._3).take(n).map {
+        case (id, (name, nt, tt)) => f"    stage $id%4d ${tt / 1000.0}%8.1fs tasks=$nt%4d $name"
+      }
+    }
   }
 
   private def codegenStats(): (Long, Double) = {
@@ -48,6 +67,12 @@ object Profile {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // keep the measurement session identical to Bench's (round 20):
+      // profiling against a thrashing codegen cache would charge every
+      // query a re-compile Bench no longer pays
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "20000"))
+      .config("spark.sql.codegen.useIdInClassName", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val counts = new Counts
@@ -99,6 +124,9 @@ object Profile {
           f"taskTime=${tt1 / 1000.0}%7.1fs " +
           f"cgN1=${cg1n - cg0n}%3d cgMs1=${cg1ms - cg0ms}%7.0f " +
           f"cgN2=${cg2n - cg1n}%3d cgMs2=${cg2ms - cg1ms}%7.0f")
+        if (sys.env.get("SPARK_GRAFT_PROFILE_STAGES").exists(_.nonEmpty))
+          counts.topStages(sys.env("SPARK_GRAFT_PROFILE_STAGES").toInt)
+            .foreach(println)
       } catch {
         case t: Throwable if NonFatal(t) || t.isInstanceOf[StackOverflowError] =>
           println(s"[profile] $name FAILED: ${t.getMessage}")

@@ -593,6 +593,78 @@ object Similarity {
     * aggregate(zip_with(...))) keeps scoring inside whole-stage codegen:
     * HOFs are CodegenFallback and allocate an intermediate array per
     * (vector, centroid) pair — this sits in the N×k hot path. */
+  /** Row-local argmin assignment against DRIVER-KNOWN centroids (round 20,
+    * guide §2.4 — remove shuffles outright): the Lloyd loop collects each
+    * round's k×dim centroids anyway, so the next round's assignment can
+    * score against LITERAL centroid arrays instead of crossJoin-ing a
+    * centroid frame and re-aggregating the N×k scored rows by vec_id —
+    * `q` rows are unique per vec_id, making that groupBy(vec_id) exchange
+    * pure waste. Distances are the same integer squared-L2
+    * ([[graft.functions.L2Squared]]); ties break at the FIRST minimum
+    * position = the lowest dense index in ascending-cid order — bit-for-bit
+    * the encoded-min tie rule of [[assignToCentroids]]. Zero exchanges:
+    * the argmin fuses into the corpus scan. */
+  private def assignToCentroidsLocal(q: DataFrame,
+                                     cents: Seq[(Long, Seq[Long])]): DataFrame = {
+    if (cents.isEmpty)
+      return q.select(col("vec_id"), lit(0L).as("cid"), lit(0L).as("dist2"),
+        col("qv")).filter(lit(false))
+    val sorted = cents.sortBy(_._1)
+    val shift = 1L << 24
+    // the assignToCentroids ENCODING (enc_i = l2sq_i·2²⁴ + i, min wins,
+    // ties to the lowest dense index) as ONE native expression over a
+    // constant centroid MATRIX ([[graft.functions.NearestCentroidEnc]]).
+    // Both composed spellings measured ~1 s/round of per-round fixed cost
+    // at k=64 — a k-array + array_min/array_position form re-inlined the k
+    // l2sq calls at each of its three references under CollapseProject,
+    // and a least(l2sq×k) form carries a k·dim-literal tree through
+    // analysis and codegen every round. The encoded winner is PINNED as
+    // an attribute (pinColumns — a Generate is a CollapseProject barrier)
+    // before the cid/dist2 decode references it twice.
+    val centMatrix = array(sorted.map { case (_, cq) =>
+      array(cq.map(lit): _*)
+    }: _*)
+    val enc = graft.functions.NearestCentroidEnc(col("qv"), centMatrix)
+    val cidArr = array(sorted.map(c => lit(c._1)): _*)
+    Links.pinColumns(q.select(col("vec_id"), col("qv"), enc.as("_enc")))
+      .select(col("vec_id"),
+        element_at(cidArr,
+          (pmod(col("_enc"), lit(shift)) + 1).cast("int")).as("cid"),
+        shiftright(col("_enc"), 24).as("dist2"),
+        col("qv"))
+  }
+
+  /** One Lloyd round over driver-known centroids (round 20): row-local
+    * argmin ([[assignToCentroidsLocal]]) then ONE k-row hash aggregation —
+    * count + per-dimension integer sums as plain `sum(element_at(qv, i))`
+    * columns (map-side combinable, dim+1 long buffers) — collected and
+    * rounded on the driver with the exact arithmetic of the old in-plan
+    * spelling (`floor(s.toDouble/n + 0.5).toLong` ≡
+    * `floor(cast(s as double)/n + 0.5) :: long`). Replaces, per round:
+    * a corpus groupBy(vec_id), a corpus self-join on vec_id, a posexplode
+    * to N×dim rows and TWO more aggregations — the previous shape's four
+    * exchanges become one, and each round is exactly one driver job.
+    * Empty clusters drop (no row aggregates), same as before. */
+  private def lloydRound(q: DataFrame, cents: Seq[(Long, Seq[Long])],
+                         dim: Int): Seq[(Long, Seq[Long])] = {
+    val aggs = (0 until dim).flatMap { i =>
+      Seq(sum(element_at(col("qv"), i + 1)).as(s"_s$i"),
+        count(element_at(col("qv"), i + 1)).as(s"_n$i"))
+    }
+    val rows = assignToCentroidsLocal(q, cents)
+      .groupBy("cid").agg(aggs.head, aggs.tail: _*)
+      .collect()
+    rows.map { r =>
+      val cid = r.getLong(0)
+      val cq = (0 until dim).map { i =>
+        val s = r.getLong(1 + 2 * i)
+        val n = r.getLong(2 + 2 * i)
+        math.floor(s.toDouble / n + 0.5).toLong
+      }
+      (cid, cq)
+    }.sortBy(_._1).toSeq
+  }
+
   private def assignToCentroids(q: DataFrame, cents: DataFrame): DataFrame = {
     val shift = 1L << 24
     // k rows: the single-partition ordering window is over the tiny
@@ -654,25 +726,20 @@ object Similarity {
     * up as 3.68 s driver vs 1.79 s steady in round 8.) */
   def kmeansIter(embs: DataFrame, k: Int = 8, iters: Int = 2): DataFrame = {
     val q = quantizedVecs(embs).localCheckpoint()
-    var cents = q.orderBy("vec_id").limit(k)
-      .select(col("vec_id").as("cid"), col("qv").as("cq"))
+    // round 20: driver-seeded one-job Lloyd rounds (see
+    // ivfTrainCentroidsInt) — the final assignment is row-local too, so
+    // the whole query is `iters`+2 tiny jobs with one exchange each where
+    // the previous shape paid four exchanges per round.
+    var cents: Seq[(Long, Seq[Long])] = q.orderBy("vec_id").limit(k)
+      .select(col("vec_id"), col("qv")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toSeq)).toSeq
+    val dim = cents.headOption.map(_._2.length).getOrElse(0)
     var i = 0
-    while (i < iters) {
-      val rounded = floor(col("s").cast("double") / col("n") + lit(0.5)).cast("long")
-      val updated = assignToCentroids(q, cents).select("vec_id", "cid")
-        .join(q, "vec_id")
-        .select(col("cid"), posexplode(col("qv")).as(Seq("dim", "v")))
-        .groupBy("cid", "dim")
-        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
-        .select(col("cid"), col("dim"), rounded.as("rv"))
-        .groupBy("cid")
-        .agg(transform(array_sort(collect_list(struct(col("dim"), col("rv")))),
-          x => x("rv")).as("cq"))
-      val rows = java.util.Arrays.asList(updated.collect(): _*)
-      cents = updated.sparkSession.createDataFrame(rows, updated.schema)
+    while (i < iters && cents.nonEmpty) {
+      cents = lloydRound(q, cents, dim)
       i += 1
     }
-    assignToCentroids(q, cents)
+    assignToCentroidsLocal(q, cents).select("vec_id", "cid", "dist2")
   }
 
   /** SemDeDup — semantic deduplication by clustering then within-cluster
@@ -1120,29 +1187,24 @@ object Similarity {
     val q = normalizedQuantVecs(corpus)
       .filter(exists(col("qv"), _ =!= 0L))
       .localCheckpoint()
-    var cents = q.orderBy("vec_id").limit(numCentroids)
-      .select(col("vec_id").as("cid"), col("qv").as("cq"))
+    // round 20 (guide §2.4/§1.2-1): the loop already round-trips the k×dim
+    // centroids through the driver, so seed them there too and run each
+    // Lloyd round as ONE job — row-local argmin against literal centroids
+    // + a single k-row hash agg (lloydRound) — instead of the previous
+    // four-exchange chain (corpus groupBy(vec_id) + self-join on vec_id +
+    // N×dim posexplode + two aggs). Bit-identical by construction: same
+    // integer distances, same first-min tie rule, same rounding
+    // arithmetic; SimilaritySpec pins the oracle parity.
+    var cents: Seq[(Long, Seq[Long])] = q.orderBy("vec_id")
+      .limit(numCentroids).select(col("vec_id"), col("qv")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toSeq)).toSeq
+    val dim = cents.headOption.map(_._2.length).getOrElse(0)
     var i = 0
-    while (i < iters) {
-      // the kmeansIter round: integer argmin assignment, integer mean
-      // rounded back to longs, centroids re-injected as a LocalRelation
-      val rounded = floor(col("s").cast("double") / col("n") + lit(0.5)).cast("long")
-      val updated = assignToCentroids(q, cents).select("vec_id", "cid")
-        .join(q, "vec_id")
-        .select(col("cid"), posexplode(col("qv")).as(Seq("dim", "v")))
-        .groupBy("cid", "dim")
-        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
-        .select(col("cid"), col("dim"), rounded.as("rv"))
-        .groupBy("cid")
-        .agg(transform(array_sort(collect_list(struct(col("dim"), col("rv")))),
-          x => x("rv")).as("cq"))
-      val rows = java.util.Arrays.asList(updated.collect(): _*)
-      cents = q.sparkSession.createDataFrame(rows, updated.schema)
+    while (i < iters && cents.nonEmpty) {
+      cents = lloydRound(q, cents, dim)
       i += 1
     }
-    val out = cents.orderBy("cid").collect()
-      .map(_.getSeq[Long](1).toSeq).toSeq
-      .filter(_.exists(_ != 0L))
+    val out = cents.sortBy(_._1).map(_._2).filter(_.exists(_ != 0L))
     releaseCheckpoint(q)
     out
   }

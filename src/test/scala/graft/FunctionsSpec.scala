@@ -300,4 +300,32 @@ class FunctionsSpec extends SparkSpec {
       .collect().map(_.getString(0))
     assert(got.flatten.toSeq === alt.toSeq)
   }
+
+  test("graft_nearest_centroid_enc: min-encoded argmin, first-index ties, " +
+      "length-mismatched centroids skipped, no usable centroid = NULL") {
+    import org.apache.spark.sql.functions._
+    val rows = spark.range(1).select(
+      typedLit(Seq(1L, 2L)).as("qv"),
+      typedLit(Seq(Seq(1L, 2L), Seq(0L, 2L), Seq(1L, 2L, 3L))).as("cents"))
+    // centroid 0: d2=0 → enc 0·2²⁴+0 = 0; centroid 1: d2=1 → 2²⁴+1;
+    // centroid 2: length mismatch → skipped. min = 0.
+    val enc = rows.select(graft.functions.NearestCentroidEnc(
+      col("qv"), col("cents")).as("e")).head().getLong(0)
+    assert(enc === 0L)
+    // tie on distance (two identical centroids): lowest index wins —
+    // the assignToCentroids dense-index tiebreak
+    val tie = spark.range(1).select(
+      typedLit(Seq(5L)).as("qv"),
+      typedLit(Seq(Seq(4L), Seq(6L), Seq(4L))).as("cents"))
+      .select(graft.functions.NearestCentroidEnc(col("qv"), col("cents"))
+        .as("e")).head().getLong(0)
+    assert(tie === (1L << 24) * 1L + 0L) // d2=1 at index 0
+    // every centroid unusable → NULL (matches min-over-null-l2sq)
+    val nul = spark.range(1).select(
+      typedLit(Seq(1L, 2L)).as("qv"),
+      typedLit(Seq(Seq(1L))).as("cents"))
+      .select(graft.functions.NearestCentroidEnc(col("qv"), col("cents"))
+        .as("e")).head()
+    assert(nul.isNullAt(0))
+  }
 }
