@@ -99,7 +99,19 @@ object Url {
     * shape — a WARC `WARC-Target-URI` is always absolute). Parsing is
     * substring/split arithmetic rather than `parse_url` so the DuckDB
     * oracle can replay byte-identical semantics. */
-  def canonicalizeUrl(url: Column): Column = {
+  def canonicalizeUrl(url: Column): Column =
+    graft.functions.CanonicalizeUrl(url)
+
+  /** The composed Catalyst spelling of [[canonicalizeUrl]] (rounds 13–19)
+    * — kept as the parity REFERENCE for the native expression (round 20):
+    * FunctionsSpec asserts byte-identical outputs over the fixture
+    * corpora and adversarial strings. The native form exists because this
+    * tree inlines `url` into ~50 leaves (every substring offset re-derives
+    * its prefix), so each call site carried 10²–10³ expression nodes
+    * through analysis, codegen and task serialization — the URL-family
+    * plans measured 300–750 KB of plan text, with the canonicalizer
+    * re-executed once per reference. */
+  private[graft] def canonicalizeUrlComposed(url: Column): Column = {
     val base = substring_index(url, "#", 1)            // drop fragment
     val scheme = lower(substring_index(base, "://", 1))
     val afterScheme = base.substr(length(scheme) + 4, lit(1 << 20))
@@ -191,7 +203,17 @@ object Url {
     * lookup fuses into the same scan as the canonicalizer, and the
     * DuckDB oracle replays the identical decision CASE from the same
     * loaded sets. */
-  def registrableDomain(urlCanon: Column): Column = {
+  def registrableDomain(urlCanon: Column): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.RegistrableDomain(
+        org.apache.spark.sql.graftbridge.Bridge.expression(urlCanon),
+        pslExc3.toSet, pslExc2.toSet, pslWild2.toSet, publicSuffix3.toSet,
+        pslWild1.toSet, publicSuffix2.toSet))
+
+  /** The composed Catalyst spelling of [[registrableDomain]] — the parity
+    * REFERENCE for the native expression (round 20; see
+    * [[canonicalizeUrlComposed]]). */
+  private[graft] def registrableDomainComposed(urlCanon: Column): Column = {
     // everything after the FIRST '://' (offset arithmetic, the
     // canonicalizeUrl spelling): substring_index(…, -1) takes the segment
     // after the LAST occurrence, so a query-param value containing '://'

@@ -301,6 +301,51 @@ class FunctionsSpec extends SparkSpec {
     assert(got.flatten.toSeq === alt.toSeq)
   }
 
+  test("graft_canonicalize_url / graft_registrable_domain: byte parity " +
+      "with the composed Catalyst spellings over fixtures + adversarial") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.Url
+    val docs = spark.range(0, 2000).select(col("id").as("doc_id"),
+      concat(lit("src"), pmod(col("id"), lit(20))).as("source"),
+      (col("id") % 997 + 10).as("n_chars"))
+    val fixture = Url.syntheticUrls(docs).select(col("url"))
+      .unionByName(Url.syntheticSessionUrls(
+        docs.select(col("doc_id"), col("source"))).select(col("url")))
+    val adversarial = Seq(
+      null, "", "x", "://", "://x", "http://", "HTTP://WWW.Ex.COM:80/",
+      "https://a.co.uk:443/p/?b=2&a=1&utm_x=1#f", "ftp://Sub.x.ck:8080/p/5/",
+      "http://h/p?", "http://h/p?&", "http://h/p?a=1&&b=2",
+      "http://h:90/p?fbclid=1&gclid=2&x=3", "http://h/p?utm_",
+      "http://h/p?a=1?b=2", "http://h#f?q=1", "http://h/p#a#b",
+      "http://www./", "http://:80/", "http://h/", "http://h//",
+      "https://h:443", "http://h:080/", "www.x.com/p", "a#b",
+      "http://h/p?==&=a&a==b", "http://x.y.z.co.uk:8080/a/b/c/",
+      "http://k12.ma.us/", "http://a.b.ck/", "http://www.ck/",
+      "http://h/p?z=1&A=2&a=3", "http://ÜÉ.com/Пя?п=1&a=é",
+      "http://h.ß.com/", "HTTPS://WWW.A.CK:443/q/?utm_a=1#x",
+      "http://trailing.dot./p", "http://..d/", "http://h:90:91/p")
+    val adv = spark.createDataFrame(
+      spark.sparkContext.parallelize(adversarial.map(org.apache.spark.sql.Row(_)), 2),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("url",
+          org.apache.spark.sql.types.StringType, nullable = true))))
+    Seq(fixture, adv).foreach { frame =>
+      val both = frame.select(
+        Url.canonicalizeUrl(col("url")).as("n_canon"),
+        Url.canonicalizeUrlComposed(col("url")).as("c_canon"))
+        .withColumn("n_dom", Url.registrableDomain(col("n_canon")))
+        .withColumn("c_dom", Url.registrableDomainComposed(col("c_canon")))
+        // also probe the domain extraction on the RAW url (callers pass
+        // non-canonical strings through resolveHref edges too)
+        .withColumn("n_dom_raw", Url.registrableDomain(col("c_canon")))
+      val bad = both.filter(
+        !(col("n_canon") <=> col("c_canon")) ||
+          !(col("n_dom") <=> col("c_dom")) ||
+          !(col("n_dom_raw") <=> col("c_dom"))).collect()
+      assert(bad.isEmpty, s"native/composed divergence: ${bad.take(5).toSeq}")
+    }
+  }
+
   test("graft_nearest_centroid_enc: min-encoded argmin, first-index ties, " +
       "length-mismatched centroids skipped, no usable centroid = NULL") {
     import org.apache.spark.sql.functions._
