@@ -1284,59 +1284,49 @@ object Similarity {
     // doubles (|qv·c| ≤ 127²·dim ≪ 2⁵³ — no rounding at all), denominator
     // is a driver-computed constant; both engines produce bit-identical
     // doubles, so the argmax (ties by centroid index) is deterministic
-    val centNorms = centInts.map(cv =>
-      math.sqrt(cv.map(x => (x * x).toDouble).sum))
-    def scores(qvd: Column): Column =
-      array(centInts.zip(centNorms).map { case (cv, nn) =>
-        dot(qvd, array(cv.map(x => lit(x.toDouble)): _*)) / lit(nn)
-      }: _*)
     val centArrs = array(centInts.map(cv => array(cv.map(lit): _*)): _*)
     def residual(qv: Column, ccid: Column): Column =
-      zip_with(qv, element_at(centArrs, ccid.cast("int")), (a, b) => a - b)
-    def normQuant(emb: Column, nrm: Column): Column =
-      transform(emb, x => greatest(lit(-127L), least(lit(127L),
-        floor(x * 127.0 / nrm + lit(0.5)).cast("long"))))
+      graft.functions.VecAddSub.sub(qv,
+        element_at(centArrs, ccid.cast("int")))
 
     // corpus: one pass computes the normalized int8 vector and its top-
-    // `assignTop` lists by ITERATIVE ARGMAX-AND-MASK — row-local
-    // expressions, never a corpus-sized ranking window (posexplode + rank
-    // would shuffle N×numCentroids rows)
-    var r = embs
+    // `assignTop` lists (round 20: ONE native loop —
+    // graft.functions.TopCentroids — replacing the k-literal score array
+    // + iterative array_position/zip_with argmax-and-mask, whose
+    // CodegenFallback HOFs re-walked the score array per row: the rcorpus
+    // checkpoint alone measured 16.6 s of task time at sf0.1. Ordering
+    // and arithmetic are mirrored bit-exactly — norm-corrected integer
+    // dot, ties to the lowest index; residual/reconstruction keep
+    // zip_with's semantics via graft_vec_sub/add). Never a corpus-sized
+    // ranking window (posexplode + rank would shuffle N×numCentroids
+    // rows).
+    val rcorpus = embs
       .select(col("vec_id"), asDouble(col("embedding")).as("_emb"))
       .withColumn("_nrm", norm(col("_emb")))
       .filter(col("_nrm") > 0.0)
-      .withColumn("_qv", normQuant(col("_emb"), col("_nrm")))
-      .withColumn("_qvd", transform(col("_qv"), x => x.cast("double")))
-      .withColumn("_s", scores(col("_qvd")))
-    (1 to assignTop).foreach { i =>
-      r = r.withColumn(s"_p$i",
-          array_position(col("_s"), array_max(col("_s"))))
-        .withColumn("_s", zip_with(col("_s"),
-          sequence(lit(1L), lit(centInts.size.toLong)),
-          (v, idx) => when(idx === col(s"_p$i"),
-            lit(Double.NegativeInfinity)).otherwise(v)))
-    }
-    val rcorpus = r
+      .withColumn("_qv",
+        graft.functions.NormQuantVec(col("_emb"), col("_nrm")))
       .select(col("vec_id"), col("_qv"),
-        explode(array((1 to assignTop).map(i => col(s"_p$i")): _*)).as("ccid"))
+        explode(graft.functions.TopCentroids(col("_qv"), centArrs,
+          assignTop)).as("ccid"))
       .select(col("vec_id"), col("ccid"),
         residual(col("_qv"), col("ccid")).as("qv"))
       .localCheckpoint()
 
-    // query probes: rank-<=nprobe by the SAME score (tiny query frame)
+    // query probes: top-nprobe by the SAME score and tie rule (the
+    // row_number window over posexplode'd scores picked by
+    // (score desc, position asc) — exactly TopCentroids' order)
     val qprobe = queries
       .select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("_emb"))
       .withColumn("_nrm", norm(col("_emb")))
       .filter(col("_nrm") > 0.0)
-      .withColumn("_qv", normQuant(col("_emb"), col("_nrm")))
-      .withColumn("_qvd", transform(col("_qv"), x => x.cast("double")))
+      .withColumn("_qv",
+        graft.functions.NormQuantVec(col("_emb"), col("_nrm")))
       .select(col("query_id"), col("_qv"),
-        posexplode(scores(col("_qvd"))).as(Seq("_pos", "_sc")))
-      .withColumn("_pr", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("_sc").desc, col("_pos"))))
-      .filter(col("_pr") <= nprobe)
-      .select(col("query_id"), (col("_pos") + 1).cast("long").as("ccid"),
-        residual(col("_qv"), col("_pos") + 1).as("qv"))
+        explode(graft.functions.TopCentroids(col("_qv"), centArrs,
+          nprobe)).as("ccid"))
+      .select(col("query_id"), col("ccid"),
+        residual(col("_qv"), col("ccid")).as("qv"))
 
     val subs = subspacesOf(rcorpus, Seq(col("vec_id"), col("ccid")), m, subLen)
     val centDf = rcorpus.sparkSession.range(1)
@@ -1348,15 +1338,15 @@ object Similarity {
     // identical values (never a corpus-sized ranking window)
     val seedBase = rcorpus
       .select(col("vec_id"),
-        zip_with(col("qv"), element_at(centArrs, col("ccid").cast("int")),
-          (a, b) => a + b).as("nqv"))
+        graft.functions.VecAddSub.add(col("qv"),
+          element_at(centArrs, col("ccid").cast("int"))).as("nqv"))
       .groupBy("vec_id").agg(min(col("nqv")).as("nqv"))
       .orderBy("vec_id").limit(k)
       .select(col("vec_id").as("cid"), col("nqv"))
     val seeds = subspacesOf(
       seedBase.crossJoin(centDf)
         .select(col("cid"), col("bccid").as("ccid"),
-          zip_with(col("nqv"), col("carr"), (a, b) => a - b).as("qv")),
+          graft.functions.VecAddSub.sub(col("nqv"), col("carr")).as("qv")),
       Seq(col("ccid"), col("cid")), m, subLen)
       .select(col("ccid"), col("sub"), col("cid"), col("sv").as("cq"))
     val books = pqTrainBooks(subs, seeds,
@@ -1496,9 +1486,10 @@ object Similarity {
         norm(col("_emb")))
       .withColumn("qv",
         when(col("_nrm") === 0.0, transform(col("_emb"), _ => lit(0L)))
-          .otherwise(transform(col("_emb"), x =>
-            greatest(lit(-127L), least(lit(127L),
-              floor(x * 127.0 / col("_nrm") + lit(0.5)).cast("long"))))))
+          // round 20: native one-loop quantization (the transform HOF is
+          // CodegenFallback in the corpus scan); arithmetic mirrored
+          // bit-exactly — see graft.functions.NormQuantVec
+          .otherwise(graft.functions.NormQuantVec(col("_emb"), col("_nrm"))))
       .select(col("vec_id"), col("qv"))
   }
 
