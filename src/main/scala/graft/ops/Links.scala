@@ -50,6 +50,12 @@ object Links {
     * ordering contract: `&amp;` LAST so `&amp;lt;` yields the literal
     * text `&lt;`, never `<`). Literal replace, no regex. */
   private def decodeEntities(c: Column): Column =
+    graft.functions.DecodeEntities(c)
+
+  /** The composed spelling of [[decodeEntities]] — parity REFERENCE for
+    * the native expression (round 20): six chained regexp_replace calls,
+    * each a String round-trip per value in the per-link hot path. */
+  private[graft] def decodeEntitiesComposed(c: Column): Column =
     Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
       "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
       .foldLeft(c) { case (acc, (e, r)) => regexp_replace(acc, e, r) }
@@ -91,7 +97,15 @@ object Links {
     * through (a crawl corpus's absolute links are overwhelmingly
     * already clean, and [[Url.canonicalizeUrl]] runs downstream
     * regardless). */
-  private[graft] def resolveHref(baseCanon: Column, href: Column): Column = {
+  private[graft] def resolveHref(baseCanon: Column, href: Column): Column =
+    graft.functions.ResolveHref(baseCanon, href)
+
+  /** The composed spelling of [[resolveHref]] — parity REFERENCE for the
+    * native expression (round 20): it references its base at ~8 leaves
+    * and folds dot segments with a CodegenFallback `aggregate` HOF per
+    * link row. */
+  private[graft] def resolveHrefComposed(baseCanon: Column,
+                                         href: Column): Column = {
     val scheme = substring_index(baseCanon, "://", 1)
     val afterScheme = baseCanon.substr(length(scheme) + 4, lit(1 << 20))
     val root = concat(scheme, lit("://"), substring_index(afterScheme, "/", 1))

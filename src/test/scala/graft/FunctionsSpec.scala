@@ -346,6 +346,52 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("graft_resolve_href / graft_decode_entities: byte parity with the " +
+      "composed spellings over all resolution branches") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.Links
+    val bases = Seq(
+      "https://x.com/a/b", "https://x.com/a/b/", "https://x.com/",
+      "https://x.com", "http://x.com:8080/p?q=1", "https://x.com/a/b?k=v",
+      "://weird", "https://x.com/a%20b/c", "")
+    val hrefs = Seq(
+      null, "", "https://other.org/z", "HTTP://UP.com/", "ftp://f/x",
+      "a+b-c.9://odd", "//cdn.com/lib.js", "?page=2", "?","/root/x",
+      "/a/../b", "/..", "/../..", "../up", "./same", "sub/page.html",
+      "a/./b/../c", "..", ".", "x//y", "x/..//y/", "&amp;path",
+      "post.html?x=1", "p?q=../z", "q#frag", "%7Euser/p", "a:b",
+      "mailto:x@y.z", "..../odd", "/trail/", "trail/")
+    val rows = for (b <- bases; h <- hrefs) yield (b, h)
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map { case (b, h) =>
+        org.apache.spark.sql.Row(b, h) }, 2),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("b",
+          org.apache.spark.sql.types.StringType, nullable = true),
+        org.apache.spark.sql.types.StructField("h",
+          org.apache.spark.sql.types.StringType, nullable = true))))
+    val bad = df.select(
+        Links.resolveHref(col("b"), col("h")).as("n"),
+        Links.resolveHrefComposed(col("b"), col("h")).as("c"),
+        graft.functions.DecodeEntities(col("h")).as("nd"),
+        Links.decodeEntitiesComposed(col("h")).as("cd"))
+      .filter(!(col("n") <=> col("c")) || !(col("nd") <=> col("cd")))
+      .collect()
+    assert(bad.isEmpty, s"divergence: ${bad.take(5).toSeq}")
+    // entity-bearing strings through the decode parity
+    val ents = Seq("&amp;lt;", "a&lt;b&gt;c", "&quot;q&#39;", "&nbsp;&amp;amp;",
+      "no entities", "&", "&amp", "&AMP;")
+    val edf = spark.createDataFrame(
+      spark.sparkContext.parallelize(ents.map(org.apache.spark.sql.Row(_)), 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("h",
+          org.apache.spark.sql.types.StringType, nullable = true))))
+    val ebad = edf.select(graft.functions.DecodeEntities(col("h")).as("nd"),
+        Links.decodeEntitiesComposed(col("h")).as("cd"))
+      .filter(!(col("nd") <=> col("cd"))).collect()
+    assert(ebad.isEmpty, s"entity divergence: ${ebad.toSeq}")
+  }
+
   test("graft_nearest_centroid_enc: min-encoded argmin, first-index ties, " +
       "length-mismatched centroids skipped, no usable centroid = NULL") {
     import org.apache.spark.sql.functions._
