@@ -103,24 +103,30 @@ object Classifier {
     * assignToCentroids trick; min(struct) would SortAggregate). */
   def classify(docs: DataFrame, model: DataFrame): DataFrame = {
     val scores = classifyScores(docs, model)
-    // dense class index by ascending label over the tiny class frame
-    // ≤ C rows: the single-partition ordering window is over the tiny
-    // class frame only, never the corpus (the centsIdx pattern)
-    val classIdx = model.select("label").distinct()
-      .withColumn("cidx",
-        row_number().over(Window.orderBy("label")).cast("long") - 1)
+    // dense class index by ascending label — COLLECTED once (round 20):
+    // the model is checkpointed and C ≤ 64, so the class list is a tiny
+    // driver value; the previous shape paid a count() action plus TWO
+    // broadcast-exchange builds (index attach + label decode) per query
+    // for what is now a row-local literal-map probe and a literal-array
+    // decode. orderBy("label") keeps the ENGINE's string ordering (the
+    // same total order the row_number window used), so cidx values are
+    // unchanged.
+    val classes = model.select("label").distinct().orderBy("label")
+      .collect().map(_.getString(0))
     // the encoding reserves 6 bits for the class index — a 65th class
     // would alias class 0 with an off-by-one score, silently. Real
     // many-class uses (a full LID head) need a wider reservation; fail
-    // loudly instead. The count() is a C-row action on a frame the
-    // caller already materialized (or a tiny agg over the model).
-    val numClasses = classIdx.count()
-    require(numClasses <= 64,
+    // loudly instead.
+    require(classes.length <= 64,
       s"classify()'s argmax encoding reserves 6 bits for the class " +
-        s"index (<= 64 classes); got $numClasses — widen the encoding " +
-        "or shard the label space")
-    val enc = col("score") * 64 + (lit(63L) - col("cidx"))
-    scores.join(broadcast(classIdx), "label")
+        s"index (<= 64 classes); got ${classes.length} — widen the " +
+        "encoding or shard the label space")
+    val cidxMap = map(classes.zipWithIndex.flatMap { case (c, i) =>
+      Seq(lit(c), lit(i.toLong)) }: _*)
+    val labelArr = array(classes.map(lit): _*)
+    val enc = col("score") * 64 +
+      (lit(63L) - element_at(cidxMap, col("label")))
+    scores
       .select(col("doc_id"), enc.as("enc"))
       .groupBy("doc_id")
       .agg(max(col("enc")).as("enc"))
@@ -130,8 +136,9 @@ object Classifier {
         // long, unlike `/ 64`, whose long/long → DOUBLE division loses
         // mantissa bits past 2^53
         shiftright(col("enc") - pmod(col("enc"), lit(64)), 6).as("score"))
-      .join(broadcast(classIdx), "cidx")
-      .select(col("doc_id"), col("label").as("pred_label"), col("score"))
+      .select(col("doc_id"),
+        element_at(labelArr, (col("cidx") + 1).cast("int")).as("pred_label"),
+        col("score"))
   }
 
   /** The self-distilled quality classifier — the FineWeb-Edu recipe shape

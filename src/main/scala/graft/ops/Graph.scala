@@ -66,7 +66,6 @@ object Graph {
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node")))
       .distinct()
-      .localCheckpoint()
     val outdeg = e.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("odeg"))
     val base = scale * 15L / 100L
@@ -76,27 +75,34 @@ object Graph {
     var ranks = nodes.join(outdeg, Seq("node"), "left")
       .select(col("node"), lit(scale).as("pr"),
         coalesce(col("odeg"), lit(0L)).as("odeg"))
-      .localCheckpoint()
     var i = 0
     while (i < iters) {
       val contrib = e.join(ranks.withColumnRenamed("node", "src")
           .filter(col("odeg") > 0), Seq("src"))
         .select(col("dst").as("node"), expr("pr div odeg").as("c"))
         .groupBy("node").agg(sum(col("c")).as("insum"))
-      val next = ranks.join(contrib, Seq("node"), "left")
+      ranks = ranks.join(contrib, Seq("node"), "left")
         .select(col("node"),
           (lit(base) + expr(s"85 * coalesce(insum, 0L) div 100").cast("long"))
             .as("pr"),
           col("odeg"))
-        .localCheckpoint()
-      Dedup.releaseCheckpoint(ranks)
-      ranks = next
       i += 1
     }
-    // only the final rank checkpoint backs the returned frame
+    // Round 20 (guide §2.6/§1.2-1): the per-round localCheckpoint (plus
+    // nodes/seed checkpoints) cost a driver-synchronized job per round —
+    // 4-6 sequential jobs for a 3-round rank whose actual data work is
+    // milliseconds at |nodes| scale. Rounds now build ONE lazy plan;
+    // each round's ranks subtree is referenced twice (contrib + next),
+    // but its exchanges are identical, so ReuseExchange computes every
+    // round's shuffles once within the single final job. The unroll
+    // depth is the fixed `iters` (3 by default) — plan growth is
+    // bounded and tiny. Only the FINAL frame checkpoints: it truncates
+    // the whole loop's lineage for the callers that probe the rank
+    // table repeatedly (the prior contract), and `e` stays checkpointed
+    // because every round references it.
+    val out = ranks.select(col("node"), col("pr")).localCheckpoint()
     Dedup.releaseCheckpoint(e)
-    Dedup.releaseCheckpoint(nodes)
-    ranks.select(col("node"), col("pr"))
+    out
   }
 
   /** Redirect-chain resolution by POINTER DOUBLING: given `(src, dst)`
