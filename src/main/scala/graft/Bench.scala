@@ -62,6 +62,18 @@ object Bench {
       // different queries share one compiled class (same knob production
       // multi-query drivers use; execution semantics unchanged).
       .config("spark.sql.codegen.useIdInClassName", "false")
+      // Round 21 (guide §2.2): let AQE apply its byte-derived partition
+      // coalescing to CACHED plans too. By default a persist()'d
+      // intermediate pins its output at spark.sql.shuffle.partitions, so
+      // every downstream stage over a KB-sized cached frame pays a
+      // full task wave per scan (the 32-core bench ran SLOWER than the
+      // 8-core one at sf0.1 because of exactly these fixed-width waves);
+      // with the flag on, the same bytes/advisory-size rule AQE already
+      // uses for live exchanges sizes cached outputs as well.
+      // Scale-independent: at 100 TB the coalescing keeps partitions at
+      // the advisory byte size regardless of core count.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warmup (untimed): first Spark query in a JVM pays ~10 s of Janino /

@@ -1426,7 +1426,7 @@ object SparkEntry {
     // dims from the AGGREGATED frame (~|types|×7 rows), not a second
     // distinct over the corpus — same result, one corpus pass instead of two
     val types = counts.select("event_type").distinct()
-    val days = s.range(0, 7).select(col("id").as("dow"))
+    val days = s.range(0, 7, 1, 1).select(col("id").as("dow"))
     types.crossJoin(days)
       .join(counts, Seq("event_type", "dow"), "left")
       .select(col("event_type"), col("dow"),

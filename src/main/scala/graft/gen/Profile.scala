@@ -73,6 +73,9 @@ object Profile {
       .config("spark.sql.codegen.cache.maxEntries",
         sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "20000"))
       .config("spark.sql.codegen.useIdInClassName", "false")
+      // same cached-plan AQE coalescing as Bench (round 21, guide §2.2)
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val counts = new Counts

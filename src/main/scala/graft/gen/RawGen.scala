@@ -63,15 +63,45 @@ object RawGen {
     * it. */
   private val spreadCache =
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  /** Partition count for redistributing a small unsplittable input,
+    * derived from its BYTES (guide §2.2) instead of round 20's flat
+    * `repartition(defaultParallelism)`, which gave a 584 KB corpus 32
+    * cache splits — so EVERY scan stage of every query paid a 32-task
+    * wave of pure scheduling/serialization overhead, and the driver
+    * measured the whole suite FASTER at 8 cores than at 32 at sf0.1.
+    * The rule mirrors what AQE's parallelism-first coalescing does for
+    * shuffles: aim for one split per executor slot, but never let a
+    * split fall below a minimum useful size (AQE's minPartitionSize is
+    * 1 MB of shuffle bytes; these are PARQUET-ZSTD bytes that expand
+    * roughly an order of magnitude once decoded into cached rows, so
+    * the default floor is 64 KB on disk ≈ AQE's 1 MB floor on the
+    * expanded bytes). Tiny corpora get few, data-sized splits; anything
+    * near the 1 GiB spread gate still fills every slot; production-scale
+    * inputs skip spread() entirely. Env-overridable for deployments
+    * whose expansion factor differs. Measured at sf0.1 / local[32],
+    * full 185-query registry: flat 32 splits = 162.1 s total (the
+    * ~0.15–0.3 s/stage task-wave tax on every scan-bound query); floor
+    * 1 split/corpus = serializes the CPU-dense text passes
+    * (lm_bigram_score 1.6 s → 4.7 s, winnow 1.0 → 2.8, bar breaches);
+    * 64 KB floor = 131.4 s total, zero bar breaches — both query
+    * classes fast. */
+  private def spreadPartitions(spark: SparkSession, bytes: Long): Int = {
+    val minSplit = sys.env.get("SPARK_GRAFT_SPREAD_PARTITION_BYTES")
+      .flatMap(s => scala.util.Try(s.toLong).toOption)
+      .getOrElse(64L << 10)
+    val byBytes = math.max(1L, (bytes + minSplit - 1) / math.max(1L, minSplit))
+    byBytes.min(math.max(1, spark.sparkContext.defaultParallelism).toLong).toInt
+  }
   private def spread(spark: SparkSession, df: DataFrame, path: String): DataFrame = {
     val live = spreadCache.get(path).filter { c =>
       val sc = c.sparkSession.sparkContext
       !sc.isStopped && (sc eq spark.sparkContext)
     }
     val out = live.getOrElse {
+      val bytes = inputBytes(spark, path)
       val built =
-        if (inputBytes(spark, path) < smallFileBytes)
-          df.repartition(spark.sparkContext.defaultParallelism)
+        if (bytes < smallFileBytes)
+          df.repartition(spreadPartitions(spark, bytes))
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         else df
       spreadCache.put(path, built)

@@ -64,7 +64,7 @@ object Classifier {
     // gets that class's smoothed floor (otherwise its weight would be
     // NULL and every doc touching it would drop out of that class's sum)
     val spine = totals.crossJoin(
-      spark.range(B).select(col("id").as("bucket")))
+      spark.range(0, B, 1, 1).select(col("id").as("bucket")))
     val fp = (x: org.apache.spark.sql.Column) =>
       floor(x * Scale + lit(0.5)).cast("long")
     val weights = spine.join(counts, Seq("label", "bucket"), "left")

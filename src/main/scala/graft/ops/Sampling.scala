@@ -233,7 +233,9 @@ object Sampling {
     * over the full B-bucket spine (a bucket unseen in either corpus still
     * gets a finite ratio). B rows — broadcast it. */
   private def smoothedLogRatio(qModel: DataFrame, pModel: DataFrame): DataFrame = {
-    val spine = qModel.sparkSession.range(dsirBuckets)
+    // one slice: the spine is B literal rows (~8 KB) at ANY corpus scale —
+    // the default defaultParallelism slices schedule a full task wave for it
+    val spine = qModel.sparkSession.range(0, dsirBuckets, 1, 1)
       .select(col("id").as("bucket"))
     val b = lit(dsirBuckets.toDouble)
     spine

@@ -1117,7 +1117,7 @@ object Similarity {
     // seeds: reconstruct the k globally-lowest-id vectors' normalized qv
     // from their own-list residual (qv + ownCent — exact), then residualize
     // each against EVERY list via a numCentroids-row cross join (tiny)
-    val centDf = rcorpus.sparkSession.range(1)
+    val centDf = rcorpus.sparkSession.range(0, 1, 1, 1)
       .select(posexplode(centArrs).as(Seq("_p", "carr")))
       .select((col("_p") + 1).cast("long").as("bccid"), col("carr"))
     val seedBase = rcorpus.orderBy("vec_id").limit(k)
@@ -1329,7 +1329,7 @@ object Similarity {
         residual(col("_qv"), col("ccid")).as("qv"))
 
     val subs = subspacesOf(rcorpus, Seq(col("vec_id"), col("ccid")), m, subLen)
-    val centDf = rcorpus.sparkSession.range(1)
+    val centDf = rcorpus.sparkSession.range(0, 1, 1, 1)
       .select(posexplode(centArrs).as(Seq("_p", "carr")))
       .select((col("_p") + 1).cast("long").as("bccid"), col("carr"))
     // seeds: the k lowest-id vectors' normalized qv. Reconstruction
