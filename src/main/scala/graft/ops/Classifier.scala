@@ -52,22 +52,40 @@ object Classifier {
     * row per class carrying the prior floor(Scale·ln((n_c+1)/(N+C)) + 0.5).
     * The model is C·(B+1) rows — broadcast-tiny at any corpus size. */
   def trainLinear(labeled: DataFrame): DataFrame = {
-    val spark = labeled.sparkSession
     val nonEmpty = labeled.filter(length(trim(col("text"))) > 0)
-    val feats = Sampling.dsirFeatures(nonEmpty.select("doc_id", "text"))
-      .join(nonEmpty.select("doc_id", "label"), "doc_id")
-    val counts = feats.groupBy("label", "bucket")
+    trainLinearFrom(
+      Sampling.dsirFeatures(nonEmpty.select("doc_id", "text")), nonEmpty)
+  }
+
+  /** [[trainLinear]] over a PRE-COMPUTED feature frame (round 21): the
+    * distillation operators below run the hashed-ngram feature pass for
+    * training and AGAIN for classification in sequential jobs — sharing
+    * one checkpointed frame halves the dominant md5-per-gram corpus
+    * cost. `feats` may cover a superset of the labeled docs (the join
+    * restricts it; dsirFeatures' per-doc agg commutes with the per-doc
+    * label join, so the restricted frame is row-identical to computing
+    * features on the labeled slice directly). `nonEmpty` supplies the
+    * class priors and must already carry trainLinear's empty-text
+    * filter. */
+  private[graft] def trainLinearFrom(feats: DataFrame,
+                                     nonEmpty: DataFrame): DataFrame = {
+    val spark = nonEmpty.sparkSession
+    val joined = feats.join(nonEmpty.select("doc_id", "label"), "doc_id")
+    val counts = joined.groupBy("label", "bucket")
       .agg(sum(col("c")).cast("long").as("cnt"))
     val totals = counts.groupBy("label")
       .agg(sum(col("cnt")).cast("long").as("tot"))
     // full B-bucket spine per class: a bucket unseen in one class still
     // gets that class's smoothed floor (otherwise its weight would be
-    // NULL and every doc touching it would drop out of that class's sum)
+    // NULL and every doc touching it would drop out of that class's sum).
+    // counts is bounded by C·B rows BY CONSTRUCTION (≤ 64·1024 at the
+    // encoding ceiling), so the spine join broadcasts at any corpus scale
+    // instead of shuffling+sorting a model-sized frame (round 21).
     val spine = totals.crossJoin(
       spark.range(0, B, 1, 1).select(col("id").as("bucket")))
     val fp = (x: org.apache.spark.sql.Column) =>
       floor(x * Scale + lit(0.5)).cast("long")
-    val weights = spine.join(counts, Seq("label", "bucket"), "left")
+    val weights = spine.join(broadcast(counts), Seq("label", "bucket"), "left")
       .select(col("label"), col("bucket"),
         fp(log((coalesce(col("cnt"), lit(0L)) + lit(1.0)) /
           (col("tot") + lit(B.toDouble)))).as("w"))
@@ -83,11 +101,17 @@ object Classifier {
   /** Per-(doc, class) fixed-point scores: prior + Σ_buckets c·w. One
     * feature pass, one broadcast model join, one hash agg. Empty-text
     * docs carry no features and emit no rows (they cannot be scored). */
-  def classifyScores(docs: DataFrame, model: DataFrame): DataFrame = {
+  def classifyScores(docs: DataFrame, model: DataFrame): DataFrame =
+    classifyScoresFrom(Sampling.dsirFeatures(docs), model)
+
+  /** [[classifyScores]] over a pre-computed feature frame — see
+    * [[trainLinearFrom]]. */
+  private[graft] def classifyScoresFrom(feats: DataFrame,
+                                        model: DataFrame): DataFrame = {
     val weights = model.filter(col("bucket") >= 0)
     val priors = model.filter(col("bucket") === -1L)
       .select(col("label"), col("w").as("prior"))
-    Sampling.dsirFeatures(docs)
+    feats
       .join(broadcast(weights), "bucket")
       .groupBy("doc_id", "label")
       .agg(sum(col("c") * col("w")).as("sc"))
@@ -101,8 +125,14 @@ object Classifier {
     * under any partitioning: the (score, class-index) pair is encoded
     * into ONE long so the argmax is a plain max() HashAggregate — the
     * assignToCentroids trick; min(struct) would SortAggregate). */
-  def classify(docs: DataFrame, model: DataFrame): DataFrame = {
-    val scores = classifyScores(docs, model)
+  def classify(docs: DataFrame, model: DataFrame): DataFrame =
+    classifyFrom(Sampling.dsirFeatures(docs), model)
+
+  /** [[classify]] over a pre-computed feature frame — see
+    * [[trainLinearFrom]]. */
+  private[graft] def classifyFrom(feats: DataFrame,
+                                  model: DataFrame): DataFrame = {
+    val scores = classifyScoresFrom(feats, model)
     // dense class index by ascending label — COLLECTED once (round 20):
     // the model is checkpointed and C ≤ 64, so the class list is a tiny
     // driver value; the previous shape paid a count() action plus TWO
@@ -173,15 +203,21 @@ object Classifier {
     * those. The rule-LID default above is the zero-label bootstrap; this
     * is what a pipeline with any labeled data uses instead. */
   def lidClassifierWith(docs: DataFrame, teacher: DataFrame): DataFrame = {
-    val labeled = docs.select("doc_id", "text").join(teacher, "doc_id")
-    val model = trainLinear(labeled).localCheckpoint()
-    val out = classify(docs.select("doc_id", "text"), model)
+    // ONE feature pass (round 21): train and classify both read this
+    // checkpointed frame — previously each ran its own corpus-wide
+    // md5-per-gram explode in sequential jobs.
+    val fs = Sampling.dsirFeatures(docs.select("doc_id", "text"))
+      .localCheckpoint()
+    val nonEmpty = docs.select("doc_id", "text").join(teacher, "doc_id")
+      .filter(length(trim(col("text"))) > 0)
+    val model = trainLinearFrom(fs, nonEmpty).localCheckpoint()
+    val out = classifyFrom(fs, model)
       .join(teacher, "doc_id")
       .select(col("doc_id"), col("pred_label"), col("score"),
         col("label").as("teacher_lang"),
         (col("pred_label") === col("label")).as("agree"))
     val mat = out.localCheckpoint()
-    Dedup.releaseCheckpoint(model)
+    Seq(model, fs).foreach(Dedup.releaseCheckpoint)
     mat
   }
 
@@ -189,10 +225,13 @@ object Classifier {
     val teacher = TextAnalysis.qualityFilter(docs)
       .select(col("doc_id"),
         when(col("keep"), lit("keep")).otherwise(lit("drop")).as("label"))
-    val labeled = docs.select("doc_id", "text")
-      .join(teacher, "doc_id")
-    val model = trainLinear(labeled).localCheckpoint()
-    val scores = classifyScores(docs.select("doc_id", "text"), model)
+    // ONE feature pass shared by train and classify — see lidClassifierWith
+    val fs = Sampling.dsirFeatures(docs.select("doc_id", "text"))
+      .localCheckpoint()
+    val nonEmpty = docs.select("doc_id", "text").join(teacher, "doc_id")
+      .filter(length(trim(col("text"))) > 0)
+    val model = trainLinearFrom(fs, nonEmpty).localCheckpoint()
+    val scores = classifyScoresFrom(fs, model)
     val pivoted = scores.groupBy("doc_id")
       .agg(sum(when(col("label") === "drop", col("score"))).as("score_drop"),
         sum(when(col("label") === "keep", col("score"))).as("score_keep"))
@@ -213,7 +252,7 @@ object Classifier {
       .withColumn("agree",
         (col("pred_label") === "keep") === col("teacher_keep"))
     val mat = out.localCheckpoint()
-    Dedup.releaseCheckpoint(model)
+    Seq(model, fs).foreach(Dedup.releaseCheckpoint)
     mat
   }
 }
