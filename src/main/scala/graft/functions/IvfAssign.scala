@@ -227,3 +227,91 @@ object NormQuantVec {
   def apply(emb: Column, nrm: Column): Column =
     Bridge.column(NormQuantVec(Bridge.expression(emb), Bridge.expression(nrm)))
 }
+
+/** Abs-max int8 quantization of an embedding — quantizedVecs' composed
+  * `_scale = array_max(transform(emb, abs)) / 127.0` +
+  * `when(_scale === 0.0, zeros).otherwise(transform(emb, x =>
+  * clamp(floor(x / _scale + 0.5))))` chain as ONE native loop (round 21;
+  * the r20 verdict's remaining-interpreted-hot-paths item: both
+  * transform HOFs are CodegenFallback in the kmeans/semantic-dedup
+  * corpus scans). EXACTNESS mirrors the composed spelling branch by
+  * branch: the max skips null elements and orders NaN largest (Spark's
+  * double ordering); scale is max/127.0 with THAT division (a subnormal
+  * max can underflow it to 0.0 — then the when() branch yields all
+  * zeros over every position, null elements included); a null/empty max
+  * (⇒ null scale) null-divides every element, so the result is an array
+  * of nulls — which the clamp then folds to 127, because Spark's
+  * least/greatest SKIP null arguments (least(127, NULL) = 127,
+  * greatest(-127, 127) = 127); otherwise per element
+  * floor(x/scale + 0.5) in that association order, double→long cast
+  * truncation (NaN → 0), then the same null-skipping clamp — so a null
+  * element in the else branch also becomes 127, never null.
+  * FunctionsSpec pins byte parity against the composed chain. */
+case class AbsMaxQuantVec(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_absmax_quant"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double>, got ${t.catalogString}")
+  }
+
+  def compute(emb: ArrayData): ArrayData = {
+    val n = emb.numElements()
+    var m = 0.0
+    var has = false
+    var i = 0
+    while (i < n) {
+      if (!emb.isNullAt(i)) {
+        val a = math.abs(emb.getDouble(i))
+        if (!has || java.lang.Double.compare(a, m) > 0) { m = a; has = true }
+      }
+      i += 1
+    }
+    if (!has) {
+      // null scale: x / NULL is NULL at every position, and the
+      // null-skipping clamp folds NULL to least(127, NULL) = 127
+      new GenericArrayData(Array.fill[Any](n)(127L))
+    } else if (m / 127.0 == 0.0) {
+      // when(_scale === 0.0, transform(_, _ => 0L)): zeros at EVERY
+      // position, null input elements included (transform's constant
+      // lambda ignores the element)
+      new GenericArrayData(Array.fill[Any](n)(0L))
+    } else {
+      val scale = m / 127.0
+      val out = new Array[Any](n)
+      var j = 0
+      while (j < n) {
+        out(j) = if (emb.isNullAt(j)) 127L // null-skipping clamp, see above
+        else {
+          val v = math.floor(emb.getDouble(j) / scale + 0.5).toLong
+          math.max(-127L, math.min(127L, v))
+        }
+        j += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
+  override def nullSafeEval(emb: Any): Any =
+    compute(emb.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("absMaxQuant", this,
+      classOf[AbsMaxQuantVec].getName)
+    nullSafeCodeGen(ctx, ev, e => s"${ev.value} = $ref.compute($e);")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Expression = copy(child = newChild)
+}
+
+object AbsMaxQuantVec {
+  def apply(emb: Column): Column =
+    Bridge.column(AbsMaxQuantVec(Bridge.expression(emb)))
+}

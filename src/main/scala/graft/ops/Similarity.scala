@@ -545,18 +545,24 @@ object Similarity {
   /** Int8-quantized embedding vectors (same formula as [[quantizeInt8]],
     * kept as the ARRAY rather than a digest — the k-means ops below do
     * integer arithmetic on it, which is what makes them deterministic). */
-  private def quantizedVecs(embs: DataFrame): DataFrame = {
-    val emb = asDouble(col("embedding"))
-    embs
-      .withColumn("_emb", emb)
-      .withColumn("_scale",
-        array_max(transform(col("_emb"), x => abs(x))) / lit(127.0))
-      .withColumn("qv",
-        when(col("_scale") === 0.0, transform(col("_emb"), _ => lit(0L)))
-          .otherwise(transform(col("_emb"), x =>
-            greatest(lit(-127L), least(lit(127L),
-              floor(x / col("_scale") + lit(0.5)).cast("long"))))))
-      .select(col("vec_id"), col("qv"))
+  private def quantizedVecs(embs: DataFrame): DataFrame =
+    // round 21: native one-loop abs-max quantization (the two transform
+    // HOFs were CodegenFallback in the kmeans/semantic corpus scans);
+    // arithmetic mirrored branch-exactly — see
+    // [[graft.functions.AbsMaxQuantVec]]. The composed spelling is kept
+    // below as the parity reference FunctionsSpec pins.
+    embs.select(col("vec_id"),
+      graft.functions.AbsMaxQuantVec(asDouble(col("embedding"))).as("qv"))
+
+  /** Built-ins-only reference spelling of [[quantizedVecs]]' per-row
+    * quantization — the byte-parity pin for
+    * [[graft.functions.AbsMaxQuantVec]] (FunctionsSpec). */
+  private[graft] def absMaxQuantComposed(emb: Column): Column = {
+    val scale = array_max(transform(emb, x => abs(x))) / lit(127.0)
+    when(scale === 0.0, transform(emb, _ => lit(0L)))
+      .otherwise(transform(emb, x =>
+        greatest(lit(-127L), least(lit(127L),
+          floor(x / scale + lit(0.5)).cast("long")))))
   }
 
   /** One Lloyd assignment step of k-means over int8-quantized embeddings —

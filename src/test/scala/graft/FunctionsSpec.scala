@@ -419,4 +419,138 @@ class FunctionsSpec extends SparkSpec {
         .as("e")).head()
     assert(nul.isNullAt(0))
   }
+
+  test("graft_absmax_quant: byte parity with the composed array_max/" +
+      "transform spelling over adversarial vectors") {
+    import org.apache.spark.sql.types._
+    val adversarial: Seq[Seq[java.lang.Double]] = Seq(
+      null,
+      Seq.empty,
+      Seq(null),
+      Seq(null, null),
+      Seq(0.0d: java.lang.Double),
+      Seq(-0.0d: java.lang.Double, 0.0d: java.lang.Double),
+      Seq(Double.NaN: java.lang.Double, 1.0d: java.lang.Double),
+      Seq(Double.PositiveInfinity: java.lang.Double,
+        -1.0d: java.lang.Double),
+      Seq(Double.NegativeInfinity: java.lang.Double),
+      Seq(java.lang.Double.MIN_VALUE: java.lang.Double), // subnormal: scale underflows to 0.0
+      Seq(1e-300d: java.lang.Double, -1e-300d: java.lang.Double),
+      Seq(1.0d: java.lang.Double, null, -2.5d: java.lang.Double),
+      Seq(3.7d: java.lang.Double, -128.4d: java.lang.Double,
+        0.49d: java.lang.Double, 127.5d: java.lang.Double),
+      Seq(1e300d: java.lang.Double, -1e-10d: java.lang.Double))
+    val rows = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        adversarial.map(v => org.apache.spark.sql.Row(
+          if (v == null) null else v.map(x => if (x == null) null else x.doubleValue()))), 2),
+      StructType(Seq(StructField("emb", ArrayType(DoubleType, true), true))))
+    val both = rows.select(
+      graft.functions.AbsMaxQuantVec(col("emb")).as("n"),
+      graft.ops.Similarity.absMaxQuantComposed(col("emb")).as("c")).collect()
+    both.zipWithIndex.foreach { case (r, i) =>
+      assert((r.isNullAt(0), if (r.isNullAt(0)) null else r.getSeq[Any](0)) ===
+        ((r.isNullAt(1), if (r.isNullAt(1)) null else r.getSeq[Any](1))),
+        s"absmax divergence on input ${adversarial(i)}")
+    }
+    // deterministic-fixture sweep: the embeddings-shaped synthetic vectors
+    val fx = spark.range(0, 500).select(
+      transform(sequence(lit(1), lit(16)),
+        i => sin(col("id") * i.cast("double")) * 9.7).as("emb"))
+    val bad = fx.select(
+      graft.functions.AbsMaxQuantVec(col("emb")).as("n"),
+      graft.ops.Similarity.absMaxQuantComposed(col("emb")).as("c"))
+      .filter(not(col("n") <=> col("c"))).count()
+    assert(bad === 0L)
+  }
+
+  test("graft_norm_quant / graft_vec_add / graft_vec_sub: parity with the " +
+      "composed transform / zip_with spellings") {
+    // norm_quant vs transform(emb, x => clamp(floor(x·127/nrm + 0.5)))
+    val fx = spark.range(0, 300).select(
+      transform(sequence(lit(1), lit(8)),
+        i => sin(col("id") * i.cast("double")) * 3.3).as("emb"))
+      .withColumn("nrm", sqrt(graft.ops.Similarity.dotComposed(
+        col("emb"), col("emb"))))
+      // the callers' guard: zero-norm rows are filtered before quantizing
+      // (under ANSI the composed division would throw on them)
+      .filter(col("nrm") > 0.0)
+    val composedNq = transform(col("emb"), x =>
+      greatest(lit(-127L), least(lit(127L),
+        floor(x * lit(127.0) / col("nrm") + lit(0.5)).cast("long"))))
+    val nqBad = fx.select(
+      graft.functions.NormQuantVec(col("emb"), col("nrm")).as("n"),
+      composedNq.as("c")).filter(not(col("n") <=> col("c"))).count()
+    assert(nqBad === 0L)
+    // (zero norm is NOT parity-pinned: under ANSI the composed division
+    // throws DIVIDE_BY_ZERO; every caller filters nrm > 0 first, so the
+    // regime is unreachable in the operators)
+    // vec add/sub vs zip_with over null elements and length mismatch
+    import org.apache.spark.sql.types._
+    val pairs: Seq[(Seq[java.lang.Long], Seq[java.lang.Long])] = Seq(
+      (Seq(1L: java.lang.Long, 2L: java.lang.Long),
+        Seq(3L: java.lang.Long, -4L: java.lang.Long)),
+      (Seq(1L: java.lang.Long), Seq(3L: java.lang.Long, 5L: java.lang.Long)),
+      (Seq(null, 2L: java.lang.Long), Seq(1L: java.lang.Long, null)),
+      (Seq.empty, Seq(7L: java.lang.Long)))
+    val pr = spark.createDataFrame(
+      spark.sparkContext.parallelize(pairs.map { case (a, b) =>
+        org.apache.spark.sql.Row(
+          a.map(x => if (x == null) null else x.longValue()),
+          b.map(x => if (x == null) null else x.longValue()))
+      }, 2),
+      StructType(Seq(StructField("a", ArrayType(LongType, true), true),
+        StructField("b", ArrayType(LongType, true), true))))
+    val vBad = pr.select(
+      graft.functions.VecAddSub.add(col("a"), col("b")).as("na"),
+      zip_with(col("a"), col("b"), (x, y) => x + y).as("ca"),
+      graft.functions.VecAddSub.sub(col("a"), col("b")).as("ns"),
+      zip_with(col("a"), col("b"), (x, y) => x - y).as("cs"))
+      .filter(not(col("na") <=> col("ca")) || not(col("ns") <=> col("cs")))
+      .count()
+    assert(vBad === 0L)
+  }
+
+  test("graft_top_centroids: parity with the posexplode ranking spelling, " +
+      "and min(k, usable) when probes exceed usable centroids") {
+    import org.apache.spark.sql.expressions.Window
+    val cents = Seq(Seq(1L, 0L, 0L), Seq(0L, 1L, 0L), Seq(1L, 1L, 0L),
+      Seq(-1L, 0L, 1L), Seq(2L, 2L, 2L))
+    val centArrs = array(cents.map(cv => array(cv.map(lit): _*)): _*)
+    val qvs = spark.range(0, 50).select(col("id"),
+      transform(sequence(lit(1), lit(3)),
+        i => pmod(col("id") * i.cast("long") * 37L, lit(21L)) - 10L).as("qv"))
+    // composed: score_i = dot(qv, c_i)/‖c_i‖ (long squares widened after
+    // the multiply), rank by (score desc, position asc) — the qprobe
+    // window spelling TopCentroids mirrors
+    val scores = array(cents.map { cv =>
+      val carr = array(cv.map(lit): _*)
+      graft.ops.Similarity.dotComposed(col("qv").cast("array<double>"),
+        carr.cast("array<double>")) /
+        sqrt(lit(cv.map(c => (c * c).toDouble).sum))
+    }: _*)
+    val k = 3
+    val composed = qvs
+      .select(col("id"), posexplode(scores).as(Seq("_pos", "_sc")))
+      .withColumn("_pr", row_number().over(
+        Window.partitionBy("id").orderBy(col("_sc").desc, col("_pos"))))
+      .filter(col("_pr") <= k)
+      .groupBy("id")
+      .agg(transform(array_sort(collect_list(struct(col("_pr"), col("_pos")))),
+        x => x("_pos") + 1).as("c"))
+    val native = qvs.select(col("id"),
+      graft.functions.TopCentroids(col("qv"), centArrs, k).as("n"))
+    val bad = native.join(composed, "id")
+      .filter(not(col("n").cast("array<long>") <=> col("c").cast("array<long>")))
+      .count()
+    assert(bad === 0L)
+    // k beyond the centroid count: returns min(k, usable) positions (the
+    // documented divergence from the masked-argmax chain, which padded
+    // with duplicate positions once all scores were -Inf)
+    val over = spark.range(1).select(typedLit(Seq(1L, 2L, 3L)).as("qv"))
+      .select(graft.functions.TopCentroids(col("qv"), centArrs, 99).as("n"))
+      .head().getSeq[Long](0)
+    assert(over.length === cents.length)
+    assert(over.toSet.size === cents.length)
+  }
 }
