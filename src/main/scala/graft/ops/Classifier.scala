@@ -143,6 +143,13 @@ object Classifier {
     // unchanged.
     val classes = model.select("label").distinct().orderBy("label")
       .collect().map(_.getString(0))
+    // empty model: map() would build map<null,null> and fail analysis at
+    // element_at with an inscrutable error; a null label would become a
+    // null map key (runtime error at probe time). Fail loudly up front.
+    require(classes.nonEmpty,
+      "classify() needs a trained model with at least one class")
+    require(classes.forall(_ != null),
+      "classify() model contains a NULL label — labels must be non-null")
     // the encoding reserves 6 bits for the class index — a 65th class
     // would alias class 0 with an off-by-one score, silently. Real
     // many-class uses (a full LID head) need a wider reservation; fail

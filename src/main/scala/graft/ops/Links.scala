@@ -37,6 +37,16 @@ object Links {
   private val baseTagPattern =
     "(?is)<base\\b((?:[^>\"']|\"[^\"]*\"|'[^']*')*)>"
 
+  /** The composed spelling of the a-tag extraction — parity REFERENCE
+    * for [[graft.functions.ATagsExtract]] (round 21): two full-page
+    * `regexp_extract_all` scans of [[aTagPattern]], zipped (identical
+    * patterns ⇒ identical match spans, so index i of both arrays is the
+    * same tag). */
+  private[graft] def aTagsZippedComposed(h: Column): Column =
+    arrays_zip(
+      regexp_extract_all(h, lit(aTagPattern), lit(1)),
+      regexp_extract_all(h, lit(aTagPattern), lit(2)))
+
   /** A quoted-or-bare attribute value: `href="…"`, `href='…'`, or the
     * HTML-legal unquoted `href=…` (terminated by whitespace or `>`). */
   private def attrValue(attrs: Column, name: String): Column = {
@@ -181,9 +191,11 @@ object Links {
                   baseUrlCol: String = "base_url",
                   idCol: String = "doc_id"): DataFrame = {
     val h = col(htmlCol)
-    val zipped = arrays_zip(
-      regexp_extract_all(h, lit(aTagPattern), lit(1)),
-      regexp_extract_all(h, lit(aTagPattern), lit(2)))
+    // round 21: native one-pass quote-aware a-tag scan — the composed
+    // double regexp_extract_all ran the alternation regex over the full
+    // page twice per row (see graft.functions.ATagsExtract's EXACTNESS
+    // note; aTagsZippedComposed below is the parity reference).
+    val zipped = graft.functions.ATagsExtract(h)
     // a fragment-only base (`<base href="#x">`) resolves to the page
     // URL itself (the fragment plays no part in reference resolution) —
     // treat it as absent rather than path-joining a '#…' string

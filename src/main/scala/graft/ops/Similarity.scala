@@ -653,6 +653,11 @@ object Similarity {
     * Empty clusters drop (no row aggregates), same as before. */
   private def lloydRound(q: DataFrame, cents: Seq[(Long, Seq[Long])],
                          dim: Int): Seq[(Long, Seq[Long])] = {
+    // dim == 0 (zero-length vectors): the aggregation list below would be
+    // empty and aggs.head would throw. The old posexplode shape produced
+    // no update rows — every cluster emptied out — so mirror that:
+    // return no centroids and let the caller's cents.nonEmpty loop stop.
+    if (dim == 0) return Nil
     val aggs = (0 until dim).flatMap { i =>
       Seq(sum(element_at(col("qv"), i + 1)).as(s"_s$i"),
         count(element_at(col("qv"), i + 1)).as(s"_n$i"))

@@ -553,4 +553,49 @@ class FunctionsSpec extends SparkSpec {
     assert(over.length === cents.length)
     assert(over.toSet.size === cents.length)
   }
+
+  test("graft_a_tags: byte parity with the zipped double regexp_extract_all " +
+      "spelling over adversarial and fixture-shaped HTML") {
+    val adversarial = Seq(
+      null,
+      "",
+      "no tags at all",
+      "<a href=\"/x\">one</a>",
+      "<A HREF='/y' TITLE=\"a>b\">Body</A>",              // '>' inside quotes
+      "<a href=\"/broken>never closed quote</a>",          // unterminated quote
+      "<a href='/u'>unclosed anchor",                       // no </a>
+      "<abbr title='x'>not an a tag</abbr>",                // \b guard
+      "<a>empty attrs</a>",
+      "<a\nhref='/nl'\n>multi\nline\nbody</a>",             // (?s) newlines
+      "<a href=/bare>bare value</a>",
+      "<a href='/1'>first</a><a href='/2'>second</a>",
+      "<a href='/o'><a href='/i'>inner</a>",                // nested opens
+      "x<a href='/t'>t</a (not a closer)> tail </a>",       // </a needs '>'
+      "<a data-x=\"it's fine\">quotes in quotes</a>",
+      "<a href='/e'></a>",                                   // empty body
+      "<a", "<a ", "<a href='x'",                            // truncated heads
+      "<A HREF='/z'>mixed</A><a broken='>trap</a>",
+      "pre <a  rel = 'nofollow'  href = \"/r\" > spaced </a> post")
+    val rows = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        adversarial.map(org.apache.spark.sql.Row(_)), 2),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("h",
+          org.apache.spark.sql.types.StringType, nullable = true))))
+    // fixture-shaped pages: repeated anchors with entities, quotes, and
+    // boilerplate between them
+    val fixture = spark.range(0, 500).select(concat(
+      lit("<html><body><h1>Doc </h1><p>t&amp;x</p><a href=\"/p/"),
+      col("id"), lit("?a=1&amp;b=2\" rel='nofollow'>Anchor "), col("id"),
+      lit(" <b>bold</b></a><div class=\"nav\">Home | <a href='../up'>Up"),
+      lit("</a></div><a href=.>dot</a><script>var a = '<a>';</script>"),
+      lit("</body></html>")).as("h"))
+    Seq(rows, fixture).foreach { frame =>
+      val bad = frame.select(
+        graft.functions.ATagsExtract(col("h")).as("n"),
+        graft.ops.Links.aTagsZippedComposed(col("h")).as("c"))
+        .filter(not(col("n") <=> col("c"))).count()
+      assert(bad === 0L, "a-tag scan diverges from the regex spelling")
+    }
+  }
 }
